@@ -1,0 +1,159 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.util.ArrayData
+
+/**
+ * Tight scalar loops over float-vector [[ArrayData]], computing in double.
+ *
+ * The 9 metrics mirror the reference's metric surface
+ * (duckdb-faiss-ext README "metric_type": INNER_PRODUCT, L2, L1, Linf,
+ * Lp, Canberra, BrayCurtis, JensenShannon, Jaccard; cf.
+ * /root/reference/src/faiss_extension.cpp metric parsing) with FAISS
+ * conventions: L2 is the *squared* euclidean distance, Lp is
+ * sum(|a-b|^p) without the 1/p root, Jaccard is the weighted
+ * 1 - sum(min)/sum(max).
+ *
+ * These are called from generated code (static forwarders), so the loop
+ * body JITs without boxing and the calling expression stays inside
+ * WholeStageCodegen.
+ */
+object VectorMath {
+  final val L2SQ = 0
+  final val IP = 1
+  final val COSINE = 2
+  final val L1 = 3
+  final val LINF = 4
+  final val LP = 5
+  final val CANBERRA = 6
+  final val BRAYCURTIS = 7
+  final val JENSENSHANNON = 8
+  final val JACCARD = 9
+  final val L2 = 10 // true euclidean (sqrt), for user convenience
+
+  def metricId(name: String): Int = name.toLowerCase match {
+    case "l2" | "l2sq" | "euclidean_sq" => L2SQ
+    case "ip" | "inner_product"         => IP
+    case "cosine" | "cosine_dist"       => COSINE
+    case "l1" | "manhattan"             => L1
+    case "linf" | "chebyshev"           => LINF
+    case "lp"                           => LP
+    case "canberra"                     => CANBERRA
+    case "braycurtis"                   => BRAYCURTIS
+    case "jensenshannon" | "js"         => JENSENSHANNON
+    case "jaccard"                      => JACCARD
+    case "euclidean"                    => L2
+    case other => throw new IllegalArgumentException(s"unknown metric: $other")
+  }
+
+  /** true iff smaller values mean "closer" for this metric */
+  def smallerIsCloser(metric: Int): Boolean = metric != IP
+
+  def dist(metric: Int, a: ArrayData, b: ArrayData, p: Double): Double = {
+    val n = a.numElements()
+    require(b.numElements() == n, s"vector dims differ: $n vs ${b.numElements()}")
+    metric match {
+      case L2SQ          => l2sq(a, b, n)
+      case IP            => ip(a, b, n)
+      case COSINE        => cosine(a, b, n)
+      case L1            => l1(a, b, n)
+      case LINF          => linf(a, b, n)
+      case LP            => lp(a, b, n, p)
+      case CANBERRA      => canberra(a, b, n)
+      case BRAYCURTIS    => braycurtis(a, b, n)
+      case JENSENSHANNON => jensenshannon(a, b, n)
+      case JACCARD       => jaccard(a, b, n)
+      case L2            => math.sqrt(l2sq(a, b, n))
+    }
+  }
+
+  private def l2sq(a: ArrayData, b: ArrayData, n: Int): Double = {
+    var s = 0.0; var i = 0
+    while (i < n) { val d = a.getFloat(i).toDouble - b.getFloat(i).toDouble; s += d * d; i += 1 }
+    s
+  }
+
+  private def ip(a: ArrayData, b: ArrayData, n: Int): Double = {
+    var s = 0.0; var i = 0
+    while (i < n) { s += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
+    s
+  }
+
+  private def cosine(a: ArrayData, b: ArrayData, n: Int): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble; val y = b.getFloat(i).toDouble
+      dot += x * y; na += x * x; nb += y * y; i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 1.0 else 1.0 - dot / math.sqrt(na * nb)
+  }
+
+  private def l1(a: ArrayData, b: ArrayData, n: Int): Double = {
+    var s = 0.0; var i = 0
+    while (i < n) { s += math.abs(a.getFloat(i).toDouble - b.getFloat(i).toDouble); i += 1 }
+    s
+  }
+
+  private def linf(a: ArrayData, b: ArrayData, n: Int): Double = {
+    var m = 0.0; var i = 0
+    while (i < n) {
+      val d = math.abs(a.getFloat(i).toDouble - b.getFloat(i).toDouble)
+      if (d > m) m = d
+      i += 1
+    }
+    m
+  }
+
+  private def lp(a: ArrayData, b: ArrayData, n: Int, p: Double): Double = {
+    var s = 0.0; var i = 0
+    while (i < n) { s += math.pow(math.abs(a.getFloat(i).toDouble - b.getFloat(i).toDouble), p); i += 1 }
+    s
+  }
+
+  private def canberra(a: ArrayData, b: ArrayData, n: Int): Double = {
+    var s = 0.0; var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble; val y = b.getFloat(i).toDouble
+      val den = math.abs(x) + math.abs(y)
+      if (den > 0.0) s += math.abs(x - y) / den
+      i += 1
+    }
+    s
+  }
+
+  private def braycurtis(a: ArrayData, b: ArrayData, n: Int): Double = {
+    var num = 0.0; var den = 0.0; var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble; val y = b.getFloat(i).toDouble
+      num += math.abs(x - y); den += math.abs(x + y); i += 1
+    }
+    if (den == 0.0) 0.0 else num / den
+  }
+
+  private def jensenshannon(a: ArrayData, b: ArrayData, n: Int): Double = {
+    var s = 0.0; var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble; val y = b.getFloat(i).toDouble
+      val m = x + y
+      if (x > 0.0 && m > 0.0) s += x * math.log(2.0 * x / m)
+      if (y > 0.0 && m > 0.0) s += y * math.log(2.0 * y / m)
+      i += 1
+    }
+    0.5 * s
+  }
+
+  private def jaccard(a: ArrayData, b: ArrayData, n: Int): Double = {
+    var mn = 0.0; var mx = 0.0; var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble; val y = b.getFloat(i).toDouble
+      mn += math.min(x, y); mx += math.max(x, y); i += 1
+    }
+    if (mx == 0.0) 0.0 else 1.0 - mn / mx
+  }
+
+  /** dense double dot-product against a primitive query array (used by broadcast-query search) */
+  def dotF(a: ArrayData, q: Array[Double]): Double = {
+    var s = 0.0; var i = 0; val n = q.length
+    while (i < n) { s += a.getFloat(i).toDouble * q(i); i += 1 }
+    s
+  }
+}

@@ -1,0 +1,182 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import Tables.{moneySum, moneySumSql}
+
+/**
+ * OLAP core: graft is a full query engine (the reference runs inside
+ * DuckDB and inherits its SQL), so the relational layer is part of the
+ * parity surface. All plans are declarative DataFrame ops — Catalyst
+ * does pushdown/pruning/join-selection; dimension joins broadcast.
+ */
+object RelationalQueries {
+  private val cutoff = "1998-09-02 00:00:00"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg" -> { (s, dir) =>
+      Tables(s, dir, "lineitem")
+        .where(col("l_shipdate") <= lit(cutoff).cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum("l_quantity").as("sum_qty"),
+          moneySum(col("l_extendedprice")).as("sum_base_price"),
+          moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+    },
+    "topk_orders" -> { (s, dir) =>
+      Tables(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    },
+    "q3_join" -> { (s, dir) =>
+      val c = Tables(s, dir, "customer").where(col("c_mktsegment") === "BUILDING")
+      val o = Tables(s, dir, "orders")
+        .where(col("o_orderdate") < lit("1998-01-01 00:00:00").cast("timestamp"))
+      val l = Tables(s, dir, "lineitem")
+        .where(col("l_shipdate") > lit("1997-01-01 00:00:00").cast("timestamp"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy("l_orderkey")
+        .agg(moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+    },
+    "q5_multijoin" -> { (s, dir) =>
+      val r = Tables(s, dir, "region")
+      val n = Tables(s, dir, "nation")
+      val sup = Tables(s, dir, "supplier")
+      val c = Tables(s, dir, "customer")
+      val o = Tables(s, dir, "orders")
+      val l = Tables(s, dir, "lineitem")
+      // lineitem |> orders |> customer, supplier co-located in customer's nation
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(sup),
+          col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+          count(lit(1)).as("n_items"))
+    },
+    "window_running" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      Tables(s, dir, "orders")
+        .withColumn("order_seq", row_number().over(w))
+        .withColumn(
+          "running_spend",
+          (sum(round(col("o_totalprice") * 100).cast("long")).over(w).cast("double") / 100.0))
+        .select("o_custkey", "o_orderkey", "order_seq", "running_spend")
+    },
+    "events_window_agg" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          countDistinct("user_id").as("n_users"),
+          moneySum(col("value")).as("sum_value"))
+        .select(
+          col("w.start").as("bucket"), col("event_type"), col("n_events"),
+          col("n_users"), col("sum_value"))
+    },
+    // scale path: HyperLogLog distinct users — no exact-compare oracle
+    // (sketch estimates are engine-specific), rows-only check
+    "events_window_approx" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(window(col("ts"), "1 hour").as("w"))
+        .agg(approx_count_distinct("user_id", 0.02).as("approx_users"))
+        .select(col("w.start").as("bucket"), col("approx_users"))
+    },
+    "events_sessionize" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      // batch sessionization: 30-min inactivity gap starts a new session;
+      // streaming twin lives in graft.streaming.Sessionize
+      val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      Tables.events(s, dir)
+        .withColumn("prev_ts", lag("ts", 1).over(byUser))
+        .withColumn(
+          "new_session",
+          (col("prev_ts").isNull ||
+            col("ts").cast("long") - col("prev_ts").cast("long") > 1800L).cast("int"))
+        .withColumn("session_seq", sum("new_session").over(byUser))
+        .groupBy("user_id", "session_seq")
+        .agg(
+          count(lit(1)).as("n_events"),
+          min("ts").as("session_start"),
+          max("ts").as("session_end"))
+    })
+
+  def oracles: Map[String, String] = Map(
+    "q1_agg" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  sum(l_quantity) AS sum_qty,
+         |  ${moneySumSql("l_extendedprice")} AS sum_base_price,
+         |  ${moneySumSql("l_extendedprice * (1.0 - l_discount)")} AS sum_disc_price,
+         |  count(*) AS count_order
+         |FROM lineitem
+         |WHERE l_shipdate <= TIMESTAMP '$cutoff'
+         |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "topk_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q3_join" ->
+      s"""SELECT l_orderkey,
+         |  ${moneySumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue
+         |FROM customer
+         |JOIN orders ON o_custkey = c_custkey
+         |JOIN lineitem ON l_orderkey = o_orderkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+         |  AND l_shipdate > TIMESTAMP '1997-01-01 00:00:00'
+         |GROUP BY l_orderkey""".stripMargin,
+    "q5_multijoin" ->
+      s"""SELECT n_name,
+         |  ${moneySumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+         |  count(*) AS n_items
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY n_name""".stripMargin,
+    "window_running" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(row_number() OVER w AS INTEGER) AS order_seq,
+        |  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+        |       OVER w AS DOUBLE) / 100.0 AS running_spend
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin,
+    "events_window_agg" ->
+      s"""SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket, event_type,
+         |  count(*) AS n_events,
+         |  count(DISTINCT user_id) AS n_users,
+         |  ${moneySumSql("value")} AS sum_value
+         |FROM events
+         |GROUP BY 1, 2""".stripMargin,
+    "events_sessionize" ->
+      """WITH ev AS (
+        |  -- parquet stores ns; Spark truncates to micros, and its
+        |  -- cast-to-long floors to whole seconds: mirror both here
+        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+        |    CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS ts_sec
+        |  FROM events
+        |), flagged AS (
+        |  SELECT user_id, ts, event_id, ts_sec,
+        |    CASE WHEN lag(ts_sec) OVER w IS NULL
+        |           OR ts_sec - lag(ts_sec) OVER w > 1800 THEN 1 ELSE 0 END AS new_session
+        |  FROM ev
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), sess AS (
+        |  SELECT user_id, event_id, ts,
+        |    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+        |  FROM flagged
+        |)
+        |SELECT user_id, session_seq, count(*) AS n_events,
+        |  min(ts) AS session_start, max(ts) AS session_end
+        |FROM sess GROUP BY user_id, session_seq""".stripMargin)
+  // events_window_agg: approx_count_distinct is engine-specific -> rows-only check
+}

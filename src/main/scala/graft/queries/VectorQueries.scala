@@ -1,0 +1,130 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.functions.vec
+import graft.search.Knn
+
+/**
+ * Vector-search parity queries: the Spark-native
+ * `faiss_search`/`faiss_search_filter` surface over a Flat (exact)
+ * index (cf. /root/reference/test/sql/faiss.test, faiss3.test).
+ *
+ * Oracle notes: ranks/labels are integer-exact; distances are emitted
+ * quantized to DECIMAL(18,4) computed in double on both sides so the
+ * driver's hash compare is stable.
+ */
+object VectorQueries {
+  val K = 5
+
+  private def data(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "embeddings")
+      .select(col("vec_id").as("label"), vec.vector(col("embedding")).as("vec"))
+
+  private def queriesDf(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "embeddings")
+      .where(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), vec.vector(col("embedding")).as("qvec"))
+
+  private def knnQuery(metric: String, filtered: Boolean = false)(
+      s: SparkSession, dir: String): DataFrame = {
+    val d0 = data(s, dir)
+    val d = if (filtered) d0.where(col("label") % 2 === 0) else d0
+    Knn.searchFlat(d, queriesDf(s, dir), K, metric)
+      .select(
+        col("qid"), col("rank"), col("label"),
+        col("distance").cast(DecimalType(18, 4)).as("distance"))
+  }
+
+  /** pairwise metric panel: all 9 reference metrics over adjacent embedding pairs */
+  private def distMetrics(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir, "embeddings")
+    val a = e.select(col("vec_id").as("id_a"), vec.vector(col("embedding")).as("va"))
+    val b = e.select((col("vec_id") - 1).as("id_b"), vec.vector(col("embedding")).as("vb"))
+    def q(c: Column): Column = c.cast(DecimalType(18, 4))
+    // element-wise |x| (JS divergence and weighted Jaccard need non-negative inputs)
+    def pos(c: Column): Column = transform(c, x => abs(x))
+    a.join(b, col("id_a") === col("id_b"))
+      .where(col("id_a") < 50)
+      .select(
+        col("id_a").as("pair_id"),
+        q(vec.l2sq(col("va"), col("vb"))).as("d_l2sq"),
+        q(vec.ip(col("va"), col("vb"))).as("d_ip"),
+        q(vec.cosineDist(col("va"), col("vb"))).as("d_cosine"),
+        q(vec.l1(col("va"), col("vb"))).as("d_l1"),
+        q(vec.linf(col("va"), col("vb"))).as("d_linf"),
+        q(vec.lp(col("va"), col("vb"), 3.0)).as("d_lp3"),
+        q(vec.canberra(col("va"), col("vb"))).as("d_canberra"),
+        q(vec.braycurtis(col("va"), col("vb"))).as("d_braycurtis"),
+        q(vec.jensenshannon(pos(col("va")), pos(col("vb")))).as("d_js"),
+        q(vec.jaccard(pos(col("va")), pos(col("vb")))).as("d_jaccard"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "knn_flat_l2" -> (knnQuery("l2sq") _),
+    "knn_flat_ip" -> (knnQuery("ip") _),
+    "knn_flat_cosine" -> (knnQuery("cosine") _),
+    "knn_search_filter" -> (knnQuery("l2sq", filtered = true) _),
+    "dist_metrics" -> (distMetrics _))
+
+  // DuckDB-side distance formulas over DOUBLE, element order identical to
+  // the Scala loops (sequential list_sum / explicit comprehensions).
+  private val l2sqSql =
+    "list_sum([ (CAST(a[i] AS DOUBLE) - CAST(b[i] AS DOUBLE)) * (CAST(a[i] AS DOUBLE) - CAST(b[i] AS DOUBLE)) FOR i IN range(1, len(a)+1) ])"
+  private val ipSql =
+    "list_sum([ CAST(a[i] AS DOUBLE) * CAST(b[i] AS DOUBLE) FOR i IN range(1, len(a)+1) ])"
+
+  private def knnOracle(distExpr: String, order: String, where: String): String =
+    s"""WITH q AS (SELECT vec_id AS qid, embedding AS a FROM embeddings WHERE vec_id < 10),
+       |d AS (
+       |  SELECT q.qid, e.vec_id AS label, $distExpr AS dist
+       |  FROM q CROSS JOIN (SELECT vec_id, embedding AS b FROM embeddings $where) e
+       |),
+       |r AS (
+       |  SELECT qid, label, dist,
+       |    CAST(row_number() OVER (PARTITION BY qid ORDER BY dist $order, label) - 1 AS INTEGER) AS rank
+       |  FROM d
+       |)
+       |SELECT qid, rank, label, CAST(dist AS DECIMAL(18,4)) AS distance
+       |FROM r WHERE rank < $K""".stripMargin
+
+  private val cosSql =
+    "1.0 - list_cosine_similarity(CAST(a AS DOUBLE[]), CAST(b AS DOUBLE[]))"
+
+  def oracles: Map[String, String] = Map(
+    "knn_flat_l2" -> knnOracle(l2sqSql, "ASC", ""),
+    "knn_flat_ip" -> knnOracle(ipSql, "DESC", ""),
+    "knn_flat_cosine" -> knnOracle(cosSql, "ASC", ""),
+    "knn_search_filter" -> knnOracle(l2sqSql, "ASC", "WHERE vec_id % 2 = 0"),
+    "dist_metrics" ->
+      s"""WITH p AS (
+         |  SELECT ea.vec_id AS pair_id, ea.embedding AS a, eb.embedding AS b
+         |  FROM embeddings ea JOIN embeddings eb ON ea.vec_id = eb.vec_id - 1
+         |  WHERE ea.vec_id < 50
+         |), m AS (
+         |  SELECT pair_id, a, b,
+         |    [abs(CAST(a[i] AS DOUBLE)) FOR i IN range(1, len(a)+1)] AS pa,
+         |    [abs(CAST(b[i] AS DOUBLE)) FOR i IN range(1, len(b)+1)] AS pb
+         |  FROM p
+         |)
+         |SELECT pair_id,
+         |  CAST($l2sqSql AS DECIMAL(18,4)) AS d_l2sq,
+         |  CAST($ipSql AS DECIMAL(18,4)) AS d_ip,
+         |  CAST($cosSql AS DECIMAL(18,4)) AS d_cosine,
+         |  CAST(list_sum([ abs(CAST(a[i] AS DOUBLE) - CAST(b[i] AS DOUBLE)) FOR i IN range(1, len(a)+1) ]) AS DECIMAL(18,4)) AS d_l1,
+         |  CAST(list_max([ abs(CAST(a[i] AS DOUBLE) - CAST(b[i] AS DOUBLE)) FOR i IN range(1, len(a)+1) ]) AS DECIMAL(18,4)) AS d_linf,
+         |  CAST(list_sum([ pow(abs(CAST(a[i] AS DOUBLE) - CAST(b[i] AS DOUBLE)), 3.0) FOR i IN range(1, len(a)+1) ]) AS DECIMAL(18,4)) AS d_lp3,
+         |  CAST(list_sum([ CASE WHEN abs(CAST(a[i] AS DOUBLE)) + abs(CAST(b[i] AS DOUBLE)) > 0
+         |        THEN abs(CAST(a[i] AS DOUBLE) - CAST(b[i] AS DOUBLE)) / (abs(CAST(a[i] AS DOUBLE)) + abs(CAST(b[i] AS DOUBLE)))
+         |        ELSE 0.0 END FOR i IN range(1, len(a)+1) ]) AS DECIMAL(18,4)) AS d_canberra,
+         |  CAST(list_sum([ abs(CAST(a[i] AS DOUBLE) - CAST(b[i] AS DOUBLE)) FOR i IN range(1, len(a)+1) ])
+         |    / list_sum([ abs(CAST(a[i] AS DOUBLE) + CAST(b[i] AS DOUBLE)) FOR i IN range(1, len(a)+1) ]) AS DECIMAL(18,4)) AS d_braycurtis,
+         |  CAST(0.5 * list_sum([ (CASE WHEN pa[i] > 0 AND pa[i] + pb[i] > 0 THEN pa[i] * ln(2.0 * pa[i] / (pa[i] + pb[i])) ELSE 0.0 END)
+         |      + (CASE WHEN pb[i] > 0 AND pa[i] + pb[i] > 0 THEN pb[i] * ln(2.0 * pb[i] / (pa[i] + pb[i])) ELSE 0.0 END)
+         |      FOR i IN range(1, len(pa)+1) ]) AS DECIMAL(18,4)) AS d_js,
+         |  CAST(1.0 - list_sum([ least(pa[i], pb[i]) FOR i IN range(1, len(pa)+1) ])
+         |    / list_sum([ greatest(pa[i], pb[i]) FOR i IN range(1, len(pa)+1) ]) AS DECIMAL(18,4)) AS d_jaccard
+         |FROM m""".stripMargin)
+}

@@ -1,0 +1,68 @@
+package graft.search
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{vec, VectorMath}
+
+/**
+ * Distributed brute-force k-NN: the Spark-native twin of the
+ * reference's `faiss_search` over a Flat index
+ * (duckdb-faiss-ext README "faiss_search"; test/sql/faiss.test).
+ *
+ * Plan shape (the 100 TB story):
+ *   parquet scan (pruned to id+vec, filters pushed down)
+ *     -> BroadcastNestedLoopJoin against the (small) query set
+ *     -> fused codegen distance expression
+ *     -> partial top-k heap per partition   (shuffle: parts x Q x k rows)
+ *     -> final top-k merge per query id
+ * No driver-side collect; each data row is touched exactly once.
+ */
+object Knn {
+
+  /**
+   * @param data    (label bigint, vec array<float>) — the indexed vectors
+   * @param queries (qid bigint, qvec array<float>) — the query batch (broadcast)
+   * @param k       neighbors per query
+   * @param metric  one of VectorMath's metric names (l2, ip, cosine, ...)
+   * @return (qid, rank int, label bigint, distance double) — best first
+   */
+  def searchFlat(
+      data: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      metric: String,
+      labelCol: String = "label",
+      vecCol: String = "vec",
+      qidCol: String = "qid",
+      qvecCol: String = "qvec"): DataFrame = {
+    val mid = VectorMath.metricId(metric)
+    val asc = VectorMath.smallerIsCloser(mid)
+    val d = vec.dist(metric, col(vecCol), col(qvecCol))
+    data
+      .crossJoin(broadcast(queries))
+      .groupBy(col(qidCol))
+      .agg(vec.topk(k, d, col(labelCol), asc).as("nn"))
+      .select(col(qidCol), posexplode(col("nn")).as(Seq("pos", "nn")))
+      .select(
+        col(qidCol),
+        col("nn.rank").as("rank"),
+        col("nn.label").as("label"),
+        col("nn.distance").as("distance"))
+  }
+
+  /**
+   * `faiss_search_filter` twin: only rows satisfying `predicate`
+   * participate. Spark-first improvement over the reference's O(n)
+   * post-hoc bitmap (faiss_extension.cpp search_filter): the predicate
+   * is a Catalyst filter *before* the scan output, so it is pushed
+   * down to parquet and pruned rows are never read.
+   */
+  def searchFlatFiltered(
+      data: DataFrame,
+      predicate: Column,
+      queries: DataFrame,
+      k: Int,
+      metric: String): DataFrame =
+    searchFlat(data.where(predicate), queries, k, metric)
+}

@@ -1,0 +1,13 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/**
+ * Bridge into Spark's `private[sql]` Column <-> Expression converters
+ * (Spark 4 made Column a ColumnNode wrapper; this is the sanctioned
+ * internal path used by Spark's own DSL).
+ */
+object GraftBridge {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}
