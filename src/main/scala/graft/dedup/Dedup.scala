@@ -1,0 +1,131 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{hashes, vec}
+import graft.text.TextFunctions
+
+/**
+ * Deduplication operators for LLM training-data pipelines, each a
+ * bounded-shuffle distributed algorithm:
+ *
+ *  - exact:     one hash shuffle on the text (group-by), keep min id
+ *  - minhash:   shingle -> 128-lane MinHash -> LSH band buckets ->
+ *               candidate pairs from bucket self-join (shuffles fixed
+ *               width signatures, never documents)
+ *  - simhash:   64-bit fingerprint, 4x16-bit block keys, candidates
+ *               verified by hamming distance (block trick: any pair
+ *               within hamming<=3 of 64 bits shares at least one of 4
+ *               16-bit blocks exactly)
+ *  - ngram:     exact jaccard verification over candidate pairs
+ *  - embedding: cosine near-dup over vector pairs
+ */
+object Dedup {
+
+  /** exact dedup groups: one row per distinct text, min doc id kept */
+  def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .groupBy(col(textCol))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select(md5(col(textCol)).as("text_hash"), col("keep_id"), col("n_copies"))
+
+  /** (id, sig array<bigint>) MinHash signatures over word shingles */
+  def minhashSignatures(
+      docs: DataFrame, idCol: String, textCol: String,
+      numHashes: Int, shingleSize: Int, seed: Long): DataFrame =
+    docs.select(
+      col(idCol).as("id"),
+      hashes.minhash(
+        TextFunctions.shingles(TextFunctions.tokens(col(textCol)), shingleSize),
+        numHashes, seed).as("sig"))
+
+  /**
+   * LSH candidate pairs (a_id < b_id, distinct) from banding the
+   * MinHash signature: `bands` groups of `numHashes/bands` lanes, each
+   * group folded to one bucket key; docs sharing any bucket pair up.
+   */
+  def minhashCandidates(
+      docs: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 128, bands: Int = 32,
+      shingleSize: Int = 3, seed: Long = 42L): DataFrame = {
+    val rows = numHashes / bands
+    require(rows * bands == numHashes, "bands must divide numHashes")
+    val sigs = minhashSignatures(docs, idCol, textCol, numHashes, shingleSize, seed)
+    val bucketed = sigs
+      .select(col("id"), posexplode(bandBuckets(col("sig"), bands, rows)).as(Seq("band", "bucket")))
+    val a = bucketed.as("a")
+    val b = bucketed.as("b")
+    a.join(b,
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id"))
+      .distinct()
+  }
+
+  /** fold each band's slice of the signature into one bucket key
+    * (codegen'd; rotate-xor mix — ANSI-safe, no overflowing multiply) */
+  private def bandBuckets(sig: Column, bands: Int, rows: Int): Column =
+    transform(
+      sequence(lit(0), lit(bands - 1)),
+      b => aggregate(
+        slice(sig, b * rows + 1, lit(rows)),
+        lit(0x9e3779b97f4a7c15L),
+        (acc, x) => shiftleft(acc, 7).bitwiseOR(shiftrightunsigned(acc, 57)).bitwiseXOR(x)))
+
+  /** (id, simhash bigint) plus the 4 16-bit block keys for candidate gen */
+  def simhashCandidates(
+      docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3, seed: Long = 42L): DataFrame = {
+    val sigs = docs.select(
+      col(idCol).as("id"),
+      hashes.simhash(TextFunctions.tokens(col(textCol)), seed).as("sim"))
+    val blocks = array((0 until 4).map(b =>
+      shiftrightunsigned(col("sim"), b * 16).bitwiseAND(lit(0xffffL))): _*)
+    val blocked = sigs.select(
+      col("id"), col("sim"),
+      posexplode(blocks).as(Seq("block", "key")))
+    val a = blocked.as("a")
+    val b = blocked.as("b")
+    a.join(b,
+        col("a.block") === col("b.block") && col("a.key") === col("b.key") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id"),
+        bit_count(col("a.sim").bitwiseXOR(col("b.sim"))).as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  /**
+   * Exact n-gram jaccard over candidate pairs. `pairs` must provide
+   * (a_id, b_id); texts are joined back in. jaccard = |A n B| /
+   * (|A| + |B| - |A n B|) over distinct shingle sets.
+   */
+  def ngramJaccard(
+      docs: DataFrame, idCol: String, textCol: String,
+      pairs: DataFrame, shingleSize: Int = 3): DataFrame = {
+    val sh = docs.select(
+      col(idCol).as("id"),
+      TextFunctions.shingles(TextFunctions.tokens(col(textCol)), shingleSize).as("sh"))
+    val inter = size(array_intersect(col("sa"), col("sb")))
+    pairs
+      .join(sh.withColumnRenamed("sh", "sa"), col("a_id") === col("id")).drop("id")
+      .join(sh.withColumnRenamed("sh", "sb"), col("b_id") === col("id")).drop("id")
+      .select(
+        col("a_id"), col("b_id"),
+        (inter.cast("double") /
+          (size(col("sa")) + size(col("sb")) - inter).cast("double")).as("jaccard"))
+  }
+
+  /** embedding cosine near-duplicates over candidate pairs (a_id, b_id) */
+  def embeddingNearDup(
+      embs: DataFrame, idCol: String, vecCol: String,
+      pairs: DataFrame, maxCosineDist: Double): DataFrame = {
+    val e = embs.select(col(idCol).as("id"), vec.vector(col(vecCol)).as("v"))
+    pairs
+      .join(e.withColumnRenamed("v", "va"), col("a_id") === col("id")).drop("id")
+      .join(e.withColumnRenamed("v", "vb"), col("b_id") === col("id")).drop("id")
+      .select(col("a_id"), col("b_id"), vec.cosineDist(col("va"), col("vb")).as("cosine_dist"))
+      .where(col("cosine_dist") <= maxCosineDist)
+  }
+}

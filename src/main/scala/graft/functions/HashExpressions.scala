@@ -1,0 +1,227 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftBridge}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * Deterministic 64-bit hashing primitives for the dedup/sketch family
+ * (MinHash, SimHash, rolling fingerprints). All hashes are seeded
+ * splitmix64/FNV mixes — engine-independent, reproducible across
+ * partitions and runs (no java hashCode, no Random).
+ */
+object Hash64 {
+  /** FNV-1a over UTF-8 bytes */
+  def fnv1a(bytes: Array[Byte]): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < bytes.length) { h ^= (bytes(i) & 0xffL); h *= 0x100000001b3L; i += 1 }
+    h
+  }
+
+  /** splitmix64 finalizer — good avalanche for deriving hash families */
+  def mix(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+}
+
+/**
+ * MinHash signature over an array<string> of shingles:
+ * sig[i] = min over shingles of mix(fnv1a(shingle) ^ seed_i).
+ * One pass over the shingles computes all `numHashes` lanes.
+ * Returns array<bigint> of length numHashes (empty input → Long.MaxValue lanes).
+ */
+case class MinHashSignature(child: Expression, numHashes: Int, seed: Long)
+    extends UnaryExpression
+    with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_signature"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"minhash needs array<string>, got ${t.catalogString}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      val s = arr.getUTF8String(i)
+      if (s != null) {
+        val base = Hash64.fnv1a(s.getBytes)
+        var j = 0
+        while (j < numHashes) {
+          val h = Hash64.mix(base ^ (seed + 0x9e3779b97f4a7c15L * j))
+          if (h < sig(j)) sig(j) = h
+          j += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/**
+ * 64-bit SimHash over an array<string> of tokens: per-token FNV hash
+ * votes +-1 on each bit; the sign of each bit's tally forms the
+ * fingerprint. Near-duplicate texts land within small hamming distance.
+ */
+case class SimHash64(child: Expression, seed: Long)
+    extends UnaryExpression
+    with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"simhash needs array<string>, got ${t.catalogString}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val tally = new Array[Int](64)
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      val s = arr.getUTF8String(i)
+      if (s != null) {
+        val h = Hash64.mix(Hash64.fnv1a(s.getBytes) ^ seed)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) tally(b) += 1 else tally(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (tally(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** 64-bit FNV-1a rolling fingerprint of a string (whole-document hash). */
+case class Fingerprint64(child: Expression)
+    extends UnaryExpression
+    with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "fingerprint64"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"fingerprint64 needs string, got ${t.catalogString}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    Hash64.fnv1a(input.asInstanceOf[UTF8String].getBytes)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/**
+ * Random-hyperplane LSH bucket ids for cosine similarity over
+ * array<float>: `bands` buckets, each from `bitsPerBand` signed
+ * projections. Hyperplane weights are pseudo-random Rademacher (+-1)
+ * derived from (seed, band, bit, dim) via splitmix64 — no stored
+ * model, identical on every executor.
+ */
+case class HyperplaneBuckets(child: Expression, bands: Int, bitsPerBand: Int, seed: Long)
+    extends UnaryExpression
+    with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "hyperplane_buckets"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"hyperplane_buckets needs array<float>, got ${t.catalogString}")
+  }
+
+  // per-executor cache of the derived hyperplane weights (bands x bits x dim)
+  @transient private var wCache: Array[Double] = _
+  @transient private var wDim: Int = -1
+
+  private def weights(dim: Int): Array[Double] = synchronized {
+    if (wDim != dim) {
+      val w = new Array[Double](bands * bitsPerBand * dim)
+      var i = 0
+      var band = 0
+      while (band < bands) {
+        var bit = 0
+        while (bit < bitsPerBand) {
+          var d = 0
+          while (d < dim) {
+            w(i) = if ((Hash64.mix(seed ^ (band.toLong << 40) ^ (bit.toLong << 20) ^ d) & 1L) == 0L) 1.0 else -1.0
+            i += 1; d += 1
+          }
+          bit += 1
+        }
+        band += 1
+      }
+      wCache = w; wDim = dim
+    }
+    wCache
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val dim = v.numElements()
+    val w = weights(dim)
+    val out = new Array[Long](bands)
+    var wi = 0
+    var band = 0
+    while (band < bands) {
+      var bucket = 0L
+      var bit = 0
+      while (bit < bitsPerBand) {
+        var dot = 0.0
+        var d = 0
+        while (d < dim) { dot += w(wi) * v.getFloat(d); wi += 1; d += 1 }
+        if (dot >= 0) bucket |= (1L << bit)
+        bit += 1
+      }
+      // disambiguate band id into the bucket key so bands never collide
+      out(band) = bucket | (band.toLong << 48)
+      band += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Column DSL for the hashing family. */
+object hashes {
+  private def col(e: Expression): Column = GraftBridge.column(e)
+  private def ex(c: Column): Expression = GraftBridge.expression(c)
+
+  def minhash(shingles: Column, numHashes: Int = 128, seed: Long = 42L): Column =
+    col(MinHashSignature(ex(shingles), numHashes, seed))
+  def simhash(tokens: Column, seed: Long = 42L): Column =
+    col(SimHash64(ex(tokens), seed))
+  def fingerprint64(text: Column): Column =
+    col(Fingerprint64(ex(text)))
+  def hyperplaneBuckets(vector: Column, bands: Int = 16, bitsPerBand: Int = 16, seed: Long = 42L): Column =
+    col(HyperplaneBuckets(ex(vector), bands, bitsPerBand, seed))
+}

@@ -1,0 +1,103 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+
+/** Dedup parity queries over documents/embeddings (SURVEY §2). */
+object DedupQueries {
+
+  private def docs(s: SparkSession, dir: String) = Tables(s, dir, "documents")
+  private def embs(s: SparkSession, dir: String) = Tables(s, dir, "embeddings")
+
+  /** candidate pairs: ids within a bounded window, so the exact-jaccard
+    * oracle stays O(n x window) instead of O(n^2) */
+  private def windowPairs(d: DataFrame, idCol: String, window: Int): DataFrame = {
+    val a = d.select(col(idCol).as("a_id"))
+    val b = d.select(col(idCol).as("b_id"))
+    a.join(b, col("b_id") > col("a_id") && col("b_id") <= col("a_id") + window)
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> { (s, dir) =>
+      Dedup.exact(docs(s, dir), "doc_id", "text")
+    },
+    // top-20 most-similar bigram-jaccard pairs within an id window of 25
+    "dedup_ngram_jaccard" -> { (s, dir) =>
+      val d = docs(s, dir)
+      Dedup.ngramJaccard(d, "doc_id", "text", windowPairs(d, "doc_id", 25), shingleSize = 2)
+        .orderBy(col("jaccard").desc, col("a_id"), col("b_id"))
+        .limit(20)
+    },
+    // top-20 nearest embedding pairs within an id window of 50
+    "dedup_embedding" -> { (s, dir) =>
+      val e = embs(s, dir)
+      Dedup.embeddingNearDup(e, "vec_id", "embedding",
+          windowPairs(e, "vec_id", 50), maxCosineDist = 2.0)
+        .orderBy(col("cosine_dist"), col("a_id"), col("b_id"))
+        .limit(20)
+        .select(col("a_id"), col("b_id"),
+          col("cosine_dist").cast(org.apache.spark.sql.types.DecimalType(18, 4)).as("cosine_dist"))
+    },
+    // MinHash-LSH: per-doc candidate-duplicate degree (custom hash family
+    // -> no SQL oracle; planted dups at sf0.1 give nonzero counts)
+    "dedup_minhash" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val cands = Dedup.minhashCandidates(d, "doc_id", "text")
+      val degree = cands.select(col("a_id").as("doc_id"))
+        .union(cands.select(col("b_id").as("doc_id")))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_dup_candidates"))
+      d.select(col("doc_id"))
+        .join(degree, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("n_dup_candidates"), lit(0L)).as("n_dup_candidates"))
+    },
+    "dedup_simhash" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val cands = Dedup.simhashCandidates(d, "doc_id", "text", maxHamming = 3)
+      val degree = cands.select(col("a_id").as("doc_id"))
+        .union(cands.select(col("b_id").as("doc_id")))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_near_dups"))
+      d.select(col("doc_id"))
+        .join(degree, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("n_near_dups"), lit(0L)).as("n_near_dups"))
+    })
+
+  private val toksSql = "string_split_regex(lower(trim(text)), '\\s+')"
+  private val shinglesSql =
+    s"""list_distinct(CASE WHEN len(toks) >= 2
+       |  THEN [toks[i] || ' ' || toks[i+1] FOR i IN range(1, len(toks))]
+       |  ELSE [] END)""".stripMargin
+
+  def oracles: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY text""".stripMargin,
+    "dedup_ngram_jaccard" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |sh AS (SELECT doc_id, $shinglesSql AS sh FROM t),
+         |pairs AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.sh AS sa, b.sh AS sb
+         |  FROM sh a JOIN sh b
+         |    ON b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 25
+         |),
+         |j AS (
+         |  SELECT a_id, b_id,
+         |    CAST(len(list_intersect(sa, sb)) AS DOUBLE)
+         |      / CAST(len(sa) + len(sb) - len(list_intersect(sa, sb)) AS DOUBLE) AS jaccard
+         |  FROM pairs
+         |)
+         |SELECT a_id, b_id, jaccard FROM j
+         |ORDER BY jaccard DESC, a_id, b_id LIMIT 20""".stripMargin,
+    "dedup_embedding" ->
+      """WITH p AS (
+        |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |    1.0 - list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                                 CAST(b.embedding AS DOUBLE[])) AS cosine_dist
+        |  FROM embeddings a JOIN embeddings b
+        |    ON b.vec_id > a.vec_id AND b.vec_id <= a.vec_id + 50
+        |)
+        |SELECT a_id, b_id, CAST(cosine_dist AS DECIMAL(18,4)) AS cosine_dist FROM p
+        |WHERE cosine_dist <= 2.0
+        |ORDER BY p.cosine_dist, a_id, b_id LIMIT 20""".stripMargin)
+}

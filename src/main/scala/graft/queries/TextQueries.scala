@@ -1,0 +1,79 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.hashes
+import graft.text.TextFunctions._
+
+/** Text-analysis parity queries over the documents table (SURVEY §2). */
+object TextQueries {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_tokens" -> { (s, dir) =>
+      val d = Tables(s, dir, "documents")
+      d.select(
+        col("doc_id"),
+        size(tokens(col("text"))).as("n_tokens"),
+        size(bpeTokens(col("text"))).as("n_bpe"),
+        length(col("text")).as("n_chars_actual"))
+    },
+    "text_quality" -> { (s, dir) =>
+      val d = Tables(s, dir, "documents")
+      val t = tokens(col("text"))
+      d.select(
+        col("doc_id"),
+        uniqueRatio(t).as("uniq_ratio"),
+        stopwordRatio(t).as("stop_ratio"),
+        punctRatio(col("text")).as("punct_ratio"),
+        qualityScore(col("text")).as("quality"))
+    },
+    "text_fingerprint" -> { (s, dir) =>
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), md5(col("text")).as("fp_md5"))
+    },
+    // heuristic language id: deterministic plumbing check (the synthetic
+    // corpus shares one vocabulary, so accuracy is not meaningful here)
+    "text_langid" -> { (s, dir) =>
+      val d = Tables(s, dir, "documents")
+      d.select(
+        col("doc_id"),
+        langId(tokens(col("text"))).as("lang_pred"),
+        hashes.fingerprint64(col("text")).as("fp64"))
+    })
+
+  private val toksSql = "string_split_regex(lower(trim(text)), '\\s+')"
+
+  def oracles: Map[String, String] = Map(
+    "text_tokens" ->
+      s"""SELECT doc_id,
+         |  CAST(len($toksSql) AS INTEGER) AS n_tokens,
+         |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS INTEGER) AS n_bpe,
+         |  CAST(length(text) AS INTEGER) AS n_chars_actual
+         |FROM documents""".stripMargin,
+    "text_quality" ->
+      s"""WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
+         |f AS (
+         |  SELECT doc_id, text, toks,
+         |    CASE WHEN len(toks) > 0
+         |      THEN CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE)
+         |      ELSE 0.0 END AS uniq_ratio,
+         |    CASE WHEN len(toks) > 0
+         |      THEN CAST(len(list_filter(toks, x -> list_contains(['the','a','an','and','or','of','to','in','is','it','for','on','with','as','at','by'], x))) AS DOUBLE)
+         |           / CAST(len(toks) AS DOUBLE)
+         |      ELSE 0.0 END AS stop_ratio,
+         |    CASE WHEN length(text) > 0
+         |      THEN CAST(length(text) - length(regexp_replace(text, '[.,;:!?''"()\\[\\]{}-]', '', 'g')) AS DOUBLE)
+         |           / CAST(length(text) AS DOUBLE)
+         |      ELSE 0.0 END AS punct_ratio,
+         |    least(CAST(len(toks) AS DOUBLE) / 64.0, 1.0) AS len_score
+         |  FROM t
+         |)
+         |SELECT doc_id, uniq_ratio, stop_ratio, punct_ratio,
+         |  len_score * 0.25 + uniq_ratio * 0.25
+         |    + least(stop_ratio * 4.0, 1.0) * 0.25
+         |    + (1.0 - least(punct_ratio * 4.0, 1.0)) * 0.25 AS quality
+         |FROM f""".stripMargin,
+    "text_fingerprint" ->
+      "SELECT doc_id, md5(text) AS fp_md5 FROM documents")
+}

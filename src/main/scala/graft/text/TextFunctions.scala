@@ -1,0 +1,105 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-analysis operators for LLM training-data pipelines: tokenizing,
+ * quality features, shingling, language heuristics. Everything is
+ * built from codegen'd `org.apache.spark.sql.functions` (no UDFs), so
+ * the whole feature computation stays in one WholeStageCodegen span
+ * over the document scan — a single pass at 100 TB.
+ */
+object TextFunctions {
+
+  /** whitespace word tokens, lowercased */
+  def tokens(text: Column): Column =
+    split(lower(trim(text)), "\\s+")
+
+  /** BPE-ish subword segmentation: letter runs, digit runs, single punct */
+  def bpeTokens(text: Column): Column =
+    regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))
+
+  /** contiguous word n-gram shingles (distinct); empty below n tokens */
+  def shingles(toks: Column, n: Int): Column = {
+    val grams = transform(
+      sequence(lit(0), size(toks) - n),
+      i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*))
+    when(size(toks) >= n, array_distinct(grams))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  val stopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "for", "on", "with", "as", "at", "by")
+
+  /** fraction of tokens that are stopwords (0 when no tokens) */
+  def stopwordRatio(toks: Column): Column = {
+    val stops = size(filter(toks, t => t.isInCollection(stopwords)))
+    when(size(toks) > 0, stops.cast("double") / size(toks).cast("double")).otherwise(lit(0.0))
+  }
+
+  /** fraction of distinct tokens — low values indicate boilerplate/spam */
+  def uniqueRatio(toks: Column): Column =
+    when(size(toks) > 0, size(array_distinct(toks)).cast("double") / size(toks).cast("double"))
+      .otherwise(lit(0.0))
+
+  private val punctClass = "[.,;:!?'\"()\\[\\]{}-]"
+
+  /** fraction of characters that are punctuation */
+  def punctRatio(text: Column): Column =
+    when(length(text) > 0,
+      (length(text) - length(regexp_replace(text, punctClass, ""))).cast("double") /
+        length(text).cast("double"))
+      .otherwise(lit(0.0))
+
+  def meanTokenLen(toks: Column): Column =
+    when(size(toks) > 0,
+      aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") /
+        size(toks).cast("double"))
+      .otherwise(lit(0.0))
+
+  /**
+   * Composite quality score in [0,1] — rewards mid-length docs with
+   * diverse tokens, light punctuation, and a natural stopword rate
+   * (the C4/Gopher-style heuristic family, arithmetic-only so the
+   * DuckDB oracle reproduces it bit-for-bit).
+   */
+  def qualityScore(text: Column): Column = {
+    val t = tokens(text)
+    val lenScore = least(size(t).cast("double") / 64.0, lit(1.0))
+    val uniq = uniqueRatio(t)
+    val stop = stopwordRatio(t)
+    val punct = punctRatio(text)
+    // clamp each component, equal weights
+    (lenScore * 0.25 + uniq * 0.25 +
+      least(stop * 4.0, lit(1.0)) * 0.25 +
+      (lit(1.0) - least(punct * 4.0, lit(1.0))) * 0.25)
+  }
+
+  /**
+   * Stopword-profile language heuristic: score each candidate language
+   * by hits of its most frequent function words among the tokens, pick
+   * the argmax (ties -> alphabetical). A real-data heuristic — on the
+   * synthetic corpus it exercises plumbing + determinism only.
+   */
+  val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "nicht", "ist", "ein", "mit"),
+    "en" -> Seq("the", "and", "of", "to", "is", "in", "that", "it"),
+    "es" -> Seq("el", "la", "de", "que", "y", "los", "es", "un"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "un", "est"),
+    "zh" -> Seq("de", "shi", "bu", "le", "ren", "wo", "you", "ta"))
+
+  def langId(toks: Column): Column = {
+    // argmax via array_max over (hits, priority, lang) structs — struct
+    // comparison is field-ordered, and priority breaks hit-ties toward
+    // the alphabetically first language, deterministically
+    val n = langProfiles.size
+    val scored = langProfiles.zipWithIndex.map { case ((lang, words), idx) =>
+      struct(
+        size(filter(toks, t => t.isInCollection(words))).as("hits"),
+        lit(n - idx).as("prio"),
+        lit(lang).as("lang"))
+    }
+    array_max(array(scored: _*)).getField("lang")
+  }
+}

@@ -1,0 +1,62 @@
+package graft.dedup
+
+import graft.SparkSpec
+
+class DedupSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  private def base = "the quick brown fox jumps over the lazy dog and runs far away " +
+    "while the sun sets slowly behind the tall green hills of the old country"
+
+  private lazy val docs = {
+    import spark.implicits._
+    val near = base.replace("quick", "rapid") // one-token change -> near-dup
+    val far = "completely different content about spark partitions shuffles and codegen " +
+      "stages with nothing shared at all in any shingle of this text whatsoever here"
+    Seq((0L, base), (1L, base), (2L, near), (3L, far))
+      .toDF("doc_id", "text")
+  }
+
+  test("exact dedup groups identical texts under min id") {
+    val res = Dedup.exact(docs, "doc_id", "text").collect()
+    val byKeep = res.map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(byKeep(0L) === 2L) // docs 0 and 1 collapse
+    assert(res.length === 3)
+  }
+
+  test("minhash LSH finds planted near-duplicates, not unrelated docs") {
+    val cands = Dedup.minhashCandidates(docs, "doc_id", "text", numHashes = 64, bands = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cands.contains((0L, 1L)))
+    assert(cands.contains((0L, 2L)) || cands.contains((1L, 2L)))
+    assert(!cands.exists { case (a, b) => b == 3L || a == 3L })
+  }
+
+  test("simhash finds near-duplicates within hamming radius") {
+    val cands = Dedup.simhashCandidates(docs, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cands.contains((0L, 1L))) // identical -> hamming 0
+    assert(!cands.exists { case (a, b) => b == 3L })
+  }
+
+  test("ngram jaccard: identical=1.0, near-dup high, unrelated 0") {
+    import spark.implicits._
+    val pairs = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("a_id", "b_id")
+    val j = Dedup.ngramJaccard(docs, "doc_id", "text", pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(j((0L, 1L)) === 1.0)
+    assert(j((0L, 2L)) > 0.5 && j((0L, 2L)) < 1.0)
+    assert(j((0L, 3L)) === 0.0)
+  }
+
+  test("embedding near-dup honors the cosine threshold") {
+    import spark.implicits._
+    val embs = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.99f, 0.01f)), (2L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val pairs = Seq((0L, 1L), (0L, 2L)).toDF("a_id", "b_id")
+    val res = Dedup.embeddingNearDup(embs, "vec_id", "embedding", pairs, maxCosineDist = 0.1)
+      .collect()
+    assert(res.map(r => (r.getLong(0), r.getLong(1))).toSet === Set((0L, 1L)))
+  }
+}

@@ -1,0 +1,55 @@
+package graft.search
+
+import graft.SparkSpec
+
+class KnnSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  private lazy val data = {
+    import spark.implicits._
+    // 2-d grid points, label = y*10+x
+    val rows = for (x <- 0 until 10; y <- 0 until 10)
+      yield (y * 10L + x, Array(x.toFloat, y.toFloat))
+    rows.toDF("label", "vec")
+  }
+
+  test("flat L2 search returns the true nearest neighbors, rank-ordered") {
+    import spark.implicits._
+    val queries = Seq((0L, Array(0.2f, 0.0f))).toDF("qid", "qvec")
+    val res = Knn.searchFlat(data, queries, 3, "l2sq").orderBy("rank").collect()
+    assert(res.map(_.getLong(2)).toSeq === Seq(0L, 1L, 10L))
+    assert(res.map(_.getInt(1)).toSeq === Seq(0, 1, 2))
+    assert(math.abs(res(0).getDouble(3) - 0.04) < 1e-6)
+  }
+
+  test("inner product orders descending") {
+    import spark.implicits._
+    val queries = Seq((0L, Array(1.0f, 1.0f))).toDF("qid", "qvec")
+    val res = Knn.searchFlat(data, queries, 2, "ip").orderBy("rank").collect()
+    // (9,9) ip=18 first; then ip=17 tie between labels 89=(9,8) and 98=(8,9) -> smaller label 89
+    assert(res.map(_.getLong(2)).toSeq === Seq(99L, 89L))
+  }
+
+  test("filtered search only sees rows passing the predicate") {
+    import spark.implicits._
+    val queries = Seq((0L, Array(0.0f, 0.0f))).toDF("qid", "qvec")
+    val res = Knn.searchFlatFiltered(data, col("label") % 2 === 1, queries, 2, "l2sq")
+      .orderBy("rank").collect()
+    assert(res.map(_.getLong(2)).toSeq === Seq(1L, 11L))
+  }
+
+  test("k larger than candidate set returns all candidates") {
+    import spark.implicits._
+    val queries = Seq((7L, Array(0.0f, 0.0f))).toDF("qid", "qvec")
+    val res = Knn.searchFlatFiltered(data, col("label") < 2, queries, 10, "l2sq").collect()
+    assert(res.length === 2)
+  }
+
+  test("multiple queries keep independent result sets") {
+    import spark.implicits._
+    val queries = Seq((1L, Array(0.0f, 0.0f)), (2L, Array(9.0f, 9.0f))).toDF("qid", "qvec")
+    val res = Knn.searchFlat(data, queries, 1, "l2sq").collect()
+    val byQ = res.map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(byQ === Map(1L -> 0L, 2L -> 99L))
+  }
+}

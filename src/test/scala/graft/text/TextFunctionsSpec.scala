@@ -1,0 +1,84 @@
+package graft.text
+
+import graft.SparkSpec
+import graft.functions.hashes
+
+class TextFunctionsSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  private def one(col: org.apache.spark.sql.Column, text: String): Any = {
+    import spark.implicits._
+    Seq(text).toDF("text").select(col.as("r")).collect()(0).get(0)
+  }
+
+  test("tokens lowercases and splits on whitespace runs") {
+    assert(one(size(TextFunctions.tokens(col("text"))), "The  Quick\tfox") === 3)
+  }
+
+  test("shingles produce n-grams, empty below n tokens") {
+    val sh = one(TextFunctions.shingles(TextFunctions.tokens(col("text")), 3), "a b c d")
+      .asInstanceOf[scala.collection.Seq[String]]
+    assert(sh.toSeq === Seq("a b c", "b c d"))
+    val short = one(TextFunctions.shingles(TextFunctions.tokens(col("text")), 3), "a b")
+      .asInstanceOf[scala.collection.Seq[String]]
+    assert(short.isEmpty)
+  }
+
+  test("stopword ratio and unique ratio") {
+    assert(one(TextFunctions.stopwordRatio(TextFunctions.tokens(col("text"))), "the cat the dog") === 0.5)
+    assert(one(TextFunctions.uniqueRatio(TextFunctions.tokens(col("text"))), "a a b b") === 0.5)
+  }
+
+  test("punct ratio counts punctuation chars") {
+    assert(one(TextFunctions.punctRatio(col("text")), "ab,.") === 0.5)
+  }
+
+  test("quality score stays within [0,1]") {
+    for (t <- Seq("x", "the quick brown fox is here and it is good", "!!!,,,...")) {
+      val q = one(TextFunctions.qualityScore(col("text")), t).asInstanceOf[Double]
+      assert(q >= 0.0 && q <= 1.0, s"score $q for '$t'")
+    }
+  }
+
+  test("langId picks the profile with most stopword hits, deterministic ties") {
+    assert(one(TextFunctions.langId(TextFunctions.tokens(col("text"))),
+      "the cat and the dog is in that house it seems") === "en")
+    assert(one(TextFunctions.langId(TextFunctions.tokens(col("text"))),
+      "el perro y la casa de que los es un") === "es")
+    // no hits at all -> alphabetically first profile (de)
+    assert(one(TextFunctions.langId(TextFunctions.tokens(col("text"))), "zzz qqq") === "de")
+  }
+
+  test("fingerprint64 is deterministic and collision-separating") {
+    val f1 = one(hashes.fingerprint64(col("text")), "hello world")
+    val f2 = one(hashes.fingerprint64(col("text")), "hello world")
+    val f3 = one(hashes.fingerprint64(col("text")), "hello worlD")
+    assert(f1 === f2)
+    assert(f1 !== f3)
+  }
+
+  test("minhash similarity approximates jaccard") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b c d e f g h i j k l m n o p"),
+      (2L, "a b c d e f g h i j k l m n o q"), // high overlap
+      (3L, "z y x w v u t s r q1 p2 o3 n4 m5 l6 k7")) // low overlap
+      .toDF("id", "text")
+    val sigs = Dedup2.sigsFor(df)
+    val s = sigs.map { case (id, sig) => id -> sig }.toMap
+    def sim(a: Array[Long], b: Array[Long]): Double =
+      a.zip(b).count { case (x, y) => x == y }.toDouble / a.length
+    assert(sim(s(1L), s(2L)) > 0.5)
+    assert(sim(s(1L), s(3L)) < 0.3)
+  }
+}
+
+/** helper kept outside the anonymous closures (Spark serializability) */
+object Dedup2 {
+  import graft.dedup.Dedup
+  def sigsFor(df: org.apache.spark.sql.DataFrame): Array[(Long, Array[Long])] = {
+    Dedup.minhashSignatures(df, "id", "text", 64, 2, 42L)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+  }
+}
