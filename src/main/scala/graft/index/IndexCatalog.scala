@@ -1,0 +1,314 @@
+package graft.index
+
+import java.util.concurrent.ConcurrentHashMap
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{Column, DataFrame, GraftBridge, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{hashes, vec, VectorMath}
+import graft.search.Knn
+
+/**
+ * Named-index registry: the Spark-native twin of the reference's
+ * global index table (duckdb-faiss-ext README: faiss_create /
+ * faiss_create_params / faiss_add / faiss_manual_train / faiss_search
+ * / faiss_save / faiss_load / faiss_destroy / faiss_move_gpu).
+ *
+ * Differences by design (Spark-first, 100 TB):
+ *  - an index is DataFrames + tiny driver-side metadata, not native RAM;
+ *    vectors stay distributed and are never collected
+ *  - `add` is lazy: pending batches union into the plan, the index
+ *    materializes (trains + assigns + caches) on first search/save —
+ *    mirroring FAISS's "add retrains unless manually trained" contract
+ *    without re-clustering per micro-batch
+ *  - save = parquet (partitioned by IVF list for partition pruning) +
+ *    a one-row meta DataFrame; load restores lazily
+ */
+object IndexCatalog {
+
+  case class IndexMeta(
+      name: String,
+      dim: Int,
+      factory: String,
+      metric: String,
+      params: Map[String, String])
+
+  /** parsed factory string: Flat | IDMap,Flat | IVF<n>[,Flat] | LSH<b> | HNSW<m> */
+  sealed trait Kind
+  case object FlatKind extends Kind
+  case class IvfKind(nlist: Int) extends Kind
+  case class LshKind(bits: Int) extends Kind
+
+  def parseFactory(factory: String): Kind = {
+    val parts = factory.split(",").map(_.trim).filter(_ != "IDMap")
+    parts.headOption.getOrElse("Flat") match {
+      case "Flat" => FlatKind
+      case s if s.startsWith("IVF") => IvfKind(s.stripPrefix("IVF").toInt)
+      case s if s.startsWith("LSH") =>
+        LshKind(Option(s.stripPrefix("LSH")).filter(_.nonEmpty).map(_.toInt).getOrElse(16))
+      case s if s.startsWith("HNSW") =>
+        // graph indexes don't distribute; serve the same contract with an
+        // IVF approximation (nlist chosen at build from sqrt(n))
+        IvfKind(-1)
+      case other => throw new IllegalArgumentException(s"unsupported factory: $other")
+    }
+  }
+
+  final class Entry(val meta: IndexMeta) {
+    val kind: Kind = parseFactory(meta.factory)
+    var pending: Option[DataFrame] = None // (label bigint, vec array<float>)
+    var trained: Option[Array[Array[Float]]] = None // IVF centroids from manual_train
+    var built: Option[BuiltIndex] = None
+    var nextAutoId: Long = 0L
+  }
+
+  sealed trait BuiltIndex {
+    def data: DataFrame
+    def search(queries: DataFrame, k: Int, params: Map[String, String]): DataFrame
+  }
+
+  private val entries = new ConcurrentHashMap[String, Entry]()
+
+  def create(
+      name: String, dim: Int, factory: String,
+      metric: String = "l2sq", params: Map[String, String] = Map.empty): Unit = {
+    val meta = IndexMeta(name, dim, factory, metric, params)
+    if (entries.putIfAbsent(name, new Entry(meta)) != null)
+      throw new IllegalStateException(s"index '$name' already exists")
+  }
+
+  def destroy(name: String): Unit = {
+    val e = entries.remove(name)
+    if (e != null) e.built.foreach(_.data.unpersist())
+  }
+
+  def destroyAll(): Unit = entries.keySet().asScala.toSeq.foreach(destroy)
+
+  def exists(name: String): Boolean = entries.containsKey(name)
+
+  def meta(name: String): IndexMeta = entry(name).meta
+
+  private def entry(name: String): Entry = {
+    val e = entries.get(name)
+    if (e == null) throw new NoSuchElementException(s"no index named '$name'")
+    e
+  }
+
+  /**
+   * Add vectors. One column -> auto ids (dense, insertion order across
+   * batches, like FAISS without IDMap); two columns -> (id, vec).
+   * Invalidates any built state (FAISS retrains on add unless manually
+   * trained; we rebuild lazily).
+   */
+  def add(df: DataFrame, name: String): Unit = synchronized {
+    val e = entry(name)
+    val normalized = df.schema.fields.length match {
+      case 1 =>
+        val vcol = df.columns(0)
+        val start = e.nextAutoId
+        val out = df.select(
+          (monotonically_increasing_id() + lit(start)).as("label"),
+          vec.vector(col(vcol)).as("vec"))
+        e.nextAutoId = start + df.count() // materializes the count; ids stay dense enough per contract
+        out
+      case _ =>
+        df.select(
+          col(df.columns(0)).cast("long").as("label"),
+          vec.vector(col(df.columns(1))).as("vec"))
+    }
+    e.pending = Some(e.pending.map(_.unionByName(normalized)).getOrElse(normalized))
+    e.built.foreach(_.data.unpersist())
+    e.built = None
+  }
+
+  /** train now on a sample (IVF: KMeans centroids); later adds don't retrain */
+  def manualTrain(sample: DataFrame, name: String): Unit = synchronized {
+    val e = entry(name)
+    e.kind match {
+      case IvfKind(nlist) =>
+        val n = if (nlist > 0) nlist else math.max(4, math.sqrt(sample.count().toDouble).toInt)
+        val vcol = sample.columns.last
+        e.trained = Some(KMeansTrainer.train(sample.select(vec.vector(col(vcol)).as("vec")), n,
+          e.meta.params.get("seed").map(_.toLong).getOrElse(42L),
+          e.meta.params.get("maxIter").map(_.toInt).getOrElse(20)))
+      case _ => // Flat/LSH need no training
+    }
+  }
+
+  /** materialize: train if needed, assign, cache */
+  def build(name: String): BuiltIndex = synchronized {
+    val e = entry(name)
+    e.built.getOrElse {
+      val data = e.pending.getOrElse(
+        throw new IllegalStateException(s"index '$name' has no vectors; call add first"))
+      val metricId = VectorMath.metricId(e.meta.metric)
+      val built: BuiltIndex = e.kind match {
+        case FlatKind => new FlatBuilt(data.cache(), e.meta)
+        case LshKind(bits) => LshBuilt.build(data, e.meta, bits)
+        case IvfKind(_) =>
+          val centroids = e.trained.getOrElse {
+            manualTrain(data.select(col("vec")), name)
+            e.trained.get
+          }
+          IvfBuilt.build(data, e.meta, centroids, metricId)
+      }
+      e.built = Some(built)
+      built
+    }
+  }
+
+  /**
+   * faiss_search twin: top-k per query row.
+   * @param queries (qid bigint, qvec array<float>)
+   * @return (qid, rank, label, distance)
+   */
+  def search(
+      name: String, k: Int, queries: DataFrame,
+      params: Map[String, String] = Map.empty): DataFrame =
+    build(name).search(queries, k, entry(name).meta.params ++ params)
+
+  /** faiss_search_filter twin: predicate over the indexed labels */
+  def searchFilter(
+      name: String, k: Int, queries: DataFrame, filter: Column,
+      params: Map[String, String] = Map.empty): DataFrame = {
+    val b = build(name)
+    // exact post-filterable search: restrict the indexed data, then flat-search.
+    // The filter is a Catalyst predicate -> pushed into the (pruned) scan.
+    Knn.searchFlat(b.data.where(filter), queries, k, entry(name).meta.metric)
+  }
+
+  def moveGpu(name: String, gpu: Int): Unit =
+    throw new UnsupportedOperationException(
+      "faiss_move_gpu has no Spark-CPU analog; executors are the parallel hardware here")
+
+  // ---- persistence ----
+
+  def save(name: String, path: String): Unit = {
+    val e = entry(name)
+    val b = build(name)
+    val spark = b.data.sparkSession
+    b match {
+      case ivf: IvfBuilt =>
+        ivf.data.write.mode("overwrite").partitionBy("list_id").parquet(s"$path/data")
+        import spark.implicits._
+        ivf.centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
+          .toSeq.toDF("centroid_id", "centroid")
+          .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+      case other =>
+        other.data.write.mode("overwrite").parquet(s"$path/data")
+    }
+    import spark.implicits._
+    Seq((e.meta.name, e.meta.dim, e.meta.factory, e.meta.metric,
+        e.meta.params.map { case (k, v) => s"$k=$v" }.mkString(";")))
+      .toDF("name", "dim", "factory", "metric", "params")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  def load(name: String, path: String, spark: SparkSession): Unit = {
+    val m = spark.read.parquet(s"$path/meta").collect()(0)
+    val params = m.getString(4).split(";").filter(_.nonEmpty)
+      .map { kv => val Array(k, v) = kv.split("=", 2); k -> v }.toMap
+    create(name, m.getInt(1), m.getString(2), m.getString(3), params)
+    val e = entry(name)
+    e.kind match {
+      case IvfKind(_) =>
+        val data = spark.read.parquet(s"$path/data")
+        e.pending = Some(data.select(col("label"), col("vec")))
+        val cents = spark.read.parquet(s"$path/centroids").collect()
+          .sortBy(_.getInt(0)).map(_.getSeq[Float](1).toArray)
+        e.trained = Some(cents)
+        // rebuild from the partitioned layout without re-assigning
+        e.built = Some(new IvfBuilt(
+          data.select(col("list_id"), col("label"), col("vec")).cache(),
+          e.meta, cents, VectorMath.metricId(e.meta.metric)))
+      case _ =>
+        e.pending = Some(spark.read.parquet(s"$path/data"))
+    }
+  }
+
+  // ---- index implementations ----
+
+  final class FlatBuilt(val data: DataFrame, meta: IndexMeta) extends BuiltIndex {
+    def search(queries: DataFrame, k: Int, params: Map[String, String]): DataFrame =
+      Knn.searchFlat(data, queries, k, meta.metric)
+  }
+
+  final class IvfBuilt(
+      val data: DataFrame, // (list_id int, label bigint, vec array<float>)
+      meta: IndexMeta,
+      val centroids: Array[Array[Float]],
+      metricId: Int)
+      extends BuiltIndex {
+
+    def search(queries: DataFrame, k: Int, params: Map[String, String]): DataFrame = {
+      val nprobe = params.get("nprobe").map(_.toInt).getOrElse(math.max(1, centroids.length / 8))
+      val probeCol = GraftBridge.column(
+        NearestCentroids(GraftBridge.expression(col("qvec")), centroids, nprobe, metricId))
+      val probes = queries.select(col("qid"), col("qvec"), explode(probeCol).as("list_id"))
+      // broadcast the (small) probe set; only probed lists are scanned —
+      // on a list-partitioned parquet layout this is dynamic partition pruning
+      val d = vec.dist(meta.metric, col("vec"), col("qvec"))
+      val asc = VectorMath.smallerIsCloser(metricId)
+      data
+        .join(broadcast(probes), "list_id")
+        .groupBy(col("qid"))
+        .agg(vec.topk(k, d, col("label"), asc).as("nn"))
+        .select(col("qid"), posexplode(col("nn")).as(Seq("pos", "nn")))
+        .select(col("qid"), col("nn.rank").as("rank"),
+          col("nn.label").as("label"), col("nn.distance").as("distance"))
+    }
+  }
+
+  object IvfBuilt {
+    def build(
+        data: DataFrame, meta: IndexMeta,
+        centroids: Array[Array[Float]], metricId: Int): IvfBuilt = {
+      val assign = GraftBridge.column(
+        NearestCentroids(GraftBridge.expression(col("vec")), centroids, 1, metricId))
+      val assigned = data
+        .select(element_at(assign, 1).as("list_id"), col("label"), col("vec"))
+        .repartition(col("list_id"))
+        .cache()
+      new IvfBuilt(assigned, meta, centroids, metricId)
+    }
+  }
+
+  final class LshBuilt(
+      val data: DataFrame, // (bucket bigint, label bigint, vec array<float>)
+      meta: IndexMeta, bands: Int, bitsPerBand: Int, seed: Long)
+      extends BuiltIndex {
+
+    def search(queries: DataFrame, k: Int, params: Map[String, String]): DataFrame = {
+      val qb = queries.select(col("qid"), col("qvec"),
+        explode(hashes.hyperplaneBuckets(col("qvec"), bands, bitsPerBand, seed)).as("bucket"))
+      val d = vec.dist(meta.metric, col("vec"), col("qvec"))
+      val asc = VectorMath.smallerIsCloser(VectorMath.metricId(meta.metric))
+      data
+        .join(broadcast(qb), "bucket")
+        // a (label, qid) pair can match in several bands; dedup before ranking
+        .select(col("qid"), col("qvec"), col("label"), col("vec"))
+        .dropDuplicates("qid", "label")
+        .groupBy(col("qid"))
+        .agg(vec.topk(k, d, col("label"), asc).as("nn"))
+        .select(col("qid"), posexplode(col("nn")).as(Seq("pos", "nn")))
+        .select(col("qid"), col("nn.rank").as("rank"),
+          col("nn.label").as("label"), col("nn.distance").as("distance"))
+    }
+  }
+
+  object LshBuilt {
+    def build(data: DataFrame, meta: IndexMeta, bitsPerBand: Int): LshBuilt = {
+      val bands = meta.params.get("bands").map(_.toInt).getOrElse(16)
+      val seed = meta.params.get("seed").map(_.toLong).getOrElse(42L)
+      val bucketed = data
+        .select(
+          explode(hashes.hyperplaneBuckets(col("vec"), bands, bitsPerBand, seed)).as("bucket"),
+          col("label"), col("vec"))
+        .repartition(col("bucket"))
+        .cache()
+      new LshBuilt(bucketed, meta, bands, bitsPerBand, seed)
+    }
+  }
+}

@@ -1,0 +1,61 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.functions.vec
+import graft.index.IndexCatalog
+
+/**
+ * Index-lifecycle parity queries: create -> (train) -> add -> search
+ * through the catalog, exercising the same flow as the reference's
+ * test/sql/faiss*.test scripts.
+ */
+object IndexQueries {
+
+  private def embData(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "embeddings")
+      .select(col("vec_id").as("label"), vec.vector(col("embedding")).as("vec"))
+
+  private def embQueries(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "embeddings").where(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), vec.vector(col("embedding")).as("qvec"))
+
+  private def fresh(name: String): String = {
+    if (IndexCatalog.exists(name)) IndexCatalog.destroy(name)
+    name
+  }
+
+  private def quantized(res: DataFrame): DataFrame =
+    res.select(col("qid"), col("rank"), col("label"),
+      col("distance").cast(DecimalType(18, 4)).as("distance"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // full lifecycle with an exhaustive IVF probe (nprobe = nlist):
+    // result is exact, so it shares the brute-force L2 oracle
+    "vs_index_build" -> { (s, dir) =>
+      val name = fresh("q_ivf_exact")
+      IndexCatalog.create(name, 64, "IVF16,Flat", "l2sq", Map("nprobe" -> "16"))
+      IndexCatalog.add(embData(s, dir), name)
+      quantized(IndexCatalog.search(name, 5, embQueries(s, dir)))
+    },
+    // approximate IVF probe (nprobe=4 of 16) — recall asserted in specs
+    "knn_ivf" -> { (s, dir) =>
+      val name = fresh("q_ivf_approx")
+      IndexCatalog.create(name, 64, "IVF16,Flat", "l2sq", Map("nprobe" -> "4"))
+      IndexCatalog.add(embData(s, dir), name)
+      quantized(IndexCatalog.search(name, 5, embQueries(s, dir)))
+    },
+    // LSH-bucketed cosine search — recall asserted in specs
+    "knn_lsh" -> { (s, dir) =>
+      val name = fresh("q_lsh")
+      IndexCatalog.create(name, 64, "LSH12", "cosine", Map("bands" -> "24"))
+      IndexCatalog.add(embData(s, dir), name)
+      quantized(IndexCatalog.search(name, 5, embQueries(s, dir)))
+    })
+
+  def oracles: Map[String, String] = Map(
+    // same oracle as knn_flat_l2: exhaustive probing is exact
+    "vs_index_build" -> VectorQueries.oracles("knn_flat_l2"))
+}

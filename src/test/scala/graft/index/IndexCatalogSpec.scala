@@ -1,0 +1,110 @@
+package graft.index
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import graft.search.Knn
+
+class IndexCatalogSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  private def grid = {
+    import spark.implicits._
+    (for (x <- 0 until 16; y <- 0 until 16)
+      yield (y * 16L + x, Array(x.toFloat, y.toFloat))).toDF("label", "vec")
+  }
+  private def qs = {
+    import spark.implicits._
+    Seq((0L, Array(3.2f, 3.1f)), (1L, Array(12.0f, 1.0f))).toDF("qid", "qvec")
+  }
+
+  private def labelsOf(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[Long]] =
+    df.collect().groupBy(_.getLong(0))
+      .view.mapValues(_.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq).toMap
+
+  override def afterAll(): Unit = { IndexCatalog.destroyAll(); super.afterAll() }
+
+  test("flat index search equals brute force") {
+    IndexCatalog.create("t_flat", 2, "IDMap,Flat")
+    IndexCatalog.add(grid, "t_flat")
+    val got = labelsOf(IndexCatalog.search("t_flat", 4, qs))
+    val want = labelsOf(Knn.searchFlat(grid, qs, 4, "l2sq"))
+    assert(got === want)
+  }
+
+  test("duplicate create fails, destroy frees the name") {
+    IndexCatalog.create("t_dup", 2, "Flat")
+    intercept[IllegalStateException](IndexCatalog.create("t_dup", 2, "Flat"))
+    IndexCatalog.destroy("t_dup")
+    IndexCatalog.create("t_dup", 2, "Flat") // now fine
+  }
+
+  test("auto-id add assigns unique labels") {
+    import spark.implicits._
+    IndexCatalog.create("t_auto", 2, "Flat")
+    IndexCatalog.add(grid.select("vec"), "t_auto")
+    val labels = IndexCatalog.build("t_auto").data.select("label").collect().map(_.getLong(0))
+    assert(labels.distinct.length === labels.length)
+  }
+
+  test("IVF with exhaustive nprobe is exact") {
+    IndexCatalog.create("t_ivf_x", 2, "IVF8,Flat", "l2sq", Map("nprobe" -> "8"))
+    IndexCatalog.add(grid, "t_ivf_x")
+    val got = labelsOf(IndexCatalog.search("t_ivf_x", 4, qs))
+    val want = labelsOf(Knn.searchFlat(grid, qs, 4, "l2sq"))
+    assert(got === want)
+  }
+
+  test("IVF with partial nprobe keeps high recall on clustered queries") {
+    IndexCatalog.create("t_ivf_p", 2, "IVF8,Flat", "l2sq", Map("nprobe" -> "3"))
+    IndexCatalog.add(grid, "t_ivf_p")
+    val got = labelsOf(IndexCatalog.search("t_ivf_p", 4, qs))
+    val want = labelsOf(Knn.searchFlat(grid, qs, 4, "l2sq"))
+    val recall = qs.collect().map(_.getLong(0)).map { q =>
+      got(q).toSet.intersect(want(q).toSet).size.toDouble / want(q).size
+    }.sum / 2
+    assert(recall >= 0.75, s"recall $recall")
+  }
+
+  test("LSH search finds mostly-true neighbors (cosine)") {
+    IndexCatalog.create("t_lsh", 2, "LSH8", "cosine", Map("bands" -> "16"))
+    IndexCatalog.add(grid, "t_lsh")
+    val got = labelsOf(IndexCatalog.search("t_lsh", 4, qs))
+    val want = labelsOf(Knn.searchFlat(grid, qs, 4, "cosine"))
+    val recall = qs.collect().map(_.getLong(0)).map { q =>
+      got.getOrElse(q, Nil).toSet.intersect(want(q).toSet).size.toDouble / want(q).size
+    }.sum / 2
+    assert(recall >= 0.5, s"recall $recall")
+  }
+
+  test("search_filter restricts candidates") {
+    IndexCatalog.create("t_filt", 2, "Flat")
+    IndexCatalog.add(grid, "t_filt")
+    val res = IndexCatalog.searchFilter("t_filt", 4, qs, col("label") % 2 === 0)
+    assert(res.collect().forall(_.getLong(2) % 2 == 0))
+  }
+
+  test("save/load round-trips an IVF index") {
+    val dir = Files.createTempDirectory("graft_idx").toString
+    IndexCatalog.create("t_save", 2, "IVF4,Flat", "l2sq", Map("nprobe" -> "4"))
+    IndexCatalog.add(grid, "t_save")
+    val before = labelsOf(IndexCatalog.search("t_save", 4, qs))
+    IndexCatalog.save("t_save", dir)
+    IndexCatalog.destroy("t_save")
+    IndexCatalog.load("t_loaded", dir, spark)
+    val after = labelsOf(IndexCatalog.search("t_loaded", 4, qs))
+    assert(before === after)
+  }
+
+  test("move_gpu is explicitly unsupported") {
+    IndexCatalog.create("t_gpu", 2, "Flat")
+    intercept[UnsupportedOperationException](IndexCatalog.moveGpu("t_gpu", 0))
+  }
+
+  test("HNSW factory string degrades to an IVF approximation") {
+    IndexCatalog.create("t_hnsw", 2, "IDMap,HNSW32")
+    IndexCatalog.add(grid, "t_hnsw")
+    val res = IndexCatalog.search("t_hnsw", 4, qs, Map("nprobe" -> "16"))
+    assert(res.count() === 8)
+  }
+}
