@@ -14,11 +14,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++ VectorQueries.queries ++
-      TextQueries.queries ++ DedupQueries.queries ++ IndexQueries.queries
+      TextQueries.queries ++ DedupQueries.queries ++ IndexQueries.queries ++
+      MultimodalQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracles ++ VectorQueries.oracles ++
-      TextQueries.oracles ++ DedupQueries.oracles ++ IndexQueries.oracles
+      TextQueries.oracles ++ DedupQueries.oracles ++ IndexQueries.oracles ++
+      MultimodalQueries.oracles
 }

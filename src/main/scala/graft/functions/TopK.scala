@@ -119,7 +119,12 @@ case class TopKByDistance(
     val d = distance.eval(input)
     val l = label.eval(input)
     if (d != null && l != null) {
-      buffer.insert(d.asInstanceOf[Double], l.asInstanceOf[Number].longValue())
+      val dv = d match {
+        case x: java.lang.Number => x.doubleValue()
+        case x: org.apache.spark.sql.types.Decimal => x.toDouble
+        case other => throw new IllegalArgumentException(s"non-numeric distance: $other")
+      }
+      buffer.insert(dv, l.asInstanceOf[Number].longValue())
     }
     buffer
   }

@@ -1,0 +1,114 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.catalyst.encoders.RowEncoder
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Multimodal column plumbing: image/audio/video assets ride through the
+ * engine as opaque `binary` payloads + typed metadata, processed in
+ * partition-local batches. The Spark-side machinery (schema,
+ * partitioning, batch shape, feature output) is real; the codec call is
+ * a clearly-marked deterministic STUB because no image/audio libraries
+ * exist in this environment — swap `StubCodec.decode` for an opencv/
+ * ffmpeg/JNI call and nothing else changes.
+ */
+object Multimodal {
+
+  val metaSchema: StructType = StructType(Seq(
+    StructField("format", StringType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("sample_rate", IntegerType),
+    StructField("duration_ms", LongType)))
+
+  val manifestSchema: StructType = StructType(Seq(
+    StructField("asset_id", LongType, nullable = false),
+    StructField("modality", StringType, nullable = false),
+    StructField("payload", BinaryType),
+    StructField("meta", metaSchema)))
+
+  val featureSchema: StructType = StructType(Seq(
+    StructField("asset_id", LongType, nullable = false),
+    StructField("modality", StringType, nullable = false),
+    StructField("n_bytes", IntegerType, nullable = false),
+    StructField("feature", ArrayType(FloatType, containsNull = false)),
+    StructField("frames_sampled", IntegerType, nullable = false)))
+
+  /**
+   * ======================= STUB CODEC =======================
+   * Deterministic fake decoder: derives pseudo-pixels from payload
+   * bytes. Replace with a real codec binding in production; the
+   * signature (byte batch in, fixed-dim feature out) is the contract.
+   */
+  object StubCodec {
+    val featureDim = 8
+    def decode(payload: Array[Byte], modality: String): Array[Float] = {
+      val f = new Array[Float](featureDim)
+      var i = 0
+      while (i < payload.length) {
+        f(i % featureDim) += (payload(i) & 0xff) / 255.0f
+        i += 1
+      }
+      val n = math.max(1, payload.length / featureDim)
+      (0 until featureDim).foreach(j => f(j) /= n)
+      f
+    }
+    def frameCount(meta: Row): Int =
+      if (meta == null || meta.isNullAt(4)) 1
+      else math.max(1, (meta.getLong(4) / 1000L).toInt)
+  }
+
+  /**
+   * Build a manifest from any table: payload is the utf-8 of a text
+   * column here (deterministic stand-in for real image/audio bytes —
+   * at 100 TB this column comes from object-store binary files via
+   * `spark.read.format("binaryFile")`).
+   */
+  def manifestFrom(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(
+      col(idCol).cast("long").as("asset_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (col(idCol) % 3 + 1).cast("int")).as("modality"),
+      encode(col(textCol), "UTF-8").as("payload"),
+      struct(
+        lit("stub").as("format"),
+        lit(64).cast("int").as("width"),
+        lit(64).cast("int").as("height"),
+        lit(16000).cast("int").as("sample_rate"),
+        (length(col(textCol)) * 10L).as("duration_ms")).as("meta"))
+
+  /**
+   * Batched decode over partitions: each task walks its partition once,
+   * decoding payloads in-place — no shuffle, no driver involvement;
+   * scale-out is purely by partition count. (mapPartitions is the
+   * right tool here: imperative per-batch codec work, cf. pandas-UDF
+   * batching in the PySpark world.)
+   */
+  def decodeFeatures(manifest: DataFrame): DataFrame = {
+    val enc = RowEncoder.encoderFor(featureSchema)
+    manifest.mapPartitions { rows =>
+      rows.map { r =>
+        val payload = r.getAs[Array[Byte]]("payload")
+        val modality = r.getAs[String]("modality")
+        val meta = r.getAs[Row]("meta")
+        Row(
+          r.getAs[Long]("asset_id"),
+          modality,
+          if (payload == null) 0 else payload.length,
+          StubCodec.decode(if (payload == null) Array.emptyByteArray else payload, modality),
+          StubCodec.frameCount(meta))
+      }
+    }(enc)
+  }
+
+  /** video-style frame sampling: one row per sampled frame (explode, no shuffle) */
+  def sampleFrames(manifest: DataFrame, everyMs: Long): DataFrame =
+    manifest
+      .where(col("modality") === "video")
+      .select(
+        col("asset_id"),
+        posexplode(sequence(lit(0L), greatest(col("meta.duration_ms") - 1, lit(0L)), lit(everyMs)))
+          .as(Seq("frame_idx", "frame_ts_ms")))
+}

@@ -67,7 +67,16 @@ object VectorQueries {
     "knn_flat_ip" -> (knnQuery("ip") _),
     "knn_flat_cosine" -> (knnQuery("cosine") _),
     "knn_search_filter" -> (knnQuery("l2sq", filtered = true) _),
-    "dist_metrics" -> (distMetrics _))
+    "dist_metrics" -> (distMetrics _),
+    // full self k-NN join: every embedding -> 3 nearest other embeddings
+    "knn_join" -> { (s, dir) =>
+      val e = Tables(s, dir, "embeddings")
+      val d = data(s, dir)
+      val q = e.select(col("vec_id").as("qid"), vec.vector(col("embedding")).as("qvec"))
+      Knn.knnJoin(q, d, 3, "l2sq")
+        .select(col("qid"), col("rank"), col("label"),
+          col("distance").cast(DecimalType(18, 4)).as("distance"))
+    })
 
   // DuckDB-side distance formulas over DOUBLE, element order identical to
   // the Scala loops (sequential list_sum / explicit comprehensions).
@@ -94,6 +103,20 @@ object VectorQueries {
     "1.0 - list_cosine_similarity(CAST(a AS DOUBLE[]), CAST(b AS DOUBLE[]))"
 
   def oracles: Map[String, String] = Map(
+    "knn_join" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS a FROM embeddings),
+         |d AS (
+         |  SELECT q.qid, e.vec_id AS label, $l2sqSql AS dist
+         |  FROM q CROSS JOIN (SELECT vec_id, embedding AS b FROM embeddings) e
+         |  WHERE e.vec_id != q.qid
+         |),
+         |r AS (
+         |  SELECT qid, label, dist,
+         |    CAST(row_number() OVER (PARTITION BY qid ORDER BY dist ASC, label) - 1 AS INTEGER) AS rank
+         |  FROM d
+         |)
+         |SELECT qid, rank, label, CAST(dist AS DECIMAL(18,4)) AS distance
+         |FROM r WHERE rank < 3""".stripMargin,
     "knn_flat_l2" -> knnOracle(l2sqSql, "ASC", ""),
     "knn_flat_ip" -> knnOracle(ipSql, "DESC", ""),
     "knn_flat_cosine" -> knnOracle(cosSql, "ASC", ""),

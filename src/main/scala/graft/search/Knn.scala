@@ -35,12 +35,13 @@ object Knn {
       labelCol: String = "label",
       vecCol: String = "vec",
       qidCol: String = "qid",
-      qvecCol: String = "qvec"): DataFrame = {
+      qvecCol: String = "qvec",
+      excludeSelf: Boolean = false): DataFrame = {
     val mid = VectorMath.metricId(metric)
     val asc = VectorMath.smallerIsCloser(mid)
     val d = vec.dist(metric, col(vecCol), col(qvecCol))
-    data
-      .crossJoin(broadcast(queries))
+    val joined = data.crossJoin(broadcast(queries))
+    (if (excludeSelf) joined.where(col(labelCol) =!= col(qidCol)) else joined)
       .groupBy(col(qidCol))
       .agg(vec.topk(k, d, col(labelCol), asc).as("nn"))
       .select(col(qidCol), posexplode(col("nn")).as(Seq("pos", "nn")))
@@ -65,4 +66,15 @@ object Knn {
       k: Int,
       metric: String): DataFrame =
     searchFlat(data.where(predicate), queries, k, metric)
+
+  /**
+   * Full k-NN join: every row of `left` gets its top-k neighbors from
+   * `right` (self-pairs excluded when ids collide). For bounded `left`
+   * batches this broadcasts; for the NxN case at scale, route through
+   * an IVF/LSH index instead (IndexCatalog) — exact all-pairs at 100 TB
+   * is the wrong plan by construction.
+   */
+  def knnJoin(left: DataFrame, right: DataFrame, k: Int, metric: String,
+      excludeSelf: Boolean = true): DataFrame =
+    searchFlat(right, left, k, metric, excludeSelf = excludeSelf)
 }

@@ -1,0 +1,93 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/**
+ * Structured-Streaming twins of the batch event queries: the same
+ * engine serves bounded parquet and unbounded streams — `readStream`
+ * in, identical transform, `writeStream` out. Tested with
+ * MemoryStream sources (StreamingSpec).
+ */
+object Streaming {
+
+  /** tumbling 1h aggregation with a watermark (streaming twin of events_window_agg) */
+  def hourlyWindowAgg(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        approx_count_distinct("user_id").as("approx_users"),
+        sum("value").as("sum_value"))
+      .select(col("w.start").as("bucket"), col("event_type"),
+        col("n_events"), col("approx_users"), col("sum_value"))
+
+  /**
+   * Native session windows: Spark's session_window keeps per-key state
+   * and merges windows under watermark control — the declarative path
+   * (Catalyst owns state store layout, AQE-compatible).
+   */
+  def sessionWindowAgg(events: DataFrame, gap: String = "30 minutes",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"))
+
+  case class Ev(user_id: Long, event_id: Long, ts: Timestamp)
+  case class SessionOut(
+      user_id: Long, session_start: Timestamp, session_end: Timestamp, n_events: Long)
+  case class SessState(start: Long, last: Long, n: Long)
+
+  /**
+   * Custom sessionization via flatMapGroupsWithState (the escape hatch
+   * for state logic session_window can't express — e.g. emitting
+   * event-level session ids or capping session length). Event-time
+   * timeout fires once the watermark passes last-event + gap, flushing
+   * the completed session.
+   */
+  def sessionizeFMGWS(
+      events: Dataset[Ev], gapSeconds: Long = 1800L,
+      watermark: String = "2 hours"): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, rows: Iterator[Ev], state: GroupState[SessState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(SessionOut(user, new Timestamp(s.start), new Timestamp(s.last), s.n))
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var cur = state.getOption
+            val closed = Seq.newBuilder[SessionOut]
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.last <= gapSeconds * 1000L =>
+                  cur = Some(s.copy(last = math.max(s.last, t), n = s.n + 1))
+                case Some(s) =>
+                  closed += SessionOut(user, new Timestamp(s.start), new Timestamp(s.last), s.n)
+                  cur = Some(SessState(t, t, 1))
+                case None =>
+                  cur = Some(SessState(t, t, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.last + gapSeconds * 1000L)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+}

@@ -10,4 +10,16 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** register a Catalyst expression builder as a SQL function on a live session */
+  def registerFunction(
+      spark: SparkSession,
+      name: String,
+      builder: Seq[Expression] => Expression): Unit = {
+    val fr = spark.asInstanceOf[classic.SparkSession].sessionState.functionRegistry
+    val ident = org.apache.spark.sql.catalyst.FunctionIdentifier(name)
+    val info = new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+      "graft", name)
+    fr.registerFunction(ident, info, builder)
+  }
 }

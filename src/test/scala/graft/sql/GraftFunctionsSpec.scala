@@ -1,0 +1,39 @@
+package graft.sql
+
+import graft.SparkSpec
+
+class GraftFunctionsSpec extends SparkSpec {
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    GraftFunctions.registerAll(spark)
+  }
+
+  test("vec_* scalar functions work from SQL") {
+    val r = spark.sql(
+      """SELECT vec_l2sq(CAST(array(1.0,2.0) AS array<float>), CAST(array(4.0,6.0) AS array<float>)) d,
+        |       vec_ip(CAST(array(1.0,2.0) AS array<float>), CAST(array(4.0,6.0) AS array<float>)) ip
+        |""".stripMargin).collect()(0)
+    assert(r.getDouble(0) === 25.0)
+    assert(r.getDouble(1) === 16.0)
+  }
+
+  test("vec_topk aggregate works from SQL") {
+    spark.sql("SELECT * FROM VALUES (1, 1.0), (2, 0.5), (3, 2.0) AS t(id, d)")
+      .createOrReplaceTempView("pts")
+    val r = spark.sql(
+      "SELECT vec_topk(2, d, CAST(id AS BIGINT)) FROM pts").collect()(0)
+    val top = r.getSeq[org.apache.spark.sql.Row](0).map(x => x.getLong(1))
+    assert(top === Seq(2L, 1L))
+  }
+
+  test("hash functions work from SQL") {
+    val r = spark.sql(
+      """SELECT fingerprint64('abc') f,
+        |       simhash64(array('a','b')) s,
+        |       size(minhash_signature(array('a','b'), 16, 42L)) n
+        |""".stripMargin).collect()(0)
+    assert(r.getInt(2) === 16)
+    assert(r.getLong(0) !== 0L)
+  }
+}

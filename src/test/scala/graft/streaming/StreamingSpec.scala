@@ -1,0 +1,70 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.SparkSpec
+
+class StreamingSpec extends SparkSpec {
+
+  private def ts(hour: Int, min: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 $hour%02d:$min%02d:00")
+
+  test("hourly window aggregation over a stream") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Long, Double)]
+    val df = mem.toDF.toDF("ts", "event_type", "user_id", "value")
+    val q = Streaming.hourlyWindowAgg(df)
+      .writeStream.format("memory").queryName("s_hourly").outputMode("complete").start()
+    try {
+      mem.addData((ts(1, 10), "click", 1L, 1.0), (ts(1, 20), "click", 2L, 2.0), (ts(2, 5), "view", 1L, 3.0))
+      q.processAllAvailable()
+      val rows = spark.table("s_hourly").collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+      assert(rows === Set(
+        (ts(1, 0), "click", 2L),
+        (ts(2, 0), "view", 1L)))
+    } finally q.stop()
+  }
+
+  test("native session_window closes sessions once the watermark passes") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Timestamp)]
+    val df = mem.toDF.toDF("user_id", "event_id", "ts")
+    val q = Streaming.sessionWindowAgg(df, gap = "30 minutes", watermark = "1 minute")
+      .writeStream.format("memory").queryName("s_sess").outputMode("append").start()
+    try {
+      mem.addData((7L, 1L, ts(1, 0)), (7L, 2L, ts(1, 10)))
+      q.processAllAvailable()
+      // jump far ahead: watermark passes session end + gap -> session emitted
+      mem.addData((7L, 3L, ts(9, 0)))
+      q.processAllAvailable()
+      mem.addData((8L, 4L, ts(15, 0)))
+      q.processAllAvailable()
+      val rows = spark.table("s_sess").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(3))).toSet
+      assert(rows.contains((7L, ts(1, 0), 2L)))
+    } finally q.stop()
+  }
+
+  test("flatMapGroupsWithState sessionization emits closed sessions") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[Streaming.Ev]
+    val q = Streaming.sessionizeFMGWS(mem.toDS(), gapSeconds = 1800L)
+      .writeStream.format("memory").queryName("s_fmgws").outputMode("append").start()
+    try {
+      mem.addData(Streaming.Ev(1L, 1L, ts(1, 0)), Streaming.Ev(1L, 2L, ts(1, 15)))
+      q.processAllAvailable()
+      // same user far later: closes the first session in-stream
+      mem.addData(Streaming.Ev(1L, 3L, ts(5, 0)))
+      q.processAllAvailable()
+      val rows = spark.table("s_fmgws").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3))).toSet
+      assert(rows === Set((1L, ts(1, 0), ts(1, 15), 2L)))
+    } finally q.stop()
+  }
+}
