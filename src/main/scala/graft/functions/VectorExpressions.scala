@@ -46,6 +46,40 @@ case class VectorDistance(left: Expression, right: Expression, metric: Int, p: D
     copy(left = newLeft, right = newRight)
 }
 
+/**
+ * |A ∩ B| of two sorted array<bigint> columns (linear merge, codegen'd).
+ * The workhorse of set-similarity joins: shingle sets are hashed,
+ * sorted once per document, then every candidate pair costs O(|A|+|B|)
+ * comparisons with zero allocation.
+ */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(t: DataType): Boolean = t match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<bigint> arguments")
+  }
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "sorted_intersect_count"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorMath.sortedIntersectCount(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorMath.sortedIntersectCount($a, $b)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Column DSL for the vector functions. */
 object vec {
   private def col(e: Expression): Column = GraftBridge.column(e)
@@ -68,6 +102,10 @@ object vec {
   def braycurtis(a: Column, b: Column): Column = dist("braycurtis", a, b)
   def jensenshannon(a: Column, b: Column): Column = dist("jensenshannon", a, b)
   def jaccard(a: Column, b: Column): Column = dist("jaccard", a, b)
+
+  /** |A ∩ B| over sorted array<bigint> columns; see [[SortedIntersectCount]] */
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    col(SortedIntersectCount(ex(a), ex(b)))
 
   /** bounded-heap top-k aggregate; see [[TopKByDistance]] */
   def topk(k: Int, distance: Column, label: Column, ascending: Boolean = true): Column =

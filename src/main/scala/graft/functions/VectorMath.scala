@@ -156,4 +156,18 @@ object VectorMath {
     while (i < n) { s += a.getFloat(i).toDouble * q(i); i += 1 }
     s
   }
+
+  /** |A ∩ B| of two SORTED long arrays by linear merge — no per-call
+    * hash set, the cheap inner loop of set-similarity joins */
+  def sortedIntersectCount(a: ArrayData, b: ArrayData): Int = {
+    val na = a.numElements(); val nb = b.numElements()
+    var i = 0; var j = 0; var c = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { c += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    c
+  }
 }

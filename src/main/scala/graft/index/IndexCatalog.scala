@@ -132,7 +132,7 @@ object IndexCatalog {
         val vcol = sample.columns.last
         e.trained = Some(KMeansTrainer.train(sample.select(vec.vector(col(vcol)).as("vec")), n,
           e.meta.params.get("seed").map(_.toLong).getOrElse(42L),
-          e.meta.params.get("maxIter").map(_.toInt).getOrElse(20)))
+          e.meta.params.get("maxIter").map(_.toInt).getOrElse(10)))
       case _ => // Flat/LSH need no training
     }
   }
@@ -253,8 +253,9 @@ object IndexCatalog {
       val asc = VectorMath.smallerIsCloser(metricId)
       data
         .join(broadcast(probes), "list_id")
+        .select(col("qid"), col("label"), d.as("_dist"))
         .groupBy(col("qid"))
-        .agg(vec.topk(k, d, col("label"), asc).as("nn"))
+        .agg(vec.topk(k, col("_dist"), col("label"), asc).as("nn"))
         .select(col("qid"), posexplode(col("nn")).as(Seq("pos", "nn")))
         .select(col("qid"), col("nn.rank").as("rank"),
           col("nn.label").as("label"), col("nn.distance").as("distance"))
@@ -287,11 +288,12 @@ object IndexCatalog {
       val asc = VectorMath.smallerIsCloser(VectorMath.metricId(meta.metric))
       data
         .join(broadcast(qb), "bucket")
-        // a (label, qid) pair can match in several bands; dedup before ranking
-        .select(col("qid"), col("qvec"), col("label"), col("vec"))
+        // a (label, qid) pair can match in several bands; compute the
+        // distance in codegen, then dedup on (qid,label) before ranking
+        .select(col("qid"), col("label"), d.as("_dist"))
         .dropDuplicates("qid", "label")
         .groupBy(col("qid"))
-        .agg(vec.topk(k, d, col("label"), asc).as("nn"))
+        .agg(vec.topk(k, col("_dist"), col("label"), asc).as("nn"))
         .select(col("qid"), posexplode(col("nn")).as(Seq("pos", "nn")))
         .select(col("qid"), col("nn.rank").as("rank"),
           col("nn.label").as("label"), col("nn.distance").as("distance"))

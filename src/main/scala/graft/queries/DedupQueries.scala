@@ -25,8 +25,7 @@ object DedupQueries {
     },
     // top-20 most-similar bigram-jaccard pairs within an id window of 25
     "dedup_ngram_jaccard" -> { (s, dir) =>
-      val d = docs(s, dir)
-      Dedup.ngramJaccard(d, "doc_id", "text", windowPairs(d, "doc_id", 25), shingleSize = 2)
+      Dedup.ngramJaccardWindow(docs(s, dir), "doc_id", "text", window = 25, shingleSize = 2)
         .orderBy(col("jaccard").desc, col("a_id"), col("b_id"))
         .limit(20)
     },

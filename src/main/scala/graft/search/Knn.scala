@@ -41,9 +41,13 @@ object Knn {
     val asc = VectorMath.smallerIsCloser(mid)
     val d = vec.dist(metric, col(vecCol), col(qvecCol))
     val joined = data.crossJoin(broadcast(queries))
-    (if (excludeSelf) joined.where(col(labelCol) =!= col(qidCol)) else joined)
+    val filtered = if (excludeSelf) joined.where(col(labelCol) =!= col(qidCol)) else joined
+    // distance materializes in a codegen'd projection (fused loop inside
+    // WholeStageCodegen); the aggregate then only reads plain columns
+    filtered
+      .select(col(qidCol), col(labelCol), d.as("_dist"))
       .groupBy(col(qidCol))
-      .agg(vec.topk(k, d, col(labelCol), asc).as("nn"))
+      .agg(vec.topk(k, col("_dist"), col(labelCol), asc).as("nn"))
       .select(col(qidCol), posexplode(col("nn")).as(Seq("pos", "nn")))
       .select(
         col(qidCol),

@@ -20,11 +20,17 @@ object TextFunctions {
   def bpeTokens(text: Column): Column =
     regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))
 
-  /** contiguous word n-gram shingles (distinct); empty below n tokens */
+  /**
+   * Contiguous word n-gram shingles (distinct); empty below n tokens.
+   * Built as a zip_with chain over shifted slices so every lambda only
+   * touches its own element variables — referencing the outer tokens
+   * expression inside a HOF lambda would re-evaluate it per element
+   * (O(tokens^2) per document, a real 20x slowdown at bench scale).
+   */
   def shingles(toks: Column, n: Int): Column = {
-    val grams = transform(
-      sequence(lit(0), size(toks) - n),
-      i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*))
+    val win = size(toks) - (n - 1)
+    val parts = (0 until n).map(j => slice(toks, lit(j + 1), win))
+    val grams = parts.reduce((a, b) => zip_with(a, b, (x, y) => concat_ws(" ", x, y)))
     when(size(toks) >= n, array_distinct(grams))
       .otherwise(array().cast("array<string>"))
   }
