@@ -103,6 +103,7 @@ case class TopKByDistance(
     label: Expression,
     k: Int,
     ascending: Boolean,
+    padToK: Boolean = false,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[TopKHeap] {
@@ -133,10 +134,18 @@ case class TopKByDistance(
 
   override def eval(buffer: TopKHeap): Any = {
     val sorted = buffer.sorted
-    val rows = new Array[Any](sorted.length)
+    val outLen = if (padToK) k else sorted.length
+    val rows = new Array[Any](outLen)
     var i = 0
     while (i < sorted.length) {
       rows(i) = new GenericInternalRow(Array[Any](i, sorted(i)._2, sorted(i)._1))
+      i += 1
+    }
+    // FAISS pads short result lists to exactly k with label = -1
+    // (duckdb-faiss-ext README "faiss_search")
+    val padDist = if (ascending) Double.MaxValue else Double.MinValue
+    while (i < outLen) {
+      rows(i) = new GenericInternalRow(Array[Any](i, -1L, padDist))
       i += 1
     }
     new GenericArrayData(rows)

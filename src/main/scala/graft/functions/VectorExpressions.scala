@@ -108,6 +108,7 @@ object vec {
     col(SortedIntersectCount(ex(a), ex(b)))
 
   /** bounded-heap top-k aggregate; see [[TopKByDistance]] */
-  def topk(k: Int, distance: Column, label: Column, ascending: Boolean = true): Column =
-    col(TopKByDistance(ex(distance), ex(label), k, ascending).toAggregateExpression())
+  def topk(k: Int, distance: Column, label: Column, ascending: Boolean = true,
+      padToK: Boolean = false): Column =
+    col(TopKByDistance(ex(distance), ex(label), k, ascending, padToK).toAggregateExpression())
 }

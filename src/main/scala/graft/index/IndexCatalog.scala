@@ -176,7 +176,25 @@ object IndexCatalog {
     val b = build(name)
     // exact post-filterable search: restrict the indexed data, then flat-search.
     // The filter is a Catalyst predicate -> pushed into the (pruned) scan.
-    Knn.searchFlat(b.data.where(filter), queries, k, entry(name).meta.metric)
+    Knn.searchFlat(b.data.where(filter), queries, k, entry(name).meta.metric,
+      padToK = params.get("pad").exists(_.toBoolean))
+  }
+
+  /**
+   * faiss_search_filter_set twin: only the given label set participates.
+   * Small sets inline as an IN-list predicate; a DataFrame set joins
+   * via LEFT SEMI (shuffle-safe for arbitrarily large id sets — the
+   * scale-robust version of the reference's O(m) hash set,
+   * faiss_extension.cpp search_filter_set).
+   */
+  def searchFilterSet(
+      name: String, k: Int, queries: DataFrame, ids: DataFrame,
+      params: Map[String, String] = Map.empty): DataFrame = {
+    val b = build(name)
+    val idSet = ids.select(col(ids.columns.head).cast("long").as("label"))
+    val restricted = b.data.join(idSet, Seq("label"), "left_semi")
+    Knn.searchFlat(restricted, queries, k, entry(name).meta.metric,
+      padToK = params.get("pad").exists(_.toBoolean))
   }
 
   def moveGpu(name: String, gpu: Int): Unit =

@@ -36,7 +36,8 @@ object Knn {
       vecCol: String = "vec",
       qidCol: String = "qid",
       qvecCol: String = "qvec",
-      excludeSelf: Boolean = false): DataFrame = {
+      excludeSelf: Boolean = false,
+      padToK: Boolean = false): DataFrame = {
     val mid = VectorMath.metricId(metric)
     val asc = VectorMath.smallerIsCloser(mid)
     val d = vec.dist(metric, col(vecCol), col(qvecCol))
@@ -47,7 +48,7 @@ object Knn {
     filtered
       .select(col(qidCol), col(labelCol), d.as("_dist"))
       .groupBy(col(qidCol))
-      .agg(vec.topk(k, col("_dist"), col(labelCol), asc).as("nn"))
+      .agg(vec.topk(k, col("_dist"), col(labelCol), asc, padToK).as("nn"))
       .select(col(qidCol), posexplode(col("nn")).as(Seq("pos", "nn")))
       .select(
         col(qidCol),

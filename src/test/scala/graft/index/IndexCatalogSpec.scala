@@ -96,6 +96,29 @@ class IndexCatalogSpec extends SparkSpec {
     assert(before === after)
   }
 
+  test("search_filter_set restricts to the id set via semi join") {
+    import spark.implicits._
+    IndexCatalog.create("t_set", 2, "Flat")
+    IndexCatalog.add(grid, "t_set")
+    val ids = Seq(3L, 7L, 999L).toDF("id") // 999 not in the index
+    val res = IndexCatalog.searchFilterSet("t_set", 5, qs, ids).collect()
+    assert(res.map(_.getLong(2)).toSet.subsetOf(Set(3L, 7L)))
+    assert(res.length === 4) // 2 queries x 2 available candidates
+  }
+
+  test("pad=true returns exactly k rows with label -1 fill (FAISS padding)") {
+    import org.apache.spark.sql.functions.col
+    IndexCatalog.create("t_pad", 2, "Flat")
+    IndexCatalog.add(grid, "t_pad")
+    val res = IndexCatalog
+      .searchFilter("t_pad", 5, qs, col("label") < 2, Map("pad" -> "true"))
+      .collect()
+    assert(res.length === 10) // 2 queries x k=5
+    val padRows = res.filter(_.getLong(2) == -1L)
+    assert(padRows.length === 6) // only 2 real candidates per query
+    assert(padRows.forall(_.getInt(1) >= 2)) // padding ranks after real results
+  }
+
   test("move_gpu is explicitly unsupported") {
     IndexCatalog.create("t_gpu", 2, "Flat")
     intercept[UnsupportedOperationException](IndexCatalog.moveGpu("t_gpu", 0))
