@@ -35,15 +35,20 @@ object IndexCatalog {
       metric: String,
       params: Map[String, String])
 
-  /** parsed factory string: Flat | IDMap,Flat | IVF<n>[,Flat] | LSH<b> | HNSW<m> */
+  /** parsed factory: Flat | IDMap,Flat | IVF<n>[,Flat|,PQ<m>] | PQ<m> | LSH<b> | HNSW<m> */
   sealed trait Kind
   case object FlatKind extends Kind
   case class IvfKind(nlist: Int) extends Kind
   case class LshKind(bits: Int) extends Kind
+  case class PqKind(m: Int, nlist: Int) extends Kind
 
   def parseFactory(factory: String): Kind = {
     val parts = factory.split(",").map(_.trim).filter(_ != "IDMap")
+    val pqPart = parts.find(_.startsWith("PQ")).map(_.stripPrefix("PQ").toInt)
     parts.headOption.getOrElse("Flat") match {
+      case s if s.startsWith("IVF") && pqPart.isDefined =>
+        PqKind(pqPart.get, s.stripPrefix("IVF").toInt)
+      case s if s.startsWith("PQ") => PqKind(pqPart.get, 1)
       case "Flat" => FlatKind
       case s if s.startsWith("IVF") => IvfKind(s.stripPrefix("IVF").toInt)
       case s if s.startsWith("LSH") =>
@@ -147,6 +152,7 @@ object IndexCatalog {
       val built: BuiltIndex = e.kind match {
         case FlatKind => new FlatBuilt(data.cache(), e.meta)
         case LshKind(bits) => LshBuilt.build(data, e.meta, bits)
+        case PqKind(m, nlist) => PqBuilt.build(data, e.meta, m, nlist)
         case IvfKind(_) =>
           val centroids = e.trained.getOrElse {
             manualTrain(data.select(col("vec")), name)
@@ -291,6 +297,98 @@ object IndexCatalog {
         .repartition(col("list_id"))
         .cache()
       new IvfBuilt(assigned, meta, centroids, metricId)
+    }
+  }
+
+  /**
+   * PQ / IVF-PQ: vectors stored as m-byte codes; ADC search against
+   * per-query LUTs, then exact re-rank of the top k x refine
+   * candidates on the original vectors. L2 metric (FAISS PQ
+   * convention). At 100 TB the `vec` column for re-ranking would live
+   * in the base table and join back by label — kept inline here.
+   */
+  final class PqBuilt(
+      val data: DataFrame, // (list_id int, label bigint, code binary, vec array<float>)
+      meta: IndexMeta,
+      codebooks: Array[Array[Array[Float]]],
+      centroids: Option[Array[Array[Float]]])
+      extends BuiltIndex {
+
+    def search(queries: DataFrame, k: Int, params: Map[String, String]): DataFrame = {
+      val spark = data.sparkSession
+      import spark.implicits._
+      val refine = params.get("refine").map(_.toInt).getOrElse(4)
+      val qArr = queries
+        .select(col("qid").cast("long"), vec.vector(col("qvec")))
+        .collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+      val luts = qArr.map { case (qid, qv) => qid -> Pq.lutFor(qv, codebooks) }.toMap
+
+      val candSource = centroids match {
+        case Some(cents) =>
+          val nprobe = params.get("nprobe").map(_.toInt).getOrElse(math.max(1, cents.length / 8))
+          val probes = qArr.toSeq.flatMap { case (qid, qv) =>
+            PqBuilt.nearestLists(qv, cents, nprobe).map(l => (qid, l))
+          }.toDF("qid", "list_id")
+          data.join(broadcast(probes), "list_id")
+        case None =>
+          data.crossJoin(broadcast(qArr.map(_._1).toSeq.toDF("qid")))
+      }
+      val adc = GraftBridge.column(PqAdcDistance(
+        GraftBridge.expression(col("code")), GraftBridge.expression(col("qid")), luts))
+      val cands = candSource
+        .select(col("qid"), col("label"), adc.as("_adc"))
+        .groupBy(col("qid"))
+        .agg(vec.topk(k * refine, col("_adc"), col("label"), ascending = true).as("nn"))
+        .select(col("qid"), explode(col("nn.label")).as("label"))
+      // exact re-rank on original vectors
+      val qdf = queries.select(col("qid").cast("long").as("qid"), vec.vector(col("qvec")).as("qvec"))
+      cands
+        .join(data.select(col("label"), col("vec")), "label")
+        .join(broadcast(qdf), "qid")
+        .select(col("qid"), col("label"), vec.l2sq(col("vec"), col("qvec")).as("_dist"))
+        .groupBy(col("qid"))
+        .agg(vec.topk(k, col("_dist"), col("label"), ascending = true).as("nn"))
+        .select(col("qid"), posexplode(col("nn")).as(Seq("pos", "nn")))
+        .select(col("qid"), col("nn.rank").as("rank"),
+          col("nn.label").as("label"), col("nn.distance").as("distance"))
+    }
+  }
+
+  object PqBuilt {
+    private[index] def nearestLists(
+        q: Array[Float], cents: Array[Array[Float]], nprobe: Int): Seq[Int] = {
+      val heap = new graft.functions.TopKHeap(math.min(nprobe, cents.length), ascending = true)
+      var c = 0
+      while (c < cents.length) {
+        var d = 0.0; var i = 0
+        while (i < q.length) { val t = q(i) - cents(c)(i); d += t * t; i += 1 }
+        heap.insert(d, c.toLong)
+        c += 1
+      }
+      heap.sorted.map(_._2.toInt).toSeq
+    }
+
+    def build(data: DataFrame, meta: IndexMeta, m: Int, nlist: Int): PqBuilt = {
+      val seed = meta.params.get("seed").map(_.toLong).getOrElse(42L)
+      val sample = data.select(col("vec")).limit(50000).collect()
+        .map(_.getSeq[Float](0).toArray)
+      val codebooks = Pq.train(sample, m, seed)
+      val cents =
+        if (nlist > 1) Some(Pq.localKMeans(sample, math.min(nlist, sample.length), seed + 999, 10))
+        else None
+      val encode = GraftBridge.column(PqEncode(GraftBridge.expression(col("vec")), codebooks))
+      val withCode = cents match {
+        case Some(cs) =>
+          val assign = GraftBridge.column(NearestCentroids(
+            GraftBridge.expression(col("vec")), cs, 1, VectorMath.L2SQ))
+          data.select(element_at(assign, 1).as("list_id"), col("label"),
+              encode.as("code"), col("vec"))
+            .repartition(col("list_id"))
+        case None =>
+          data.select(lit(0).as("list_id"), col("label"), encode.as("code"), col("vec"))
+      }
+      new PqBuilt(withCode.cache(), meta, codebooks, cents)
     }
   }
 

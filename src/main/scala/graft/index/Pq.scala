@@ -1,0 +1,178 @@
+package graft.index
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+import graft.functions.Hash64
+
+/**
+ * Product quantization: vectors compress to `m` bytes (one codebook of
+ * 256 centroids per dim/m-sized subspace), searches run Asymmetric
+ * Distance Computation against per-query lookup tables. The Spark
+ * twin of FAISS's `PQm` factory indexes (duckdb-faiss-ext README
+ * "index_factory"): at 100 TB, PQ is what makes the vector column
+ * fit — 64 floats (256 B) become 8 bytes, and a scan computes
+ * distances with m table lookups instead of dim multiplies.
+ */
+object Pq {
+
+  /** codebooks(sub)(centroid)(dimWithinSub); trained per-subspace */
+  def train(
+      samples: Array[Array[Float]], m: Int, seed: Long, maxIter: Int = 15): Array[Array[Array[Float]]] = {
+    require(samples.nonEmpty, "PQ training needs a non-empty sample")
+    val dim = samples(0).length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val dsub = dim / m
+    Array.tabulate(m) { sub =>
+      val subPts = samples.map(v => java.util.Arrays.copyOfRange(v, sub * dsub, (sub + 1) * dsub))
+      localKMeans(subPts, math.min(256, subPts.length), seed + sub, maxIter)
+    }
+  }
+
+  /** plain Lloyd's on a small in-memory sample (deterministic seeded init) */
+  private[index] def localKMeans(
+      pts: Array[Array[Float]], k: Int, seed: Long, maxIter: Int): Array[Array[Float]] = {
+    val dim = pts(0).length
+    val centers = Array.tabulate(k)(i => pts(((Hash64.mix(seed + i) >>> 1) % pts.length).toInt).clone())
+    val assign = new Array[Int](pts.length)
+    var iter = 0
+    var moved = true
+    while (iter < maxIter && moved) {
+      moved = false
+      var p = 0
+      while (p < pts.length) {
+        val v = pts(p)
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < k) {
+          val cen = centers(c)
+          var d = 0.0; var i = 0
+          while (i < dim) { val t = v(i) - cen(i); d += t * t; i += 1 }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        if (assign(p) != best) { assign(p) = best; moved = true }
+        p += 1
+      }
+      val sums = Array.ofDim[Double](k, dim)
+      val counts = new Array[Int](k)
+      var q = 0
+      while (q < pts.length) {
+        val c = assign(q); counts(c) += 1
+        val v = pts(q); var i = 0
+        while (i < dim) { sums(c)(i) += v(i); i += 1 }
+        q += 1
+      }
+      var c = 0
+      while (c < k) {
+        if (counts(c) > 0) {
+          var i = 0
+          while (i < dim) { centers(c)(i) = (sums(c)(i) / counts(c)).toFloat; i += 1 }
+        }
+        c += 1
+      }
+      iter += 1
+    }
+    centers
+  }
+
+  def encodeOne(v: ArrayData, codebooks: Array[Array[Array[Float]]]): Array[Byte] = {
+    val m = codebooks.length
+    val dsub = codebooks(0)(0).length
+    val out = new Array[Byte](m)
+    var sub = 0
+    while (sub < m) {
+      val book = codebooks(sub)
+      var best = 0; var bestD = Double.MaxValue
+      var c = 0
+      while (c < book.length) {
+        val cen = book(c)
+        var d = 0.0; var i = 0
+        while (i < dsub) { val t = v.getFloat(sub * dsub + i).toDouble - cen(i); d += t * t; i += 1 }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      out(sub) = best.toByte
+      sub += 1
+    }
+    out
+  }
+
+  /** per-query ADC lookup table: lut(sub * 256 + code) = partial L2^2 */
+  def lutFor(q: Array[Float], codebooks: Array[Array[Array[Float]]]): Array[Float] = {
+    val m = codebooks.length
+    val dsub = codebooks(0)(0).length
+    val lut = new Array[Float](m * 256)
+    var sub = 0
+    while (sub < m) {
+      val book = codebooks(sub)
+      var c = 0
+      while (c < book.length) {
+        val cen = book(c)
+        var d = 0.0; var i = 0
+        while (i < dsub) { val t = q(sub * dsub + i).toDouble - cen(i); d += t * t; i += 1 }
+        lut(sub * 256 + c) = d.toFloat
+        c += 1
+      }
+      sub += 1
+    }
+    lut
+  }
+
+  def adcDistance(code: Array[Byte], lut: Array[Float]): Double = {
+    var d = 0.0
+    var sub = 0
+    while (sub < code.length) {
+      d += lut(sub * 256 + (code(sub) & 0xff))
+      sub += 1
+    }
+    d
+  }
+}
+
+/** encode an array<float> vector to its m-byte PQ code */
+case class PqEncode(child: Expression, codebooks: Array[Array[Array[Float]]])
+    extends UnaryExpression
+    with CodegenFallback {
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "pq_encode"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"pq_encode needs array<float>, got ${t.catalogString}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    Pq.encodeOne(input.asInstanceOf[ArrayData], codebooks)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/**
+ * ADC distance: (code binary, qid bigint) -> approximate L2^2 using the
+ * plan-embedded per-query LUTs (queries are a bounded broadcast batch by
+ * the search contract, same as a FAISS query batch).
+ */
+case class PqAdcDistance(left: Expression, right: Expression, luts: Map[Long, Array[Float]])
+    extends BinaryExpression
+    with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "pq_adc_distance"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (BinaryType, LongType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"pq_adc_distance needs (binary, bigint), got (${l.catalogString}, ${r.catalogString})")
+    }
+
+  override protected def nullSafeEval(code: Any, qid: Any): Any =
+    Pq.adcDistance(code.asInstanceOf[Array[Byte]], luts(qid.asInstanceOf[Long]))
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}

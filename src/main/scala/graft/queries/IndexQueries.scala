@@ -53,6 +53,15 @@ object IndexQueries {
       IndexCatalog.create(name, 64, "LSH12", "cosine", Map("bands" -> "24"))
       IndexCatalog.add(embData(s, dir), name)
       quantized(IndexCatalog.search(name, 5, embQueries(s, dir)))
+    },
+    // IVF-PQ: 64 floats -> 8 bytes, ADC + exact re-rank (approximate ->
+    // rows-only here; recall vs exact search is spec-asserted)
+    "knn_pq" -> { (s, dir) =>
+      val name = fresh("q_ivfpq")
+      IndexCatalog.create(name, 64, "IVF8,PQ8", "l2sq",
+        Map("nprobe" -> "8", "refine" -> "24"))
+      IndexCatalog.add(embData(s, dir), name)
+      quantized(IndexCatalog.search(name, 5, embQueries(s, dir)))
     })
 
   def oracles: Map[String, String] = Map(

@@ -119,6 +119,29 @@ class IndexCatalogSpec extends SparkSpec {
     assert(padRows.forall(_.getInt(1) >= 2)) // padding ranks after real results
   }
 
+  test("PQ index: exact re-rank recovers true neighbors (recall@4 high)") {
+    IndexCatalog.create("t_pq", 2, "PQ2", "l2sq", Map("refine" -> "8"))
+    IndexCatalog.add(grid, "t_pq")
+    val got = labelsOf(IndexCatalog.search("t_pq", 4, qs))
+    val want = labelsOf(Knn.searchFlat(grid, qs, 4, "l2sq"))
+    val recall = qs.collect().map(_.getLong(0)).map { q =>
+      got(q).toSet.intersect(want(q).toSet).size.toDouble / want(q).size
+    }.sum / 2
+    assert(recall >= 0.75, s"recall $recall")
+  }
+
+  test("IVF-PQ factory combines list pruning with code search") {
+    IndexCatalog.create("t_ivfpq", 2, "IVF4,PQ2", "l2sq",
+      Map("nprobe" -> "4", "refine" -> "8"))
+    IndexCatalog.add(grid, "t_ivfpq")
+    val got = labelsOf(IndexCatalog.search("t_ivfpq", 4, qs))
+    val want = labelsOf(Knn.searchFlat(grid, qs, 4, "l2sq"))
+    val recall = qs.collect().map(_.getLong(0)).map { q =>
+      got(q).toSet.intersect(want(q).toSet).size.toDouble / want(q).size
+    }.sum / 2
+    assert(recall >= 0.75, s"recall $recall")
+  }
+
   test("move_gpu is explicitly unsupported") {
     IndexCatalog.create("t_gpu", 2, "Flat")
     intercept[UnsupportedOperationException](IndexCatalog.moveGpu("t_gpu", 0))
