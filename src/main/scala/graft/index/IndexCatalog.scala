@@ -41,6 +41,7 @@ object IndexCatalog {
   case class IvfKind(nlist: Int) extends Kind
   case class LshKind(bits: Int) extends Kind
   case class PqKind(m: Int, nlist: Int) extends Kind
+  case class HnswKind(m: Int) extends Kind
 
   def parseFactory(factory: String): Kind = {
     val parts = factory.split(",").map(_.trim).filter(_ != "IDMap")
@@ -54,9 +55,7 @@ object IndexCatalog {
       case s if s.startsWith("LSH") =>
         LshKind(Option(s.stripPrefix("LSH")).filter(_.nonEmpty).map(_.toInt).getOrElse(16))
       case s if s.startsWith("HNSW") =>
-        // graph indexes don't distribute; serve the same contract with an
-        // IVF approximation (nlist chosen at build from sqrt(n))
-        IvfKind(-1)
+        HnswKind(Option(s.stripPrefix("HNSW")).filter(_.nonEmpty).map(_.toInt).getOrElse(32))
       case other => throw new IllegalArgumentException(s"unsupported factory: $other")
     }
   }
@@ -72,6 +71,7 @@ object IndexCatalog {
   sealed trait BuiltIndex {
     def data: DataFrame
     def search(queries: DataFrame, k: Int, params: Map[String, String]): DataFrame
+    def close(): Unit = data.unpersist()
   }
 
   private val entries = new ConcurrentHashMap[String, Entry]()
@@ -86,7 +86,7 @@ object IndexCatalog {
 
   def destroy(name: String): Unit = {
     val e = entries.remove(name)
-    if (e != null) e.built.foreach(_.data.unpersist())
+    if (e != null) e.built.foreach(_.close())
   }
 
   def destroyAll(): Unit = entries.keySet().asScala.toSeq.foreach(destroy)
@@ -124,7 +124,7 @@ object IndexCatalog {
           vec.vector(col(df.columns(1))).as("vec"))
     }
     e.pending = Some(e.pending.map(_.unionByName(normalized)).getOrElse(normalized))
-    e.built.foreach(_.data.unpersist())
+    e.built.foreach(_.close())
     e.built = None
   }
 
@@ -153,6 +153,7 @@ object IndexCatalog {
         case FlatKind => new FlatBuilt(data.cache(), e.meta)
         case LshKind(bits) => LshBuilt.build(data, e.meta, bits)
         case PqKind(m, nlist) => PqBuilt.build(data, e.meta, m, nlist)
+        case HnswKind(m) => HnswBuilt.build(data, e.meta, m)
         case IvfKind(_) =>
           val centroids = e.trained.getOrElse {
             manualTrain(data.select(col("vec")), name)
@@ -389,6 +390,65 @@ object IndexCatalog {
           data.select(lit(0).as("list_id"), col("label"), encode.as("code"), col("vec"))
       }
       new PqBuilt(withCode.cache(), meta, codebooks, cents)
+    }
+  }
+
+  /**
+   * Sharded HNSW: each partition builds an independent NSW graph over
+   * its vectors (RDD of graphs, cached as live objects); a search runs
+   * every shard graph in parallel and merges per-shard top-k globally.
+   * Graph search is O(ef log n) per shard instead of a full scan —
+   * the architecture real distributed vector stores use, since graph
+   * edges can't span executors. efConstruction/efSearch match the
+   * reference's parameter names.
+   */
+  final class HnswBuilt(
+      val data: DataFrame, // (label, vec) — retained for filtered/exact paths + save
+      meta: IndexMeta,
+      graphs: org.apache.spark.rdd.RDD[Nsw.Graph],
+      m: Int)
+      extends BuiltIndex {
+
+    def search(queries: DataFrame, k: Int, params: Map[String, String]): DataFrame = {
+      val spark = data.sparkSession
+      import spark.implicits._
+      val efSearch = params.get("efSearch").map(_.toInt).getOrElse(math.max(2 * k, 64))
+      val qArr = queries
+        .select(col("qid").cast("long"), vec.vector(col("qvec")))
+        .collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+      val qB = spark.sparkContext.broadcast(qArr)
+      val perShard = graphs.flatMap { g =>
+        qB.value.iterator.flatMap { case (qid, qv) =>
+          Nsw.search(g, qv, k, efSearch).iterator.map { case (d, label) => (qid, label, d) }
+        }
+      }.toDF("qid", "label", "_dist")
+      perShard
+        .groupBy(col("qid"))
+        .agg(vec.topk(k, col("_dist"), col("label"), ascending = true).as("nn"))
+        .select(col("qid"), posexplode(col("nn")).as(Seq("pos", "nn")))
+        .select(col("qid"), col("nn.rank").as("rank"),
+          col("nn.label").as("label"), col("nn.distance").as("distance"))
+    }
+
+    override def close(): Unit = {
+      graphs.unpersist(blocking = false)
+      super.close()
+    }
+  }
+
+  object HnswBuilt {
+    def build(data: DataFrame, meta: IndexMeta, m: Int): HnswBuilt = {
+      val efC = meta.params.get("efConstruction").map(_.toInt).getOrElse(math.max(64, 2 * m))
+      val cached = data.select(col("label"), col("vec")).cache()
+      val graphs = cached
+        .select(col("label"), col("vec"))
+        .rdd
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+        .mapPartitions(it => Iterator.single(Nsw.build(it.toArray, m, efC)), preservesPartitioning = true)
+        .cache()
+      graphs.count() // materialize graph construction once
+      new HnswBuilt(cached, meta, graphs, m)
     }
   }
 

@@ -54,6 +54,15 @@ object IndexQueries {
       IndexCatalog.add(embData(s, dir), name)
       quantized(IndexCatalog.search(name, 5, embQueries(s, dir)))
     },
+    // sharded HNSW graphs: per-partition NSW build + greedy search,
+    // global top-k merge (approximate -> rows-only; recall spec-asserted)
+    "knn_hnsw" -> { (s, dir) =>
+      val name = fresh("q_hnsw")
+      IndexCatalog.create(name, 64, "IDMap,HNSW16", "l2sq",
+        Map("efConstruction" -> "96", "efSearch" -> "128"))
+      IndexCatalog.add(embData(s, dir), name)
+      quantized(IndexCatalog.search(name, 5, embQueries(s, dir)))
+    },
     // IVF-PQ: 64 floats -> 8 bytes, ADC + exact re-rank (approximate ->
     // rows-only here; recall vs exact search is spec-asserted)
     "knn_pq" -> { (s, dir) =>

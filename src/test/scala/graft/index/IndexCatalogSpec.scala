@@ -147,10 +147,22 @@ class IndexCatalogSpec extends SparkSpec {
     intercept[UnsupportedOperationException](IndexCatalog.moveGpu("t_gpu", 0))
   }
 
-  test("HNSW factory string degrades to an IVF approximation") {
-    IndexCatalog.create("t_hnsw", 2, "IDMap,HNSW32")
-    IndexCatalog.add(grid, "t_hnsw")
-    val res = IndexCatalog.search("t_hnsw", 4, qs, Map("nprobe" -> "16"))
-    assert(res.count() === 8)
+  test("HNSW builds per-partition graphs and reaches high recall") {
+    IndexCatalog.create("t_hnsw", 2, "IDMap,HNSW8", "l2sq", Map("efConstruction" -> "64"))
+    IndexCatalog.add(grid.repartition(3), "t_hnsw")
+    val got = labelsOf(IndexCatalog.search("t_hnsw", 4, qs, Map("efSearch" -> "64")))
+    val want = labelsOf(Knn.searchFlat(grid, qs, 4, "l2sq"))
+    val recall = qs.collect().map(_.getLong(0)).map { q =>
+      got(q).toSet.intersect(want(q).toSet).size.toDouble / want(q).size
+    }.sum / 2
+    assert(recall >= 0.75, s"recall $recall")
+  }
+
+  test("HNSW with generous efSearch equals exact search on a small shard") {
+    IndexCatalog.create("t_hnsw_x", 2, "HNSW16", "l2sq", Map("efConstruction" -> "128"))
+    IndexCatalog.add(grid.coalesce(1), "t_hnsw_x")
+    val got = labelsOf(IndexCatalog.search("t_hnsw_x", 4, qs, Map("efSearch" -> "256")))
+    val want = labelsOf(Knn.searchFlat(grid, qs, 4, "l2sq"))
+    assert(got === want)
   }
 }
