@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.util.ArrayData
  * The 9 metrics mirror the reference's metric surface
  * (duckdb-faiss-ext README "metric_type": INNER_PRODUCT, L2, L1, Linf,
  * Lp, Canberra, BrayCurtis, JensenShannon, Jaccard; cf.
- * /root/reference/src/faiss_extension.cpp metric parsing) with FAISS
+ * reference src/faiss_extension.cpp:58-68 metric table) with FAISS
  * conventions: L2 is the *squared* euclidean distance, Lp is
  * sum(|a-b|^p) without the 1/p root, Jaccard is the weighted
  * 1 - sum(min)/sum(max).

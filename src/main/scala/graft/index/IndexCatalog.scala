@@ -12,9 +12,11 @@ import graft.search.Knn
 
 /**
  * Named-index registry: the Spark-native twin of the reference's
- * global index table (duckdb-faiss-ext README: faiss_create /
- * faiss_create_params / faiss_add / faiss_manual_train / faiss_search
- * / faiss_save / faiss_load / faiss_destroy / faiss_move_gpu).
+ * global index table (duckdb-faiss-ext README; registration of
+ * faiss_create/create_params at src/faiss_extension.cpp:1029-1048,
+ * save/load:1050-1057, destroy:1059-1062, manual_train:1064-1068,
+ * add:1072-1076, search:1089-1094, search_filter:1110-1119,
+ * search_filter_set:1139-1146).
  *
  * Differences by design (Spark-first, 100 TB):
  *  - an index is DataFrames + tiny driver-side metadata, not native RAM;

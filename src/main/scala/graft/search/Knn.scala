@@ -60,7 +60,8 @@ object Knn {
   /**
    * `faiss_search_filter` twin: only rows satisfying `predicate`
    * participate. Spark-first improvement over the reference's O(n)
-   * post-hoc bitmap (faiss_extension.cpp search_filter): the predicate
+   * post-hoc bitmap (faiss_extension.cpp:940-947, the
+   * __faiss_create_mask rewrite): the predicate
    * is a Catalyst filter *before* the scan output, so it is pushed
    * down to parquet and pruned rows are never read.
    */
