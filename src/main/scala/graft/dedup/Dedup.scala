@@ -49,14 +49,24 @@ object Dedup {
   def minhashCandidates(
       docs: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 128, bands: Int = 32,
-      shingleSize: Int = 3, seed: Long = 42L): DataFrame = {
+      shingleSize: Int = 3, seed: Long = 42L,
+      maxBucketSize: Int = 1000): DataFrame = {
     val rows = numHashes / bands
     require(rows * bands == numHashes, "bands must divide numHashes")
     val sigs = minhashSignatures(docs, idCol, textCol, numHashes, shingleSize, seed)
     val bucketed = sigs
       .select(col("id"), posexplode(bandBuckets(col("sig"), bands, rows)).as(Seq("band", "bucket")))
-    val a = bucketed.as("a")
-    val b = bucketed.as("b")
+    // hot-bucket cap: a degenerate bucket (boilerplate that hashes a large
+    // fraction of the corpus together) would make the self-join quadratic
+    // in that bucket; capping bounds worst-case pairs at B x cap^2 while
+    // true near-dup groups above the cap still pair up in their other bands
+    val capped = bucketed
+      .withColumn("_n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")))
+      .where(col("_n") <= maxBucketSize)
+      .drop("_n")
+    val a = capped.as("a")
+    val b = capped.as("b")
     a.join(b,
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.id") < col("b.id"))

@@ -66,6 +66,7 @@ object VectorQueries {
     "knn_flat_l2" -> (knnQuery("l2sq") _),
     "knn_flat_ip" -> (knnQuery("ip") _),
     "knn_flat_cosine" -> (knnQuery("cosine") _),
+    "knn_flat_l1" -> (knnQuery("l1") _),
     "knn_search_filter" -> (knnQuery("l2sq", filtered = true) _),
     "dist_metrics" -> (distMetrics _),
     // full self k-NN join: every embedding -> 3 nearest other embeddings
@@ -118,6 +119,9 @@ object VectorQueries {
          |SELECT qid, rank, label, CAST(dist AS DECIMAL(18,4)) AS distance
          |FROM r WHERE rank < 3""".stripMargin,
     "knn_flat_l2" -> knnOracle(l2sqSql, "ASC", ""),
+    "knn_flat_l1" -> knnOracle(
+      "list_sum([ abs(CAST(a[i] AS DOUBLE) - CAST(b[i] AS DOUBLE)) FOR i IN range(1, len(a)+1) ])",
+      "ASC", ""),
     "knn_flat_ip" -> knnOracle(ipSql, "DESC", ""),
     "knn_flat_cosine" -> knnOracle(cosSql, "ASC", ""),
     "knn_search_filter" -> knnOracle(l2sqSql, "ASC", "WHERE vec_id % 2 = 0"),
