@@ -62,8 +62,13 @@ object IndexCatalog {
     }
   }
 
+  /** IDMap prefix gates explicit-id adds, as in FAISS (test/sql/faiss4.test) */
+  def hasIdMap(factory: String): Boolean =
+    factory.split(",").map(_.trim).contains("IDMap")
+
   final class Entry(val meta: IndexMeta) {
     val kind: Kind = parseFactory(meta.factory)
+    val idMap: Boolean = hasIdMap(meta.factory)
     var pending: Option[DataFrame] = None // (label bigint, vec array<float>)
     var trained: Option[Array[Array[Float]]] = None // IVF centroids from manual_train
     var built: Option[BuiltIndex] = None
@@ -81,6 +86,7 @@ object IndexCatalog {
   def create(
       name: String, dim: Int, factory: String,
       metric: String = "l2sq", params: Map[String, String] = Map.empty): Unit = {
+    VectorMath.metricId(metric) // unknown metric errors at create, like the reference (faiss6.test)
     val meta = IndexMeta(name, dim, factory, metric, params)
     if (entries.putIfAbsent(name, new Entry(meta)) != null)
       throw new IllegalStateException(s"index '$name' already exists")
@@ -121,6 +127,10 @@ object IndexCatalog {
         e.nextAutoId = start + df.count() // materializes the count; ids stay dense enough per contract
         out
       case _ =>
+        if (!e.idMap)
+          throw new IllegalArgumentException(
+            "Unable to add data: this index does not support adding with IDs. " +
+              "Prefix the factory string with IDMap when creating the index.")
         df.select(
           col(df.columns(0)).cast("long").as("label"),
           vec.vector(col(df.columns(1))).as("vec"))

@@ -36,21 +36,21 @@ object IndexQueries {
     // result is exact, so it shares the brute-force L2 oracle
     "vs_index_build" -> { (s, dir) =>
       val name = fresh("q_ivf_exact")
-      IndexCatalog.create(name, 64, "IVF16,Flat", "l2sq", Map("nprobe" -> "16"))
+      IndexCatalog.create(name, 64, "IDMap,IVF16,Flat", "l2sq", Map("nprobe" -> "16"))
       IndexCatalog.add(embData(s, dir), name)
       quantized(IndexCatalog.search(name, 5, embQueries(s, dir)))
     },
     // approximate IVF probe (nprobe=4 of 16) — recall asserted in specs
     "knn_ivf" -> { (s, dir) =>
       val name = fresh("q_ivf_approx")
-      IndexCatalog.create(name, 64, "IVF16,Flat", "l2sq", Map("nprobe" -> "4"))
+      IndexCatalog.create(name, 64, "IDMap,IVF16,Flat", "l2sq", Map("nprobe" -> "4"))
       IndexCatalog.add(embData(s, dir), name)
       quantized(IndexCatalog.search(name, 5, embQueries(s, dir)))
     },
     // LSH-bucketed cosine search — recall asserted in specs
     "knn_lsh" -> { (s, dir) =>
       val name = fresh("q_lsh")
-      IndexCatalog.create(name, 64, "LSH12", "cosine", Map("bands" -> "24"))
+      IndexCatalog.create(name, 64, "IDMap,LSH12", "cosine", Map("bands" -> "24"))
       IndexCatalog.add(embData(s, dir), name)
       quantized(IndexCatalog.search(name, 5, embQueries(s, dir)))
     },
@@ -67,7 +67,7 @@ object IndexQueries {
     // rows-only here; recall vs exact search is spec-asserted)
     "knn_pq" -> { (s, dir) =>
       val name = fresh("q_ivfpq")
-      IndexCatalog.create(name, 64, "IVF8,PQ8", "l2sq",
+      IndexCatalog.create(name, 64, "IDMap,IVF8,PQ8", "l2sq",
         Map("nprobe" -> "8", "refine" -> "24"))
       IndexCatalog.add(embData(s, dir), name)
       quantized(IndexCatalog.search(name, 5, embQueries(s, dir)))

@@ -48,7 +48,7 @@ class IndexCatalogSpec extends SparkSpec {
   }
 
   test("IVF with exhaustive nprobe is exact") {
-    IndexCatalog.create("t_ivf_x", 2, "IVF8,Flat", "l2sq", Map("nprobe" -> "8"))
+    IndexCatalog.create("t_ivf_x", 2, "IDMap,IVF8,Flat", "l2sq", Map("nprobe" -> "8"))
     IndexCatalog.add(grid, "t_ivf_x")
     val got = labelsOf(IndexCatalog.search("t_ivf_x", 4, qs))
     val want = labelsOf(Knn.searchFlat(grid, qs, 4, "l2sq"))
@@ -56,7 +56,7 @@ class IndexCatalogSpec extends SparkSpec {
   }
 
   test("IVF with partial nprobe keeps high recall on clustered queries") {
-    IndexCatalog.create("t_ivf_p", 2, "IVF8,Flat", "l2sq", Map("nprobe" -> "3"))
+    IndexCatalog.create("t_ivf_p", 2, "IDMap,IVF8,Flat", "l2sq", Map("nprobe" -> "3"))
     IndexCatalog.add(grid, "t_ivf_p")
     val got = labelsOf(IndexCatalog.search("t_ivf_p", 4, qs))
     val want = labelsOf(Knn.searchFlat(grid, qs, 4, "l2sq"))
@@ -67,7 +67,7 @@ class IndexCatalogSpec extends SparkSpec {
   }
 
   test("LSH search finds mostly-true neighbors (cosine)") {
-    IndexCatalog.create("t_lsh", 2, "LSH8", "cosine", Map("bands" -> "16"))
+    IndexCatalog.create("t_lsh", 2, "IDMap,LSH8", "cosine", Map("bands" -> "16"))
     IndexCatalog.add(grid, "t_lsh")
     val got = labelsOf(IndexCatalog.search("t_lsh", 4, qs))
     val want = labelsOf(Knn.searchFlat(grid, qs, 4, "cosine"))
@@ -78,7 +78,7 @@ class IndexCatalogSpec extends SparkSpec {
   }
 
   test("search_filter restricts candidates") {
-    IndexCatalog.create("t_filt", 2, "Flat")
+    IndexCatalog.create("t_filt", 2, "IDMap,Flat")
     IndexCatalog.add(grid, "t_filt")
     val res = IndexCatalog.searchFilter("t_filt", 4, qs, col("label") % 2 === 0)
     assert(res.collect().forall(_.getLong(2) % 2 == 0))
@@ -86,7 +86,7 @@ class IndexCatalogSpec extends SparkSpec {
 
   test("save/load round-trips an IVF index") {
     val dir = Files.createTempDirectory("graft_idx").toString
-    IndexCatalog.create("t_save", 2, "IVF4,Flat", "l2sq", Map("nprobe" -> "4"))
+    IndexCatalog.create("t_save", 2, "IDMap,IVF4,Flat", "l2sq", Map("nprobe" -> "4"))
     IndexCatalog.add(grid, "t_save")
     val before = labelsOf(IndexCatalog.search("t_save", 4, qs))
     IndexCatalog.save("t_save", dir)
@@ -98,7 +98,7 @@ class IndexCatalogSpec extends SparkSpec {
 
   test("search_filter_set restricts to the id set via semi join") {
     import spark.implicits._
-    IndexCatalog.create("t_set", 2, "Flat")
+    IndexCatalog.create("t_set", 2, "IDMap,Flat")
     IndexCatalog.add(grid, "t_set")
     val ids = Seq(3L, 7L, 999L).toDF("id") // 999 not in the index
     val res = IndexCatalog.searchFilterSet("t_set", 5, qs, ids).collect()
@@ -108,7 +108,7 @@ class IndexCatalogSpec extends SparkSpec {
 
   test("pad=true returns exactly k rows with label -1 fill (FAISS padding)") {
     import org.apache.spark.sql.functions.col
-    IndexCatalog.create("t_pad", 2, "Flat")
+    IndexCatalog.create("t_pad", 2, "IDMap,Flat")
     IndexCatalog.add(grid, "t_pad")
     val res = IndexCatalog
       .searchFilter("t_pad", 5, qs, col("label") < 2, Map("pad" -> "true"))
@@ -120,7 +120,7 @@ class IndexCatalogSpec extends SparkSpec {
   }
 
   test("PQ index: exact re-rank recovers true neighbors (recall@4 high)") {
-    IndexCatalog.create("t_pq", 2, "PQ2", "l2sq", Map("refine" -> "8"))
+    IndexCatalog.create("t_pq", 2, "IDMap,PQ2", "l2sq", Map("refine" -> "8"))
     IndexCatalog.add(grid, "t_pq")
     val got = labelsOf(IndexCatalog.search("t_pq", 4, qs))
     val want = labelsOf(Knn.searchFlat(grid, qs, 4, "l2sq"))
@@ -131,7 +131,7 @@ class IndexCatalogSpec extends SparkSpec {
   }
 
   test("IVF-PQ factory combines list pruning with code search") {
-    IndexCatalog.create("t_ivfpq", 2, "IVF4,PQ2", "l2sq",
+    IndexCatalog.create("t_ivfpq", 2, "IDMap,IVF4,PQ2", "l2sq",
       Map("nprobe" -> "4", "refine" -> "8"))
     IndexCatalog.add(grid, "t_ivfpq")
     val got = labelsOf(IndexCatalog.search("t_ivfpq", 4, qs))
@@ -147,6 +147,17 @@ class IndexCatalogSpec extends SparkSpec {
     intercept[UnsupportedOperationException](IndexCatalog.moveGpu("t_gpu", 0))
   }
 
+  test("explicit-id add to a non-IDMap index errors like the reference") {
+    IndexCatalog.create("t_noid", 2, "Flat")
+    val e = intercept[IllegalArgumentException](IndexCatalog.add(grid, "t_noid"))
+    assert(e.getMessage.contains("IDMap"))
+  }
+
+  test("unknown metric errors at create time") {
+    intercept[IllegalArgumentException](IndexCatalog.create("t_badmetric", 2, "Flat", "Invalid"))
+    assert(!IndexCatalog.exists("t_badmetric"))
+  }
+
   test("HNSW builds per-partition graphs and reaches high recall") {
     IndexCatalog.create("t_hnsw", 2, "IDMap,HNSW8", "l2sq", Map("efConstruction" -> "64"))
     IndexCatalog.add(grid.repartition(3), "t_hnsw")
@@ -159,7 +170,7 @@ class IndexCatalogSpec extends SparkSpec {
   }
 
   test("HNSW with generous efSearch equals exact search on a small shard") {
-    IndexCatalog.create("t_hnsw_x", 2, "HNSW16", "l2sq", Map("efConstruction" -> "128"))
+    IndexCatalog.create("t_hnsw_x", 2, "IDMap,HNSW16", "l2sq", Map("efConstruction" -> "128"))
     IndexCatalog.add(grid.coalesce(1), "t_hnsw_x")
     val got = labelsOf(IndexCatalog.search("t_hnsw_x", 4, qs, Map("efSearch" -> "256")))
     val want = labelsOf(Knn.searchFlat(grid, qs, 4, "l2sq"))
