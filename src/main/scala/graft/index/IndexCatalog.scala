@@ -101,6 +101,10 @@ object IndexCatalog {
 
   def exists(name: String): Boolean = entries.containsKey(name)
 
+  /** catalog introspection: metadata of every registered index */
+  def list(): Seq[IndexMeta] =
+    entries.values().asScala.map(_.meta).toSeq.sortBy(_.name)
+
   def meta(name: String): IndexMeta = entry(name).meta
 
   private def entry(name: String): Entry = {

@@ -60,6 +60,34 @@ object RelationalQueries {
         .agg(moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
           count(lit(1)).as("n_items"))
     },
+    // q7-style: revenue volume between (supplier nation, customer nation) pairs
+    "q7_volume" -> { (s, dir) =>
+      val n1 = Tables(s, dir, "nation").select(
+        col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+      val n2 = Tables(s, dir, "nation").select(
+        col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+      Tables(s, dir, "lineitem")
+        .join(Tables(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+        .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+        .where(col("supp_nation") =!= col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation")
+        .agg(moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("volume"),
+          count(lit(1)).as("n_items"))
+    },
+    // q10-style: top 20 customers by revenue
+    "q10_returns" -> { (s, dir) =>
+      Tables(s, dir, "lineitem")
+        .where(col("l_returnflag") === "R")
+        .join(Tables(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_custkey", "c_name")
+        .agg(moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    },
     "window_running" -> { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
@@ -142,6 +170,27 @@ object RelationalQueries {
          |JOIN nation ON c_nationkey = n_nationkey
          |JOIN region ON n_regionkey = r_regionkey
          |GROUP BY n_name""".stripMargin,
+    "q7_volume" ->
+      s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         |  ${moneySumSql("l_extendedprice * (1.0 - l_discount)")} AS volume,
+         |  count(*) AS n_items
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+         |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+         |WHERE n1.n_name != n2.n_name
+         |GROUP BY 1, 2""".stripMargin,
+    "q10_returns" ->
+      s"""SELECT c_custkey, c_name,
+         |  ${moneySumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |WHERE l_returnflag = 'R'
+         |GROUP BY c_custkey, c_name
+         |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
     "window_running" ->
       """SELECT o_custkey, o_orderkey,
         |  CAST(row_number() OVER w AS INTEGER) AS order_seq,

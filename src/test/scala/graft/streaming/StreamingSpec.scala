@@ -50,6 +50,22 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming exact dedup drops duplicate texts within the watermark") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    val df = mem.toDF.toDF("doc_id", "text", "ts")
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("text")
+    val q = df.writeStream.format("memory").queryName("s_dedup").outputMode("append").start()
+    try {
+      mem.addData((1L, "same body", ts(1, 0)), (2L, "same body", ts(1, 5)), (3L, "other", ts(1, 6)))
+      q.processAllAvailable()
+      val texts = spark.table("s_dedup").collect().map(_.getString(1)).sorted.toSeq
+      assert(texts === Seq("other", "same body"))
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState sessionization emits closed sessions") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
