@@ -456,7 +456,13 @@ object IndexCatalog {
   object HnswBuilt {
     def build(data: DataFrame, meta: IndexMeta, m: Int): HnswBuilt = {
       val efC = meta.params.get("efConstruction").map(_.toInt).getOrElse(math.max(64, 2 * m))
-      val cached = data.select(col("label"), col("vec")).cache()
+      val spark = data.sparkSession
+      // one graph per shard: widen narrow inputs so graph build and search
+      // both use the full executor parallelism
+      val parallel = spark.sparkContext.defaultParallelism
+      val shards =
+        if (data.rdd.getNumPartitions < parallel / 2) data.repartition(parallel) else data
+      val cached = shards.select(col("label"), col("vec")).cache()
       val graphs = cached
         .select(col("label"), col("vec"))
         .rdd

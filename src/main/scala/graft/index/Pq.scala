@@ -21,7 +21,7 @@ object Pq {
 
   /** codebooks(sub)(centroid)(dimWithinSub); trained per-subspace */
   def train(
-      samples: Array[Array[Float]], m: Int, seed: Long, maxIter: Int = 15): Array[Array[Array[Float]]] = {
+      samples: Array[Array[Float]], m: Int, seed: Long, maxIter: Int = 8): Array[Array[Array[Float]]] = {
     require(samples.nonEmpty, "PQ training needs a non-empty sample")
     val dim = samples(0).length
     require(dim % m == 0, s"dim $dim not divisible by m=$m")

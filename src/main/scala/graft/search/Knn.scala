@@ -41,7 +41,15 @@ object Knn {
     val mid = VectorMath.metricId(metric)
     val asc = VectorMath.smallerIsCloser(mid)
     val d = vec.dist(metric, col(vecCol), col(qvecCol))
-    val joined = data.crossJoin(broadcast(queries))
+    // a small file scan can arrive as one partition; the distance work is
+    // CPU-bound and embarrassingly parallel, so widen to the session's
+    // parallelism (no-op at real scale where scans already have many splits)
+    val spark = data.sparkSession
+    val widened =
+      if (data.rdd.getNumPartitions < spark.sparkContext.defaultParallelism / 2)
+        data.repartition(spark.sparkContext.defaultParallelism)
+      else data
+    val joined = widened.crossJoin(broadcast(queries))
     val filtered = if (excludeSelf) joined.where(col(labelCol) =!= col(qidCol)) else joined
     // distance materializes in a codegen'd projection (fused loop inside
     // WholeStageCodegen); the aggregate then only reads plain columns
