@@ -123,12 +123,21 @@ object IndexCatalog {
     val e = entry(name)
     val normalized = df.schema.fields.length match {
       case 1 =>
+        // dense sequential auto-ids across batches (FAISS semantics):
+        // zipWithIndex is the only collision-free distributed numbering —
+        // monotonically_increasing_id spans would overlap between batches
         val vcol = df.columns(0)
         val start = e.nextAutoId
-        val out = df.select(
-          (monotonically_increasing_id() + lit(start)).as("label"),
-          vec.vector(col(vcol)).as("vec"))
-        e.nextAutoId = start + df.count() // materializes the count; ids stay dense enough per contract
+        val spark = df.sparkSession
+        val vecDf = df.select(vec.vector(col(vcol)).as("vec"))
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("label", org.apache.spark.sql.types.LongType, nullable = false),
+          vecDf.schema.fields(0).copy(name = "vec")))
+        val out = spark.createDataFrame(
+          vecDf.rdd.zipWithIndex.map { case (row, i) =>
+            org.apache.spark.sql.Row(start + i, row.get(0))
+          }, schema)
+        e.nextAutoId = start + df.count()
         out
       case _ =>
         if (!e.idMap)

@@ -39,12 +39,14 @@ class IndexCatalogSpec extends SparkSpec {
     IndexCatalog.create("t_dup", 2, "Flat") // now fine
   }
 
-  test("auto-id add assigns unique labels") {
+  test("auto-id add assigns dense sequential labels across batches") {
     import spark.implicits._
     IndexCatalog.create("t_auto", 2, "Flat")
-    IndexCatalog.add(grid.select("vec"), "t_auto")
-    val labels = IndexCatalog.build("t_auto").data.select("label").collect().map(_.getLong(0))
-    assert(labels.distinct.length === labels.length)
+    IndexCatalog.add(grid.select("vec").limit(100).repartition(3), "t_auto")
+    IndexCatalog.add(grid.select("vec").limit(50).repartition(2), "t_auto")
+    val labels = IndexCatalog.build("t_auto").data.select("label").collect()
+      .map(_.getLong(0)).sorted
+    assert(labels.toSeq === (0L until 150L))
   }
 
   test("IVF with exhaustive nprobe is exact") {
