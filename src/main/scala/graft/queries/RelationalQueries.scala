@@ -117,6 +117,18 @@ object RelationalQueries {
         .agg(approx_count_distinct("user_id", 0.02).as("approx_users"))
         .select(col("w.start").as("bucket"), col("approx_users"))
     },
+    // exact interpolated percentiles per event type (sort-based; for the
+    // 100 TB path swap in approx_percentile's t-digest — kept exact here
+    // so the DuckDB quantile_cont oracle can gate it)
+    "events_percentiles" -> { (s, dir) =>
+      import org.apache.spark.sql.types.DecimalType
+      Tables.events(s, dir)
+        .groupBy("event_type")
+        .agg(
+          expr("percentile(value, 0.5)").cast(DecimalType(18, 4)).as("p50"),
+          expr("percentile(value, 0.95)").cast(DecimalType(18, 4)).as("p95"),
+          count(lit(1)).as("n"))
+    },
     "events_sessionize" -> { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
       // batch sessionization: 30-min inactivity gap starts a new session;
@@ -205,6 +217,12 @@ object RelationalQueries {
          |  ${moneySumSql("value")} AS sum_value
          |FROM events
          |GROUP BY 1, 2""".stripMargin,
+    "events_percentiles" ->
+      """SELECT event_type,
+        |  CAST(quantile_cont(value, 0.5) AS DECIMAL(18,4)) AS p50,
+        |  CAST(quantile_cont(value, 0.95) AS DECIMAL(18,4)) AS p95,
+        |  count(*) AS n
+        |FROM events GROUP BY event_type""".stripMargin,
     "events_sessionize" ->
       """WITH ev AS (
         |  -- parquet stores ns; Spark truncates to micros, and its
