@@ -301,11 +301,12 @@ object IndexCatalog {
       // on a list-partitioned parquet layout this is dynamic partition pruning
       val d = vec.dist(meta.metric, col("vec"), col("qvec"))
       val asc = VectorMath.smallerIsCloser(metricId)
+      val pad = params.get("pad").exists(_.toBoolean)
       data
         .join(broadcast(probes), "list_id")
         .select(col("qid"), col("label"), d.as("_dist"))
         .groupBy(col("qid"))
-        .agg(vec.topk(k, col("_dist"), col("label"), asc).as("nn"))
+        .agg(vec.topk(k, col("_dist"), col("label"), asc, pad).as("nn"))
         .select(col("qid"), posexplode(col("nn")).as(Seq("pos", "nn")))
         .select(col("qid"), col("nn.rank").as("rank"),
           col("nn.label").as("label"), col("nn.distance").as("distance"))
@@ -374,7 +375,8 @@ object IndexCatalog {
         .join(broadcast(qdf), "qid")
         .select(col("qid"), col("label"), vec.l2sq(col("vec"), col("qvec")).as("_dist"))
         .groupBy(col("qid"))
-        .agg(vec.topk(k, col("_dist"), col("label"), ascending = true).as("nn"))
+        .agg(vec.topk(k, col("_dist"), col("label"), ascending = true,
+          padToK = params.get("pad").exists(_.toBoolean)).as("nn"))
         .select(col("qid"), posexplode(col("nn")).as(Seq("pos", "nn")))
         .select(col("qid"), col("nn.rank").as("rank"),
           col("nn.label").as("label"), col("nn.distance").as("distance"))
@@ -450,7 +452,8 @@ object IndexCatalog {
       }.toDF("qid", "label", "_dist")
       perShard
         .groupBy(col("qid"))
-        .agg(vec.topk(k, col("_dist"), col("label"), ascending = true).as("nn"))
+        .agg(vec.topk(k, col("_dist"), col("label"), ascending = true,
+          padToK = params.get("pad").exists(_.toBoolean)).as("nn"))
         .select(col("qid"), posexplode(col("nn")).as(Seq("pos", "nn")))
         .select(col("qid"), col("nn.rank").as("rank"),
           col("nn.label").as("label"), col("nn.distance").as("distance"))
@@ -500,7 +503,8 @@ object IndexCatalog {
         .select(col("qid"), col("label"), d.as("_dist"))
         .dropDuplicates("qid", "label")
         .groupBy(col("qid"))
-        .agg(vec.topk(k, col("_dist"), col("label"), asc).as("nn"))
+        .agg(vec.topk(k, col("_dist"), col("label"), asc,
+          params.get("pad").exists(_.toBoolean)).as("nn"))
         .select(col("qid"), posexplode(col("nn")).as(Seq("pos", "nn")))
         .select(col("qid"), col("nn.rank").as("rank"),
           col("nn.label").as("label"), col("nn.distance").as("distance"))

@@ -32,6 +32,15 @@ object TextQueries {
       Tables(s, dir, "documents")
         .select(col("doc_id"), md5(col("text")).as("fp_md5"))
     },
+    // corpus vocabulary statistics: top-20 tokens by document frequency
+    "text_topterms" -> { (s, dir) =>
+      val d = Tables(s, dir, "documents")
+      d.select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("tok"))
+        .groupBy("tok")
+        .agg(count(lit(1)).as("doc_freq"))
+        .orderBy(col("doc_freq").desc, col("tok"))
+        .limit(20)
+    },
     // heuristic language id: deterministic plumbing check (the synthetic
     // corpus shares one vocabulary, so accuracy is not meaningful here)
     "text_langid" -> { (s, dir) =>
@@ -75,5 +84,9 @@ object TextQueries {
          |    + (1.0 - least(punct_ratio * 4.0, 1.0)) * 0.25 AS quality
          |FROM f""".stripMargin,
     "text_fingerprint" ->
-      "SELECT doc_id, md5(text) AS fp_md5 FROM documents")
+      "SELECT doc_id, md5(text) AS fp_md5 FROM documents",
+    "text_topterms" ->
+      s"""WITH t AS (SELECT doc_id, unnest(list_distinct($toksSql)) AS tok FROM documents)
+         |SELECT tok, count(*) AS doc_freq FROM t
+         |GROUP BY tok ORDER BY doc_freq DESC, tok LIMIT 20""".stripMargin)
 }

@@ -40,6 +40,28 @@ object Streaming {
       .select(col("user_id"), col("w.start").as("session_start"),
         col("w.end").as("session_end"), col("n_events"))
 
+  /**
+   * Real-time ANN serving: an unbounded stream of query vectors is
+   * answered micro-batch by micro-batch against a catalog index (the
+   * gap the reference leaves open — FAISS serves from one process;
+   * here the index is distributed and the stream rides foreachBatch).
+   * Each micro-batch runs the same search plan as the batch path:
+   * broadcast the batch, scan/prune the index, merge top-k.
+   */
+  def serveAnn(
+      queryStream: DataFrame, // streaming (qid bigint, qvec array<float>)
+      indexName: String,
+      k: Int,
+      params: Map[String, String] = Map.empty)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    queryStream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        if (!batch.isEmpty)
+          sink(graft.index.IndexCatalog.search(indexName, k, batch.toDF(), params), id)
+      }
+      .start()
+
   case class Ev(user_id: Long, event_id: Long, ts: Timestamp)
   case class SessionOut(
       user_id: Long, session_start: Timestamp, session_end: Timestamp, n_events: Long)
