@@ -15,7 +15,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++ VectorQueries.queries ++
       TextQueries.queries ++ DedupQueries.queries ++ IndexQueries.queries ++
-      MultimodalQueries.queries
+      IndexQueries.scaleQueries ++ MultimodalQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

@@ -181,7 +181,9 @@ object IndexCatalog {
         case HnswKind(m) => HnswBuilt.build(data, e.meta, m)
         case IvfKind(_) =>
           val centroids = e.trained.getOrElse {
-            manualTrain(data.select(col("vec")), name)
+            // auto-train like FAISS: a bounded sample is plenty for a
+            // coarse quantizer; don't run Lloyd's over the full corpus
+            manualTrain(data.select(col("vec")).limit(16384), name)
             e.trained.get
           }
           IvfBuilt.build(data, e.meta, centroids, metricId)

@@ -1,7 +1,7 @@
 package graft.index
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -9,20 +9,19 @@ import org.apache.spark.sql.types._
 import graft.functions.{TopKHeap, VectorMath}
 
 /**
- * argmin-n over a (small) centroid table embedded in the expression:
- * returns the `nprobe` nearest centroid ids for an array<float> vector.
- * The centroid matrix rides along with the serialized plan to every
- * executor — the Spark-native analog of FAISS's in-RAM coarse
- * quantizer (IVF probing, cf. duckdb-faiss-ext README index_factory
- * "IVFn,Flat").
+ * argmin-n over a (small) centroid table: returns the `nprobe` nearest
+ * centroid ids for an array<float> vector. The centroid matrix rides
+ * along with the serialized plan to every executor (codegen references
+ * it via addReferenceObj) — the Spark-native analog of FAISS's in-RAM
+ * coarse quantizer (IVF probing, cf. duckdb-faiss-ext README
+ * index_factory "IVFn,Flat").
  */
 case class NearestCentroids(
     child: Expression,
     centroids: Array[Array[Float]],
     nprobe: Int,
     metric: Int)
-    extends UnaryExpression
-    with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def prettyName: String = "nearest_centroids"
@@ -32,29 +31,56 @@ case class NearestCentroids(
     case t => TypeCheckResult.TypeCheckFailure(s"nearest_centroids needs array<float>, got ${t.catalogString}")
   }
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val v = input.asInstanceOf[ArrayData]
-    val dim = v.numElements()
-    val asc = VectorMath.smallerIsCloser(metric)
-    val heap = new TopKHeap(math.min(nprobe, centroids.length), asc)
-    var c = 0
-    while (c < centroids.length) {
-      val cen = centroids(c)
-      var d = 0.0
-      metric match {
-        case VectorMath.IP =>
-          var i = 0
-          while (i < dim) { d += v.getFloat(i).toDouble * cen(i); i += 1 }
-        case _ => // coarse quantization probes by L2 for all other metrics
-          var i = 0
-          while (i < dim) { val t = v.getFloat(i).toDouble - cen(i); d += t * t; i += 1 }
-      }
-      heap.insert(d, c.toLong)
-      c += 1
-    }
-    new GenericArrayData(heap.sorted.map(_._2.toInt))
+  override protected def nullSafeEval(input: Any): Any =
+    NearestCentroids.eval(input.asInstanceOf[ArrayData], centroids, nprobe, metric)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cents = ctx.addReferenceObj("centroids", centroids, "float[][]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.index.NearestCentroids.eval($c, $cents, $nprobe, $metric);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+object NearestCentroids {
+
+  /** static entry shared by interpreted eval and generated code */
+  def eval(v: ArrayData, centroids: Array[Array[Float]], nprobe: Int, metric: Int): ArrayData = {
+    val dim = v.numElements()
+    if (nprobe == 1) {
+      // hot path for assignment: plain argmin, no heap
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < centroids.length) {
+        val d = distTo(v, centroids(c), dim, metric)
+        val better = if (metric == VectorMath.IP) -d < bestD else d < bestD
+        if (better) { bestD = if (metric == VectorMath.IP) -d else d; best = c }
+        c += 1
+      }
+      new GenericArrayData(Array(best))
+    } else {
+      val asc = VectorMath.smallerIsCloser(metric)
+      val heap = new TopKHeap(math.min(nprobe, centroids.length), asc)
+      var c = 0
+      while (c < centroids.length) {
+        heap.insert(distTo(v, centroids(c), dim, metric), c.toLong)
+        c += 1
+      }
+      new GenericArrayData(heap.sorted.map(_._2.toInt))
+    }
+  }
+
+  @inline private def distTo(v: ArrayData, cen: Array[Float], dim: Int, metric: Int): Double = {
+    var d = 0.0
+    var i = 0
+    if (metric == VectorMath.IP) {
+      while (i < dim) { d += v.getFloat(i).toDouble * cen(i); i += 1 }
+    } else { // coarse quantization probes by L2 for all other metrics
+      while (i < dim) { val t = v.getFloat(i).toDouble - cen(i); d += t * t; i += 1 }
+    }
+    d
+  }
 }

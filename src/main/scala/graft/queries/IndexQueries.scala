@@ -73,6 +73,37 @@ object IndexQueries {
       quantized(IndexCatalog.search(name, 5, embQueries(s, dir)))
     })
 
+  /** provided embeddings replicated 50x with distinct labels — a
+    * 100k-row vector corpus derived purely from the given inputs, big
+    * enough that list pruning visibly beats a full scan in BENCH */
+  private def bigData(s: SparkSession, dir: String): DataFrame = {
+    val copies = s.range(0, 50).select(col("id").as("copy"))
+    Tables(s, dir, "embeddings")
+      .crossJoin(copies)
+      .select(
+        (col("vec_id") + col("copy") * 1000000L).as("label"),
+        vec.vector(col("embedding")).as("vec"))
+  }
+
+  private def bigQueries(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "embeddings").where(col("vec_id") < 100)
+      .select(col("vec_id").as("qid"), vec.vector(col("embedding")).as("qvec"))
+
+  def scaleQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // exact scan over the replicated corpus: the baseline cost
+    "knn_flat_big" -> { (s, dir) =>
+      graft.search.Knn.searchFlat(bigData(s, dir), bigQueries(s, dir), 5, "l2sq")
+        .select(col("qid"), col("rank"), col("label"))
+    },
+    // IVF probes 4/64 lists: same answer quality target, ~6% of the scan
+    "knn_ivf_big" -> { (s, dir) =>
+      val name = fresh("q_ivf_big")
+      IndexCatalog.create(name, 64, "IDMap,IVF64,Flat", "l2sq", Map("nprobe" -> "4"))
+      IndexCatalog.add(bigData(s, dir), name)
+      IndexCatalog.search(name, 5, bigQueries(s, dir))
+        .select(col("qid"), col("rank"), col("label"))
+    })
+
   def oracles: Map[String, String] = Map(
     // same oracle as knn_flat_l2: exhaustive probing is exact
     "vs_index_build" -> VectorQueries.oracles("knn_flat_l2"))
