@@ -82,6 +82,8 @@ case class SortedIntersectCount(left: Expression, right: Expression)
 
 /** Column DSL for the vector functions. */
 object vec {
+  import org.apache.spark.sql.functions.{sqrt, transform, when}
+
   private def col(e: Expression): Column = GraftBridge.column(e)
   private def ex(c: Column): Expression = GraftBridge.expression(c)
 
@@ -102,6 +104,15 @@ object vec {
   def braycurtis(a: Column, b: Column): Column = dist("braycurtis", a, b)
   def jensenshannon(a: Column, b: Column): Column = dist("jensenshannon", a, b)
   def jaccard(a: Column, b: Column): Column = dist("jaccard", a, b)
+
+  /** L2 norm of a vector (self inner product, rooted) */
+  def norm(a: Column): Column = sqrt(dist("ip", a, a))
+
+  /** unit-normalize a vector (zero vectors pass through unchanged) */
+  def normalize(a: Column): Column = {
+    val n = norm(a)
+    when(n > 0.0, transform(a, x => (x / n).cast("float"))).otherwise(a)
+  }
 
   /** |A ∩ B| over sorted array<bigint> columns; see [[SortedIntersectCount]] */
   def sortedIntersectCount(a: Column, b: Column): Column =

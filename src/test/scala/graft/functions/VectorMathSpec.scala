@@ -48,3 +48,18 @@ class VectorMathSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](d("l2sq", Seq(1.0), Seq(1.0, 2.0)))
   }
 }
+
+class VecColumnSpec extends graft.SparkSpec {
+  import org.apache.spark.sql.functions.col
+
+  test("vec_norm and vec_normalize") {
+    import spark.implicits._
+    val df = Seq(Tuple1(Array(3.0f, 4.0f)), Tuple1(Array(0.0f, 0.0f))).toDF("v")
+    val rows = df.select(
+      vec.norm(col("v")).as("n"),
+      vec.norm(vec.normalize(col("v"))).as("un")).collect()
+    assert(rows(0).getDouble(0) === 5.0)
+    assert(math.abs(rows(0).getDouble(1) - 1.0) < 1e-6)
+    assert(rows(1).getDouble(0) === 0.0) // zero vector passes through
+  }
+}
