@@ -34,6 +34,9 @@ final class TopKHeap(val k: Int, val ascending: Boolean) {
   }
 
   def insert(d: Double, l: Long): Unit = {
+    // NaN distances (corrupt vectors) would lodge at the root — every
+    // comparison against NaN is false, so nothing could ever evict them
+    if (java.lang.Double.isNaN(d)) return
     if (size < k) {
       dists(size) = d; labels(size) = l; size += 1
       siftUp(size - 1)

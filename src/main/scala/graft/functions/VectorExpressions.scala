@@ -80,9 +80,31 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** unit-normalize an array<float> vector in one fused pass (codegen'd) */
+case class VectorNormalize(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"$prettyName requires array<float>, got ${t.catalogString}")
+  }
+
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def prettyName: String = "vec_normalize"
+
+  override protected def nullSafeEval(input: Any): Any =
+    VectorMath.normalize(input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.VectorMath.normalize($a)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Column DSL for the vector functions. */
 object vec {
-  import org.apache.spark.sql.functions.{sqrt, transform, when}
+  import org.apache.spark.sql.functions.sqrt
 
   private def col(e: Expression): Column = GraftBridge.column(e)
   private def ex(c: Column): Expression = GraftBridge.expression(c)
@@ -108,11 +130,8 @@ object vec {
   /** L2 norm of a vector (self inner product, rooted) */
   def norm(a: Column): Column = sqrt(dist("ip", a, a))
 
-  /** unit-normalize a vector (zero vectors pass through unchanged) */
-  def normalize(a: Column): Column = {
-    val n = norm(a)
-    when(n > 0.0, transform(a, x => (x / n).cast("float"))).otherwise(a)
-  }
+  /** unit-normalize a vector in one fused pass (zero vectors unchanged) */
+  def normalize(a: Column): Column = col(VectorNormalize(ex(a)))
 
   /** |A ∩ B| over sorted array<bigint> columns; see [[SortedIntersectCount]] */
   def sortedIntersectCount(a: Column, b: Column): Column =

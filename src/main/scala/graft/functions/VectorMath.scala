@@ -157,6 +157,19 @@ object VectorMath {
     s
   }
 
+  /** unit-normalize into a fresh float array (zero vectors unchanged) */
+  def normalize(a: ArrayData): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val n = a.numElements()
+    var ss = 0.0
+    var i = 0
+    while (i < n) { val x = a.getFloat(i).toDouble; ss += x * x; i += 1 }
+    val out = new Array[Float](n)
+    val inv = if (ss > 0.0) 1.0 / math.sqrt(ss) else 1.0
+    i = 0
+    while (i < n) { out(i) = (a.getFloat(i) * inv).toFloat; i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** |A ∩ B| of two SORTED long arrays by linear merge — no per-call
     * hash set, the cheap inner loop of set-similarity joins */
   def sortedIntersectCount(a: ArrayData, b: ArrayData): Int = {

@@ -71,6 +71,7 @@ object IndexCatalog {
     val idMap: Boolean = hasIdMap(meta.factory)
     var pending: Option[DataFrame] = None // (label bigint, vec array<float>)
     var trained: Option[Array[Array[Float]]] = None // IVF centroids from manual_train
+    var trainedPq: Option[(Array[Array[Array[Float]]], Option[Array[Array[Float]]])] = None
     var built: Option[BuiltIndex] = None
     var nextAutoId: Long = 0L
   }
@@ -133,11 +134,14 @@ object IndexCatalog {
         val schema = org.apache.spark.sql.types.StructType(Seq(
           org.apache.spark.sql.types.StructField("label", org.apache.spark.sql.types.LongType, nullable = false),
           vecDf.schema.fields(0).copy(name = "vec")))
+        // cache the numbered batch BEFORE counting so the labels and the
+        // count come from the same evaluation (a nondeterministic source
+        // re-evaluated twice could otherwise shift the next batch's start)
         val out = spark.createDataFrame(
           vecDf.rdd.zipWithIndex.map { case (row, i) =>
             org.apache.spark.sql.Row(start + i, row.get(0))
-          }, schema)
-        e.nextAutoId = start + df.count()
+          }, schema).cache()
+        e.nextAutoId = start + out.count()
         out
       case _ =>
         if (!e.idMap)
@@ -153,18 +157,31 @@ object IndexCatalog {
     e.built = None
   }
 
-  /** train now on a sample (IVF: KMeans centroids); later adds don't retrain */
+  /** train now on a sample (IVF: KMeans centroids; PQ: codebooks +
+    * coarse centroids); later adds don't retrain. Invalidates any built
+    * state so retraining after a search takes effect on the next one. */
   def manualTrain(sample: DataFrame, name: String): Unit = synchronized {
     val e = entry(name)
+    val seed = e.meta.params.get("seed").map(_.toLong).getOrElse(42L)
     e.kind match {
       case IvfKind(nlist) =>
         val n = if (nlist > 0) nlist else math.max(4, math.sqrt(sample.count().toDouble).toInt)
         val vcol = sample.columns.last
         e.trained = Some(KMeansTrainer.train(sample.select(vec.vector(col(vcol)).as("vec")), n,
-          e.meta.params.get("seed").map(_.toLong).getOrElse(42L),
-          e.meta.params.get("maxIter").map(_.toInt).getOrElse(10)))
-      case _ => // Flat/LSH need no training
+          seed, e.meta.params.get("maxIter").map(_.toInt).getOrElse(10)))
+      case PqKind(m, nlist) =>
+        val vcol = sample.columns.last
+        val pts = sample.select(vec.vector(col(vcol)).as("vec")).limit(50000)
+          .collect().map(_.getSeq[Float](0).toArray)
+        val codebooks = Pq.train(pts, m, seed)
+        val cents =
+          if (nlist > 1) Some(Pq.localKMeans(pts, math.min(nlist, pts.length), seed + 999, 10))
+          else None
+        e.trainedPq = Some((codebooks, cents))
+      case _ => // Flat/LSH/HNSW need no training
     }
+    e.built.foreach(_.close())
+    e.built = None
   }
 
   /** materialize: train if needed, assign, cache */
@@ -177,7 +194,7 @@ object IndexCatalog {
       val built: BuiltIndex = e.kind match {
         case FlatKind => new FlatBuilt(data.cache(), e.meta)
         case LshKind(bits) => LshBuilt.build(data, e.meta, bits)
-        case PqKind(m, nlist) => PqBuilt.build(data, e.meta, m, nlist)
+        case PqKind(m, nlist) => PqBuilt.build(data, e.meta, m, nlist, e.trainedPq)
         case HnswKind(m) => HnswBuilt.build(data, e.meta, m)
         case IvfKind(_) =>
           val centroids = e.trained.getOrElse {
@@ -278,6 +295,12 @@ object IndexCatalog {
       case _ =>
         e.pending = Some(spark.read.parquet(s"$path/data"))
     }
+    // restore the auto-id watermark (FAISS persists ntotal similarly):
+    // later 1-column adds must not reuse persisted labels
+    e.nextAutoId = e.pending
+      .map(_.agg(max(col("label"))).collect()(0))
+      .collect { case r if !r.isNullAt(0) => r.getLong(0) + 1 }
+      .getOrElse(0L)
   }
 
   // ---- index implementations ----
@@ -304,14 +327,10 @@ object IndexCatalog {
       val d = vec.dist(meta.metric, col("vec"), col("qvec"))
       val asc = VectorMath.smallerIsCloser(metricId)
       val pad = params.get("pad").exists(_.toBoolean)
-      data
-        .join(broadcast(probes), "list_id")
-        .select(col("qid"), col("label"), d.as("_dist"))
-        .groupBy(col("qid"))
-        .agg(vec.topk(k, col("_dist"), col("label"), asc, pad).as("nn"))
-        .select(col("qid"), posexplode(col("nn")).as(Seq("pos", "nn")))
-        .select(col("qid"), col("nn.rank").as("rank"),
-          col("nn.label").as("label"), col("nn.distance").as("distance"))
+      Knn.rankResults(
+        data.join(broadcast(probes), "list_id")
+          .select(col("qid"), col("label"), d.as("_dist")),
+        k, asc, pad)
     }
   }
 
@@ -372,16 +391,12 @@ object IndexCatalog {
         .select(col("qid"), explode(col("nn.label")).as("label"))
       // exact re-rank on original vectors
       val qdf = queries.select(col("qid").cast("long").as("qid"), vec.vector(col("qvec")).as("qvec"))
-      cands
-        .join(data.select(col("label"), col("vec")), "label")
-        .join(broadcast(qdf), "qid")
-        .select(col("qid"), col("label"), vec.l2sq(col("vec"), col("qvec")).as("_dist"))
-        .groupBy(col("qid"))
-        .agg(vec.topk(k, col("_dist"), col("label"), ascending = true,
-          padToK = params.get("pad").exists(_.toBoolean)).as("nn"))
-        .select(col("qid"), posexplode(col("nn")).as(Seq("pos", "nn")))
-        .select(col("qid"), col("nn.rank").as("rank"),
-          col("nn.label").as("label"), col("nn.distance").as("distance"))
+      Knn.rankResults(
+        cands
+          .join(data.select(col("label"), col("vec")), "label")
+          .join(broadcast(qdf), "qid")
+          .select(col("qid"), col("label"), vec.l2sq(col("vec"), col("qvec")).as("_dist")),
+        k, ascending = true, padToK = params.get("pad").exists(_.toBoolean))
     }
   }
 
@@ -399,14 +414,17 @@ object IndexCatalog {
       heap.sorted.map(_._2.toInt).toSeq
     }
 
-    def build(data: DataFrame, meta: IndexMeta, m: Int, nlist: Int): PqBuilt = {
+    def build(
+        data: DataFrame, meta: IndexMeta, m: Int, nlist: Int,
+        pretrained: Option[(Array[Array[Array[Float]]], Option[Array[Array[Float]]])] = None): PqBuilt = {
       val seed = meta.params.get("seed").map(_.toLong).getOrElse(42L)
-      val sample = data.select(col("vec")).limit(50000).collect()
-        .map(_.getSeq[Float](0).toArray)
-      val codebooks = Pq.train(sample, m, seed)
-      val cents =
-        if (nlist > 1) Some(Pq.localKMeans(sample, math.min(nlist, sample.length), seed + 999, 10))
-        else None
+      val (codebooks, cents) = pretrained.getOrElse {
+        val sample = data.select(col("vec")).limit(50000).collect()
+          .map(_.getSeq[Float](0).toArray)
+        (Pq.train(sample, m, seed),
+          if (nlist > 1) Some(Pq.localKMeans(sample, math.min(nlist, sample.length), seed + 999, 10))
+          else None)
+      }
       val encode = GraftBridge.column(PqEncode(GraftBridge.expression(col("vec")), codebooks))
       val withCode = cents match {
         case Some(cs) =>
@@ -452,13 +470,8 @@ object IndexCatalog {
           Nsw.search(g, qv, k, efSearch).iterator.map { case (d, label) => (qid, label, d) }
         }
       }.toDF("qid", "label", "_dist")
-      perShard
-        .groupBy(col("qid"))
-        .agg(vec.topk(k, col("_dist"), col("label"), ascending = true,
-          padToK = params.get("pad").exists(_.toBoolean)).as("nn"))
-        .select(col("qid"), posexplode(col("nn")).as(Seq("pos", "nn")))
-        .select(col("qid"), col("nn.rank").as("rank"),
-          col("nn.label").as("label"), col("nn.distance").as("distance"))
+      Knn.rankResults(perShard, k, ascending = true,
+        padToK = params.get("pad").exists(_.toBoolean))
     }
 
     override def close(): Unit = {
@@ -498,18 +511,13 @@ object IndexCatalog {
         explode(hashes.hyperplaneBuckets(col("qvec"), bands, bitsPerBand, seed)).as("bucket"))
       val d = vec.dist(meta.metric, col("vec"), col("qvec"))
       val asc = VectorMath.smallerIsCloser(VectorMath.metricId(meta.metric))
-      data
-        .join(broadcast(qb), "bucket")
-        // a (label, qid) pair can match in several bands; compute the
-        // distance in codegen, then dedup on (qid,label) before ranking
-        .select(col("qid"), col("label"), d.as("_dist"))
-        .dropDuplicates("qid", "label")
-        .groupBy(col("qid"))
-        .agg(vec.topk(k, col("_dist"), col("label"), asc,
-          params.get("pad").exists(_.toBoolean)).as("nn"))
-        .select(col("qid"), posexplode(col("nn")).as(Seq("pos", "nn")))
-        .select(col("qid"), col("nn.rank").as("rank"),
-          col("nn.label").as("label"), col("nn.distance").as("distance"))
+      Knn.rankResults(
+        data.join(broadcast(qb), "bucket")
+          // a (label, qid) pair can match in several bands; compute the
+          // distance in codegen, then dedup on (qid,label) before ranking
+          .select(col("qid"), col("label"), d.as("_dist"))
+          .dropDuplicates("qid", "label"),
+        k, asc, params.get("pad").exists(_.toBoolean))
     }
   }
 

@@ -53,17 +53,27 @@ object Knn {
     val filtered = if (excludeSelf) joined.where(col(labelCol) =!= col(qidCol)) else joined
     // distance materializes in a codegen'd projection (fused loop inside
     // WholeStageCodegen); the aggregate then only reads plain columns
-    filtered
-      .select(col(qidCol), col(labelCol), d.as("_dist"))
-      .groupBy(col(qidCol))
-      .agg(vec.topk(k, col("_dist"), col(labelCol), asc, padToK).as("nn"))
-      .select(col(qidCol), posexplode(col("nn")).as(Seq("pos", "nn")))
+    val shaped = rankResults(
+      filtered.select(col(qidCol).as("qid"), col(labelCol).as("label"), d.as("_dist")),
+      k, asc, padToK)
+    if (qidCol == "qid") shaped else shaped.withColumnRenamed("qid", qidCol)
+  }
+
+  /**
+   * Shared result shaping for every index kind: candidate rows
+   * (qid, label, _dist) -> (qid, rank, label, distance) via the
+   * partial top-k aggregate.
+   */
+  def rankResults(cands: DataFrame, k: Int, ascending: Boolean, padToK: Boolean = false): DataFrame =
+    cands
+      .groupBy(col("qid"))
+      .agg(vec.topk(k, col("_dist"), col("label"), ascending, padToK).as("nn"))
+      .select(col("qid"), posexplode(col("nn")).as(Seq("pos", "nn")))
       .select(
-        col(qidCol),
+        col("qid"),
         col("nn.rank").as("rank"),
         col("nn.label").as("label"),
         col("nn.distance").as("distance"))
-  }
 
   /**
    * `faiss_search_filter` twin: only rows satisfying `predicate`

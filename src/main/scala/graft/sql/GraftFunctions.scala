@@ -19,19 +19,24 @@ import graft.index.NearestCentroids
  */
 object GraftFunctions {
 
+  // note: SQL parses `3.0` as a Decimal literal — accept all numeric shapes
   private def litInt(e: Expression, what: String): Int = e match {
     case Literal(v: Int, _) => v
     case Literal(v: Long, _) => v.toInt
+    case Literal(v: org.apache.spark.sql.types.Decimal, _) => v.toInt
     case other => throw new IllegalArgumentException(s"$what must be an integer literal, got $other")
   }
   private def litLong(e: Expression, what: String): Long = e match {
     case Literal(v: Int, _) => v.toLong
     case Literal(v: Long, _) => v
+    case Literal(v: org.apache.spark.sql.types.Decimal, _) => v.toLong
     case other => throw new IllegalArgumentException(s"$what must be a long literal, got $other")
   }
   private def litDouble(e: Expression, what: String): Double = e match {
     case Literal(v: Double, _) => v
     case Literal(v: Int, _) => v.toDouble
+    case Literal(v: Long, _) => v.toDouble
+    case Literal(v: org.apache.spark.sql.types.Decimal, _) => v.toDouble
     case other => throw new IllegalArgumentException(s"$what must be a double literal, got $other")
   }
 

@@ -24,6 +24,12 @@ class TopKSpec extends AnyFunSuite {
     h.insert(2.0, 2L); h.insert(1.0, 1L)
     assert(h.sorted.toSeq === Seq((1.0, 1L), (2.0, 2L)))
   }
+  test("NaN distances are rejected, not retained") {
+    val h = new TopKHeap(2, ascending = true)
+    h.insert(Double.NaN, 1L); h.insert(2.0, 2L); h.insert(Double.NaN, 3L); h.insert(1.0, 4L)
+    assert(h.sorted.toSeq === Seq((1.0, 4L), (2.0, 2L)))
+  }
+
   test("merge equals single-heap result") {
     val h1 = new TopKHeap(3, ascending = true)
     val h2 = new TopKHeap(3, ascending = true)

@@ -149,6 +149,43 @@ class IndexCatalogSpec extends SparkSpec {
     intercept[UnsupportedOperationException](IndexCatalog.moveGpu("t_gpu", 0))
   }
 
+  test("auto-id watermark survives save/load (no label reuse after load)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_autoid").toString
+    IndexCatalog.create("t_wm", 2, "Flat")
+    IndexCatalog.add(grid.select("vec").limit(20), "t_wm")
+    IndexCatalog.save("t_wm", dir)
+    IndexCatalog.destroy("t_wm")
+    IndexCatalog.load("t_wm2", dir, spark)
+    IndexCatalog.add(grid.select("vec").limit(5), "t_wm2")
+    val labels = IndexCatalog.build("t_wm2").data.select("label").collect().map(_.getLong(0))
+    assert(labels.length === 25 && labels.distinct.length === 25)
+    assert(labels.max === 24L)
+  }
+
+  test("manualTrain after a search invalidates the built index") {
+    IndexCatalog.create("t_retrain", 2, "IDMap,IVF4,Flat", "l2sq", Map("nprobe" -> "4"))
+    IndexCatalog.add(grid, "t_retrain")
+    IndexCatalog.search("t_retrain", 2, qs).count() // builds + caches
+    IndexCatalog.manualTrain(grid.select("vec"), "t_retrain")
+    // rebuilt on next search with the new centroids, still correct
+    val got = labelsOf(IndexCatalog.search("t_retrain", 4, qs))
+    val want = labelsOf(Knn.searchFlat(grid, qs, 4, "l2sq"))
+    assert(got === want)
+  }
+
+  test("manualTrain trains PQ codebooks from the given sample") {
+    IndexCatalog.create("t_pqtrain", 2, "IDMap,PQ2", "l2sq", Map("refine" -> "8"))
+    IndexCatalog.manualTrain(grid.select("vec"), "t_pqtrain")
+    IndexCatalog.add(grid, "t_pqtrain")
+    val got = labelsOf(IndexCatalog.search("t_pqtrain", 4, qs))
+    val want = labelsOf(Knn.searchFlat(grid, qs, 4, "l2sq"))
+    val recall = qs.collect().map(_.getLong(0)).map { q =>
+      got(q).toSet.intersect(want(q).toSet).size.toDouble / want(q).size
+    }.sum / 2
+    assert(recall >= 0.75, s"recall $recall")
+  }
+
   test("explicit-id add to a non-IDMap index errors like the reference") {
     IndexCatalog.create("t_noid", 2, "Flat")
     val e = intercept[IllegalArgumentException](IndexCatalog.add(grid, "t_noid"))

@@ -27,6 +27,13 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(top === Seq(2L, 1L))
   }
 
+  test("vec_lp accepts a plain SQL decimal literal for p") {
+    val r = spark.sql(
+      "SELECT vec_lp(CAST(array(1.0,2.0) AS array<float>), CAST(array(2.0,4.0) AS array<float>), 3.0) d")
+      .collect()(0)
+    assert(math.abs(r.getDouble(0) - 9.0) < 1e-9) // 1^3 + 2^3
+  }
+
   test("hash functions work from SQL") {
     val r = spark.sql(
       """SELECT fingerprint64('abc') f,
