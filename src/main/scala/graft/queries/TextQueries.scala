@@ -32,6 +32,33 @@ object TextQueries {
       Tables(s, dir, "documents")
         .select(col("doc_id"), md5(col("text")).as("fp_md5"))
     },
+    // PII scrubbing audit: scrubbed-text hash + URL/email hit counts
+    "text_scrub" -> { (s, dir) =>
+      val d = Tables(s, dir, "documents")
+      d.select(
+        col("doc_id"),
+        md5(scrub(col("text"))).as("scrubbed_md5"),
+        urlCount(col("text")).as("n_urls"),
+        emailCount(col("text")).as("n_emails"))
+    },
+    // Gopher-style repetition: most frequent bigram's share of all bigrams
+    "text_repetition" -> { (s, dir) =>
+      val d = Tables(s, dir, "documents")
+      d.select(col("doc_id"), explode(shinglesAll(tokens(col("text")), 2)).as("gram"))
+        .groupBy("doc_id", "gram").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg((max(col("c")).cast("double") / sum(col("c")).cast("double")).as("top_bigram_ratio"))
+    },
+    // deterministic stratified sample: first 20 docs per language by id
+    // (the data-mixing primitive; at scale the same window runs per shard)
+    "sample_stratified" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("lang").orderBy("doc_id")
+      Tables(s, dir, "documents")
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 20)
+        .select(col("doc_id"), col("lang"), col("rn"))
+    },
     // corpus vocabulary statistics: top-20 tokens by document frequency
     "text_topterms" -> { (s, dir) =>
       val d = Tables(s, dir, "documents")
@@ -88,5 +115,28 @@ object TextQueries {
     "text_topterms" ->
       s"""WITH t AS (SELECT doc_id, unnest(list_distinct($toksSql)) AS tok FROM documents)
          |SELECT tok, count(*) AS doc_freq FROM t
-         |GROUP BY tok ORDER BY doc_freq DESC, tok LIMIT 20""".stripMargin)
+         |GROUP BY tok ORDER BY doc_freq DESC, tok LIMIT 20""".stripMargin,
+    "text_scrub" ->
+      """SELECT doc_id,
+        |  md5(regexp_replace(regexp_replace(text, 'https?://[^\s]+', '<URL>', 'g'),
+        |      '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g')) AS scrubbed_md5,
+        |  CAST(len(regexp_extract_all(text, 'https?://[^\s]+')) AS INTEGER) AS n_urls,
+        |  CAST(len(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS INTEGER) AS n_emails
+        |FROM documents""".stripMargin,
+    "text_repetition" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |g AS (
+         |  SELECT doc_id, unnest(CASE WHEN len(toks) >= 2
+         |    THEN [toks[i] || ' ' || toks[i+1] FOR i IN range(1, len(toks))]
+         |    ELSE [] END) AS gram
+         |  FROM t
+         |),
+         |c AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY doc_id, gram)
+         |SELECT doc_id, CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS top_bigram_ratio
+         |FROM c GROUP BY doc_id""".stripMargin,
+    "sample_stratified" ->
+      """SELECT doc_id, lang,
+        |  CAST(row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS INTEGER) AS rn
+        |FROM documents
+        |QUALIFY rn <= 20""".stripMargin)
 }

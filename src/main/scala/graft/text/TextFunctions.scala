@@ -20,6 +20,19 @@ object TextFunctions {
   def bpeTokens(text: Column): Column =
     regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))
 
+  private val urlPattern = "https?://[^\\s]+"
+  private val emailPattern = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+
+  /** scrub URLs and email addresses (PII hygiene for training corpora) */
+  def scrub(text: Column): Column =
+    regexp_replace(regexp_replace(text, urlPattern, "<URL>"), emailPattern, "<EMAIL>")
+
+  /** count of URL / email occurrences (for scrub auditing) */
+  def urlCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(urlPattern), lit(0)))
+  def emailCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(emailPattern), lit(0)))
+
   /**
    * Contiguous word n-gram shingles (distinct); empty below n tokens.
    * Built as a zip_with chain over shifted slices so every lambda only
@@ -27,12 +40,15 @@ object TextFunctions {
    * expression inside a HOF lambda would re-evaluate it per element
    * (O(tokens^2) per document, a real 20x slowdown at bench scale).
    */
-  def shingles(toks: Column, n: Int): Column = {
+  def shingles(toks: Column, n: Int): Column =
+    array_distinct(shinglesAll(toks, n))
+
+  /** all contiguous n-grams including repeats (repetition analysis) */
+  def shinglesAll(toks: Column, n: Int): Column = {
     val win = size(toks) - (n - 1)
     val parts = (0 until n).map(j => slice(toks, lit(j + 1), win))
     val grams = parts.reduce((a, b) => zip_with(a, b, (x, y) => concat_ws(" ", x, y)))
-    when(size(toks) >= n, array_distinct(grams))
-      .otherwise(array().cast("array<string>"))
+    when(size(toks) >= n, grams).otherwise(array().cast("array<string>"))
   }
 
   val stopwords: Seq[String] = Seq(

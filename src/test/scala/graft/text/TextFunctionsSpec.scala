@@ -49,6 +49,20 @@ class TextFunctionsSpec extends SparkSpec {
     assert(one(TextFunctions.langId(TextFunctions.tokens(col("text"))), "zzz qqq") === "de")
   }
 
+  test("scrub replaces urls and emails, counts match") {
+    val t = "see https://example.com/x?q=1 or mail bob.smith@corp.example.org now"
+    assert(one(TextFunctions.scrub(col("text")), t) === "see <URL> or mail <EMAIL> now")
+    assert(one(TextFunctions.urlCount(col("text")), t) === 1)
+    assert(one(TextFunctions.emailCount(col("text")), t) === 1)
+    assert(one(TextFunctions.scrub(col("text")), "clean text") === "clean text")
+  }
+
+  test("shinglesAll keeps repeats; repetition ratio reflects them") {
+    val all = one(TextFunctions.shinglesAll(TextFunctions.tokens(col("text")), 2), "a b a b a b")
+      .asInstanceOf[scala.collection.Seq[String]]
+    assert(all.toSeq === Seq("a b", "b a", "a b", "b a", "a b"))
+  }
+
   test("fingerprint64 is deterministic and collision-separating") {
     val f1 = one(hashes.fingerprint64(col("text")), "hello world")
     val f2 = one(hashes.fingerprint64(col("text")), "hello world")
