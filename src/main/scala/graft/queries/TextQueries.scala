@@ -59,6 +59,14 @@ object TextQueries {
         .where(col("rn") <= 20)
         .select(col("doc_id"), col("lang"), col("rn"))
     },
+    // deterministic train/val split on a content hash: stable across runs,
+    // engines, and partitionings (never split on random() in a pipeline)
+    "sample_split" -> { (s, dir) =>
+      val bucket = conv(substring(md5(col("text")), 1, 4), 16, 10).cast("int") % 10
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          when(bucket < 9, lit("train")).otherwise(lit("val")).as("split"))
+    },
     // corpus vocabulary statistics: top-20 tokens by document frequency
     "text_topterms" -> { (s, dir) =>
       val d = Tables(s, dir, "documents")
@@ -134,6 +142,11 @@ object TextQueries {
          |c AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY doc_id, gram)
          |SELECT doc_id, CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS top_bigram_ratio
          |FROM c GROUP BY doc_id""".stripMargin,
+    "sample_split" ->
+      """SELECT doc_id,
+        |  CASE WHEN CAST(('0x' || substring(md5(text), 1, 4)) AS INTEGER) % 10 < 9
+        |       THEN 'train' ELSE 'val' END AS split
+        |FROM documents""".stripMargin,
     "sample_stratified" ->
       """SELECT doc_id, lang,
         |  CAST(row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS INTEGER) AS rn
