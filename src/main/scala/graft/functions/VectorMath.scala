@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 
 /**
  * Tight scalar loops over float-vector [[ArrayData]], computing in double.
@@ -155,6 +155,33 @@ object VectorMath {
     var s = 0.0; var i = 0; val n = q.length
     while (i < n) { s += a.getFloat(i).toDouble * q(i); i += 1 }
     s
+  }
+
+  /** same metrics over primitive float arrays (partition-local search
+    * path); loop order matches dist() exactly so results are bit-equal.
+    * Hot metrics get dedicated primitive loops; the rest wrap (cold). */
+  def distArr(metric: Int, a: Array[Float], b: Array[Float], p: Double): Double = {
+    val n = a.length
+    require(b.length == n, s"vector dims differ: $n vs ${b.length}")
+    metric match {
+      case L2SQ =>
+        var s = 0.0; var i = 0
+        while (i < n) { val d = a(i).toDouble - b(i).toDouble; s += d * d; i += 1 }
+        s
+      case IP =>
+        var s = 0.0; var i = 0
+        while (i < n) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+        s
+      case COSINE =>
+        var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        while (i < n) {
+          val x = a(i).toDouble; val y = b(i).toDouble
+          dot += x * y; na += x * x; nb += y * y; i += 1
+        }
+        if (na == 0.0 || nb == 0.0) 1.0 else 1.0 - dot / math.sqrt(na * nb)
+      case _ =>
+        dist(metric, new GenericArrayData(a), new GenericArrayData(b), p)
+    }
   }
 
   /** unit-normalize into a fresh float array (zero vectors unchanged) */

@@ -91,8 +91,10 @@ object IndexQueries {
 
   def scaleQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // exact scan over the replicated corpus: the baseline cost
+    // (partition-local-heap path; equality with the declarative path is
+    // spec- and oracle-gated via knn_join)
     "knn_flat_big" -> { (s, dir) =>
-      graft.search.Knn.searchFlat(bigData(s, dir), bigQueries(s, dir), 5, "l2sq")
+      graft.search.Knn.searchFlatFast(bigData(s, dir), bigQueries(s, dir), 5, "l2sq")
         .select(col("qid"), col("rank"), col("label"))
     },
     // IVF probes 4/64 lists: same answer quality target, ~6% of the scan

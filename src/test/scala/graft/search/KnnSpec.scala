@@ -45,6 +45,18 @@ class KnnSpec extends SparkSpec {
     assert(res.length === 2)
   }
 
+  test("partition-local fast path equals the declarative path exactly") {
+    import spark.implicits._
+    val queries = Seq((0L, Array(0.2f, 3.0f)), (1L, Array(7.7f, 7.7f))).toDF("qid", "qvec")
+    for (metric <- Seq("l2sq", "ip", "cosine", "l1")) {
+      val slow = Knn.searchFlat(data.repartition(3), queries, 4, metric)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).sortBy(x => (x._1, x._2))
+      val fast = Knn.searchFlatFast(data.repartition(3), queries, 4, metric)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).sortBy(x => (x._1, x._2))
+      assert(fast.toSeq === slow.toSeq, metric)
+    }
+  }
+
   test("multiple queries keep independent result sets") {
     import spark.implicits._
     val queries = Seq((1L, Array(0.0f, 0.0f)), (2L, Array(9.0f, 9.0f))).toDF("qid", "qvec")
