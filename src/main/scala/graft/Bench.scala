@@ -45,7 +45,7 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    System.err.println(s"[bench] pass1=${p1.values.sum}%.1f pass2=${p2.values.sum}%.1f min-total=$total")
+    System.err.println(f"[bench] pass1=${p1.values.sum}%.1f pass2=${p2.values.sum}%.1f min-total=$total%.1f")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -74,6 +74,7 @@ object IndexCatalog {
     var trainedPq: Option[(Array[Array[Array[Float]]], Option[Array[Array[Float]]])] = None
     var built: Option[BuiltIndex] = None
     var nextAutoId: Long = 0L
+    val cachedBatches = scala.collection.mutable.ListBuffer.empty[DataFrame]
   }
 
   sealed trait BuiltIndex {
@@ -95,7 +96,10 @@ object IndexCatalog {
 
   def destroy(name: String): Unit = {
     val e = entries.remove(name)
-    if (e != null) e.built.foreach(_.close())
+    if (e != null) {
+      e.built.foreach(_.close())
+      e.cachedBatches.foreach(_.unpersist())
+    }
   }
 
   def destroyAll(): Unit = entries.keySet().asScala.toSeq.foreach(destroy)
@@ -141,6 +145,7 @@ object IndexCatalog {
           vecDf.rdd.zipWithIndex.map { case (row, i) =>
             org.apache.spark.sql.Row(start + i, row.get(0))
           }, schema).cache()
+        e.cachedBatches += out // released on destroy()
         e.nextAutoId = start + out.count()
         out
       case _ =>
@@ -215,10 +220,17 @@ object IndexCatalog {
    * @param queries (qid bigint, qvec array<float>)
    * @return (qid, rank, label, distance)
    */
+  /** the reference accepts recursive prefixed params ('ivf.efSearch',
+    * cf. README faiss_create_params); our indexes are single-level, so
+    * prefixes collapse onto the plain key */
+  private def normalizeParams(params: Map[String, String]): Map[String, String] =
+    params.map { case (k, v) => k.substring(k.lastIndexOf('.') + 1) -> v }
+
   def search(
       name: String, k: Int, queries: DataFrame,
       params: Map[String, String] = Map.empty): DataFrame =
-    build(name).search(queries, k, entry(name).meta.params ++ params)
+    build(name).search(queries, k,
+      normalizeParams(entry(name).meta.params) ++ normalizeParams(params))
 
   /** faiss_search_filter twin: predicate over the indexed labels */
   def searchFilter(
@@ -266,12 +278,16 @@ object IndexCatalog {
           .toSeq.toDF("centroid_id", "centroid")
           .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
       case other =>
-        other.data.write.mode("overwrite").parquet(s"$path/data")
+        // canonical (label, vec) layout: bucketed/encoded kinds (LSH, PQ)
+        // rebuild deterministically on load, and add-after-load unions
+        // cleanly with fresh batches
+        other.data.select(col("label"), col("vec")).dropDuplicates("label")
+          .write.mode("overwrite").parquet(s"$path/data")
     }
     import spark.implicits._
     Seq((e.meta.name, e.meta.dim, e.meta.factory, e.meta.metric,
-        e.meta.params.map { case (k, v) => s"$k=$v" }.mkString(";")))
-      .toDF("name", "dim", "factory", "metric", "params")
+        e.meta.params.map { case (k, v) => s"$k=$v" }.mkString(";"), e.nextAutoId))
+      .toDF("name", "dim", "factory", "metric", "params", "next_auto_id")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
   }
 
@@ -293,21 +309,19 @@ object IndexCatalog {
           data.select(col("list_id"), col("label"), col("vec")).cache(),
           e.meta, cents, VectorMath.metricId(e.meta.metric)))
       case _ =>
-        e.pending = Some(spark.read.parquet(s"$path/data"))
+        e.pending = Some(spark.read.parquet(s"$path/data").select(col("label"), col("vec")))
     }
-    // restore the auto-id watermark (FAISS persists ntotal similarly):
-    // later 1-column adds must not reuse persisted labels
-    e.nextAutoId = e.pending
-      .map(_.agg(max(col("label"))).collect()(0))
-      .collect { case r if !r.isNullAt(0) => r.getLong(0) + 1 }
-      .getOrElse(0L)
+    // restore the auto-id watermark persisted at save() time (the FAISS
+    // ntotal analog) — later 1-column adds must not reuse saved labels
+    e.nextAutoId = m.getLong(5)
   }
 
   // ---- index implementations ----
 
   final class FlatBuilt(val data: DataFrame, meta: IndexMeta) extends BuiltIndex {
     def search(queries: DataFrame, k: Int, params: Map[String, String]): DataFrame =
-      Knn.searchFlat(data, queries, k, meta.metric)
+      Knn.searchFlat(data, queries, k, meta.metric,
+        padToK = params.get("pad").exists(_.toBoolean))
   }
 
   final class IvfBuilt(

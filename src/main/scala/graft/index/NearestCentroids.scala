@@ -50,17 +50,21 @@ object NearestCentroids {
   def eval(v: ArrayData, centroids: Array[Array[Float]], nprobe: Int, metric: Int): ArrayData = {
     val dim = v.numElements()
     if (nprobe == 1) {
-      // hot path for assignment: plain argmin, no heap
-      var best = 0
+      // hot path for assignment: plain argmin, no heap. NaN distances
+      // are skipped like TopKHeap does; an all-NaN vector probes nothing
+      var best = -1
       var bestD = Double.MaxValue
       var c = 0
       while (c < centroids.length) {
-        val d = distTo(v, centroids(c), dim, metric)
-        val better = if (metric == VectorMath.IP) -d < bestD else d < bestD
-        if (better) { bestD = if (metric == VectorMath.IP) -d else d; best = c }
+        val d0 = distTo(v, centroids(c), dim, metric)
+        if (!java.lang.Double.isNaN(d0)) {
+          val d = if (metric == VectorMath.IP) -d0 else d0
+          if (d < bestD) { bestD = d; best = c }
+        }
         c += 1
       }
-      new GenericArrayData(Array(best))
+      if (best < 0) new GenericArrayData(Array.emptyIntArray)
+      else new GenericArrayData(Array(best))
     } else {
       val asc = VectorMath.smallerIsCloser(metric)
       val heap = new TopKHeap(math.min(nprobe, centroids.length), asc)

@@ -123,6 +123,7 @@ object Knn {
     val qArr: Array[(Long, Array[Float])] = queries
       .select(col("qid").cast("long"), col("qvec"))
       .collect()
+      .filter(r => !r.isNullAt(0) && !r.isNullAt(1)) // null rows match searchFlat's skip
       .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
     val qB = spark.sparkContext.broadcast(qArr)
     val dataParts = data.rdd.getNumPartitions

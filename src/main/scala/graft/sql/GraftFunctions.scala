@@ -23,13 +23,13 @@ object GraftFunctions {
   private def litInt(e: Expression, what: String): Int = e match {
     case Literal(v: Int, _) => v
     case Literal(v: Long, _) => v.toInt
-    case Literal(v: org.apache.spark.sql.types.Decimal, _) => v.toInt
+    case Literal(v: org.apache.spark.sql.types.Decimal, _) if v.toDouble == v.toLong.toDouble => v.toInt
     case other => throw new IllegalArgumentException(s"$what must be an integer literal, got $other")
   }
   private def litLong(e: Expression, what: String): Long = e match {
     case Literal(v: Int, _) => v.toLong
     case Literal(v: Long, _) => v
-    case Literal(v: org.apache.spark.sql.types.Decimal, _) => v.toLong
+    case Literal(v: org.apache.spark.sql.types.Decimal, _) if v.toDouble == v.toLong.toDouble => v.toLong
     case other => throw new IllegalArgumentException(s"$what must be a long literal, got $other")
   }
   private def litDouble(e: Expression, what: String): Double = e match {
