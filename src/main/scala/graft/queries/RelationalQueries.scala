@@ -25,6 +25,19 @@ object RelationalQueries {
           moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
           count(lit(1)).as("count_order"))
     },
+    // q6-style: highly selective scan — every predicate reaches the
+    // parquet reader (PushedFilters), the classic pushdown showcase
+    "q6_forecast" -> { (s, dir) =>
+      Tables(s, dir, "lineitem")
+        .where(
+          col("l_shipdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+            col("l_shipdate") < lit("1997-01-01 00:00:00").cast("timestamp") &&
+            col("l_discount") >= 0.03 && col("l_discount") <= 0.07 &&
+            col("l_quantity") < 24)
+        .agg(
+          moneySum(col("l_extendedprice") * col("l_discount")).as("revenue"),
+          count(lit(1)).as("n_items"))
+    },
     "topk_orders" -> { (s, dir) =>
       Tables(s, dir, "orders")
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
@@ -158,6 +171,14 @@ object RelationalQueries {
          |FROM lineitem
          |WHERE l_shipdate <= TIMESTAMP '$cutoff'
          |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q6_forecast" ->
+      s"""SELECT ${moneySumSql("l_extendedprice * l_discount")} AS revenue,
+         |  count(*) AS n_items
+         |FROM lineitem
+         |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+         |  AND l_discount >= 0.03 AND l_discount <= 0.07
+         |  AND l_quantity < 24""".stripMargin,
     "topk_orders" ->
       """SELECT o_orderkey, o_custkey, o_totalprice
         |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
