@@ -336,13 +336,20 @@ object IndexCatalog {
       val probeCol = GraftBridge.column(
         NearestCentroids(GraftBridge.expression(col("qvec")), centroids, nprobe, metricId))
       val probes = queries.select(col("qid"), col("qvec"), explode(probeCol).as("list_id"))
-      // broadcast the (small) probe set; only probed lists are scanned —
-      // on a list-partitioned parquet layout this is dynamic partition pruning
+      // collect the union of probed lists (<= queries x nprobe ints) and
+      // push it as a STATIC IN filter: on a list-partitioned parquet
+      // layout (saved indexes) this is guaranteed partition pruning —
+      // unprobed lists are never read, the on-disk analog of FAISS
+      // scanning only nprobe inverted lists
+      val probedLists = probes.select(col("list_id")).distinct().collect().map(_.getInt(0)).toSeq
+      val pruned =
+        if (probedLists.size < centroids.length) data.where(col("list_id").isInCollection(probedLists))
+        else data
       val d = vec.dist(meta.metric, col("vec"), col("qvec"))
       val asc = VectorMath.smallerIsCloser(metricId)
       val pad = params.get("pad").exists(_.toBoolean)
       Knn.rankResults(
-        data.join(broadcast(probes), "list_id")
+        pruned.join(broadcast(probes), "list_id")
           .select(col("qid"), col("label"), d.as("_dist")),
         k, asc, pad)
     }

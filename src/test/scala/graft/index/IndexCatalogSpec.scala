@@ -144,6 +144,21 @@ class IndexCatalogSpec extends SparkSpec {
     assert(recall >= 0.75, s"recall $recall")
   }
 
+  test("loaded IVF search prunes unprobed list partitions at the scan") {
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("graft_prune").toString
+    IndexCatalog.create("t_prune", 2, "IDMap,IVF8,Flat", "l2sq", Map("nprobe" -> "1"))
+    IndexCatalog.add(grid, "t_prune")
+    IndexCatalog.save("t_prune", dir)
+    IndexCatalog.destroy("t_prune")
+    IndexCatalog.load("t_prune2", dir, spark)
+    val res = IndexCatalog.search("t_prune2", 4, qs.limit(1), Map("nprobe" -> "1"))
+    val plan = res.queryExecution.executedPlan.toString
+    // the static IN filter reaches the partitioned parquet scan
+    assert(plan.contains("PartitionFilters") && plan.contains("list_id"), plan.take(2000))
+    assert(res.count() === 4)
+  }
+
   test("move_gpu is explicitly unsupported") {
     IndexCatalog.create("t_gpu", 2, "Flat")
     intercept[UnsupportedOperationException](IndexCatalog.moveGpu("t_gpu", 0))
