@@ -89,7 +89,7 @@ object IndexCatalog {
       name: String, dim: Int, factory: String,
       metric: String = "l2sq", params: Map[String, String] = Map.empty): Unit = {
     VectorMath.metricId(metric) // unknown metric errors at create, like the reference (faiss6.test)
-    val meta = IndexMeta(name, dim, factory, metric, params)
+    val meta = IndexMeta(name, dim, factory, metric, normalizeParams(params))
     if (entries.putIfAbsent(name, new Entry(meta)) != null)
       throw new IllegalStateException(s"index '$name' already exists")
   }
@@ -222,15 +222,18 @@ object IndexCatalog {
    */
   /** the reference accepts recursive prefixed params ('ivf.efSearch',
     * cf. README faiss_create_params); our indexes are single-level, so
-    * prefixes collapse onto the plain key */
-  private def normalizeParams(params: Map[String, String]): Map[String, String] =
-    params.map { case (k, v) => k.substring(k.lastIndexOf('.') + 1) -> v }
+    * prefixes collapse onto the plain key. Plain keys win over prefixed
+    * ones deterministically. Applied at create() (so build/train see
+    * collapsed keys) and to caller-side search params. */
+  private def normalizeParams(params: Map[String, String]): Map[String, String] = {
+    val (plain, prefixed) = params.partition(!_._1.contains('.'))
+    prefixed.map { case (k, v) => k.substring(k.lastIndexOf('.') + 1) -> v } ++ plain
+  }
 
   def search(
       name: String, k: Int, queries: DataFrame,
       params: Map[String, String] = Map.empty): DataFrame =
-    build(name).search(queries, k,
-      normalizeParams(entry(name).meta.params) ++ normalizeParams(params))
+    build(name).search(queries, k, entry(name).meta.params ++ normalizeParams(params))
 
   /** faiss_search_filter twin: predicate over the indexed labels */
   def searchFilter(
@@ -277,14 +280,28 @@ object IndexCatalog {
         ivf.centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
           .toSeq.toDF("centroid_id", "centroid")
           .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+      case lsh: LshBuilt =>
+        // undo the per-band row duplication; distinct on (label, vec)
+        // keeps genuinely different vectors that share a label
+        lsh.data.select(col("label"), col("vec")).dropDuplicates("label", "vec")
+          .write.mode("overwrite").parquet(s"$path/data")
       case other =>
-        // canonical (label, vec) layout: bucketed/encoded kinds (LSH, PQ)
-        // rebuild deterministically on load, and add-after-load unions
-        // cleanly with fresh batches
-        other.data.select(col("label"), col("vec")).dropDuplicates("label")
+        // canonical (label, vec) layout rebuilds deterministically on load
+        other.data.select(col("label"), col("vec"))
           .write.mode("overwrite").parquet(s"$path/data")
     }
     import spark.implicits._
+    // persist PQ training (FAISS saves trained quantizers in the index file)
+    e.trainedPq.foreach { case (codebooks, coarse) =>
+      codebooks.zipWithIndex.flatMap { case (book, sub) =>
+        book.zipWithIndex.map { case (cen, ci) => (sub, ci, cen.toSeq) }
+      }.toSeq.toDF("sub", "centroid_id", "centroid")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/pq_codebooks")
+      coarse.foreach { cs =>
+        cs.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq.toDF("centroid_id", "centroid")
+          .coalesce(1).write.mode("overwrite").parquet(s"$path/pq_coarse")
+      }
+    }
     Seq((e.meta.name, e.meta.dim, e.meta.factory, e.meta.metric,
         e.meta.params.map { case (k, v) => s"$k=$v" }.mkString(";"), e.nextAutoId))
       .toDF("name", "dim", "factory", "metric", "params", "next_auto_id")
@@ -304,12 +321,28 @@ object IndexCatalog {
         val cents = spark.read.parquet(s"$path/centroids").collect()
           .sortBy(_.getInt(0)).map(_.getSeq[Float](1).toArray)
         e.trained = Some(cents)
-        // rebuild from the partitioned layout without re-assigning
+        // rebuild from the partitioned layout without re-assigning.
+        // NOT cached: the scan must stay file-backed so the static
+        // probed-list filter prunes partitions on disk (a cache would
+        // materialize every list on first search)
         e.built = Some(new IvfBuilt(
-          data.select(col("list_id"), col("label"), col("vec")).cache(),
+          data.select(col("list_id"), col("label"), col("vec")),
           e.meta, cents, VectorMath.metricId(e.meta.metric)))
       case _ =>
         e.pending = Some(spark.read.parquet(s"$path/data").select(col("label"), col("vec")))
+        if (new java.io.File(s"$path/pq_codebooks").isDirectory) {
+          val books = spark.read.parquet(s"$path/pq_codebooks").collect()
+            .groupBy(_.getInt(0)).toSeq.sortBy(_._1)
+            .map { case (_, rows) =>
+              rows.sortBy(_.getInt(1)).map(_.getSeq[Float](2).toArray)
+            }.toArray
+          val coarse =
+            if (new java.io.File(s"$path/pq_coarse").isDirectory)
+              Some(spark.read.parquet(s"$path/pq_coarse").collect()
+                .sortBy(_.getInt(0)).map(_.getSeq[Float](1).toArray))
+            else None
+          e.trainedPq = Some((books, coarse))
+        }
     }
     // restore the auto-id watermark persisted at save() time (the FAISS
     // ntotal analog) — later 1-column adds must not reuse saved labels
@@ -335,7 +368,9 @@ object IndexCatalog {
       val nprobe = params.get("nprobe").map(_.toInt).getOrElse(math.max(1, centroids.length / 8))
       val probeCol = GraftBridge.column(
         NearestCentroids(GraftBridge.expression(col("qvec")), centroids, nprobe, metricId))
-      val probes = queries.select(col("qid"), col("qvec"), explode(probeCol).as("list_id"))
+      // cache the (tiny) probe set so the pruning collect below and the
+      // join read ONE evaluation of the queries DataFrame
+      val probes = queries.select(col("qid"), col("qvec"), explode(probeCol).as("list_id")).cache()
       // collect the union of probed lists (<= queries x nprobe ints) and
       // push it as a STATIC IN filter: on a list-partitioned parquet
       // layout (saved indexes) this is guaranteed partition pruning —

@@ -32,12 +32,12 @@ case class NearestCentroids(
   }
 
   override protected def nullSafeEval(input: Any): Any =
-    NearestCentroids.eval(input.asInstanceOf[ArrayData], centroids, nprobe, metric)
+    NearestCentroids.nearest(input.asInstanceOf[ArrayData], centroids, nprobe, metric)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val cents = ctx.addReferenceObj("centroids", centroids, "float[][]")
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.index.NearestCentroids.eval($c, $cents, $nprobe, $metric);")
+      s"${ev.value} = graft.index.NearestCentroids.nearest($c, $cents, $nprobe, $metric);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
@@ -46,8 +46,10 @@ case class NearestCentroids(
 
 object NearestCentroids {
 
-  /** static entry shared by interpreted eval and generated code */
-  def eval(v: ArrayData, centroids: Array[Array[Float]], nprobe: Int, metric: Int): ArrayData = {
+  /** static entry shared by interpreted eval and generated code (named
+    * to avoid clashing with Expression.eval, which would suppress the
+    * static forwarder and break Janino compilation) */
+  def nearest(v: ArrayData, centroids: Array[Array[Float]], nprobe: Int, metric: Int): ArrayData = {
     val dim = v.numElements()
     if (nprobe == 1) {
       // hot path for assignment: plain argmin, no heap. NaN distances

@@ -49,7 +49,10 @@ object Knn {
       if (data.rdd.getNumPartitions < spark.sparkContext.defaultParallelism / 2)
         data.repartition(spark.sparkContext.defaultParallelism)
       else data
-    val joined = widened.crossJoin(broadcast(queries))
+    // null query rows carry no meaningful identity or vector; both search
+    // paths drop them (keeps fast/declarative outputs identical)
+    val cleanQueries = queries.where(col(qidCol).isNotNull && col(qvecCol).isNotNull)
+    val joined = widened.crossJoin(broadcast(cleanQueries))
     val filtered = if (excludeSelf) joined.where(col(labelCol) =!= col(qidCol)) else joined
     // distance materializes in a codegen'd projection (fused loop inside
     // WholeStageCodegen); the aggregate then only reads plain columns

@@ -154,9 +154,26 @@ class IndexCatalogSpec extends SparkSpec {
     IndexCatalog.load("t_prune2", dir, spark)
     val res = IndexCatalog.search("t_prune2", 4, qs.limit(1), Map("nprobe" -> "1"))
     val plan = res.queryExecution.executedPlan.toString
-    // the static IN filter reaches the partitioned parquet scan
-    assert(plan.contains("PartitionFilters") && plan.contains("list_id"), plan.take(2000))
+    // the static IN filter must land inside a NON-EMPTY PartitionFilters
+    // on the parquet scan (an empty "PartitionFilters: []" means the scan
+    // was materialized unpruned)
+    val segs = plan.split("PartitionFilters: \\[").drop(1)
+    assert(segs.exists(seg => !seg.startsWith("]") && seg.take(200).contains("list_id")),
+      plan.take(3000))
     assert(res.count() === 4)
+  }
+
+  test("PQ training persists across save/load (same quantization, same results)") {
+    val dir = Files.createTempDirectory("graft_pqsave").toString
+    IndexCatalog.create("t_pqsave", 2, "IDMap,PQ2", "l2sq", Map("refine" -> "8"))
+    IndexCatalog.manualTrain(grid.select("vec"), "t_pqsave")
+    IndexCatalog.add(grid, "t_pqsave")
+    val before = labelsOf(IndexCatalog.search("t_pqsave", 4, qs))
+    IndexCatalog.save("t_pqsave", dir)
+    IndexCatalog.destroy("t_pqsave")
+    IndexCatalog.load("t_pqsave2", dir, spark)
+    val after = labelsOf(IndexCatalog.search("t_pqsave2", 4, qs))
+    assert(before === after)
   }
 
   test("move_gpu is explicitly unsupported") {
