@@ -142,6 +142,17 @@ object RelationalQueries {
           expr("percentile(value, 0.95)").cast(DecimalType(18, 4)).as("p95"),
           count(lit(1)).as("n"))
     },
+    // as-of join: attach each event to the user's most recent order
+    // (latest o_orderdate <= event ts; ties broken by max o_orderkey)
+    "events_asof" -> { (s, dir) =>
+      graft.operators.AsofJoin.join(
+        left = Tables.events(s, dir).select("event_id", "user_id", "ts"),
+        right = Tables(s, dir, "orders").withColumnRenamed("o_custkey", "user_id"),
+        key = "user_id",
+        leftTs = "ts", rightTs = "o_orderdate",
+        payload = Seq("o_orderkey"), tiebreak = "o_orderkey")
+        .select(col("event_id"), col("user_id"), col("o_orderkey"))
+    },
     "events_sessionize" -> { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
       // batch sessionization: 30-min inactivity gap starts a new session;
@@ -244,6 +255,14 @@ object RelationalQueries {
         |  CAST(quantile_cont(value, 0.95) AS DECIMAL(18,4)) AS p95,
         |  count(*) AS n
         |FROM events GROUP BY event_type""".stripMargin,
+    "events_asof" ->
+      """WITH o AS (
+        |  SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+        |  FROM orders GROUP BY o_custkey, o_orderdate
+        |)
+        |SELECT e.event_id, e.user_id, o.o_orderkey
+        |FROM events e ASOF LEFT JOIN o
+        |  ON e.user_id = o.o_custkey AND CAST(e.ts AS TIMESTAMP) >= o.o_orderdate""".stripMargin,
     "events_sessionize" ->
       """WITH ev AS (
         |  -- parquet stores ns; Spark truncates to micros, and its

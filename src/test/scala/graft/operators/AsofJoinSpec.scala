@@ -1,0 +1,43 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+
+class AsofJoinSpec extends SparkSpec {
+
+  private def ts(h: Int): Timestamp = Timestamp.valueOf(f"2024-01-01 $h%02d:00:00")
+
+  test("asof join picks the latest preceding right row per key") {
+    import spark.implicits._
+    val left = Seq(
+      (100L, 1L, ts(5)), // after r2 -> matches 20
+      (101L, 1L, ts(2)), // between r1 and r2 -> matches 10
+      (102L, 1L, ts(0)), // before everything -> null
+      (103L, 2L, ts(9))  // other key -> matches 30
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (10L, 1L, ts(1)),
+      (20L, 1L, ts(4)),
+      (30L, 2L, ts(3))
+    ).toDF("o_orderkey", "o_custkey", "o_orderdate")
+      .withColumnRenamed("o_custkey", "user_id")
+
+    val res = AsofJoin.join(left, right, "user_id", "ts", "o_orderdate",
+        Seq("o_orderkey"), "o_orderkey")
+      .collect().map(r => r.getLong(0) -> Option(r.get(3)).map(_.asInstanceOf[Long])).toMap
+    assert(res === Map(
+      100L -> Some(20L), 101L -> Some(10L), 102L -> None, 103L -> Some(30L)))
+  }
+
+  test("equal timestamps: right row at same ts is visible (<=), max tiebreak wins") {
+    import spark.implicits._
+    val left = Seq((1L, 7L, ts(3))).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (5L, 7L, ts(3)), (9L, 7L, ts(3)) // duplicate ts -> larger id carried
+    ).toDF("o_orderkey", "user_id", "o_orderdate")
+    val res = AsofJoin.join(left, right, "user_id", "ts", "o_orderdate",
+        Seq("o_orderkey"), "o_orderkey").collect()
+    assert(res(0).getLong(3) === 9L)
+  }
+}
