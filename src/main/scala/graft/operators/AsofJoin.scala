@@ -36,6 +36,13 @@ object AsofJoin {
       leftTs: String, rightTs: String,
       payload: Seq[String], tiebreak: String): DataFrame = {
     val leftCols = left.columns.toSeq
+    val reserved = Seq("_ts", "_side", "_tb") ++ payload.flatMap(c => Seq(s"_p_$c", s"_c_$c"))
+    require(!leftCols.exists(reserved.contains),
+      s"left columns collide with asof-join internals: ${leftCols.intersect(reserved).mkString(",")}")
+    require(payload.forall(c => !leftCols.contains(c)),
+      s"payload columns already exist on the left side: ${payload.intersect(leftCols).mkString(",")}")
+    require(left.columns.contains(key) && right.columns.contains(key),
+      s"key '$key' must exist on both sides (rename the right key first)")
     val taggedRight = right.select(
       (col(key).cast("long").as(key) +:
         col(rightTs).cast("timestamp").as("_ts") +:
