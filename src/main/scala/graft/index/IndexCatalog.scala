@@ -227,7 +227,11 @@ object IndexCatalog {
     * collapsed keys) and to caller-side search params. */
   private def normalizeParams(params: Map[String, String]): Map[String, String] = {
     val (plain, prefixed) = params.partition(!_._1.contains('.'))
-    prefixed.map { case (k, v) => k.substring(k.lastIndexOf('.') + 1) -> v } ++ plain
+    val collapsed = prefixed.toSeq.map { case (k, v) => k.substring(k.lastIndexOf('.') + 1) -> v }
+    val conflicts = collapsed.groupBy(_._1).filter(_._2.map(_._2).distinct.size > 1).keys
+    require(conflicts.isEmpty,
+      s"conflicting prefixed params collapse onto: ${conflicts.mkString(",")}")
+    collapsed.toMap ++ plain
   }
 
   def search(
@@ -345,8 +349,13 @@ object IndexCatalog {
         }
     }
     // restore the auto-id watermark persisted at save() time (the FAISS
-    // ntotal analog) — later 1-column adds must not reuse saved labels
-    e.nextAutoId = m.getLong(5)
+    // ntotal analog) — later 1-column adds must not reuse saved labels;
+    // pre-watermark saves fall back to a max(label) scan
+    e.nextAutoId =
+      if (m.schema.fieldNames.contains("next_auto_id")) m.getLong(m.fieldIndex("next_auto_id"))
+      else e.pending.map(_.agg(max(col("label"))).collect()(0))
+        .collect { case r if !r.isNullAt(0) => r.getLong(0) + 1 }
+        .getOrElse(0L)
   }
 
   // ---- index implementations ----
@@ -366,17 +375,26 @@ object IndexCatalog {
 
     def search(queries: DataFrame, k: Int, params: Map[String, String]): DataFrame = {
       val nprobe = params.get("nprobe").map(_.toInt).getOrElse(math.max(1, centroids.length / 8))
-      val probeCol = GraftBridge.column(
-        NearestCentroids(GraftBridge.expression(col("qvec")), centroids, nprobe, metricId))
-      // cache the (tiny) probe set so the pruning collect below and the
-      // join read ONE evaluation of the queries DataFrame
-      val probes = queries.select(col("qid"), col("qvec"), explode(probeCol).as("list_id")).cache()
-      // collect the union of probed lists (<= queries x nprobe ints) and
-      // push it as a STATIC IN filter: on a list-partitioned parquet
-      // layout (saved indexes) this is guaranteed partition pruning —
-      // unprobed lists are never read, the on-disk analog of FAISS
-      // scanning only nprobe inverted lists
-      val probedLists = probes.select(col("list_id")).distinct().collect().map(_.getInt(0)).toSeq
+      // collect the (bounded, FAISS-batch-sized) queries ONCE and derive
+      // probes driver-side: a single evaluation feeds both the pruning
+      // filter and the join, with nothing left cached behind
+      val spark = data.sparkSession
+      import spark.implicits._
+      val qRows = queries
+        .select(col("qid").cast("long"), vec.vector(col("qvec")))
+        .collect()
+        .filter(r => !r.isNullAt(0) && !r.isNullAt(1))
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+      val probePairs = qRows.toSeq.flatMap { case (qid, qv) =>
+        PqBuilt.nearestLists(qv, centroids, nprobe).map(l => (qid, qv.toSeq, l))
+      }
+      val probes = probePairs.toDF("qid", "qvec", "list_id")
+        .select(col("qid"), vec.vector(col("qvec")).as("qvec"), col("list_id"))
+      // the union of probed lists becomes a STATIC IN filter: on a
+      // list-partitioned parquet layout (saved indexes) this is
+      // guaranteed partition pruning — unprobed lists are never read,
+      // the on-disk analog of FAISS scanning only nprobe inverted lists
+      val probedLists = probePairs.map(_._3).distinct
       val pruned =
         if (probedLists.size < centroids.length) data.where(col("list_id").isInCollection(probedLists))
         else data
@@ -396,8 +414,12 @@ object IndexCatalog {
         centroids: Array[Array[Float]], metricId: Int): IvfBuilt = {
       val assign = GraftBridge.column(
         NearestCentroids(GraftBridge.expression(col("vec")), centroids, 1, metricId))
+      // all-NaN vectors probe nothing -> park them in list -1 (never
+      // probed), instead of failing the build on element_at(empty, 1)
       val assigned = data
-        .select(element_at(assign, 1).as("list_id"), col("label"), col("vec"))
+        .select(
+          when(size(assign) > 0, element_at(assign, 1)).otherwise(lit(-1)).as("list_id"),
+          col("label"), col("vec"))
         .repartition(col("list_id"))
         .cache()
       new IvfBuilt(assigned, meta, centroids, metricId)
@@ -486,8 +508,9 @@ object IndexCatalog {
         case Some(cs) =>
           val assign = GraftBridge.column(NearestCentroids(
             GraftBridge.expression(col("vec")), cs, 1, VectorMath.L2SQ))
-          data.select(element_at(assign, 1).as("list_id"), col("label"),
-              encode.as("code"), col("vec"))
+          data.select(
+              when(size(assign) > 0, element_at(assign, 1)).otherwise(lit(-1)).as("list_id"),
+              col("label"), encode.as("code"), col("vec"))
             .repartition(col("list_id"))
         case None =>
           data.select(lit(0).as("list_id"), col("label"), encode.as("code"), col("vec"))

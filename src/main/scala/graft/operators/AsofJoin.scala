@@ -10,13 +10,17 @@ import org.apache.spark.sql.functions._
  * primitive (events -> most recent order, trade -> last quote) that
  * Spark has no built-in operator for.
  *
- * Implementation is the declarative tagged-union trick (the prompt's
- * preferred option (a) — compose existing ops): union both sides with a
- * side tag, window per key ordered by (ts, side, tiebreak), and carry
- * the last right payload forward with `last(..., ignoreNulls)`. One
- * shuffle on the key (same as any join), no range-join nested loop, and
- * the window is incremental — this scales exactly like a sort-merge
- * join at 100 TB, with AQE handling key skew.
+ * Implementation is the declarative tagged-union trick (compose
+ * existing ops): union both sides with a side tag, window per key
+ * ordered by (ts, side, tiebreak), and carry the latest right row
+ * forward as ONE struct (so a right row whose payload field is null is
+ * carried as-is — never mixed with older rows, matching DuckDB ASOF
+ * semantics). One shuffle on the key, incremental window — scales like
+ * a sort-merge join at 100 TB, with AQE handling key skew.
+ *
+ * Right rows with a null key or null timestamp can never match and are
+ * dropped up front (equality + range semantics); left rows always
+ * survive (payload null when nothing precedes).
  */
 object AsofJoin {
 
@@ -24,6 +28,7 @@ object AsofJoin {
    * @param left      probe side
    * @param right     reference side (its `payload` columns are carried)
    * @param key       equality key column name present on both sides
+   *                  (same type both sides; rename the right key first)
    * @param leftTs    event-time column on `left`
    * @param rightTs   event-time column on `right`
    * @param payload   right-side columns to attach to each left row
@@ -36,38 +41,44 @@ object AsofJoin {
       leftTs: String, rightTs: String,
       payload: Seq[String], tiebreak: String): DataFrame = {
     val leftCols = left.columns.toSeq
-    val reserved = Seq("_ts", "_side", "_tb") ++ payload.flatMap(c => Seq(s"_p_$c", s"_c_$c"))
+    val reserved = Seq("_ts", "_side", "_tb", "_p", "_c")
     require(!leftCols.exists(reserved.contains),
       s"left columns collide with asof-join internals: ${leftCols.intersect(reserved).mkString(",")}")
     require(payload.forall(c => !leftCols.contains(c)),
       s"payload columns already exist on the left side: ${payload.intersect(leftCols).mkString(",")}")
     require(left.columns.contains(key) && right.columns.contains(key),
       s"key '$key' must exist on both sides (rename the right key first)")
-    val taggedRight = right.select(
-      (col(key).cast("long").as(key) +:
-        col(rightTs).cast("timestamp").as("_ts") +:
-        lit(1).as("_side") +:
-        col(tiebreak).cast("long").as("_tb") +:
-        payload.map(c => col(c).as(s"_p_$c"))) ++
-        leftCols.filterNot(_ == key).map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
+
+    val payloadStruct = struct(payload.map(c => col(c).as(c)): _*)
+    val taggedRight = right
+      .where(col(key).isNotNull && col(rightTs).isNotNull)
+      .select(
+        (col(key) +:
+          col(rightTs).cast("timestamp").as("_ts") +:
+          lit(1).as("_side") +:
+          col(tiebreak).as("_tb") +:
+          payloadStruct.as("_p") +:
+          leftCols.filterNot(_ == key).map(c => lit(null).cast(left.schema(c).dataType).as(c))): _*)
+    val nullTb = lit(null).cast(right.schema(tiebreak).dataType)
+    val nullPayload = lit(null).cast(
+      org.apache.spark.sql.types.StructType(payload.map(c => right.schema(c).copy(name = c))))
     val taggedLeft = left.select(
-      (col(key).cast("long").as(key) +:
+      (col(key) +:
         col(leftTs).cast("timestamp").as("_ts") +:
         lit(0).as("_side") +:
-        lit(Long.MaxValue).as("_tb") +:
-        payload.map(c => lit(null).cast(right.schema(c).dataType).as(s"_p_$c"))) ++
-        leftCols.filterNot(_ == key).map(col): _*)
+        nullTb.as("_tb") +:
+        nullPayload.as("_p") +:
+        leftCols.filterNot(_ == key).map(col)): _*)
     // right rows at the same timestamp sort BEFORE left rows (<= semantics);
-    // among right ties the largest tiebreak lands last and is carried
+    // among right ties the largest tiebreak lands last; nulls_first keeps
+    // left sentinel tiebreaks out of the way
     val w = Window
       .partitionBy(col(key))
-      .orderBy(col("_ts"), col("_side").desc, col("_tb"))
+      .orderBy(col("_ts").asc, col("_side").desc, col("_tb").asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = payload.foldLeft(taggedRight.unionByName(taggedLeft)) { (df, c) =>
-      df.withColumn(s"_c_$c", last(col(s"_p_$c"), ignoreNulls = true).over(w))
-    }
-    carried
+    taggedRight.unionByName(taggedLeft)
+      .withColumn("_c", last(col("_p"), ignoreNulls = true).over(w))
       .where(col("_side") === 0)
-      .select(leftCols.map(col) ++ payload.map(c => col(s"_c_$c").as(c)): _*)
+      .select(leftCols.map(col) ++ payload.map(c => col(s"_c.$c").as(c)): _*)
   }
 }

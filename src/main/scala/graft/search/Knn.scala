@@ -20,6 +20,16 @@ import graft.functions.{vec, VectorMath}
  */
 object Knn {
 
+  /** widen CPU-bound narrow scans to the session parallelism (no-op on
+    * real multi-split inputs) — shared by both search paths so their
+    * partitioning behavior can't drift */
+  private def widen(data: DataFrame): DataFrame = {
+    val spark = data.sparkSession
+    if (data.rdd.getNumPartitions < spark.sparkContext.defaultParallelism / 2)
+      data.repartition(spark.sparkContext.defaultParallelism)
+    else data
+  }
+
   /**
    * @param data    (label bigint, vec array<float>) — the indexed vectors
    * @param queries (qid bigint, qvec array<float>) — the query batch (broadcast)
@@ -41,18 +51,10 @@ object Knn {
     val mid = VectorMath.metricId(metric)
     val asc = VectorMath.smallerIsCloser(mid)
     val d = vec.dist(metric, col(vecCol), col(qvecCol))
-    // a small file scan can arrive as one partition; the distance work is
-    // CPU-bound and embarrassingly parallel, so widen to the session's
-    // parallelism (no-op at real scale where scans already have many splits)
-    val spark = data.sparkSession
-    val widened =
-      if (data.rdd.getNumPartitions < spark.sparkContext.defaultParallelism / 2)
-        data.repartition(spark.sparkContext.defaultParallelism)
-      else data
     // null query rows carry no meaningful identity or vector; both search
     // paths drop them (keeps fast/declarative outputs identical)
     val cleanQueries = queries.where(col(qidCol).isNotNull && col(qvecCol).isNotNull)
-    val joined = widened.crossJoin(broadcast(cleanQueries))
+    val joined = widen(data).crossJoin(broadcast(cleanQueries))
     val filtered = if (excludeSelf) joined.where(col(labelCol) =!= col(qidCol)) else joined
     // distance materializes in a codegen'd projection (fused loop inside
     // WholeStageCodegen); the aggregate then only reads plain columns
@@ -129,12 +131,7 @@ object Knn {
       .filter(r => !r.isNullAt(0) && !r.isNullAt(1)) // null rows match searchFlat's skip
       .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
     val qB = spark.sparkContext.broadcast(qArr)
-    val dataParts = data.rdd.getNumPartitions
-    val widened =
-      if (dataParts < spark.sparkContext.defaultParallelism / 2)
-        data.repartition(spark.sparkContext.defaultParallelism)
-      else data
-    val perPartition = widened
+    val perPartition = widen(data)
       .select(col("label").cast("long"), col("vec"))
       .rdd
       .mapPartitions { it =>

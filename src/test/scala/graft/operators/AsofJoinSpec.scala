@@ -30,6 +30,34 @@ class AsofJoinSpec extends SparkSpec {
       100L -> Some(20L), 101L -> Some(10L), 102L -> None, 103L -> Some(30L)))
   }
 
+  test("latest preceding row wins even when its payload field is null (no stale carry)") {
+    import spark.implicits._
+    val left = Seq((1L, 7L, ts(5))).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (Some(111L), 7L, ts(1)), // older row with a value
+      (None, 7L, ts(4))        // newest preceding row: payload null
+    ).toDF("o_orderkey", "user_id", "o_orderdate")
+      .withColumn("rid", org.apache.spark.sql.functions.monotonically_increasing_id())
+    val res = AsofJoin.join(left, right, "user_id", "ts", "o_orderdate",
+        Seq("o_orderkey"), "rid").collect()
+    // DuckDB ASOF semantics: the newest row is carried as-is, null and all
+    assert(res(0).isNullAt(3), res(0).toString)
+  }
+
+  test("null keys and null right timestamps never match") {
+    import spark.implicits._
+    val left = Seq((1L, Option.empty[Long], ts(5)), (2L, Some(7L), ts(5)))
+      .toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (10L, Option.empty[Long], Some(ts(1))), // null key: unmatchable
+      (20L, Some(7L), Option.empty[Timestamp]) // null ts: unmatchable
+    ).toDF("o_orderkey", "user_id", "o_orderdate")
+    val res = AsofJoin.join(left, right, "user_id", "ts", "o_orderdate",
+        Seq("o_orderkey"), "o_orderkey")
+      .collect().map(r => r.getLong(0) -> r.isNullAt(3)).toMap
+    assert(res === Map(1L -> true, 2L -> true))
+  }
+
   test("equal timestamps: right row at same ts is visible (<=), max tiebreak wins") {
     import spark.implicits._
     val left = Seq((1L, 7L, ts(3))).toDF("event_id", "user_id", "ts")
