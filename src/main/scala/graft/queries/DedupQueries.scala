@@ -37,7 +37,7 @@ object DedupQueries {
         .orderBy(col("cosine_dist"), col("a_id"), col("b_id"))
         .limit(20)
         .select(col("a_id"), col("b_id"),
-          col("cosine_dist").cast(org.apache.spark.sql.types.DecimalType(18, 4)).as("cosine_dist"))
+          Tables.quant4(col("cosine_dist")).as("cosine_dist"))
     },
     // MinHash-LSH: per-doc candidate-duplicate degree (custom hash family
     // -> no SQL oracle; planted dups at sf0.1 give nonzero counts)
@@ -96,7 +96,7 @@ object DedupQueries {
         |  FROM embeddings a JOIN embeddings b
         |    ON b.vec_id > a.vec_id AND b.vec_id <= a.vec_id + 50
         |)
-        |SELECT a_id, b_id, CAST(cosine_dist AS DECIMAL(18,4)) AS cosine_dist FROM p
+        |SELECT a_id, b_id, CAST(CAST(cosine_dist AS DECIMAL(18,4)) AS DOUBLE) AS cosine_dist FROM p
         |WHERE cosine_dist <= 2.0
         |ORDER BY p.cosine_dist, a_id, b_id LIMIT 20""".stripMargin)
 }

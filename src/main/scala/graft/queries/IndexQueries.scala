@@ -2,7 +2,6 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
 
 import graft.functions.vec
 import graft.index.IndexCatalog
@@ -29,7 +28,7 @@ object IndexQueries {
 
   private def quantized(res: DataFrame): DataFrame =
     res.select(col("qid"), col("rank"), col("label"),
-      col("distance").cast(DecimalType(18, 4)).as("distance"))
+      Tables.quant4(col("distance")).as("distance"))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // full lifecycle with an exhaustive IVF probe (nprobe = nlist):

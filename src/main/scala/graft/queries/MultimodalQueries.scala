@@ -2,7 +2,6 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
 
 import graft.multimodal.Multimodal
 
@@ -19,7 +18,7 @@ object MultimodalQueries {
       val mf = Multimodal.manifestFrom(Tables(s, dir, "documents"), "doc_id", "text")
       Multimodal.decodeFeatures(mf)
         .select(col("asset_id"), col("modality"), col("n_bytes"),
-          element_at(col("feature"), 1).cast(DecimalType(18, 4)).as("f0"),
+          Tables.quant4(element_at(col("feature"), 1)).as("f0"),
           col("frames_sampled"))
     },
     // frame sampling cardinality is pure arithmetic -> exact oracle

@@ -134,12 +134,11 @@ object RelationalQueries {
     // 100 TB path swap in approx_percentile's t-digest — kept exact here
     // so the DuckDB quantile_cont oracle can gate it)
     "events_percentiles" -> { (s, dir) =>
-      import org.apache.spark.sql.types.DecimalType
       Tables.events(s, dir)
         .groupBy("event_type")
         .agg(
-          expr("percentile(value, 0.5)").cast(DecimalType(18, 4)).as("p50"),
-          expr("percentile(value, 0.95)").cast(DecimalType(18, 4)).as("p95"),
+          Tables.quant4(expr("percentile(value, 0.5)")).as("p50"),
+          Tables.quant4(expr("percentile(value, 0.95)")).as("p95"),
           count(lit(1)).as("n"))
     },
     // as-of join: attach each event to the user's most recent order
@@ -251,8 +250,8 @@ object RelationalQueries {
          |GROUP BY 1, 2""".stripMargin,
     "events_percentiles" ->
       """SELECT event_type,
-        |  CAST(quantile_cont(value, 0.5) AS DECIMAL(18,4)) AS p50,
-        |  CAST(quantile_cont(value, 0.95) AS DECIMAL(18,4)) AS p95,
+        |  CAST(CAST(quantile_cont(value, 0.5) AS DECIMAL(18,4)) AS DOUBLE) AS p50,
+        |  CAST(CAST(quantile_cont(value, 0.95) AS DECIMAL(18,4)) AS DOUBLE) AS p95,
         |  count(*) AS n
         |FROM events GROUP BY event_type""".stripMargin,
     "events_asof" ->

@@ -33,4 +33,19 @@ object Tables {
   /** oracle-side twin of [[moneySum]] */
   def moneySumSql(expr: String): String =
     s"CAST(sum(CAST(round(($expr) * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0"
+
+  /**
+   * Distance/score quantization for the oracle hash: round through
+   * DECIMAL(18,4) (both engines agree exactly on that conversion) but
+   * EMIT a DOUBLE — decimal→double is correctly rounded in both the JVM
+   * and DuckDB, whereas a decimal output column survives some client
+   * readers as `Decimal` and others as `float64`, which breaks a
+   * string-canonicalized hash even when values are equal.
+   */
+  def quant4(c: Column): Column =
+    c.cast(org.apache.spark.sql.types.DecimalType(18, 4)).cast("double")
+
+  /** oracle-side twin of [[quant4]] */
+  def quant4Sql(expr: String): String =
+    s"CAST(CAST(($expr) AS DECIMAL(18,4)) AS DOUBLE)"
 }

@@ -2,7 +2,6 @@ package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
 
 import graft.functions.vec
 import graft.search.Knn
@@ -13,8 +12,8 @@ import graft.search.Knn
  * index (cf. /root/reference/test/sql/faiss.test, faiss3.test).
  *
  * Oracle notes: ranks/labels are integer-exact; distances are emitted
- * quantized to DECIMAL(18,4) computed in double on both sides so the
- * driver's hash compare is stable.
+ * quantized through DECIMAL(18,4) then emitted as DOUBLE on both sides
+ * so the driver's hash compare is stable (see Tables.quant4).
  */
 object VectorQueries {
   val K = 5
@@ -35,7 +34,7 @@ object VectorQueries {
     Knn.searchFlat(d, queriesDf(s, dir), K, metric)
       .select(
         col("qid"), col("rank"), col("label"),
-        col("distance").cast(DecimalType(18, 4)).as("distance"))
+        Tables.quant4(col("distance")).as("distance"))
   }
 
   /** pairwise metric panel: all 9 reference metrics over adjacent embedding pairs */
@@ -43,7 +42,7 @@ object VectorQueries {
     val e = Tables(s, dir, "embeddings")
     val a = e.select(col("vec_id").as("id_a"), vec.vector(col("embedding")).as("va"))
     val b = e.select((col("vec_id") - 1).as("id_b"), vec.vector(col("embedding")).as("vb"))
-    def q(c: Column): Column = c.cast(DecimalType(18, 4))
+    def q(c: Column): Column = Tables.quant4(c)
     // element-wise |x| (JS divergence and weighted Jaccard need non-negative inputs)
     def pos(c: Column): Column = transform(c, x => abs(x))
     a.join(b, col("id_a") === col("id_b"))
@@ -76,7 +75,7 @@ object VectorQueries {
       val q = e.select(col("vec_id").as("qid"), vec.vector(col("embedding")).as("qvec"))
       Knn.knnJoin(q, d, 3, "l2sq")
         .select(col("qid"), col("rank"), col("label"),
-          col("distance").cast(DecimalType(18, 4)).as("distance"))
+          Tables.quant4(col("distance")).as("distance"))
     })
 
   // DuckDB-side distance formulas over DOUBLE, element order identical to
@@ -97,7 +96,7 @@ object VectorQueries {
        |    CAST(row_number() OVER (PARTITION BY qid ORDER BY dist $order, label) - 1 AS INTEGER) AS rank
        |  FROM d
        |)
-       |SELECT qid, rank, label, CAST(dist AS DECIMAL(18,4)) AS distance
+       |SELECT qid, rank, label, CAST(CAST(dist AS DECIMAL(18,4)) AS DOUBLE) AS distance
        |FROM r WHERE rank < $K""".stripMargin
 
   private val cosSql =
@@ -116,7 +115,7 @@ object VectorQueries {
          |    CAST(row_number() OVER (PARTITION BY qid ORDER BY dist ASC, label) - 1 AS INTEGER) AS rank
          |  FROM d
          |)
-         |SELECT qid, rank, label, CAST(dist AS DECIMAL(18,4)) AS distance
+         |SELECT qid, rank, label, CAST(CAST(dist AS DECIMAL(18,4)) AS DOUBLE) AS distance
          |FROM r WHERE rank < 3""".stripMargin,
     "knn_flat_l2" -> knnOracle(l2sqSql, "ASC", ""),
     "knn_flat_l1" -> knnOracle(
@@ -137,21 +136,21 @@ object VectorQueries {
          |  FROM p
          |)
          |SELECT pair_id,
-         |  CAST($l2sqSql AS DECIMAL(18,4)) AS d_l2sq,
-         |  CAST($ipSql AS DECIMAL(18,4)) AS d_ip,
-         |  CAST($cosSql AS DECIMAL(18,4)) AS d_cosine,
-         |  CAST(list_sum([ abs(CAST(a[i] AS DOUBLE) - CAST(b[i] AS DOUBLE)) FOR i IN range(1, len(a)+1) ]) AS DECIMAL(18,4)) AS d_l1,
-         |  CAST(list_max([ abs(CAST(a[i] AS DOUBLE) - CAST(b[i] AS DOUBLE)) FOR i IN range(1, len(a)+1) ]) AS DECIMAL(18,4)) AS d_linf,
-         |  CAST(list_sum([ pow(abs(CAST(a[i] AS DOUBLE) - CAST(b[i] AS DOUBLE)), 3.0) FOR i IN range(1, len(a)+1) ]) AS DECIMAL(18,4)) AS d_lp3,
-         |  CAST(list_sum([ CASE WHEN abs(CAST(a[i] AS DOUBLE)) + abs(CAST(b[i] AS DOUBLE)) > 0
+         |  CAST(CAST($l2sqSql AS DECIMAL(18,4)) AS DOUBLE) AS d_l2sq,
+         |  CAST(CAST($ipSql AS DECIMAL(18,4)) AS DOUBLE) AS d_ip,
+         |  CAST(CAST($cosSql AS DECIMAL(18,4)) AS DOUBLE) AS d_cosine,
+         |  CAST(CAST(list_sum([ abs(CAST(a[i] AS DOUBLE) - CAST(b[i] AS DOUBLE)) FOR i IN range(1, len(a)+1) ]) AS DECIMAL(18,4)) AS DOUBLE) AS d_l1,
+         |  CAST(CAST(list_max([ abs(CAST(a[i] AS DOUBLE) - CAST(b[i] AS DOUBLE)) FOR i IN range(1, len(a)+1) ]) AS DECIMAL(18,4)) AS DOUBLE) AS d_linf,
+         |  CAST(CAST(list_sum([ pow(abs(CAST(a[i] AS DOUBLE) - CAST(b[i] AS DOUBLE)), 3.0) FOR i IN range(1, len(a)+1) ]) AS DECIMAL(18,4)) AS DOUBLE) AS d_lp3,
+         |  CAST(CAST(list_sum([ CASE WHEN abs(CAST(a[i] AS DOUBLE)) + abs(CAST(b[i] AS DOUBLE)) > 0
          |        THEN abs(CAST(a[i] AS DOUBLE) - CAST(b[i] AS DOUBLE)) / (abs(CAST(a[i] AS DOUBLE)) + abs(CAST(b[i] AS DOUBLE)))
-         |        ELSE 0.0 END FOR i IN range(1, len(a)+1) ]) AS DECIMAL(18,4)) AS d_canberra,
-         |  CAST(list_sum([ abs(CAST(a[i] AS DOUBLE) - CAST(b[i] AS DOUBLE)) FOR i IN range(1, len(a)+1) ])
-         |    / list_sum([ abs(CAST(a[i] AS DOUBLE) + CAST(b[i] AS DOUBLE)) FOR i IN range(1, len(a)+1) ]) AS DECIMAL(18,4)) AS d_braycurtis,
-         |  CAST(0.5 * list_sum([ (CASE WHEN pa[i] > 0 AND pa[i] + pb[i] > 0 THEN pa[i] * ln(2.0 * pa[i] / (pa[i] + pb[i])) ELSE 0.0 END)
+         |        ELSE 0.0 END FOR i IN range(1, len(a)+1) ]) AS DECIMAL(18,4)) AS DOUBLE) AS d_canberra,
+         |  CAST(CAST(list_sum([ abs(CAST(a[i] AS DOUBLE) - CAST(b[i] AS DOUBLE)) FOR i IN range(1, len(a)+1) ])
+         |    / list_sum([ abs(CAST(a[i] AS DOUBLE) + CAST(b[i] AS DOUBLE)) FOR i IN range(1, len(a)+1) ]) AS DECIMAL(18,4)) AS DOUBLE) AS d_braycurtis,
+         |  CAST(CAST(0.5 * list_sum([ (CASE WHEN pa[i] > 0 AND pa[i] + pb[i] > 0 THEN pa[i] * ln(2.0 * pa[i] / (pa[i] + pb[i])) ELSE 0.0 END)
          |      + (CASE WHEN pb[i] > 0 AND pa[i] + pb[i] > 0 THEN pb[i] * ln(2.0 * pb[i] / (pa[i] + pb[i])) ELSE 0.0 END)
-         |      FOR i IN range(1, len(pa)+1) ]) AS DECIMAL(18,4)) AS d_js,
-         |  CAST(1.0 - list_sum([ least(pa[i], pb[i]) FOR i IN range(1, len(pa)+1) ])
-         |    / list_sum([ greatest(pa[i], pb[i]) FOR i IN range(1, len(pa)+1) ]) AS DECIMAL(18,4)) AS d_jaccard
+         |      FOR i IN range(1, len(pa)+1) ]) AS DECIMAL(18,4)) AS DOUBLE) AS d_js,
+         |  CAST(CAST(1.0 - list_sum([ least(pa[i], pb[i]) FOR i IN range(1, len(pa)+1) ])
+         |    / list_sum([ greatest(pa[i], pb[i]) FOR i IN range(1, len(pa)+1) ]) AS DECIMAL(18,4)) AS DOUBLE) AS d_jaccard
          |FROM m""".stripMargin)
 }
