@@ -134,19 +134,22 @@ object IndexCatalog {
         val vcol = df.columns(0)
         val start = e.nextAutoId
         val spark = df.sparkSession
-        val vecDf = df.select(vec.vector(col(vcol)).as("vec"))
+        // cache the INPUT before zipWithIndex: zipWithIndex runs its
+        // partition-size job on the parent, and the numbering map runs in
+        // a second job — on a nondeterministic source those two
+        // evaluations could disagree (shifted/duplicate ids) unless both
+        // read the same materialized data
+        val vecDf = df.select(vec.vector(col(vcol)).as("vec")).cache()
         val schema = org.apache.spark.sql.types.StructType(Seq(
           org.apache.spark.sql.types.StructField("label", org.apache.spark.sql.types.LongType, nullable = false),
           vecDf.schema.fields(0).copy(name = "vec")))
-        // cache the numbered batch BEFORE counting so the labels and the
-        // count come from the same evaluation (a nondeterministic source
-        // re-evaluated twice could otherwise shift the next batch's start)
         val out = spark.createDataFrame(
           vecDf.rdd.zipWithIndex.map { case (row, i) =>
             org.apache.spark.sql.Row(start + i, row.get(0))
           }, schema).cache()
         e.cachedBatches += out // released on destroy()
-        e.nextAutoId = start + out.count()
+        e.nextAutoId = start + out.count() // materializes out's cache
+        vecDf.unpersist(blocking = false) // out is self-contained now
         out
       case _ =>
         if (!e.idMap)
@@ -312,6 +315,14 @@ object IndexCatalog {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
   }
 
+  /** object-store-safe existence check: java.io.File would always say
+    * "missing" for hdfs:// or s3:// paths and silently drop trained
+    * codebooks on load */
+  private def pathExists(spark: SparkSession, p: String): Boolean = {
+    val hp = new org.apache.hadoop.fs.Path(p)
+    hp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(hp)
+  }
+
   def load(name: String, path: String, spark: SparkSession): Unit = {
     val m = spark.read.parquet(s"$path/meta").collect()(0)
     val params = m.getString(4).split(";").filter(_.nonEmpty)
@@ -334,14 +345,14 @@ object IndexCatalog {
           e.meta, cents, VectorMath.metricId(e.meta.metric)))
       case _ =>
         e.pending = Some(spark.read.parquet(s"$path/data").select(col("label"), col("vec")))
-        if (new java.io.File(s"$path/pq_codebooks").isDirectory) {
+        if (pathExists(spark, s"$path/pq_codebooks")) {
           val books = spark.read.parquet(s"$path/pq_codebooks").collect()
             .groupBy(_.getInt(0)).toSeq.sortBy(_._1)
             .map { case (_, rows) =>
               rows.sortBy(_.getInt(1)).map(_.getSeq[Float](2).toArray)
             }.toArray
           val coarse =
-            if (new java.io.File(s"$path/pq_coarse").isDirectory)
+            if (pathExists(spark, s"$path/pq_coarse"))
               Some(spark.read.parquet(s"$path/pq_coarse").collect()
                 .sortBy(_.getInt(0)).map(_.getSeq[Float](1).toArray))
             else None
@@ -385,8 +396,10 @@ object IndexCatalog {
         .collect()
         .filter(r => !r.isNullAt(0) && !r.isNullAt(1))
         .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+      // probe with the SAME metric vectors were assigned with (an IP
+      // index probed by L2 would look in lists its vectors never joined)
       val probePairs = qRows.toSeq.flatMap { case (qid, qv) =>
-        PqBuilt.nearestLists(qv, centroids, nprobe).map(l => (qid, qv.toSeq, l))
+        NearestCentroids.nearestIds(qv, centroids, nprobe, metricId).map(l => (qid, qv.toSeq, l))
       }
       val probes = probePairs.toDF("qid", "qvec", "list_id")
         .select(col("qid"), vec.vector(col("qvec")).as("qvec"), col("list_id"))
@@ -447,6 +460,7 @@ object IndexCatalog {
       val qArr = queries
         .select(col("qid").cast("long"), vec.vector(col("qvec")))
         .collect()
+        .filter(r => !r.isNullAt(0) && !r.isNullAt(1)) // skip null rows like IvfBuilt
         .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
       val luts = qArr.map { case (qid, qv) => qid -> Pq.lutFor(qv, codebooks) }.toMap
 
@@ -479,18 +493,10 @@ object IndexCatalog {
   }
 
   object PqBuilt {
+    /** PQ coarse probing is L2 by FAISS convention (assignment uses L2SQ too) */
     private[index] def nearestLists(
-        q: Array[Float], cents: Array[Array[Float]], nprobe: Int): Seq[Int] = {
-      val heap = new graft.functions.TopKHeap(math.min(nprobe, cents.length), ascending = true)
-      var c = 0
-      while (c < cents.length) {
-        var d = 0.0; var i = 0
-        while (i < q.length) { val t = q(i) - cents(c)(i); d += t * t; i += 1 }
-        heap.insert(d, c.toLong)
-        c += 1
-      }
-      heap.sorted.map(_._2.toInt).toSeq
-    }
+        q: Array[Float], cents: Array[Array[Float]], nprobe: Int): Seq[Int] =
+      NearestCentroids.nearestIds(q, cents, nprobe, VectorMath.L2SQ)
 
     def build(
         data: DataFrame, meta: IndexMeta, m: Int, nlist: Int,
@@ -542,6 +548,7 @@ object IndexCatalog {
       val qArr = queries
         .select(col("qid").cast("long"), vec.vector(col("qvec")))
         .collect()
+        .filter(r => !r.isNullAt(0) && !r.isNullAt(1)) // skip null rows like IvfBuilt
         .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
       val qB = spark.sparkContext.broadcast(qArr)
       val perShard = graphs.flatMap { g =>

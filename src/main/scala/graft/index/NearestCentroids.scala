@@ -79,6 +79,30 @@ object NearestCentroids {
     }
   }
 
+  /**
+   * Driver-side twin of [[nearest]] for probing with an already
+   * materialized query vector. Metric-aware like the assignment path:
+   * FAISS probes with the same metric it assigned with — an IP index
+   * probed by L2 would look in lists its vectors were never put in.
+   */
+  def nearestIds(q: Array[Float], centroids: Array[Array[Float]], nprobe: Int, metric: Int): Seq[Int] = {
+    val asc = VectorMath.smallerIsCloser(metric)
+    val heap = new TopKHeap(math.min(nprobe, centroids.length), asc)
+    var c = 0
+    while (c < centroids.length) {
+      var d = 0.0
+      var i = 0
+      if (metric == VectorMath.IP) {
+        while (i < q.length) { d += q(i).toDouble * centroids(c)(i); i += 1 }
+      } else {
+        while (i < q.length) { val t = q(i).toDouble - centroids(c)(i); d += t * t; i += 1 }
+      }
+      heap.insert(d, c.toLong)
+      c += 1
+    }
+    heap.sorted.map(_._2.toInt).toSeq
+  }
+
   @inline private def distTo(v: ArrayData, cen: Array[Float], dim: Int, metric: Int): Double = {
     var d = 0.0
     var i = 0

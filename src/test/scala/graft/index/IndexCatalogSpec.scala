@@ -68,6 +68,27 @@ class IndexCatalogSpec extends SparkSpec {
     assert(recall >= 0.75, s"recall $recall")
   }
 
+  test("IP-metric IVF probes the lists vectors were assigned to (exhaustive = exact)") {
+    // assignment uses max-inner-product; probing must too, or the probed
+    // lists won't be where the vectors live and recall collapses
+    IndexCatalog.create("t_ivf_ip", 2, "IDMap,IVF8,Flat", "ip", Map("nprobe" -> "8"))
+    IndexCatalog.add(grid, "t_ivf_ip")
+    val got = labelsOf(IndexCatalog.search("t_ivf_ip", 4, qs))
+    val want = labelsOf(Knn.searchFlat(grid, qs, 4, "ip"))
+    assert(got === want)
+  }
+
+  test("IP-metric IVF partial-probe recall stays high") {
+    IndexCatalog.create("t_ivf_ip_p", 2, "IDMap,IVF8,Flat", "ip", Map("nprobe" -> "3"))
+    IndexCatalog.add(grid, "t_ivf_ip_p")
+    val got = labelsOf(IndexCatalog.search("t_ivf_ip_p", 4, qs))
+    val want = labelsOf(Knn.searchFlat(grid, qs, 4, "ip"))
+    val recall = qs.collect().map(_.getLong(0)).map { q =>
+      got(q).toSet.intersect(want(q).toSet).size.toDouble / want(q).size
+    }.sum / 2
+    assert(recall >= 0.75, s"recall $recall")
+  }
+
   test("LSH search finds mostly-true neighbors (cosine)") {
     IndexCatalog.create("t_lsh", 2, "IDMap,LSH8", "cosine", Map("bands" -> "16"))
     IndexCatalog.add(grid, "t_lsh")
