@@ -200,7 +200,7 @@ object IndexCatalog {
         throw new IllegalStateException(s"index '$name' has no vectors; call add first"))
       val metricId = VectorMath.metricId(e.meta.metric)
       val built: BuiltIndex = e.kind match {
-        case FlatKind => new FlatBuilt(data.cache(), e.meta)
+        case FlatKind => new FlatBuilt(Knn.widen(data).cache(), e.meta) // widen once, before the cache
         case LshKind(bits) => LshBuilt.build(data, e.meta, bits)
         case PqKind(m, nlist) => PqBuilt.build(data, e.meta, m, nlist, e.trainedPq)
         case HnswKind(m) => HnswBuilt.build(data, e.meta, m)
@@ -428,8 +428,10 @@ object IndexCatalog {
       val assign = GraftBridge.column(
         NearestCentroids(GraftBridge.expression(col("vec")), centroids, 1, metricId))
       // all-NaN vectors probe nothing -> park them in list -1 (never
-      // probed), instead of failing the build on element_at(empty, 1)
-      val assigned = data
+      // probed), instead of failing the build on element_at(empty, 1).
+      // Widen first: assignment is the map stage of the list_id shuffle,
+      // and on a narrow (single-file) input it would run on one core.
+      val assigned = Knn.widen(data)
         .select(
           when(size(assign) > 0, element_at(assign, 1)).otherwise(lit(-1)).as("list_id"),
           col("label"), col("vec"))
@@ -510,16 +512,19 @@ object IndexCatalog {
           else None)
       }
       val encode = GraftBridge.column(PqEncode(GraftBridge.expression(col("vec")), codebooks))
+      // PQ encoding is the CPU-heavy step (m x 256 centroid scans per
+      // row) — widen narrow inputs so it runs at full parallelism
+      val wide = Knn.widen(data)
       val withCode = cents match {
         case Some(cs) =>
           val assign = GraftBridge.column(NearestCentroids(
             GraftBridge.expression(col("vec")), cs, 1, VectorMath.L2SQ))
-          data.select(
+          wide.select(
               when(size(assign) > 0, element_at(assign, 1)).otherwise(lit(-1)).as("list_id"),
               col("label"), encode.as("code"), col("vec"))
             .repartition(col("list_id"))
         case None =>
-          data.select(lit(0).as("list_id"), col("label"), encode.as("code"), col("vec"))
+          wide.select(lit(0).as("list_id"), col("label"), encode.as("code"), col("vec"))
       }
       new PqBuilt(withCode.cache(), meta, codebooks, cents)
     }
@@ -611,7 +616,9 @@ object IndexCatalog {
     def build(data: DataFrame, meta: IndexMeta, bitsPerBand: Int): LshBuilt = {
       val bands = meta.params.get("bands").map(_.toInt).getOrElse(16)
       val seed = meta.params.get("seed").map(_.toLong).getOrElse(42L)
-      val bucketed = data
+      // widen before hashing: bucket computation is the map stage of the
+      // bucket shuffle and must not run on a single narrow partition
+      val bucketed = Knn.widen(data)
         .select(
           explode(hashes.hyperplaneBuckets(col("vec"), bands, bitsPerBand, seed)).as("bucket"),
           col("label"), col("vec"))

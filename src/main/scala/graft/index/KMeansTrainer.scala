@@ -20,10 +20,20 @@ object KMeansTrainer {
   val LocalLimit = 200000L
 
   def train(vecs: DataFrame, k: Int, seed: Long, maxIter: Int): Array[Array[Float]] = {
-    val n = vecs.count()
-    val effK = math.min(k.toLong, n).toInt
-    if (n <= LocalLimit) trainLocal(vecs, effK, seed, maxIter)
-    else trainMllib(vecs, effK, seed, maxIter)
+    // one job decides the path AND fetches the local sample: collect up
+    // to LocalLimit+1 rows — overflow means "big", go distributed
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val head: Array[Array[Float]] = vecs
+      .select(vecs.columns.head)
+      .limit((LocalLimit + 1).toInt)
+      .as[Seq[Float]]
+      .collect()
+      .map(_.toArray)
+    if (head.length <= LocalLimit) {
+      if (head.isEmpty) Array.empty
+      else Pq.localKMeans(head, math.min(k, head.length), seed, maxIter)
+    } else trainMllib(vecs, k, seed, maxIter)
   }
 
   private def trainMllib(vecs: DataFrame, k: Int, seed: Long, maxIter: Int): Array[Array[Float]] = {
@@ -39,14 +49,5 @@ object KMeansTrainer {
       .setFeaturesCol("features")
       .fit(features)
     model.clusterCenters.map((v: Vector) => v.toArray.map(_.toFloat))
-  }
-
-  /** deterministic driver-side Lloyd's (shared with PQ codebook training) */
-  private def trainLocal(vecs: DataFrame, k: Int, seed: Long, maxIter: Int): Array[Array[Float]] = {
-    val spark = vecs.sparkSession
-    import spark.implicits._
-    val pts: Array[Array[Float]] =
-      vecs.select(vecs.columns.head).as[Seq[Float]].collect().map(_.toArray)
-    if (pts.isEmpty) Array.empty else Pq.localKMeans(pts, k, seed, maxIter)
   }
 }

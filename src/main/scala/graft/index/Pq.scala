@@ -32,45 +32,69 @@ object Pq {
     }
   }
 
-  /** plain Lloyd's on a small in-memory sample (deterministic seeded init) */
+  /**
+   * Plain Lloyd's on a small in-memory sample (deterministic seeded
+   * init). The O(n*k*dim) assignment step runs chunk-parallel on the
+   * driver's cores; per-chunk partial sums merge in fixed chunk order,
+   * so the result is run-to-run deterministic (though the float sum
+   * order differs from a strictly sequential pass).
+   */
   private[index] def localKMeans(
       pts: Array[Array[Float]], k: Int, seed: Long, maxIter: Int): Array[Array[Float]] = {
     val dim = pts(0).length
     val centers = Array.tabulate(k)(i => pts(((Hash64.mix(seed + i) >>> 1) % pts.length).toInt).clone())
     val assign = new Array[Int](pts.length)
+    val nChunks = math.max(1, math.min(Runtime.getRuntime.availableProcessors(), pts.length / 2048))
+    val chunkSize = (pts.length + nChunks - 1) / nChunks
+    val chunkMoved = new Array[Boolean](nChunks)
+    val chunkSums = Array.ofDim[Double](nChunks, k, dim)
+    val chunkCounts = Array.ofDim[Int](nChunks, k)
     var iter = 0
     var moved = true
     while (iter < maxIter && moved) {
-      moved = false
-      var p = 0
-      while (p < pts.length) {
-        val v = pts(p)
-        var best = 0; var bestD = Double.MaxValue
-        var c = 0
-        while (c < k) {
-          val cen = centers(c)
-          var d = 0.0; var i = 0
-          while (i < dim) { val t = v(i) - cen(i); d += t * t; i += 1 }
-          if (d < bestD) { bestD = d; best = c }
-          c += 1
+      java.util.stream.IntStream.range(0, nChunks).parallel().forEach { chunk =>
+        val lo = chunk * chunkSize
+        val hi = math.min(lo + chunkSize, pts.length)
+        val sums = chunkSums(chunk)
+        val counts = chunkCounts(chunk)
+        var c0 = 0
+        while (c0 < k) { java.util.Arrays.fill(sums(c0), 0.0); counts(c0) = 0; c0 += 1 }
+        var anyMoved = false
+        var p = lo
+        while (p < hi) {
+          val v = pts(p)
+          var best = 0; var bestD = Double.MaxValue
+          var c = 0
+          while (c < k) {
+            val cen = centers(c)
+            var d = 0.0; var i = 0
+            while (i < dim) { val t = v(i) - cen(i); d += t * t; i += 1 }
+            if (d < bestD) { bestD = d; best = c }
+            c += 1
+          }
+          if (assign(p) != best) { assign(p) = best; anyMoved = true }
+          counts(best) += 1
+          val s = sums(best); var i = 0
+          while (i < dim) { s(i) += v(i); i += 1 }
+          p += 1
         }
-        if (assign(p) != best) { assign(p) = best; moved = true }
-        p += 1
+        chunkMoved(chunk) = anyMoved
       }
-      val sums = Array.ofDim[Double](k, dim)
-      val counts = new Array[Int](k)
-      var q = 0
-      while (q < pts.length) {
-        val c = assign(q); counts(c) += 1
-        val v = pts(q); var i = 0
-        while (i < dim) { sums(c)(i) += v(i); i += 1 }
-        q += 1
-      }
+      moved = chunkMoved.exists(identity)
       var c = 0
       while (c < k) {
-        if (counts(c) > 0) {
+        var cnt = 0
+        var chunk = 0
+        while (chunk < nChunks) { cnt += chunkCounts(chunk)(c); chunk += 1 }
+        if (cnt > 0) {
           var i = 0
-          while (i < dim) { centers(c)(i) = (sums(c)(i) / counts(c)).toFloat; i += 1 }
+          while (i < dim) {
+            var s = 0.0
+            var ch = 0
+            while (ch < nChunks) { s += chunkSums(ch)(c)(i); ch += 1 }
+            centers(c)(i) = (s / cnt).toFloat
+            i += 1
+          }
         }
         c += 1
       }

@@ -21,9 +21,9 @@ import graft.functions.{vec, VectorMath}
 object Knn {
 
   /** widen CPU-bound narrow scans to the session parallelism (no-op on
-    * real multi-split inputs) — shared by both search paths so their
-    * partitioning behavior can't drift */
-  private def widen(data: DataFrame): DataFrame = {
+    * real multi-split inputs) — shared by the search paths and the
+    * index builds so their partitioning behavior can't drift */
+  private[graft] def widen(data: DataFrame): DataFrame = {
     val spark = data.sparkSession
     if (data.rdd.getNumPartitions < spark.sparkContext.defaultParallelism / 2)
       data.repartition(spark.sparkContext.defaultParallelism)
