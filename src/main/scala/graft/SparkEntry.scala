@@ -15,12 +15,13 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++ VectorQueries.queries ++
       TextQueries.queries ++ DedupQueries.queries ++ IndexQueries.queries ++
-      IndexQueries.scaleQueries ++ MultimodalQueries.queries
+      IndexQueries.scaleQueries ++ MultimodalQueries.queries ++
+      PipelineQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracles ++ VectorQueries.oracles ++
       TextQueries.oracles ++ DedupQueries.oracles ++ IndexQueries.oracles ++
-      MultimodalQueries.oracles
+      MultimodalQueries.oracles ++ PipelineQueries.oracles
 }

@@ -162,6 +162,59 @@ object Dedup {
           (size(col("sa")) + size(col("sb")) - inter).cast("double")).as("jaccard"))
   }
 
+  /**
+   * Connected components over a duplicate-pair edge list: each doc gets
+   * `cluster_id` = min doc id reachable through pairs (so one canonical
+   * survivor per duplicate group — the standard dedup clustering step
+   * after pair generation).
+   *
+   * Iterative min-label propagation: every round each vertex takes the
+   * min of its own label and its neighbors' labels (join + group-by =
+   * two bounded shuffles per round), until a fixpoint. Rounds needed =
+   * graph diameter; near-dup clusters are small and dense, so this
+   * converges in a handful of rounds even at corpus scale. Lineage is
+   * cut with localCheckpoint every few rounds so the plan doesn't grow
+   * unboundedly. Only vertices that appear in a pair are emitted
+   * (singletons are trivially their own cluster).
+   */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+    val edges = pairs
+      .select(col("a_id").cast("long").as("src"), col("b_id").cast("long").as("dst"))
+      .union(pairs.select(col("b_id").cast("long").as("src"), col("a_id").cast("long").as("dst")))
+      .distinct()
+      .cache()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("comp"))
+      .cache()
+    var backing = labels // the cached/checkpointed DF currently materializing `labels`
+    var iter = 0
+    var changed = 1L
+    while (changed > 0 && iter < maxIter) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("dst"), col("comp").as("nbr_comp")), "dst")
+        .groupBy("src")
+        .agg(min(col("nbr_comp")).as("min_nbr"))
+        .select(col("src").as("id"), col("min_nbr"))
+      val stepped = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("min_nbr"), col("comp"))).as("comp"),
+          (coalesce(col("min_nbr"), col("comp")) < col("comp")).as("_moved"))
+        .cache()
+      changed = stepped.where(col("_moved")).count() // materializes stepped's cache
+      backing.unpersist(blocking = false)
+      backing = stepped
+      labels = stepped.select(col("id"), col("comp"))
+      if (iter % 5 == 4) { // cut lineage so the iterated plan stays bounded
+        labels = labels.localCheckpoint()
+        backing.unpersist(blocking = false)
+        backing = labels
+      }
+      iter += 1
+    }
+    edges.unpersist(blocking = false)
+    labels.select(col("id"), col("comp").as("cluster_id"))
+  }
+
   /** embedding cosine near-duplicates over candidate pairs (a_id, b_id) */
   def embeddingNearDup(
       embs: DataFrame, idCol: String, vecCol: String,

@@ -51,6 +51,19 @@ object DedupQueries {
         .join(degree, Seq("doc_id"), "left")
         .select(col("doc_id"), coalesce(col("n_dup_candidates"), lit(0L)).as("n_dup_candidates"))
     },
+    // duplicate clusters: verified-pair edges -> connected components;
+    // cluster_id = min reachable doc id (the canonical survivor)
+    "dedup_clusters" -> { (s, dir) =>
+      val pairs = Dedup
+        .ngramJaccardWindow(docs(s, dir), "doc_id", "text", window = 250, shingleSize = 2)
+        .where(col("jaccard") >= 0.5)
+        .select(col("a_id"), col("b_id"))
+      Dedup.connectedComponents(pairs)
+        .select(col("id").as("doc_id"), col("cluster_id"),
+          count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy("cluster_id"))
+            .as("cluster_size"))
+    },
     "dedup_simhash" -> { (s, dir) =>
       val d = docs(s, dir)
       val cands = Dedup.simhashCandidates(d, "doc_id", "text", maxHamming = 3)
@@ -88,6 +101,29 @@ object DedupQueries {
          |)
          |SELECT a_id, b_id, jaccard FROM j
          |ORDER BY jaccard DESC, a_id, b_id LIMIT 20""".stripMargin,
+    // transitive closure via recursive CTE = the oracle for min-label
+    // propagation (both converge to min reachable id per component)
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |sh AS (SELECT doc_id, $shinglesSql AS sh FROM t),
+         |jp AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |      / CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS jaccard
+         |  FROM sh a JOIN sh b
+         |    ON b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 250
+         |),
+         |p AS (SELECT a_id, b_id FROM jp WHERE jaccard >= 0.5),
+         |e AS (SELECT a_id AS src, b_id AS dst FROM p UNION SELECT b_id, a_id FROM p),
+         |reach AS (
+         |  SELECT src AS id, src AS r FROM e
+         |  UNION
+         |  SELECT e.src, reach.r FROM e JOIN reach ON reach.id = e.dst
+         |),
+         |c AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id)
+         |SELECT doc_id, cluster_id,
+         |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+         |FROM c""".stripMargin,
     "dedup_embedding" ->
       """WITH p AS (
         |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,

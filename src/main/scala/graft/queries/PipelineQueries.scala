@@ -1,0 +1,139 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.text.Pipeline
+
+/**
+ * Training-data pipeline assembly + extra host-engine parity queries:
+ * sequence packing, contamination screening, int8 embedding
+ * quantization, time-range attribution join, EXISTS semi-join.
+ */
+object PipelineQueries {
+
+  private val TokenBudget = 2048
+  private val AttribDays = 3
+  private val EvalCutoff = 20L // doc_id < 20 = "benchmark" eval set
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // token-budget sequence packing, windowed per language (the packing
+    // partition a real mixture pipeline would use at 100 TB)
+    "pack_sequences" -> { (s, dir) =>
+      Pipeline.packSequences(Tables(s, dir, "documents"), "doc_id", "text", "lang", TokenBudget)
+    },
+    // eval-set n-gram overlap per training doc (contamination screen)
+    "contamination" -> { (s, dir) =>
+      Pipeline.contamination(
+          Tables(s, dir, "documents"), "doc_id", "text",
+          col("doc_id") < EvalCutoff, shingleSize = 3)
+        .select(col("id").as("doc_id"), col("n_overlap"))
+    },
+    // symmetric int8 quantization round-trip: per-vector scale and the
+    // max absolute dequantization error (the compression/fidelity
+    // tradeoff check before shipping embeddings at scale)
+    "embed_quantize" -> { (s, dir) =>
+      val va = col("embedding").cast("array<double>")
+      val withScale = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), va.as("va"),
+          array_max(transform(va, x => abs(x))).as("scale"))
+      // `scale` is a bound attribute here, so lambda references are
+      // cheap (re-evaluating a full expression per element is the
+      // HOF O(n^2) trap). Quantize with floor(v + 0.5), not round():
+      // engines disagree on round() ties (decimal-string HALF_UP vs
+      // binary std::round), while floor/+/*// are IEEE-exact both sides.
+      val codes = transform(col("va"), x => floor(x / col("scale") * 127 + 0.5))
+      val errs = zip_with(col("va"), codes, (x, c) => abs(x - c * col("scale") / 127.0))
+      // quantize in a SEPARATE projection: aliasing quant4(scale) AS
+      // "scale" in the same select shadows the input column, and HOF
+      // lambda refs resolve late — they'd silently bind to the
+      // quantized output instead of the raw scale the math needs
+      withScale
+        .select(col("vec_id"), col("scale"),
+          when(col("scale") === 0, 0.0).otherwise(array_max(errs)).as("_max_err"))
+        .select(
+          col("vec_id"),
+          Tables.quant4(col("scale")).as("scale"),
+          Tables.quant4(col("_max_err")).as("max_err"))
+    },
+    // time-range attribution join: events a customer produced within
+    // AttribDays after each of their orders (equi-join on the customer
+    // key + range predicate -> one bounded hash-join shuffle at scale)
+    "events_range_join" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      Tables(s, dir, "orders")
+        .join(ev,
+          col("user_id") === col("o_custkey") &&
+            col("ts") >= col("o_orderdate") &&
+            col("ts") < col("o_orderdate") + expr(s"INTERVAL $AttribDays DAYS"),
+          "left")
+        .groupBy("o_orderkey")
+        .agg(
+          count(col("event_id")).as("n_events"),
+          coalesce(Tables.moneySum(col("value")), lit(0.0)).as("value_sum"))
+    },
+    // TPC-H Q4-style EXISTS: orders with any late-shipping lineitem
+    "q4_priority" -> { (s, dir) =>
+      val li = Tables(s, dir, "lineitem").select(col("l_orderkey"), col("l_shipdate"))
+      Tables(s, dir, "orders")
+        .join(li,
+          col("l_orderkey") === col("o_orderkey") &&
+            col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+          "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"))
+    })
+
+  private val toksSql = "string_split_regex(lower(trim(text)), '\\s+')"
+  private val shingles3Sql =
+    """list_distinct(CASE WHEN len(toks) >= 3
+      |  THEN [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] FOR i IN range(1, len(toks)-1)]
+      |  ELSE [] END)""".stripMargin
+
+  def oracles: Map[String, String] = Map(
+    "pack_sequences" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, lang, CAST(len($toksSql) AS BIGINT) AS n_tokens FROM documents
+         |)
+         |SELECT doc_id, lang, n_tokens,
+         |  CAST(floor((sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+         |    ROWS UNBOUNDED PRECEDING) - n_tokens) / $TokenBudget) AS BIGINT) AS seq_no
+         |FROM t""".stripMargin,
+    "contamination" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |sh AS (SELECT doc_id, $shingles3Sql AS sh FROM t),
+         |ev AS (SELECT DISTINCT unnest(sh) AS s FROM sh WHERE doc_id < $EvalCutoff),
+         |tr AS (SELECT doc_id, unnest(sh) AS s FROM sh WHERE doc_id >= $EvalCutoff),
+         |cnt AS (SELECT doc_id, count(*) AS n_overlap FROM tr JOIN ev USING (s) GROUP BY doc_id)
+         |SELECT s2.doc_id, coalesce(c.n_overlap, CAST(0 AS BIGINT)) AS n_overlap
+         |FROM (SELECT doc_id FROM sh WHERE doc_id >= $EvalCutoff) s2
+         |LEFT JOIN cnt c USING (doc_id)""".stripMargin,
+    "embed_quantize" ->
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS va FROM embeddings),
+         |s AS (SELECT vec_id, va, list_max([abs(x) FOR x IN va]) AS scale FROM v)
+         |SELECT vec_id,
+         |  ${Tables.quant4Sql("scale")} AS scale,
+         |  ${Tables.quant4Sql(
+             "CASE WHEN scale = 0 THEN 0.0 ELSE " +
+               "list_max([abs(x - floor(x / scale * 127 + 0.5) * scale / 127.0) FOR x IN va]) END")} AS max_err
+         |FROM s""".stripMargin,
+    "events_range_join" ->
+      s"""SELECT o.o_orderkey,
+         |  count(e.event_id) AS n_events,
+         |  coalesce(${Tables.moneySumSql("e.value")}, 0.0) AS value_sum
+         |FROM orders o LEFT JOIN events e
+         |  ON e.user_id = o.o_custkey
+         | AND CAST(e.ts AS TIMESTAMP) >= o.o_orderdate
+         | AND CAST(e.ts AS TIMESTAMP) < o.o_orderdate + INTERVAL $AttribDays DAY
+         |GROUP BY o.o_orderkey""".stripMargin,
+    "q4_priority" ->
+      """SELECT o_orderpriority, count(*) AS n_orders
+        |FROM orders o
+        |WHERE EXISTS (
+        |  SELECT 1 FROM lineitem l
+        |  WHERE l.l_orderkey = o.o_orderkey
+        |    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+        |)
+        |GROUP BY o_orderpriority""".stripMargin)
+}

@@ -1,0 +1,69 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Training-data pipeline assembly operators: sequence packing and
+ * benchmark-contamination screening. Both are single-pass,
+ * bounded-shuffle plans (one window / one hash join), so they hold at
+ * corpus scale.
+ */
+object Pipeline {
+
+  /**
+   * Pack documents into token-budget training sequences. Docs are laid
+   * out in deterministic (groupCol, orderCol) order; each doc joins the
+   * sequence holding the running token total so far:
+   * seq_no = floor((cumulative_tokens - own_tokens) / budget).
+   *
+   * The window partitions by `groupCol` (e.g. language), so the running
+   * sum never becomes a single global ordering bottleneck — at 100 TB
+   * you pack within natural corpus partitions (lang, source, shard),
+   * which is also what training mixtures want. A doc longer than the
+   * budget still lands in exactly one sequence (greedy, no splitting).
+   */
+  def packSequences(
+      docs: DataFrame, idCol: String, textCol: String, groupCol: String,
+      tokenBudget: Int): DataFrame = {
+    val w = Window.partitionBy(groupCol).orderBy(idCol)
+    docs
+      .select(col(idCol), col(groupCol),
+        size(TextFunctions.tokens(col(textCol))).cast("long").as("n_tokens"))
+      .withColumn("_cum", sum(col("n_tokens")).over(w))
+      .select(col(idCol), col(groupCol), col("n_tokens"),
+        floor((col("_cum") - col("n_tokens")) / tokenBudget).as("seq_no"))
+  }
+
+  /**
+   * Benchmark-contamination screen: for every candidate doc, the number
+   * of its distinct word n-gram shingles that also occur anywhere in
+   * the eval set. Shingles compare as 64-bit hashes (sorted-merge-free
+   * here: a plain semi-ish join on the hash), the same collision-exact
+   * trick the dedup family uses; the eval side is tiny relative to the
+   * corpus, so the join broadcasts at scale.
+   *
+   * @param evalPred  predicate selecting eval docs (excluded from output)
+   */
+  def contamination(
+      docs: DataFrame, idCol: String, textCol: String,
+      evalPred: org.apache.spark.sql.Column, shingleSize: Int): DataFrame = {
+    val sh = docs.select(
+      col(idCol).as("id"), evalPred.as("_is_eval"),
+      transform(
+        TextFunctions.shingles(TextFunctions.tokens(col(textCol)), shingleSize),
+        s => xxhash64(s)).as("sh"))
+    val evalShingles = sh.where(col("_is_eval"))
+      .select(explode(col("sh")).as("s")).distinct()
+    val trainShingles = sh.where(!col("_is_eval"))
+      .select(col("id"), explode(col("sh")).as("s"))
+    val overlap = trainShingles
+      .join(evalShingles, Seq("s")) // distinct eval side -> no fanout
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_overlap"))
+    sh.where(!col("_is_eval")).select(col("id"))
+      .join(overlap, Seq("id"), "left")
+      .select(col("id"), coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
+  }
+}

@@ -49,6 +49,24 @@ class DedupSpec extends SparkSpec {
     assert(j((0L, 3L)) === 0.0)
   }
 
+  test("connected components: chains collapse to min id, components stay separate") {
+    import spark.implicits._
+    // 1-2, 2-3, 3-4 chain (diameter 3, exercises multiple rounds); 10-11 separate
+    val pairs = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("a_id", "b_id")
+    val cc = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("connected components: long chain converges past the checkpoint boundary") {
+    import spark.implicits._
+    // a 14-edge path needs >5 propagation rounds (crosses the lineage cut)
+    val pairs = (0L until 14L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val cc = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc === (0L to 14L).map(_ -> 0L).toMap)
+  }
+
   test("embedding near-dup honors the cosine threshold") {
     import spark.implicits._
     val embs = Seq(
