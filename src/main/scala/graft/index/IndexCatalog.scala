@@ -37,21 +37,29 @@ object IndexCatalog {
       metric: String,
       params: Map[String, String])
 
-  /** parsed factory: Flat | IDMap,Flat | IVF<n>[,Flat|,PQ<m>] | PQ<m> | LSH<b> | HNSW<m> */
+  /** parsed factory: Flat | IDMap,Flat | IVF<n>[,Flat|,PQ<m>|,SQ8] | PQ<m> | SQ8 | LSH<b> | HNSW<m> */
   sealed trait Kind
   case object FlatKind extends Kind
   case class IvfKind(nlist: Int) extends Kind
   case class LshKind(bits: Int) extends Kind
   case class PqKind(m: Int, nlist: Int) extends Kind
+  case class SqKind(nlist: Int) extends Kind
   case class HnswKind(m: Int) extends Kind
 
   def parseFactory(factory: String): Kind = {
     val parts = factory.split(",").map(_.trim).filter(_ != "IDMap")
     val pqPart = parts.find(_.startsWith("PQ")).map(_.stripPrefix("PQ").toInt)
+    val sqPart = parts.find(_.startsWith("SQ")).map(_.stripPrefix("SQ"))
+    sqPart.foreach { b =>
+      require(b == "8", s"only SQ8 scalar quantization is supported, got SQ$b")
+    }
     parts.headOption.getOrElse("Flat") match {
       case s if s.startsWith("IVF") && pqPart.isDefined =>
         PqKind(pqPart.get, s.stripPrefix("IVF").toInt)
+      case s if s.startsWith("IVF") && sqPart.isDefined =>
+        SqKind(s.stripPrefix("IVF").toInt)
       case s if s.startsWith("PQ") => PqKind(pqPart.get, 1)
+      case s if s.startsWith("SQ") => SqKind(1)
       case "Flat" => FlatKind
       case s if s.startsWith("IVF") => IvfKind(s.stripPrefix("IVF").toInt)
       case s if s.startsWith("LSH") =>
@@ -72,6 +80,7 @@ object IndexCatalog {
     var pending: Option[DataFrame] = None // (label bigint, vec array<float>)
     var trained: Option[Array[Array[Float]]] = None // IVF centroids from manual_train
     var trainedPq: Option[(Array[Array[Array[Float]]], Option[Array[Array[Float]]])] = None
+    var trainedSq: Option[(Array[Float], Array[Float], Option[Array[Array[Float]]])] = None
     var built: Option[BuiltIndex] = None
     var nextAutoId: Long = 0L
     val cachedBatches = scala.collection.mutable.ListBuffer.empty[DataFrame]
@@ -186,6 +195,15 @@ object IndexCatalog {
           if (nlist > 1) Some(Pq.localKMeans(pts, math.min(nlist, pts.length), seed + 999, 10))
           else None
         e.trainedPq = Some((codebooks, cents))
+      case SqKind(nlist) =>
+        val vcol = sample.columns.last
+        val pts = sample.select(vec.vector(col(vcol)).as("vec")).limit(50000)
+          .collect().map(_.getSeq[Float](0).toArray)
+        val (vmin, vdiff) = Sq.train(pts)
+        val cents =
+          if (nlist > 1) Some(Pq.localKMeans(pts, math.min(nlist, pts.length), seed + 999, 10))
+          else None
+        e.trainedSq = Some((vmin, vdiff, cents))
       case _ => // Flat/LSH/HNSW need no training
     }
     e.built.foreach(_.close())
@@ -203,6 +221,7 @@ object IndexCatalog {
         case FlatKind => new FlatBuilt(Knn.widen(data).cache(), e.meta) // widen once, before the cache
         case LshKind(bits) => LshBuilt.build(data, e.meta, bits)
         case PqKind(m, nlist) => PqBuilt.build(data, e.meta, m, nlist, e.trainedPq)
+        case SqKind(nlist) => SqBuilt.build(data, e.meta, nlist, e.trainedSq)
         case HnswKind(m) => HnswBuilt.build(data, e.meta, m)
         case IvfKind(_) =>
           val centroids = e.trained.getOrElse {
@@ -309,6 +328,17 @@ object IndexCatalog {
           .coalesce(1).write.mode("overwrite").parquet(s"$path/pq_coarse")
       }
     }
+    // persist SQ training (bounds define the codes; re-encode on load
+    // is deterministic given the same bounds)
+    e.trainedSq.foreach { case (vmin, vdiff, coarse) =>
+      vmin.indices.map(i => (i, vmin(i), vdiff(i))).toSeq
+        .toDF("dim_idx", "vmin", "vdiff")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/sq_bounds")
+      coarse.foreach { cs =>
+        cs.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq.toDF("centroid_id", "centroid")
+          .coalesce(1).write.mode("overwrite").parquet(s"$path/sq_coarse")
+      }
+    }
     Seq((e.meta.name, e.meta.dim, e.meta.factory, e.meta.metric,
         e.meta.params.map { case (k, v) => s"$k=$v" }.mkString(";"), e.nextAutoId))
       .toDF("name", "dim", "factory", "metric", "params", "next_auto_id")
@@ -357,6 +387,17 @@ object IndexCatalog {
                 .sortBy(_.getInt(0)).map(_.getSeq[Float](1).toArray))
             else None
           e.trainedPq = Some((books, coarse))
+        }
+        if (pathExists(spark, s"$path/sq_bounds")) {
+          val rows = spark.read.parquet(s"$path/sq_bounds").collect().sortBy(_.getInt(0))
+          val vmin = rows.map(_.getFloat(1))
+          val vdiff = rows.map(_.getFloat(2))
+          val coarse =
+            if (pathExists(spark, s"$path/sq_coarse"))
+              Some(spark.read.parquet(s"$path/sq_coarse").collect()
+                .sortBy(_.getInt(0)).map(_.getSeq[Float](1).toArray))
+            else None
+          e.trainedSq = Some((vmin, vdiff, coarse))
         }
     }
     // restore the auto-id watermark persisted at save() time (the FAISS
@@ -527,6 +568,90 @@ object IndexCatalog {
           wide.select(lit(0).as("list_id"), col("label"), encode.as("code"), col("vec"))
       }
       new PqBuilt(withCode.cache(), meta, codebooks, cents)
+    }
+  }
+
+  /**
+   * SQ8 / IVF-SQ8: vectors stored as per-dim uint8 codes against
+   * trained [min, max] bounds (4x compression, higher fidelity than
+   * PQ); asymmetric search decodes inside the fused distance loop,
+   * then exact re-rank of the top k x refine candidates. Same
+   * candidate-source shape as PqBuilt (probed lists or full scan).
+   */
+  final class SqBuilt(
+      val data: DataFrame, // (list_id int, label bigint, code binary, vec array<float>)
+      meta: IndexMeta,
+      val vmin: Array[Float],
+      val vdiff: Array[Float],
+      centroids: Option[Array[Array[Float]]])
+      extends BuiltIndex {
+
+    def search(queries: DataFrame, k: Int, params: Map[String, String]): DataFrame = {
+      val spark = data.sparkSession
+      import spark.implicits._
+      val refine = params.get("refine").map(_.toInt).getOrElse(4)
+      val qArr = queries
+        .select(col("qid").cast("long"), vec.vector(col("qvec")))
+        .collect()
+        .filter(r => !r.isNullAt(0) && !r.isNullAt(1)) // skip null rows like IvfBuilt
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+      val qMap = qArr.toMap
+
+      val candSource = centroids match {
+        case Some(cents) =>
+          val nprobe = params.get("nprobe").map(_.toInt).getOrElse(math.max(1, cents.length / 8))
+          val probes = qArr.toSeq.flatMap { case (qid, qv) =>
+            NearestCentroids.nearestIds(qv, cents, nprobe, VectorMath.L2SQ).map(l => (qid, l))
+          }.toDF("qid", "list_id")
+          data.join(broadcast(probes), "list_id")
+        case None =>
+          data.crossJoin(broadcast(qArr.map(_._1).toSeq.toDF("qid")))
+      }
+      val sqd = GraftBridge.column(SqL2Distance(
+        GraftBridge.expression(col("code")), GraftBridge.expression(col("qid")), qMap, vmin, vdiff))
+      val cands = candSource
+        .select(col("qid"), col("label"), sqd.as("_sqd"))
+        .groupBy(col("qid"))
+        .agg(vec.topk(k * refine, col("_sqd"), col("label"), ascending = true).as("nn"))
+        .select(col("qid"), explode(col("nn.label")).as("label"))
+      // exact re-rank on original vectors
+      val qdf = queries.select(col("qid").cast("long").as("qid"), vec.vector(col("qvec")).as("qvec"))
+      Knn.rankResults(
+        cands
+          .join(data.select(col("label"), col("vec")), "label")
+          .join(broadcast(qdf), "qid")
+          .select(col("qid"), col("label"), vec.l2sq(col("vec"), col("qvec")).as("_dist")),
+        k, ascending = true, padToK = params.get("pad").exists(_.toBoolean))
+    }
+  }
+
+  object SqBuilt {
+    def build(
+        data: DataFrame, meta: IndexMeta, nlist: Int,
+        pretrained: Option[(Array[Float], Array[Float], Option[Array[Array[Float]]])] = None): SqBuilt = {
+      val seed = meta.params.get("seed").map(_.toLong).getOrElse(42L)
+      val (vmin, vdiff, cents) = pretrained.getOrElse {
+        val sample = data.select(col("vec")).limit(50000).collect()
+          .map(_.getSeq[Float](0).toArray)
+        val (mn, df) = Sq.train(sample)
+        (mn, df,
+          if (nlist > 1) Some(Pq.localKMeans(sample, math.min(nlist, sample.length), seed + 999, 10))
+          else None)
+      }
+      val encode = GraftBridge.column(SqEncode(GraftBridge.expression(col("vec")), vmin, vdiff))
+      val wide = Knn.widen(data)
+      val withCode = cents match {
+        case Some(cs) =>
+          val assign = GraftBridge.column(NearestCentroids(
+            GraftBridge.expression(col("vec")), cs, 1, VectorMath.L2SQ))
+          wide.select(
+              when(size(assign) > 0, element_at(assign, 1)).otherwise(lit(-1)).as("list_id"),
+              col("label"), encode.as("code"), col("vec"))
+            .repartition(col("list_id"))
+        case None =>
+          wide.select(lit(0).as("list_id"), col("label"), encode.as("code"), col("vec"))
+      }
+      new SqBuilt(withCode.cache(), meta, vmin, vdiff, cents)
     }
   }
 

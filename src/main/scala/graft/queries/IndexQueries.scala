@@ -62,6 +62,15 @@ object IndexQueries {
       IndexCatalog.add(embData(s, dir), name)
       quantized(IndexCatalog.search(name, 5, embQueries(s, dir)))
     },
+    // SQ8: 64 floats -> 64 uint8 codes against trained per-dim bounds,
+    // asymmetric decode-in-loop distance + exact re-rank (approximate ->
+    // rows-only; recall vs exact search is spec-asserted)
+    "knn_sq8" -> { (s, dir) =>
+      val name = fresh("q_sq8")
+      IndexCatalog.create(name, 64, "IDMap,SQ8", "l2sq", Map("refine" -> "8"))
+      IndexCatalog.add(embData(s, dir), name)
+      quantized(IndexCatalog.search(name, 5, embQueries(s, dir)))
+    },
     // IVF-PQ: 64 floats -> 8 bytes, ADC + exact re-rank (approximate ->
     // rows-only here; recall vs exact search is spec-asserted)
     "knn_pq" -> { (s, dir) =>

@@ -153,6 +153,42 @@ class IndexCatalogSpec extends SparkSpec {
     assert(recall >= 0.75, s"recall $recall")
   }
 
+  test("SQ8: scalar-quantized search with re-rank is exact on a well-spread grid") {
+    // 2-dim grid values quantize to <=0.06 error per dim at 8 bits;
+    // exact re-rank over k x refine candidates recovers the true top-k
+    IndexCatalog.create("t_sq8", 2, "IDMap,SQ8", "l2sq", Map("refine" -> "8"))
+    IndexCatalog.add(grid, "t_sq8")
+    val got = labelsOf(IndexCatalog.search("t_sq8", 4, qs))
+    val want = labelsOf(Knn.searchFlat(grid, qs, 4, "l2sq"))
+    assert(got === want)
+  }
+
+  test("IVF-SQ8 factory combines list pruning with scalar-quantized search") {
+    IndexCatalog.create("t_ivfsq", 2, "IDMap,IVF4,SQ8", "l2sq",
+      Map("nprobe" -> "4", "refine" -> "8"))
+    IndexCatalog.add(grid, "t_ivfsq")
+    val got = labelsOf(IndexCatalog.search("t_ivfsq", 4, qs))
+    val want = labelsOf(Knn.searchFlat(grid, qs, 4, "l2sq"))
+    assert(got === want)
+  }
+
+  test("SQ bounds persist across save/load (same codes, same results)") {
+    val dir = Files.createTempDirectory("graft_sqsave").toString
+    IndexCatalog.create("t_sqsave", 2, "IDMap,SQ8", "l2sq", Map("refine" -> "8"))
+    IndexCatalog.manualTrain(grid.select("vec"), "t_sqsave")
+    IndexCatalog.add(grid, "t_sqsave")
+    val before = labelsOf(IndexCatalog.search("t_sqsave", 4, qs))
+    IndexCatalog.save("t_sqsave", dir)
+    IndexCatalog.destroy("t_sqsave")
+    IndexCatalog.load("t_sqsave2", dir, spark)
+    val after = labelsOf(IndexCatalog.search("t_sqsave2", 4, qs))
+    assert(before === after)
+  }
+
+  test("unsupported SQ widths fail at create") {
+    intercept[IllegalArgumentException](IndexCatalog.create("t_sq4", 2, "IDMap,SQ4"))
+  }
+
   test("IVF-PQ factory combines list pruning with code search") {
     IndexCatalog.create("t_ivfpq", 2, "IDMap,IVF4,PQ2", "l2sq",
       Map("nprobe" -> "4", "refine" -> "8"))
