@@ -134,9 +134,13 @@ object Dedup {
    * previous one, so candidates meet on a shuffle key instead of a
    * nested-loop range join — O(n x window) work, scales linearly.
    */
+  /** @param minJaccard when > 0, pairs below this jaccard are dropped —
+    *   and a size-ratio prefilter (j >= t implies min(|A|,|B|)/max >= t,
+    *   so it can't change the result) skips the sorted-merge intersect
+    *   for pairs that can't possibly qualify */
   def ngramJaccardWindow(
       docs: DataFrame, idCol: String, textCol: String,
-      window: Int, shingleSize: Int): DataFrame = {
+      window: Int, shingleSize: Int, minJaccard: Double = 0.0): DataFrame = {
     // shingle sets are compared as SORTED 64-bit hash arrays: set sizes
     // and intersection counts are collision-exact for any realistic doc
     // (P ~ m^2/2^64), and a sorted-merge count costs O(|A|+|B|) with no
@@ -154,12 +158,19 @@ object Dedup {
       explode(array((col("id") / window).cast("long"), (col("id") / window).cast("long") - 1))
         .as("bucket"))
     val inter = graft.functions.vec.sortedIntersectCount(col("sa"), col("sb"))
-    aSide.join(bSide, Seq("bucket"))
+    val joined = aSide.join(bSide, Seq("bucket"))
       .where(col("b_id") > col("a_id") && col("b_id") <= col("a_id") + window)
-      .select(
-        col("a_id"), col("b_id"),
-        (inter.cast("double") /
-          (size(col("sa")) + size(col("sb")) - inter).cast("double")).as("jaccard"))
+    val prefiltered =
+      if (minJaccard > 0)
+        joined.where(
+          least(size(col("sa")), size(col("sb"))).cast("double") >=
+            lit(minJaccard) * greatest(size(col("sa")), size(col("sb"))).cast("double"))
+      else joined
+    val withJ = prefiltered.select(
+      col("a_id"), col("b_id"),
+      (inter.cast("double") /
+        (size(col("sa")) + size(col("sb")) - inter).cast("double")).as("jaccard"))
+    if (minJaccard > 0) withJ.where(col("jaccard") >= minJaccard) else withJ
   }
 
   /**
@@ -168,19 +179,54 @@ object Dedup {
    * survivor per duplicate group — the standard dedup clustering step
    * after pair generation).
    *
-   * Iterative min-label propagation: every round each vertex takes the
-   * min of its own label and its neighbors' labels (join + group-by =
-   * two bounded shuffles per round), until a fixpoint. Rounds needed =
-   * graph diameter; near-dup clusters are small and dense, so this
-   * converges in a handful of rounds even at corpus scale. Lineage is
-   * cut with localCheckpoint every few rounds so the plan doesn't grow
-   * unboundedly. Only vertices that appear in a pair are emitted
-   * (singletons are trivially their own cluster).
+   * Hybrid execution, like KMeansTrainer: the verified-pair edge list
+   * is orders of magnitude smaller than the corpus, so up to
+   * `localEdgeLimit` edges (a bounded ~32 MB collect) run driver-local
+   * union-find in one job. Above the limit it switches to iterative
+   * min-label propagation: every round each vertex takes the min of its
+   * own label and its neighbors' labels (join + group-by = two bounded
+   * shuffles per round), until a fixpoint. Rounds needed = graph
+   * diameter; near-dup clusters are small and dense, so this converges
+   * in a handful of rounds even at corpus scale. Lineage is cut with
+   * localCheckpoint every few rounds so the plan doesn't grow
+   * unboundedly. Both paths produce identical labels. Only vertices
+   * that appear in a pair are emitted (singletons are trivially their
+   * own cluster).
    */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
-    val edges = pairs
+  def connectedComponents(
+      pairs: DataFrame, maxIter: Int = 50, localEdgeLimit: Int = 2000000): DataFrame = {
+    val spark = pairs.sparkSession
+    val dedupedPairs = pairs
       .select(col("a_id").cast("long").as("src"), col("b_id").cast("long").as("dst"))
-      .union(pairs.select(col("b_id").cast("long").as("src"), col("a_id").cast("long").as("dst")))
+      .where(col("src") =!= col("dst"))
+      .distinct()
+      .cache()
+    // one bounded job decides the path AND fetches the local edge list
+    val head = dedupedPairs.limit(localEdgeLimit + 1).collect()
+    if (head.length <= localEdgeLimit) {
+      dedupedPairs.unpersist(blocking = false)
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n } // path compression
+        r
+      }
+      head.foreach { row =>
+        val (a, b) = (row.getLong(0), row.getLong(1))
+        parent.getOrElseUpdate(a, a)
+        parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb } // union by min root
+      }
+      import spark.implicits._
+      // roots are unioned by min, so find(v) IS the component minimum
+      val out = parent.keys.toSeq.sorted.map(v => (v, find(v)))
+      return out.toDF("id", "cluster_id")
+    }
+    val edges = dedupedPairs
+      .union(dedupedPairs.select(col("dst"), col("src")))
       .distinct()
       .cache()
     var labels = edges.select(col("src").as("id")).distinct()
@@ -212,6 +258,7 @@ object Dedup {
       iter += 1
     }
     edges.unpersist(blocking = false)
+    dedupedPairs.unpersist(blocking = false)
     labels.select(col("id"), col("comp").as("cluster_id"))
   }
 

@@ -55,8 +55,8 @@ object DedupQueries {
     // cluster_id = min reachable doc id (the canonical survivor)
     "dedup_clusters" -> { (s, dir) =>
       val pairs = Dedup
-        .ngramJaccardWindow(docs(s, dir), "doc_id", "text", window = 250, shingleSize = 2)
-        .where(col("jaccard") >= 0.5)
+        .ngramJaccardWindow(docs(s, dir), "doc_id", "text",
+          window = 100, shingleSize = 2, minJaccard = 0.5)
         .select(col("a_id"), col("b_id"))
       Dedup.connectedComponents(pairs)
         .select(col("id").as("doc_id"), col("cluster_id"),
@@ -111,7 +111,7 @@ object DedupQueries {
          |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
          |      / CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS jaccard
          |  FROM sh a JOIN sh b
-         |    ON b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 250
+         |    ON b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 100
          |),
          |p AS (SELECT a_id, b_id FROM jp WHERE jaccard >= 0.5),
          |e AS (SELECT a_id AS src, b_id AS dst FROM p UNION SELECT b_id, a_id FROM p),

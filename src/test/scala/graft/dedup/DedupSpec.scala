@@ -60,11 +60,24 @@ class DedupSpec extends SparkSpec {
 
   test("connected components: long chain converges past the checkpoint boundary") {
     import spark.implicits._
-    // a 14-edge path needs >5 propagation rounds (crosses the lineage cut)
+    // a 14-edge path needs >5 propagation rounds (crosses the lineage cut);
+    // localEdgeLimit=0 forces the distributed label-propagation path
     val pairs = (0L until 14L).map(i => (i, i + 1)).toDF("a_id", "b_id")
-    val cc = Dedup.connectedComponents(pairs).collect()
+    val cc = Dedup.connectedComponents(pairs, localEdgeLimit = 0).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(cc === (0L to 14L).map(_ -> 0L).toMap)
+  }
+
+  test("connected components: local union-find and distributed propagation agree") {
+    import spark.implicits._
+    val pairs = Seq((5L, 9L), (9L, 2L), (7L, 8L), (3L, 3L), (11L, 10L), (10L, 12L))
+      .toDF("a_id", "b_id")
+    val local = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dist = Dedup.connectedComponents(pairs, localEdgeLimit = 0).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(local === dist)
+    assert(local(5L) === 2L && local(12L) === 10L && local(8L) === 7L)
   }
 
   test("embedding near-dup honors the cosine threshold") {
