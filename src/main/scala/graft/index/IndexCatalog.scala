@@ -261,6 +261,20 @@ object IndexCatalog {
       params: Map[String, String] = Map.empty): DataFrame =
     build(name).search(queries, k, entry(name).meta.params ++ normalizeParams(params))
 
+  /**
+   * faiss_search result-shape twin: one row per query carrying
+   * LIST<STRUCT(rank, label, distance)> — the reference's return type
+   * (README: `SELECT id, UNNEST(FAISS_SEARCH(...))`), so a user
+   * porting such a query gets the same nesting to UNNEST/explode.
+   */
+  def searchNested(
+      name: String, k: Int, queries: DataFrame,
+      params: Map[String, String] = Map.empty): DataFrame =
+    search(name, k, queries, params)
+      .groupBy("qid")
+      .agg(sort_array(collect_list(struct(col("rank"), col("label"), col("distance"))))
+        .as("results"))
+
   /** faiss_search_filter twin: predicate over the indexed labels */
   def searchFilter(
       name: String, k: Int, queries: DataFrame, filter: Column,

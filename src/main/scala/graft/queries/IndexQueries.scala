@@ -85,9 +85,14 @@ object IndexQueries {
     * 100k-row vector corpus derived purely from the given inputs, big
     * enough that list pruning visibly beats a full scan in BENCH */
   private def bigData(s: SparkSession, dir: String): DataFrame = {
+    // stream the (pre-partitioned) range and broadcast the small
+    // embeddings table: each partition generates its copies locally, so
+    // the 100k-row corpus materializes in parallel with NO shuffle
+    // (crossJoining the single-file parquet scan the other way round
+    // yields one partition that every consumer then has to widen)
     val copies = s.range(0, 50).select(col("id").as("copy"))
-    Tables(s, dir, "embeddings")
-      .crossJoin(copies)
+    copies
+      .join(broadcast(Tables(s, dir, "embeddings")))
       .select(
         (col("vec_id") + col("copy") * 1000000L).as("label"),
         vec.vector(col("embedding")).as("vec"))

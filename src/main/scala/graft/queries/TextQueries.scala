@@ -76,19 +76,34 @@ object TextQueries {
         .orderBy(col("doc_freq").desc, col("tok"))
         .limit(20)
     },
-    // heuristic language id: deterministic plumbing check (the synthetic
-    // corpus shares one vocabulary, so accuracy is not meaningful here)
+    // heuristic language id (the synthetic corpus shares one vocabulary,
+    // so accuracy is not meaningful here — the deterministic argmax is)
     "text_langid" -> { (s, dir) =>
       val d = Tables(s, dir, "documents")
       d.select(
         col("doc_id"),
         langId(tokens(col("text"))).as("lang_pred"),
-        hashes.fingerprint64(col("text")).as("fp64"))
+        col("lang"))
     })
 
   private val toksSql = "string_split_regex(lower(trim(text)), '\\s+')"
 
+  /** oracle twin of TextFunctions.langId, generated from the same
+    * profiles: argmax over (hits, prio, lang) structs — both engines
+    * compare structs field-ordered */
+  private def langidSql: String = {
+    val n = graft.text.TextFunctions.langProfiles.size
+    val cands = graft.text.TextFunctions.langProfiles.zipWithIndex
+      .map { case ((lang, words), idx) =>
+        val inList = words.map(w => s"'$w'").mkString(", ")
+        s"{'hits': len(list_filter(toks, x -> x IN ($inList))), 'prio': ${n - idx}, 'lang': '$lang'}"
+      }.mkString(", ")
+    s"""WITH t AS (SELECT doc_id, lang, $toksSql AS toks FROM documents)
+       |SELECT doc_id, list_max([$cands]).lang AS lang_pred, lang FROM t""".stripMargin
+  }
+
   def oracles: Map[String, String] = Map(
+    "text_langid" -> langidSql,
     "text_tokens" ->
       s"""SELECT doc_id,
          |  CAST(len($toksSql) AS INTEGER) AS n_tokens,

@@ -233,6 +233,21 @@ class IndexCatalogSpec extends SparkSpec {
     assert(before === after)
   }
 
+  test("searchNested returns the reference's LIST<STRUCT(rank,label,distance)> shape") {
+    IndexCatalog.create("t_nested", 2, "IDMap,Flat", "l2sq")
+    IndexCatalog.add(grid, "t_nested")
+    val nested = IndexCatalog.searchNested("t_nested", 4, qs, Map("pad" -> "true")).collect()
+    assert(nested.length === 2) // one row per query
+    val byQid = nested.map(r => r.getLong(0) -> r.getSeq[org.apache.spark.sql.Row](1)).toMap
+    val flat = IndexCatalog.search("t_nested", 4, qs, Map("pad" -> "true")).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.sortBy(_.getInt(1))).toMap
+    byQid.foreach { case (qid, results) =>
+      assert(results.length === 4) // exactly k entries
+      assert(results.map(_.getInt(0)).toSeq === (0 until 4)) // rank-ordered
+      assert(results.map(_.getLong(1)).toSeq === flat(qid).map(_.getLong(2)).toSeq)
+    }
+  }
+
   test("move_gpu is explicitly unsupported") {
     IndexCatalog.create("t_gpu", 2, "Flat")
     intercept[UnsupportedOperationException](IndexCatalog.moveGpu("t_gpu", 0))
