@@ -34,7 +34,7 @@ object Dedup {
   def minhashSignatures(
       docs: DataFrame, idCol: String, textCol: String,
       numHashes: Int, shingleSize: Int, seed: Long): DataFrame =
-    docs
+    graft.search.Knn.widen(docs) // shingling+hashing must not run on one narrow scan partition
       .select(col(idCol).as("id"), TextFunctions.tokens(col(textCol)).as("_toks"))
       .select(
         col("id"),
@@ -88,7 +88,7 @@ object Dedup {
   def simhashCandidates(
       docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, seed: Long = 42L): DataFrame = {
-    val sigs = docs.select(
+    val sigs = graft.search.Knn.widen(docs).select(
       col(idCol).as("id"),
       hashes.simhash(TextFunctions.tokens(col(textCol)), seed).as("sim"))
     val blocks = array((0 until 4).map(b =>
@@ -115,7 +115,7 @@ object Dedup {
   def ngramJaccard(
       docs: DataFrame, idCol: String, textCol: String,
       pairs: DataFrame, shingleSize: Int = 3): DataFrame = {
-    val sh = docs.select(
+    val sh = graft.search.Knn.widen(docs).select(
       col(idCol).as("id"),
       TextFunctions.shingles(TextFunctions.tokens(col(textCol)), shingleSize).as("sh"))
     val inter = size(array_intersect(col("sa"), col("sb")))
@@ -145,7 +145,7 @@ object Dedup {
     // and intersection counts are collision-exact for any realistic doc
     // (P ~ m^2/2^64), and a sorted-merge count costs O(|A|+|B|) with no
     // per-pair allocation — ~100x cheaper than string-set intersection
-    val sh = docs
+    val sh = graft.search.Knn.widen(docs)
       .select(col(idCol).cast("long").as("id"), TextFunctions.tokens(col(textCol)).as("_toks"))
       .select(
         col("id"),

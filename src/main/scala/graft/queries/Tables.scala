@@ -8,6 +8,12 @@ object Tables {
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** widened scan for CPU-heavy per-row work: the testdata files are
+    * single-row-group parquet (unsplittable -> 1 partition), which would
+    * serialize shingling/hashing onto one core */
+  def wide(spark: SparkSession, dir: String, name: String): DataFrame =
+    graft.search.Knn.widen(apply(spark, dir, name))
+
   /**
    * events.parquet stores TIMESTAMP(NANOS), which Spark's parquet reader
    * rejects; read nanos as long and truncate to micros (exactly what

@@ -41,13 +41,14 @@ object TextQueries {
         urlCount(col("text")).as("n_urls"),
         emailCount(col("text")).as("n_emails"))
     },
-    // Gopher-style repetition: most frequent bigram's share of all bigrams
+    // Gopher-style repetition: most frequent bigram's share of all
+    // bigrams — per-row run-length pass, no shuffle (oracle stays the
+    // string group-by; hash-exact equivalence)
     "text_repetition" -> { (s, dir) =>
-      val d = Tables(s, dir, "documents")
-      d.select(col("doc_id"), explode(shinglesAll(tokens(col("text")), 2)).as("gram"))
-        .groupBy("doc_id", "gram").agg(count(lit(1)).as("c"))
-        .groupBy("doc_id")
-        .agg((max(col("c")).cast("double") / sum(col("c")).cast("double")).as("top_bigram_ratio"))
+      val d = Tables.wide(s, dir, "documents")
+      val grams = shinglesAll(tokens(col("text")), 2)
+      d.where(size(grams) > 0) // group-by semantics: no row for gram-less docs
+        .select(col("doc_id"), topShingleRatio(tokens(col("text")), 2).as("top_bigram_ratio"))
     },
     // deterministic stratified sample: first 20 docs per language by id
     // (the data-mixing primitive; at scale the same window runs per shard)

@@ -49,7 +49,7 @@ object Pipeline {
   def contamination(
       docs: DataFrame, idCol: String, textCol: String,
       evalPred: org.apache.spark.sql.Column, shingleSize: Int): DataFrame = {
-    val sh = docs.select(
+    val sh = graft.search.Knn.widen(docs).select(
       col(idCol).as("id"), evalPred.as("_is_eval"),
       transform(
         TextFunctions.shingles(TextFunctions.tokens(col(textCol)), shingleSize),

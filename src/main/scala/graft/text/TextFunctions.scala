@@ -51,6 +51,27 @@ object TextFunctions {
     when(size(toks) >= n, grams).otherwise(array().cast("array<string>"))
   }
 
+  /**
+   * Share of the most frequent n-gram among all n-grams of the doc
+   * (Gopher repetition signal), computed per-row with NO shuffle:
+   * hash the grams, sort, and count the longest equal run in one
+   * aggregate pass — the mode of the multiset. Collision-exact vs a
+   * string group-by for any realistic doc (P ~ m^2/2^64), and at
+   * corpus scale it replaces shuffling every bigram of every document
+   * with a codegen'd scan.
+   */
+  def topShingleRatio(toks: Column, n: Int): Column = {
+    val sortedHashes = array_sort(transform(shinglesAll(toks, n), g => xxhash64(g)))
+    val st = aggregate(
+      sortedHashes,
+      struct(lit(0L).as("run"), lit(0L).as("best"), lit(null).cast("long").as("prev")),
+      (acc, x) => {
+        val run = when(acc.getField("prev") === x, acc.getField("run") + 1).otherwise(lit(1L))
+        struct(run.as("run"), greatest(acc.getField("best"), run).as("best"), x.as("prev"))
+      })
+    st.getField("best").cast("double") / size(sortedHashes).cast("double")
+  }
+
   val stopwords: Seq[String] = Seq(
     "the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "for", "on", "with", "as", "at", "by")
 
