@@ -68,6 +68,17 @@ object VectorQueries {
     "knn_flat_l1" -> (knnQuery("l1") _),
     "knn_search_filter" -> (knnQuery("l2sq", filtered = true) _),
     "dist_metrics" -> (distMetrics _),
+    // fully-distributed approximate k-NN self-join: both sides shuffle
+    // once on IVF list ids, no driver collect of queries (the unbounded
+    // left-side path; recall spec-asserted vs the exact join)
+    "knn_join_ann" -> { (s, dir) =>
+      val e = Tables(s, dir, "embeddings")
+      graft.search.AnnJoin.ivfJoin(
+          left = e.select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+          right = e.select(col("vec_id").as("label"), col("embedding").as("vec")),
+          k = 3, nlist = 16, nprobe = 4, excludeSelf = true)
+        .select(col("qid"), col("rank"), col("label"))
+    },
     // full self k-NN join: every embedding -> 3 nearest other embeddings
     "knn_join" -> { (s, dir) =>
       val e = Tables(s, dir, "embeddings")

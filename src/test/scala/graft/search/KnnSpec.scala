@@ -64,4 +64,34 @@ class KnnSpec extends SparkSpec {
     val byQ = res.map(r => r.getLong(0) -> r.getLong(2)).toMap
     assert(byQ === Map(1L -> 0L, 2L -> 99L))
   }
+
+  test("AnnJoin.ivfJoin: distributed ANN join reaches high recall vs the exact join") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val pts = (for (x <- 0 until 16; y <- 0 until 16)
+      yield (y * 16L + x, Array(x.toFloat, y.toFloat))).toDF("label", "vec")
+    val qs = pts.select(col("label").as("qid"), col("vec").as("qvec"))
+    val exact = Knn.knnJoin(qs, pts, 3, "l2sq").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).toSet).toMap
+    val approx = AnnJoin.ivfJoin(qs, pts, k = 3, nlist = 8, nprobe = 4, excludeSelf = true)
+      .collect().groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).toSet).toMap
+    val recall = exact.keys.toSeq.map { q =>
+      approx.getOrElse(q, Set.empty).intersect(exact(q)).size.toDouble / exact(q).size
+    }.sum / exact.size
+    assert(recall >= 0.8, s"recall $recall")
+  }
+
+  test("AnnJoin.ivfJoin with exhaustive probing equals the exact join") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val pts = (for (x <- 0 until 12; y <- 0 until 12)
+      yield (y * 12L + x, Array(x.toFloat, y.toFloat))).toDF("label", "vec")
+    val qs = pts.select(col("label").as("qid"), col("vec").as("qvec"))
+    def canon(rows: Array[org.apache.spark.sql.Row]) = rows
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sortBy(t => (t._1, t._2))
+    val exact = canon(Knn.knnJoin(qs, pts, 3, "l2sq").select("qid", "rank", "label").collect())
+    val full = canon(AnnJoin.ivfJoin(qs, pts, k = 3, nlist = 4, nprobe = 4, excludeSelf = true)
+      .select("qid", "rank", "label").collect())
+    assert(full === exact)
+  }
 }
