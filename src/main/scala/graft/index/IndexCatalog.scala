@@ -256,10 +256,28 @@ object IndexCatalog {
     collapsed.toMap ++ plain
   }
 
+  /** FAISS errors when a query's dimensionality differs from the
+    * index's (d == index->d assertion); mirror that with a codegen'd
+    * per-row guard instead of silently computing garbage distances.
+    * Null query rows stay allowed (they're skipped downstream). */
+  private def guardDim(queries: DataFrame, dim: Int, name: String): DataFrame = {
+    val qid = col(queries.columns(0))
+    val qv = vec.vector(col(queries.columns(1)))
+    queries.select(
+      qid.as("qid"),
+      when(
+        assert_true(qv.isNull || size(qv) === dim,
+          lit(s"query vector dimension mismatch: index '$name' has dim $dim")).isNull,
+        qv).as("qvec"))
+  }
+
   def search(
       name: String, k: Int, queries: DataFrame,
-      params: Map[String, String] = Map.empty): DataFrame =
-    build(name).search(queries, k, entry(name).meta.params ++ normalizeParams(params))
+      params: Map[String, String] = Map.empty): DataFrame = {
+    val e = entry(name)
+    build(name).search(guardDim(queries, e.meta.dim, name), k,
+      e.meta.params ++ normalizeParams(params))
+  }
 
   /**
    * faiss_search result-shape twin: one row per query carrying
@@ -282,7 +300,8 @@ object IndexCatalog {
     val b = build(name)
     // exact post-filterable search: restrict the indexed data, then flat-search.
     // The filter is a Catalyst predicate -> pushed into the (pruned) scan.
-    Knn.searchFlat(b.data.where(filter), queries, k, entry(name).meta.metric,
+    Knn.searchFlat(b.data.where(filter), guardDim(queries, entry(name).meta.dim, name),
+      k, entry(name).meta.metric,
       padToK = params.get("pad").exists(_.toBoolean))
   }
 
@@ -299,7 +318,8 @@ object IndexCatalog {
     val b = build(name)
     val idSet = ids.select(col(ids.columns.head).cast("long").as("label"))
     val restricted = b.data.join(idSet, Seq("label"), "left_semi")
-    Knn.searchFlat(restricted, queries, k, entry(name).meta.metric,
+    Knn.searchFlat(restricted, guardDim(queries, entry(name).meta.dim, name),
+      k, entry(name).meta.metric,
       padToK = params.get("pad").exists(_.toBoolean))
   }
 

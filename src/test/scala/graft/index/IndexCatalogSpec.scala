@@ -248,6 +248,16 @@ class IndexCatalogSpec extends SparkSpec {
     }
   }
 
+  test("query dimension mismatch fails loudly, like FAISS's d assertion") {
+    import spark.implicits._
+    IndexCatalog.create("t_dim", 2, "IDMap,Flat")
+    IndexCatalog.add(grid, "t_dim")
+    val badQs = Seq((0L, Array(1.0f, 2.0f, 3.0f))).toDF("qid", "qvec")
+    val ex = intercept[Exception](IndexCatalog.search("t_dim", 2, badQs).collect())
+    assert(ex.getMessage.contains("dimension mismatch") ||
+      Option(ex.getCause).exists(_.getMessage.contains("dimension mismatch")))
+  }
+
   test("move_gpu is explicitly unsupported") {
     IndexCatalog.create("t_gpu", 2, "Flat")
     intercept[UnsupportedOperationException](IndexCatalog.moveGpu("t_gpu", 0))
