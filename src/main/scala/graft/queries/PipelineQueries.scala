@@ -73,6 +73,19 @@ object PipelineQueries {
           count(col("event_id")).as("n_events"),
           coalesce(Tables.moneySum(col("value")), lit(0.0)).as("value_sum"))
     },
+    // domain-mixture sampling: per-language keep rates applied on a
+    // content-hash bucket — deterministic across runs, engines, and
+    // partitionings (never random() in a pipeline), the weighted
+    // counterpart of sample_split
+    "mixture_sample" -> { (s, dir) =>
+      val bucket = conv(substring(md5(col("text")), 1, 4), 16, 10).cast("int") % 10000
+      val rate = when(col("lang") === "en", 9000)
+        .when(col("lang") === "de", 5000)
+        .otherwise(2500)
+      Tables(s, dir, "documents")
+        .where(bucket < rate)
+        .select(col("doc_id"), col("lang"))
+    },
     // TPC-H Q4-style EXISTS: orders with any late-shipping lineitem
     "q4_priority" -> { (s, dir) =>
       val li = Tables(s, dir, "lineitem").select(col("l_orderkey"), col("l_shipdate"))
@@ -127,6 +140,10 @@ object PipelineQueries {
          | AND CAST(e.ts AS TIMESTAMP) >= o.o_orderdate
          | AND CAST(e.ts AS TIMESTAMP) < o.o_orderdate + INTERVAL $AttribDays DAY
          |GROUP BY o.o_orderkey""".stripMargin,
+    "mixture_sample" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE CAST(('0x' || substring(md5(text), 1, 4)) AS INTEGER) % 10000 <
+        |  CASE WHEN lang = 'en' THEN 9000 WHEN lang = 'de' THEN 5000 ELSE 2500 END""".stripMargin,
     "q4_priority" ->
       """SELECT o_orderpriority, count(*) AS n_orders
         |FROM orders o

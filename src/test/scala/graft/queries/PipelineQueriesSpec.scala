@@ -27,6 +27,18 @@ class PipelineQueriesSpec extends SparkSpec {
     assert(rows.forall(_.getLong(1) >= 0L))
   }
 
+  test("mixture_sample: deterministic, and keep rates order by language weight") {
+    val run1 = PipelineQueries.queries("mixture_sample")(spark, dir).collect()
+    val run2 = PipelineQueries.queries("mixture_sample")(spark, dir).collect()
+    assert(run1.map(_.getLong(0)).sorted.toSeq === run2.map(_.getLong(0)).sorted.toSeq)
+    val total = Tables(spark, dir, "documents").groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = run1.groupBy(_.getString(1)).view.mapValues(_.length.toLong).toMap
+    def frac(l: String) = kept.getOrElse(l, 0L).toDouble / total(l)
+    assert(frac("en") > frac("es") || total("es") < 20) // 0.9 vs 0.25 (loose: tiny sf)
+    assert(frac("en") >= 0.7)
+  }
+
   test("q4_priority: priorities partition the qualifying orders") {
     val rows = PipelineQueries.queries("q4_priority")(spark, dir).collect()
     assert(rows.nonEmpty)
