@@ -26,10 +26,15 @@ object Pq {
     val dim = samples(0).length
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
     val dsub = dim / m
-    Array.tabulate(m) { sub =>
+    // subspace codebooks are independent: train them concurrently (the
+    // per-subspace sample is usually too small for localKMeans's own
+    // chunk parallelism to engage)
+    val books = new Array[Array[Array[Float]]](m)
+    java.util.stream.IntStream.range(0, m).parallel().forEach { sub =>
       val subPts = samples.map(v => java.util.Arrays.copyOfRange(v, sub * dsub, (sub + 1) * dsub))
-      localKMeans(subPts, math.min(256, subPts.length), seed + sub, maxIter)
+      books(sub) = localKMeans(subPts, math.min(256, subPts.length), seed + sub, maxIter)
     }
+    books
   }
 
   /**
