@@ -133,6 +133,18 @@ object RelationalQueries {
     // exact interpolated percentiles per event type (sort-based; for the
     // 100 TB path swap in approx_percentile's t-digest — kept exact here
     // so the DuckDB quantile_cont oracle can gate it)
+    // the 100 TB twin of events_percentiles: bounded-memory t-digest
+    // sketch instead of a sort (estimates are engine-specific -> rows-only)
+    "events_percentiles_approx" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy("event_type")
+        .agg(expr("approx_percentile(value, array(0.5, 0.95), 1000)").as("p"),
+          count(lit(1)).as("n"))
+        .select(col("event_type"),
+          element_at(col("p"), 1).as("p50_approx"),
+          element_at(col("p"), 2).as("p95_approx"),
+          col("n"))
+    },
     "events_percentiles" -> { (s, dir) =>
       Tables.events(s, dir)
         .groupBy("event_type")
