@@ -74,8 +74,8 @@ object Multimodal {
       encode(col(textCol), "UTF-8").as("payload"),
       struct(
         lit("stub").as("format"),
-        lit(64).cast("int").as("width"),
-        lit(64).cast("int").as("height"),
+        (lit(32) + (col(idCol) % 7) * 64).cast("int").as("width"),
+        (lit(32) + (col(idCol) % 5) * 48).cast("int").as("height"),
         lit(16000).cast("int").as("sample_rate"),
         (length(col(textCol)) * 10L).as("duration_ms")).as("meta"))
 
@@ -101,6 +101,31 @@ object Multimodal {
           StubCodec.frameCount(meta))
       }
     }(enc)
+  }
+
+  /**
+   * Resize planning: fit each asset's (width, height) into a bounding
+   * box preserving aspect ratio (the standard image-pipeline pre-step).
+   * Pure metadata arithmetic — integer floor scaling, deterministic —
+   * so the actual pixel resample (a codec call) stays behind the same
+   * stub boundary as decode. No shuffle; scales as a projection.
+   */
+  def planResize(manifest: DataFrame, maxW: Int, maxH: Int): DataFrame = {
+    val w = col("meta.width").cast("long")
+    val h = col("meta.height").cast("long")
+    // scale = min(maxW/w, maxH/h, 1) as exact rational arithmetic:
+    // out_w = floor(w * min-numerator / min-denominator) avoids float
+    val wide = w * maxH >= h * maxW // width is the binding dimension
+    // floor of an exact double division (operands << 2^53) — the same
+    // computation is expressible verbatim in the oracle SQL
+    val outW = when(w <= maxW && h <= maxH, w)
+      .otherwise(when(wide, lit(maxW)).otherwise(floor((w * maxH).cast("double") / h.cast("double"))))
+    val outH = when(w <= maxW && h <= maxH, h)
+      .otherwise(when(wide, floor((h * maxW).cast("double") / w.cast("double"))).otherwise(lit(maxH)))
+    manifest.select(
+      col("asset_id"), col("modality"),
+      col("meta.width").as("in_w"), col("meta.height").as("in_h"),
+      outW.cast("int").as("out_w"), outH.cast("int").as("out_h"))
   }
 
   /** video-style frame sampling: one row per sampled frame (explode, no shuffle) */

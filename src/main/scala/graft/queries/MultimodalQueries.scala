@@ -21,6 +21,14 @@ object MultimodalQueries {
           Tables.quant4(element_at(col("feature"), 1)).as("f0"),
           col("frames_sampled"))
     },
+    // resize planning: aspect-preserving fit into 128x128 — metadata
+    // arithmetic is exact, so this gets a full oracle even though the
+    // pixel resample itself sits behind the codec stub
+    "mm_resize" -> { (s, dir) =>
+      val mf = Multimodal.manifestFrom(Tables(s, dir, "documents"), "doc_id", "text")
+      Multimodal.planResize(mf, maxW = 128, maxH = 128)
+        .select(col("asset_id"), col("in_w"), col("in_h"), col("out_w"), col("out_h"))
+    },
     // frame sampling cardinality is pure arithmetic -> exact oracle
     "mm_frames" -> { (s, dir) =>
       val mf = Multimodal.manifestFrom(Tables(s, dir, "documents"), "doc_id", "text")
@@ -30,6 +38,21 @@ object MultimodalQueries {
     })
 
   def oracles: Map[String, String] = Map(
+    "mm_resize" ->
+      """WITH m AS (
+        |  SELECT doc_id AS asset_id,
+        |    32 + (doc_id % 7) * 64 AS w, 32 + (doc_id % 5) * 48 AS h
+        |  FROM documents
+        |)
+        |SELECT asset_id,
+        |  CAST(w AS INTEGER) AS in_w, CAST(h AS INTEGER) AS in_h,
+        |  CAST(CASE WHEN w <= 128 AND h <= 128 THEN w
+        |            WHEN w * 128 >= h * 128 THEN 128
+        |            ELSE floor(CAST(w * 128 AS DOUBLE) / CAST(h AS DOUBLE)) END AS INTEGER) AS out_w,
+        |  CAST(CASE WHEN w <= 128 AND h <= 128 THEN h
+        |            WHEN w * 128 >= h * 128 THEN floor(CAST(h * 128 AS DOUBLE) / CAST(w AS DOUBLE))
+        |            ELSE 128 END AS INTEGER) AS out_h
+        |FROM m""".stripMargin,
     "mm_frames" ->
       """SELECT doc_id AS asset_id,
         |  CAST(floor((length(text) * 10 - 1) / 1000) AS BIGINT) + 1 AS n_frames

@@ -29,6 +29,25 @@ class MultimodalSpec extends SparkSpec {
       docs.collect().map(r => r.getLong(0) -> r.getString(1).getBytes("UTF-8").length).toMap)
   }
 
+  test("planResize: within-bounds is identity, oversize fits the box preserving aspect") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // craft manifests with explicit dims via a small struct projection
+    val mf = Seq(
+      (0L, 100, 50), // fits -> identity
+      (1L, 512, 128), // wide -> 128 x 32
+      (2L, 100, 400), // tall -> 32 x 128
+      (3L, 256, 256)) // square oversize -> 128 x 128
+      .toDF("asset_id", "w", "h")
+      .select(col("asset_id"), lit("image").as("modality"),
+        lit(null).cast("binary").as("payload"),
+        struct(lit("stub").as("format"), col("w").as("width"), col("h").as("height"),
+          lit(0).as("sample_rate"), lit(0L).as("duration_ms")).as("meta"))
+    val got = Multimodal.planResize(mf, 128, 128).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(4), r.getInt(5)))).toMap
+    assert(got === Map(0L -> ((100, 50)), 1L -> ((128, 32)), 2L -> ((32, 128)), 3L -> ((128, 128))))
+  }
+
   test("frame sampling yields ceil(duration/step) frames for video assets only") {
     val mf = Multimodal.manifestFrom(docs, "doc_id", "text")
     val frames = Multimodal.sampleFrames(mf, everyMs = 100L)
