@@ -77,6 +77,28 @@ object TextQueries {
         .orderBy(col("doc_freq").desc, col("tok"))
         .limit(20)
     },
+    // corpus-LM quality signal: mean unigram surprisal (-ln p(tok) under
+    // the corpus's own term frequencies). Per-token surprisal quantizes
+    // to fixed-point BEFORE the sum — integer sums are order-independent,
+    // the only oracle-safe way to aggregate per-row doubles — and the
+    // whole thing is two hash shuffles (vocab count + per-doc sum)
+    "text_surprisal" -> { (s, dir) =>
+      val tok = Tables.wide(s, dir, "documents")
+        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      val vocab = tok.groupBy("tok").agg(count(lit(1)).as("n"))
+      val total = vocab.agg(sum(col("n")).as("nn"))
+      val scored = vocab.crossJoin(broadcast(total))
+        .select(col("tok"),
+          floor(-log(col("n").cast("double") / col("nn").cast("double")) * 10000 + 0.5)
+            .cast("long").as("micro"))
+      tok.join(scored, "tok")
+        .groupBy("doc_id")
+        .agg(sum(col("micro")).as("m"), count(lit(1)).as("n_toks"))
+        .select(col("doc_id"),
+          Tables.quant4(col("m").cast("double") / 10000.0 / col("n_toks").cast("double"))
+            .as("mean_surprisal"),
+          col("n_toks"))
+    },
     // heuristic language id (the synthetic corpus shares one vocabulary,
     // so accuracy is not meaningful here — the deterministic argmax is)
     "text_langid" -> { (s, dir) =>
@@ -105,6 +127,24 @@ object TextQueries {
 
   def oracles: Map[String, String] = Map(
     "text_langid" -> langidSql,
+    "text_surprisal" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |tok AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+         |vocab AS (SELECT tok, count(*) AS n FROM tok GROUP BY tok),
+         |tot AS (SELECT sum(n) AS nn FROM vocab),
+         |s AS (
+         |  SELECT tok,
+         |    CAST(floor(-ln(CAST(n AS DOUBLE) / CAST(nn AS DOUBLE)) * 10000 + 0.5) AS BIGINT) AS micro
+         |  FROM vocab, tot
+         |),
+         |d AS (
+         |  SELECT doc_id, sum(micro) AS m, count(*) AS n_toks
+         |  FROM tok JOIN s USING (tok) GROUP BY doc_id
+         |)
+         |SELECT doc_id,
+         |  ${Tables.quant4Sql("CAST(m AS DOUBLE) / 10000.0 / CAST(n_toks AS DOUBLE)")} AS mean_surprisal,
+         |  n_toks
+         |FROM d""".stripMargin,
     "text_tokens" ->
       s"""SELECT doc_id,
          |  CAST(len($toksSql) AS INTEGER) AS n_tokens,

@@ -39,6 +39,18 @@ class PipelineQueriesSpec extends SparkSpec {
     assert(frac("en") >= 0.7)
   }
 
+  test("text_surprisal: rarer vocabulary scores higher") {
+    import org.apache.spark.sql.functions.col
+    val rows = TextQueries.queries("text_surprisal")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getDouble(1) > 0.0)) // -ln p is positive for p < 1
+    // a doc's mean surprisal is bounded by the rarest possible token
+    val n = Tables(spark, dir, "documents")
+      .select(org.apache.spark.sql.functions.explode(
+        graft.text.TextFunctions.tokens(col("text")))).count()
+    assert(rows.forall(_.getDouble(1) <= math.log(n.toDouble) + 1e-4))
+  }
+
   test("q4_priority: priorities partition the qualifying orders") {
     val rows = PipelineQueries.queries("q4_priority")(spark, dir).collect()
     assert(rows.nonEmpty)
