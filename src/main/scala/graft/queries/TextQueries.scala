@@ -91,7 +91,9 @@ object TextQueries {
         .select(col("tok"),
           floor(-log(col("n").cast("double") / col("nn").cast("double")) * 10000 + 0.5)
             .cast("long").as("micro"))
-      tok.join(scored, "tok")
+      // unigram vocab stays small even at corpus scale -> broadcast the
+      // scored table instead of shuffling every token occurrence twice
+      tok.join(broadcast(scored), "tok")
         .groupBy("doc_id")
         .agg(sum(col("micro")).as("m"), count(lit(1)).as("n_toks"))
         .select(col("doc_id"),
