@@ -697,6 +697,13 @@ object IndexCatalog {
    * the architecture real distributed vector stores use, since graph
    * edges can't span executors. efConstruction/efSearch match the
    * reference's parameter names.
+   *
+   * Save/load divergence from FAISS (by design): save persists the
+   * canonical (label, vec) rows, and load REBUILDS shard graphs from
+   * whatever partitioning the load produces — graphs are cheap
+   * executor-local state, not the durable asset. Approximate results
+   * can therefore differ across a save/load cycle (recall holds; the
+   * spec asserts it), unlike FAISS which serializes its graph bytes.
    */
   final class HnswBuilt(
       val data: DataFrame, // (label, vec) — retained for filtered/exact paths + save

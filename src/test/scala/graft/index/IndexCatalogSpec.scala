@@ -248,6 +248,22 @@ class IndexCatalogSpec extends SparkSpec {
     }
   }
 
+  test("HNSW keeps high recall across save/load (graphs rebuild from canonical rows)") {
+    val dir = Files.createTempDirectory("graft_hnswsave").toString
+    IndexCatalog.create("t_hnswsave", 2, "IDMap,HNSW8", "l2sq",
+      Map("efConstruction" -> "64", "efSearch" -> "64"))
+    IndexCatalog.add(grid, "t_hnswsave")
+    IndexCatalog.save("t_hnswsave", dir)
+    IndexCatalog.destroy("t_hnswsave")
+    IndexCatalog.load("t_hnswsave2", dir, spark)
+    val got = labelsOf(IndexCatalog.search("t_hnswsave2", 4, qs))
+    val want = labelsOf(Knn.searchFlat(grid, qs, 4, "l2sq"))
+    val recall = qs.collect().map(_.getLong(0)).map { q =>
+      got(q).toSet.intersect(want(q).toSet).size.toDouble / want(q).size
+    }.sum / 2
+    assert(recall >= 0.75, s"recall $recall")
+  }
+
   test("query dimension mismatch fails loudly, like FAISS's d assertion") {
     import spark.implicits._
     IndexCatalog.create("t_dim", 2, "IDMap,Flat")
