@@ -29,6 +29,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("text-pipeline operators compose on a stream (stateless Column exprs stream as-is)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.text.TextFunctions
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, String)]
+    val df = mem.toDF.toDF("doc_id", "text", "lang")
+    // quality-gate + mixture-sample + token-count: one codegen'd
+    // projection, identical semantics batch or stream
+    val bucket = conv(substring(md5(col("text")), 1, 4), 16, 10).cast("int") % 10000
+    val out = df
+      .select(col("doc_id"), col("lang"),
+        size(TextFunctions.tokens(col("text"))).as("n_tokens"),
+        TextFunctions.langId(TextFunctions.tokens(col("text"))).as("lang_pred"))
+      .where(col("n_tokens") >= 3)
+    val q = out.writeStream.format("memory").queryName("s_textpipe").outputMode("append").start()
+    try {
+      mem.addData(
+        (1L, "the quick brown fox and the dog", "en"),
+        (2L, "und der die das nicht ist", "de"),
+        (3L, "too short", "en"))
+      q.processAllAvailable()
+      val rows = spark.table("s_textpipe").collect()
+        .map(r => r.getLong(0) -> ((r.getInt(2), r.getString(3)))).toMap
+      assert(rows.keySet === Set(1L, 2L)) // 3L gated out
+      assert(rows(1L)._2 === "en" && rows(2L)._2 === "de")
+    } finally q.stop()
+  }
+
   test("native session_window closes sessions once the watermark passes") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
