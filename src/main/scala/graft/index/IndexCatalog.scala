@@ -37,7 +37,7 @@ object IndexCatalog {
       metric: String,
       params: Map[String, String])
 
-  /** parsed factory: Flat | IDMap,Flat | IVF<n>[,Flat|,PQ<m>|,SQ8] | PQ<m> | SQ8 | LSH<b> | HNSW<m> */
+  /** parsed factory: [PCA<d>,] Flat | IDMap,Flat | IVF<n>[,Flat|,PQ<m>|,SQ8] | PQ<m> | SQ8 | LSH<b> | HNSW<m> */
   sealed trait Kind
   case object FlatKind extends Kind
   case class IvfKind(nlist: Int) extends Kind
@@ -45,9 +45,19 @@ object IndexCatalog {
   case class PqKind(m: Int, nlist: Int) extends Kind
   case class SqKind(nlist: Int) extends Kind
   case class HnswKind(m: Int) extends Kind
+  /** pre-transform wrapper, e.g. "PCA16,IVF64,Flat" */
+  case class PcaKind(outDim: Int, inner: Kind) extends Kind
 
-  def parseFactory(factory: String): Kind = {
-    val parts = factory.split(",").map(_.trim).filter(_ != "IDMap")
+  def parseFactory(factory: String): Kind =
+    parseParts(factory.split(",").map(_.trim).filter(_ != "IDMap"))
+
+  private def parseParts(parts: Array[String]): Kind = {
+    // FAISS-style pretransform prefix: strip and recurse on the rest
+    parts.headOption match {
+      case Some(p) if p.startsWith("PCA") && parts.length > 1 =>
+        return PcaKind(p.stripPrefix("PCA").toInt, parseParts(parts.tail))
+      case _ =>
+    }
     val pqPart = parts.find(_.startsWith("PQ")).map(_.stripPrefix("PQ").toInt)
     val sqPart = parts.find(_.startsWith("SQ")).map(_.stripPrefix("SQ"))
     sqPart.foreach { b =>
@@ -81,6 +91,7 @@ object IndexCatalog {
     var trained: Option[Array[Array[Float]]] = None // IVF centroids from manual_train
     var trainedPq: Option[(Array[Array[Array[Float]]], Option[Array[Array[Float]]])] = None
     var trainedSq: Option[(Array[Float], Array[Float], Option[Array[Array[Float]]])] = None
+    var trainedPca: Option[(Array[Float], Array[Array[Float]])] = None
     var built: Option[BuiltIndex] = None
     var nextAutoId: Long = 0L
     val cachedBatches = scala.collection.mutable.ListBuffer.empty[DataFrame]
@@ -187,28 +198,52 @@ object IndexCatalog {
         e.trained = Some(KMeansTrainer.train(sample.select(vec.vector(col(vcol)).as("vec")), n,
           seed, e.meta.params.get("maxIter").map(_.toInt).getOrElse(10)))
       case PqKind(m, nlist) =>
-        val vcol = sample.columns.last
-        val pts = sample.select(vec.vector(col(vcol)).as("vec")).limit(50000)
-          .collect().map(_.getSeq[Float](0).toArray)
+        trainPointsKind(e, PqKind(m, nlist), samplePoints(sample), seed)
+      case SqKind(nlist) =>
+        trainPointsKind(e, SqKind(nlist), samplePoints(sample), seed)
+      case PcaKind(outDim, inner) =>
+        // train the transform, then train the inner kind in the
+        // PROJECTED space (that's where it will see data and queries)
+        val pts = samplePoints(sample)
+        val (mean, comps) = Pca.train(pts, outDim)
+        e.trainedPca = Some((mean, comps))
+        trainPointsKind(e, inner, pts.map(Pca.projectArr(_, mean, comps)), seed)
+      case _ => // Flat/LSH/HNSW need no training
+    }
+    e.built.foreach(_.close())
+    e.built = None
+  }
+
+  private def samplePoints(sample: DataFrame): Array[Array[Float]] = {
+    val vcol = sample.columns.last
+    sample.select(vec.vector(col(vcol)).as("vec")).limit(50000)
+      .collect().map(_.getSeq[Float](0).toArray)
+  }
+
+  /** driver-side training for kinds whose sample is already collected
+    * (also the inner-kind path of a PCA pretransform) */
+  private def trainPointsKind(e: Entry, kind: Kind, pts: Array[Array[Float]], seed: Long): Unit =
+    kind match {
+      case IvfKind(nlist) =>
+        val n0 = if (nlist > 0) nlist else math.max(4, math.sqrt(pts.length.toDouble).toInt)
+        e.trained = Some(Pq.localKMeans(pts, math.min(n0, math.max(1, pts.length)), seed,
+          e.meta.params.get("maxIter").map(_.toInt).getOrElse(10)))
+      case PqKind(m, nlist) =>
         val codebooks = Pq.train(pts, m, seed)
         val cents =
           if (nlist > 1) Some(Pq.localKMeans(pts, math.min(nlist, pts.length), seed + 999, 10))
           else None
         e.trainedPq = Some((codebooks, cents))
       case SqKind(nlist) =>
-        val vcol = sample.columns.last
-        val pts = sample.select(vec.vector(col(vcol)).as("vec")).limit(50000)
-          .collect().map(_.getSeq[Float](0).toArray)
         val (vmin, vdiff) = Sq.train(pts)
         val cents =
           if (nlist > 1) Some(Pq.localKMeans(pts, math.min(nlist, pts.length), seed + 999, 10))
           else None
         e.trainedSq = Some((vmin, vdiff, cents))
+      case PcaKind(_, _) =>
+        throw new IllegalArgumentException("nested PCA pretransforms are not supported")
       case _ => // Flat/LSH/HNSW need no training
     }
-    e.built.foreach(_.close())
-    e.built = None
-  }
 
   /** materialize: train if needed, assign, cache */
   def build(name: String): BuiltIndex = synchronized {
@@ -217,25 +252,48 @@ object IndexCatalog {
       val data = e.pending.getOrElse(
         throw new IllegalStateException(s"index '$name' has no vectors; call add first"))
       val metricId = VectorMath.metricId(e.meta.metric)
-      val built: BuiltIndex = e.kind match {
-        case FlatKind => new FlatBuilt(Knn.widen(data).cache(), e.meta) // widen once, before the cache
-        case LshKind(bits) => LshBuilt.build(data, e.meta, bits)
-        case PqKind(m, nlist) => PqBuilt.build(data, e.meta, m, nlist, e.trainedPq)
-        case SqKind(nlist) => SqBuilt.build(data, e.meta, nlist, e.trainedSq)
-        case HnswKind(m) => HnswBuilt.build(data, e.meta, m)
-        case IvfKind(_) =>
-          val centroids = e.trained.getOrElse {
-            // auto-train like FAISS: a bounded sample is plenty for a
-            // coarse quantizer; don't run Lloyd's over the full corpus
-            manualTrain(data.select(col("vec")).limit(16384), name)
-            e.trained.get
-          }
-          IvfBuilt.build(data, e.meta, centroids, metricId)
-      }
+      val built: BuiltIndex = buildKind(e, e.kind, data, metricId)
       e.built = Some(built)
       built
     }
   }
+
+  private def buildKind(e: Entry, kind: Kind, data: DataFrame, metricId: Int): BuiltIndex =
+    kind match {
+      case FlatKind => new FlatBuilt(Knn.widen(data).cache(), e.meta) // widen once, before the cache
+      case LshKind(bits) => LshBuilt.build(data, e.meta, bits)
+      case PqKind(m, nlist) => PqBuilt.build(data, e.meta, m, nlist, e.trainedPq)
+      case SqKind(nlist) => SqBuilt.build(data, e.meta, nlist, e.trainedSq)
+      case HnswKind(m) => HnswBuilt.build(data, e.meta, m)
+      case IvfKind(nlist) =>
+        val centroids = e.trained.getOrElse {
+          // auto-train like FAISS: a bounded sample is plenty for a
+          // coarse quantizer; don't run Lloyd's over the full corpus.
+          // `data` is already in the index's working space (projected
+          // when nested under a PCA pretransform), so train directly.
+          val seed = e.meta.params.get("seed").map(_.toLong).getOrElse(42L)
+          val pts = data.select(col("vec")).limit(16384)
+            .collect().map(_.getSeq[Float](0).toArray)
+          trainPointsKind(e, IvfKind(nlist), pts, seed)
+          e.trained.get
+        }
+        IvfBuilt.build(data, e.meta, centroids, metricId)
+      case PcaKind(outDim, inner) =>
+        val (mean, comps) = e.trainedPca.getOrElse {
+          val seed = e.meta.params.get("seed").map(_.toLong).getOrElse(42L)
+          val pts = data.select(col("vec")).limit(16384)
+            .collect().map(_.getSeq[Float](0).toArray)
+          val trained = Pca.train(pts, outDim)
+          e.trainedPca = Some(trained)
+          // inner quantizers must also train in the projected space
+          trainPointsKind(e, inner, pts.map(Pca.projectArr(_, trained._1, trained._2)), seed)
+          trained
+        }
+        val proj = GraftBridge.column(
+          PcaProject(GraftBridge.expression(col("vec")), mean, comps))
+        val projected = data.select(col("label"), proj.as("vec"))
+        new PcaBuilt(buildKind(e, inner, projected, metricId), mean, comps)
+    }
 
   /**
    * faiss_search twin: top-k per query row.
@@ -298,10 +356,12 @@ object IndexCatalog {
       name: String, k: Int, queries: DataFrame, filter: Column,
       params: Map[String, String] = Map.empty): DataFrame = {
     val b = build(name)
+    val guarded = guardDim(queries, entry(name).meta.dim, name)
+    // a PCA index's data lives in projected space: project queries too
+    val qs = b match { case p: PcaBuilt => p.projectQueries(guarded); case _ => guarded }
     // exact post-filterable search: restrict the indexed data, then flat-search.
     // The filter is a Catalyst predicate -> pushed into the (pruned) scan.
-    Knn.searchFlat(b.data.where(filter), guardDim(queries, entry(name).meta.dim, name),
-      k, entry(name).meta.metric,
+    Knn.searchFlat(b.data.where(filter), qs, k, entry(name).meta.metric,
       padToK = params.get("pad").exists(_.toBoolean))
   }
 
@@ -316,10 +376,11 @@ object IndexCatalog {
       name: String, k: Int, queries: DataFrame, ids: DataFrame,
       params: Map[String, String] = Map.empty): DataFrame = {
     val b = build(name)
+    val guarded = guardDim(queries, entry(name).meta.dim, name)
+    val qs = b match { case p: PcaBuilt => p.projectQueries(guarded); case _ => guarded }
     val idSet = ids.select(col(ids.columns.head).cast("long").as("label"))
     val restricted = b.data.join(idSet, Seq("label"), "left_semi")
-    Knn.searchFlat(restricted, guardDim(queries, entry(name).meta.dim, name),
-      k, entry(name).meta.metric,
+    Knn.searchFlat(restricted, qs, k, entry(name).meta.metric,
       padToK = params.get("pad").exists(_.toBoolean))
   }
 
@@ -345,6 +406,11 @@ object IndexCatalog {
         // keeps genuinely different vectors that share a label
         lsh.data.select(col("label"), col("vec")).dropDuplicates("label", "vec")
           .write.mode("overwrite").parquet(s"$path/data")
+      case pca: PcaBuilt =>
+        // inner data is in projected space; persist the ORIGINAL rows —
+        // the transform re-applies deterministically on load
+        e.pending.get.select(col("label"), vec.vector(col("vec")).as("vec"))
+          .write.mode("overwrite").parquet(s"$path/data")
       case other =>
         // canonical (label, vec) layout rebuilds deterministically on load
         other.data.select(col("label"), col("vec"))
@@ -360,6 +426,19 @@ object IndexCatalog {
       coarse.foreach { cs =>
         cs.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq.toDF("centroid_id", "centroid")
           .coalesce(1).write.mode("overwrite").parquet(s"$path/pq_coarse")
+      }
+    }
+    // persist the PCA transform and, when the built wrapper hides an
+    // inner IVF, its projected-space centroids (the IvfBuilt save case
+    // only fires for a top-level IVF)
+    e.trainedPca.foreach { case (mean, comps) =>
+      (Seq((-1, mean.toSeq)) ++ comps.zipWithIndex.map { case (c, j) => (j, c.toSeq) })
+        .toDF("row_idx", "vals")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/pca")
+      e.trained.foreach { cents =>
+        cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+          .toDF("centroid_id", "centroid")
+          .coalesce(1).write.mode("overwrite").parquet(s"$path/pca_ivf_centroids")
       }
     }
     // persist SQ training (bounds define the codes; re-encode on load
@@ -422,6 +501,17 @@ object IndexCatalog {
             else None
           e.trainedPq = Some((books, coarse))
         }
+        if (pathExists(spark, s"$path/pca")) {
+          val rows = spark.read.parquet(s"$path/pca").collect().sortBy(_.getInt(0))
+          val mean = rows.find(_.getInt(0) == -1).get.getSeq[Float](1).toArray
+          val comps = rows.filter(_.getInt(0) >= 0).sortBy(_.getInt(0))
+            .map(_.getSeq[Float](1).toArray)
+          e.trainedPca = Some((mean, comps))
+          if (pathExists(spark, s"$path/pca_ivf_centroids")) {
+            e.trained = Some(spark.read.parquet(s"$path/pca_ivf_centroids").collect()
+              .sortBy(_.getInt(0)).map(_.getSeq[Float](1).toArray))
+          }
+        }
         if (pathExists(spark, s"$path/sq_bounds")) {
           val rows = spark.read.parquet(s"$path/sq_bounds").collect().sortBy(_.getInt(0))
           val vmin = rows.map(_.getFloat(1))
@@ -445,6 +535,25 @@ object IndexCatalog {
   }
 
   // ---- index implementations ----
+
+  /** PCA pretransform wrapper: projects queries, delegates to the
+    * inner index (whose data/state live entirely in projected space) */
+  final class PcaBuilt(
+      val inner: BuiltIndex, mean: Array[Float], comps: Array[Array[Float]])
+      extends BuiltIndex {
+    def data: DataFrame = inner.data
+
+    private[index] def projectQueries(queries: DataFrame): DataFrame = {
+      val proj = GraftBridge.column(
+        PcaProject(GraftBridge.expression(vec.vector(col("qvec"))), mean, comps))
+      queries.select(col("qid"), proj.as("qvec"))
+    }
+
+    def search(queries: DataFrame, k: Int, params: Map[String, String]): DataFrame =
+      inner.search(projectQueries(queries), k, params)
+
+    override def close(): Unit = inner.close()
+  }
 
   final class FlatBuilt(val data: DataFrame, meta: IndexMeta) extends BuiltIndex {
     def search(queries: DataFrame, k: Int, params: Map[String, String]): DataFrame =

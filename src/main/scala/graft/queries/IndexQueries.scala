@@ -62,6 +62,15 @@ object IndexQueries {
       IndexCatalog.add(embData(s, dir), name)
       quantized(IndexCatalog.search(name, 5, embQueries(s, dir)))
     },
+    // PCA pretransform: 64 dims -> 16 principal dims, IVF in the
+    // projected space (FAISS factory "PCA16,IVF8,Flat"; approximate ->
+    // rows-only, exactness/save-load spec-asserted on full-rank PCA)
+    "knn_pca" -> { (s, dir) =>
+      val name = fresh("q_pca")
+      IndexCatalog.create(name, 64, "IDMap,PCA16,IVF8,Flat", "l2sq", Map("nprobe" -> "8"))
+      IndexCatalog.add(embData(s, dir), name)
+      quantized(IndexCatalog.search(name, 5, embQueries(s, dir)))
+    },
     // SQ8: 64 floats -> 64 uint8 codes against trained per-dim bounds,
     // asymmetric decode-in-loop distance + exact re-rank (approximate ->
     // rows-only; recall vs exact search is spec-asserted)

@@ -153,6 +153,46 @@ class IndexCatalogSpec extends SparkSpec {
     assert(recall >= 0.75, s"recall $recall")
   }
 
+  test("full-rank PCA pretransform preserves L2 search exactly (isometry)") {
+    IndexCatalog.create("t_pca_full", 2, "IDMap,PCA2,Flat", "l2sq")
+    IndexCatalog.add(grid, "t_pca_full")
+    val got = labelsOf(IndexCatalog.search("t_pca_full", 4, qs))
+    val want = labelsOf(Knn.searchFlat(grid, qs, 4, "l2sq"))
+    assert(got === want)
+  }
+
+  test("PCA-nested IVF trains and probes in projected space; exhaustive probe is exact") {
+    IndexCatalog.create("t_pca_ivf", 2, "IDMap,PCA2,IVF4,Flat", "l2sq", Map("nprobe" -> "4"))
+    IndexCatalog.add(grid, "t_pca_ivf")
+    val got = labelsOf(IndexCatalog.search("t_pca_ivf", 4, qs))
+    val want = labelsOf(Knn.searchFlat(grid, qs, 4, "l2sq"))
+    assert(got === want)
+  }
+
+  test("PCA transform persists across save/load (same projection, same results)") {
+    val dir = Files.createTempDirectory("graft_pcasave").toString
+    IndexCatalog.create("t_pcasave", 2, "IDMap,PCA2,IVF4,Flat", "l2sq", Map("nprobe" -> "2"))
+    IndexCatalog.add(grid, "t_pcasave")
+    val before = labelsOf(IndexCatalog.search("t_pcasave", 4, qs))
+    IndexCatalog.save("t_pcasave", dir)
+    IndexCatalog.destroy("t_pcasave")
+    IndexCatalog.load("t_pcasave2", dir, spark)
+    val after = labelsOf(IndexCatalog.search("t_pcasave2", 4, qs))
+    assert(before === after)
+  }
+
+  test("truncated PCA keeps the dominant axis (variance-ordered components)") {
+    import spark.implicits._
+    // points spread along x with small y noise: PCA1 must keep x-ordering
+    val line = (0 until 64).map(i => (i.toLong, Array(i.toFloat, (i % 3).toFloat * 0.01f)))
+      .toDF("label", "vec")
+    IndexCatalog.create("t_pca_trunc", 2, "IDMap,PCA1,Flat", "l2sq")
+    IndexCatalog.add(line, "t_pca_trunc")
+    val q = Seq((0L, Array(10.0f, 0.0f))).toDF("qid", "qvec")
+    val got = IndexCatalog.search("t_pca_trunc", 3, q).collect().map(_.getLong(2)).toSet
+    assert(got === Set(9L, 10L, 11L), got)
+  }
+
   test("SQ8: scalar-quantized search with re-rank is exact on a well-spread grid") {
     // 2-dim grid values quantize to <=0.06 error per dim at 8 bits;
     // exact re-rank over k x refine candidates recovers the true top-k
