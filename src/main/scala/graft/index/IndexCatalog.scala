@@ -221,9 +221,10 @@ object IndexCatalog {
   }
 
   /** driver-side training for kinds whose sample is already collected
-    * (also the inner-kind path of a PCA pretransform) */
+    * (also the inner-kind path of a PCA pretransform). An empty sample
+    * leaves the kind untrained — build() auto-trains from real data. */
   private def trainPointsKind(e: Entry, kind: Kind, pts: Array[Array[Float]], seed: Long): Unit =
-    kind match {
+    if (pts.isEmpty) () else kind match {
       case IvfKind(nlist) =>
         val n0 = if (nlist > 0) nlist else math.max(4, math.sqrt(pts.length.toDouble).toInt)
         e.trained = Some(Pq.localKMeans(pts, math.min(n0, math.max(1, pts.length)), seed,
