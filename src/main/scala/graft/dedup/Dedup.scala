@@ -257,6 +257,11 @@ object Dedup {
       }
       iter += 1
     }
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds " +
+          s"($changed labels still moving) — raise maxIter; returning partial " +
+          "labels would silently split clusters")
     edges.unpersist(blocking = false)
     dedupedPairs.unpersist(blocking = false)
     labels.select(col("id"), col("comp").as("cluster_id"))

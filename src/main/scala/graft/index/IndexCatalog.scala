@@ -195,19 +195,25 @@ object IndexCatalog {
       case IvfKind(nlist) =>
         val n = if (nlist > 0) nlist else math.max(4, math.sqrt(sample.count().toDouble).toInt)
         val vcol = sample.columns.last
-        e.trained = Some(KMeansTrainer.train(sample.select(vec.vector(col(vcol)).as("vec")), n,
-          seed, e.meta.params.get("maxIter").map(_.toInt).getOrElse(10)))
+        val cents = KMeansTrainer.train(sample.select(vec.vector(col(vcol)).as("vec")), n,
+          seed, e.meta.params.get("maxIter").map(_.toInt).getOrElse(10))
+        // an empty sample trains nothing — leave untrained so build()
+        // auto-trains from the real data (Some(empty) would block it)
+        e.trained = if (cents.isEmpty) None else Some(cents)
       case PqKind(m, nlist) =>
         trainPointsKind(e, PqKind(m, nlist), samplePoints(sample), seed)
       case SqKind(nlist) =>
         trainPointsKind(e, SqKind(nlist), samplePoints(sample), seed)
       case PcaKind(outDim, inner) =>
         // train the transform, then train the inner kind in the
-        // PROJECTED space (that's where it will see data and queries)
+        // PROJECTED space (that's where it will see data and queries).
+        // An empty sample is a no-op, like every other kind.
         val pts = samplePoints(sample)
-        val (mean, comps) = Pca.train(pts, outDim)
-        e.trainedPca = Some((mean, comps))
-        trainPointsKind(e, inner, pts.map(Pca.projectArr(_, mean, comps)), seed)
+        if (pts.nonEmpty) {
+          val (mean, comps) = Pca.train(pts, outDim)
+          e.trainedPca = Some((mean, comps))
+          trainPointsKind(e, inner, pts.map(Pca.projectArr(_, mean, comps)), seed)
+        }
       case _ => // Flat/LSH/HNSW need no training
     }
     e.built.foreach(_.close())
@@ -259,6 +265,13 @@ object IndexCatalog {
     }
   }
 
+  private def seed(e: Entry): Long =
+    e.meta.params.get("seed").map(_.toLong).getOrElse(42L)
+
+  /** bounded driver-side sample for auto-training coarse quantizers */
+  private def boundedSample(data: DataFrame): Array[Array[Float]] =
+    data.select(col("vec")).limit(16384).collect().map(_.getSeq[Float](0).toArray)
+
   private def buildKind(e: Entry, kind: Kind, data: DataFrame, metricId: Int): BuiltIndex =
     kind match {
       case FlatKind => new FlatBuilt(Knn.widen(data).cache(), e.meta) // widen once, before the cache
@@ -272,22 +285,22 @@ object IndexCatalog {
           // coarse quantizer; don't run Lloyd's over the full corpus.
           // `data` is already in the index's working space (projected
           // when nested under a PCA pretransform), so train directly.
-          val seed = e.meta.params.get("seed").map(_.toLong).getOrElse(42L)
-          val pts = data.select(col("vec")).limit(16384)
-            .collect().map(_.getSeq[Float](0).toArray)
-          trainPointsKind(e, IvfKind(nlist), pts, seed)
-          e.trained.get
+          trainPointsKind(e, IvfKind(nlist), boundedSample(data), seed(e))
+          // empty data -> zero centroids -> searches return empty,
+          // matching the pre-refactor KMeansTrainer behavior
+          e.trained.getOrElse(Array.empty)
         }
         IvfBuilt.build(data, e.meta, centroids, metricId)
       case PcaKind(outDim, inner) =>
         val (mean, comps) = e.trainedPca.getOrElse {
-          val seed = e.meta.params.get("seed").map(_.toLong).getOrElse(42L)
-          val pts = data.select(col("vec")).limit(16384)
-            .collect().map(_.getSeq[Float](0).toArray)
+          val pts = boundedSample(data)
+          if (pts.isEmpty)
+            throw new IllegalStateException(
+              "cannot auto-train a PCA pretransform on an empty index")
           val trained = Pca.train(pts, outDim)
           e.trainedPca = Some(trained)
           // inner quantizers must also train in the projected space
-          trainPointsKind(e, inner, pts.map(Pca.projectArr(_, trained._1, trained._2)), seed)
+          trainPointsKind(e, inner, pts.map(Pca.projectArr(_, trained._1, trained._2)), seed(e))
           trained
         }
         val proj = GraftBridge.column(

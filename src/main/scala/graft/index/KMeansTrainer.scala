@@ -20,19 +20,21 @@ object KMeansTrainer {
   val LocalLimit = 200000L
 
   def train(vecs: DataFrame, k: Int, seed: Long, maxIter: Int): Array[Array[Float]] = {
-    // one job decides the path AND fetches the local sample: collect up
-    // to LocalLimit+1 rows — overflow means "big", go distributed
     val spark = vecs.sparkSession
     import spark.implicits._
-    val head: Array[Array[Float]] = vecs
-      .select(vecs.columns.head)
-      .limit((LocalLimit + 1).toInt)
-      .as[Seq[Float]]
-      .collect()
-      .map(_.toArray)
-    if (head.length <= LocalLimit) {
-      if (head.isEmpty) Array.empty
-      else Pq.localKMeans(head, math.min(k, head.length), seed, maxIter)
+    // a BOUNDED count decides the path (stops scanning at LocalLimit+1
+    // rows, moves no data): collecting the sample first would haul
+    // ~LocalLimit wide vectors to the driver only to discard them
+    // whenever the input is big enough to need the distributed path
+    val n = vecs.limit((LocalLimit + 1).toInt).count()
+    if (n <= LocalLimit) {
+      val pts: Array[Array[Float]] = vecs
+        .select(vecs.columns.head)
+        .as[Seq[Float]]
+        .collect()
+        .map(_.toArray)
+      if (pts.isEmpty) Array.empty
+      else Pq.localKMeans(pts, math.min(k, pts.length), seed, maxIter)
     } else trainMllib(vecs, k, seed, maxIter)
   }
 

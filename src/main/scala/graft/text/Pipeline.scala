@@ -62,7 +62,9 @@ object Pipeline {
       .join(evalShingles, Seq("s")) // distinct eval side -> no fanout
       .groupBy("id")
       .agg(count(lit(1)).as("n_overlap"))
-    sh.where(!col("_is_eval")).select(col("id"))
+    // the left-join base needs ids only — derive it WITHOUT the shingle
+    // projection, or this third subtree would re-tokenize the corpus
+    docs.where(!evalPred).select(col(idCol).as("id"))
       .join(overlap, Seq("id"), "left")
       .select(col("id"), coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
   }

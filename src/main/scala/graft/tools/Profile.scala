@@ -21,7 +21,11 @@ object Profile {
     spark.sparkContext.setLogLevel("WARN")
     if (name == "ivfbig-breakdown") { ivfBigBreakdown(spark, sfDir); spark.stop(); return }
     val fn = graft.SparkEntry.queries(name)
-    fn(spark, "/root/testdata/sf0.001").count() // warmup
+    val warmDir = {
+      val w = "/root/testdata/sf0.001"
+      if (new java.io.File(w).isDirectory) w else sfDir
+    }
+    fn(spark, warmDir).count() // warmup
     (1 to 3).foreach { i =>
       val t0 = System.nanoTime()
       val n = fn(spark, sfDir).count()

@@ -68,6 +68,14 @@ class DedupSpec extends SparkSpec {
     assert(cc === (0L to 14L).map(_ -> 0L).toMap)
   }
 
+  test("connected components: refusing to return unconverged labels") {
+    import spark.implicits._
+    val pairs = (0L until 6L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val ex = intercept[IllegalStateException](
+      Dedup.connectedComponents(pairs, maxIter = 2, localEdgeLimit = 0).collect())
+    assert(ex.getMessage.contains("did not converge"))
+  }
+
   test("connected components: local union-find and distributed propagation agree") {
     import spark.implicits._
     val pairs = Seq((5L, 9L), (9L, 2L), (7L, 8L), (3L, 3L), (11L, 10L), (10L, 12L))

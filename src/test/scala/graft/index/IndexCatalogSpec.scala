@@ -304,6 +304,23 @@ class IndexCatalogSpec extends SparkSpec {
     assert(recall >= 0.75, s"recall $recall")
   }
 
+  test("IVF over zero matching vectors searches to an empty result, not a crash") {
+    IndexCatalog.create("t_ivf_empty", 2, "IDMap,IVF4,Flat", "l2sq")
+    IndexCatalog.add(grid.where(org.apache.spark.sql.functions.col("label") < 0), "t_ivf_empty")
+    assert(IndexCatalog.search("t_ivf_empty", 3, qs).collect().isEmpty)
+  }
+
+  test("manualTrain with an empty sample is a no-op for every trainable kind") {
+    val empty = grid.where(org.apache.spark.sql.functions.col("label") < 0).select("vec")
+    for ((nm, fac) <- Seq(("t_mt_ivf", "IDMap,IVF4,Flat"), ("t_mt_pq", "IDMap,PQ2"),
+        ("t_mt_sq", "IDMap,SQ8"), ("t_mt_pca", "IDMap,PCA2,Flat"))) {
+      IndexCatalog.create(nm, 2, fac)
+      IndexCatalog.manualTrain(empty, nm) // must not throw
+      IndexCatalog.add(grid, nm)
+      assert(IndexCatalog.search(nm, 2, qs).count() > 0) // build auto-trains
+    }
+  }
+
   test("query dimension mismatch fails loudly, like FAISS's d assertion") {
     import spark.implicits._
     IndexCatalog.create("t_dim", 2, "IDMap,Flat")
