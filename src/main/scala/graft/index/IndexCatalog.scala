@@ -692,6 +692,25 @@ object IndexCatalog {
     }
   }
 
+  /** shared quantized-index layout: widen -> encode -> (optional) coarse
+    * assignment with NaN rows parked in never-probed list -1 ->
+    * repartition by list. PQ and SQ differ only in the encode column. */
+  private def codedLayout(
+      data: DataFrame, encode: Column, cents: Option[Array[Array[Float]]]): DataFrame = {
+    val wide = Knn.widen(data)
+    cents match {
+      case Some(cs) =>
+        val assign = GraftBridge.column(NearestCentroids(
+          GraftBridge.expression(col("vec")), cs, 1, VectorMath.L2SQ))
+        wide.select(
+            when(size(assign) > 0, element_at(assign, 1)).otherwise(lit(-1)).as("list_id"),
+            col("label"), encode.as("code"), col("vec"))
+          .repartition(col("list_id"))
+      case None =>
+        wide.select(lit(0).as("list_id"), col("label"), encode.as("code"), col("vec"))
+    }
+  }
+
   object PqBuilt {
     /** PQ coarse probing is L2 by FAISS convention (assignment uses L2SQ too) */
     private[index] def nearestLists(
@@ -710,21 +729,7 @@ object IndexCatalog {
           else None)
       }
       val encode = GraftBridge.column(PqEncode(GraftBridge.expression(col("vec")), codebooks))
-      // PQ encoding is the CPU-heavy step (m x 256 centroid scans per
-      // row) — widen narrow inputs so it runs at full parallelism
-      val wide = Knn.widen(data)
-      val withCode = cents match {
-        case Some(cs) =>
-          val assign = GraftBridge.column(NearestCentroids(
-            GraftBridge.expression(col("vec")), cs, 1, VectorMath.L2SQ))
-          wide.select(
-              when(size(assign) > 0, element_at(assign, 1)).otherwise(lit(-1)).as("list_id"),
-              col("label"), encode.as("code"), col("vec"))
-            .repartition(col("list_id"))
-        case None =>
-          wide.select(lit(0).as("list_id"), col("label"), encode.as("code"), col("vec"))
-      }
-      new PqBuilt(withCode.cache(), meta, codebooks, cents)
+      new PqBuilt(codedLayout(data, encode, cents).cache(), meta, codebooks, cents)
     }
   }
 
@@ -796,19 +801,7 @@ object IndexCatalog {
           else None)
       }
       val encode = GraftBridge.column(SqEncode(GraftBridge.expression(col("vec")), vmin, vdiff))
-      val wide = Knn.widen(data)
-      val withCode = cents match {
-        case Some(cs) =>
-          val assign = GraftBridge.column(NearestCentroids(
-            GraftBridge.expression(col("vec")), cs, 1, VectorMath.L2SQ))
-          wide.select(
-              when(size(assign) > 0, element_at(assign, 1)).otherwise(lit(-1)).as("list_id"),
-              col("label"), encode.as("code"), col("vec"))
-            .repartition(col("list_id"))
-        case None =>
-          wide.select(lit(0).as("list_id"), col("label"), encode.as("code"), col("vec"))
-      }
-      new SqBuilt(withCode.cache(), meta, vmin, vdiff, cents)
+      new SqBuilt(codedLayout(data, encode, cents).cache(), meta, vmin, vdiff, cents)
     }
   }
 
