@@ -64,6 +64,20 @@ object DedupQueries {
             org.apache.spark.sql.expressions.Window.partitionBy("cluster_id"))
             .as("cluster_size"))
     },
+    // the dedup END PRODUCT: the corpus with non-canonical near-dup
+    // cluster members removed (one anti-join against the cluster map)
+    "dedup_survivors" -> { (s, dir) =>
+      val pairs = Dedup
+        .ngramJaccardWindow(docs(s, dir), "doc_id", "text",
+          window = 100, shingleSize = 2, minJaccard = 0.5)
+        .select(col("a_id"), col("b_id"))
+      val dropped = Dedup.connectedComponents(pairs)
+        .where(col("id") =!= col("cluster_id"))
+        .select(col("id").as("doc_id"))
+      docs(s, dir)
+        .join(dropped, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("lang"))
+    },
     "dedup_simhash" -> { (s, dir) =>
       val d = docs(s, dir)
       val cands = Dedup.simhashCandidates(d, "doc_id", "text", maxHamming = 3)
@@ -124,6 +138,28 @@ object DedupQueries {
          |SELECT doc_id, cluster_id,
          |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size
          |FROM c""".stripMargin,
+    "dedup_survivors" ->
+      s"""WITH RECURSIVE t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |sh AS (SELECT doc_id, $shinglesSql AS sh FROM t),
+         |jp AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |      / CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS jaccard
+         |  FROM sh a JOIN sh b
+         |    ON b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 100
+         |),
+         |p AS (SELECT a_id, b_id FROM jp WHERE jaccard >= 0.5),
+         |e AS (SELECT a_id AS src, b_id AS dst FROM p UNION SELECT b_id, a_id FROM p),
+         |reach AS (
+         |  SELECT src AS id, src AS r FROM e
+         |  UNION
+         |  SELECT e.src, reach.r FROM e JOIN reach ON reach.id = e.dst
+         |),
+         |c AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+         |dropped AS (SELECT doc_id FROM c WHERE doc_id != cluster_id)
+         |SELECT d.doc_id, d.lang FROM documents d
+         |LEFT JOIN dropped x ON d.doc_id = x.doc_id
+         |WHERE x.doc_id IS NULL""".stripMargin,
     "dedup_embedding" ->
       """WITH p AS (
         |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
