@@ -101,6 +101,22 @@ object RelationalQueries {
         .orderBy(col("revenue").desc, col("c_custkey"))
         .limit(20)
     },
+    // per-group top-k through the bounded-heap AGGREGATE: map-side
+    // partial heaps shuffle k rows per (partition, group) instead of
+    // sorting every group's rows — the scalable alternative to a
+    // row_number window when only the top k matter
+    "topk_per_customer" -> { (s, dir) =>
+      Tables(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(graft.functions.vec.topk(3, col("o_totalprice"), col("o_orderkey"),
+          ascending = false).as("nn"))
+        .select(col("o_custkey"), explode(col("nn")).as("nn"))
+        .select(
+          col("o_custkey"),
+          col("nn.rank").as("rank"),
+          col("nn.label").as("o_orderkey"),
+          col("nn.distance").as("o_totalprice"))
+    },
     "window_running" -> { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
@@ -246,6 +262,15 @@ object RelationalQueries {
          |WHERE l_returnflag = 'R'
          |GROUP BY c_custkey, c_name
          |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    "topk_per_customer" ->
+      """WITH r AS (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    CAST(row_number() OVER (
+        |      PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) - 1
+        |      AS INTEGER) AS rank
+        |  FROM orders
+        |)
+        |SELECT o_custkey, rank, o_orderkey, o_totalprice FROM r WHERE rank < 3""".stripMargin,
     "window_running" ->
       """SELECT o_custkey, o_orderkey,
         |  CAST(row_number() OVER w AS INTEGER) AS order_seq,
