@@ -45,14 +45,18 @@ object Multimodal {
   object StubCodec {
     val featureDim = 8
     def decode(payload: Array[Byte], modality: String): Array[Float] = {
-      val f = new Array[Float](featureDim)
+      // accumulate in DOUBLE, emit float: double addition is sequential
+      // IEEE and therefore reproducible verbatim in an external SQL
+      // twin, whereas a float accumulator's per-step rounding is not
+      val acc = new Array[Double](featureDim)
       var i = 0
       while (i < payload.length) {
-        f(i % featureDim) += (payload(i) & 0xff) / 255.0f
+        acc(i % featureDim) += (payload(i) & 0xff) / 255.0
         i += 1
       }
       val n = math.max(1, payload.length / featureDim)
-      (0 until featureDim).foreach(j => f(j) /= n)
+      val f = new Array[Float](featureDim)
+      (0 until featureDim).foreach(j => f(j) = (acc(j) / n).toFloat)
       f
     }
     def frameCount(meta: Row): Int =

@@ -38,6 +38,20 @@ object MultimodalQueries {
     })
 
   def oracles: Map[String, String] = Map(
+    // the stub decode is pure byte arithmetic over ASCII payloads:
+    // slot-0 feature = mean of bytes at positions 1,9,17,... (double
+    // accumulation in input order, float-rounded once at the end)
+    "mm_decode" ->
+      """SELECT doc_id AS asset_id,
+        |  ['image', 'audio', 'video'][CAST(doc_id % 3 + 1 AS INTEGER)] AS modality,
+        |  CAST(length(text) AS INTEGER) AS n_bytes,
+        |  CAST(CAST(CASE WHEN length(text) = 0 THEN 0.0 ELSE
+        |    CAST(CAST(list_sum([CAST(ord(substr(text, i, 1)) AS DOUBLE) / 255.0
+        |           FOR i IN range(1, length(text) + 1, 8)])
+        |         / greatest(1, length(text) // 8) AS FLOAT) AS DOUBLE)
+        |    END AS DECIMAL(18,4)) AS DOUBLE) AS f0,
+        |  CAST(greatest(1, (length(text) * 10) // 1000) AS INTEGER) AS frames_sampled
+        |FROM documents""".stripMargin,
     "mm_resize" ->
       """WITH m AS (
         |  SELECT doc_id AS asset_id,
