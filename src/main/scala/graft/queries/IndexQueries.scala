@@ -130,5 +130,24 @@ object IndexQueries {
 
   def oracles: Map[String, String] = Map(
     // same oracle as knn_flat_l2: exhaustive probing is exact
-    "vs_index_build" -> VectorQueries.oracles("knn_flat_l2"))
+    "vs_index_build" -> VectorQueries.oracles("knn_flat_l2"),
+    // exact scan over the replicated corpus — the oracle replays the
+    // same replication and brute force (~5s in DuckDB at sf0.01)
+    "knn_flat_big" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS a FROM embeddings WHERE vec_id < 100),
+        |big AS (
+        |  SELECT e.vec_id + c.c * 1000000 AS label, e.embedding AS b
+        |  FROM embeddings e CROSS JOIN (SELECT unnest(range(0, 50)) AS c) c
+        |),
+        |d AS (
+        |  SELECT q.qid, big.label,
+        |    list_sum([ (CAST(a[i] AS DOUBLE) - CAST(b[i] AS DOUBLE)) * (CAST(a[i] AS DOUBLE) - CAST(b[i] AS DOUBLE)) FOR i IN range(1, len(a)+1) ]) AS dist
+        |  FROM q CROSS JOIN big
+        |),
+        |r AS (
+        |  SELECT qid, label, dist,
+        |    CAST(row_number() OVER (PARTITION BY qid ORDER BY dist, label) - 1 AS INTEGER) AS rank
+        |  FROM d
+        |)
+        |SELECT qid, rank, label FROM r WHERE rank < 5""".stripMargin)
 }
