@@ -101,6 +101,24 @@ object RelationalQueries {
         .orderBy(col("revenue").desc, col("c_custkey"))
         .limit(20)
     },
+    // q14-style promo revenue share: lineitem |> broadcast part, one
+    // aggregated pass; the ratio divides two exact cents-sums so it is
+    // bit-stable under any aggregation order
+    "q14_promo" -> { (s, dir) =>
+      val li = Tables(s, dir, "lineitem")
+        .where(col("l_shipdate") >= lit("1997-01-01 00:00:00").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-04-01 00:00:00").cast("timestamp"))
+      val revenue = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+      li.join(broadcast(Tables(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+        .agg(
+          moneySum(when(col("p_type").startsWith("PROMO"), revenue).otherwise(lit(0.0)))
+            .as("promo_revenue"),
+          moneySum(revenue).as("total_revenue"),
+          count(lit(1)).as("n_items"))
+        .select(
+          (col("promo_revenue") * 100.0 / col("total_revenue")).as("promo_pct"),
+          col("promo_revenue"), col("total_revenue"), col("n_items"))
+    },
     // per-group top-k through the bounded-heap AGGREGATE: map-side
     // partial heaps shuffle k rows per (partition, group) instead of
     // sorting every group's rows — the scalable alternative to a
@@ -262,6 +280,22 @@ object RelationalQueries {
          |WHERE l_returnflag = 'R'
          |GROUP BY c_custkey, c_name
          |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    "q14_promo" ->
+      s"""WITH j AS (
+         |  SELECT p.p_type, l.l_extendedprice * (1.0 - l.l_discount) AS rev
+         |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+         |  WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+         |    AND l.l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+         |), a AS (
+         |  SELECT
+         |    ${moneySumSql("CASE WHEN p_type LIKE 'PROMO%' THEN rev ELSE 0.0 END")} AS promo_revenue,
+         |    ${moneySumSql("rev")} AS total_revenue,
+         |    count(*) AS n_items
+         |  FROM j
+         |)
+         |SELECT promo_revenue * 100.0 / total_revenue AS promo_pct,
+         |  promo_revenue, total_revenue, n_items
+         |FROM a""".stripMargin,
     "topk_per_customer" ->
       """WITH r AS (
         |  SELECT o_custkey, o_orderkey, o_totalprice,
