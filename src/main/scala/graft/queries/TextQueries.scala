@@ -42,12 +42,11 @@ object TextQueries {
         emailCount(col("text")).as("n_emails"))
     },
     // Gopher-style repetition: most frequent bigram's share of all
-    // bigrams — per-row run-length pass, no shuffle (oracle stays the
-    // string group-by; hash-exact equivalence)
+    // bigrams — per-row codegen'd kernel, no shuffle (oracle stays the
+    // string group-by; exact token-sequence equivalence)
     "text_repetition" -> { (s, dir) =>
       val d = Tables.wide(s, dir, "documents")
-      val grams = shinglesAll(tokens(col("text")), 2)
-      d.where(size(grams) > 0) // group-by semantics: no row for gram-less docs
+      d.where(size(tokens(col("text"))) >= 2) // group-by semantics: no row for gram-less docs
         .select(col("doc_id"), topShingleRatio(tokens(col("text")), 2).as("top_bigram_ratio"))
     },
     // deterministic stratified sample: first 20 docs per language by id

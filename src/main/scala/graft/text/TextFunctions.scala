@@ -53,23 +53,15 @@ object TextFunctions {
 
   /**
    * Share of the most frequent n-gram among all n-grams of the doc
-   * (Gopher repetition signal), computed per-row with NO shuffle:
-   * hash the grams, sort, and count the longest equal run in one
-   * aggregate pass — the mode of the multiset. Collision-exact vs a
-   * string group-by for any realistic doc (P ~ m^2/2^64), and at
-   * corpus scale it replaces shuffling every bigram of every document
-   * with a codegen'd scan.
+   * (Gopher repetition signal), computed per-row with NO shuffle by a
+   * native codegen'd kernel ([[TextKernels.topShingleRatio]]) — the
+   * multiset mode via sort + longest-equal-run in one compiled call.
+   * Exact (token-sequence comparison, no hashing). NULL below n tokens,
+   * mirroring the group-by formulation's no-row-for-gram-less-docs.
    */
   def topShingleRatio(toks: Column, n: Int): Column = {
-    val sortedHashes = array_sort(transform(shinglesAll(toks, n), g => xxhash64(g)))
-    val st = aggregate(
-      sortedHashes,
-      struct(lit(0L).as("run"), lit(0L).as("best"), lit(null).cast("long").as("prev")),
-      (acc, x) => {
-        val run = when(acc.getField("prev") === x, acc.getField("run") + 1).otherwise(lit(1L))
-        struct(run.as("run"), greatest(acc.getField("best"), run).as("best"), x.as("prev"))
-      })
-    st.getField("best").cast("double") / size(sortedHashes).cast("double")
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(TopShingleRatio(GraftBridge.expression(toks), n))
   }
 
   val stopwords: Seq[String] = Seq(

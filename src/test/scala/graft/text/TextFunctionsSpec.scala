@@ -71,6 +71,36 @@ class TextFunctionsSpec extends SparkSpec {
     assert(f1 !== f3)
   }
 
+  test("topShingleRatio: native kernel matches group-by mode semantics") {
+    def ratio(t: String): Any =
+      one(TextFunctions.topShingleRatio(TextFunctions.tokens(col("text")), 2), t)
+    // "a b a b a b": bigrams [a b, b a, a b, b a, a b] -> mode 3 of 5
+    assert(ratio("a b a b a b") === 3.0 / 5.0)
+    // all distinct bigrams -> 1/m
+    assert(ratio("a b c d") === 1.0 / 3.0)
+    // single bigram -> 1.0
+    assert(ratio("x y") === 1.0)
+    // fewer than n tokens -> NULL (group-by emits no row)
+    assert(ratio("solo") === null)
+    assert(ratio("") === null)
+    // kernel agrees with an explode+groupBy reference on mixed docs
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the cat sat on the cat sat on the cat"),
+      (2L, "x x x x x x"),
+      (3L, "one two three four five six seven"),
+      (4L, "a b a b c a b")).toDF("id", "text")
+    val kernel = docs.select($"id",
+        TextFunctions.topShingleRatio(TextFunctions.tokens($"text"), 2).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val ref = docs.select($"id",
+        explode(TextFunctions.shinglesAll(TextFunctions.tokens($"text"), 2)).as("g"))
+      .groupBy("id", "g").count()
+      .groupBy("id").agg((max($"count").cast("double") / sum($"count").cast("double")).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(kernel === ref)
+  }
+
   test("minhash similarity approximates jaccard") {
     import spark.implicits._
     val df = Seq(
