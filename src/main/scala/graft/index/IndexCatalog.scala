@@ -99,7 +99,27 @@ object IndexCatalog {
 
   sealed trait BuiltIndex {
     def data: DataFrame
+    def meta: IndexMeta
     def search(queries: DataFrame, k: Int, params: Map[String, String]): DataFrame
+
+    /**
+     * Selector-inside-index search: only rows surviving `restrict`
+     * participate, composed WITH the index structure where one exists
+     * (the reference applies its id-selector inside every index type's
+     * search — faiss_extension.cpp:940-1000). IVF/PQ/SQ/LSH override
+     * this to keep list pruning / ADC / bucket probing on the
+     * restricted rows; the base implementation is an exact flat scan
+     * of the restricted subset (the right plan for Flat, and the safe
+     * exact fallback for graph indexes, whose shard connectivity does
+     * not survive row removal).
+     */
+    def searchRestricted(
+        queries: DataFrame, k: Int, params: Map[String, String],
+        restrict: DataFrame => DataFrame): DataFrame =
+      Knn.searchFlat(
+        restrict(data).select(col("label"), col("vec")), queries, k, meta.metric,
+        padToK = params.get("pad").exists(_.toBoolean))
+
     def close(): Unit = data.unpersist()
   }
 
@@ -276,8 +296,15 @@ object IndexCatalog {
     kind match {
       case FlatKind => new FlatBuilt(Knn.widen(data).cache(), e.meta) // widen once, before the cache
       case LshKind(bits) => LshBuilt.build(data, e.meta, bits)
-      case PqKind(m, nlist) => PqBuilt.build(data, e.meta, m, nlist, e.trainedPq)
-      case SqKind(nlist) => SqBuilt.build(data, e.meta, nlist, e.trainedSq)
+      case PqKind(m, nlist) =>
+        // auto-train through the Entry (mirrors the IVF path) so save()
+        // persists the codebooks and load() never retrains from a
+        // partition-order-dependent sample
+        if (e.trainedPq.isEmpty) trainPointsKind(e, PqKind(m, nlist), boundedSample(data), seed(e))
+        PqBuilt.build(data, e.meta, m, nlist, e.trainedPq)
+      case SqKind(nlist) =>
+        if (e.trainedSq.isEmpty) trainPointsKind(e, SqKind(nlist), boundedSample(data), seed(e))
+        SqBuilt.build(data, e.meta, nlist, e.trainedSq)
       case HnswKind(m) => HnswBuilt.build(data, e.meta, m)
       case IvfKind(nlist) =>
         val centroids = e.trained.getOrElse {
@@ -359,43 +386,57 @@ object IndexCatalog {
    */
   def searchNested(
       name: String, k: Int, queries: DataFrame,
-      params: Map[String, String] = Map.empty): DataFrame =
-    search(name, k, queries, params)
+      params: Map[String, String] = Map.empty): DataFrame = {
+    val grouped = search(name, k, queries, params)
       .groupBy("qid")
       .agg(sort_array(collect_list(struct(col("rank"), col("label"), col("distance"))))
         .as("results"))
+    // FAISS_SEARCH returns a list value for EVERY query row — a query
+    // with zero candidates (empty index, empty probed lists, aggressive
+    // filter) must yield an empty list, not vanish from the group-by
+    val qids = queries
+      .select(col(queries.columns(0)).cast("long").as("qid"))
+      .where(col("qid").isNotNull).distinct()
+    qids.join(grouped, Seq("qid"), "left")
+      .select(col("qid"),
+        coalesce(col("results"),
+          array().cast("array<struct<rank:int,label:bigint,distance:double>>"))
+          .as("results"))
+  }
 
-  /** faiss_search_filter twin: predicate over the indexed labels */
+  /**
+   * faiss_search_filter twin: predicate over the indexed labels,
+   * composed INSIDE the index structure (IVF/PQ/SQ keep list pruning,
+   * LSH keeps bucket probing — reference faiss_extension.cpp:940-1000
+   * applies its id-selector inside every index type). The predicate is
+   * a Catalyst filter, so on Flat/graph indexes it is pushed down into
+   * the (pruned) scan of the exact fallback.
+   */
   def searchFilter(
       name: String, k: Int, queries: DataFrame, filter: Column,
       params: Map[String, String] = Map.empty): DataFrame = {
-    val b = build(name)
-    val guarded = guardDim(queries, entry(name).meta.dim, name)
-    // a PCA index's data lives in projected space: project queries too
-    val qs = b match { case p: PcaBuilt => p.projectQueries(guarded); case _ => guarded }
-    // exact post-filterable search: restrict the indexed data, then flat-search.
-    // The filter is a Catalyst predicate -> pushed into the (pruned) scan.
-    Knn.searchFlat(b.data.where(filter), qs, k, entry(name).meta.metric,
-      padToK = params.get("pad").exists(_.toBoolean))
+    val e = entry(name)
+    build(name).searchRestricted(
+      guardDim(queries, e.meta.dim, name), k,
+      e.meta.params ++ normalizeParams(params), _.where(filter))
   }
 
   /**
    * faiss_search_filter_set twin: only the given label set participates.
-   * Small sets inline as an IN-list predicate; a DataFrame set joins
-   * via LEFT SEMI (shuffle-safe for arbitrarily large id sets — the
-   * scale-robust version of the reference's O(m) hash set,
-   * faiss_extension.cpp search_filter_set).
+   * The DataFrame set joins via LEFT SEMI (shuffle-safe for arbitrarily
+   * large id sets — the scale-robust version of the reference's O(m)
+   * hash set, faiss_extension.cpp search_filter_set), composed inside
+   * the index structure like [[searchFilter]].
    */
   def searchFilterSet(
       name: String, k: Int, queries: DataFrame, ids: DataFrame,
       params: Map[String, String] = Map.empty): DataFrame = {
-    val b = build(name)
-    val guarded = guardDim(queries, entry(name).meta.dim, name)
-    val qs = b match { case p: PcaBuilt => p.projectQueries(guarded); case _ => guarded }
+    val e = entry(name)
     val idSet = ids.select(col(ids.columns.head).cast("long").as("label"))
-    val restricted = b.data.join(idSet, Seq("label"), "left_semi")
-    Knn.searchFlat(restricted, qs, k, entry(name).meta.metric,
-      padToK = params.get("pad").exists(_.toBoolean))
+    build(name).searchRestricted(
+      guardDim(queries, e.meta.dim, name), k,
+      e.meta.params ++ normalizeParams(params),
+      _.join(idSet, Seq("label"), "left_semi"))
   }
 
   def moveGpu(name: String, gpu: Int): Unit =
@@ -556,6 +597,7 @@ object IndexCatalog {
       val inner: BuiltIndex, mean: Array[Float], comps: Array[Array[Float]])
       extends BuiltIndex {
     def data: DataFrame = inner.data
+    def meta: IndexMeta = inner.meta
 
     private[index] def projectQueries(queries: DataFrame): DataFrame = {
       val proj = GraftBridge.column(
@@ -566,10 +608,15 @@ object IndexCatalog {
     def search(queries: DataFrame, k: Int, params: Map[String, String]): DataFrame =
       inner.search(projectQueries(queries), k, params)
 
+    override def searchRestricted(
+        queries: DataFrame, k: Int, params: Map[String, String],
+        restrict: DataFrame => DataFrame): DataFrame =
+      inner.searchRestricted(projectQueries(queries), k, params, restrict)
+
     override def close(): Unit = inner.close()
   }
 
-  final class FlatBuilt(val data: DataFrame, meta: IndexMeta) extends BuiltIndex {
+  final class FlatBuilt(val data: DataFrame, val meta: IndexMeta) extends BuiltIndex {
     def search(queries: DataFrame, k: Int, params: Map[String, String]): DataFrame =
       Knn.searchFlat(data, queries, k, meta.metric,
         padToK = params.get("pad").exists(_.toBoolean))
@@ -577,12 +624,21 @@ object IndexCatalog {
 
   final class IvfBuilt(
       val data: DataFrame, // (list_id int, label bigint, vec array<float>)
-      meta: IndexMeta,
+      val meta: IndexMeta,
       val centroids: Array[Array[Float]],
       metricId: Int)
       extends BuiltIndex {
 
-    def search(queries: DataFrame, k: Int, params: Map[String, String]): DataFrame = {
+    def search(queries: DataFrame, k: Int, params: Map[String, String]): DataFrame =
+      searchRestricted(queries, k, params, identity)
+
+    /** IVF with the selector composed INSIDE the probe: the restriction
+      * applies to the pruned-list scan, so a loose filter over a huge
+      * corpus still reads only nprobe lists (vs the flat fallback that
+      * scans the whole filtered corpus). Exact at nprobe = nlist. */
+    override def searchRestricted(
+        queries: DataFrame, k: Int, params: Map[String, String],
+        restrict: DataFrame => DataFrame): DataFrame = {
       val nprobe = params.get("nprobe").map(_.toInt).getOrElse(math.max(1, centroids.length / 8))
       // collect the (bounded, FAISS-batch-sized) queries ONCE and derive
       // probes driver-side: a single evaluation feeds both the pruning
@@ -613,7 +669,7 @@ object IndexCatalog {
       val asc = VectorMath.smallerIsCloser(metricId)
       val pad = params.get("pad").exists(_.toBoolean)
       Knn.rankResults(
-        pruned.join(broadcast(probes), "list_id")
+        restrict(pruned).join(broadcast(probes), "list_id")
           .select(col("qid"), col("label"), d.as("_dist")),
         k, asc, pad)
     }
@@ -648,12 +704,21 @@ object IndexCatalog {
    */
   final class PqBuilt(
       val data: DataFrame, // (list_id int, label bigint, code binary, vec array<float>)
-      meta: IndexMeta,
+      val meta: IndexMeta,
       codebooks: Array[Array[Array[Float]]],
       centroids: Option[Array[Array[Float]]])
       extends BuiltIndex {
 
-    def search(queries: DataFrame, k: Int, params: Map[String, String]): DataFrame = {
+    def search(queries: DataFrame, k: Int, params: Map[String, String]): DataFrame =
+      searchRestricted(queries, k, params, identity)
+
+    /** ADC + re-rank over the restricted rows only: the selector joins
+      * the candidate source (probed lists or full coded scan), keeping
+      * compression + pruning instead of a flat fallback scan. */
+    override def searchRestricted(
+        queries: DataFrame, k: Int, params: Map[String, String],
+        restrict: DataFrame => DataFrame): DataFrame = {
+      val base = restrict(data)
       val spark = data.sparkSession
       import spark.implicits._
       val refine = params.get("refine").map(_.toInt).getOrElse(4)
@@ -670,9 +735,9 @@ object IndexCatalog {
           val probes = qArr.toSeq.flatMap { case (qid, qv) =>
             PqBuilt.nearestLists(qv, cents, nprobe).map(l => (qid, l))
           }.toDF("qid", "list_id")
-          data.join(broadcast(probes), "list_id")
+          base.join(broadcast(probes), "list_id")
         case None =>
-          data.crossJoin(broadcast(qArr.map(_._1).toSeq.toDF("qid")))
+          base.crossJoin(broadcast(qArr.map(_._1).toSeq.toDF("qid")))
       }
       val adc = GraftBridge.column(PqAdcDistance(
         GraftBridge.expression(col("code")), GraftBridge.expression(col("qid")), luts))
@@ -742,13 +807,21 @@ object IndexCatalog {
    */
   final class SqBuilt(
       val data: DataFrame, // (list_id int, label bigint, code binary, vec array<float>)
-      meta: IndexMeta,
+      val meta: IndexMeta,
       val vmin: Array[Float],
       val vdiff: Array[Float],
       centroids: Option[Array[Array[Float]]])
       extends BuiltIndex {
 
-    def search(queries: DataFrame, k: Int, params: Map[String, String]): DataFrame = {
+    def search(queries: DataFrame, k: Int, params: Map[String, String]): DataFrame =
+      searchRestricted(queries, k, params, identity)
+
+    /** same selector-inside-index shape as PqBuilt: restriction joins
+      * the coded candidate source, decode + re-rank unchanged */
+    override def searchRestricted(
+        queries: DataFrame, k: Int, params: Map[String, String],
+        restrict: DataFrame => DataFrame): DataFrame = {
+      val base = restrict(data)
       val spark = data.sparkSession
       import spark.implicits._
       val refine = params.get("refine").map(_.toInt).getOrElse(4)
@@ -765,9 +838,9 @@ object IndexCatalog {
           val probes = qArr.toSeq.flatMap { case (qid, qv) =>
             NearestCentroids.nearestIds(qv, cents, nprobe, VectorMath.L2SQ).map(l => (qid, l))
           }.toDF("qid", "list_id")
-          data.join(broadcast(probes), "list_id")
+          base.join(broadcast(probes), "list_id")
         case None =>
-          data.crossJoin(broadcast(qArr.map(_._1).toSeq.toDF("qid")))
+          base.crossJoin(broadcast(qArr.map(_._1).toSeq.toDF("qid")))
       }
       val sqd = GraftBridge.column(SqL2Distance(
         GraftBridge.expression(col("code")), GraftBridge.expression(col("qid")), qMap, vmin, vdiff))
@@ -823,7 +896,7 @@ object IndexCatalog {
    */
   final class HnswBuilt(
       val data: DataFrame, // (label, vec) — retained for filtered/exact paths + save
-      meta: IndexMeta,
+      val meta: IndexMeta,
       graphs: org.apache.spark.rdd.RDD[Nsw.Graph],
       m: Int)
       extends BuiltIndex {
@@ -876,16 +949,25 @@ object IndexCatalog {
 
   final class LshBuilt(
       val data: DataFrame, // (bucket bigint, label bigint, vec array<float>)
-      meta: IndexMeta, bands: Int, bitsPerBand: Int, seed: Long)
+      val meta: IndexMeta, bands: Int, bitsPerBand: Int, seed: Long)
       extends BuiltIndex {
 
-    def search(queries: DataFrame, k: Int, params: Map[String, String]): DataFrame = {
+    def search(queries: DataFrame, k: Int, params: Map[String, String]): DataFrame =
+      searchRestricted(queries, k, params, identity)
+
+    /** bucket probing over the restricted rows (the banded layout keeps
+      * `label`, so predicates/semi-joins apply before the bucket join;
+      * also fixes duplicate top-k labels the flat fallback would emit
+      * from the per-band row duplication) */
+    override def searchRestricted(
+        queries: DataFrame, k: Int, params: Map[String, String],
+        restrict: DataFrame => DataFrame): DataFrame = {
       val qb = queries.select(col("qid"), col("qvec"),
         explode(hashes.hyperplaneBuckets(col("qvec"), bands, bitsPerBand, seed)).as("bucket"))
       val d = vec.dist(meta.metric, col("vec"), col("qvec"))
       val asc = VectorMath.smallerIsCloser(VectorMath.metricId(meta.metric))
       Knn.rankResults(
-        data.join(broadcast(qb), "bucket")
+        restrict(data).join(broadcast(qb), "bucket")
           // a (label, qid) pair can match in several bands; compute the
           // distance in codegen, then dedup on (qid,label) before ranking
           .select(col("qid"), col("label"), d.as("_dist"))

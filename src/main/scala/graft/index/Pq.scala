@@ -41,15 +41,16 @@ object Pq {
    * Plain Lloyd's on a small in-memory sample (deterministic seeded
    * init). The O(n*k*dim) assignment step runs chunk-parallel on the
    * driver's cores; per-chunk partial sums merge in fixed chunk order,
-   * so the result is run-to-run deterministic (though the float sum
-   * order differs from a strictly sequential pass).
+   * and the chunking is a pure function of pts.length (fixed 2048-point
+   * chunks, capped at 64) — NOT of the host's core count — so trained
+   * centroids are machine-independent, not just run-to-run stable.
    */
   private[index] def localKMeans(
       pts: Array[Array[Float]], k: Int, seed: Long, maxIter: Int): Array[Array[Float]] = {
     val dim = pts(0).length
     val centers = Array.tabulate(k)(i => pts(((Hash64.mix(seed + i) >>> 1) % pts.length).toInt).clone())
     val assign = new Array[Int](pts.length)
-    val nChunks = math.max(1, math.min(Runtime.getRuntime.availableProcessors(), pts.length / 2048))
+    val nChunks = math.max(1, math.min(64, pts.length / 2048))
     val chunkSize = (pts.length + nChunks - 1) / nChunks
     val chunkMoved = new Array[Boolean](nChunks)
     val chunkSums = Array.ofDim[Double](nChunks, k, dim)

@@ -39,6 +39,29 @@ object IndexQueries {
       IndexCatalog.add(embData(s, dir), name)
       quantized(IndexCatalog.search(name, 5, embQueries(s, dir)))
     },
+    // filtered search composed INSIDE the IVF structure (selector joins
+    // the pruned-list scan, not a flat fallback); exhaustive probe ->
+    // exact, shares the filtered brute-force oracle. Partial-probe
+    // recall is spec-asserted (IndexCatalogSpec).
+    "knn_ivf_filter" -> { (s, dir) =>
+      val name = fresh("q_ivf_filter")
+      IndexCatalog.create(name, 64, "IDMap,IVF16,Flat", "l2sq", Map("nprobe" -> "16"))
+      IndexCatalog.add(embData(s, dir), name)
+      quantized(IndexCatalog.searchFilter(name, 5, embQueries(s, dir), col("label") % 2 === 0))
+    },
+    // save -> destroy -> load -> search through the gate: proves the
+    // list-partitioned parquet layout + static list pruning survive a
+    // round-trip (exhaustive probe -> exact, shares the L2 oracle)
+    "vs_index_saveload" -> { (s, dir) =>
+      val name = fresh("q_ivf_persist")
+      IndexCatalog.create(name, 64, "IDMap,IVF16,Flat", "l2sq", Map("nprobe" -> "16"))
+      IndexCatalog.add(embData(s, dir), name)
+      val path = java.nio.file.Files.createTempDirectory("graft_saveload").toString
+      IndexCatalog.save(name, path)
+      IndexCatalog.destroy(name)
+      IndexCatalog.load(name, path, s)
+      quantized(IndexCatalog.search(name, 5, embQueries(s, dir)))
+    },
     // approximate IVF probe (nprobe=4 of 16) — recall asserted in specs
     "knn_ivf" -> { (s, dir) =>
       val name = fresh("q_ivf_approx")
@@ -131,6 +154,9 @@ object IndexQueries {
   def oracles: Map[String, String] = Map(
     // same oracle as knn_flat_l2: exhaustive probing is exact
     "vs_index_build" -> VectorQueries.oracles("knn_flat_l2"),
+    // exhaustive-probe searches stay exact through filter / save-load
+    "knn_ivf_filter" -> VectorQueries.oracles("knn_search_filter"),
+    "vs_index_saveload" -> VectorQueries.oracles("knn_flat_l2"),
     // exact scan over the replicated corpus — the oracle replays the
     // same replication and brute force (~5s in DuckDB at sf0.01)
     "knn_flat_big" ->

@@ -107,6 +107,50 @@ class IndexCatalogSpec extends SparkSpec {
     assert(res.collect().forall(_.getLong(2) % 2 == 0))
   }
 
+  test("search_filter composes with IVF: exhaustive exact, partial probe honors filter") {
+    IndexCatalog.create("t_filt_ivf", 2, "IDMap,IVF8,Flat", "l2sq", Map("nprobe" -> "8"))
+    IndexCatalog.add(grid, "t_filt_ivf")
+    val pred = col("label") % 2 === 0
+    val exact = labelsOf(Knn.searchFlat(grid.where(pred), qs, 4, "l2sq"))
+    val got = labelsOf(IndexCatalog.searchFilter("t_filt_ivf", 4, qs, pred))
+    assert(got === exact) // nprobe = nlist -> selector-inside-IVF is exact
+    // partial probe: approximate, but the filter must always hold and
+    // recall against the exact filtered answer stays useful
+    val partial = IndexCatalog
+      .searchFilter("t_filt_ivf", 4, qs, pred, Map("nprobe" -> "2")).collect()
+    assert(partial.nonEmpty)
+    assert(partial.forall(_.getLong(2) % 2 == 0))
+    val exactPairs = exact.toSeq.flatMap { case (q, ls) => ls.map(q -> _) }.toSet
+    val gotPairs = partial.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = gotPairs.intersect(exactPairs).size.toDouble / exactPairs.size
+    assert(recall >= 0.5, s"recall $recall")
+  }
+
+  test("search_filter_set composes with IVF-PQ: exhaustive probe + wide refine is exact") {
+    import spark.implicits._
+    IndexCatalog.create("t_set_pq", 2, "IDMap,IVF4,PQ2", "l2sq",
+      Map("nprobe" -> "4", "refine" -> "16"))
+    IndexCatalog.add(grid, "t_set_pq")
+    val ids = (0L until 256L by 4L).toDF("id")
+    val res = IndexCatalog.searchFilterSet("t_set_pq", 4, qs, ids)
+    assert(res.collect().forall(_.getLong(2) % 4 == 0))
+    // all lists probed + refine covers the whole restricted set -> the
+    // exact re-rank must reproduce brute force over the restriction
+    val want = labelsOf(Knn.searchFlat(grid.where(col("label") % 4 === 0), qs, 4, "l2sq"))
+    assert(labelsOf(res) === want)
+  }
+
+  test("search_filter on LSH probes buckets and emits no duplicate labels") {
+    IndexCatalog.create("t_filt_lsh", 2, "IDMap,LSH8", "l2sq", Map("bands" -> "8"))
+    IndexCatalog.add(grid, "t_filt_lsh")
+    val res = IndexCatalog.searchFilter("t_filt_lsh", 4, qs, col("label") % 2 === 0).collect()
+    assert(res.nonEmpty)
+    assert(res.forall(_.getLong(2) % 2 == 0))
+    res.groupBy(_.getLong(0)).values.foreach { rows =>
+      assert(rows.map(_.getLong(2)).distinct.length === rows.length, "duplicate labels in top-k")
+    }
+  }
+
   test("save/load round-trips an IVF index") {
     val dir = Files.createTempDirectory("graft_idx").toString
     IndexCatalog.create("t_save", 2, "IDMap,IVF4,Flat", "l2sq", Map("nprobe" -> "4"))
@@ -286,6 +330,38 @@ class IndexCatalogSpec extends SparkSpec {
       assert(results.map(_.getInt(0)).toSeq === (0 until 4)) // rank-ordered
       assert(results.map(_.getLong(1)).toSeq === flat(qid).map(_.getLong(2)).toSeq)
     }
+  }
+
+  test("searchNested keeps zero-candidate query rows as empty lists") {
+    // FAISS_SEARCH returns a list for every query row; a group-by over
+    // the flat results would silently drop queries with no candidates
+    IndexCatalog.create("t_nested_void", 2, "IDMap,IVF4,Flat", "l2sq", Map("nprobe" -> "4"))
+    IndexCatalog.add(grid.where(col("label") < 0), "t_nested_void") // zero vectors
+    val voidRes = IndexCatalog.searchNested("t_nested_void", 3, qs).collect()
+    assert(voidRes.length === 2)
+    assert(voidRes.forall(_.getSeq[org.apache.spark.sql.Row](1).isEmpty))
+  }
+
+  test("auto-trained SQ and PQ persist quantizer state on save (no retrain on load)") {
+    val dirSq = Files.createTempDirectory("graft_sq_auto").toString
+    IndexCatalog.create("t_sq_auto", 2, "IDMap,SQ8", "l2sq", Map("refine" -> "8"))
+    IndexCatalog.add(grid, "t_sq_auto")
+    val beforeSq = labelsOf(IndexCatalog.search("t_sq_auto", 4, qs))
+    IndexCatalog.save("t_sq_auto", dirSq)
+    assert(new java.io.File(s"$dirSq/sq_bounds").exists, "auto-trained SQ bounds not persisted")
+    IndexCatalog.destroy("t_sq_auto")
+    IndexCatalog.load("t_sq_auto_l", dirSq, spark)
+    assert(labelsOf(IndexCatalog.search("t_sq_auto_l", 4, qs)) === beforeSq)
+
+    val dirPq = Files.createTempDirectory("graft_pq_auto").toString
+    IndexCatalog.create("t_pq_auto", 2, "IDMap,PQ2", "l2sq", Map("refine" -> "16"))
+    IndexCatalog.add(grid, "t_pq_auto")
+    val beforePq = labelsOf(IndexCatalog.search("t_pq_auto", 4, qs))
+    IndexCatalog.save("t_pq_auto", dirPq)
+    assert(new java.io.File(s"$dirPq/pq_codebooks").exists, "auto-trained PQ codebooks not persisted")
+    IndexCatalog.destroy("t_pq_auto")
+    IndexCatalog.load("t_pq_auto_l", dirPq, spark)
+    assert(labelsOf(IndexCatalog.search("t_pq_auto_l", 4, qs)) === beforePq)
   }
 
   test("HNSW keeps high recall across save/load (graphs rebuild from canonical rows)") {
