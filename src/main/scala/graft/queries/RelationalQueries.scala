@@ -51,7 +51,7 @@ object RelationalQueries {
       val l = Tables(s, dir, "lineitem")
         .where(col("l_shipdate") > lit("1997-01-01 00:00:00").cast("timestamp"))
       l.join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
         .groupBy("l_orderkey")
         .agg(moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
     },
@@ -62,10 +62,14 @@ object RelationalQueries {
       val c = Tables(s, dir, "customer")
       val o = Tables(s, dir, "orders")
       val l = Tables(s, dir, "lineitem")
-      // lineitem |> orders |> customer, supplier co-located in customer's nation
+      // lineitem |> orders |> customer, supplier co-located in customer's
+      // nation. Only the FIXED-size dims (nation/region) are broadcast-
+      // hinted; customer/supplier scale with SF, so a forced broadcast
+      // would OOM at 100x — AQE/statistics pick their join strategy
+      // (still broadcast at small SF, shuffle-hash beyond the threshold)
       l.join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
-        .join(broadcast(sup),
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(sup,
           col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
         .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
         .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
@@ -81,8 +85,8 @@ object RelationalQueries {
         col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
       Tables(s, dir, "lineitem")
         .join(Tables(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(Tables(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
-        .join(broadcast(Tables(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .join(Tables(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(Tables(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
         .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
         .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
         .where(col("supp_nation") =!= col("cust_nation"))
@@ -95,21 +99,22 @@ object RelationalQueries {
       Tables(s, dir, "lineitem")
         .where(col("l_returnflag") === "R")
         .join(Tables(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(Tables(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+        .join(Tables(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
         .groupBy("c_custkey", "c_name")
         .agg(moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
         .orderBy(col("revenue").desc, col("c_custkey"))
         .limit(20)
     },
-    // q14-style promo revenue share: lineitem |> broadcast part, one
-    // aggregated pass; the ratio divides two exact cents-sums so it is
-    // bit-stable under any aggregation order
+    // q14-style promo revenue share: lineitem |> part (AQE-picked join:
+    // part scales with SF, so no forced broadcast), one aggregated
+    // pass; the ratio divides two exact cents-sums so it is bit-stable
+    // under any aggregation order
     "q14_promo" -> { (s, dir) =>
       val li = Tables(s, dir, "lineitem")
         .where(col("l_shipdate") >= lit("1997-01-01 00:00:00").cast("timestamp") &&
           col("l_shipdate") < lit("1997-04-01 00:00:00").cast("timestamp"))
       val revenue = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
-      li.join(broadcast(Tables(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+      li.join(Tables(s, dir, "part"), col("l_partkey") === col("p_partkey"))
         .agg(
           moneySum(when(col("p_type").startsWith("PROMO"), revenue).otherwise(lit(0.0)))
             .as("promo_revenue"),

@@ -33,6 +33,34 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
   }
 
+  test("q5/q7/q10/q14: no forced broadcast on SF-scaling tables (only nation/region hinted)") {
+    // a broadcast() hint FORCES the strategy regardless of size — fine
+    // for fixed-cardinality dims, an executor OOM for customer/supplier/
+    // part at 100x SF. Statistics/AQE must pick those; the hint count in
+    // the analyzed plan pins exactly the fixed dims.
+    def analyzedHints(q: String): Int =
+      "UnresolvedHint|ResolvedHint".r.findAllIn(
+        graft.SparkEntry.queries(q)(spark, dir).queryExecution.analyzed.toString).length
+    assert(analyzedHints("q5_multijoin") === 2, "q5 should hint only nation+region")
+    assert(analyzedHints("q7_volume") === 2, "q7 should hint only the two nation views")
+    assert(analyzedHints("q10_returns") === 0, "q10 should leave customer to AQE")
+    assert(analyzedHints("q14_promo") === 0, "q14 should leave part to AQE")
+    // and statistics still pick broadcast at test scale (plans don't regress)
+    for (q <- Seq("q7_volume", "q10_returns", "q14_promo"))
+      assert(physical(q).contains("BroadcastHashJoin"), s"$q lost its stats-picked broadcast")
+  }
+
+  test("q4_priority: single shuffled LEFT SEMI join, no dedup-aggregate rewrite") {
+    val plan = physical("q4_priority")
+    assert(plan.contains("LeftSemi"), plan.take(2000))
+    // the only aggregates are the final groupBy's partial+final pair; a
+    // dedup-then-inner-join rewrite would add more
+    assert("HashAggregate".r.findAllIn(plan).length <= 2, plan.take(3000))
+    // both semi-join sides shuffle on the key plus the agg shuffle — no
+    // extra data movement beyond that
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length <= 3, plan.take(3000))
+  }
+
   test("embed_quantize: pure projection, no exchange") {
     val plan = physical("embed_quantize")
     assert(!plan.contains("Exchange"), plan.take(2000))
