@@ -81,6 +81,26 @@ class KnnSpec extends SparkSpec {
     assert(recall >= 0.8, s"recall $recall")
   }
 
+  test("AnnJoin.ivfJoin skew guard: salted hot-list join is identical to the unsalted join") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // deliberately skewed corpus: 200 points in one tight blob (one hot
+    // IVF list) plus a handful of outliers
+    val pts = ((0 until 200).map(i => (i.toLong, Array(5.0f + (i % 7) * 0.01f, 5.0f + (i % 5) * 0.01f)))
+      ++ Seq((900L, Array(50.0f, 50.0f)), (901L, Array(-50.0f, 40.0f)), (902L, Array(0.0f, -60.0f))))
+      .toDF("label", "vec")
+    val qs = pts.limit(40).select(col("label").as("qid"), col("vec").as("qvec"))
+    def canon(df: org.apache.spark.sql.DataFrame) = df.select("qid", "rank", "label").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sortBy(t => (t._1, t._2))
+    // maxListRows=32 forces the blob's list to split into salted sublists
+    val salted = canon(AnnJoin.ivfJoin(qs, pts, k = 3, nlist = 4, nprobe = 4,
+      excludeSelf = true, maxListRows = 32L))
+    val unsalted = canon(AnnJoin.ivfJoin(qs, pts, k = 3, nlist = 4, nprobe = 4,
+      excludeSelf = true, maxListRows = Long.MaxValue))
+    assert(salted.nonEmpty)
+    assert(salted === unsalted)
+  }
+
   test("AnnJoin.ivfJoin with exhaustive probing equals the exact join") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
