@@ -20,6 +20,13 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // optional comma-separated query filter for local iteration
+    // (SPARK_GRAFT_BENCH_ONLY=text_repetition,q1_agg); driver sets none
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    def selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+
     // warmup: run every query once at the smallest scale factor so the
     // timed pass measures steady-state execution, not first-touch
     // codegen/classloading (what a long-lived cluster session sees)
@@ -27,7 +34,7 @@ object Bench {
       val w = "/root/testdata/sf0.001"
       if (new java.io.File(w).isDirectory) w else sfDir
     }
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
+    selected.foreach { case (_, fn) =>
       try fn(spark, warmDir).count() catch { case _: Throwable => () }
     }
 
@@ -35,7 +42,7 @@ object Bench {
     // shared box is +-30%, and the faster pass is the truer cost of the
     // plan (the first pass also still pays JIT warmup at full sf)
     def timedPass(): Map[String, Double] =
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      selected.map { case (name, fn) =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         name -> (System.nanoTime() - t0) / 1e9
@@ -43,6 +50,29 @@ object Bench {
     val nPasses = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
     val passes = (1 to nPasses).map(_ => timedPass())
     val results = passes.head.keys.toSeq.sorted.map(k => k -> passes.map(_(k)).min)
+
+    // perf-regression guard: flag any query >2x its committed floor
+    // (BENCH_FLOOR.json, the best per-query time of prior rounds) so a
+    // regression like round 2's text_repetition 8.3x can't land silently.
+    // stderr only — the driver parses stdout's single JSON line.
+    try {
+      val floorFile = new java.io.File("BENCH_FLOOR.json")
+      if (floorFile.isFile) {
+        val txt = new String(java.nio.file.Files.readAllBytes(floorFile.toPath), "UTF-8")
+        val entry = """"([a-z0-9_]+)"\s*:\s*([0-9.eE+-]+)""".r
+        val floors = entry.findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2).toDouble)
+          .filter { case (k, _) => k != "round" && k != "sf" }.toMap
+        val regressed = results.filter { case (name, t) =>
+          floors.get(name).exists(f => t > 2.0 * f && t - f > 0.25)
+        }
+        regressed.foreach { case (name, t) =>
+          System.err.println(
+            f"[bench] REGRESSION $name: $t%.2fs vs floor ${floors(name)}%.2fs (${t / floors(name)}%.1fx)")
+        }
+        if (regressed.isEmpty) System.err.println("[bench] no regressions vs BENCH_FLOOR.json")
+      }
+    } catch { case e: Throwable => System.err.println(s"[bench] floor check skipped: $e") }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
