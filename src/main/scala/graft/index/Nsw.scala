@@ -2,14 +2,23 @@ package graft.index
 
 import scala.collection.mutable
 
+import graft.functions.Hash64
+
 /**
- * Single-layer navigable-small-world graph (HNSW's layer 0 — the part
- * that does the work at these shard sizes), built and searched inside
- * one partition. Distribution model: each partition owns an
+ * Layered navigable-small-world graph (HNSW proper), built and searched
+ * inside one partition. Distribution model: each partition owns an
  * independent graph over its shard; a query greedily searches every
  * shard graph in parallel and the per-shard top-k merge globally —
  * the standard sharded-HNSW architecture (and the only one that
  * scales: graph edges can't cross executors cheaply).
+ *
+ * Layer assignment follows the HNSW paper (Malkov & Yashunin 2016):
+ * level ~ floor(-ln(U) * mL) with mL = 1/ln(m), but U derives from a
+ * hash of the LABEL, so shard graphs are deterministic functions of
+ * their rows (rebuilds after save/load or repartition stay stable per
+ * shard content, no RNG state). Upper layers hold geometrically
+ * thinning subsets; search greedily descends them to a good layer-0
+ * entry, cutting hops on large shards vs a flat NSW.
  *
  * Mirrors the reference's `IDMap,HNSW32` factory surface with
  * `efConstruction` / `efSearch` parameters (duckdb-faiss-ext README
@@ -20,7 +29,10 @@ object Nsw {
   final case class Graph(
       labels: Array[Long],
       vecs: Array[Array[Float]],
-      adj: Array[Array[Int]])
+      levels: Array[Int],
+      adj: Array[Array[Array[Int]]], // adj(node)(layer), layer <= levels(node)
+      entry: Int,
+      maxLevel: Int)
 
   @inline private def l2sq(a: Array[Float], b: Array[Float]): Double = {
     var d = 0.0; var i = 0
@@ -28,16 +40,45 @@ object Nsw {
     d
   }
 
+  private val maxLevelCap = 16
+
+  /** deterministic geometric level from the label hash (not an RNG) */
+  private def levelFor(label: Long, mL: Double): Int = {
+    val u = ((Hash64.mix(label) >>> 11).toDouble + 0.5) / (1L << 53).toDouble
+    math.min(maxLevelCap, (-math.log(u) * mL).toInt)
+  }
+
+  /** hill-climb to the closest node on one layer (ef=1 descent step) */
+  private def greedyClosest(
+      vecs: Array[Array[Float]], adj: Array[Array[Array[Int]]],
+      layer: Int, start: Int, q: Array[Float]): Int = {
+    var cur = start
+    var curD = l2sq(q, vecs(cur))
+    var improved = true
+    while (improved) {
+      improved = false
+      val nbs = adj(cur)(layer)
+      var i = 0
+      while (i < nbs.length) {
+        val nb = nbs(i)
+        val d = l2sq(q, vecs(nb))
+        if (d < curD) { curD = d; cur = nb; improved = true }
+        i += 1
+      }
+    }
+    cur
+  }
+
   /**
-   * greedy best-first search; returns up to k (dist, idx) best-first.
-   * `labelOf` breaks distance ties (matching exact search's
-   * deterministic (dist, label) ordering) so shard results merge
-   * consistently.
+   * best-first beam search on one layer from `start`; returns up to k
+   * (dist, idx) best-first. `labelOf` breaks distance ties (matching
+   * exact search's deterministic (dist, label) ordering) so shard
+   * results merge consistently.
    */
-  private def searchInternal(
+  private def searchLayer(
       vecs: Array[Array[Float]], adj: Int => scala.collection.Seq[Int],
-      labelOf: Int => Long,
-      nNodes: Int, q: Array[Float], k: Int, ef: Int): Array[(Double, Int)] = {
+      labelOf: Int => Long, nNodes: Int,
+      start: Int, q: Array[Float], k: Int, ef: Int): Array[(Double, Int)] = {
     if (nNodes == 0) return Array.empty
     val visited = new java.util.BitSet(nNodes)
     // candidates: min-heap by distance; results: bounded max-heap on (dist, label)
@@ -45,9 +86,8 @@ object Nsw {
     val resOrd: Ordering[(Double, Int)] =
       Ordering.by { case (d, idx) => (d, labelOf(idx)) }
     val res = mutable.PriorityQueue.empty[(Double, Int)](resOrd)
-    val entry = 0
-    val d0 = l2sq(q, vecs(entry))
-    cand.enqueue((d0, entry)); res.enqueue((d0, entry)); visited.set(entry)
+    val d0 = l2sq(q, vecs(start))
+    cand.enqueue((d0, start)); res.enqueue((d0, start)); visited.set(start)
     val width = math.max(ef, k)
     while (cand.nonEmpty) {
       val (d, node) = cand.dequeue()
@@ -74,34 +114,78 @@ object Nsw {
     res.dequeueAll.reverse.take(k).toArray
   }
 
-  /** incremental insert-based construction */
+  /** incremental insert-based construction, one layer stack per node */
   def build(items: Array[(Long, Array[Float])], m: Int, efConstruction: Int): Graph = {
     val n = items.length
+    if (n == 0) return Graph(Array.empty, Array.empty, Array.empty, Array.empty, -1, -1)
     val labels = items.map(_._1)
     val vecs = items.map(_._2)
-    val adj = Array.fill(n)(mutable.ArrayBuffer.empty[Int])
-    val maxDegree = 2 * m
+    val mL = 1.0 / math.log(math.max(2, m).toDouble)
+    val levels = labels.map(levelFor(_, mL))
+    val maxDegree0 = 2 * m
+    val adjB = Array.tabulate(n)(i => Array.fill(levels(i) + 1)(mutable.ArrayBuffer.empty[Int]))
+    // frozen array view for greedyClosest during construction
+    def adjView(node: Int)(layer: Int): mutable.ArrayBuffer[Int] = adjB(node)(layer)
+    var entry = 0
+    var maxLevel = levels(0)
     var i = 1
     while (i < n) {
-      val near = searchInternal(vecs, adj(_), labels(_), i, vecs(i), m, efConstruction)
-      near.foreach { case (_, nb) =>
-        adj(i) += nb
-        adj(nb) += i
-        if (adj(nb).length > maxDegree) {
-          // prune to the m closest neighbors (simple heuristic)
-          val pruned = adj(nb).map(x => (l2sq(vecs(nb), vecs(x)), x)).sortBy(_._1).take(m).map(_._2)
-          adj(nb).clear(); adj(nb) ++= pruned
+      val li = levels(i)
+      var ep = entry
+      // ef=1 greedy descent through layers the new node does not reach
+      var lc = maxLevel
+      while (lc > li) {
+        var cur = ep
+        var curD = l2sq(vecs(i), vecs(cur))
+        var improved = true
+        while (improved) {
+          improved = false
+          val nbs = adjView(cur)(lc)
+          var j = 0
+          while (j < nbs.length) {
+            val nb = nbs(j)
+            val d = l2sq(vecs(i), vecs(nb))
+            if (d < curD) { curD = d; cur = nb; improved = true }
+            j += 1
+          }
         }
+        ep = cur
+        lc -= 1
       }
+      // beam-insert on every layer the node lives on
+      var l = math.min(li, maxLevel)
+      while (l >= 0) {
+        val near = searchLayer(
+          vecs, node => adjView(node)(l), labels(_), i, ep, vecs(i), m, efConstruction)
+        val cap = if (l == 0) maxDegree0 else m
+        near.foreach { case (_, nb) =>
+          adjB(i)(l) += nb
+          adjB(nb)(l) += i
+          if (adjB(nb)(l).length > cap) {
+            // prune to the m closest neighbors (simple heuristic)
+            val pruned = adjB(nb)(l).map(x => (l2sq(vecs(nb), vecs(x)), x))
+              .sortBy(_._1).take(m).map(_._2)
+            adjB(nb)(l).clear(); adjB(nb)(l) ++= pruned
+          }
+        }
+        if (near.nonEmpty) ep = near(0)._2
+        l -= 1
+      }
+      if (li > maxLevel) { maxLevel = li; entry = i }
       i += 1
     }
-    Graph(labels, vecs, adj.map(_.toArray))
+    Graph(labels, vecs, levels, adjB.map(_.map(_.toArray)), entry, maxLevel)
   }
 
-  /** top-k labels for a query against one shard graph */
-  def search(g: Graph, q: Array[Float], k: Int, efSearch: Int): Array[(Double, Long)] =
-    searchInternal(
-      g.vecs, i => scala.collection.immutable.ArraySeq.unsafeWrapArray(g.adj(i)),
-      g.labels(_), g.labels.length, q, k, math.max(efSearch, k))
+  /** top-k labels for a query: greedy descent to layer 0, then beam */
+  def search(g: Graph, q: Array[Float], k: Int, efSearch: Int): Array[(Double, Long)] = {
+    if (g.labels.isEmpty) return Array.empty
+    var ep = g.entry
+    var l = g.maxLevel
+    while (l > 0) { ep = greedyClosest(g.vecs, g.adj, l, ep, q); l -= 1 }
+    searchLayer(
+      g.vecs, i => scala.collection.immutable.ArraySeq.unsafeWrapArray(g.adj(i)(0)),
+      g.labels(_), g.labels.length, ep, q, k, math.max(efSearch, k))
       .map { case (d, idx) => (d, g.labels(idx)) }
+  }
 }

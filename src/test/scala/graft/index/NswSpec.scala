@@ -1,0 +1,64 @@
+package graft.index
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Direct tests of the layered (hierarchical) NSW graph — no Spark. */
+class NswSpec extends AnyFunSuite {
+
+  private def randomPoints(n: Int, dim: Int, seed: Long): Array[(Long, Array[Float])] = {
+    val rnd = new scala.util.Random(seed)
+    Array.tabulate(n)(i => (i.toLong, Array.fill(dim)(rnd.nextFloat() * 10f)))
+  }
+
+  private def l2sq(a: Array[Float], b: Array[Float]): Double = {
+    var d = 0.0; var i = 0
+    while (i < a.length) { val t = a(i).toDouble - b(i).toDouble; d += t * t; i += 1 }
+    d
+  }
+
+  private def bruteTopK(pts: Array[(Long, Array[Float])], q: Array[Float], k: Int): Seq[Long] =
+    pts.map { case (l, v) => (l2sq(q, v), l) }.sortBy(identity).take(k).map(_._2).toSeq
+
+  test("layered graph materializes upper layers on a non-trivial corpus") {
+    val pts = randomPoints(4000, 8, seed = 7L)
+    val g = Nsw.build(pts, m = 16, efConstruction = 96)
+    assert(g.maxLevel >= 1, "4000 points should produce at least one upper layer")
+    // geometric thinning: each upper layer is much smaller than layer 0
+    val perLevel = g.levels.groupBy(identity).view.mapValues(_.length).toMap
+    assert(perLevel.getOrElse(0, 0) > perLevel.getOrElse(1, 0))
+    // the entry point lives on the top layer
+    assert(g.levels(g.entry) === g.maxLevel)
+  }
+
+  test("recall@10 stays tight on a 4k random corpus (layered descent + beam)") {
+    val pts = randomPoints(4000, 8, seed = 11L)
+    val g = Nsw.build(pts, m = 16, efConstruction = 128)
+    val rnd = new scala.util.Random(99L)
+    val queries = Array.fill(50)(Array.fill(8)(rnd.nextFloat() * 10f))
+    val recall = queries.map { q =>
+      val want = bruteTopK(pts, q, 10).toSet
+      val got = Nsw.search(g, q, 10, efSearch = 128).map(_._2).toSet
+      got.intersect(want).size.toDouble / want.size
+    }.sum / queries.length
+    assert(recall >= 0.9, s"recall $recall")
+  }
+
+  test("graph construction is deterministic (hash-derived levels, no RNG)") {
+    val pts = randomPoints(1000, 4, seed = 3L)
+    val g1 = Nsw.build(pts, m = 8, efConstruction = 64)
+    val g2 = Nsw.build(pts, m = 8, efConstruction = 64)
+    assert(g1.maxLevel === g2.maxLevel)
+    assert(g1.entry === g2.entry)
+    assert(g1.levels.toSeq === g2.levels.toSeq)
+    assert(g1.adj.map(_.map(_.toSeq).toSeq).toSeq === g2.adj.map(_.map(_.toSeq).toSeq).toSeq)
+    val q = Array.fill(4)(5.0f)
+    assert(Nsw.search(g1, q, 5, 64).toSeq === Nsw.search(g2, q, 5, 64).toSeq)
+  }
+
+  test("empty and single-point graphs search safely") {
+    assert(Nsw.search(Nsw.build(Array.empty, 8, 64), Array(1f, 2f), 3, 32).isEmpty)
+    val g1 = Nsw.build(Array((42L, Array(1f, 2f))), 8, 64)
+    val r = Nsw.search(g1, Array(0f, 0f), 3, 32)
+    assert(r.map(_._2).toSeq === Seq(42L))
+  }
+}
