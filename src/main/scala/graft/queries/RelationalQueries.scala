@@ -203,6 +203,78 @@ object RelationalQueries {
         payload = Seq("o_orderkey"), tiebreak = "o_orderkey")
         .select(col("event_id"), col("user_id"), col("o_orderkey"))
     },
+    // TPC-H Q18-style: orders whose total quantity exceeds a threshold,
+    // top 10 by order value. One lineitem aggregation (map-side partial
+    // sums), then AQE-picked joins back to orders/customer — the
+    // group-by-then-join shape where forcing broadcast would be wrong
+    // at scale in BOTH directions.
+    "q18_large_orders" -> { (s, dir) =>
+      val big = Tables(s, dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(moneySum(col("l_quantity")).as("total_qty"))
+        .where(col("total_qty") > 150.0)
+      big
+        .join(Tables(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10)
+        .select(col("o_orderkey"), col("c_name"), col("o_totalprice"), col("total_qty"))
+    },
+    // TPC-H Q19-style disjunctive predicate: three (brand, size,
+    // quantity) conjunctions OR'd together — exercises OR pushdown +
+    // the join-then-filter plan (the filter references both sides)
+    "q19_disjunct" -> { (s, dir) =>
+      val l = Tables(s, dir, "lineitem")
+      val p = Tables(s, dir, "part")
+      val m1 = col("p_brand") === "Brand#12" && col("p_size").between(1, 15) &&
+        col("l_quantity").between(1, 30)
+      val m2 = col("p_brand") === "Brand#23" && col("p_size").between(10, 30) &&
+        col("l_quantity").between(10, 40)
+      val m3 = col("p_brand") === "Brand#34" && col("p_size").between(20, 50) &&
+        col("l_quantity").between(20, 50)
+      l.join(p, col("l_partkey") === col("p_partkey"))
+        .where(m1 || m2 || m3)
+        .agg(
+          moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+          count(lit(1)).as("n_items"))
+    },
+    // ordered conversion funnel (view -> click -> purchase by first
+    // occurrence): ONE aggregation shuffle per user computes the three
+    // conditional min-timestamps, depth falls out of their ordering —
+    // no per-user event sorting, no second shuffle before the tiny
+    // depth rollup
+    "events_funnel" -> { (s, dir) =>
+      val e = Tables.events(s, dir)
+      val m = e.groupBy("user_id").agg(
+        min(when(col("event_type") === "view", col("ts"))).as("t1"),
+        min(when(col("event_type") === "click", col("ts"))).as("t2"),
+        min(when(col("event_type") === "purchase", col("ts"))).as("t3"))
+      m.select(
+          when(col("t1").isNotNull && col("t2").isNotNull && col("t3").isNotNull &&
+            col("t1") < col("t2") && col("t2") < col("t3"), 3)
+            .when(col("t1").isNotNull && col("t2").isNotNull && col("t1") < col("t2"), 2)
+            .when(col("t1").isNotNull, 1)
+            .otherwise(0).as("funnel_depth"))
+        .groupBy("funnel_depth")
+        .agg(count(lit(1)).as("n_users"))
+    },
+    // semi-structured extraction: numeric field out of a JSON props
+    // string (regex, not a JSON library — identical semantics in the
+    // oracle), aggregated per event type. The 100 TB shape for
+    // log/telemetry pipelines: extraction is a codegen'd projection in
+    // the scan stage, then one small aggregate.
+    "events_props_extract" -> { (s, dir) =>
+      val k = regexp_extract(col("props"), "([0-9]+)", 1).cast("long")
+      Tables.events(s, dir)
+        .select(col("event_type"), k.as("k"))
+        .groupBy("event_type")
+        .agg(
+          sum("k").as("sum_k"),
+          count(lit(1)).as("n"))
+        .select(col("event_type"),
+          Tables.quant4(col("sum_k").cast("double") / col("n").cast("double")).as("avg_k"),
+          col("n"))
+    },
     "events_sessionize" -> { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
       // batch sessionization: 30-min inactivity gap starts a new session;
@@ -330,6 +402,45 @@ object RelationalQueries {
         |  CAST(CAST(quantile_cont(value, 0.95) AS DECIMAL(18,4)) AS DOUBLE) AS p95,
         |  count(*) AS n
         |FROM events GROUP BY event_type""".stripMargin,
+    "q18_large_orders" ->
+      s"""WITH big AS (
+         |  SELECT l_orderkey, ${moneySumSql("l_quantity")} AS total_qty
+         |  FROM lineitem GROUP BY l_orderkey
+         |)
+         |SELECT o_orderkey, c_name, o_totalprice, total_qty
+         |FROM big
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |WHERE total_qty > 150.0
+         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q19_disjunct" ->
+      s"""SELECT
+         |  ${moneySumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+         |  count(*) AS n_items
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 30)
+         |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 40)
+         |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 50)""".stripMargin,
+    "events_funnel" ->
+      """WITH m AS (
+        |  SELECT user_id,
+        |    min(CASE WHEN event_type = 'view' THEN CAST(ts AS TIMESTAMP) END) AS t1,
+        |    min(CASE WHEN event_type = 'click' THEN CAST(ts AS TIMESTAMP) END) AS t2,
+        |    min(CASE WHEN event_type = 'purchase' THEN CAST(ts AS TIMESTAMP) END) AS t3
+        |  FROM events GROUP BY user_id
+        |)
+        |SELECT CASE
+        |    WHEN t1 IS NOT NULL AND t2 IS NOT NULL AND t3 IS NOT NULL AND t1 < t2 AND t2 < t3 THEN 3
+        |    WHEN t1 IS NOT NULL AND t2 IS NOT NULL AND t1 < t2 THEN 2
+        |    WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS funnel_depth,
+        |  count(*) AS n_users
+        |FROM m GROUP BY 1""".stripMargin,
+    "events_props_extract" ->
+      s"""SELECT event_type,
+         |  ${Tables.quant4Sql(
+              "CAST(sum(CAST(regexp_extract(props, '([0-9]+)', 1) AS BIGINT)) AS DOUBLE) / CAST(count(*) AS DOUBLE)")} AS avg_k,
+         |  count(*) AS n
+         |FROM events GROUP BY event_type""".stripMargin,
     "events_asof" ->
       """WITH o AS (
         |  SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey

@@ -61,6 +61,15 @@ class PlanShapeSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(plan).length <= 3, plan.take(3000))
   }
 
+  test("knn_ivf_filter: the label predicate joins the pruned-list scan, not a flat fallback") {
+    val plan = physical("knn_ivf_filter")
+    // the filter must appear as a scan-side predicate...
+    assert(plan.contains("% 2) = 0"), plan.take(3000))
+    // ...on the same plan that probes lists via the broadcast probe join
+    // (selector-inside-IVF), not a post-hoc full flat scan
+    assert(plan.contains("BroadcastHashJoin [list_id"), plan.take(3000))
+  }
+
   test("embed_quantize: pure projection, no exchange") {
     val plan = physical("embed_quantize")
     assert(!plan.contains("Exchange"), plan.take(2000))
