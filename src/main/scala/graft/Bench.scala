@@ -71,7 +71,7 @@ object Bench {
             f"[bench] REGRESSION $name: $t%.2fs vs floor ${floors(name)}%.2fs (${t / floors(name)}%.1fx)")
         }
         if (regressed.isEmpty) System.err.println("[bench] no regressions vs BENCH_FLOOR.json")
-      }
+      } else System.err.println("[bench] no BENCH_FLOOR.json in cwd, floor check SKIPPED")
     } catch { case e: Throwable => System.err.println(s"[bench] floor check skipped: $e") }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

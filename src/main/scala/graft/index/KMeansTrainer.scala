@@ -38,6 +38,13 @@ object KMeansTrainer {
     } else trainMllib(vecs, k, seed, maxIter)
   }
 
+  /** driver-side Lloyd's on an already-collected sample — the bounded-
+    * sample path of [[train]], exposed for callers that also need the
+    * sample points themselves (e.g. AnnJoin's skew estimation) */
+  def trainLocal(pts: Array[Array[Float]], k: Int, seed: Long, maxIter: Int): Array[Array[Float]] =
+    if (pts.isEmpty) Array.empty
+    else Pq.localKMeans(pts, math.min(k, pts.length), seed, maxIter)
+
   private def trainMllib(vecs: DataFrame, k: Int, seed: Long, maxIter: Int): Array[Array[Float]] = {
     val spark = vecs.sparkSession
     import spark.implicits._

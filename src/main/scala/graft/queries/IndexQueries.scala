@@ -56,7 +56,11 @@ object IndexQueries {
       val name = fresh("q_ivf_persist")
       IndexCatalog.create(name, 64, "IDMap,IVF16,Flat", "l2sq", Map("nprobe" -> "16"))
       IndexCatalog.add(embData(s, dir), name)
-      val path = java.nio.file.Files.createTempDirectory("graft_saveload").toString
+      // ONE fixed path, overwritten per invocation (a fresh temp dir per
+      // call would leak an index copy every bench pass); the loaded
+      // index reads it lazily, so it must outlive this closure
+      val path = new java.io.File(
+        System.getProperty("java.io.tmpdir"), "graft_saveload_gate").getAbsolutePath
       IndexCatalog.save(name, path)
       IndexCatalog.destroy(name)
       IndexCatalog.load(name, path, s)

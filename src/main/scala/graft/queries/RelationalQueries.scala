@@ -438,7 +438,9 @@ object RelationalQueries {
     "events_props_extract" ->
       s"""SELECT event_type,
          |  ${Tables.quant4Sql(
-              "CAST(sum(CAST(regexp_extract(props, '([0-9]+)', 1) AS BIGINT)) AS DOUBLE) / CAST(count(*) AS DOUBLE)")} AS avg_k,
+              // TRY_CAST: a digit-free props row yields NULL here like
+              // Spark's cast, instead of a DuckDB conversion error
+              "CAST(sum(TRY_CAST(regexp_extract(props, '([0-9]+)', 1) AS BIGINT)) AS DOUBLE) / CAST(count(*) AS DOUBLE)")} AS avg_k,
          |  count(*) AS n
          |FROM events GROUP BY event_type""".stripMargin,
     "events_asof" ->

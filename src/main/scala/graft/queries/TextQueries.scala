@@ -46,6 +46,11 @@ object TextQueries {
     // string group-by; exact token-sequence equivalence)
     "text_repetition" -> { (s, dir) =>
       val d = Tables.wide(s, dir, "documents")
+      // the cheap size(tokens) filter DOES tokenize a second time, but
+      // filtering on the kernel output instead would be worse: Catalyst
+      // pushes deterministic predicates through projections by alias
+      // substitution, so an isNotNull(ratio) filter re-evaluates the
+      // whole sort kernel per row, not just the split
       d.where(size(tokens(col("text"))) >= 2) // group-by semantics: no row for gram-less docs
         .select(col("doc_id"), topShingleRatio(tokens(col("text")), 2).as("top_bigram_ratio"))
     },

@@ -23,15 +23,19 @@ import graft.index.{KMeansTrainer, NearestCentroids}
 object AnnJoin {
 
   /**
-   * @param maxListRows skew guard: any IVF list holding more right rows
-   *   than this is split into ceil(n/maxListRows) salted sublists —
-   *   right rows land in a deterministic hash(label) sublist, left
-   *   probes of that list replicate to every sublist, and the join key
-   *   becomes (list_id, salt). Output is IDENTICAL to the unsalted join
-   *   (same candidate pairs, different partitioning), but the hottest
+   * @param maxListRows skew guard: any IVF list ESTIMATED to hold more
+   *   right rows than this is split into salted sublists — right rows
+   *   land in a deterministic hash(label) sublist, left probes of that
+   *   list replicate to every sublist, and the join key becomes
+   *   (list_id, salt). Output is IDENTICAL to the unsalted join (same
+   *   candidate pairs, different partitioning), but the hottest
    *   partition is bounded, which AQE alone cannot guarantee for a
-   *   degenerate list (all vectors in one cluster). Costs one
-   *   nlist-bounded count aggregate over the assigned right side.
+   *   degenerate list (all vectors in one cluster). List sizes are
+   *   estimated driver-side from the SAME bounded sample that trains
+   *   the quantizer (fraction x corpus size, 2x safety margin) — no
+   *   extra pass over the corpus; when the sample IS the whole corpus
+   *   the estimate is exact and even the count() is skipped.
+   *   Long.MaxValue disables the guard entirely.
    */
   def ivfJoin(
       left: DataFrame, // (qid bigint, qvec array<float>)
@@ -46,9 +50,14 @@ object AnnJoin {
       maxListRows: Long = 4000000L): DataFrame = {
     val metricId = VectorMath.metricId(metric)
     val asc = VectorMath.smallerIsCloser(metricId)
-    val centroids = KMeansTrainer.train(
-      Knn.widen(right).select(vec.vector(col("vec")).as("vec")).limit(trainSample),
-      nlist, seed, maxIter = 10)
+    // one bounded collect feeds both quantizer training and the skew
+    // estimate (same points the old KMeansTrainer.train path pulled)
+    val spark = right.sparkSession
+    import spark.implicits._
+    val samplePts: Array[Array[Float]] = Knn.widen(right)
+      .select(vec.vector(col("vec")).as("vec")).limit(trainSample)
+      .as[Seq[Float]].collect().map(_.toArray)
+    val centroids = KMeansTrainer.trainLocal(samplePts, nlist, seed, maxIter = 10)
 
     val assignOne = GraftBridge.column(
       NearestCentroids(GraftBridge.expression(vec.vector(col("vec"))), centroids, 1, metricId))
@@ -62,24 +71,38 @@ object AnnJoin {
     val leftProbed = Knn.widen(left).select(
       col("qid"), vec.vector(col("qvec")).as("qvec"), explode(probeLists).as("list_id"))
 
-    // hot-list split factors: an nlist-bounded aggregate (collect is
-    // O(nlist), never O(rows)). splits=1 everywhere -> salting is a
-    // no-op and the join stays exactly the round-2 single-key plan.
-    val spark = right.sparkSession
-    import spark.implicits._
-    val splitRows = rightListed.groupBy("list_id").count().collect()
-      .map(r => (r.getInt(0), math.min(64L, (r.getLong(1) + maxListRows - 1) / maxListRows).toInt))
-    val anyHot = splitRows.exists(_._2 > 1)
+    // estimated hot-list split factors, all driver-side arithmetic
+    val splitRows: Seq[(Int, Int)] =
+      if (maxListRows == Long.MaxValue || samplePts.isEmpty) Seq.empty
+      else {
+        val sampleCounts = new Array[Long](centroids.length)
+        samplePts.foreach { p =>
+          val ids = NearestCentroids.nearestIds(p, centroids, 1, metricId)
+          if (ids.nonEmpty) sampleCounts(ids.head) += 1
+        }
+        // sample smaller than the limit -> it IS the corpus (exact);
+        // else scale fractions by one metadata-cheap count
+        val total: Double =
+          if (samplePts.length < trainSample) samplePts.length.toDouble
+          else right.count().toDouble
+        sampleCounts.indices.map { i =>
+          val est = sampleCounts(i).toDouble / samplePts.length * total * 2.0 // safety margin
+          (i, math.min(64L, (est / maxListRows).toLong + 1L).toInt)
+        }.filter(_._2 > 1)
+      }
 
     val d = vec.dist(metric, col("vec"), col("qvec"))
     val joined =
-      if (!anyHot) leftProbed.join(rightListed, "list_id")
+      if (splitRows.isEmpty) leftProbed.join(rightListed, "list_id")
       else {
-        val splitsDf = broadcast(splitRows.toSeq.toDF("list_id", "splits"))
-        val rightSalted = rightListed.join(splitsDf, "list_id")
-          .withColumn("salt", pmod(xxhash64(col("label")), col("splits").cast("long")).cast("int"))
-        val leftSalted = leftProbed.join(splitsDf, "list_id")
-          .withColumn("salt", explode(sequence(lit(0), col("splits") - 1)))
+        // lists not in splitsDf keep salt 0 on both sides (coalesce),
+        // so cold lists join on the single (list_id, 0) key unchanged
+        val splitsDf = broadcast(splitRows.toDF("list_id", "splits"))
+        val rightSalted = rightListed.join(splitsDf, Seq("list_id"), "left")
+          .withColumn("salt",
+            coalesce(pmod(xxhash64(col("label")), col("splits").cast("long")).cast("int"), lit(0)))
+        val leftSalted = leftProbed.join(splitsDf, Seq("list_id"), "left")
+          .withColumn("salt", explode(sequence(lit(0), coalesce(col("splits"), lit(1)) - 1)))
         leftSalted.join(rightSalted, Seq("list_id", "salt"))
       }
     val filtered = if (excludeSelf) joined.where(col("label") =!= col("qid")) else joined
