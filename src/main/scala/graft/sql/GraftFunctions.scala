@@ -60,6 +60,10 @@ object GraftFunctions {
         MinHashSignature(args(0), litInt(args(1), "numHashes"), litLong(args(2), "seed"))),
       "simhash64" -> (args => SimHash64(args(0), litLong(args.lift(1).getOrElse(Literal(42L)), "seed"))),
       "fingerprint64" -> (args => Fingerprint64(args(0))),
+      "vec_normalize" -> (args => VectorNormalize(args(0))),
+      "sorted_intersect_count" -> (args => SortedIntersectCount(args(0), args(1))),
+      "top_shingle_ratio" -> (args =>
+        graft.text.TopShingleRatio(args(0), litInt(args(1), "n"))),
       "hyperplane_buckets" -> (args =>
         HyperplaneBuckets(args(0), litInt(args(1), "bands"), litInt(args(2), "bitsPerBand"),
           litLong(args.lift(3).getOrElse(Literal(42L)), "seed"))))

@@ -34,6 +34,17 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(math.abs(r.getDouble(0) - 9.0) < 1e-9) // 1^3 + 2^3
   }
 
+  test("text and vector helper functions work from SQL") {
+    val r = spark.sql(
+      """SELECT top_shingle_ratio(split('a b a b a b', ' '), 2) ratio,
+        |       vec_normalize(CAST(array(3.0, 4.0) AS array<float>)) unit,
+        |       sorted_intersect_count(array(1L, 2L, 5L), array(2L, 3L, 5L)) n
+        |""".stripMargin).collect()(0)
+    assert(r.getDouble(0) === 3.0 / 5.0)
+    assert(r.getSeq[Float](1).toSeq === Seq(0.6f, 0.8f))
+    assert(r.getInt(2) === 2)
+  }
+
   test("hash functions work from SQL") {
     val r = spark.sql(
       """SELECT fingerprint64('abc') f,
