@@ -86,4 +86,24 @@ class PlanShapeSpec extends SparkSpec {
     val plan = physical("pack_sequences")
     assert(plan.contains("hashpartitioning(lang"), plan.take(2000))
   }
+
+  private def exchanges(q: String): Int =
+    "Exchange hashpartitioning".r.findAllIn(physical(q)).length
+
+  test("per-row pipelines are shuffle-free (scan-stage only)") {
+    // these run entirely inside the scan stage: any Exchange appearing
+    // here means a per-row operator started moving data
+    for (q <- Seq("mm_decode", "text_quality", "text_repetition", "text_tokens",
+        "text_scrub", "sample_split", "mm_resize"))
+      assert(exchanges(q) === 0, s"$q grew a shuffle")
+  }
+
+  test("single-shuffle aggregations stay single-shuffle") {
+    // map-side partial aggregation means ONE hash exchange end-to-end
+    assert(exchanges("dedup_exact") === 1)
+    assert(exchanges("events_props_extract") === 1)
+    assert(exchanges("events_asof") === 1, "as-of join must stay the tagged-union window plan")
+    assert(exchanges("q18_large_orders") === 1, "lineitem agg is the only hash shuffle (joins broadcast at this scale)")
+    assert(exchanges("events_funnel") === 2, "user agg + tiny depth rollup")
+  }
 }
