@@ -62,6 +62,63 @@ object Streaming {
       }
       .start()
 
+  case class TypedEv(user_id: Long, event_type: String, ts: Timestamp)
+  case class FunnelState(t1: Long, t2: Long, t3: Long) // first view/click-after/purchase-after (0 = unset)
+  case class FunnelOut(user_id: Long, funnel_depth: Int)
+
+  /**
+   * Streaming twin of the batch events_funnel: per-user ordered
+   * view -> click -> purchase progression tracked in mapGroupsWithState
+   * (conditional first-occurrence timestamps, exactly the batch
+   * semantics), emitted when the event-time timeout closes the user.
+   * Batch/stream parity is spec-asserted on identical inputs.
+   */
+  def funnelMGWS(
+      events: Dataset[TypedEv], watermark: String = "2 hours",
+      idleCloseMs: Long = 3600 * 1000L): Dataset[FunnelOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, rows: Iterator[TypedEv], state: GroupState[FunnelState]) =>
+          if (state.hasTimedOut) {
+            // depth falls out of the first-occurrence ordering, exactly
+            // the batch query's when-chain over min(when(type, ts))
+            val s = state.get
+            state.remove()
+            val depth =
+              if (s.t1 > 0 && s.t2 > 0 && s.t3 > 0 && s.t1 < s.t2 && s.t2 < s.t3) 3
+              else if (s.t1 > 0 && s.t2 > 0 && s.t1 < s.t2) 2
+              else if (s.t1 > 0) 1 else 0
+            Iterator(FunnelOut(user, depth))
+          } else {
+            // three unconditional first-occurrence mins: order-insensitive
+            // within and across micro-batches, so late/reordered events
+            // inside the watermark cannot change the result
+            var s = state.getOption.getOrElse(FunnelState(0L, 0L, 0L))
+            var last = 0L
+            rows.foreach { e =>
+              val t = e.ts.getTime
+              last = math.max(last, t)
+              e.event_type match {
+                case "view" => s = s.copy(t1 = minSet(s.t1, t))
+                case "click" => s = s.copy(t2 = minSet(s.t2, t))
+                case "purchase" => s = s.copy(t3 = minSet(s.t3, t))
+                case _ => ()
+              }
+            }
+            state.update(s)
+            state.setTimeoutTimestamp(last + idleCloseMs)
+            Iterator.empty
+          }
+      }
+  }
+
+  private def minSet(cur: Long, cand: Long): Long =
+    if (cand == 0L) cur else if (cur == 0L) cand else math.min(cur, cand)
+
   case class Ev(user_id: Long, event_id: Long, ts: Timestamp)
   case class SessionOut(
       user_id: Long, session_start: Timestamp, session_end: Timestamp, n_events: Long)

@@ -95,6 +95,55 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming funnel matches the batch funnel semantics on the same events") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[Streaming.TypedEv]
+    val q = Streaming.funnelMGWS(mem.toDS(), idleCloseMs = 3600 * 1000L)
+      .writeStream.format("memory").queryName("s_funnel").outputMode("append").start()
+    try {
+      // user 1: full ordered funnel; user 2: click before view (depth 1);
+      // user 3: view+click ordered, no purchase (depth 2) — delivered
+      // out of order WITHIN the watermark to prove order-insensitivity
+      mem.addData(
+        Streaming.TypedEv(1L, "purchase", ts(1, 30)), // arrives first, happened last
+        Streaming.TypedEv(1L, "view", ts(1, 0)),
+        Streaming.TypedEv(1L, "click", ts(1, 10)),
+        Streaming.TypedEv(2L, "click", ts(1, 0)),
+        Streaming.TypedEv(2L, "view", ts(1, 5)),
+        Streaming.TypedEv(3L, "view", ts(1, 0)),
+        Streaming.TypedEv(3L, "click", ts(1, 20)))
+      q.processAllAvailable()
+      // watermark far past every user's idle timeout -> all users close
+      mem.addData(Streaming.TypedEv(99L, "view", ts(9, 0)))
+      q.processAllAvailable()
+      val got = spark.table("s_funnel").collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(got === Map(1L -> 3, 2L -> 1, 3L -> 2))
+      // batch twin on the identical rows agrees
+      val batch = Seq(
+        (1L, "purchase", ts(1, 30)), (1L, "view", ts(1, 0)), (1L, "click", ts(1, 10)),
+        (2L, "click", ts(1, 0)), (2L, "view", ts(1, 5)),
+        (3L, "view", ts(1, 0)), (3L, "click", ts(1, 20)))
+        .toDF("user_id", "event_type", "ts")
+      val m = batch.groupBy("user_id").agg(
+        org.apache.spark.sql.functions.min(org.apache.spark.sql.functions.when(
+          $"event_type" === "view", $"ts")).as("t1"),
+        org.apache.spark.sql.functions.min(org.apache.spark.sql.functions.when(
+          $"event_type" === "click", $"ts")).as("t2"),
+        org.apache.spark.sql.functions.min(org.apache.spark.sql.functions.when(
+          $"event_type" === "purchase", $"ts")).as("t3"))
+      import org.apache.spark.sql.functions.when
+      val batchDepths = m.select($"user_id",
+          when($"t1".isNotNull && $"t2".isNotNull && $"t3".isNotNull &&
+            $"t1" < $"t2" && $"t2" < $"t3", 3)
+            .when($"t1".isNotNull && $"t2".isNotNull && $"t1" < $"t2", 2)
+            .when($"t1".isNotNull, 1).otherwise(0).as("d"))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(batchDepths === got)
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState sessionization emits closed sessions") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
