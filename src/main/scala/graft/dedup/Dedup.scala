@@ -53,7 +53,12 @@ object Dedup {
       maxBucketSize: Int = 1000): DataFrame = {
     val rows = numHashes / bands
     require(rows * bands == numHashes, "bands must divide numHashes")
+    // shingle-less docs (< shingleSize tokens) all share MinHash's
+    // empty-input sentinel signature — without this filter every stub
+    // doc lands in the same bucket of every band and pairs up
+    // quadratically as meaningless candidates
     val sigs = minhashSignatures(docs, idCol, textCol, numHashes, shingleSize, seed)
+      .where(col("sig")(0) =!= Long.MaxValue)
     val bucketed = sigs
       .select(col("id"), posexplode(bandBuckets(col("sig"), bands, rows)).as(Seq("band", "bucket")))
     // hot-bucket cap: a degenerate bucket (boilerplate that hashes a large
@@ -88,6 +93,10 @@ object Dedup {
   def simhashCandidates(
       docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, seed: Long = 42L): DataFrame = {
+    // the 4-block pigeonhole guarantees a shared block only for <= 3
+    // differing bits; a larger radius needs maxHamming+1 blocks and
+    // would otherwise silently miss pairs
+    require(maxHamming <= 3, s"4-block simhash candidates are complete only for maxHamming <= 3, got $maxHamming")
     val sigs = graft.search.Knn.widen(docs).select(
       col(idCol).as("id"),
       hashes.simhash(TextFunctions.tokens(col(textCol)), seed).as("sim"))
@@ -152,11 +161,17 @@ object Dedup {
         array_sort(transform(
           TextFunctions.shingles(col("_toks"), shingleSize),
           s => xxhash64(s))).as("sh"))
-    val aSide = sh.select(col("id").as("a_id"), col("sh").as("sa"),
-      (col("id") / window).cast("long").as("bucket"))
-    val bSide = sh.select(col("id").as("b_id"), col("sh").as("sb"),
-      explode(array((col("id") / window).cast("long"), (col("id") / window).cast("long") - 1))
-        .as("bucket"))
+    // floor INTEGER division for the bucket key: `/` on longs is a
+    // double divide, which rounds for hash-derived ids above 2^53 and
+    // silently drops in-window pairs into non-adjacent buckets
+    def bucketOf(id: Column): Column =
+      when(id >= 0, expr(s"_b_id div $window"))
+        .otherwise(expr(s"((_b_id + 1) div $window) - 1")) // floor, not truncate, for negative ids
+    val aSide = sh.select(col("id").as("a_id"), col("sh").as("sa"), col("id").as("_b_id"))
+      .withColumn("bucket", bucketOf(col("_b_id"))).drop("_b_id")
+    val bSide = sh.select(col("id").as("b_id"), col("sh").as("sb"), col("id").as("_b_id"))
+      .withColumn("bucket", explode(array(bucketOf(col("_b_id")), bucketOf(col("_b_id")) - 1)))
+      .drop("_b_id")
     val inter = graft.functions.vec.sortedIntersectCount(col("sa"), col("sb"))
     val joined = aSide.join(bSide, Seq("bucket"))
       .where(col("b_id") > col("a_id") && col("b_id") <= col("a_id") + window)

@@ -87,6 +87,7 @@ object IndexCatalog {
   final class Entry(val meta: IndexMeta) {
     val kind: Kind = parseFactory(meta.factory)
     val idMap: Boolean = hasIdMap(meta.factory)
+    var destroyed: Boolean = false // guarded by this Entry's monitor
     var pending: Option[DataFrame] = None // (label bigint, vec array<float>)
     var trained: Option[Array[Array[Float]]] = None // IVF centroids from manual_train
     var trainedPq: Option[(Array[Array[Array[Float]]], Option[Array[Array[Float]]])] = None
@@ -128,16 +129,37 @@ object IndexCatalog {
   def create(
       name: String, dim: Int, factory: String,
       metric: String = "l2sq", params: Map[String, String] = Map.empty): Unit = {
-    VectorMath.metricId(metric) // unknown metric errors at create, like the reference (faiss6.test)
+    val mid = VectorMath.metricId(metric) // unknown metric errors at create, like the reference (faiss6.test)
     val meta = IndexMeta(name, dim, factory, metric, normalizeParams(params))
-    if (entries.putIfAbsent(name, new Entry(meta)) != null)
+    val e = new Entry(meta)
+    // metric/kind compatibility errors at create, not deep inside a
+    // later search: graph traversal supports L2/IP/cosine only (FAISS
+    // HNSW is L2/IP), and a mismatch would silently rank by the wrong
+    // ordering
+    def isL2 = mid == VectorMath.L2SQ || mid == VectorMath.L2
+    e.kind match {
+      case HnswKind(_) | PcaKind(_, HnswKind(_)) if !Nsw.supportsMetric(mid) =>
+        throw new IllegalArgumentException(
+          s"HNSW supports metrics l2sq/l2/ip/cosine, got '$metric'")
+      case PqKind(_, _) | SqKind(_) | PcaKind(_, PqKind(_, _)) | PcaKind(_, SqKind(_)) if !isL2 =>
+        throw new IllegalArgumentException(
+          s"PQ/SQ quantized search implements the FAISS L2 convention (ADC + L2 re-rank); got '$metric'")
+      case _ => ()
+    }
+    if (entries.putIfAbsent(name, e) != null)
       throw new IllegalStateException(s"index '$name' already exists")
   }
 
   def destroy(name: String): Unit = {
     val e = entries.remove(name)
-    if (e != null) {
+    // take the entry's own lock: an in-flight build/add on this entry
+    // finishes first and its cached state is released here instead of
+    // leaking on an orphaned Entry (the reference guards the same race
+    // with its per-entry faiss_lock, faiss_extension.cpp:160)
+    if (e != null) e.synchronized {
+      e.destroyed = true
       e.built.foreach(_.close())
+      e.built = None
       e.cachedBatches.foreach(_.unpersist())
     }
   }
@@ -164,8 +186,22 @@ object IndexCatalog {
    * Invalidates any built state (FAISS retrains on add unless manually
    * trained; we rebuild lazily).
    */
-  def add(df: DataFrame, name: String): Unit = synchronized {
+  /** FAISS asserts d == index->d on ADD as well as search; mirror it
+    * with the same codegen'd per-row guard (fires on first
+    * materialization — this is a lazy engine — with a clear message
+    * instead of a garbage assignment or an executor-side dim error
+    * deep inside a later search). Null vectors are rejected like FAISS
+    * (an index stores dense vectors only). */
+  private def guardAddDim(v: Column, dim: Int, name: String): Column =
+    when(
+      assert_true(v.isNotNull && size(v) === dim,
+        lit(s"vector dimension mismatch on add: index '$name' has dim $dim")).isNull,
+      v)
+
+  def add(df: DataFrame, name: String): Unit = {
     val e = entry(name)
+    e.synchronized {
+    if (e.destroyed) throw new NoSuchElementException(s"no index named '$name'")
     val normalized = df.schema.fields.length match {
       case 1 =>
         // dense sequential auto-ids across batches (FAISS semantics):
@@ -179,7 +215,8 @@ object IndexCatalog {
         // a second job — on a nondeterministic source those two
         // evaluations could disagree (shifted/duplicate ids) unless both
         // read the same materialized data
-        val vecDf = df.select(vec.vector(col(vcol)).as("vec")).cache()
+        val vecDf = df.select(
+          guardAddDim(vec.vector(col(vcol)), e.meta.dim, e.meta.name).as("vec")).cache()
         val schema = org.apache.spark.sql.types.StructType(Seq(
           org.apache.spark.sql.types.StructField("label", org.apache.spark.sql.types.LongType, nullable = false),
           vecDf.schema.fields(0).copy(name = "vec")))
@@ -198,18 +235,21 @@ object IndexCatalog {
               "Prefix the factory string with IDMap when creating the index.")
         df.select(
           col(df.columns(0)).cast("long").as("label"),
-          vec.vector(col(df.columns(1))).as("vec"))
+          guardAddDim(vec.vector(col(df.columns(1))), e.meta.dim, e.meta.name).as("vec"))
     }
     e.pending = Some(e.pending.map(_.unionByName(normalized)).getOrElse(normalized))
     e.built.foreach(_.close())
     e.built = None
+    }
   }
 
   /** train now on a sample (IVF: KMeans centroids; PQ: codebooks +
     * coarse centroids); later adds don't retrain. Invalidates any built
     * state so retraining after a search takes effect on the next one. */
-  def manualTrain(sample: DataFrame, name: String): Unit = synchronized {
+  def manualTrain(sample: DataFrame, name: String): Unit = {
     val e = entry(name)
+    e.synchronized {
+    if (e.destroyed) throw new NoSuchElementException(s"no index named '$name'")
     val seed = e.meta.params.get("seed").map(_.toLong).getOrElse(42L)
     e.kind match {
       case IvfKind(nlist) =>
@@ -238,6 +278,7 @@ object IndexCatalog {
     }
     e.built.foreach(_.close())
     e.built = None
+    }
   }
 
   private def samplePoints(sample: DataFrame): Array[Array[Float]] = {
@@ -272,16 +313,22 @@ object IndexCatalog {
       case _ => // Flat/LSH/HNSW need no training
     }
 
-  /** materialize: train if needed, assign, cache */
-  def build(name: String): BuiltIndex = synchronized {
+  /** materialize: train if needed, assign, cache. Locks only THIS
+    * entry — a long auto-train on one index no longer blocks searches
+    * on unrelated built indexes (the reference's per-entry faiss_lock
+    * granularity, faiss_extension.cpp:394). */
+  def build(name: String): BuiltIndex = {
     val e = entry(name)
-    e.built.getOrElse {
-      val data = e.pending.getOrElse(
-        throw new IllegalStateException(s"index '$name' has no vectors; call add first"))
-      val metricId = VectorMath.metricId(e.meta.metric)
-      val built: BuiltIndex = buildKind(e, e.kind, data, metricId)
-      e.built = Some(built)
-      built
+    e.synchronized {
+      if (e.destroyed) throw new NoSuchElementException(s"no index named '$name'")
+      e.built.getOrElse {
+        val data = e.pending.getOrElse(
+          throw new IllegalStateException(s"index '$name' has no vectors; call add first"))
+        val metricId = VectorMath.metricId(e.meta.metric)
+        val built: BuiltIndex = buildKind(e, e.kind, data, metricId)
+        e.built = Some(built)
+        built
+      }
     }
   }
 
@@ -507,8 +554,11 @@ object IndexCatalog {
           .coalesce(1).write.mode("overwrite").parquet(s"$path/sq_coarse")
       }
     }
+    // URL-encode keys/values: a raw ';' or '=' inside a param value
+    // would corrupt (or crash) the k=v;k=v parse on load
+    def esc(s: String): String = java.net.URLEncoder.encode(s, "UTF-8")
     Seq((e.meta.name, e.meta.dim, e.meta.factory, e.meta.metric,
-        e.meta.params.map { case (k, v) => s"$k=$v" }.mkString(";"), e.nextAutoId))
+        e.meta.params.map { case (k, v) => s"${esc(k)}=${esc(v)}" }.mkString(";"), e.nextAutoId))
       .toDF("name", "dim", "factory", "metric", "params", "next_auto_id")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
   }
@@ -523,8 +573,9 @@ object IndexCatalog {
 
   def load(name: String, path: String, spark: SparkSession): Unit = {
     val m = spark.read.parquet(s"$path/meta").collect()(0)
+    def unesc(s: String): String = java.net.URLDecoder.decode(s, "UTF-8")
     val params = m.getString(4).split(";").filter(_.nonEmpty)
-      .map { kv => val Array(k, v) = kv.split("=", 2); k -> v }.toMap
+      .map { kv => val Array(k, v) = kv.split("=", 2); unesc(k) -> unesc(v) }.toMap
     create(name, m.getInt(1), m.getString(2), m.getString(3), params)
     val e = entry(name)
     e.kind match {
@@ -645,11 +696,7 @@ object IndexCatalog {
       // filter and the join, with nothing left cached behind
       val spark = data.sparkSession
       import spark.implicits._
-      val qRows = queries
-        .select(col("qid").cast("long"), vec.vector(col("qvec")))
-        .collect()
-        .filter(r => !r.isNullAt(0) && !r.isNullAt(1))
-        .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+      val qRows = collectQueryBatch(queries)
       // probe with the SAME metric vectors were assigned with (an IP
       // index probed by L2 would look in lists its vectors never joined)
       val probePairs = qRows.toSeq.flatMap { case (qid, qv) =>
@@ -718,43 +765,59 @@ object IndexCatalog {
     override def searchRestricted(
         queries: DataFrame, k: Int, params: Map[String, String],
         restrict: DataFrame => DataFrame): DataFrame = {
-      val base = restrict(data)
-      val spark = data.sparkSession
-      import spark.implicits._
-      val refine = params.get("refine").map(_.toInt).getOrElse(4)
-      val qArr = queries
-        .select(col("qid").cast("long"), vec.vector(col("qvec")))
-        .collect()
-        .filter(r => !r.isNullAt(0) && !r.isNullAt(1)) // skip null rows like IvfBuilt
-        .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+      val qArr = collectQueryBatch(queries)
       val luts = qArr.map { case (qid, qv) => qid -> Pq.lutFor(qv, codebooks) }.toMap
-
-      val candSource = centroids match {
-        case Some(cents) =>
-          val nprobe = params.get("nprobe").map(_.toInt).getOrElse(math.max(1, cents.length / 8))
-          val probes = qArr.toSeq.flatMap { case (qid, qv) =>
-            PqBuilt.nearestLists(qv, cents, nprobe).map(l => (qid, l))
-          }.toDF("qid", "list_id")
-          base.join(broadcast(probes), "list_id")
-        case None =>
-          base.crossJoin(broadcast(qArr.map(_._1).toSeq.toDF("qid")))
-      }
       val adc = GraftBridge.column(PqAdcDistance(
         GraftBridge.expression(col("code")), GraftBridge.expression(col("qid")), luts))
-      val cands = candSource
-        .select(col("qid"), col("label"), adc.as("_adc"))
-        .groupBy(col("qid"))
-        .agg(vec.topk(k * refine, col("_adc"), col("label"), ascending = true).as("nn"))
-        .select(col("qid"), explode(col("nn.label")).as("label"))
-      // exact re-rank on original vectors
-      val qdf = queries.select(col("qid").cast("long").as("qid"), vec.vector(col("qvec")).as("qvec"))
-      Knn.rankResults(
-        cands
-          .join(data.select(col("label"), col("vec")), "label")
-          .join(broadcast(qdf), "qid")
-          .select(col("qid"), col("label"), vec.l2sq(col("vec"), col("qvec")).as("_dist")),
-        k, ascending = true, padToK = params.get("pad").exists(_.toBoolean))
+      codedSearch(restrict(data), data, queries, qArr, k, params, centroids, adc)
     }
+  }
+
+  /** bounded FAISS-batch query collect (null rows skipped) — shared by
+    * every index kind's search path */
+  private def collectQueryBatch(queries: DataFrame): Array[(Long, Array[Float])] =
+    queries.select(col("qid").cast("long"), vec.vector(col("qvec")))
+      .collect()
+      .filter(r => !r.isNullAt(0) && !r.isNullAt(1))
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+
+  /** shared PQ/SQ coded-search pipeline: probed lists (or full coded
+    * scan) -> approximate per-code distance -> bounded k x refine heap
+    * -> exact L2 re-rank on original vectors. PQ and SQ differ only in
+    * the code-distance expression (mirrors codedLayout on the build
+    * side). `base` is the (possibly selector-restricted) coded data;
+    * re-rank vectors come from the full layout by candidate label. */
+  private def codedSearch(
+      base: DataFrame, fullData: DataFrame, queries: DataFrame,
+      qArr: Array[(Long, Array[Float])], k: Int, params: Map[String, String],
+      centroids: Option[Array[Array[Float]]], codeDist: Column): DataFrame = {
+    val spark = fullData.sparkSession
+    import spark.implicits._
+    val refine = params.get("refine").map(_.toInt).getOrElse(4)
+    val candSource = centroids match {
+      case Some(cents) =>
+        val nprobe = params.get("nprobe").map(_.toInt).getOrElse(math.max(1, cents.length / 8))
+        // coarse probing is L2 by FAISS convention (assignment uses L2SQ too)
+        val probes = qArr.toSeq.flatMap { case (qid, qv) =>
+          NearestCentroids.nearestIds(qv, cents, nprobe, VectorMath.L2SQ).map(l => (qid, l))
+        }.toDF("qid", "list_id")
+        base.join(broadcast(probes), "list_id")
+      case None =>
+        base.crossJoin(broadcast(qArr.map(_._1).toSeq.toDF("qid")))
+    }
+    val cands = candSource
+      .select(col("qid"), col("label"), codeDist.as("_code_dist"))
+      .groupBy(col("qid"))
+      .agg(vec.topk(k * refine, col("_code_dist"), col("label"), ascending = true).as("nn"))
+      .select(col("qid"), explode(col("nn.label")).as("label"))
+    // exact re-rank on original vectors
+    val qdf = queries.select(col("qid").cast("long").as("qid"), vec.vector(col("qvec")).as("qvec"))
+    Knn.rankResults(
+      cands
+        .join(fullData.select(col("label"), col("vec")), "label")
+        .join(broadcast(qdf), "qid")
+        .select(col("qid"), col("label"), vec.l2sq(col("vec"), col("qvec")).as("_dist")),
+      k, ascending = true, padToK = params.get("pad").exists(_.toBoolean))
   }
 
   /** shared quantized-index layout: widen -> encode -> (optional) coarse
@@ -777,11 +840,6 @@ object IndexCatalog {
   }
 
   object PqBuilt {
-    /** PQ coarse probing is L2 by FAISS convention (assignment uses L2SQ too) */
-    private[index] def nearestLists(
-        q: Array[Float], cents: Array[Array[Float]], nprobe: Int): Seq[Int] =
-      NearestCentroids.nearestIds(q, cents, nprobe, VectorMath.L2SQ)
-
     def build(
         data: DataFrame, meta: IndexMeta, m: Int, nlist: Int,
         pretrained: Option[(Array[Array[Array[Float]]], Option[Array[Array[Float]]])] = None): PqBuilt = {
@@ -821,42 +879,11 @@ object IndexCatalog {
     override def searchRestricted(
         queries: DataFrame, k: Int, params: Map[String, String],
         restrict: DataFrame => DataFrame): DataFrame = {
-      val base = restrict(data)
-      val spark = data.sparkSession
-      import spark.implicits._
-      val refine = params.get("refine").map(_.toInt).getOrElse(4)
-      val qArr = queries
-        .select(col("qid").cast("long"), vec.vector(col("qvec")))
-        .collect()
-        .filter(r => !r.isNullAt(0) && !r.isNullAt(1)) // skip null rows like IvfBuilt
-        .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
-      val qMap = qArr.toMap
-
-      val candSource = centroids match {
-        case Some(cents) =>
-          val nprobe = params.get("nprobe").map(_.toInt).getOrElse(math.max(1, cents.length / 8))
-          val probes = qArr.toSeq.flatMap { case (qid, qv) =>
-            NearestCentroids.nearestIds(qv, cents, nprobe, VectorMath.L2SQ).map(l => (qid, l))
-          }.toDF("qid", "list_id")
-          base.join(broadcast(probes), "list_id")
-        case None =>
-          base.crossJoin(broadcast(qArr.map(_._1).toSeq.toDF("qid")))
-      }
+      val qArr = collectQueryBatch(queries)
       val sqd = GraftBridge.column(SqL2Distance(
-        GraftBridge.expression(col("code")), GraftBridge.expression(col("qid")), qMap, vmin, vdiff))
-      val cands = candSource
-        .select(col("qid"), col("label"), sqd.as("_sqd"))
-        .groupBy(col("qid"))
-        .agg(vec.topk(k * refine, col("_sqd"), col("label"), ascending = true).as("nn"))
-        .select(col("qid"), explode(col("nn.label")).as("label"))
-      // exact re-rank on original vectors
-      val qdf = queries.select(col("qid").cast("long").as("qid"), vec.vector(col("qvec")).as("qvec"))
-      Knn.rankResults(
-        cands
-          .join(data.select(col("label"), col("vec")), "label")
-          .join(broadcast(qdf), "qid")
-          .select(col("qid"), col("label"), vec.l2sq(col("vec"), col("qvec")).as("_dist")),
-        k, ascending = true, padToK = params.get("pad").exists(_.toBoolean))
+        GraftBridge.expression(col("code")), GraftBridge.expression(col("qid")),
+        qArr.toMap, vmin, vdiff))
+      codedSearch(restrict(data), data, queries, qArr, k, params, centroids, sqd)
     }
   }
 
@@ -905,18 +932,16 @@ object IndexCatalog {
       val spark = data.sparkSession
       import spark.implicits._
       val efSearch = params.get("efSearch").map(_.toInt).getOrElse(math.max(2 * k, 64))
-      val qArr = queries
-        .select(col("qid").cast("long"), vec.vector(col("qvec")))
-        .collect()
-        .filter(r => !r.isNullAt(0) && !r.isNullAt(1)) // skip null rows like IvfBuilt
-        .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+      val metricId = VectorMath.metricId(meta.metric)
+      val qArr = collectQueryBatch(queries)
       val qB = spark.sparkContext.broadcast(qArr)
       val perShard = graphs.flatMap { g =>
         qB.value.iterator.flatMap { case (qid, qv) =>
-          Nsw.search(g, qv, k, efSearch).iterator.map { case (d, label) => (qid, label, d) }
+          Nsw.search(g, qv, k, efSearch, metricId).iterator
+            .map { case (d, label) => (qid, label, d) }
         }
       }.toDF("qid", "label", "_dist")
-      Knn.rankResults(perShard, k, ascending = true,
+      Knn.rankResults(perShard, k, ascending = VectorMath.smallerIsCloser(metricId),
         padToK = params.get("pad").exists(_.toBoolean))
     }
 
@@ -929,6 +954,7 @@ object IndexCatalog {
   object HnswBuilt {
     def build(data: DataFrame, meta: IndexMeta, m: Int): HnswBuilt = {
       val efC = meta.params.get("efConstruction").map(_.toInt).getOrElse(math.max(64, 2 * m))
+      val metricId = VectorMath.metricId(meta.metric)
       val spark = data.sparkSession
       // one graph per shard: widen narrow inputs so graph build and search
       // both use the full executor parallelism
@@ -940,7 +966,8 @@ object IndexCatalog {
         .select(col("label"), col("vec"))
         .rdd
         .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-        .mapPartitions(it => Iterator.single(Nsw.build(it.toArray, m, efC)), preservesPartitioning = true)
+        .mapPartitions(it => Iterator.single(Nsw.build(it.toArray, m, efC, metricId)),
+          preservesPartitioning = true)
         .cache()
       graphs.count() // materialize graph construction once
       new HnswBuilt(cached, meta, graphs, m)

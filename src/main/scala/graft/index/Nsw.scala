@@ -40,6 +40,39 @@ object Nsw {
     d
   }
 
+  @inline private def ip(a: Array[Float], b: Array[Float]): Double = {
+    var d = 0.0; var i = 0
+    while (i < a.length) { d += a(i).toDouble * b(i).toDouble; i += 1 }
+    d
+  }
+
+  /** metrics the graph supports (FAISS HNSW: L2/IP; cosine and true
+    * euclidean are monotone friends); validated at index create */
+  def supportsMetric(metricId: Int): Boolean =
+    metricId == graft.functions.VectorMath.L2SQ || metricId == graft.functions.VectorMath.L2 ||
+      metricId == graft.functions.VectorMath.IP || metricId == graft.functions.VectorMath.COSINE
+
+  /** raw metric distance, reported in results */
+  @inline private def rawDist(metricId: Int, a: Array[Float], b: Array[Float]): Double = {
+    val VM = graft.functions.VectorMath
+    metricId match {
+      case VM.L2SQ => l2sq(a, b)
+      case VM.L2 => math.sqrt(l2sq(a, b))
+      case VM.IP => ip(a, b)
+      case VM.COSINE =>
+        val num = ip(a, b)
+        val den = math.sqrt(ip(a, a)) * math.sqrt(ip(b, b))
+        if (den == 0.0) 1.0 else 1.0 - num / den
+      case other => throw new IllegalArgumentException(s"HNSW does not support metric id $other")
+    }
+  }
+
+  /** canonical ascending ordering key (larger-is-better metrics negate) */
+  @inline private def key(metricId: Int, a: Array[Float], b: Array[Float]): Double = {
+    val d = rawDist(metricId, a, b)
+    if (graft.functions.VectorMath.smallerIsCloser(metricId)) d else -d
+  }
+
   private val maxLevelCap = 16
 
   /** deterministic geometric level from the label hash (not an RNG) */
@@ -51,9 +84,9 @@ object Nsw {
   /** hill-climb to the closest node on one layer (ef=1 descent step) */
   private def greedyClosest(
       vecs: Array[Array[Float]], adj: Array[Array[Array[Int]]],
-      layer: Int, start: Int, q: Array[Float]): Int = {
+      layer: Int, start: Int, q: Array[Float], metricId: Int): Int = {
     var cur = start
-    var curD = l2sq(q, vecs(cur))
+    var curD = key(metricId, q, vecs(cur))
     var improved = true
     while (improved) {
       improved = false
@@ -61,7 +94,7 @@ object Nsw {
       var i = 0
       while (i < nbs.length) {
         val nb = nbs(i)
-        val d = l2sq(q, vecs(nb))
+        val d = key(metricId, q, vecs(nb))
         if (d < curD) { curD = d; cur = nb; improved = true }
         i += 1
       }
@@ -78,7 +111,7 @@ object Nsw {
   private def searchLayer(
       vecs: Array[Array[Float]], adj: Int => scala.collection.Seq[Int],
       labelOf: Int => Long, nNodes: Int,
-      start: Int, q: Array[Float], k: Int, ef: Int): Array[(Double, Int)] = {
+      start: Int, q: Array[Float], k: Int, ef: Int, metricId: Int): Array[(Double, Int)] = {
     if (nNodes == 0) return Array.empty
     val visited = new java.util.BitSet(nNodes)
     // candidates: min-heap by distance; results: bounded max-heap on (dist, label)
@@ -86,7 +119,7 @@ object Nsw {
     val resOrd: Ordering[(Double, Int)] =
       Ordering.by { case (d, idx) => (d, labelOf(idx)) }
     val res = mutable.PriorityQueue.empty[(Double, Int)](resOrd)
-    val d0 = l2sq(q, vecs(start))
+    val d0 = key(metricId, q, vecs(start))
     cand.enqueue((d0, start)); res.enqueue((d0, start)); visited.set(start)
     val width = math.max(ef, k)
     while (cand.nonEmpty) {
@@ -100,7 +133,7 @@ object Nsw {
           val nb = neighbors(i)
           if (!visited.get(nb)) {
             visited.set(nb)
-            val dn = l2sq(q, vecs(nb))
+            val dn = key(metricId, q, vecs(nb))
             if (res.size < width || resOrd.lt((dn, nb), res.head)) {
               cand.enqueue((dn, nb))
               res.enqueue((dn, nb))
@@ -115,7 +148,8 @@ object Nsw {
   }
 
   /** incremental insert-based construction, one layer stack per node */
-  def build(items: Array[(Long, Array[Float])], m: Int, efConstruction: Int): Graph = {
+  def build(items: Array[(Long, Array[Float])], m: Int, efConstruction: Int,
+      metricId: Int = graft.functions.VectorMath.L2SQ): Graph = {
     val n = items.length
     if (n == 0) return Graph(Array.empty, Array.empty, Array.empty, Array.empty, -1, -1)
     val labels = items.map(_._1)
@@ -136,7 +170,7 @@ object Nsw {
       var lc = maxLevel
       while (lc > li) {
         var cur = ep
-        var curD = l2sq(vecs(i), vecs(cur))
+        var curD = key(metricId, vecs(i), vecs(cur))
         var improved = true
         while (improved) {
           improved = false
@@ -144,7 +178,7 @@ object Nsw {
           var j = 0
           while (j < nbs.length) {
             val nb = nbs(j)
-            val d = l2sq(vecs(i), vecs(nb))
+            val d = key(metricId, vecs(i), vecs(nb))
             if (d < curD) { curD = d; cur = nb; improved = true }
             j += 1
           }
@@ -156,14 +190,14 @@ object Nsw {
       var l = math.min(li, maxLevel)
       while (l >= 0) {
         val near = searchLayer(
-          vecs, node => adjView(node)(l), labels(_), i, ep, vecs(i), m, efConstruction)
+          vecs, node => adjView(node)(l), labels(_), i, ep, vecs(i), m, efConstruction, metricId)
         val cap = if (l == 0) maxDegree0 else m
         near.foreach { case (_, nb) =>
           adjB(i)(l) += nb
           adjB(nb)(l) += i
           if (adjB(nb)(l).length > cap) {
             // prune to the m closest neighbors (simple heuristic)
-            val pruned = adjB(nb)(l).map(x => (l2sq(vecs(nb), vecs(x)), x))
+            val pruned = adjB(nb)(l).map(x => (key(metricId, vecs(nb), vecs(x)), x))
               .sortBy(_._1).take(m).map(_._2)
             adjB(nb)(l).clear(); adjB(nb)(l) ++= pruned
           }
@@ -177,15 +211,18 @@ object Nsw {
     Graph(labels, vecs, levels, adjB.map(_.map(_.toArray)), entry, maxLevel)
   }
 
-  /** top-k labels for a query: greedy descent to layer 0, then beam */
-  def search(g: Graph, q: Array[Float], k: Int, efSearch: Int): Array[(Double, Long)] = {
+  /** top-k labels for a query: greedy descent to layer 0, then beam.
+    * Returns (RAW metric distance, label) — the ordering key negates
+    * larger-is-better metrics internally. */
+  def search(g: Graph, q: Array[Float], k: Int, efSearch: Int,
+      metricId: Int = graft.functions.VectorMath.L2SQ): Array[(Double, Long)] = {
     if (g.labels.isEmpty) return Array.empty
     var ep = g.entry
     var l = g.maxLevel
-    while (l > 0) { ep = greedyClosest(g.vecs, g.adj, l, ep, q); l -= 1 }
+    while (l > 0) { ep = greedyClosest(g.vecs, g.adj, l, ep, q, metricId); l -= 1 }
     searchLayer(
       g.vecs, i => scala.collection.immutable.ArraySeq.unsafeWrapArray(g.adj(i)(0)),
-      g.labels(_), g.labels.length, ep, q, k, math.max(efSearch, k))
-      .map { case (d, idx) => (d, g.labels(idx)) }
+      g.labels(_), g.labels.length, ep, q, k, math.max(efSearch, k), metricId)
+      .map { case (_, idx) => (rawDist(metricId, q, g.vecs(idx)), g.labels(idx)) }
   }
 }

@@ -71,22 +71,27 @@ object AnnJoin {
     val leftProbed = Knn.widen(left).select(
       col("qid"), vec.vector(col("qvec")).as("qvec"), explode(probeLists).as("list_id"))
 
-    // estimated hot-list split factors, all driver-side arithmetic
+    // estimated hot-list split factors, driver-side arithmetic over a
+    // PARTITION-SPREAD sample: the training prefix (limit) can be blind
+    // to clusters living past the first partitions of a sorted/clustered
+    // corpus, which is exactly where a degenerate hot list hides. A few
+    // rows from EVERY partition decorrelate the estimate from storage
+    // order for one bounded collect.
     val splitRows: Seq[(Int, Int)] =
       if (maxListRows == Long.MaxValue || samplePts.isEmpty) Seq.empty
       else {
+        val spreadRdd = Knn.widen(right).select(vec.vector(col("vec")).as("vec")).rdd
+        val perPart = math.max(1, trainSample / math.max(1, spreadRdd.getNumPartitions))
+        val estPts = spreadRdd.mapPartitions(_.take(perPart)).collect()
+          .map(_.getSeq[Float](0).toArray)
         val sampleCounts = new Array[Long](centroids.length)
-        samplePts.foreach { p =>
+        estPts.foreach { p =>
           val ids = NearestCentroids.nearestIds(p, centroids, 1, metricId)
           if (ids.nonEmpty) sampleCounts(ids.head) += 1
         }
-        // sample smaller than the limit -> it IS the corpus (exact);
-        // else scale fractions by one metadata-cheap count
-        val total: Double =
-          if (samplePts.length < trainSample) samplePts.length.toDouble
-          else right.count().toDouble
+        val total = right.count().toDouble // column-pruned count, metadata-cheap on parquet
         sampleCounts.indices.map { i =>
-          val est = sampleCounts(i).toDouble / samplePts.length * total * 2.0 // safety margin
+          val est = sampleCounts(i).toDouble / math.max(1, estPts.length) * total * 2.0 // safety margin
           (i, math.min(64L, (est / maxListRows).toLong + 1L).toInt)
         }.filter(_._2 > 1)
       }

@@ -22,10 +22,22 @@ object Knn {
 
   /** widen CPU-bound narrow scans to the session parallelism (no-op on
     * real multi-split inputs) — shared by the search paths and the
-    * index builds so their partitioning behavior can't drift */
+    * index builds so their partitioning behavior can't drift.
+    * Plans that already contain a shuffle-inducing operator are left
+    * alone WITHOUT probing `.rdd`: under AQE that probe materializes
+    * the upstream query stages just to read a partition count, running
+    * joins/aggregates once for the probe and again for the real job —
+    * and their output is at `shuffle.partitions` parallelism anyway. */
   private[graft] def widen(data: DataFrame): DataFrame = {
+    import org.apache.spark.sql.catalyst.plans.logical._
     val spark = data.sparkSession
-    if (data.rdd.getNumPartitions < spark.sparkContext.defaultParallelism / 2)
+    val hasShuffleOp = data.queryExecution.optimizedPlan.exists {
+      case _: Join | _: Aggregate | _: Deduplicate | _: Window | _: Sort => true
+      case _: RepartitionOperation => true
+      case _ => false
+    }
+    if (!hasShuffleOp &&
+        data.rdd.getNumPartitions < spark.sparkContext.defaultParallelism / 2)
       data.repartition(spark.sparkContext.defaultParallelism)
     else data
   }

@@ -460,6 +460,36 @@ class IndexCatalogSpec extends SparkSpec {
     assert(!IndexCatalog.exists("t_badmetric"))
   }
 
+  test("IP-metric HNSW ranks by inner product (descending), matching exact search") {
+    IndexCatalog.create("t_hnsw_ip", 2, "IDMap,HNSW16", "ip", Map("efConstruction" -> "128"))
+    IndexCatalog.add(grid.coalesce(1), "t_hnsw_ip")
+    val got = labelsOf(IndexCatalog.search("t_hnsw_ip", 4, qs, Map("efSearch" -> "256")))
+    val want = labelsOf(Knn.searchFlat(grid, qs, 4, "ip"))
+    assert(got === want) // generous ef on one shard: graph search is exact
+    // and the filtered (flat-fallback) path agrees with the same metric
+    val gotF = labelsOf(IndexCatalog.searchFilter("t_hnsw_ip", 4, qs, col("label") >= 0))
+    assert(gotF === want)
+  }
+
+  test("metric/kind compatibility errors at create (HNSW + PQ/SQ conventions)") {
+    intercept[IllegalArgumentException](
+      IndexCatalog.create("t_bad_hnsw", 2, "IDMap,HNSW8", "canberra"))
+    intercept[IllegalArgumentException](
+      IndexCatalog.create("t_bad_pq", 2, "IDMap,PQ2", "ip"))
+    intercept[IllegalArgumentException](
+      IndexCatalog.create("t_bad_sq", 2, "IDMap,SQ8", "cosine"))
+  }
+
+  test("wrong-dimension vectors are rejected on add, like FAISS's d assertion") {
+    import spark.implicits._
+    IndexCatalog.create("t_add_dim", 2, "IDMap,Flat")
+    val bad = Seq((1L, Array(1.0f, 2.0f, 3.0f))).toDF("label", "vec") // 3 dims into a 2-dim index
+    IndexCatalog.add(bad, "t_add_dim")
+    val err = intercept[Exception](IndexCatalog.search("t_add_dim", 1, qs).collect())
+    assert(err.getMessage != null && err.toString.contains("dimension") ||
+      Option(err.getCause).exists(_.toString.contains("dimension")))
+  }
+
   test("HNSW builds per-partition graphs and reaches high recall") {
     IndexCatalog.create("t_hnsw", 2, "IDMap,HNSW8", "l2sq", Map("efConstruction" -> "64"))
     IndexCatalog.add(grid.repartition(3), "t_hnsw")
