@@ -164,13 +164,15 @@ object Dedup {
     // floor INTEGER division for the bucket key: `/` on longs is a
     // double divide, which rounds for hash-derived ids above 2^53 and
     // silently drops in-window pairs into non-adjacent buckets
-    def bucketOf(id: Column): Column =
-      when(id >= 0, expr(s"_b_id div $window"))
-        .otherwise(expr(s"((_b_id + 1) div $window) - 1")) // floor, not truncate, for negative ids
+    def bucketOf(idName: String): Column = {
+      val id = col(idName)
+      when(id >= 0, expr(s"$idName div $window"))
+        .otherwise(expr(s"(($idName + 1) div $window) - 1")) // floor, not truncate, for negative ids
+    }
     val aSide = sh.select(col("id").as("a_id"), col("sh").as("sa"), col("id").as("_b_id"))
-      .withColumn("bucket", bucketOf(col("_b_id"))).drop("_b_id")
+      .withColumn("bucket", bucketOf("_b_id")).drop("_b_id")
     val bSide = sh.select(col("id").as("b_id"), col("sh").as("sb"), col("id").as("_b_id"))
-      .withColumn("bucket", explode(array(bucketOf(col("_b_id")), bucketOf(col("_b_id")) - 1)))
+      .withColumn("bucket", explode(array(bucketOf("_b_id"), bucketOf("_b_id") - 1)))
       .drop("_b_id")
     val inter = graft.functions.vec.sortedIntersectCount(col("sa"), col("sb"))
     val joined = aSide.join(bSide, Seq("bucket"))

@@ -957,11 +957,9 @@ object IndexCatalog {
       val metricId = VectorMath.metricId(meta.metric)
       val spark = data.sparkSession
       // one graph per shard: widen narrow inputs so graph build and search
-      // both use the full executor parallelism
-      val parallel = spark.sparkContext.defaultParallelism
-      val shards =
-        if (data.rdd.getNumPartitions < parallel / 2) data.repartition(parallel) else data
-      val cached = shards.select(col("label"), col("vec")).cache()
+      // both use the full executor parallelism (Knn.widen, not a raw
+      // .rdd probe — shared AQE-safety and drift-free partitioning)
+      val cached = Knn.widen(data).select(col("label"), col("vec")).cache()
       val graphs = cached
         .select(col("label"), col("vec"))
         .rdd

@@ -31,11 +31,13 @@ object AnnJoin {
    *   candidate pairs, different partitioning), but the hottest
    *   partition is bounded, which AQE alone cannot guarantee for a
    *   degenerate list (all vectors in one cluster). List sizes are
-   *   estimated driver-side from the SAME bounded sample that trains
-   *   the quantizer (fraction x corpus size, 2x safety margin) — no
-   *   extra pass over the corpus; when the sample IS the whole corpus
-   *   the estimate is exact and even the count() is skipped.
-   *   Long.MaxValue disables the guard entirely.
+   *   estimated driver-side from a bounded PARTITION-SPREAD sample
+   *   (a few rows from every partition, one small collect) scaled by
+   *   one column-pruned count(), with a 2x margin. The estimate
+   *   weights partitions equally — accurate for file-based scans
+   *   (maxPartitionBytes keeps splits near-uniform); a corpus with
+   *   wildly uneven CUSTOM partitioning should lower maxListRows to
+   *   compensate. Long.MaxValue disables the guard and both jobs.
    */
   def ivfJoin(
       left: DataFrame, // (qid bigint, qvec array<float>)

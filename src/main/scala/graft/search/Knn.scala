@@ -23,20 +23,25 @@ object Knn {
   /** widen CPU-bound narrow scans to the session parallelism (no-op on
     * real multi-split inputs) — shared by the search paths and the
     * index builds so their partitioning behavior can't drift.
-    * Plans that already contain a shuffle-inducing operator are left
-    * alone WITHOUT probing `.rdd`: under AQE that probe materializes
-    * the upstream query stages just to read a partition count, running
-    * joins/aggregates once for the probe and again for the real job —
-    * and their output is at `shuffle.partitions` parallelism anyway. */
+    * Plans that GUARANTEE a hash/range exchange (aggregate, dedup,
+    * window, global sort, explicit repartition) are left alone WITHOUT
+    * probing `.rdd`: under AQE that probe materializes upstream query
+    * stages just to read a partition count — running them once for the
+    * probe and again for the real job — and those operators' output is
+    * at `shuffle.partitions` parallelism already. Joins do NOT short-
+    * circuit (a broadcast join preserves the narrow probe side's
+    * partitioning), so join-shaped inputs still take the `.rdd` probe;
+    * for a broadcast plan that only materializes the small build side. */
   private[graft] def widen(data: DataFrame): DataFrame = {
     import org.apache.spark.sql.catalyst.plans.logical._
     val spark = data.sparkSession
-    val hasShuffleOp = data.queryExecution.optimizedPlan.exists {
-      case _: Join | _: Aggregate | _: Deduplicate | _: Window | _: Sort => true
+    val hasExchangeOp = data.queryExecution.optimizedPlan.exists {
+      case _: Aggregate | _: Deduplicate | _: Window => true
+      case s: Sort => s.global
       case _: RepartitionOperation => true
       case _ => false
     }
-    if (!hasShuffleOp &&
+    if (!hasExchangeOp &&
         data.rdd.getNumPartitions < spark.sparkContext.defaultParallelism / 2)
       data.repartition(spark.sparkContext.defaultParallelism)
     else data

@@ -63,21 +63,27 @@ object Streaming {
       .start()
 
   case class TypedEv(user_id: Long, event_type: String, ts: Timestamp)
-  case class FunnelState(t1: Long, t2: Long, t3: Long) // first view/click-after/purchase-after (0 = unset)
+  case class FunnelState(t1: Long, t2: Long, t3: Long, last: Long) // first view/click/purchase mins + max seen ts (0 = unset)
   case class FunnelOut(user_id: Long, funnel_depth: Int)
 
   /**
    * Streaming twin of the batch events_funnel: per-user ordered
-   * view -> click -> purchase progression tracked in mapGroupsWithState
-   * (conditional first-occurrence timestamps, exactly the batch
-   * semantics), emitted when the event-time timeout closes the user.
-   * Batch/stream parity is spec-asserted on identical inputs.
+   * view -> click -> purchase progression tracked in
+   * flatMapGroupsWithState (three unconditional first-occurrence
+   * minimums, exactly the batch semantics), emitted when the
+   * event-time timeout closes the user. The timeout is set from the
+   * MAX timestamp ever seen for the user (carried in state), so a
+   * late-but-in-watermark event can only extend the close, never pull
+   * it earlier. Null-timestamp rows are dropped like the batch twin's
+   * min(when(...)) skips them. Batch/stream parity is spec-asserted
+   * on identical inputs.
    */
-  def funnelMGWS(
+  def funnelFMGWS(
       events: Dataset[TypedEv], watermark: String = "2 hours",
       idleCloseMs: Long = 3600 * 1000L): Dataset[FunnelOut] = {
     import events.sparkSession.implicits._
     events
+      .filter(_.ts != null)
       .withWatermark("ts", watermark)
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[FunnelState, FunnelOut](
@@ -97,11 +103,10 @@ object Streaming {
             // three unconditional first-occurrence mins: order-insensitive
             // within and across micro-batches, so late/reordered events
             // inside the watermark cannot change the result
-            var s = state.getOption.getOrElse(FunnelState(0L, 0L, 0L))
-            var last = 0L
+            var s = state.getOption.getOrElse(FunnelState(0L, 0L, 0L, 0L))
             rows.foreach { e =>
               val t = e.ts.getTime
-              last = math.max(last, t)
+              s = s.copy(last = math.max(s.last, t))
               e.event_type match {
                 case "view" => s = s.copy(t1 = minSet(s.t1, t))
                 case "click" => s = s.copy(t2 = minSet(s.t2, t))
@@ -110,7 +115,7 @@ object Streaming {
               }
             }
             state.update(s)
-            state.setTimeoutTimestamp(last + idleCloseMs)
+            state.setTimeoutTimestamp(s.last + idleCloseMs)
             Iterator.empty
           }
       }

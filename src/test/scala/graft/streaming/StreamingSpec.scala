@@ -99,7 +99,7 @@ class StreamingSpec extends SparkSpec {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
     val mem = MemoryStream[Streaming.TypedEv]
-    val q = Streaming.funnelMGWS(mem.toDS(), idleCloseMs = 3600 * 1000L)
+    val q = Streaming.funnelFMGWS(mem.toDS(), idleCloseMs = 3600 * 1000L)
       .writeStream.format("memory").queryName("s_funnel").outputMode("append").start()
     try {
       // user 1: full ordered funnel; user 2: click before view (depth 1);
