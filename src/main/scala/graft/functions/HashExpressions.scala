@@ -148,6 +148,10 @@ case class Fingerprint64(child: Expression)
 case class HyperplaneBuckets(child: Expression, bands: Int, bitsPerBand: Int, seed: Long)
     extends UnaryExpression
     with CodegenFallback {
+  // the band tag lives at bit 48; wider buckets would overlap it and
+  // silently create cross-band collisions (false LSH candidates)
+  require(bitsPerBand >= 1 && bitsPerBand <= 48, s"bitsPerBand must be in [1,48], got $bitsPerBand")
+  require(bands >= 1 && bands <= 32767, s"bands must be in [1,32767], got $bands")
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "hyperplane_buckets"

@@ -74,7 +74,9 @@ object Multimodal {
     df.select(
       col(idCol).cast("long").as("asset_id"),
       element_at(array(lit("image"), lit("audio"), lit("video")),
-        (col(idCol) % 3 + 1).cast("int")).as("modality"),
+        // pmod, not %: Spark's % keeps the dividend's sign, so a
+        // negative id would hit index 0 (error) or wrap from the end
+        (pmod(col(idCol), lit(3)) + 1).cast("int")).as("modality"),
       encode(col(textCol), "UTF-8").as("payload"),
       struct(
         lit("stub").as("format"),

@@ -63,7 +63,8 @@ object Streaming {
       .start()
 
   case class TypedEv(user_id: Long, event_type: String, ts: Timestamp)
-  case class FunnelState(t1: Long, t2: Long, t3: Long, last: Long) // first view/click/purchase mins + max seen ts (0 = unset)
+  private val Unset = Long.MinValue // sentinel no real epoch-millis can hit (0 would shadow epoch-0 events)
+  case class FunnelState(t1: Long, t2: Long, t3: Long, last: Long) // first view/click/purchase mins + max seen ts
   case class FunnelOut(user_id: Long, funnel_depth: Int)
 
   /**
@@ -95,15 +96,15 @@ object Streaming {
             val s = state.get
             state.remove()
             val depth =
-              if (s.t1 > 0 && s.t2 > 0 && s.t3 > 0 && s.t1 < s.t2 && s.t2 < s.t3) 3
-              else if (s.t1 > 0 && s.t2 > 0 && s.t1 < s.t2) 2
-              else if (s.t1 > 0) 1 else 0
+              if (s.t1 != Unset && s.t2 != Unset && s.t3 != Unset && s.t1 < s.t2 && s.t2 < s.t3) 3
+              else if (s.t1 != Unset && s.t2 != Unset && s.t1 < s.t2) 2
+              else if (s.t1 != Unset) 1 else 0
             Iterator(FunnelOut(user, depth))
           } else {
             // three unconditional first-occurrence mins: order-insensitive
             // within and across micro-batches, so late/reordered events
             // inside the watermark cannot change the result
-            var s = state.getOption.getOrElse(FunnelState(0L, 0L, 0L, 0L))
+            var s = state.getOption.getOrElse(FunnelState(Unset, Unset, Unset, Unset))
             rows.foreach { e =>
               val t = e.ts.getTime
               s = s.copy(last = math.max(s.last, t))
@@ -122,55 +123,66 @@ object Streaming {
   }
 
   private def minSet(cur: Long, cand: Long): Long =
-    if (cand == 0L) cur else if (cur == 0L) cand else math.min(cur, cand)
+    if (cur == Unset) cand else math.min(cur, cand)
 
   case class Ev(user_id: Long, event_id: Long, ts: Timestamp)
   case class SessionOut(
       user_id: Long, session_start: Timestamp, session_end: Timestamp, n_events: Long)
-  case class SessState(start: Long, last: Long, n: Long)
+  /** undecided events within the watermark horizon (parallel arrays —
+    * simple state-store encoding), kept sorted by (ts, event_id) */
+  case class SessBuf(ts: Seq[Long], ids: Seq[Long])
 
   /**
    * Custom sessionization via flatMapGroupsWithState (the escape hatch
    * for state logic session_window can't express — e.g. emitting
-   * event-level session ids or capping session length). Event-time
-   * timeout fires once the watermark passes last-event + gap, flushing
-   * the completed session.
+   * event-level session ids or capping session length).
+   *
+   * Events BUFFER in state until the WATERMARK passes their session's
+   * close (last event + gap): a session is only emitted once no
+   * late-but-in-watermark event can still join or split it — eager
+   * in-batch emission would mis-assign such events, and a single
+   * running (start, last) pair cannot re-open for an out-of-order
+   * arrival. The buffer is bounded by the watermark horizon: everything
+   * older than a closed session's end has already been emitted and
+   * dropped. Timeout is set to the EARLIEST unclosed session's close,
+   * so sessions flush as soon as the watermark allows, oldest first.
    */
   def sessionizeFMGWS(
       events: Dataset[Ev], gapSeconds: Long = 1800L,
       watermark: String = "2 hours"): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
+    val gapMs = gapSeconds * 1000L
     events
+      .filter(_.ts != null)
       .withWatermark("ts", watermark)
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[SessState, SessionOut](
+      .flatMapGroupsWithState[SessBuf, SessionOut](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
-        (user: Long, rows: Iterator[Ev], state: GroupState[SessState]) =>
-          if (state.hasTimedOut) {
-            val s = state.get
-            state.remove()
-            Iterator(SessionOut(user, new Timestamp(s.start), new Timestamp(s.last), s.n))
-          } else {
-            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-            var cur = state.getOption
-            val closed = Seq.newBuilder[SessionOut]
-            sorted.foreach { e =>
-              val t = e.ts.getTime
-              cur match {
-                case Some(s) if t - s.last <= gapSeconds * 1000L =>
-                  cur = Some(s.copy(last = math.max(s.last, t), n = s.n + 1))
-                case Some(s) =>
-                  closed += SessionOut(user, new Timestamp(s.start), new Timestamp(s.last), s.n)
-                  cur = Some(SessState(t, t, 1))
-                case None =>
-                  cur = Some(SessState(t, t, 1))
-              }
+        (user: Long, rows: Iterator[Ev], state: GroupState[SessBuf]) =>
+          val wm = state.getCurrentWatermarkMs()
+          val prior = state.getOption.map(b => b.ts.zip(b.ids)).getOrElse(Seq.empty)
+          val all = (prior ++ rows.map(e => (e.ts.getTime, e.event_id)))
+            .sortBy(identity).toVector
+          if (all.isEmpty) { if (state.exists) state.remove(); Iterator.empty }
+          else {
+            // split the sorted buffer into gap-delimited sessions
+            val sessions = all.tail.foldLeft(Vector(Vector(all.head))) { (acc, e) =>
+              if (e._1 - acc.last.last._1 <= gapMs) acc.init :+ (acc.last :+ e)
+              else acc :+ Vector(e)
             }
-            cur.foreach { s =>
-              state.update(s)
-              state.setTimeoutTimestamp(s.last + gapSeconds * 1000L)
+            // a session is final once the watermark passes its close
+            val (closed, open) = sessions.partition(s => s.last._1 + gapMs < wm)
+            if (open.isEmpty) state.remove()
+            else {
+              val keep = open.flatten
+              state.update(SessBuf(keep.map(_._1), keep.map(_._2)))
+              // timeout must sit strictly past the watermark (Spark
+              // rejects <=); an exactly-at-watermark close waits one tick
+              state.setTimeoutTimestamp(math.max(open.head.last._1 + gapMs, wm + 1))
             }
-            closed.result().iterator
+            closed.iterator.map { s =>
+              SessionOut(user, new Timestamp(s.head._1), new Timestamp(s.last._1), s.length.toLong)
+            }
           }
       }
   }

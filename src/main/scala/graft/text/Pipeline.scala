@@ -27,7 +27,11 @@ object Pipeline {
   def packSequences(
       docs: DataFrame, idCol: String, textCol: String, groupCol: String,
       tokenBudget: Int): DataFrame = {
+    // explicit ROWS frame: the orderBy default is RANGE, which hands
+    // every duplicate orderCol value the whole tie-block's total and
+    // breaks the "tokens strictly before this doc" invariant
     val w = Window.partitionBy(groupCol).orderBy(idCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     docs
       .select(col(idCol), col(groupCol),
         size(TextFunctions.tokens(col(textCol))).cast("long").as("n_tokens"))

@@ -12,7 +12,13 @@ import org.apache.spark.sql.functions._
  */
 object TextFunctions {
 
-  /** whitespace word tokens, lowercased */
+  /** whitespace word tokens, lowercased.
+    * NOTE: empty/whitespace-only text yields `[""]` (one empty-string
+    * token) — Spark's split semantics, REPLICATED EXACTLY by the DuckDB
+    * oracle twin (`string_split_regex`), so both engines agree at the
+    * gate. Pipelines where empty docs are possible should filter them
+    * upstream rather than change this (a one-sided "fix" would silently
+    * break cross-engine parity). */
   def tokens(text: Column): Column =
     split(lower(trim(text)), "\\s+")
 

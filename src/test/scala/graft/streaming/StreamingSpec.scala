@@ -144,6 +144,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionization handles late-but-in-watermark events (split and merge both correct)") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[Streaming.Ev]
+    val q = Streaming.sessionizeFMGWS(mem.toDS(), gapSeconds = 1800L)
+      .writeStream.format("memory").queryName("s_late").outputMode("append").start()
+    try {
+      mem.addData(Streaming.Ev(5L, 1L, ts(12, 30)), Streaming.Ev(6L, 2L, ts(12, 0)))
+      q.processAllAvailable()
+      // late arrivals, both above the 10:30 watermark (12:30 - 2h):
+      // user 5: 10:45 is 105min before its 12:30 event -> separate session
+      // user 6: 11:50 is 10min before its 12:00 event -> merges, start moves DOWN
+      mem.addData(Streaming.Ev(5L, 3L, ts(10, 45)), Streaming.Ev(6L, 4L, ts(11, 50)))
+      q.processAllAvailable()
+      // watermark far ahead -> everything closes
+      mem.addData(Streaming.Ev(99L, 5L, ts(23, 0)))
+      q.processAllAvailable()
+      val rows = spark.table("s_late").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3))).toSet
+      assert(rows.contains((5L, ts(10, 45), ts(10, 45), 1L)), rows.toString)
+      assert(rows.contains((5L, ts(12, 30), ts(12, 30), 1L)), rows.toString)
+      assert(rows.contains((6L, ts(11, 50), ts(12, 0), 2L)), rows.toString)
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState sessionization emits closed sessions") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
