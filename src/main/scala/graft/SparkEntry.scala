@@ -13,7 +13,8 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RelationalQueries.queries ++ VectorQueries.queries ++
+    RelationalQueries.queries ++ AnalyticsQueries.queries ++
+      VectorQueries.queries ++
       TextQueries.queries ++ DedupQueries.queries ++ IndexQueries.queries ++
       IndexQueries.scaleQueries ++ MultimodalQueries.queries ++
       PipelineQueries.queries
@@ -21,7 +22,8 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    RelationalQueries.oracles ++ VectorQueries.oracles ++
+    RelationalQueries.oracles ++ AnalyticsQueries.oracles ++
+      VectorQueries.oracles ++
       TextQueries.oracles ++ DedupQueries.oracles ++ IndexQueries.oracles ++
       MultimodalQueries.oracles ++ PipelineQueries.oracles
 }

@@ -17,6 +17,10 @@ import graft.search.Knn
  */
 object VectorQueries {
   val K = 5
+  /** L2² radius for knn_radius: both engines compute the identical
+    * double accumulation, so the cut compares bit-equal values (nearest
+    * distance to the boundary in testdata is ~6e-5 away) */
+  val RADIUS = 1.5
 
   private def data(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "embeddings")
@@ -87,6 +91,18 @@ object VectorQueries {
       Knn.knnJoin(q, d, 3, "l2sq")
         .select(col("qid"), col("rank"), col("label"),
           Tables.quant4(col("distance")).as("distance"))
+    },
+    // range search (FAISS range_search analog): ALL neighbors within an
+    // L2 radius, not a fixed k. Queries broadcast against a single scan
+    // of the corpus; the radius predicate filters inside the scan stage,
+    // so the shuffle carries only hits — output size is data-dependent,
+    // cost is one corpus pass regardless of hit count
+    "knn_radius" -> { (s, dir) =>
+      val dist = vec.l2sq(col("qvec"), col("vec"))
+      data(s, dir)
+        .crossJoin(broadcast(queriesDf(s, dir)))
+        .where(dist < lit(RADIUS))
+        .select(col("qid"), col("label"), Tables.quant4(dist).as("distance"))
     })
 
   // DuckDB-side distance formulas over DOUBLE, element order identical to
@@ -135,6 +151,14 @@ object VectorQueries {
     "knn_flat_ip" -> knnOracle(ipSql, "DESC", ""),
     "knn_flat_cosine" -> knnOracle(cosSql, "ASC", ""),
     "knn_search_filter" -> knnOracle(l2sqSql, "ASC", "WHERE vec_id % 2 = 0"),
+    "knn_radius" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS a FROM embeddings WHERE vec_id < 10),
+         |d AS (
+         |  SELECT q.qid, e.vec_id AS label, $l2sqSql AS dist
+         |  FROM q CROSS JOIN (SELECT vec_id, embedding AS b FROM embeddings) e
+         |)
+         |SELECT qid, label, CAST(CAST(dist AS DECIMAL(18,4)) AS DOUBLE) AS distance
+         |FROM d WHERE dist < ${RADIUS}""".stripMargin,
     "dist_metrics" ->
       s"""WITH p AS (
          |  SELECT ea.vec_id AS pair_id, ea.embedding AS a, eb.embedding AS b

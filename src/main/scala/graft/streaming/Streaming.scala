@@ -62,6 +62,29 @@ object Streaming {
       }
       .start()
 
+  /**
+   * Stream-stream interval join (streaming twin of the batch
+   * events_range_join): each order matches the same user's events
+   * within [o_ts, o_ts + windowHours). Both sides carry watermarks and
+   * the join condition bounds event time relative to order time, so
+   * Spark can expire join state on both sides — without the range
+   * bound the state store would grow forever. Inner join: the
+   * left-outer rollup happens downstream once an order's window closes.
+   */
+  def intervalJoin(
+      orders: DataFrame, // streaming (o_orderkey, o_custkey, o_ts)
+      events: DataFrame, // streaming (user_id, event_id, ts, value)
+      windowHours: Int = 72,
+      watermark: String = "2 hours"): DataFrame = {
+    val o = orders.withWatermark("o_ts", watermark)
+    val e = events.withWatermark("ts", watermark)
+    o.join(e,
+      col("user_id") === col("o_custkey") &&
+        col("ts") >= col("o_ts") &&
+        col("ts") < col("o_ts") + expr(s"INTERVAL $windowHours HOURS"))
+      .select(col("o_orderkey"), col("event_id"), col("ts"), col("value"))
+  }
+
   case class TypedEv(user_id: Long, event_type: String, ts: Timestamp)
   private val Unset = Long.MinValue // sentinel no real epoch-millis can hit (0 would shadow epoch-0 events)
   case class FunnelState(t1: Long, t2: Long, t3: Long, last: Long) // first view/click/purchase mins + max seen ts

@@ -186,4 +186,35 @@ class StreamingSpec extends SparkSpec {
       assert(rows === Set((1L, ts(1, 0), ts(1, 15), 2L)))
     } finally q.stop()
   }
+
+  test("stream-stream interval join matches the batch join on the same rows") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val memO = MemoryStream[(Long, Long, Timestamp)]
+    val memE = MemoryStream[(Long, Long, Timestamp, Double)]
+    val odf = memO.toDF.toDF("o_orderkey", "o_custkey", "o_ts")
+    val edf = memE.toDF.toDF("user_id", "event_id", "ts", "value")
+    val q = Streaming.intervalJoin(odf, edf, windowHours = 2)
+      .writeStream.format("memory").queryName("s_ivjoin").outputMode("append").start()
+    val orders = Seq((10L, 1L, ts(1, 0)), (11L, 2L, ts(3, 0)))
+    val events = Seq(
+      (1L, 100L, ts(1, 30), 5.0),  // in order 10's window
+      (1L, 101L, ts(4, 0), 6.0),   // same user, outside the 2h window
+      (2L, 102L, ts(3, 59), 7.0),  // in order 11's window
+      (3L, 103L, ts(1, 0), 8.0))   // no matching order
+    try {
+      memO.addData(orders: _*)
+      memE.addData(events: _*)
+      q.processAllAvailable()
+      val got = spark.table("s_ivjoin").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      // batch reference: identical join on static frames
+      val expect = Streaming.intervalJoin(
+          orders.toDF("o_orderkey", "o_custkey", "o_ts"),
+          events.toDF("user_id", "event_id", "ts", "value"), windowHours = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === expect)
+      assert(got === Set((10L, 100L), (11L, 102L)))
+    } finally q.stop()
+  }
 }
