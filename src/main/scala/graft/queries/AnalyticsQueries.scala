@@ -136,10 +136,12 @@ object AnalyticsQueries {
           count(lit(1)).as("n"))
         .select("l_returnflag", "l_linestatus", "gid", "sum_qty", "sum_price", "n")
     },
-    // PIVOT: returnflag columns per linestatus; with the pivot values
-    // enumerated, Spark compiles this to conditional aggregates in a
-    // single pass (same plan as the oracle's CASE sums — no extra job
-    // to discover distinct values)
+    // PIVOT: returnflag columns per linestatus. Enumerating the pivot
+    // values skips the distinct-discovery job; the plan is a two-phase
+    // aggregate where the second (pivotfirst) shuffle moves only the
+    // already-grouped |statuses|x|flags| intermediate — scale-safe
+    // because everything row-count-proportional is map-side combined
+    // in phase one
     "sales_pivot" -> { (s, dir) =>
       Tables(s, dir, "lineitem")
         .groupBy("l_linestatus")

@@ -106,4 +106,59 @@ class PlanShapeSpec extends SparkSpec {
     assert(exchanges("q18_large_orders") === 1, "lineitem agg is the only hash shuffle (joins broadcast at this scale)")
     assert(exchanges("events_funnel") === 2, "user agg + tiny depth rollup")
   }
+
+  test("q2_mincost: decorrelated to ONE shuffle (window min), no self-join") {
+    val plan = physical("q2_mincost")
+    assert(exchanges("q2_mincost") === 1, plan.take(2000))
+    assert(!plan.contains("Join"), "argmin must not plan as a self-join: " + plan.take(2000))
+  }
+
+  test("q13_custdist: left join survives (ON-clause filter doesn't turn it inner)") {
+    val plan = physical("q13_custdist")
+    assert(plan.contains("LeftOuter"), plan.take(3000))
+  }
+
+  test("q22_idle_rich: NOT EXISTS plans as an anti join, threshold as a 1-row broadcast") {
+    val plan = physical("q22_idle_rich")
+    assert(plan.contains("LeftAnti"), plan.take(3000))
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      "scalar avg must broadcast, not collect: " + plan.take(3000))
+  }
+
+  test("q15_top_supplier: scalar max is a broadcast equality join, lineitem scanned once") {
+    val plan = physical("q15_top_supplier")
+    // rev is computed once and reused under a broadcast-exchange of the
+    // 1-row max — the plan must not re-aggregate lineitem twice
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+  }
+
+  test("sales_rollup/sales_pivot: one-pass grouping (expand before a single agg shuffle)") {
+    val rp = physical("sales_rollup")
+    assert(rp.contains("Expand"), rp.take(2000))
+    assert(exchanges("sales_rollup") === 1, rp.take(2000))
+    // enumerated-value pivot: no distinct-discovery job; phase-one
+    // group agg is map-side combined, so the second (pivotfirst)
+    // shuffle moves only the tiny grouped intermediate
+    val pp = physical("sales_pivot")
+    assert(exchanges("sales_pivot") === 2, pp.take(2000))
+    assert(pp.contains("partial_pivotfirst"), pp.take(2000))
+    assert(pp.contains("partial_sum"), "phase one must map-side combine: " + pp.take(2000))
+  }
+
+  test("knn_radius: broadcast queries, no shuffle — radius filter inside the scan stage") {
+    val plan = physical("knn_radius")
+    assert(exchanges("knn_radius") === 0, plan.take(2000))
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+  }
+
+  test("new analytics hint audit: only fixed dims / 1-row aggregates are broadcast-hinted") {
+    def analyzedHints(q: String): Int =
+      "UnresolvedHint|ResolvedHint".r.findAllIn(
+        graft.SparkEntry.queries(q)(spark, dir).queryExecution.analyzed.toString).length
+    assert(analyzedHints("q8_share") === 3, "q8: nation x2 + region only")
+    assert(analyzedHints("q15_top_supplier") === 1, "q15: the 1-row max only")
+    assert(analyzedHints("q22_idle_rich") === 1, "q22: the 1-row avg only")
+    assert(analyzedHints("q13_custdist") === 0, "q13: orders/customer stay AQE-picked")
+    assert(analyzedHints("q17_small_qty") === 0, "q17: part/avgq stay AQE-picked")
+  }
 }
