@@ -121,6 +121,28 @@ object IndexCatalog {
         restrict(data).select(col("label"), col("vec")), queries, k, meta.metric,
         padToK = params.get("pad").exists(_.toBoolean))
 
+    /**
+     * Range search (FAISS `range_search`): ALL neighbors within
+     * `radius`, not a fixed k — "within" follows the metric's
+     * direction (dist < r where smaller is closer, dist > r for IP).
+     * Base implementation scans the (restricted) corpus once with the
+     * radius predicate inside the scan stage — no top-k aggregate, no
+     * shuffle; the output is the data-dependent hit set. IVF overrides
+     * this to scan only probed lists.
+     */
+    def searchRadius(
+        queries: DataFrame, radius: Double, params: Map[String, String],
+        restrict: DataFrame => DataFrame = identity): DataFrame = {
+      val d = vec.dist(meta.metric, col("vec"), col("qvec"))
+      val cleanQ = queries.where(col("qid").isNotNull && col("qvec").isNotNull)
+      val cmp =
+        if (VectorMath.smallerIsCloser(VectorMath.metricId(meta.metric))) d < lit(radius)
+        else d > lit(radius)
+      Knn.widen(restrict(data)).crossJoin(broadcast(cleanQ))
+        .where(cmp)
+        .select(col("qid"), col("label"), d.as("distance"))
+    }
+
     def close(): Unit = data.unpersist()
   }
 
@@ -426,6 +448,22 @@ object IndexCatalog {
   }
 
   /**
+   * FAISS `range_search` twin: every neighbor within `radius` of each
+   * query (metric-directional: < r where smaller is closer, > r for
+   * IP). On IVF indexes only the probed lists are scanned; elsewhere
+   * one restricted corpus pass. Output (qid, label, distance) — the
+   * per-query hit count is data-dependent, exactly like the
+   * reference's lims[] result shape flattened to rows.
+   */
+  def searchRadius(
+      name: String, radius: Double, queries: DataFrame,
+      params: Map[String, String] = Map.empty): DataFrame = {
+    val e = entry(name)
+    build(name).searchRadius(guardDim(queries, e.meta.dim, name), radius,
+      e.meta.params ++ normalizeParams(params))
+  }
+
+  /**
    * faiss_search result-shape twin: one row per query carrying
    * LIST<STRUCT(rank, label, distance)> — the reference's return type
    * (README: `SELECT id, UNNEST(FAISS_SEARCH(...))`), so a user
@@ -664,6 +702,13 @@ object IndexCatalog {
         restrict: DataFrame => DataFrame): DataFrame =
       inner.searchRestricted(projectQueries(queries), k, params, restrict)
 
+    // radius applies in the PROJECTED space (exact for full-rank PCA,
+    // which is an isometry; a lower-bound filter for truncated PCA)
+    override def searchRadius(
+        queries: DataFrame, radius: Double, params: Map[String, String],
+        restrict: DataFrame => DataFrame = identity): DataFrame =
+      inner.searchRadius(projectQueries(queries), radius, params, restrict)
+
     override def close(): Unit = inner.close()
   }
 
@@ -690,6 +735,31 @@ object IndexCatalog {
     override def searchRestricted(
         queries: DataFrame, k: Int, params: Map[String, String],
         restrict: DataFrame => DataFrame): DataFrame = {
+      val asc = VectorMath.smallerIsCloser(metricId)
+      val pad = params.get("pad").exists(_.toBoolean)
+      Knn.rankResults(probedCandidates(queries, params, restrict), k, asc, pad)
+    }
+
+    /** probed-list radius search: same list pruning as k-NN, the
+      * radius predicate replaces the top-k aggregate (so there is no
+      * shuffle at all — hits flow straight out of the probed scan).
+      * Exact at nprobe = nlist; below that, misses are confined to
+      * unprobed lists exactly as in FAISS's range_search on IVF. */
+    override def searchRadius(
+        queries: DataFrame, radius: Double, params: Map[String, String],
+        restrict: DataFrame => DataFrame = identity): DataFrame = {
+      val cands = probedCandidates(queries, params, restrict)
+      val cmp =
+        if (VectorMath.smallerIsCloser(metricId)) col("_dist") < lit(radius)
+        else col("_dist") > lit(radius)
+      cands.where(cmp).select(col("qid"), col("label"), col("_dist").as("distance"))
+    }
+
+    /** shared probe machinery: (qid, label, _dist) candidate rows from
+      * the nprobe nearest lists per query */
+    private def probedCandidates(
+        queries: DataFrame, params: Map[String, String],
+        restrict: DataFrame => DataFrame): DataFrame = {
       val nprobe = params.get("nprobe").map(_.toInt).getOrElse(math.max(1, centroids.length / 8))
       // collect the (bounded, FAISS-batch-sized) queries ONCE and derive
       // probes driver-side: a single evaluation feeds both the pruning
@@ -713,12 +783,8 @@ object IndexCatalog {
         if (probedLists.size < centroids.length) data.where(col("list_id").isInCollection(probedLists))
         else data
       val d = vec.dist(meta.metric, col("vec"), col("qvec"))
-      val asc = VectorMath.smallerIsCloser(metricId)
-      val pad = params.get("pad").exists(_.toBoolean)
-      Knn.rankResults(
-        restrict(pruned).join(broadcast(probes), "list_id")
-          .select(col("qid"), col("label"), d.as("_dist")),
-        k, asc, pad)
+      restrict(pruned).join(broadcast(probes), "list_id")
+        .select(col("qid"), col("label"), d.as("_dist"))
     }
   }
 

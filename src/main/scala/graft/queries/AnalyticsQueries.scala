@@ -150,6 +150,71 @@ object AnalyticsQueries {
         .select(col("l_linestatus"), col("A").as("qty_a"),
           col("N").as("qty_n"), col("R").as("qty_r"))
     },
+    // rank-function family over one window spec: ntile quartiles,
+    // percent_rank, cume_dist computed in a single per-customer sort —
+    // Spark evaluates all three in one Window operator, one shuffle
+    "window_ranks" -> { (s, dir) =>
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          ntile(4).over(w).as("quartile"),
+          quant4(percent_rank().over(w)).as("pct_rank"),
+          quant4(cume_dist().over(w)).as("cume"))
+    },
+    // semi-structured nesting: lineitems collected per order as a
+    // sorted array (collect_list -> sort_array -> array_join), emitted
+    // as a deterministic signature string — the denormalize-then-nest
+    // shape training-data export pipelines use. One shuffle on the
+    // order key; the array is bounded by per-order fanout, not corpus
+    // size.
+    "nest_lineitems" -> { (s, dir) =>
+      val sig = concat_ws(":",
+        lpad(col("l_linenumber").cast("string"), 4, "0"),
+        lpad(col("l_partkey").cast("string"), 10, "0"),
+        lpad(col("l_quantity").cast("long").cast("string"), 4, "0"))
+      Tables(s, dir, "lineitem")
+        .select(col("l_orderkey"), sig.as("sig"))
+        .groupBy("l_orderkey")
+        .agg(sort_array(collect_list(col("sig"))).as("items"),
+          count(lit(1)).as("n_items"))
+        .select(col("l_orderkey"), array_join(col("items"), "|").as("items_sig"),
+          col("n_items"))
+    },
+    // sliding windows (1h length, 30m slide): every event lands in two
+    // overlapping buckets; Spark's window() expands them map-side so
+    // the aggregation still shuffles only partial sums per bucket
+    "events_sliding" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"), moneySum(col("value")).as("sum_value"))
+        .select(col("w.start").as("bucket"), col("event_type"),
+          col("n_events"), col("sum_value"))
+    },
+    // anomaly screen: per-type z-scores against streaming-friendly
+    // moment sums (count / cents-sum / cents-sum-of-squares — one
+    // aggregation pass, order-independent by integer fixed-point),
+    // then a broadcast join back flags |z| > 3. mean/std/z are chains
+    // of correctly-rounded IEEE ops on identical inputs, so the oracle
+    // compares exactly despite the floating point.
+    "events_zscore" -> { (s, dir) =>
+      val cents = round(col("value") * 100).cast("long")
+      val stats = Tables.events(s, dir)
+        .groupBy(col("event_type").as("t"))
+        .agg(count(lit(1)).as("n"), sum(cents).as("s"), sum(cents * cents).as("ss"))
+        .select(col("t"),
+          (col("s").cast("double") / 100.0 / col("n").cast("double")).as("mean"),
+          sqrt(
+            (col("ss").cast("double") / 10000.0 / col("n").cast("double")) -
+              (col("s").cast("double") / 100.0 / col("n").cast("double")) *
+              (col("s").cast("double") / 100.0 / col("n").cast("double"))).as("std"))
+      Tables.events(s, dir)
+        .join(broadcast(stats), col("event_type") === col("t"))
+        .where(col("std") > 0.0 &&
+          abs(col("value") - col("mean")) > lit(3.0) * col("std"))
+        .select(col("event_id"), col("event_type"),
+          quant4((col("value") - col("mean")) / col("std")).as("z"))
+    },
     // cohort retention: users bucketed by first-active day, distinct
     // users per (cohort, day-offset). The (user, day) distinct bounds
     // state to one row per user-day; the cohort join shuffles only that
@@ -257,6 +322,52 @@ object AnalyticsQueries {
         |  sum(CASE WHEN l_returnflag = 'N' THEN l_quantity END) AS qty_n,
         |  sum(CASE WHEN l_returnflag = 'R' THEN l_quantity END) AS qty_r
         |FROM lineitem GROUP BY l_linestatus""".stripMargin,
+    "window_ranks" ->
+      s"""SELECT o_custkey, o_orderkey,
+         |  CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+         |  ${quant4Sql("percent_rank() OVER w")} AS pct_rank,
+         |  ${quant4Sql("cume_dist() OVER w")} AS cume
+         |FROM orders
+         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)""".stripMargin,
+    "nest_lineitems" ->
+      """WITH s AS (
+        |  SELECT l_orderkey,
+        |    lpad(CAST(l_linenumber AS VARCHAR), 4, '0') || ':' ||
+        |    lpad(CAST(l_partkey AS VARCHAR), 10, '0') || ':' ||
+        |    lpad(CAST(CAST(l_quantity AS BIGINT) AS VARCHAR), 4, '0') AS sig
+        |  FROM lineitem
+        |)
+        |SELECT l_orderkey,
+        |  array_to_string(list_sort(list(sig)), '|') AS items_sig,
+        |  count(*) AS n_items
+        |FROM s GROUP BY l_orderkey""".stripMargin,
+    "events_sliding" ->
+      s"""WITH e AS (
+         |  SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events
+         |), w AS (
+         |  SELECT event_type, value,
+         |    CAST(to_timestamp((floor(epoch(ts) / 1800) - i.i) * 1800) AS TIMESTAMP) AS bucket
+         |  FROM e CROSS JOIN (SELECT unnest([0, 1]) AS i) i
+         |)
+         |SELECT bucket, event_type, count(*) AS n_events,
+         |  ${moneySumSql("value")} AS sum_value
+         |FROM w GROUP BY 1, 2""".stripMargin,
+    "events_zscore" ->
+      s"""WITH stats AS (
+         |  SELECT event_type AS t,
+         |    CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0
+         |      / CAST(count(*) AS DOUBLE) AS mean,
+         |    sqrt(
+         |      CAST(sum(CAST(round(value * 100, 0) AS BIGINT) * CAST(round(value * 100, 0) AS BIGINT)) AS DOUBLE) / 10000.0
+         |        / CAST(count(*) AS DOUBLE)
+         |      - (CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0 / CAST(count(*) AS DOUBLE))
+         |        * (CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0 / CAST(count(*) AS DOUBLE))
+         |    ) AS std
+         |  FROM events GROUP BY event_type
+         |)
+         |SELECT event_id, event_type, ${quant4Sql("(value - mean) / std")} AS z
+         |FROM events JOIN stats ON event_type = t
+         |WHERE std > 0.0 AND abs(value - mean) > 3.0 * std""".stripMargin,
     "events_retention" ->
       """WITH d AS (
         |  SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day

@@ -66,6 +66,16 @@ object IndexQueries {
       IndexCatalog.load(name, path, s)
       quantized(IndexCatalog.search(name, 5, embQueries(s, dir)))
     },
+    // range search through the IVF structure (FAISS range_search):
+    // exhaustive probe -> exact, shares the brute-force radius oracle;
+    // partial-probe containment is spec-asserted (IndexCatalogSpec)
+    "knn_radius_ivf" -> { (s, dir) =>
+      val name = fresh("q_ivf_radius")
+      IndexCatalog.create(name, 64, "IDMap,IVF16,Flat", "l2sq", Map("nprobe" -> "16"))
+      IndexCatalog.add(embData(s, dir), name)
+      IndexCatalog.searchRadius(name, VectorQueries.RADIUS, embQueries(s, dir))
+        .select(col("qid"), col("label"), Tables.quant4(col("distance")).as("distance"))
+    },
     // approximate IVF probe (nprobe=4 of 16) — recall asserted in specs
     "knn_ivf" -> { (s, dir) =>
       val name = fresh("q_ivf_approx")
@@ -161,6 +171,8 @@ object IndexQueries {
     // exhaustive-probe searches stay exact through filter / save-load
     "knn_ivf_filter" -> VectorQueries.oracles("knn_search_filter"),
     "vs_index_saveload" -> VectorQueries.oracles("knn_flat_l2"),
+    // exhaustive-probe range search is exact -> brute-force radius oracle
+    "knn_radius_ivf" -> VectorQueries.oracles("knn_radius"),
     // exact scan over the replicated corpus — the oracle replays the
     // same replication and brute force (~5s in DuckDB at sf0.01)
     "knn_flat_big" ->

@@ -68,6 +68,35 @@ class IndexCatalogSpec extends SparkSpec {
     assert(recall >= 0.75, s"recall $recall")
   }
 
+  test("radius search: flat equals brute-force filter; IVF exhaustive equals flat; partial probe is a subset") {
+    val r = 9.0 // l2sq radius on the 16x16 grid
+    IndexCatalog.create("t_rad_flat", 2, "IDMap,Flat")
+    IndexCatalog.add(grid, "t_rad_flat")
+    def hitSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(row => (row.getLong(0), row.getLong(1))).toSet
+    val flat = hitSet(IndexCatalog.searchRadius("t_rad_flat", r, qs))
+    // independent brute force
+    val want = grid.crossJoin(broadcast(qs))
+      .where(graft.functions.vec.l2sq(col("qvec"), col("vec")) < lit(r))
+      .select(col("qid"), col("label"))
+    assert(flat === hitSet(want) && flat.nonEmpty)
+
+    IndexCatalog.create("t_rad_ivf", 2, "IDMap,IVF8,Flat", "l2sq", Map("nprobe" -> "8"))
+    IndexCatalog.add(grid, "t_rad_ivf")
+    assert(hitSet(IndexCatalog.searchRadius("t_rad_ivf", r, qs)) === flat,
+      "exhaustive probe must be exact")
+    val partial = hitSet(IndexCatalog.searchRadius("t_rad_ivf", r, qs, Map("nprobe" -> "2")))
+    assert(partial.subsetOf(flat), "partial probe can only miss, never invent hits")
+    assert(partial.nonEmpty, "nearest lists must contribute hits")
+  }
+
+  test("IP-metric radius search keeps the metric direction (hits are ABOVE the threshold)") {
+    IndexCatalog.create("t_rad_ip", 2, "IDMap,Flat", "ip")
+    IndexCatalog.add(grid, "t_rad_ip")
+    val hits = IndexCatalog.searchRadius("t_rad_ip", 150.0, qs).collect()
+    assert(hits.nonEmpty && hits.forall(_.getDouble(2) > 150.0))
+  }
+
   test("IP-metric IVF probes the lists vectors were assigned to (exhaustive = exact)") {
     // assignment uses max-inner-product; probing must too, or the probed
     // lists won't be where the vectors live and recall collapses

@@ -98,6 +98,48 @@ class AnalyticsQueriesSpec extends SparkSpec {
     assert(offset0 === users, "every user lands in exactly one cohort at offset 0")
   }
 
+  test("window_ranks: quartiles bounded, pct_rank/cume in [0,1] and monotone per customer") {
+    val rows = run("window_ranks").collect()
+    assert(rows.forall(r => r.getInt(2) >= 1 && r.getInt(2) <= 4))
+    assert(rows.forall(r => r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0))
+    assert(rows.forall(r => r.getDouble(4) > 0.0 && r.getDouble(4) <= 1.0))
+    assert(rows.length === Tables(spark, dir, "orders").count())
+  }
+
+  test("nest_lineitems: every lineitem lands in exactly one order's sorted signature") {
+    val rows = run("nest_lineitems").collect()
+    val total = Tables(spark, dir, "lineitem").count()
+    assert(rows.map(_.getLong(2)).sum === total)
+    rows.foreach { r =>
+      val parts = r.getString(1).split('|')
+      assert(parts.length.toLong === r.getLong(2))
+      assert(parts.toSeq === parts.toSeq.sorted, "signature must be canonically sorted")
+    }
+  }
+
+  test("events_sliding: 1h/30m windows count every event exactly twice") {
+    val rows = run("events_sliding").collect()
+    val total = Tables.events(spark, dir).count()
+    assert(rows.map(_.getLong(2)).sum === 2L * total)
+  }
+
+  test("events_zscore: flagged rows really sit beyond 3 sigma of their type") {
+    val rows = run("events_zscore").collect()
+    assert(rows.forall(r => math.abs(r.getDouble(2)) > 3.0))
+    // re-derive per-type stats independently and cross-check the flag count
+    val e = Tables.events(spark, dir).select("event_type", "value").collect()
+      .map(r => r.getString(0) -> r.getDouble(1))
+    val byType = e.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val expect = byType.map { case (_, vs) =>
+      val cents = vs.map(v => math.round(v * 100))
+      val n = vs.length.toDouble
+      val mean = cents.map(_.toDouble).sum / 100.0 / n
+      val std = math.sqrt(cents.map(c => c.toDouble * c).sum / 10000.0 / n - mean * mean)
+      if (std > 0) vs.count(v => math.abs(v - mean) > 3 * std) else 0
+    }.sum
+    assert(rows.length === expect)
+  }
+
   test("knn_radius: hits are exactly the pairs within the radius") {
     val hits = run("knn_radius").collect()
     assert(hits.forall(_.getDouble(2) < VectorQueries.RADIUS))
