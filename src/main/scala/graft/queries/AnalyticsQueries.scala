@@ -47,9 +47,15 @@ object AnalyticsQueries {
           col("n_regionkey") === col("r_regionkey"))
         .where(col("r_name") === "ASIA")
         .select("c_custkey")
-      Tables(s, dir, "lineitem")
-        .join(Tables(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      // join ORDER matters without CBO: restrict orders to the ASIA
+      // customer set FIRST (cuts the region's share of orders before
+      // the expensive lineitem join), then join lineitem against the
+      // reduced order set — Catalyst keeps the written order for inner
+      // joins, so the selective join is placed where it prunes most
+      val asiaOrders = Tables(s, dir, "orders")
         .join(asiaCust, col("o_custkey") === col("c_custkey"))
+      Tables(s, dir, "lineitem")
+        .join(asiaOrders, col("l_orderkey") === col("o_orderkey"))
         .join(Tables(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
         .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
         .groupBy(year(col("o_orderdate")).as("o_year"))

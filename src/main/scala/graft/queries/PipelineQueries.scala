@@ -17,6 +17,28 @@ object PipelineQueries {
   private val EvalCutoff = 20L // doc_id < 20 = "benchmark" eval set
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // composed end-to-end curation: quality gate -> exact-dedup
+    // survivors -> deterministic mixture sample -> train/val split, the
+    // operators chained the way a production corpus build runs them.
+    // One Catalyst plan end-to-end: the gate is a scan-stage filter,
+    // dedup is the single text-key shuffle, sampling/split are
+    // content-hash projections — nothing materializes between stages.
+    "pipeline_curate" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val d = Tables.wide(s, dir, "documents")
+      val gated = d.where(graft.text.TextFunctions.qualityScore(col("text")) >= 0.6)
+      val canon = Window.partitionBy("text")
+      val surv = gated
+        .withColumn("canon_id", min("doc_id").over(canon))
+        .where(col("doc_id") === col("canon_id"))
+      val bucket = conv(substring(md5(col("text")), 1, 4), 16, 10).cast("int") % 10000
+      val rate = when(col("lang") === "en", 9000)
+        .when(col("lang") === "de", 5000)
+        .otherwise(2500)
+      surv.where(bucket < rate)
+        .select(col("doc_id"), col("lang"),
+          when(bucket % 10 < 9, lit("train")).otherwise(lit("val")).as("split"))
+    },
     // token-budget sequence packing, windowed per language (the packing
     // partition a real mixture pipeline would use at 100 TB)
     "pack_sequences" -> { (s, dir) =>
@@ -105,6 +127,22 @@ object PipelineQueries {
       |  ELSE [] END)""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "pipeline_curate" ->
+      s"""WITH ${TextQueries.qualityCtesSql},
+         |gated AS (
+         |  SELECT doc_id, lang, text FROM f
+         |  WHERE ${TextQueries.qualityExprSql} >= 0.6
+         |),
+         |surv AS (
+         |  SELECT doc_id, lang, text,
+         |    CAST(('0x' || substring(md5(text), 1, 4)) AS INTEGER) % 10000 AS bucket
+         |  FROM gated
+         |  QUALIFY doc_id = min(doc_id) OVER (PARTITION BY text)
+         |)
+         |SELECT doc_id, lang,
+         |  CASE WHEN bucket % 10 < 9 THEN 'train' ELSE 'val' END AS split
+         |FROM surv
+         |WHERE bucket < CASE lang WHEN 'en' THEN 9000 WHEN 'de' THEN 5000 ELSE 2500 END""".stripMargin,
     "pack_sequences" ->
       s"""WITH t AS (
          |  SELECT doc_id, lang, CAST(len($toksSql) AS BIGINT) AS n_tokens FROM documents

@@ -120,6 +120,33 @@ object TextQueries {
 
   private val toksSql = "string_split_regex(lower(trim(text)), '\\s+')"
 
+  /** quality-feature CTEs over `documents`, shared by text_quality and
+    * the composed pipeline_curate oracle (one definition — the gate
+    * would silently diverge if these were copied) */
+  private[queries] val qualityCtesSql: String =
+    s"""t AS (SELECT doc_id, lang, text, $toksSql AS toks FROM documents),
+       |f AS (
+       |  SELECT doc_id, lang, text, toks,
+       |    CASE WHEN len(toks) > 0
+       |      THEN CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE)
+       |      ELSE 0.0 END AS uniq_ratio,
+       |    CASE WHEN len(toks) > 0
+       |      THEN CAST(len(list_filter(toks, x -> list_contains(['the','a','an','and','or','of','to','in','is','it','for','on','with','as','at','by'], x))) AS DOUBLE)
+       |           / CAST(len(toks) AS DOUBLE)
+       |      ELSE 0.0 END AS stop_ratio,
+       |    CASE WHEN length(text) > 0
+       |      THEN CAST(length(text) - length(regexp_replace(text, '[.,;:!?''"()\\[\\]{}-]', '', 'g')) AS DOUBLE)
+       |           / CAST(length(text) AS DOUBLE)
+       |      ELSE 0.0 END AS punct_ratio,
+       |    least(CAST(len(toks) AS DOUBLE) / 64.0, 1.0) AS len_score
+       |  FROM t
+       |)""".stripMargin
+
+  private[queries] val qualityExprSql: String =
+    """len_score * 0.25 + uniq_ratio * 0.25
+      |    + least(stop_ratio * 4.0, 1.0) * 0.25
+      |    + (1.0 - least(punct_ratio * 4.0, 1.0)) * 0.25""".stripMargin
+
   /** oracle twin of TextFunctions.langId, generated from the same
     * profiles: argmax over (hits, prio, lang) structs — both engines
     * compare structs field-ordered */
@@ -143,27 +170,8 @@ object TextQueries {
          |  CAST(length(text) AS INTEGER) AS n_chars_actual
          |FROM documents""".stripMargin,
     "text_quality" ->
-      s"""WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
-         |f AS (
-         |  SELECT doc_id, text, toks,
-         |    CASE WHEN len(toks) > 0
-         |      THEN CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE)
-         |      ELSE 0.0 END AS uniq_ratio,
-         |    CASE WHEN len(toks) > 0
-         |      THEN CAST(len(list_filter(toks, x -> list_contains(['the','a','an','and','or','of','to','in','is','it','for','on','with','as','at','by'], x))) AS DOUBLE)
-         |           / CAST(len(toks) AS DOUBLE)
-         |      ELSE 0.0 END AS stop_ratio,
-         |    CASE WHEN length(text) > 0
-         |      THEN CAST(length(text) - length(regexp_replace(text, '[.,;:!?''"()\\[\\]{}-]', '', 'g')) AS DOUBLE)
-         |           / CAST(length(text) AS DOUBLE)
-         |      ELSE 0.0 END AS punct_ratio,
-         |    least(CAST(len(toks) AS DOUBLE) / 64.0, 1.0) AS len_score
-         |  FROM t
-         |)
-         |SELECT doc_id, uniq_ratio, stop_ratio, punct_ratio,
-         |  len_score * 0.25 + uniq_ratio * 0.25
-         |    + least(stop_ratio * 4.0, 1.0) * 0.25
-         |    + (1.0 - least(punct_ratio * 4.0, 1.0)) * 0.25 AS quality
+      s"""WITH $qualityCtesSql
+         |SELECT doc_id, uniq_ratio, stop_ratio, punct_ratio, $qualityExprSql AS quality
          |FROM f""".stripMargin,
     "text_fingerprint" ->
       "SELECT doc_id, md5(text) AS fp_md5 FROM documents",

@@ -57,4 +57,22 @@ class PipelineQueriesSpec extends SparkSpec {
     assert(rows.map(_.getString(0)).distinct.length === rows.length)
     assert(rows.forall(_.getLong(1) > 0L))
   }
+
+  test("pipeline_curate: composed gate -> dedup -> mixture -> split stays consistent") {
+    import org.apache.spark.sql.functions._
+    val rows = PipelineQueries.queries("pipeline_curate")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    // survivors are unique docs, split values valid
+    assert(rows.map(_.getLong(0)).distinct.length === rows.length)
+    assert(rows.forall(r => Set("train", "val").contains(r.getString(2))))
+    // every surviving doc passes the quality gate independently
+    val gateIds = Tables(spark, dir, "documents")
+      .where(graft.text.TextFunctions.qualityScore(col("text")) >= 0.6)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(rows.forall(r => gateIds.contains(r.getLong(0))))
+    // output is a subset of the standalone mixture_sample survivors
+    val mix = PipelineQueries.queries("mixture_sample")(spark, dir)
+      .collect().map(_.getLong(0)).toSet
+    assert(rows.forall(r => mix.contains(r.getLong(0))))
+  }
 }
