@@ -97,6 +97,17 @@ class IndexCatalogSpec extends SparkSpec {
     assert(hits.nonEmpty && hits.forall(_.getDouble(2) > 150.0))
   }
 
+  test("IVF1 with a single vector trains implicitly and is searchable " +
+      "(reference faiss_add_ids_with_train.test)") {
+    import spark.implicits._
+    IndexCatalog.create("t_ivf1_single", 2, "IDMap,IVF1,Flat")
+    IndexCatalog.add(
+      Seq((231L, Array(0.0040321066f, 0.023423655f))).toDF("label", "vec"), "t_ivf1_single")
+    val res = IndexCatalog.search(
+      "t_ivf1_single", 2, Seq((0L, Array(0.0f, 0.0f))).toDF("qid", "qvec")).collect()
+    assert(res.map(_.getLong(2)).contains(231L))
+  }
+
   test("IP-metric IVF probes the lists vectors were assigned to (exhaustive = exact)") {
     // assignment uses max-inner-product; probing must too, or the probed
     // lists won't be where the vectors live and recall collapses

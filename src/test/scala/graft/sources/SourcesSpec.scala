@@ -32,6 +32,23 @@ class SourcesSpec extends SparkSpec {
     assert(a === b && a.nonEmpty)
   }
 
+  test("ORC round-trips vectors and predicate pushdown reaches the ORC scan") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_orc").toString
+    val rows = (0 until 50).map(i => (i.toLong, Array(i.toFloat, (i % 7).toFloat)))
+    rows.toDF("label", "vec").write.mode("overwrite").orc(dir)
+
+    val fromOrc = spark.read.orc(dir)
+    val qs = Seq((0L, Array(10.2f, 3.0f))).toDF("qid", "qvec")
+    val a = Knn.searchFlat(fromOrc, qs, 3, "l2sq").collect().map(_.getLong(2)).toSeq
+    val b = Knn.searchFlat(rows.toDF("label", "vec"), qs, 3, "l2sq").collect().map(_.getLong(2)).toSeq
+    assert(a === b && a.nonEmpty)
+
+    // filters reach the ORC reader just like parquet (PushedFilters)
+    val plan = fromOrc.where(col("label") > 25L).queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(label), GreaterThan(label,25)]"), plan.take(1500))
+  }
+
   test("jsonl round-trips document operators") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_json").toString
