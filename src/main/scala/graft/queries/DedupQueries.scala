@@ -39,6 +39,22 @@ object DedupQueries {
         .select(col("a_id"), col("b_id"),
           Tables.quant4(col("cosine_dist")).as("cosine_dist"))
     },
+    // the 100 TB twin of dedup_embedding: a distributed radius SELF-JOIN
+    // through IVF buckets — both sides shuffle once on list ids, no
+    // driver collect of either side, no aggregate (hits stream out of
+    // the co-partitioned join). Approximate (cross-list pairs are
+    // missed) -> rows-only; containment + recall spec-asserted.
+    "dedup_embedding_ann" -> { (s, dir) =>
+      val e = embs(s, dir)
+      graft.search.AnnJoin.ivfRadiusJoin(
+          left = e.select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+          right = e.select(col("vec_id").as("label"), col("embedding").as("vec")),
+          radius = 0.65, nlist = 16, nprobe = 4, metric = "cosine",
+          excludeSelf = true)
+        .where(col("qid") < col("label")) // canonical (a < b) pair orientation
+        .select(col("qid").as("a_id"), col("label").as("b_id"),
+          Tables.quant4(col("distance")).as("cosine_dist"))
+    },
     // MinHash-LSH: per-doc candidate-duplicate degree (custom hash family
     // -> no SQL oracle; planted dups at sf0.1 give nonzero counts)
     "dedup_minhash" -> { (s, dir) =>

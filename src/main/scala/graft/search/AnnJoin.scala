@@ -50,8 +50,57 @@ object AnnJoin {
       trainSample: Int = 16384,
       excludeSelf: Boolean = false,
       maxListRows: Long = 4000000L): DataFrame = {
+    val asc = VectorMath.smallerIsCloser(VectorMath.metricId(metric))
+    Knn.rankResults(
+      candidatePairs(left, right, nlist, nprobe, metric, seed, trainSample,
+        excludeSelf, maxListRows),
+      k, asc)
+  }
+
+  /**
+   * Distributed radius JOIN (similarity join): every (left, right) pair
+   * within `radius` — the unbounded-both-sides complement of
+   * `IndexCatalog.searchRadius`, and the 100 TB shape of embedding
+   * near-dup detection (dedup_embedding's exact pair scan becomes this
+   * the moment neither side fits a broadcast). Same one-shuffle-per-
+   * side co-partitioned plan as [[ivfJoin]]; the radius predicate
+   * replaces the top-k aggregate, so candidates stream straight from
+   * the co-partitioned join — no aggregate at all. Recall follows
+   * nprobe/nlist (pairs split across unprobed lists are missed).
+   */
+  def ivfRadiusJoin(
+      left: DataFrame, // (qid bigint, qvec array<float>)
+      right: DataFrame, // (label bigint, vec array<float>)
+      radius: Double,
+      nlist: Int,
+      nprobe: Int,
+      metric: String = "l2sq",
+      seed: Long = 42L,
+      trainSample: Int = 16384,
+      excludeSelf: Boolean = false,
+      maxListRows: Long = 4000000L): DataFrame = {
+    val cands = candidatePairs(left, right, nlist, nprobe, metric, seed,
+      trainSample, excludeSelf, maxListRows)
+    val cmp =
+      if (VectorMath.smallerIsCloser(VectorMath.metricId(metric))) col("_dist") < lit(radius)
+      else col("_dist") > lit(radius)
+    // pairs are already unique: a right row lives in exactly one
+    // (list, salt), so no dedup aggregate is needed — hits stream
+    // straight out of the co-partitioned join
+    cands.where(cmp).select(col("qid"), col("label"), col("_dist").as("distance"))
+  }
+
+  private def candidatePairs(
+      left: DataFrame,
+      right: DataFrame,
+      nlist: Int,
+      nprobe: Int,
+      metric: String,
+      seed: Long,
+      trainSample: Int,
+      excludeSelf: Boolean,
+      maxListRows: Long): DataFrame = {
     val metricId = VectorMath.metricId(metric)
-    val asc = VectorMath.smallerIsCloser(metricId)
     // one bounded collect feeds both quantizer training and the skew
     // estimate (same points the old KMeansTrainer.train path pulled)
     val spark = right.sparkSession
@@ -113,8 +162,6 @@ object AnnJoin {
         leftSalted.join(rightSalted, Seq("list_id", "salt"))
       }
     val filtered = if (excludeSelf) joined.where(col("label") =!= col("qid")) else joined
-    Knn.rankResults(
-      filtered.select(col("qid"), col("label"), d.as("_dist")),
-      k, asc)
+    filtered.select(col("qid"), col("label"), d.as("_dist"))
   }
 }

@@ -114,4 +114,26 @@ class KnnSpec extends SparkSpec {
       .select("qid", "rank", "label").collect())
     assert(full === exact)
   }
+
+  test("AnnJoin.ivfRadiusJoin: hits are within-radius, a subset of brute force, exact at full probe") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{broadcast, col, lit}
+    val pts = (for (x <- 0 until 12; y <- 0 until 12)
+      yield (y * 12L + x, Array(x.toFloat, y.toFloat))).toDF("label", "vec")
+    val qs = pts.select(col("label").as("qid"), col("vec").as("qvec"))
+    val r = 5.0 // l2sq
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(row => (row.getLong(0), row.getLong(1))).toSet
+    val exact = pairSet(pts.crossJoin(broadcast(qs))
+      .where(graft.functions.vec.l2sq(col("qvec"), col("vec")) < lit(r) &&
+        col("label") =!= col("qid"))
+      .select(col("qid"), col("label")))
+    val full = pairSet(AnnJoin.ivfRadiusJoin(qs, pts, radius = r, nlist = 4, nprobe = 4,
+      excludeSelf = true).select("qid", "label"))
+    assert(full === exact && exact.nonEmpty, "exhaustive probe must equal brute force")
+    val partial = pairSet(AnnJoin.ivfRadiusJoin(qs, pts, radius = r, nlist = 4, nprobe = 1,
+      excludeSelf = true).select("qid", "label"))
+    assert(partial.subsetOf(exact), "partial probe can only miss, never invent")
+    assert(partial.size.toDouble / exact.size >= 0.5, "nearest-list probing keeps most hits")
+  }
 }
