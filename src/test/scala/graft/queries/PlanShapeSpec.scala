@@ -151,6 +151,23 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
   }
 
+  test("hot paths stay inside WholeStageCodegen (no interpreted fallback in the scan stage)") {
+    // the distance kernel, text kernels, and hash projections are
+    // native codegen Expressions; if one falls back to interpreted
+    // eval, the scan stage loses its codegen span. AQE hides codegen
+    // annotations until stages materialize, so execute first and read
+    // the FINAL plan.
+    for (q <- Seq("knn_flat_l2", "text_repetition", "text_quality", "dist_metrics",
+        "sample_split", "events_zscore", "knn_radius")) {
+      val df = graft.SparkEntry.queries(q)(spark, dir)
+      df.collect() // count() plans a separate clone; execute THIS plan so AQE finalizes it
+      val plan = df.queryExecution.executedPlan.toString
+      // codegen stages print as "*(n) Operator" in the compact tree
+      assert("""\*\(\d+\)""".r.findFirstIn(plan).isDefined ||
+        plan.contains("WholeStageCodegen"), s"$q lost codegen")
+    }
+  }
+
   test("new analytics hint audit: only fixed dims / 1-row aggregates are broadcast-hinted") {
     def analyzedHints(q: String): Int =
       "UnresolvedHint|ResolvedHint".r.findAllIn(
