@@ -221,6 +221,109 @@ object AnalyticsQueries {
         .select(col("event_id"), col("event_type"),
           quant4((col("value") - col("mean")) / col("std")).as("z"))
     },
+    // TPC-H Q9 shape: profit by (nation, year) through a 5-way join.
+    // The selective p_name filter joins FIRST (prunes lineitem before
+    // the wider joins); profit = revenue minus a retail-price cost
+    // proxy (the synthetic schema has no partsupp.ps_supplycost).
+    "q9_profit" -> { (s, dir) =>
+      val profit = col("l_extendedprice") * (lit(1.0) - col("l_discount")) -
+        lit(0.1) * col("p_retailprice") * col("l_quantity")
+      Tables(s, dir, "lineitem")
+        .join(Tables(s, dir, "part").where(col("p_name").contains("widget")),
+          col("l_partkey") === col("p_partkey"))
+        .join(Tables(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
+        .agg(moneySum(profit).as("sum_profit"), count(lit(1)).as("n_items"))
+    },
+    // TPC-H Q11 shape: parts whose revenue exceeds a fraction of the
+    // corpus total. The grouped table is computed ONCE; the global
+    // scalar re-aggregates the (much smaller) per-part table and joins
+    // back as a 1-row broadcast — never a second lineitem scan, never a
+    // driver collect.
+    "q11_part_value" -> { (s, dir) =>
+      val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+      val byPart = Tables(s, dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(moneySum(rev).as("part_value"))
+      val tot = byPart.agg(moneySum(col("part_value")).as("total_value"))
+      byPart.crossJoin(broadcast(tot))
+        .where(col("part_value") > col("total_value") * lit(0.001))
+        .select(col("l_partkey"), col("part_value"))
+    },
+    // TPC-H Q12 shape: late-shipment priority audit — conditional
+    // two-class counts after a ship-vs-order date join predicate. One
+    // equi-join shuffle; the date arithmetic is a join residual.
+    "q12_late_priority" -> { (s, dir) =>
+      val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      Tables(s, dir, "lineitem")
+        .join(Tables(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .where(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+        .groupBy("l_linestatus")
+        .agg(sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
+          sum(when(high, 0L).otherwise(1L)).as("low_line_count"))
+    },
+    // TPC-H Q16 shape: supplier variety per (brand, size) — a distinct
+    // aggregate over a join, minus an excluded supplier set via LEFT
+    // ANTI (the NOT IN decorrelation; Spark's two-phase distinct agg
+    // shuffles (group, supplier) pairs once, then counts).
+    "q16_variety" -> { (s, dir) =>
+      val bad = Tables(s, dir, "supplier")
+        .where(col("s_acctbal") < 0.0).select(col("s_suppkey").as("bad_key"))
+      Tables(s, dir, "lineitem")
+        .join(Tables(s, dir, "part")
+            .where(col("p_type") =!= "PROMO" && col("p_size").isin(1, 5, 10, 15, 20, 25)),
+          col("l_partkey") === col("p_partkey"))
+        .join(bad, col("l_suppkey") === col("bad_key"), "left_anti")
+        .groupBy("p_brand", "p_size")
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+    },
+    // TPC-H Q20 shape: nested aggregate-threshold semi-join chain —
+    // suppliers who shipped a heavy volume of any 'red' part in 1997.
+    // The inner grouped-filter produces a small supplier-id set; the
+    // outer supplier table joins LEFT SEMI against it (one bounded
+    // shuffle, no duplication regardless of how many parts qualify).
+    "q20_heavy_suppliers" -> { (s, dir) =>
+      val qualified = Tables(s, dir, "lineitem")
+        .where(col("l_shipdate") >= lit("1997-01-01 00:00:00").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01 00:00:00").cast("timestamp"))
+        .join(Tables(s, dir, "part").where(col("p_name").startsWith("red"))
+          .select("p_partkey"), col("l_partkey") === col("p_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(sum("l_quantity").as("qty"))
+        .where(col("qty") > 50.0)
+        .select("l_suppkey")
+      Tables(s, dir, "supplier")
+        .join(qualified, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .join(broadcast(Tables(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey", "s_name", "n_name")
+    },
+    // TPC-H Q21 shape: the only-late-supplier audit. The classic
+    // EXISTS/NOT-EXISTS double self-join decorrelates to ONE grouped
+    // pass over lineitem⋈orders: per order, distinct suppliers,
+    // distinct LATE suppliers, and (when exactly one) that supplier's
+    // id via a conditional max — then a tiny per-supplier rollup.
+    // Top-10 runs as TakeOrderedAndProject (no global sort at scale).
+    "q21_waiting" -> { (s, dir) =>
+      val late = col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS")
+      val per = Tables(s, dir, "lineitem")
+        .join(Tables(s, dir, "orders").where(col("o_orderstatus") === "F"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_orderkey")
+        .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+          countDistinct(when(late, col("l_suppkey"))).as("n_late"),
+          max(when(late, col("l_suppkey"))).as("late_supp"))
+        .where(col("n_supp") >= 2 && col("n_late") === 1)
+      per.groupBy("late_supp")
+        .agg(count(lit(1)).as("numwait"))
+        .join(Tables(s, dir, "supplier"), col("late_supp") === col("s_suppkey"))
+        .select(col("s_name"), col("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(10)
+    },
     // cohort retention: users bucketed by first-active day, distinct
     // users per (cohort, day-offset). The (user, day) distinct bounds
     // state to one row per user-day; the cohort join shuffles only that
@@ -374,6 +477,71 @@ object AnalyticsQueries {
          |SELECT event_id, event_type, ${quant4Sql("(value - mean) / std")} AS z
          |FROM events JOIN stats ON event_type = t
          |WHERE std > 0.0 AND abs(value - mean) > 3.0 * std""".stripMargin,
+    "q9_profit" ->
+      s"""SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+         |  ${moneySumSql("l_extendedprice * (1.0 - l_discount) - 0.1 * p_retailprice * l_quantity")} AS sum_profit,
+         |  count(*) AS n_items
+         |FROM lineitem
+         |JOIN part ON l_partkey = p_partkey
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |WHERE p_name LIKE '%widget%'
+         |GROUP BY 1, 2""".stripMargin,
+    "q11_part_value" ->
+      s"""WITH bypart AS (
+         |  SELECT l_partkey,
+         |    ${moneySumSql("l_extendedprice * (1.0 - l_discount)")} AS part_value
+         |  FROM lineitem GROUP BY l_partkey
+         |), tot AS (
+         |  SELECT ${moneySumSql("part_value")} AS total_value FROM bypart
+         |)
+         |SELECT l_partkey, part_value
+         |FROM bypart, tot
+         |WHERE part_value > total_value * 0.001""".stripMargin,
+    "q12_late_priority" ->
+      """SELECT l_linestatus,
+        |  sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+        |  sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |GROUP BY l_linestatus""".stripMargin,
+    "q16_variety" ->
+      """SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_type <> 'PROMO' AND p_size IN (1, 5, 10, 15, 20, 25)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+        |GROUP BY p_brand, p_size""".stripMargin,
+    "q20_heavy_suppliers" ->
+      """WITH q AS (
+        |  SELECT l_suppkey
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_name LIKE 'red%'
+        |    AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  GROUP BY l_suppkey, l_partkey
+        |  HAVING sum(l_quantity) > 50.0
+        |)
+        |SELECT s_suppkey, s_name, n_name
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |WHERE s_suppkey IN (SELECT l_suppkey FROM q)""".stripMargin,
+    "q21_waiting" ->
+      """WITH per AS (
+        |  SELECT l_orderkey,
+        |    count(DISTINCT l_suppkey) AS n_supp,
+        |    count(DISTINCT CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY THEN l_suppkey END) AS n_late,
+        |    max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY THEN l_suppkey END) AS late_supp
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_orderstatus = 'F'
+        |  GROUP BY l_orderkey
+        |), w AS (
+        |  SELECT late_supp, count(*) AS numwait
+        |  FROM per WHERE n_supp >= 2 AND n_late = 1
+        |  GROUP BY late_supp
+        |)
+        |SELECT s_name, numwait
+        |FROM w JOIN supplier ON late_supp = s_suppkey
+        |ORDER BY numwait DESC, s_name LIMIT 10""".stripMargin,
     "events_retention" ->
       """WITH d AS (
         |  SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day

@@ -54,6 +54,22 @@ object TextQueries {
       d.where(size(tokens(col("text"))) >= 2) // group-by semantics: no row for gram-less docs
         .select(col("doc_id"), topShingleRatio(tokens(col("text")), 2).as("top_bigram_ratio"))
     },
+    // Gopher-style multi-signal repetition panel: most-frequent-n-gram
+    // share for n=2..4 plus the duplicate-bigram fraction, all per-row
+    // codegen'd kernels in ONE projection over ONE tokenize (Catalyst
+    // subexpression elimination computes the split once) — zero
+    // shuffles, the per-document quality screen shape a 100 TB curation
+    // pass runs in the scan stage
+    "text_gopher" -> { (s, dir) =>
+      val d = Tables.wide(s, dir, "documents")
+      val t = tokens(col("text"))
+      d.where(size(tokens(col("text"))) >= 5)
+        .select(col("doc_id"),
+          topShingleRatio(t, 2).as("top2_ratio"),
+          topShingleRatio(t, 3).as("top3_ratio"),
+          topShingleRatio(t, 4).as("top4_ratio"),
+          dupShingleFraction(t, 2).as("dup2_frac"))
+    },
     // deterministic stratified sample: first 20 docs per language by id
     // (the data-mixing primitive; at scale the same window runs per shard)
     "sample_stratified" -> { (s, dir) =>
@@ -197,6 +213,27 @@ object TextQueries {
          |c AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY doc_id, gram)
          |SELECT doc_id, CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS top_bigram_ratio
          |FROM c GROUP BY doc_id""".stripMargin,
+    "text_gopher" -> {
+      def gramCte(n: Int): String =
+        s"""g$n AS (
+           |  SELECT doc_id, unnest([array_to_string(toks[i:i+${n - 1}], ' ') FOR i IN range(1, len(toks) - ${n - 2})]) AS gram
+           |  FROM t WHERE len(toks) >= 5
+           |),
+           |c$n AS (SELECT doc_id, count(*) AS c FROM g$n GROUP BY doc_id, gram),
+           |r$n AS (
+           |  SELECT doc_id,
+           |    CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS top$n,
+           |    CAST(coalesce(sum(c) FILTER (c >= 2), 0) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS dup$n
+           |  FROM c$n GROUP BY doc_id
+           |)""".stripMargin
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |${gramCte(2)},
+         |${gramCte(3)},
+         |${gramCte(4)}
+         |SELECT r2.doc_id, r2.top2 AS top2_ratio, r3.top3 AS top3_ratio,
+         |  r4.top4 AS top4_ratio, r2.dup2 AS dup2_frac
+         |FROM r2 JOIN r3 USING (doc_id) JOIN r4 USING (doc_id)""".stripMargin
+    },
     "sample_split" ->
       """SELECT doc_id,
         |  CASE WHEN CAST(('0x' || substring(md5(text), 1, 4)) AS INTEGER) % 10 < 9

@@ -103,6 +103,41 @@ object VectorQueries {
         .crossJoin(broadcast(queriesDf(s, dir)))
         .where(dist < lit(RADIUS))
         .select(col("qid"), col("label"), Tables.quant4(dist).as("distance"))
+    },
+    // corpus clustering by centroid assignment (the domain-discovery /
+    // data-mixing primitive): deterministic seed centroids (the first 8
+    // embeddings), assignment via the same codegen'd argmin kernel IVF
+    // uses — a shuffle-free projection over the corpus scan — then one
+    // tiny per-cluster rollup. At 100 TB: centroids ride with the plan,
+    // the corpus is read once, the shuffle carries 8 partial rows per
+    // partition. Exact: assignment compares the identical double
+    // accumulation the oracle computes (ties broken by lowest id).
+    "embed_cluster" -> { (s, dir) =>
+      import org.apache.spark.sql.GraftBridge
+      import graft.index.NearestCentroids
+      import graft.functions.VectorMath
+      val e = Tables(s, dir, "embeddings")
+      // bounded collect: 8 seed rows (the IVF-centroid-training shape)
+      val cents: Array[Array[Float]] = e.where(col("vec_id") < 8)
+        .orderBy("vec_id")
+        .select(vec.vector(col("embedding")))
+        .collect().map(_.getSeq[Float](0).toArray)
+      val assigned = e.select(
+        col("vec_id"),
+        vec.vector(col("embedding")).as("v"),
+        element_at(GraftBridge.column(NearestCentroids(
+          GraftBridge.expression(vec.vector(col("embedding"))),
+          cents, 1, VectorMath.L2SQ)), 1).cast("long").as("cluster_id"))
+      val seedVecs = e.where(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), vec.vector(col("embedding")).as("cvec"))
+      assigned
+        .join(broadcast(seedVecs), col("cluster_id") === col("cid"))
+        .groupBy("cluster_id")
+        .agg(count(lit(1)).as("n_members"),
+          sum(floor(vec.l2sq(col("v"), col("cvec")) * 10000 + 0.5).cast("long")).as("m"))
+        .select(col("cluster_id"), col("n_members"),
+          (col("m").cast("double") / 10000.0 / col("n_members").cast("double"))
+            .as("avg_dist"))
     })
 
   // DuckDB-side distance formulas over DOUBLE, element order identical to
@@ -159,6 +194,22 @@ object VectorQueries {
          |)
          |SELECT qid, label, CAST(CAST(dist AS DECIMAL(18,4)) AS DOUBLE) AS distance
          |FROM d WHERE dist < ${RADIUS}""".stripMargin,
+    "embed_cluster" ->
+      s"""WITH q AS (SELECT vec_id, embedding AS a FROM embeddings),
+         |seeds AS (SELECT vec_id AS cid, embedding AS b FROM embeddings WHERE vec_id < 8),
+         |d AS (
+         |  SELECT q.vec_id, seeds.cid, $l2sqSql AS dist
+         |  FROM q CROSS JOIN seeds
+         |),
+         |a AS (
+         |  SELECT vec_id, cid, dist,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+         |  FROM d
+         |)
+         |SELECT cid AS cluster_id, count(*) AS n_members,
+         |  CAST(sum(CAST(floor(dist * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0
+         |    / CAST(count(*) AS DOUBLE) AS avg_dist
+         |FROM a WHERE rn = 1 GROUP BY cid""".stripMargin,
     "dist_metrics" ->
       s"""WITH p AS (
          |  SELECT ea.vec_id AS pair_id, ea.embedding AS a, eb.embedding AS b

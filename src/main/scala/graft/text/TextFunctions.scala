@@ -70,6 +70,14 @@ object TextFunctions {
     GraftBridge.column(TopShingleRatio(GraftBridge.expression(toks), n))
   }
 
+  /** fraction of n-grams occurring more than once (Gopher duplicate-gram
+    * signal) — same shuffle-free codegen'd kernel family as
+    * [[topShingleRatio]]; NULL below n tokens */
+  def dupShingleFraction(toks: Column, n: Int): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(DupShingleFraction(GraftBridge.expression(toks), n))
+  }
+
   val stopwords: Seq[String] = Seq(
     "the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "for", "on", "with", "as", "at", "by")
 

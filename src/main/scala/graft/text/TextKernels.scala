@@ -70,10 +70,94 @@ object TextKernels {
     best.toDouble / m.toDouble
   }
 
+  /**
+   * Fraction of n-grams that occur more than once in the document (the
+   * Gopher duplicate-n-gram signal, complementing the top-gram mode).
+   * Same sorted-run scan as [[topShingleRatio]]: equal grams land in one
+   * run, and every gram of a run of length >= 2 is a duplicate.
+   * Returns NaN when the document has fewer than n tokens.
+   */
+  def dupShingleFraction(toks: ArrayData, n: Int): Double = {
+    val nt = toks.numElements()
+    val m = nt - (n - 1)
+    if (m <= 0) return Double.NaN
+    val ts = new Array[UTF8String](nt)
+    var i = 0
+    while (i < nt) { ts(i) = toks.getUTF8String(i); i += 1 }
+    val idx = new Array[Integer](m)
+    i = 0
+    while (i < m) { idx(i) = Integer.valueOf(i); i += 1 }
+    java.util.Arrays.sort(idx, new java.util.Comparator[Integer] {
+      override def compare(a: Integer, b: Integer): Int = {
+        var j = 0
+        while (j < n) {
+          val c = cmpTok(ts(a + j), ts(b + j))
+          if (c != 0) return c
+          j += 1
+        }
+        0
+      }
+    })
+    var dup = 0
+    var run = 1
+    i = 1
+    while (i < m) {
+      var eq = true
+      var j = 0
+      while (eq && j < n) {
+        if (cmpTok(ts(idx(i) + j), ts(idx(i - 1) + j)) != 0) eq = false
+        j += 1
+      }
+      if (eq) run += 1
+      else { if (run >= 2) dup += run; run = 1 }
+      i += 1
+    }
+    if (run >= 2) dup += run
+    dup.toDouble / m.toDouble
+  }
+
   private def cmpTok(a: UTF8String, b: UTF8String): Int =
     if (a eq null) { if (b eq null) 0 else -1 }
     else if (b eq null) 1
     else a.compareTo(b)
+}
+
+/**
+ * `array<string>` tokens -> DOUBLE duplicate-n-gram fraction, NULL below
+ * n tokens. Same codegen shape as [[TopShingleRatio]].
+ */
+case class DupShingleFraction(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, "shingle size must be >= 1")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${t.catalogString}")
+  }
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "dup_shingle_fraction"
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null
+    else {
+      val r = TextKernels.dupShingleFraction(v.asInstanceOf[ArrayData], n)
+      if (java.lang.Double.isNaN(r)) null else r
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val r = ctx.freshName("dsf")
+    nullSafeCodeGen(ctx, ev, a => s"""
+      |double $r = graft.text.TextKernels.dupShingleFraction($a, $n);
+      |if (Double.isNaN($r)) { ${ev.isNull} = true; } else { ${ev.value} = $r; }
+      |""".stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 /**

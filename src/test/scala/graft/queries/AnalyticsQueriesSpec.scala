@@ -140,6 +140,127 @@ class AnalyticsQueriesSpec extends SparkSpec {
     assert(rows.length === expect)
   }
 
+  test("q9_profit: item count matches the filtered join; profit formula holds") {
+    val rows = run("q9_profit").collect()
+    assert(rows.nonEmpty)
+    val expect = Tables(spark, dir, "lineitem")
+      .join(Tables(spark, dir, "part").where(col("p_name").contains("widget")),
+        col("l_partkey") === col("p_partkey")).count()
+    assert(rows.map(_.getLong(3)).sum === expect)
+  }
+
+  test("q11_part_value: every survivor exceeds the global threshold") {
+    val rows = run("q11_part_value").collect()
+    assert(rows.nonEmpty)
+    val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    val byPart = Tables(spark, dir, "lineitem")
+      .groupBy("l_partkey").agg(Tables.moneySum(rev).as("v"))
+    val total = byPart.agg(Tables.moneySum(col("v"))).collect()(0).getDouble(0)
+    rows.foreach(r => assert(r.getDouble(1) > total * 0.001))
+    val expect = byPart.where(col("v") > total * 0.001).count()
+    assert(rows.length.toLong === expect)
+  }
+
+  test("q12_late_priority: class counts partition the late lineitems") {
+    val rows = run("q12_late_priority").collect()
+    val late = Tables(spark, dir, "lineitem")
+      .join(Tables(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .where(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+    assert(rows.map(r => r.getLong(1) + r.getLong(2)).sum === late.count())
+    val high = late.where(col("o_orderpriority").isin("1-URGENT", "2-HIGH")).count()
+    assert(rows.map(_.getLong(1)).sum === high)
+  }
+
+  test("q16_variety: negative-balance suppliers never counted") {
+    val rows = run("q16_variety").collect()
+    assert(rows.nonEmpty)
+    val bad = Tables(spark, dir, "supplier")
+      .where(col("s_acctbal") < 0.0).select("s_suppkey").collect()
+      .map(_.getLong(0)).toSet
+    // re-derive one group's distinct suppliers and compare
+    val r0 = rows.head
+    val suppliers = Tables(spark, dir, "lineitem")
+      .join(Tables(spark, dir, "part"), col("l_partkey") === col("p_partkey"))
+      .where(col("p_brand") === r0.getString(0) && col("p_size") === r0.getInt(1) &&
+        col("p_type") =!= "PROMO")
+      .select("l_suppkey").distinct().collect().map(_.getLong(0)).toSet
+    assert((suppliers -- bad).size.toLong === r0.getLong(2))
+  }
+
+  test("q20_heavy_suppliers: survivors are exactly the qualifying supplier set") {
+    val rows = run("q20_heavy_suppliers").collect()
+    val expect = Tables(spark, dir, "lineitem")
+      .where(col("l_shipdate") >= lit("1997-01-01 00:00:00").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01 00:00:00").cast("timestamp"))
+      .join(Tables(spark, dir, "part").where(col("p_name").startsWith("red")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy("l_suppkey", "l_partkey").agg(sum("l_quantity").as("q"))
+      .where(col("q") > 50.0)
+      .select("l_suppkey").distinct().collect().map(_.getLong(0)).toSet
+    assert(rows.map(_.getLong(0)).toSet === expect)
+  }
+
+  test("q21_waiting: waits recount through an independent formulation") {
+    val rows = run("q21_waiting").collect()
+    assert(rows.length <= 10)
+    // independent recount: late lineitems per (order, supplier), orders
+    // with >=2 suppliers where exactly one is late
+    val late = col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS")
+    val j = Tables(spark, dir, "lineitem")
+      .join(Tables(spark, dir, "orders").where(col("o_orderstatus") === "F"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"), late.as("late"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val byOrder = j.groupBy(_._1)
+    val waits = scala.collection.mutable.Map.empty[Long, Long]
+    byOrder.foreach { case (_, ls) =>
+      val supps = ls.map(_._2).toSet
+      val lateSupps = ls.filter(_._3).map(_._2).toSet
+      if (supps.size >= 2 && lateSupps.size == 1)
+        waits(lateSupps.head) = waits.getOrElse(lateSupps.head, 0L) + 1
+    }
+    val names = Tables(spark, dir, "supplier").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expectTop = waits.toSeq.map { case (sk, n) => (names(sk), n) }
+      .sortBy { case (name, n) => (-n, name) }.take(10)
+    assert(rows.map(r => (r.getString(0), r.getLong(1))).toSeq === expectTop)
+  }
+
+  test("text_gopher: signals bounded and consistent with text_repetition") {
+    val rows = run("text_gopher").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      (1 to 4).foreach(i => assert(r.getDouble(i) >= 0.0 && r.getDouble(i) <= 1.0))
+      // if the top bigram repeats, every one of its occurrences is a dup
+      if (r.getDouble(1) > r.getDouble(4)) assert(r.getDouble(4) === 0.0)
+    }
+    val rep = run("text_repetition").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    rows.foreach(r => assert(rep(r.getLong(0)) === r.getDouble(1),
+      "top2_ratio must equal the text_repetition signal"))
+  }
+
+  test("embed_cluster: every vector assigned once, seeds land in their own cluster") {
+    val rows = run("embed_cluster").collect()
+    val n = Tables(spark, dir, "embeddings").count()
+    assert(rows.map(_.getLong(1)).sum === n, "partition of the corpus")
+    assert(rows.map(_.getLong(0)).toSet.subsetOf((0L until 8L).toSet))
+    assert(rows.forall(_.getDouble(2) >= 0.0))
+    // independent argmin for one vector: the seed itself -> dist 0
+    import graft.functions.vec
+    val e = Tables(spark, dir, "embeddings")
+    val seeds = e.where(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), vec.vector(col("embedding")).as("cvec"))
+    val self = e.where(col("vec_id") < 8)
+      .select(col("vec_id"), vec.vector(col("embedding")).as("v"))
+      .crossJoin(seeds)
+      .select(col("vec_id"), col("cid"), vec.l2sq(col("v"), col("cvec")).as("d"))
+      .groupBy("vec_id").agg(min(struct(col("d"), col("cid"))).as("m"))
+      .select(col("vec_id"), col("m.cid"))
+      .collect()
+    self.foreach(r => assert(r.getLong(0) === r.getLong(1)))
+  }
+
   test("knn_radius: hits are exactly the pairs within the radius") {
     val hits = run("knn_radius").collect()
     assert(hits.forall(_.getDouble(2) < VectorQueries.RADIUS))

@@ -101,6 +101,37 @@ class TextFunctionsSpec extends SparkSpec {
     assert(kernel === ref)
   }
 
+  test("dupShingleFraction: native kernel matches group-by dup semantics") {
+    def dup(t: String, n: Int = 2): Any =
+      one(TextFunctions.dupShingleFraction(TextFunctions.tokens(col("text")), n), t)
+    // "a b a b a b": bigrams [a b, b a, a b, b a, a b] -> all 5 duplicated
+    assert(dup("a b a b a b") === 1.0)
+    // all distinct bigrams -> 0
+    assert(dup("a b c d") === 0.0)
+    // "a b c a b": grams [a b, b c, c a, a b] -> 2 of 4 duplicated
+    assert(dup("a b c a b") === 2.0 / 4.0)
+    // below n tokens -> NULL
+    assert(dup("solo") === null)
+    // kernel agrees with an explode+groupBy reference
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the cat sat on the cat sat on the cat"),
+      (2L, "x x x x x x"),
+      (3L, "one two three four five six seven"),
+      (4L, "a b a b c a b")).toDF("id", "text")
+    val kernel = docs.select($"id",
+        TextFunctions.dupShingleFraction(TextFunctions.tokens($"text"), 2).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val ref = docs.select($"id",
+        explode(TextFunctions.shinglesAll(TextFunctions.tokens($"text"), 2)).as("g"))
+      .groupBy("id", "g").count()
+      .groupBy("id").agg(
+        (sum(when($"count" >= 2, $"count").otherwise(0L)).cast("double") /
+          sum($"count").cast("double")).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(kernel === ref)
+  }
+
   test("minhash similarity approximates jaccard") {
     import spark.implicits._
     val df = Seq(
