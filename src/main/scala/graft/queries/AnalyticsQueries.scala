@@ -302,20 +302,24 @@ object AnalyticsQueries {
         .select("s_suppkey", "s_name", "n_name")
     },
     // TPC-H Q21 shape: the only-late-supplier audit. The classic
-    // EXISTS/NOT-EXISTS double self-join decorrelates to ONE grouped
-    // pass over lineitem⋈orders: per order, distinct suppliers,
-    // distinct LATE suppliers, and (when exactly one) that supplier's
-    // id via a conditional max — then a tiny per-supplier rollup.
-    // Top-10 runs as TakeOrderedAndProject (no global sort at scale).
+    // EXISTS/NOT-EXISTS double self-join decorrelates to two grouped
+    // passes: per (order, supplier) lateness first — a plain aggregate
+    // with map-side combine — then per order. Two distinct-counts in
+    // one aggregate would instead plan an Expand (3x the join output
+    // shuffled); the two-level form moves each row once at full width
+    // and once per distinct supplier. Top-10 runs as
+    // TakeOrderedAndProject (no global sort at scale).
     "q21_waiting" -> { (s, dir) =>
       val late = col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS")
-      val per = Tables(s, dir, "lineitem")
+      val perSupp = Tables(s, dir, "lineitem")
         .join(Tables(s, dir, "orders").where(col("o_orderstatus") === "F"),
           col("l_orderkey") === col("o_orderkey"))
-        .groupBy("l_orderkey")
-        .agg(countDistinct(col("l_suppkey")).as("n_supp"),
-          countDistinct(when(late, col("l_suppkey"))).as("n_late"),
-          max(when(late, col("l_suppkey"))).as("late_supp"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(max(when(late, 1L).otherwise(0L)).as("is_late"))
+      val per = perSupp.groupBy("l_orderkey")
+        .agg(count(lit(1)).as("n_supp"),
+          sum(col("is_late")).as("n_late"),
+          max(when(col("is_late") === 1L, col("l_suppkey"))).as("late_supp"))
         .where(col("n_supp") >= 2 && col("n_late") === 1)
       per.groupBy("late_supp")
         .agg(count(lit(1)).as("numwait"))

@@ -124,6 +124,22 @@ object TextQueries {
             .as("mean_surprisal"),
           col("n_toks"))
     },
+    // distributed BPE merge learning (tokenizer training): corpus ->
+    // token frequencies (ONE corpus-scale aggregation) -> 16 merge
+    // rounds over the vocabulary-sized distinct-word table. Rows-only
+    // at the gate (the greedy iterative argmax is not expressible in
+    // one SQL statement); semantics pinned by BpeSpec against the
+    // classic hand-computed example. Deterministic: frequency ties
+    // break lexicographically.
+    "text_bpe" -> { (s, dir) =>
+      import s.implicits._
+      val wordFreq = Tables.wide(s, dir, "documents")
+        .select(explode(tokens(col("text"))).as("word"))
+        .where(length(col("word")) > 0)
+        .groupBy("word").agg(count(lit(1)).as("freq"))
+      graft.text.Bpe.learn(s, wordFreq, 16).toDF()
+        .select(col("rank"), col("left"), col("right"), col("pair_freq"))
+    },
     // heuristic language id (the synthetic corpus shares one vocabulary,
     // so accuracy is not meaningful here — the deterministic argmax is)
     "text_langid" -> { (s, dir) =>

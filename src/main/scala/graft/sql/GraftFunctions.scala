@@ -64,6 +64,8 @@ object GraftFunctions {
       "sorted_intersect_count" -> (args => SortedIntersectCount(args(0), args(1))),
       "top_shingle_ratio" -> (args =>
         graft.text.TopShingleRatio(args(0), litInt(args(1), "n"))),
+      "dup_shingle_fraction" -> (args =>
+        graft.text.DupShingleFraction(args(0), litInt(args(1), "n"))),
       "hyperplane_buckets" -> (args =>
         HyperplaneBuckets(args(0), litInt(args(1), "bands"), litInt(args(2), "bitsPerBand"),
           litLong(args.lift(3).getOrElse(Literal(42L)), "seed"))))

@@ -1,0 +1,150 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Distributed BPE (byte-pair-encoding) merge learning — the tokenizer-
+ * training step of an LLM data pipeline (Sennrich et al. 2016, public
+ * algorithm; part of the beyond-the-reference LLM layer).
+ *
+ * Scale shape: the corpus-scale work is the ONE token-frequency
+ * aggregation the caller feeds in; everything after operates on the
+ * DISTINCT-WORD table weighted by frequency — vocabulary-sized, not
+ * corpus-sized, no matter how many TB of documents feed it. Like the
+ * dedup connected-components hybrid, the merge loop switches on that
+ * bounded size:
+ *  - vocab <= maxDriverVocab (default 200k words ~ a few MB): collect
+ *    ONCE and run the classic driver loop — a 16-round loop over 200k
+ *    short symbol arrays is milliseconds, where 16 distributed rounds
+ *    would pay 16x job-scheduling latency for no parallelism win.
+ *  - above the bound: distributed rounds — each one pair-count
+ *    aggregation (bounded shuffle of fixed-width pair rows) + a 1-ROW
+ *    argmax collect; lineage cut per round via eager localCheckpoint
+ *    so round plans stay constant-size.
+ *
+ * Determinism: ties on pair frequency break lexicographically on
+ * (left, right), so the learned merge table is a pure function of the
+ * corpus — identical across runs, partitionings, and both paths.
+ */
+object Bpe {
+
+  /** end-of-word sentinel: merges never cross word boundaries, and the
+    * final symbol of a word is distinguishable from a mid-word one */
+  val EOW = "</w>"
+
+  case class WordSyms(syms: Seq[String], freq: Long)
+  case class Merge(rank: Int, left: String, right: String, pair_freq: Long)
+
+  /** greedy left-to-right single-merge application: "a a a" under
+    * (a,a) -> ["aa", "a"], matching the classic implementation */
+  def applyMerge(syms: Seq[String], l: String, r: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+        out += (l + r); i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.toSeq
+  }
+
+  /**
+   * Learn `numMerges` merges from a (word, freq) table. Input must be
+   * distinct on word (the caller's token-count aggregate guarantees it).
+   */
+  def learn(spark: SparkSession, wordFreq: DataFrame, numMerges: Int,
+      maxDriverVocab: Long = 200000): Seq[Merge] = {
+    val words = wordFreq.select(col("word").cast("string"), col("freq").cast("long"))
+    // vocab-sized count (one pass over the aggregate output, not the corpus)
+    if (words.limit((maxDriverVocab + 1).toInt).count() <= maxDriverVocab)
+      learnLocal(words.collect().map(r => (r.getString(0), r.getLong(1))), numMerges)
+    else
+      learnDistributed(spark, words, numMerges)
+  }
+
+  /** driver loop over a bounded vocabulary (the classic implementation) */
+  private[text] def learnLocal(vocab: Array[(String, Long)], numMerges: Int): Seq[Merge] = {
+    val syms = vocab.map { case (w, _) =>
+      scala.collection.mutable.ArrayBuffer.from(w.map(_.toString) :+ EOW)
+    }
+    val freqs = vocab.map(_._2)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
+    var rank = 0
+    var done = false
+    while (rank < numMerges && !done) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      var wi = 0
+      while (wi < syms.length) {
+        val s = syms(wi)
+        var i = 0
+        while (i + 1 < s.length) {
+          val k = (s(i), s(i + 1))
+          counts(k) = counts.getOrElse(k, 0L) + freqs(wi)
+          i += 1
+        }
+        wi += 1
+      }
+      if (counts.isEmpty) done = true
+      else {
+        val ((l, r), pf) = counts.minBy { case ((a, b), f) => (-f, a, b) }
+        merges += Merge(rank, l, r, pf)
+        wi = 0
+        while (wi < syms.length) {
+          // in-place greedy rewrite, identical to applyMerge
+          val s = syms(wi)
+          var read = 0
+          var write = 0
+          while (read < s.length) {
+            if (read + 1 < s.length && s(read) == l && s(read + 1) == r) {
+              s(write) = l + r; read += 2
+            } else { s(write) = s(read); read += 1 }
+            write += 1
+          }
+          s.dropRightInPlace(s.length - write)
+          wi += 1
+        }
+        rank += 1
+      }
+    }
+    merges.toSeq
+  }
+
+  /** distributed rounds for vocabularies too large to collect */
+  private[text] def learnDistributed(
+      spark: SparkSession, words: DataFrame, numMerges: Int): Seq[Merge] = {
+    import spark.implicits._
+    var ds: Dataset[WordSyms] = words.as[(String, Long)]
+      .map { case (w, f) => WordSyms(w.map(_.toString) :+ EOW, f) }
+      .localCheckpoint(true) // eager: rounds read materialized blocks, not the corpus
+    val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
+    var rank = 0
+    var done = false
+    while (rank < numMerges && !done) {
+      val best = ds.flatMap(w =>
+          if (w.syms.length < 2) Iterator.empty
+          else w.syms.iterator.zip(w.syms.iterator.drop(1)).map { case (a, b) => (a, b, w.freq) })
+        .toDF("l", "r", "f")
+        .groupBy("l", "r").agg(sum("f").as("pf"))
+        .orderBy(col("pf").desc, col("l"), col("r"))
+        .limit(1)
+        .collect() // bounded: exactly one row per round
+      if (best.isEmpty) done = true
+      else {
+        val (l, r, pf) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += Merge(rank, l, r, pf)
+        ds = ds.map(w => WordSyms(applyMerge(w.syms, l, r), w.freq)).localCheckpoint(true)
+        rank += 1
+      }
+    }
+    merges.toSeq
+  }
+
+  /** encode a token with a learned merge table (ranks applied in order) —
+    * the apply-side of the tokenizer, for specs and downstream use */
+  def encode(word: String, merges: Seq[Merge]): Seq[String] = {
+    var syms: Seq[String] = word.map(_.toString) :+ EOW
+    merges.sortBy(_.rank).foreach(m => syms = applyMerge(syms, m.left, m.right))
+    syms
+  }
+}

@@ -177,5 +177,50 @@ class PlanShapeSpec extends SparkSpec {
     assert(analyzedHints("q22_idle_rich") === 1, "q22: the 1-row avg only")
     assert(analyzedHints("q13_custdist") === 0, "q13: orders/customer stay AQE-picked")
     assert(analyzedHints("q17_small_qty") === 0, "q17: part/avgq stay AQE-picked")
+    assert(analyzedHints("q9_profit") === 1, "q9: nation only")
+    assert(analyzedHints("q11_part_value") === 1, "q11: the 1-row total only")
+    assert(analyzedHints("q12_late_priority") === 0, "q12: orders stays AQE-picked")
+    assert(analyzedHints("q16_variety") === 0, "q16: part stays AQE-picked")
+    assert(analyzedHints("q20_heavy_suppliers") === 1, "q20: nation only")
+    assert(analyzedHints("q21_waiting") === 0, "q21: supplier stays AQE-picked")
+  }
+
+  test("q11_part_value: the per-part aggregate shuffle is REUSED for the global total") {
+    // byPart feeds both the survivors filter and the 1-row total; if the
+    // exchange stopped being reused, lineitem would be scanned+aggregated
+    // twice (2x the biggest table at 100 TB)
+    val df = graft.SparkEntry.queries("q11_part_value")(spark, dir)
+    df.collect() // AQE finalizes reuse only on the executed plan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ReusedExchange") || plan.contains("ReusedQueryStage") ||
+      plan.contains("TableCacheQueryStage"), plan.take(3000))
+  }
+
+  test("q16/q20/q21: exclusion and semi-join plan shapes survive") {
+    assert(physical("q16_variety").contains("LeftAnti"), "q16 NOT IN must stay anti join")
+    assert(physical("q20_heavy_suppliers").contains("LeftSemi"),
+      "q20 IN-subquery must stay semi join")
+    val q21 = physical("q21_waiting")
+    assert(q21.contains("TakeOrderedAndProject"),
+      "q21 top-10 must not global-sort: " + q21.take(2000))
+    assert(!q21.contains("Expand"),
+      "q21 must use the two-level aggregate, not Expand-based distinct counts")
+  }
+
+  test("text_gopher: shuffle-free multi-kernel projection, tokenize evaluated once") {
+    val plan = physical("text_gopher")
+    assert(exchanges("text_gopher") === 0, plan.take(2000))
+    // subexpression elimination: the split appears once in the project
+    // (4 kernel columns share it), not once per output column
+    val df = graft.SparkEntry.queries("text_gopher")(spark, dir)
+    df.collect()
+    val fin = df.queryExecution.executedPlan.toString
+    assert("""\*\(\d+\)""".r.findFirstIn(fin).isDefined, "gopher panel lost codegen")
+  }
+
+  test("embed_cluster: assignment is a scan-stage projection; one rollup shuffle") {
+    val plan = physical("embed_cluster")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(exchanges("embed_cluster") === 1, plan.take(2000))
   }
 }
