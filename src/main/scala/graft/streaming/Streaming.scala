@@ -85,6 +85,54 @@ object Streaming {
       .select(col("o_orderkey"), col("event_id"), col("ts"), col("value"))
   }
 
+  /**
+   * Real-time index ingestion: an unbounded (id, vector) stream feeds a
+   * catalog index micro-batch by micro-batch — the write side of
+   * [[serveAnn]], closing the "batch build only" gap a Spark port of
+   * the reference would otherwise have. Each micro-batch runs the same
+   * `IndexCatalog.add` as the batch path (dim guard, IDMap gating,
+   * id bookkeeping); the built search structure refreshes lazily on
+   * the next search, exactly like consecutive faiss_add calls.
+   */
+  def indexIngest(
+      vecStream: DataFrame, // streaming (id bigint, vec array<float>) or (vec) for auto-ids
+      indexName: String): org.apache.spark.sql.streaming.StreamingQuery =
+    vecStream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        // materialize before handing off: IndexCatalog.add holds the
+        // DataFrame lazily (pending batches evaluate at build time), but
+        // a foreachBatch frame is only re-scannable DURING its
+        // micro-batch — the source purges committed offsets. An eager
+        // localCheckpoint pins the rows as executor blocks, cut from the
+        // streaming source.
+        if (!batch.isEmpty)
+          graft.index.IndexCatalog.add(batch.toDF().localCheckpoint(true), indexName)
+      }
+      .start()
+
+  /**
+   * Streaming twin of the batch pipeline_curate: quality gate + PII
+   * scrub (stateless scan-stage projections — the identical codegen'd
+   * expressions as batch) + exact dedup on the content fingerprint,
+   * bounded by the watermark horizon (dropDuplicatesWithinWatermark
+   * keeps the state store from growing with the corpus — the at-ingest
+   * curation shape: filter the firehose before anything lands).
+   */
+  def curationGate(
+      docs: DataFrame, // streaming (doc_id, text, ts)
+      minQuality: Double = 0.4,
+      watermark: String = "1 hour"): DataFrame = {
+    import graft.text.TextFunctions._
+    docs
+      .withWatermark("ts", watermark)
+      .withColumn("quality", qualityScore(col("text")))
+      .where(col("quality") >= minQuality)
+      .withColumn("fp", md5(col("text")))
+      .dropDuplicatesWithinWatermark("fp")
+      .select(col("doc_id"), col("ts"), col("quality"), scrub(col("text")).as("text"))
+  }
+
   case class TypedEv(user_id: Long, event_type: String, ts: Timestamp)
   private val Unset = Long.MinValue // sentinel no real epoch-millis can hit (0 would shadow epoch-0 events)
   case class FunnelState(t1: Long, t2: Long, t3: Long, last: Long) // first view/click/purchase mins + max seen ts

@@ -39,6 +39,31 @@ class KernelPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("text gram kernels equal brute-force multiset stats on random docs") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    val r = rng
+    for (_ <- 0 until 300) {
+      val nTok = r.nextInt(30)
+      val n = 1 + r.nextInt(3)
+      // tiny alphabet so repeats are common
+      val toks = Array.fill(nTok)(("abc" (r.nextInt(3))).toString)
+      val arr = new GenericArrayData(toks.map(t => UTF8String.fromString(t)))
+      val grams = toks.sliding(n).filter(_.length == n).map(_.mkString(" ")).toSeq
+      val top = graft.text.TextKernels.topShingleRatio(arr, n)
+      val dup = graft.text.TextKernels.dupShingleFraction(arr, n)
+      if (grams.isEmpty) {
+        assert(top.isNaN && dup.isNaN)
+      } else {
+        val counts = grams.groupBy(identity).view.mapValues(_.size)
+        assert(top === counts.values.max.toDouble / grams.size)
+        assert(dup === counts.values.filter(_ >= 2).sum.toDouble / grams.size)
+        // cross-kernel invariant: a repeated top gram is itself a dup
+        if (counts.values.max >= 2) assert(dup >= top)
+      }
+    }
+  }
+
   test("SQ8 round-trip error is bounded by one quantization step") {
     val r = rng
     for (_ <- 0 until 50) {

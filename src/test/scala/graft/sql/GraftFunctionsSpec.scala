@@ -37,12 +37,14 @@ class GraftFunctionsSpec extends SparkSpec {
   test("text and vector helper functions work from SQL") {
     val r = spark.sql(
       """SELECT top_shingle_ratio(split('a b a b a b', ' '), 2) ratio,
+        |       dup_shingle_fraction(split('a b c a b', ' '), 2) dup,
         |       vec_normalize(CAST(array(3.0, 4.0) AS array<float>)) unit,
         |       sorted_intersect_count(array(1L, 2L, 5L), array(2L, 3L, 5L)) n
         |""".stripMargin).collect()(0)
     assert(r.getDouble(0) === 3.0 / 5.0)
-    assert(r.getSeq[Float](1).toSeq === Seq(0.6f, 0.8f))
-    assert(r.getInt(2) === 2)
+    assert(r.getDouble(1) === 2.0 / 4.0)
+    assert(r.getSeq[Float](2).toSeq === Seq(0.6f, 0.8f))
+    assert(r.getInt(3) === 2)
   }
 
   test("hash functions work from SQL") {

@@ -44,4 +44,32 @@ class ServeAnnSpec extends SparkSpec {
       IndexCatalog.destroy("serve_idx")
     }
   }
+
+  test("streamed vectors ingest into a catalog index and are searchable") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+
+    if (IndexCatalog.exists("ingest_idx")) IndexCatalog.destroy("ingest_idx")
+    IndexCatalog.create("ingest_idx", 2, "IDMap,Flat")
+
+    val mem = MemoryStream[(Long, Array[Float])]
+    val q = Streaming.indexIngest(mem.toDF.toDF("id", "vec"), "ingest_idx")
+    def top1(x: Float, y: Float): Long = {
+      val qdf = Seq((0L, Array(x, y))).toDF("qid", "qvec")
+      IndexCatalog.search("ingest_idx", 1, qdf).collect()(0).getLong(2)
+    }
+    try {
+      mem.addData((10L, Array(0f, 0f)), (11L, Array(5f, 5f)))
+      q.processAllAvailable()
+      assert(top1(0.1f, 0f) === 10L)
+      // a later micro-batch is visible to the next search (lazy rebuild,
+      // consecutive-faiss_add semantics)
+      mem.addData((12L, Array(0.2f, 0f)))
+      q.processAllAvailable()
+      assert(top1(0.15f, 0f) === 12L)
+    } finally {
+      q.stop()
+      IndexCatalog.destroy("ingest_idx")
+    }
+  }
 }

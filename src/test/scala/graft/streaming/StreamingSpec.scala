@@ -58,6 +58,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("curation gate: quality filter + watermarked dedup + scrub on a stream") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.text.TextFunctions
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    val df = mem.toDF.toDF("doc_id", "text", "ts")
+    val good = "the quick brown fox jumps over the lazy dog and runs far away home tonight"
+    val q = Streaming.curationGate(df, minQuality = 0.4)
+      .writeStream.format("memory").queryName("s_curate").outputMode("append").start()
+    try {
+      mem.addData(
+        (1L, good, ts(1, 0)),
+        (2L, good, ts(1, 5)), // exact dup of 1 within the watermark -> dropped
+        (3L, "zzz zzz zzz zzz zzz zzz zzz zzz zzz zzz zzz zzz", ts(1, 10)), // low quality -> gated
+        (4L, good + " with an email x@y.com inside", ts(1, 15)))
+      q.processAllAvailable()
+      val rows = spark.table("s_curate").collect()
+        .map(r => r.getLong(0) -> r.getString(3)).toMap
+      assert(rows.keySet === Set(1L, 4L))
+      assert(rows(4L).contains("<EMAIL>") && !rows(4L).contains("x@y.com"))
+      // gate threshold matches the batch expression exactly
+      val batchQ = Seq((3L, "zzz zzz zzz zzz zzz zzz zzz zzz zzz zzz zzz zzz")).toDF("doc_id", "text")
+        .select(TextFunctions.qualityScore(col("text"))).collect()(0).getDouble(0)
+      assert(batchQ < 0.4)
+    } finally q.stop()
+  }
+
   test("native session_window closes sessions once the watermark passes") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
