@@ -140,6 +140,27 @@ object TextQueries {
       graft.text.Bpe.learn(s, wordFreq, 16).toDF()
         .select(col("rank"), col("left"), col("right"), col("pair_freq"))
     },
+    // apply-side of the tokenizer: the merge table learned by text_bpe
+    // rides the plan as a native kernel (BpeEncodeTokens — the
+    // NearestCentroids pattern for text) and every document becomes its
+    // subword stream in a shuffle-free scan-stage projection. Rows-only
+    // (the iterative merge replay is not SQL); internal consistency
+    // (losslessness, merge-table parity) is spec-pinned.
+    "text_bpe_encode" -> { (s, dir) =>
+      import org.apache.spark.sql.GraftBridge
+      val wordFreq = Tables.wide(s, dir, "documents")
+        .select(explode(tokens(col("text"))).as("word"))
+        .where(length(col("word")) > 0)
+        .groupBy("word").agg(count(lit(1)).as("freq"))
+      val tbl = graft.text.Bpe.learn(s, wordFreq, 16)
+        .sortBy(_.rank).map(m => (m.left, m.right)).toArray
+      val enc = GraftBridge.column(graft.text.BpeEncodeTokens(
+        GraftBridge.expression(tokens(col("text"))), tbl))
+      Tables.wide(s, dir, "documents")
+        .select(col("doc_id"),
+          size(enc).as("n_subwords"),
+          size(array_distinct(enc)).as("n_distinct_subwords"))
+    },
     // heuristic language id (the synthetic corpus shares one vocabulary,
     // so accuracy is not meaningful here — the deterministic argmax is)
     "text_langid" -> { (s, dir) =>

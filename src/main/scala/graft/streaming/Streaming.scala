@@ -96,20 +96,31 @@ object Streaming {
    */
   def indexIngest(
       vecStream: DataFrame, // streaming (id bigint, vec array<float>) or (vec) for auto-ids
-      indexName: String): org.apache.spark.sql.streaming.StreamingQuery =
+      indexName: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    // foreachBatch is at-least-once: after a mid-epoch failure the same
+    // batchId is re-delivered, and blindly re-adding would duplicate
+    // labels (or mint fresh auto-ids for the same vectors). Track the
+    // last applied id so a same-run redelivery is a no-op. Across a
+    // RESTART this guard resets with the JVM — exactly-once there needs
+    // a durable applied-batch store keyed by the checkpoint location,
+    // which is the caller's call (same caveat as any foreachBatch sink).
+    val lastApplied = new java.util.concurrent.atomic.AtomicLong(-1L)
     vecStream.writeStream
       .outputMode("append")
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
         // materialize before handing off: IndexCatalog.add holds the
         // DataFrame lazily (pending batches evaluate at build time), but
         // a foreachBatch frame is only re-scannable DURING its
         // micro-batch — the source purges committed offsets. An eager
         // localCheckpoint pins the rows as executor blocks, cut from the
         // streaming source.
-        if (!batch.isEmpty)
+        if (id > lastApplied.get() && !batch.isEmpty) {
           graft.index.IndexCatalog.add(batch.toDF().localCheckpoint(true), indexName)
+          lastApplied.set(id)
+        }
       }
       .start()
+  }
 
   /**
    * Streaming twin of the batch pipeline_curate: quality gate + PII
@@ -121,7 +132,7 @@ object Streaming {
    */
   def curationGate(
       docs: DataFrame, // streaming (doc_id, text, ts)
-      minQuality: Double = 0.4,
+      minQuality: Double = 0.6, // = pipeline_curate's batch gate — the twins must agree by default
       watermark: String = "1 hour"): DataFrame = {
     import graft.text.TextFunctions._
     docs

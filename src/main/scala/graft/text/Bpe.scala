@@ -33,6 +33,31 @@ object Bpe {
     * final symbol of a word is distinguishable from a mid-word one */
   val EOW = "</w>"
 
+  /** split into CODE POINTS, not UTF-16 code units: `w.map(_.toString)`
+    * would break a supplementary character (emoji, CJK Ext-B) into two
+    * lone surrogates, which UTF8String/Dataset encoding then mangles to
+    * '?' — silently merging all such characters in the distributed path
+    * while the driver path kept them distinct */
+  private[text] def baseSymbols(w: String): Seq[String] =
+    w.codePoints().toArray.toSeq.map(cp => new String(Character.toChars(cp)))
+
+  /** code-point lexicographic comparison — the ordering UTF8String's
+    * byte comparison induces, used by BOTH paths so frequency ties break
+    * identically (java.lang.String.compareTo is UTF-16 code-unit order,
+    * which disagrees above the BMP) */
+  private[text] def cpCompare(a: String, b: String): Int = {
+    var i = 0
+    var j = 0
+    while (i < a.length && j < b.length) {
+      val ca = a.codePointAt(i)
+      val cb = b.codePointAt(j)
+      if (ca != cb) return Integer.compare(ca, cb)
+      i += Character.charCount(ca)
+      j += Character.charCount(cb)
+    }
+    Integer.compare(a.length - i, b.length - j)
+  }
+
   case class WordSyms(syms: Seq[String], freq: Long)
   case class Merge(rank: Int, left: String, right: String, pair_freq: Long)
 
@@ -56,17 +81,22 @@ object Bpe {
   def learn(spark: SparkSession, wordFreq: DataFrame, numMerges: Int,
       maxDriverVocab: Long = 200000): Seq[Merge] = {
     val words = wordFreq.select(col("word").cast("string"), col("freq").cast("long"))
-    // vocab-sized count (one pass over the aggregate output, not the corpus)
-    if (words.limit((maxDriverVocab + 1).toInt).count() <= maxDriverVocab)
-      learnLocal(words.collect().map(r => (r.getString(0), r.getLong(1))), numMerges)
+    // ONE job doubles as the size probe and (when small) the data: a
+    // separate count() would re-run the corpus-scale frequency
+    // aggregation a second time for the common path
+    val head = words.limit((maxDriverVocab + 1).toInt).collect()
+    if (head.length <= maxDriverVocab)
+      learnLocal(head.map(r => (r.getString(0), r.getLong(1))), numMerges)
     else
+      // rare path: the aggregation runs once more to materialize the
+      // full table (the probe saw only a bounded prefix)
       learnDistributed(spark, words, numMerges)
   }
 
   /** driver loop over a bounded vocabulary (the classic implementation) */
   private[text] def learnLocal(vocab: Array[(String, Long)], numMerges: Int): Seq[Merge] = {
     val syms = vocab.map { case (w, _) =>
-      scala.collection.mutable.ArrayBuffer.from(w.map(_.toString) :+ EOW)
+      scala.collection.mutable.ArrayBuffer.from(baseSymbols(w) :+ EOW)
     }
     val freqs = vocab.map(_._2)
     val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
@@ -87,7 +117,17 @@ object Bpe {
       }
       if (counts.isEmpty) done = true
       else {
-        val ((l, r), pf) = counts.minBy { case ((a, b), f) => (-f, a, b) }
+        // tie-break in code-point order (cpCompare) to match the
+        // distributed path's UTF8String binary ordering exactly
+        val ((l, r), pf) = counts.reduceLeft { (x, y) =>
+          val cmp =
+            if (x._2 != y._2) java.lang.Long.compare(y._2, x._2) // freq desc
+            else {
+              val c1 = cpCompare(x._1._1, y._1._1)
+              if (c1 != 0) c1 else cpCompare(x._1._2, y._1._2)
+            }
+          if (cmp <= 0) x else y
+        }
         merges += Merge(rank, l, r, pf)
         wi = 0
         while (wi < syms.length) {
@@ -115,7 +155,7 @@ object Bpe {
       spark: SparkSession, words: DataFrame, numMerges: Int): Seq[Merge] = {
     import spark.implicits._
     var ds: Dataset[WordSyms] = words.as[(String, Long)]
-      .map { case (w, f) => WordSyms(w.map(_.toString) :+ EOW, f) }
+      .map { case (w, f) => WordSyms(baseSymbols(w) :+ EOW, f) }
       .localCheckpoint(true) // eager: rounds read materialized blocks, not the corpus
     val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
     var rank = 0
@@ -143,8 +183,68 @@ object Bpe {
   /** encode a token with a learned merge table (ranks applied in order) —
     * the apply-side of the tokenizer, for specs and downstream use */
   def encode(word: String, merges: Seq[Merge]): Seq[String] = {
-    var syms: Seq[String] = word.map(_.toString) :+ EOW
+    var syms: Seq[String] = baseSymbols(word) :+ EOW
     merges.sortBy(_.rank).foreach(m => syms = applyMerge(syms, m.left, m.right))
     syms
   }
+
+  /** static kernel entry for [[BpeEncodeTokens]]: flat subword stream of
+    * a whole token array under an ordered merge table */
+  def encodeTokens(toks: org.apache.spark.sql.catalyst.util.ArrayData,
+      merges: Array[(String, String)]): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.unsafe.types.UTF8String]
+    var i = 0
+    while (i < toks.numElements()) {
+      val w = toks.getUTF8String(i)
+      if (w != null) {
+        var syms: Seq[String] = baseSymbols(w.toString) :+ EOW
+        var m = 0
+        while (m < merges.length) {
+          syms = applyMerge(syms, merges(m)._1, merges(m)._2)
+          m += 1
+        }
+        syms.foreach(s => out += org.apache.spark.unsafe.types.UTF8String.fromString(s))
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray[AnyRef])
+  }
+}
+
+/**
+ * Apply-side of the BPE tokenizer as a native Expression: the learned
+ * merge table rides the serialized plan to every executor (the same
+ * pattern as NearestCentroids' centroid matrix) and each row's token
+ * array is rewritten to its subword stream in one compiled call —
+ * tokenizing 100 TB is a scan-stage projection, no shuffle, no UDF.
+ */
+case class BpeEncodeTokens(
+    child: org.apache.spark.sql.catalyst.expressions.Expression,
+    merges: Array[(String, String)])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+  import org.apache.spark.sql.types._
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${t.catalogString}")
+  }
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "bpe_encode_tokens"
+
+  override protected def nullSafeEval(input: Any): Any =
+    Bpe.encodeTokens(input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], merges)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val tbl = ctx.addReferenceObj("merges", merges, "scala.Tuple2[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.text.Bpe.encodeTokens($c, $tbl);")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.catalyst.expressions.Expression = copy(child = newChild)
 }
