@@ -35,6 +35,21 @@ object MultimodalQueries {
       Multimodal.sampleFrames(mf, everyMs = 1000L)
         .groupBy("asset_id")
         .agg(count(lit(1)).as("n_frames"))
+    },
+    // END-TO-END multimodal similarity: manifest -> batched stub decode
+    // -> 8-dim feature -> exact top-3 neighbor search (the decode stub
+    // is pure byte arithmetic, so even the composed pipeline keeps a
+    // full DuckDB oracle — swap the codec and only the features change).
+    // Same plan as knn_flat: one corpus scan, map-side partial top-k.
+    "mm_knn" -> { (s, dir) =>
+      val mf = Multimodal.manifestFrom(Tables.wide(s, dir, "documents"), "doc_id", "text")
+      val feats = Multimodal.decodeFeatures(mf).select(col("asset_id"), col("feature"))
+      val q = feats.where(col("asset_id") < 10)
+        .select(col("asset_id").as("qid"), col("feature").as("qvec"))
+      val d = feats.select(col("asset_id").as("label"), col("feature").as("vec"))
+      graft.search.Knn.searchFlat(d, q, 3, "l2sq")
+        .select(col("qid"), col("rank"), col("label"),
+          Tables.quant4(col("distance")).as("distance"))
     })
 
   def oracles: Map[String, String] = Map(
@@ -71,5 +86,30 @@ object MultimodalQueries {
       """SELECT doc_id AS asset_id,
         |  CAST(floor((length(text) * 10 - 1) / 1000) AS BIGINT) + 1 AS n_frames
         |FROM documents
-        |WHERE doc_id % 3 = 2""".stripMargin)
+        |WHERE doc_id % 3 = 2""".stripMargin,
+    // the full 8-dim stub feature replayed in SQL (slot j = float-rounded
+    // mean of bytes at positions j, j+8, ...), then brute-force top-3 by
+    // L2^2 with the identical double accumulation the kernel runs
+    "mm_knn" ->
+      """WITH f AS (
+        |  SELECT doc_id AS asset_id,
+        |    [CAST(coalesce(list_sum([CAST(ord(substr(text, i, 1)) AS DOUBLE) / 255.0
+        |                             FOR i IN range(j, length(text) + 1, 8)]), 0.0)
+        |          / greatest(1, length(text) // 8) AS FLOAT)
+        |     FOR j IN range(1, 9)] AS feature
+        |  FROM documents
+        |),
+        |q AS (SELECT asset_id AS qid, feature AS a FROM f WHERE asset_id < 10),
+        |d AS (
+        |  SELECT q.qid, e.asset_id AS label,
+        |    list_sum([ (CAST(a[i] AS DOUBLE) - CAST(b[i] AS DOUBLE)) * (CAST(a[i] AS DOUBLE) - CAST(b[i] AS DOUBLE)) FOR i IN range(1, len(a)+1) ]) AS dist
+        |  FROM q CROSS JOIN (SELECT asset_id, feature AS b FROM f) e
+        |),
+        |r AS (
+        |  SELECT qid, label, dist,
+        |    CAST(row_number() OVER (PARTITION BY qid ORDER BY dist ASC, label) - 1 AS INTEGER) AS rank
+        |  FROM d
+        |)
+        |SELECT qid, rank, label, CAST(CAST(dist AS DECIMAL(18,4)) AS DOUBLE) AS distance
+        |FROM r WHERE rank < 3""".stripMargin)
 }

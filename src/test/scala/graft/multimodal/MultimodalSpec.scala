@@ -48,6 +48,22 @@ class MultimodalSpec extends SparkSpec {
     assert(got === Map(0L -> ((100, 50)), 1L -> ((128, 32)), 2L -> ((32, 128)), 3L -> ((128, 128))))
   }
 
+  test("mm_knn: self is rank 0 at distance 0, distances ascend per query") {
+    val rows = graft.SparkEntry.queries("mm_knn")(spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    val byQ = rows.groupBy(_._1)
+    assert(byQ.keySet === (0L until 10L).toSet)
+    byQ.foreach { case (qid, rs) =>
+      val sorted = rs.sortBy(_._2)
+      assert(sorted.length === 3)
+      assert(sorted.head._3 === qid && sorted.head._4 === 0.0,
+        s"query $qid must find itself first")
+      assert(sorted.map(_._4).toSeq === sorted.map(_._4).sorted.toSeq)
+    }
+  }
+
   test("frame sampling yields ceil(duration/step) frames for video assets only") {
     val mf = Multimodal.manifestFrom(docs, "doc_id", "text")
     val frames = Multimodal.sampleFrames(mf, everyMs = 100L)
