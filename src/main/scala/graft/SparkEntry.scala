@@ -17,7 +17,7 @@ object SparkEntry {
       VectorQueries.queries ++
       TextQueries.queries ++ DedupQueries.queries ++ IndexQueries.queries ++
       IndexQueries.scaleQueries ++ MultimodalQueries.queries ++
-      PipelineQueries.queries
+      PipelineQueries.queries ++ RetrievalQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -25,5 +25,6 @@ object SparkEntry {
     RelationalQueries.oracles ++ AnalyticsQueries.oracles ++
       VectorQueries.oracles ++
       TextQueries.oracles ++ DedupQueries.oracles ++ IndexQueries.oracles ++
-      MultimodalQueries.oracles ++ PipelineQueries.oracles
+      MultimodalQueries.oracles ++ PipelineQueries.oracles ++
+      RetrievalQueries.oracles
 }

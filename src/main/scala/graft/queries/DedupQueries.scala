@@ -103,6 +103,37 @@ object DedupQueries {
       d.select(col("doc_id"))
         .join(degree, Seq("doc_id"), "left")
         .select(col("doc_id"), coalesce(col("n_near_dups"), lit(0L)).as("n_near_dups"))
+    },
+    // span-level dedup (RefinedWeb/SlimPajama-style): per doc, how many
+    // of its distinct 4-token spans also occur elsewhere in the corpus.
+    // One explode + one span-key shuffle + one join back — the shuffle
+    // carries (doc_id, span) pairs, never documents. At 100 TB the span
+    // string would ride as a 64-bit hash; it stays text here so the
+    // DuckDB oracle can replay the pipeline exactly.
+    "dedup_spans" -> { (s, dir) =>
+      import graft.text.TextFunctions.tokens
+      val n = 4
+      val d = Tables.wide(s, dir, "documents")
+      val toks = tokens(col("text"))
+      val sh = d.select(col("doc_id"),
+        array_distinct(
+          when(size(toks) >= n,
+            transform(sequence(lit(1), size(toks) - (n - 1)),
+              i => concat_ws(" ", slice(toks, i, lit(n)))))
+          .otherwise(array().cast("array<string>"))).as("spans"))
+      val ex = sh.select(col("doc_id"), explode(col("spans")).as("s"))
+      // (doc_id, s) pairs are distinct, so df = docs containing the span
+      val dupSpans = ex.groupBy("s").agg(count(lit(1)).as("df"))
+        .where(col("df") >= 2).select(col("s"))
+      val perDoc = ex.join(dupSpans, Seq("s"))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_dup_spans"))
+      sh.select(col("doc_id"), size(col("spans")).cast("long").as("n_spans"))
+        .join(perDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_spans"),
+          coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+          when(col("n_spans") === 0, lit(0.0))
+            .otherwise(coalesce(col("n_dup_spans"), lit(0L)).cast("double") /
+              col("n_spans").cast("double")).as("dup_frac"))
     })
 
   private val toksSql = "string_split_regex(lower(trim(text)), '\\s+')"
@@ -112,6 +143,19 @@ object DedupQueries {
        |  ELSE [] END)""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "dedup_spans" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |sh AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 4
+         |  THEN [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] FOR i IN range(1, len(toks)-2)]
+         |  ELSE [] END) AS spans FROM t),
+         |ex AS (SELECT doc_id, unnest(spans) AS s FROM sh),
+         |dfreq AS (SELECT s, count(*) AS df FROM ex GROUP BY s),
+         |dup AS (SELECT doc_id AS d_id, count(*) AS n_dup FROM ex JOIN dfreq USING (s) WHERE df >= 2 GROUP BY doc_id)
+         |SELECT sh.doc_id, CAST(len(sh.spans) AS BIGINT) AS n_spans,
+         |  coalesce(dup.n_dup, CAST(0 AS BIGINT)) AS n_dup_spans,
+         |  CASE WHEN len(sh.spans) = 0 THEN 0.0
+         |       ELSE CAST(coalesce(dup.n_dup, 0) AS DOUBLE) / CAST(len(sh.spans) AS DOUBLE) END AS dup_frac
+         |FROM sh LEFT JOIN dup ON sh.doc_id = dup.d_id""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY text""".stripMargin,

@@ -1,0 +1,156 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.vec
+import graft.text.TextFunctions.tokens
+
+/**
+ * Keyword + hybrid retrieval over the documents corpus — the workload a
+ * user of the reference engine (FAISS index inside an OLAP host) actually
+ * runs: lexical BM25 ranking next to vector ranking, fused per query.
+ *
+ * Scale shape: BM25 is one corpus scan for the per-term stats (a 1-row
+ * aggregate, broadcast back) plus one scoring scan; top-k goes through
+ * TakeOrderedAndProject (per-partition heaps, k rows per partition to the
+ * driver-side merge — never a global sort). The RRF fusion then operates
+ * on two k-row lists, so the window rank / full-outer join are O(k), not
+ * O(corpus). At 100 TB the only full-data costs are the two scans.
+ *
+ * Numeric discipline: idf uses the rational Robertson form
+ * (N - df + 0.5)/(df + 0.5) — no transcendental, so every score is a
+ * fixed chain of correctly-rounded IEEE ops over integer-valued inputs
+ * and the DuckDB oracle reproduces it bit-for-bit (the ln() of classic
+ * BM25 would put us in text_surprisal's libm-ULP territory; ranking is
+ * unaffected because the map df -> idf stays strictly monotone).
+ */
+object RetrievalQueries {
+
+  private[queries] val Terms = Seq("dup", "vector", "scan")
+  private val TopN = 100 // per-modality candidate depth fed to fusion
+  private val OutK = 20
+  // written as the same literals the oracle SQL uses — never as
+  // Scala-computed constants (1.2 + 1.0 need not re-parse as 2.2)
+  private def k1 = lit(1.2)
+  private def k1p1 = lit(2.2)
+  private def b = lit(0.75)
+
+  /** (doc_id, score) for every document, BM25 over [[Terms]]. */
+  private[queries] def bm25Scored(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.wide(s, dir, "documents")
+    val base = d
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .withColumn("dl", size(col("toks")).cast("double"))
+    // one corpus pass -> 1 row of (N, total length, df per term)
+    val aggs = Seq(
+      count(lit(1)).cast("double").as("n_docs"),
+      sum(col("dl")).as("sum_dl")) ++
+      Terms.map(t =>
+        sum(when(array_contains(col("toks"), t), 1L).otherwise(0L))
+          .cast("double").as(s"df_$t"))
+    val stats = base.agg(aggs.head, aggs.tail: _*)
+    // per-term contribution; op order mirrors the oracle SQL exactly
+    def termWeight(t: String): Column = {
+      val tf = size(filter(col("toks"), x => x === lit(t))).cast("double")
+      val idf = (col("n_docs") - col(s"df_$t") + lit(0.5)) / (col(s"df_$t") + lit(0.5))
+      ((tf * k1p1) /
+        (tf + k1 * (lit(0.25) + b * col("dl") / (col("sum_dl") / col("n_docs"))))) * idf
+    }
+    base.crossJoin(broadcast(stats))
+      .select(col("doc_id"), Terms.map(termWeight).reduce(_ + _).as("score"))
+  }
+
+  /** rank within an already-truncated top-N list (N rows — the window's
+    * single partition is intentional and bounded) */
+  private def rankTop(df: DataFrame, order: Seq[Column], rankCol: String): DataFrame =
+    df.withColumn(rankCol, row_number().over(Window.orderBy(order: _*)).cast("long"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // lexical top-20: two scans (stats + score), TakeOrdered top-k
+    "text_bm25" -> { (s, dir) =>
+      bm25Scored(s, dir)
+        .orderBy(col("score").desc, col("doc_id")).limit(OutK)
+        .select(col("doc_id"), Tables.quant4(col("score")).as("bm25"))
+    },
+    // hybrid retrieval: BM25 top-100 and cosine-kNN top-100 fused by
+    // reciprocal-rank fusion (1/(60+r), Cormack et al.) — the standard
+    // lexical+vector serving pattern, here as ONE Catalyst plan
+    "hybrid_rrf" -> { (s, dir) =>
+      val kwTop = bm25Scored(s, dir)
+        .orderBy(col("score").desc, col("doc_id")).limit(TopN)
+      val kw = rankTop(kwTop, Seq(col("score").desc, col("doc_id")), "rank_kw")
+        .select(col("doc_id"), col("rank_kw"))
+
+      val e = Tables(s, dir, "embeddings")
+      val q = e.where(col("vec_id") === 0)
+        .select(vec.vector(col("embedding")).as("qv"))
+      val vdTop = e.crossJoin(broadcast(q))
+        .select(col("vec_id").as("doc_id"),
+          vec.dist("cosine", vec.vector(col("embedding")), col("qv")).as("dist"))
+        .orderBy(col("dist").asc, col("doc_id")).limit(TopN)
+      val vr = rankTop(vdTop, Seq(col("dist").asc, col("doc_id")), "rank_vec")
+        .select(col("doc_id"), col("rank_vec"))
+
+      val rrf =
+        when(col("rank_kw").isNull, lit(0.0))
+          .otherwise(lit(1.0) / (lit(60.0) + col("rank_kw").cast("double"))) +
+        when(col("rank_vec").isNull, lit(0.0))
+          .otherwise(lit(1.0) / (lit(60.0) + col("rank_vec").cast("double")))
+      kw.join(vr, Seq("doc_id"), "outer")
+        .select(col("doc_id"),
+          coalesce(col("rank_kw"), lit(0L)).as("rank_kw"),
+          coalesce(col("rank_vec"), lit(0L)).as("rank_vec"),
+          rrf.as("rrf"))
+        .orderBy(col("rrf").desc, col("doc_id")).limit(OutK)
+        .select(col("doc_id"), col("rank_kw"), col("rank_vec"),
+          Tables.quant8(col("rrf")).as("rrf_score"))
+    })
+
+  private val toksSql = "string_split_regex(lower(trim(text)), '\\s+')"
+
+  private def termWeightSql(t: String): String = {
+    val tf = s"CAST(len(list_filter(toks, x -> x = '$t')) AS DOUBLE)"
+    val idf = s"((n_docs - df_$t + 0.5) / (df_$t + 0.5))"
+    s"(($tf * 2.2) / ($tf + 1.2 * (0.25 + 0.75 * dl / (sum_dl / n_docs)))) * $idf"
+  }
+
+  private val bm25CtesSql: String = {
+    val dfAggs = Terms.map(t =>
+      s"CAST(sum(CASE WHEN list_contains(toks,'$t') THEN 1 ELSE 0 END) AS DOUBLE) AS df_$t")
+      .mkString(",\n  ")
+    val score = Terms.map(termWeightSql).mkString(" + ")
+    s"""t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |b AS (SELECT doc_id, toks, CAST(len(toks) AS DOUBLE) AS dl FROM t),
+       |st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, CAST(sum(dl) AS DOUBLE) AS sum_dl,
+       |  $dfAggs
+       |  FROM b),
+       |sc AS (SELECT doc_id, $score AS score FROM b CROSS JOIN st)""".stripMargin
+  }
+
+  def oracles: Map[String, String] = Map(
+    "text_bm25" ->
+      s"""WITH $bm25CtesSql
+         |SELECT doc_id, ${Tables.quant4Sql("score")} AS bm25
+         |FROM sc ORDER BY score DESC, doc_id LIMIT $OutK""".stripMargin,
+    "hybrid_rrf" ->
+      s"""WITH $bm25CtesSql,
+         |kw AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank_kw
+         |       FROM sc ORDER BY score DESC, doc_id LIMIT $TopN),
+         |q AS (SELECT embedding AS a FROM embeddings WHERE vec_id = 0),
+         |vd AS (SELECT e.vec_id AS doc_id,
+         |         1.0 - list_cosine_similarity(CAST(q.a AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) AS dist
+         |       FROM embeddings e CROSS JOIN q),
+         |vr AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY dist ASC, doc_id) AS BIGINT) AS rank_vec
+         |       FROM vd ORDER BY dist ASC, doc_id LIMIT $TopN),
+         |fused AS (
+         |  SELECT coalesce(kw.doc_id, vr.doc_id) AS doc_id,
+         |    coalesce(kw.rank_kw, CAST(0 AS BIGINT)) AS rank_kw,
+         |    coalesce(vr.rank_vec, CAST(0 AS BIGINT)) AS rank_vec,
+         |    (CASE WHEN kw.rank_kw IS NULL THEN 0.0 ELSE 1.0 / (60.0 + CAST(kw.rank_kw AS DOUBLE)) END)
+         |    + (CASE WHEN vr.rank_vec IS NULL THEN 0.0 ELSE 1.0 / (60.0 + CAST(vr.rank_vec AS DOUBLE)) END) AS rrf
+         |  FROM kw FULL OUTER JOIN vr ON kw.doc_id = vr.doc_id)
+         |SELECT doc_id, rank_kw, rank_vec, ${Tables.quant8Sql("rrf")} AS rrf_score
+         |FROM fused ORDER BY rrf DESC, doc_id LIMIT $OutK""".stripMargin)
+}

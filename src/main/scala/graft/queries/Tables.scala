@@ -54,4 +54,13 @@ object Tables {
   /** oracle-side twin of [[quant4]] */
   def quant4Sql(expr: String): String =
     s"CAST(CAST(($expr) AS DECIMAL(18,4)) AS DOUBLE)"
+
+  /** [[quant4]] at 8 decimals — for scores whose scale sits below 1e-4
+    * (reciprocal-rank fusion values are ~1/60..1/160) */
+  def quant8(c: Column): Column =
+    c.cast(org.apache.spark.sql.types.DecimalType(18, 8)).cast("double")
+
+  /** oracle-side twin of [[quant8]] */
+  def quant8Sql(expr: String): String =
+    s"CAST(CAST(($expr) AS DECIMAL(18,8)) AS DOUBLE)"
 }
