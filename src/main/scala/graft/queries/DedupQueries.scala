@@ -23,6 +23,17 @@ object DedupQueries {
     "dedup_exact" -> { (s, dir) =>
       Dedup.exact(docs(s, dir), "doc_id", "text")
     },
+    // scale pair for text dedup (the knn_flat_big pattern): the corpus
+    // replicated 20x with distinct ids — 100k docs at sf0.1 — through
+    // the same one-shuffle exact dedup. Replication is generated
+    // partition-parallel (range join broadcast), so the scan side never
+    // serializes; the text-key shuffle is the only data movement.
+    "dedup_exact_big" -> { (s, dir) =>
+      val copies = s.range(0, 20).select(col("id").as("copy"))
+      val big = copies.join(broadcast(docs(s, dir)))
+        .select((col("doc_id") + col("copy") * 1000000L).as("doc_id"), col("text"))
+      Dedup.exact(big, "doc_id", "text")
+    },
     // top-20 most-similar bigram-jaccard pairs within an id window of 25
     "dedup_ngram_jaccard" -> { (s, dir) =>
       Dedup.ngramJaccardWindow(docs(s, dir), "doc_id", "text", window = 25, shingleSize = 2)
@@ -159,6 +170,13 @@ object DedupQueries {
     "dedup_exact" ->
       """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY text""".stripMargin,
+    "dedup_exact_big" ->
+      """WITH big AS (
+        |  SELECT d.doc_id + c.c * 1000000 AS doc_id, d.text
+        |  FROM documents d CROSS JOIN (SELECT unnest(range(0, 20)) AS c) c
+        |)
+        |SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM big GROUP BY text""".stripMargin,
     "dedup_ngram_jaccard" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
          |sh AS (SELECT doc_id, $shinglesSql AS sh FROM t),

@@ -14,6 +14,24 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
  */
 object Streaming {
 
+  /**
+   * Streaming top-k: the bounded-heap TypedImperativeAggregate running
+   * under a watermarked window aggregation — per hourly bucket, the k
+   * highest-value events. Exercises the heap's serialize/merge contract
+   * inside the state store: partial heaps merge across micro-batches
+   * exactly as they merge across map tasks in batch, so the streaming
+   * answer equals the batch answer on the same rows (spec-asserted).
+   */
+  def windowTopK(events: DataFrame, k: Int = 3, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(graft.functions.vec
+        .topk(k, col("value"), col("event_id"), ascending = false).as("top"))
+      .select(col("w.start").as("bucket"), posexplode(col("top")).as(Seq("pos", "nn")))
+      .select(col("bucket"), col("nn.rank").as("rank"),
+        col("nn.label").as("event_id"), col("nn.distance").as("value"))
+
   /** tumbling 1h aggregation with a watermark (streaming twin of events_window_agg) */
   def hourlyWindowAgg(events: DataFrame, watermark: String = "2 hours"): DataFrame =
     events

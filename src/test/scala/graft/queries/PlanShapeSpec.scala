@@ -223,4 +223,30 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
     assert(exchanges("embed_cluster") === 1, plan.take(2000))
   }
+
+  test("text_bm25: stats broadcast back, top-k via TakeOrdered — no global sort") {
+    val plan = physical("text_bm25")
+    // the 1-row stats aggregate joins back as a broadcast nested loop
+    // (no key), never a shuffled join
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      plan.take(3000))
+    assert(plan.contains("TakeOrderedAndProject"), "top-k must not be a global Sort+Limit")
+    assert(!plan.contains("GlobalLimit"), plan.take(3000))
+  }
+
+  test("hybrid_rrf: fusion operates on truncated lists — both sides TakeOrdered") {
+    val plan = physical("hybrid_rrf")
+    assert("TakeOrderedAndProject".r.findAllIn(plan).length >= 2,
+      "both modality top-100s must come from per-partition heaps:\n" + plan.take(3000))
+  }
+
+  test("dedup_spans: the span-key shuffle carries (doc_id, span) pairs, not documents") {
+    val q = graft.SparkEntry.queries("dedup_spans")(spark, dir)
+    val plan = q.queryExecution.executedPlan.toString
+    // no full-text column may cross a KEYED shuffle (the round-robin
+    // widen of the single-file scan is allowed to carry text — it IS
+    // the scan stage): every hashpartitioning Exchange moves spans/ids
+    assert(!plan.split("Exchange hashpartitioning").drop(1).exists(_.take(400).contains("text#")),
+      plan.take(4000))
+  }
 }

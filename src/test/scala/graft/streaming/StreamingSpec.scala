@@ -11,6 +11,40 @@ class StreamingSpec extends SparkSpec {
   private def ts(hour: Int, min: Int): Timestamp =
     Timestamp.valueOf(f"2024-01-01 $hour%02d:$min%02d:00")
 
+  test("streaming top-k: bounded heap merges across micro-batches, equals batch") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Long, Double)]
+    // event_id rides in the user_id slot position; schema below renames
+    val df = mem.toDF.toDF("ts", "event_type", "event_id", "value")
+    val q = Streaming.windowTopK(df, k = 2)
+      .writeStream.format("memory").queryName("s_topk").outputMode("complete").start()
+    try {
+      // two separate micro-batches for the SAME window: the second
+      // batch's values displace the first's only via heap MERGE in the
+      // state store, not within one partial aggregation
+      mem.addData((ts(1, 5), "click", 101L, 5.0), (ts(1, 10), "click", 102L, 1.0))
+      q.processAllAvailable()
+      mem.addData((ts(1, 20), "click", 103L, 9.0), (ts(1, 30), "click", 104L, 0.5),
+        (ts(2, 5), "view", 201L, 4.0))
+      q.processAllAvailable()
+      val rows = spark.table("s_topk").collect()
+        .map(r => (r.getTimestamp(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(rows === Set(
+        (ts(1, 0), 0, 103L, 9.0), // batch-2 event outranks batch-1 leader
+        (ts(1, 0), 1, 101L, 5.0),
+        (ts(2, 0), 0, 201L, 4.0)))
+      // batch twin on the same rows agrees
+      val batch = Seq(
+        (ts(1, 5), "click", 101L, 5.0), (ts(1, 10), "click", 102L, 1.0),
+        (ts(1, 20), "click", 103L, 9.0), (ts(1, 30), "click", 104L, 0.5),
+        (ts(2, 5), "view", 201L, 4.0)).toDF("ts", "event_type", "event_id", "value")
+      val batchRows = Streaming.windowTopK(batch, k = 2).collect()
+        .map(r => (r.getTimestamp(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(batchRows === rows)
+    } finally q.stop()
+  }
+
   test("hourly window aggregation over a stream") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
