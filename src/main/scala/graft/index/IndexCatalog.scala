@@ -47,6 +47,8 @@ object IndexCatalog {
   case class HnswKind(m: Int) extends Kind
   /** pre-transform wrapper, e.g. "PCA16,IVF64,Flat" */
   case class PcaKind(outDim: Int, inner: Kind) extends Kind
+  /** learned-rotation pre-transform, e.g. "OPQ8,PQ8" (dim preserved) */
+  case class OpqKind(m: Int, inner: Kind) extends Kind
 
   def parseFactory(factory: String): Kind =
     parseParts(factory.split(",").map(_.trim).filter(_ != "IDMap"))
@@ -56,6 +58,13 @@ object IndexCatalog {
     parts.headOption match {
       case Some(p) if p.startsWith("PCA") && parts.length > 1 =>
         return PcaKind(p.stripPrefix("PCA").toInt, parseParts(parts.tail))
+      case Some(p) if p.startsWith("OPQ") && parts.length > 1 =>
+        // FAISS grammar: OPQ<m>[_<outdim>]; rotation preserves dim, so
+        // an explicit out-dim is only accepted as a no-op marker that
+        // build() re-checks against the index dim
+        val spec = p.stripPrefix("OPQ")
+        val m = spec.split("_")(0).toInt
+        return OpqKind(m, parseParts(parts.tail))
       case _ =>
     }
     val pqPart = parts.find(_.startsWith("PQ")).map(_.stripPrefix("PQ").toInt)
@@ -160,10 +169,12 @@ object IndexCatalog {
     // ordering
     def isL2 = mid == VectorMath.L2SQ || mid == VectorMath.L2
     e.kind match {
-      case HnswKind(_) | PcaKind(_, HnswKind(_)) if !Nsw.supportsMetric(mid) =>
+      case HnswKind(_) | PcaKind(_, HnswKind(_)) | OpqKind(_, HnswKind(_))
+          if !Nsw.supportsMetric(mid) =>
         throw new IllegalArgumentException(
           s"HNSW supports metrics l2sq/l2/ip/cosine, got '$metric'")
-      case PqKind(_, _) | SqKind(_) | PcaKind(_, PqKind(_, _)) | PcaKind(_, SqKind(_)) if !isL2 =>
+      case PqKind(_, _) | SqKind(_) | PcaKind(_, PqKind(_, _)) | PcaKind(_, SqKind(_)) |
+          OpqKind(_, PqKind(_, _)) | OpqKind(_, SqKind(_)) if !isL2 =>
         throw new IllegalArgumentException(
           s"PQ/SQ quantized search implements the FAISS L2 convention (ADC + L2 re-rank); got '$metric'")
       case _ => ()
@@ -296,6 +307,16 @@ object IndexCatalog {
           e.trainedPca = Some((mean, comps))
           trainPointsKind(e, inner, pts.map(Pca.projectArr(_, mean, comps)), seed)
         }
+      case OpqKind(m, inner) =>
+        // same wrapper shape as PCA: the rotation lands in trainedPca
+        // (mean = 0) so projection + persistence reuse the PCA path
+        val pts = samplePoints(sample)
+        if (pts.nonEmpty) {
+          val comps = Opq.train(pts, m, seed = seed)
+          val zero = new Array[Float](pts(0).length)
+          e.trainedPca = Some((zero, comps))
+          trainPointsKind(e, inner, pts.map(Pca.projectArr(_, zero, comps)), seed)
+        }
       case _ => // Flat/LSH/HNSW need no training
     }
     e.built.foreach(_.close())
@@ -330,8 +351,8 @@ object IndexCatalog {
           if (nlist > 1) Some(Pq.localKMeans(pts, math.min(nlist, pts.length), seed + 999, 10))
           else None
         e.trainedSq = Some((vmin, vdiff, cents))
-      case PcaKind(_, _) =>
-        throw new IllegalArgumentException("nested PCA pretransforms are not supported")
+      case PcaKind(_, _) | OpqKind(_, _) =>
+        throw new IllegalArgumentException("nested pretransforms are not supported")
       case _ => // Flat/LSH/HNSW need no training
     }
 
@@ -403,6 +424,24 @@ object IndexCatalog {
           PcaProject(GraftBridge.expression(col("vec")), mean, comps))
         val projected = data.select(col("label"), proj.as("vec"))
         new PcaBuilt(buildKind(e, inner, projected, metricId), mean, comps)
+      case OpqKind(m, inner) =>
+        val (mean, comps) = e.trainedPca.getOrElse {
+          val pts = boundedSample(data)
+          if (pts.isEmpty)
+            throw new IllegalStateException(
+              "cannot auto-train an OPQ pretransform on an empty index")
+          require(pts(0).length == e.meta.dim,
+            s"OPQ$m expects dim ${e.meta.dim} vectors")
+          val trained = (new Array[Float](e.meta.dim), Opq.train(pts, m, seed = seed(e)))
+          e.trainedPca = Some(trained)
+          // inner quantizers train in the ROTATED space
+          trainPointsKind(e, inner, pts.map(Pca.projectArr(_, trained._1, trained._2)), seed(e))
+          trained
+        }
+        val proj = GraftBridge.column(
+          PcaProject(GraftBridge.expression(col("vec")), mean, comps))
+        val rotated = data.select(col("label"), proj.as("vec"))
+        new PcaBuilt(buildKind(e, inner, rotated, metricId), mean, comps)
     }
 
   /**

@@ -117,6 +117,16 @@ object IndexQueries {
       IndexCatalog.add(embData(s, dir), name)
       quantized(IndexCatalog.search(name, 5, embQueries(s, dir)))
     },
+    // OPQ: learned-rotation pretransform ahead of PQ (FAISS factory
+    // "OPQ8,PQ8") — the rotation decorrelates subspaces so PQ codes
+    // waste less of their budget; rows-only (approximate), error-
+    // improvement + isometry + save/load are spec-asserted (OpqSpec)
+    "knn_opq" -> { (s, dir) =>
+      val name = fresh("q_opq")
+      IndexCatalog.create(name, 64, "IDMap,OPQ8,PQ8", "l2sq", Map("refine" -> "24"))
+      IndexCatalog.add(embData(s, dir), name)
+      quantized(IndexCatalog.search(name, 5, embQueries(s, dir)))
+    },
     // IVF-PQ: 64 floats -> 8 bytes, ADC + exact re-rank (approximate ->
     // rows-only here; recall vs exact search is spec-asserted)
     "knn_pq" -> { (s, dir) =>
