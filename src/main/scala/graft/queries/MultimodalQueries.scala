@@ -50,6 +50,24 @@ object MultimodalQueries {
       graft.search.Knn.searchFlat(d, q, 3, "l2sq")
         .select(col("qid"), col("rank"), col("label"),
           Tables.quant4(col("distance")).as("distance"))
+    },
+    // multimodal near-dup screen: decoded-feature pairs within an L2^2
+    // radius over a bounded id window (the dedup_embedding pattern on
+    // the OTHER modality) — decode and pairing compose in one plan, and
+    // the replayable stub keeps the oracle exact. The 100 TB shape is
+    // AnnJoin.ivfRadiusJoin over the same features (dedup_embedding_ann)
+    "mm_dedup" -> { (s, dir) =>
+      val mf = Multimodal.manifestFrom(Tables.wide(s, dir, "documents"), "doc_id", "text")
+      val feats = Multimodal.decodeFeatures(mf).select(col("asset_id"), col("feature"))
+      val a = feats.select(col("asset_id").as("a_id"), col("feature").as("fa"))
+      val b = feats.select(col("asset_id").as("b_id"), col("feature").as("fb"))
+      a.join(b, col("b_id") > col("a_id") && col("b_id") <= col("a_id") + 50)
+        .select(col("a_id"), col("b_id"),
+          graft.functions.vec.dist("l2sq",
+            graft.functions.vec.vector(col("fa")),
+            graft.functions.vec.vector(col("fb"))).as("d"))
+        .where(col("d") < 0.001)
+        .select(col("a_id"), col("b_id"), Tables.quant8(col("d")).as("feat_dist"))
     })
 
   def oracles: Map[String, String] = Map(
@@ -111,5 +129,22 @@ object MultimodalQueries {
         |  FROM d
         |)
         |SELECT qid, rank, label, CAST(CAST(dist AS DECIMAL(18,4)) AS DOUBLE) AS distance
-        |FROM r WHERE rank < 3""".stripMargin)
+        |FROM r WHERE rank < 3""".stripMargin,
+    // same stub-feature replay, windowed pair join, radius predicate
+    "mm_dedup" ->
+      """WITH f AS (
+        |  SELECT doc_id AS asset_id,
+        |    [CAST(coalesce(list_sum([CAST(ord(substr(text, i, 1)) AS DOUBLE) / 255.0
+        |                             FOR i IN range(j, length(text) + 1, 8)]), 0.0)
+        |          / greatest(1, length(text) // 8) AS FLOAT)
+        |     FOR j IN range(1, 9)] AS feature
+        |  FROM documents
+        |),
+        |p AS (
+        |  SELECT a.asset_id AS a_id, b.asset_id AS b_id,
+        |    list_sum([ (CAST(a.feature[i] AS DOUBLE) - CAST(b.feature[i] AS DOUBLE)) * (CAST(a.feature[i] AS DOUBLE) - CAST(b.feature[i] AS DOUBLE)) FOR i IN range(1, 9) ]) AS d
+        |  FROM f a JOIN f b ON b.asset_id > a.asset_id AND b.asset_id <= a.asset_id + 50
+        |)
+        |SELECT a_id, b_id, CAST(CAST(d AS DECIMAL(18,8)) AS DOUBLE) AS feat_dist
+        |FROM p WHERE d < 0.001""".stripMargin)
 }
