@@ -59,12 +59,15 @@ object IndexCatalog {
       case Some(p) if p.startsWith("PCA") && parts.length > 1 =>
         return PcaKind(p.stripPrefix("PCA").toInt, parseParts(parts.tail))
       case Some(p) if p.startsWith("OPQ") && parts.length > 1 =>
-        // FAISS grammar: OPQ<m>[_<outdim>]; rotation preserves dim, so
-        // an explicit out-dim is only accepted as a no-op marker that
-        // build() re-checks against the index dim
+        // FAISS grammar: OPQ<m>[_<outdim>]. Our rotation preserves the
+        // input dim; a dim-REDUCING OPQ would silently build a different
+        // structure than FAISS, so the suffix form fails loudly (use a
+        // PCA<d> index for dimensionality reduction)
         val spec = p.stripPrefix("OPQ")
-        val m = spec.split("_")(0).toInt
-        return OpqKind(m, parseParts(parts.tail))
+        if (spec.contains("_"))
+          throw new UnsupportedOperationException(
+            s"'$p': OPQ out-dim reduction is not supported (rotation preserves dim)")
+        return OpqKind(spec.toInt, parseParts(parts.tail))
       case _ =>
     }
     val pqPart = parts.find(_.startsWith("PQ")).map(_.stripPrefix("PQ").toInt)
@@ -741,12 +744,22 @@ object IndexCatalog {
         restrict: DataFrame => DataFrame): DataFrame =
       inner.searchRestricted(projectQueries(queries), k, params, restrict)
 
-    // radius applies in the PROJECTED space (exact for full-rank PCA,
-    // which is an isometry; a lower-bound filter for truncated PCA)
+    // radius applies in the PROJECTED space. A full-rank orthonormal
+    // transform (rotation / full PCA) is an isometry, so distances and
+    // the radius predicate are exact; under a TRUNCATED transform the
+    // projected distance only lower-bounds the true one — hits would be
+    // invented and the emitted distance would silently be the projected
+    // value, so that case fails loudly instead of returning wrong rows
     override def searchRadius(
         queries: DataFrame, radius: Double, params: Map[String, String],
-        restrict: DataFrame => DataFrame = identity): DataFrame =
+        restrict: DataFrame => DataFrame = identity): DataFrame = {
+      if (comps.length < mean.length)
+        throw new UnsupportedOperationException(
+          s"range search through a truncated ${comps.length}-of-${mean.length}-dim " +
+            "pretransform would return projected-space distances; use k-NN search " +
+            "or a full-rank transform")
       inner.searchRadius(projectQueries(queries), radius, params, restrict)
+    }
 
     override def close(): Unit = inner.close()
   }

@@ -62,9 +62,14 @@ object DedupQueries {
           right = e.select(col("vec_id").as("label"), col("embedding").as("vec")),
           radius = 0.65, nlist = 16, nprobe = 4, metric = "cosine",
           excludeSelf = true)
-        .where(col("qid") < col("label")) // canonical (a < b) pair orientation
-        .select(col("qid").as("a_id"), col("label").as("b_id"),
+        // canonicalize orientation with least/greatest + distinct rather
+        // than filtering qid < label: probing is asymmetric (b may sit in
+        // a's probed lists but not vice versa), so a filter would drop
+        // pairs the join already discovered in the other orientation
+        .select(least(col("qid"), col("label")).as("a_id"),
+          greatest(col("qid"), col("label")).as("b_id"),
           Tables.quant4(col("distance")).as("cosine_dist"))
+        .dropDuplicates("a_id", "b_id")
     },
     // MinHash-LSH: per-doc candidate-duplicate degree (custom hash family
     // -> no SQL oracle; planted dups at sf0.1 give nonzero counts)

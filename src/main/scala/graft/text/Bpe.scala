@@ -84,7 +84,8 @@ object Bpe {
     // ONE job doubles as the size probe and (when small) the data: a
     // separate count() would re-run the corpus-scale frequency
     // aggregation a second time for the common path
-    val head = words.limit((maxDriverVocab + 1).toInt).collect()
+    val head = words
+      .limit(math.min(maxDriverVocab + 1, Int.MaxValue.toLong).toInt).collect()
     if (head.length <= maxDriverVocab)
       learnLocal(head.map(r => (r.getString(0), r.getLong(1))), numMerges)
     else
@@ -173,7 +174,12 @@ object Bpe {
       else {
         val (l, r, pf) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
         merges += Merge(rank, l, r, pf)
+        // unpersist the PREVIOUS round's checkpoint once the new one is
+        // materialized — otherwise numMerges copies of the symbol table
+        // pile up in executor storage on a corpus-scale vocabulary
+        val prev = ds
         ds = ds.map(w => WordSyms(applyMerge(w.syms, l, r), w.freq)).localCheckpoint(true)
+        prev.unpersist()
         rank += 1
       }
     }

@@ -102,4 +102,25 @@ class OpqSpec extends SparkSpec {
       IndexCatalog.create("t_opq_ip", 8, "IDMap,OPQ4,PQ4", "ip")
     }
   }
+
+  test("dim-reducing OPQ factory suffix fails loudly instead of silently ignoring it") {
+    intercept[UnsupportedOperationException] {
+      IndexCatalog.create("t_opq_dimred", 64, "IDMap,OPQ8_16,PQ8", "l2sq")
+    }
+  }
+
+  test("range search through a TRUNCATED pretransform fails loudly (projected distances)") {
+    import spark.implicits._
+    val line = (0 until 64).map(i => (i.toLong, Array(i.toFloat, 0.0f))).toDF("label", "vec")
+    IndexCatalog.create("t_pca_radius", 2, "IDMap,PCA1,Flat", "l2sq")
+    IndexCatalog.add(line, "t_pca_radius")
+    val q = Seq((0L, Array(1.0f, 0.0f))).toDF("qid", "qvec")
+    intercept[UnsupportedOperationException] {
+      IndexCatalog.searchRadius("t_pca_radius", 4.0, q).collect()
+    }
+    // full-rank stays supported (isometry -> exact)
+    IndexCatalog.create("t_pca_radius_full", 2, "IDMap,PCA2,Flat", "l2sq")
+    IndexCatalog.add(line, "t_pca_radius_full")
+    assert(IndexCatalog.searchRadius("t_pca_radius_full", 4.5, q).count() >= 3)
+  }
 }
