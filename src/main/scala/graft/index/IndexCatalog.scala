@@ -274,10 +274,23 @@ object IndexCatalog {
           guardAddDim(vec.vector(col(df.columns(1))), e.meta.dim, e.meta.name).as("vec"))
     }
     e.pending = Some(e.pending.map(_.unionByName(normalized)).getOrElse(normalized))
-    e.built.foreach(_.close())
-    e.built = None
+    // a built top-level IVF with pinned centroids extends INCREMENTALLY:
+    // only the new batch is assigned (O(batch) per micro-batch — the
+    // real-time ingest path); every other built kind rebuilds lazily
+    e.built = e.built match {
+      case Some(ivf: IvfBuilt) if ivf.centroids.nonEmpty =>
+        Some(ivf.appended(normalized))
+      case other =>
+        other.foreach(_.close())
+        None
+    }
     }
   }
+
+  /** whether the index currently holds usable built state (exposed so
+    * callers/specs can observe that an add extended it incrementally
+    * instead of invalidating it) */
+  def isBuilt(name: String): Boolean = entry(name).built.isDefined
 
   /** train now on a sample (IVF: KMeans centroids; PQ: codebooks +
     * coarse centroids); later adds don't retrain. Invalidates any built
@@ -774,8 +787,35 @@ object IndexCatalog {
       val data: DataFrame, // (list_id int, label bigint, vec array<float>)
       val meta: IndexMeta,
       val centroids: Array[Array[Float]],
-      metricId: Int)
+      metricId: Int,
+      cachedParts: Seq[DataFrame] = Nil) // union components to release on close
       extends BuiltIndex {
+
+    override def close(): Unit = { data.unpersist(); cachedParts.foreach(_.unpersist()) }
+
+    /**
+     * Incremental append — the real-time-serving path: assign ONLY the
+     * new rows to lists with the ALREADY-TRAINED centroids and union
+     * them with the existing (cached, materialized) assignment, so a
+     * micro-batch add costs O(batch), not O(corpus). Results are
+     * identical to a full rebuild because assignment is a pure function
+     * of (vec, centroids) and the centroids are pinned. Appended batches
+     * skip the per-list repartition (a shuffle per micro-batch for rows
+     * that are a rounding error of the corpus); a periodic compaction —
+     * or save/load, which rewrites the list-partitioned layout — restores
+     * full co-location.
+     */
+    private[index] def appended(newRows: DataFrame): IvfBuilt = {
+      val assign = GraftBridge.column(
+        NearestCentroids(GraftBridge.expression(col("vec")), centroids, 1, metricId))
+      val assignedNew = newRows
+        .select(
+          when(size(assign) > 0, element_at(assign, 1)).otherwise(lit(-1)).as("list_id"),
+          col("label"), col("vec"))
+        .cache()
+      new IvfBuilt(data.unionByName(assignedNew), meta, centroids, metricId,
+        (if (cachedParts.isEmpty) Seq(data) else cachedParts) :+ assignedNew)
+    }
 
     def search(queries: DataFrame, k: Int, params: Map[String, String]): DataFrame =
       searchRestricted(queries, k, params, identity)

@@ -1,0 +1,73 @@
+package graft.index
+
+import graft.SparkSpec
+import graft.search.Knn
+
+/** Incremental IVF append: add-after-build extends the built index in
+  * O(batch) instead of invalidating it (the real-time ingest path). */
+class IncrementalSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  override def afterAll(): Unit = { IndexCatalog.destroyAll(); super.afterAll() }
+
+  private def vecs(ids: Range) = {
+    import spark.implicits._
+    ids.map(i => (i.toLong, Array((i % 16).toFloat, (i / 16).toFloat))).toDF("label", "vec")
+  }
+  private def qs = {
+    import spark.implicits._
+    Seq((0L, Array(3.2f, 3.1f)), (1L, Array(12.0f, 1.0f))).toDF("qid", "qvec")
+  }
+  private def resultSet(name: String) =
+    IndexCatalog.search(name, 4, qs).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+
+  test("add after build keeps built state and equals a full rebuild (exhaustive probe)") {
+    IndexCatalog.create("t_incr", 2, "IDMap,IVF4,Flat", "l2sq", Map("nprobe" -> "4"))
+    IndexCatalog.add(vecs(0 until 128), "t_incr")
+    IndexCatalog.search("t_incr", 4, qs).count() // forces build
+    assert(IndexCatalog.isBuilt("t_incr"))
+
+    IndexCatalog.add(vecs(128 until 256), "t_incr")
+    assert(IndexCatalog.isBuilt("t_incr"),
+      "IVF add must extend the built index incrementally, not invalidate it")
+    val incremental = resultSet("t_incr")
+
+    // fresh index over the SAME total corpus with the SAME centroids:
+    // pin them by training the reference index on the first batch only,
+    // exactly what the incremental index saw at its build
+    IndexCatalog.create("t_incr_ref", 2, "IDMap,IVF4,Flat", "l2sq", Map("nprobe" -> "4"))
+    IndexCatalog.manualTrain(vecs(0 until 128).select(col("vec")), "t_incr_ref")
+    IndexCatalog.add(vecs(0 until 256), "t_incr_ref")
+    assert(incremental === resultSet("t_incr_ref"))
+
+    // and at exhaustive probe both equal brute force over the union
+    val want = Knn.searchFlat(
+        vecs(0 until 256), qs, 4, "l2sq").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(incremental === want)
+  }
+
+  test("incrementally appended rows are immediately searchable and probe-pruned") {
+    IndexCatalog.create("t_incr2", 2, "IDMap,IVF4,Flat", "l2sq", Map("nprobe" -> "4"))
+    IndexCatalog.add(vecs(0 until 64), "t_incr2")
+    IndexCatalog.search("t_incr2", 2, qs).count()
+    // append a vector that becomes the new exact nearest neighbor of q0
+    import spark.implicits._
+    IndexCatalog.add(Seq((999L, Array(3.2f, 3.1f))).toDF("label", "vec"), "t_incr2")
+    val top = IndexCatalog.search("t_incr2", 1, qs).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(top(0L) === 999L, "appended row must win the top-1 immediately")
+  }
+
+  test("non-IVF kinds still invalidate on add (rebuild path unchanged)") {
+    IndexCatalog.create("t_incr_flat", 2, "IDMap,Flat", "l2sq")
+    IndexCatalog.add(vecs(0 until 32), "t_incr_flat")
+    IndexCatalog.search("t_incr_flat", 2, qs).count()
+    assert(IndexCatalog.isBuilt("t_incr_flat"))
+    IndexCatalog.add(vecs(32 until 64), "t_incr_flat")
+    assert(!IndexCatalog.isBuilt("t_incr_flat"))
+    // and the rebuild sees everything
+    assert(IndexCatalog.search("t_incr_flat", 2, qs).count() === 4)
+  }
+}
