@@ -292,6 +292,31 @@ object IndexCatalog {
     * instead of invalidating it) */
   def isBuilt(name: String): Boolean = entry(name).built.isDefined
 
+  /**
+   * Collapse an incrementally-extended IVF back to one materialized,
+   * list-co-partitioned cache — the maintenance step a long-running
+   * ingest stream schedules between micro-batches: appended batches skip
+   * the per-list repartition and stack a union lineage, so periodically
+   * folding them restores bounded plan depth and per-list locality.
+   * Results are unchanged (same rows, same assignment); a no-op for
+   * anything that is not a built top-level IVF.
+   */
+  def compact(name: String): Unit = {
+    val e = entry(name)
+    e.synchronized {
+      if (e.destroyed) throw new NoSuchElementException(s"no index named '$name'")
+      e.built match {
+        case Some(ivf: IvfBuilt) =>
+          val folded = ivf.data.repartition(col("list_id")).cache()
+          folded.count() // materialize BEFORE releasing the parts it reads from
+          ivf.close()
+          e.built = Some(new IvfBuilt(
+            folded, ivf.meta, ivf.centroids, VectorMath.metricId(e.meta.metric)))
+        case _ => ()
+      }
+    }
+  }
+
   /** train now on a sample (IVF: KMeans centroids; PQ: codebooks +
     * coarse centroids); later adds don't retrain. Invalidates any built
     * state so retraining after a search takes effect on the next one. */

@@ -30,13 +30,14 @@ object Opq {
     * row-basis form where y_j = comps(j) . x */
   def train(
       samples: Array[Array[Float]], m: Int,
-      iters: Int = 4, seed: Long = 42L): Array[Array[Float]] = {
+      iters: Int = 3, seed: Long = 42L): Array[Array[Float]] = {
     require(samples.nonEmpty, "OPQ training needs a non-empty sample")
     val dim = samples(0).length
     require(dim % m == 0, s"dim $dim not divisible by OPQ m=$m")
-    // the alternation converges on a few thousand points; cap so each
-    // iteration's per-subspace kmeans stays cheap
-    val pts = if (samples.length > 4096) samples.take(4096) else samples
+    // the alternation converges on a couple thousand points; cap so each
+    // iteration's per-subspace kmeans stays cheap (quality is gated by
+    // OpqSpec's reconstruction-error-improvement assertion)
+    val pts = if (samples.length > 2048) samples.take(2048) else samples
     val n = pts.length
     // FAISS-style init: a seeded RANDOM rotation, not identity — the
     // identity is a fixed point of the alternation whenever the PQ
@@ -48,7 +49,7 @@ object Opq {
     while (it < iters) {
       // Y = X R  (row-vector convention)
       val rotated = pts.map(applyRot(_, r))
-      val books = Pq.train(rotated, m, seed + it, maxIter = 4)
+      val books = Pq.train(rotated, m, seed + it, maxIter = 3)
       // reconstructions of the rotated points
       val recon = rotated.map(reconstruct(_, books))
       // M = X' Yhat  (dim x dim)

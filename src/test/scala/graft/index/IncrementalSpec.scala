@@ -60,6 +60,22 @@ class IncrementalSpec extends SparkSpec {
     assert(top(0L) === 999L, "appended row must win the top-1 immediately")
   }
 
+  test("compact() folds appended batches; results unchanged, built state kept") {
+    IndexCatalog.create("t_incr3", 2, "IDMap,IVF4,Flat", "l2sq", Map("nprobe" -> "4"))
+    IndexCatalog.add(vecs(0 until 64), "t_incr3")
+    IndexCatalog.search("t_incr3", 4, qs).count()
+    IndexCatalog.add(vecs(64 until 128), "t_incr3")
+    IndexCatalog.add(vecs(128 until 192), "t_incr3")
+    val before = resultSet("t_incr3")
+    IndexCatalog.compact("t_incr3")
+    assert(IndexCatalog.isBuilt("t_incr3"))
+    assert(resultSet("t_incr3") === before)
+    // still incremental after compaction
+    IndexCatalog.add(vecs(192 until 200), "t_incr3")
+    assert(IndexCatalog.isBuilt("t_incr3"))
+    assert(IndexCatalog.search("t_incr3", 4, qs).count() === 8)
+  }
+
   test("non-IVF kinds still invalidate on add (rebuild path unchanged)") {
     IndexCatalog.create("t_incr_flat", 2, "IDMap,Flat", "l2sq")
     IndexCatalog.add(vecs(0 until 32), "t_incr_flat")
