@@ -108,6 +108,32 @@ object PipelineQueries {
         .where(bucket < rate)
         .select(col("doc_id"), col("lang"))
     },
+    // the >1-epoch complement of mixture_sample: per-domain epoch
+    // weights (DoReMi-style) materialized as deterministic row copies —
+    // floor(epochs) guaranteed copies plus one more for the content-hash
+    // bucket fraction, so the REALIZED mix converges to the weights with
+    // zero randomness (same rows on any engine/partitioning/run). The
+    // expansion is a scan-stage explode of a per-row sequence: no
+    // shuffle, and output size is exactly sum(epochs_d * |domain d|).
+    "mixture_upsample" -> { (s, dir) =>
+      val bucket = conv(substring(md5(col("text")), 1, 4), 16, 10).cast("int") % 10000
+      // epochs: en 2.3, zh 1.0, es 0.6, de 1.5, fr 0.0 (dropped) —
+      // written as integer + fractional-bucket parts (no float division)
+      val intPart = when(col("lang") === "en", 2L)
+        .when(col("lang") === "zh", 1L)
+        .when(col("lang") === "de", 1L)
+        .otherwise(0L)
+      val fracBuckets = when(col("lang") === "en", 3000)
+        .when(col("lang") === "es", 6000)
+        .when(col("lang") === "de", 5000)
+        .otherwise(0)
+      val nCopies = intPart + when(bucket < fracBuckets, 1L).otherwise(0L)
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), nCopies.as("n_copies"))
+        .where(col("n_copies") > 0)
+        .select(col("doc_id"), col("lang"),
+          explode(sequence(lit(0L), col("n_copies") - 1L)).as("copy"))
+    },
     // TPC-H Q4-style EXISTS: orders with any late-shipping lineitem
     "q4_priority" -> { (s, dir) =>
       val li = Tables(s, dir, "lineitem").select(col("l_orderkey"), col("l_shipdate"))
@@ -182,6 +208,17 @@ object PipelineQueries {
       """SELECT doc_id, lang FROM documents
         |WHERE CAST(('0x' || substring(md5(text), 1, 4)) AS INTEGER) % 10000 <
         |  CASE WHEN lang = 'en' THEN 9000 WHEN lang = 'de' THEN 5000 ELSE 2500 END""".stripMargin,
+    "mixture_upsample" ->
+      """WITH n AS (
+        |  SELECT doc_id, lang,
+        |    (CASE WHEN lang = 'en' THEN 2 WHEN lang = 'zh' THEN 1 WHEN lang = 'de' THEN 1 ELSE 0 END)
+        |    + (CASE WHEN CAST(('0x' || substring(md5(text), 1, 4)) AS INTEGER) % 10000 <
+        |         (CASE WHEN lang = 'en' THEN 3000 WHEN lang = 'es' THEN 6000 WHEN lang = 'de' THEN 5000 ELSE 0 END)
+        |       THEN 1 ELSE 0 END) AS n_copies
+        |  FROM documents
+        |)
+        |SELECT doc_id, lang, CAST(unnest(range(0, n_copies)) AS BIGINT) AS copy
+        |FROM n WHERE n_copies > 0""".stripMargin,
     "q4_priority" ->
       """SELECT o_orderpriority, count(*) AS n_orders
         |FROM orders o

@@ -75,4 +75,25 @@ class PipelineQueriesSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(rows.forall(r => mix.contains(r.getLong(0))))
   }
+
+  test("mixture_upsample: copies bounded by epochs, realized mix tracks the weights") {
+    val rows = PipelineQueries.queries("mixture_upsample")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    // per-doc copy ids are dense 0..n-1 and within the per-lang ceiling
+    val ceil = Map("en" -> 3L, "zh" -> 1L, "es" -> 1L, "de" -> 2L)
+    rows.groupBy(_._1).foreach { case (_, copies) =>
+      val lang = copies.head._2
+      assert(!lang.equals("fr"), "fr has epoch weight 0 and must be dropped")
+      assert(copies.map(_._3).sorted.toSeq === (0L until copies.length).toSeq)
+      assert(copies.length <= ceil(lang))
+    }
+    // realized epochs approximate the configured weights (hash buckets
+    // are uniform; sf0.001 counts are small, so allow a loose band)
+    val src = Tables(spark, dir, "documents").groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val out = rows.groupBy(_._2).view.mapValues(_.length.toDouble).toMap
+    val realizedEn = out("en") / src("en")
+    assert(realizedEn > 1.8 && realizedEn < 2.8, s"en epochs realized $realizedEn, want ~2.3")
+  }
 }
