@@ -20,6 +20,7 @@ object Profile {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     if (name == "ivfbig-breakdown") { ivfBigBreakdown(spark, sfDir); spark.stop(); return }
+    if (name == "saveload-breakdown") { saveLoadBreakdown(spark, sfDir); spark.stop(); return }
     val fn = graft.SparkEntry.queries(name)
     val warmDir = {
       val w = "/root/testdata/sf0.001"
@@ -39,6 +40,32 @@ object Profile {
     val r = f
     System.err.println(f"[profile]   $label: ${(System.nanoTime() - t0) / 1e9}%.3f s")
     r
+  }
+
+  /** stage-level timing of the vs_index_saveload lifecycle */
+  private def saveLoadBreakdown(spark: SparkSession, dir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    import graft.functions.vec
+    import graft.index.IndexCatalog
+    (1 to 2).foreach { round =>
+      System.err.println(s"[profile] -- round $round --")
+      if (IndexCatalog.exists("prof_svl")) IndexCatalog.destroy("prof_svl")
+      val data = graft.queries.Tables(spark, dir, "embeddings")
+        .select(col("vec_id").as("label"), vec.vector(col("embedding")).as("vec"))
+      val qs = graft.queries.Tables(spark, dir, "embeddings").where(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), vec.vector(col("embedding")).as("qvec"))
+      val path = new java.io.File(
+        System.getProperty("java.io.tmpdir"), "graft_prof_svl").getAbsolutePath
+      t("create+add") {
+        IndexCatalog.create("prof_svl", 64, "IDMap,IVF16,Flat", "l2sq", Map("nprobe" -> "16"))
+        IndexCatalog.add(data, "prof_svl")
+      }
+      t("build") { IndexCatalog.build("prof_svl") }
+      t("save") { IndexCatalog.save("prof_svl", path) }
+      t("destroy") { IndexCatalog.destroy("prof_svl") }
+      t("load") { IndexCatalog.load("prof_svl", path, spark) }
+      t("search") { IndexCatalog.search("prof_svl", 5, qs).count() }
+    }
   }
 
   /** stage-level timing of the knn_ivf_big lifecycle */

@@ -76,6 +76,33 @@ class IncrementalSpec extends SparkSpec {
     assert(IndexCatalog.search("t_incr3", 4, qs).count() === 8)
   }
 
+  test("searches racing incremental adds never fail and never lose settled rows") {
+    import spark.implicits._
+    IndexCatalog.create("t_incr_race", 2, "IDMap,IVF4,Flat", "l2sq", Map("nprobe" -> "4"))
+    IndexCatalog.add(vecs(0 until 64), "t_incr_race")
+    IndexCatalog.search("t_incr_race", 2, qs).count()
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val adder = new Thread(() => (0 until 8).foreach { b =>
+      try IndexCatalog.add(
+        Seq((1000L + b, Array(b.toFloat, b.toFloat))).toDF("label", "vec"), "t_incr_race")
+      catch { case t: Throwable => errs.add(t) }
+    })
+    val searcher = new Thread(() => (0 until 8).foreach { _ =>
+      try {
+        // every search must return a full result set over SOME prefix of
+        // the add stream (at least the initially-built 64 rows)
+        val n = IndexCatalog.search("t_incr_race", 2, qs).count()
+        if (n != 4) errs.add(new AssertionError(s"got $n result rows"))
+      } catch { case t: Throwable => errs.add(t) }
+    })
+    adder.start(); searcher.start(); adder.join(); searcher.join()
+    assert(errs.isEmpty, errs.toString)
+    // all adds settled: the final index sees every appended row
+    val all = IndexCatalog.search("t_incr_race", 2,
+      Seq((9L, Array(7.0f, 7.0f))).toDF("qid", "qvec")).collect()
+    assert(all.nonEmpty)
+  }
+
   test("non-IVF kinds still invalidate on add (rebuild path unchanged)") {
     IndexCatalog.create("t_incr_flat", 2, "IDMap,Flat", "l2sq")
     IndexCatalog.add(vecs(0 until 32), "t_incr_flat")
