@@ -24,7 +24,10 @@ import graft.search.Knn
  *  - `add` is lazy: pending batches union into the plan, the index
  *    materializes (trains + assigns + caches) on first search/save —
  *    mirroring FAISS's "add retrains unless manually trained" contract
- *    without re-clustering per micro-batch
+ *    without re-clustering per micro-batch. Exception: adding to an
+ *    ALREADY-BUILT top-level IVF extends the built structure
+ *    incrementally (only the batch is assigned, centroids pinned —
+ *    the real-time ingest path); compact() folds appended batches
  *  - save = parquet (partitioned by IVF list for partition pruning) +
  *    a one-row meta DataFrame; load restores lazily
  */
@@ -289,26 +292,43 @@ object IndexCatalog {
 
   /** whether the index currently holds usable built state (exposed so
     * callers/specs can observe that an add extended it incrementally
-    * instead of invalidating it) */
-  def isBuilt(name: String): Boolean = entry(name).built.isDefined
+    * instead of invalidating it); locked like every built access */
+  def isBuilt(name: String): Boolean = {
+    val e = entry(name)
+    e.synchronized(e.built.isDefined)
+  }
 
   /**
    * Collapse an incrementally-extended IVF back to one materialized,
    * list-co-partitioned cache — the maintenance step a long-running
-   * ingest stream schedules between micro-batches: appended batches skip
-   * the per-list repartition and stack a union lineage, so periodically
-   * folding them restores bounded plan depth and per-list locality.
-   * Results are unchanged (same rows, same assignment); a no-op for
-   * anything that is not a built top-level IVF.
+   * ingest stream schedules between micro-batches: appended batches
+   * stack union lineage and recompute their assignment per search, so
+   * periodically folding them restores bounded plan depth and per-list
+   * locality. Also re-points `pending` at the folded rows, so the
+   * pending union tree (one node per add) cannot grow without bound
+   * across a long ingest stream. Results are unchanged (same rows, same
+   * assignment). A no-op when there is nothing to fold — in particular
+   * on a freshly loaded index, whose scan must STAY file-backed so the
+   * probed-list filter keeps pruning partitions on disk.
    */
   def compact(name: String): Unit = {
     val e = entry(name)
     e.synchronized {
       if (e.destroyed) throw new NoSuchElementException(s"no index named '$name'")
       e.built match {
-        case Some(ivf: IvfBuilt) =>
-          val folded = ivf.data.repartition(col("list_id")).cache()
-          folded.count() // materialize BEFORE releasing the parts it reads from
+        case Some(ivf: IvfBuilt) if ivf.hasAppends =>
+          // eager localCheckpoint, not cache(): the fold must CUT lineage
+          // so the per-add caches below can be released — a cache() could
+          // be evicted and recompute through the (then-unpersisted)
+          // zipWithIndex auto-id batches, destabilizing ids. Same
+          // durability tradeoff the ingest path already accepts.
+          val folded = ivf.data.repartition(col("list_id")).localCheckpoint(true)
+          // pending fed every appended row into the built union; after the
+          // fold the canonical row set lives in `folded`, so pending can
+          // drop its per-add union tree (and the caches behind it)
+          e.pending = Some(folded.select(col("label"), col("vec")))
+          e.cachedBatches.foreach(_.unpersist(blocking = false))
+          e.cachedBatches.clear()
           ivf.close()
           e.built = Some(new IvfBuilt(
             folded, ivf.meta, ivf.centroids, VectorMath.metricId(e.meta.metric)))
@@ -813,7 +833,8 @@ object IndexCatalog {
       val meta: IndexMeta,
       val centroids: Array[Array[Float]],
       metricId: Int,
-      cachedParts: Seq[DataFrame] = Nil) // union components to release on close
+      cachedParts: Seq[DataFrame] = Nil, // union components to release on close
+      private[index] val hasAppends: Boolean = false)
       extends BuiltIndex {
 
     override def close(): Unit = { data.unpersist(); cachedParts.foreach(_.unpersist()) }
@@ -825,10 +846,11 @@ object IndexCatalog {
      * micro-batch add costs O(batch), not O(corpus). Results are
      * identical to a full rebuild because assignment is a pure function
      * of (vec, centroids) and the centroids are pinned. Appended batches
-     * skip the per-list repartition (a shuffle per micro-batch for rows
-     * that are a rounding error of the corpus); a periodic compaction —
-     * or save/load, which rewrites the list-partitioned layout — restores
-     * full co-location.
+     * are deliberately NOT cached: the add path already pins the batch
+     * rows (auto-id cache / ingest localCheckpoint), so caching the
+     * assignment too would hold every ingested row twice — instead the
+     * cheap per-batch assignment recomputes per search until compact()
+     * folds everything into one co-partitioned cache.
      */
     private[index] def appended(newRows: DataFrame): IvfBuilt = {
       val assign = GraftBridge.column(
@@ -837,9 +859,9 @@ object IndexCatalog {
         .select(
           when(size(assign) > 0, element_at(assign, 1)).otherwise(lit(-1)).as("list_id"),
           col("label"), col("vec"))
-        .cache()
       new IvfBuilt(data.unionByName(assignedNew), meta, centroids, metricId,
-        (if (cachedParts.isEmpty) Seq(data) else cachedParts) :+ assignedNew)
+        if (cachedParts.isEmpty) Seq(data) else cachedParts,
+        hasAppends = true)
     }
 
     def search(queries: DataFrame, k: Int, params: Map[String, String]): DataFrame =

@@ -31,7 +31,7 @@ object PipelineQueries {
       val surv = gated
         .withColumn("canon_id", min("doc_id").over(canon))
         .where(col("doc_id") === col("canon_id"))
-      val bucket = conv(substring(md5(col("text")), 1, 4), 16, 10).cast("int") % 10000
+      val bucket = contentBucket
       val rate = when(col("lang") === "en", 9000)
         .when(col("lang") === "de", 5000)
         .otherwise(2500)
@@ -100,7 +100,7 @@ object PipelineQueries {
     // partitionings (never random() in a pipeline), the weighted
     // counterpart of sample_split
     "mixture_sample" -> { (s, dir) =>
-      val bucket = conv(substring(md5(col("text")), 1, 4), 16, 10).cast("int") % 10000
+      val bucket = contentBucket
       val rate = when(col("lang") === "en", 9000)
         .when(col("lang") === "de", 5000)
         .otherwise(2500)
@@ -116,7 +116,7 @@ object PipelineQueries {
     // expansion is a scan-stage explode of a per-row sequence: no
     // shuffle, and output size is exactly sum(epochs_d * |domain d|).
     "mixture_upsample" -> { (s, dir) =>
-      val bucket = conv(substring(md5(col("text")), 1, 4), 16, 10).cast("int") % 10000
+      val bucket = contentBucket
       // epochs: en 2.3, zh 1.0, es 0.6, de 1.5, fr 0.0 (dropped) —
       // written as integer + fractional-bucket parts (no float division)
       val intPart = when(col("lang") === "en", 2L)
@@ -146,6 +146,15 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n_orders"))
     })
 
+  /** deterministic content-hash bucket in [0, 10000): the cross-engine
+    * sampling contract shared by mixture/upsample/split — ONE definition
+    * so the Spark and DuckDB sides can never drift apart per query */
+  private def contentBucket =
+    conv(substring(md5(col("text")), 1, 4), 16, 10).cast("int") % 10000
+
+  private val contentBucketSql =
+    "CAST(('0x' || substring(md5(text), 1, 4)) AS INTEGER) % 10000"
+
   private val toksSql = "string_split_regex(lower(trim(text)), '\\s+')"
   private val shingles3Sql =
     """list_distinct(CASE WHEN len(toks) >= 3
@@ -161,7 +170,7 @@ object PipelineQueries {
          |),
          |surv AS (
          |  SELECT doc_id, lang, text,
-         |    CAST(('0x' || substring(md5(text), 1, 4)) AS INTEGER) % 10000 AS bucket
+         |    $contentBucketSql AS bucket
          |  FROM gated
          |  QUALIFY doc_id = min(doc_id) OVER (PARTITION BY text)
          |)
@@ -205,14 +214,14 @@ object PipelineQueries {
          | AND CAST(e.ts AS TIMESTAMP) < o.o_orderdate + INTERVAL $AttribDays DAY
          |GROUP BY o.o_orderkey""".stripMargin,
     "mixture_sample" ->
-      """SELECT doc_id, lang FROM documents
-        |WHERE CAST(('0x' || substring(md5(text), 1, 4)) AS INTEGER) % 10000 <
+      s"""SELECT doc_id, lang FROM documents
+        |WHERE $contentBucketSql <
         |  CASE WHEN lang = 'en' THEN 9000 WHEN lang = 'de' THEN 5000 ELSE 2500 END""".stripMargin,
     "mixture_upsample" ->
-      """WITH n AS (
+      s"""WITH n AS (
         |  SELECT doc_id, lang,
         |    (CASE WHEN lang = 'en' THEN 2 WHEN lang = 'zh' THEN 1 WHEN lang = 'de' THEN 1 ELSE 0 END)
-        |    + (CASE WHEN CAST(('0x' || substring(md5(text), 1, 4)) AS INTEGER) % 10000 <
+        |    + (CASE WHEN $contentBucketSql <
         |         (CASE WHEN lang = 'en' THEN 3000 WHEN lang = 'es' THEN 6000 WHEN lang = 'de' THEN 5000 ELSE 0 END)
         |       THEN 1 ELSE 0 END) AS n_copies
         |  FROM documents

@@ -109,8 +109,11 @@ object Streaming {
    * [[serveAnn]], closing the "batch build only" gap a Spark port of
    * the reference would otherwise have. Each micro-batch runs the same
    * `IndexCatalog.add` as the batch path (dim guard, IDMap gating,
-   * id bookkeeping); the built search structure refreshes lazily on
-   * the next search, exactly like consecutive faiss_add calls.
+   * id bookkeeping). On a built, trained IVF each micro-batch extends
+   * the search structure INCREMENTALLY (only the batch is assigned,
+   * O(batch) per add); other kinds rebuild lazily on the next search.
+   * Schedule `IndexCatalog.compact(name)` periodically to fold the
+   * appended batches back into one co-partitioned cache.
    */
   def indexIngest(
       vecStream: DataFrame, // streaming (id bigint, vec array<float>) or (vec) for auto-ids

@@ -60,6 +60,35 @@ class IncrementalSpec extends SparkSpec {
     assert(top(0L) === 999L, "appended row must win the top-1 immediately")
   }
 
+  test("appended rows land in the CORRECT list (visible at nprobe=1, not just exhaustive)") {
+    import spark.implicits._
+    // four tight clusters at the corners; manual train pins one centroid
+    // per corner, so assignment is unambiguous
+    val corners = Seq((0f, 0f), (0f, 100f), (100f, 0f), (100f, 100f))
+    val base = corners.zipWithIndex.flatMap { case ((x, y), c) =>
+      (0 until 8).map(i => ((c * 8 + i).toLong, Array(x + i * 0.1f, y + i * 0.1f)))
+    }.toDF("label", "vec")
+    IndexCatalog.create("t_incr_np1", 2, "IDMap,IVF4,Flat", "l2sq", Map("nprobe" -> "1"))
+    IndexCatalog.manualTrain(
+      corners.map { case (x, y) => Tuple1(Array(x, y)) }.toDF("vec"), "t_incr_np1")
+    IndexCatalog.add(base, "t_incr_np1")
+    IndexCatalog.search("t_incr_np1", 1,
+      Seq((0L, Array(0.5f, 0.5f))).toDF("qid", "qvec")).count() // build
+    // append one row near corner (100,100); with nprobe=1 a query at that
+    // corner probes exactly that list — a mis-assigned row would vanish
+    IndexCatalog.add(Seq((777L, Array(99.0f, 99.0f))).toDF("label", "vec"), "t_incr_np1")
+    assert(IndexCatalog.isBuilt("t_incr_np1"), "must be the incremental path")
+    val hit = IndexCatalog.search("t_incr_np1", 1,
+      Seq((0L, Array(99.0f, 99.0f))).toDF("qid", "qvec")).collect()
+    assert(hit.head.getLong(2) === 777L,
+      "appended row must be found through its OWN probed list at nprobe=1")
+    // and a query at the opposite corner must NOT see it
+    val miss = IndexCatalog.search("t_incr_np1", 32,
+      Seq((0L, Array(0.5f, 0.5f))).toDF("qid", "qvec")).collect()
+    assert(!miss.map(_.getLong(2)).contains(777L),
+      "row must live in exactly its nearest list, not all probed unions")
+  }
+
   test("compact() folds appended batches; results unchanged, built state kept") {
     IndexCatalog.create("t_incr3", 2, "IDMap,IVF4,Flat", "l2sq", Map("nprobe" -> "4"))
     IndexCatalog.add(vecs(0 until 64), "t_incr3")
