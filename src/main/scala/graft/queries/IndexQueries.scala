@@ -173,6 +173,19 @@ object IndexQueries {
       IndexCatalog.add(bigData(s, dir), name)
       IndexCatalog.search(name, 5, bigQueries(s, dir))
         .select(col("qid"), col("rank"), col("label"))
+    },
+    // the memory-bounded scale path: IVF pruning AND 8x PQ compression
+    // over the replicated corpus — probed lists scan 8-byte codes (ADC
+    // LUT), only the k x refine re-rank touches raw vectors. This is
+    // the shape that still fits executor memory when the corpus does
+    // not: 100k rows here, the same plan at 100 TB.
+    "knn_ivfpq_big" -> { (s, dir) =>
+      val name = fresh("q_ivfpq_big")
+      IndexCatalog.create(name, 64, "IDMap,IVF16,PQ8", "l2sq",
+        Map("nprobe" -> "4", "refine" -> "16"))
+      IndexCatalog.add(bigData(s, dir), name)
+      IndexCatalog.search(name, 5, bigQueries(s, dir))
+        .select(col("qid"), col("rank"), col("label"))
     })
 
   def oracles: Map[String, String] = Map(

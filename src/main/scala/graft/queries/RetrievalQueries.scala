@@ -106,6 +106,35 @@ object RetrievalQueries {
         .orderBy(col("rrf").desc, col("doc_id")).limit(OutK)
         .select(col("doc_id"), col("rank_kw"), col("rank_vec"),
           Tables.quant8(col("rrf")).as("rrf_score"))
+    },
+    // the RAG corpus-build flagship: quality gate -> exact-dedup
+    // survivors -> join their embeddings -> CATALOG INDEX build ->
+    // top-5 serve, curation and indexing composed the way a retrieval
+    // corpus actually ships. Exhaustive probing keeps the whole
+    // composition exact, so the oracle replays it as filtered brute
+    // force. At scale only the gate scan and the one index-build
+    // assignment touch the corpus; serving reads probed lists.
+    "pipeline_rag" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      import graft.index.IndexCatalog
+      val d = Tables.wide(s, dir, "documents")
+      val surv = d
+        .where(graft.text.TextFunctions.qualityScore(col("text")) >= 0.6)
+        .withColumn("canon_id", min("doc_id").over(Window.partitionBy("text")))
+        .where(col("doc_id") === col("canon_id"))
+        .select(col("doc_id"))
+      val e = Tables(s, dir, "embeddings")
+      val corpus = e.join(surv, e("vec_id") === surv("doc_id"))
+        .select(col("vec_id").as("label"), vec.vector(col("embedding")).as("vec"))
+      val name = "q_rag_ivf"
+      if (IndexCatalog.exists(name)) IndexCatalog.destroy(name)
+      IndexCatalog.create(name, 64, "IDMap,IVF16,Flat", "l2sq", Map("nprobe" -> "16"))
+      IndexCatalog.add(corpus, name)
+      val qs = e.where(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), vec.vector(col("embedding")).as("qvec"))
+      IndexCatalog.search(name, 5, qs)
+        .select(col("qid"), col("rank"), col("label"),
+          Tables.quant4(col("distance")).as("distance"))
     })
 
   private val toksSql = "string_split_regex(lower(trim(text)), '\\s+')"
@@ -152,5 +181,30 @@ object RetrievalQueries {
          |    + (CASE WHEN vr.rank_vec IS NULL THEN 0.0 ELSE 1.0 / (60.0 + CAST(vr.rank_vec AS DOUBLE)) END) AS rrf
          |  FROM kw FULL OUTER JOIN vr ON kw.doc_id = vr.doc_id)
          |SELECT doc_id, rank_kw, rank_vec, ${Tables.quant8Sql("rrf")} AS rrf_score
-         |FROM fused ORDER BY rrf DESC, doc_id LIMIT $OutK""".stripMargin)
+         |FROM fused ORDER BY rrf DESC, doc_id LIMIT $OutK""".stripMargin,
+    // the composed build replayed as filtered brute force: same gate,
+    // same canonical-dedup, exhaustive probe = exact L2 top-5
+    "pipeline_rag" ->
+      s"""WITH ${TextQueries.qualityCtesSql},
+         |gated AS (
+         |  SELECT doc_id, text FROM f
+         |  WHERE ${TextQueries.qualityExprSql} >= 0.6
+         |),
+         |surv AS (
+         |  SELECT doc_id FROM gated
+         |  QUALIFY doc_id = min(doc_id) OVER (PARTITION BY text)
+         |),
+         |q AS (SELECT vec_id AS qid, embedding AS a FROM embeddings WHERE vec_id < 10),
+         |c AS (SELECT e.vec_id, e.embedding AS b FROM embeddings e JOIN surv ON e.vec_id = surv.doc_id),
+         |d AS (
+         |  SELECT q.qid, c.vec_id AS label, ${VectorQueries.l2sqSql} AS dist
+         |  FROM q CROSS JOIN c
+         |),
+         |r AS (
+         |  SELECT qid, label, dist,
+         |    CAST(row_number() OVER (PARTITION BY qid ORDER BY dist ASC, label) - 1 AS INTEGER) AS rank
+         |  FROM d
+         |)
+         |SELECT qid, rank, label, ${Tables.quant4Sql("dist")} AS distance
+         |FROM r WHERE rank < 5""".stripMargin)
 }

@@ -142,7 +142,7 @@ object VectorQueries {
 
   // DuckDB-side distance formulas over DOUBLE, element order identical to
   // the Scala loops (sequential list_sum / explicit comprehensions).
-  private val l2sqSql =
+  private[queries] val l2sqSql =
     "list_sum([ (CAST(a[i] AS DOUBLE) - CAST(b[i] AS DOUBLE)) * (CAST(a[i] AS DOUBLE) - CAST(b[i] AS DOUBLE)) FOR i IN range(1, len(a)+1) ])"
   private val ipSql =
     "list_sum([ CAST(a[i] AS DOUBLE) * CAST(b[i] AS DOUBLE) FOR i IN range(1, len(a)+1) ])"
