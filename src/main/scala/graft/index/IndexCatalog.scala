@@ -999,27 +999,43 @@ object IndexCatalog {
     val spark = fullData.sparkSession
     import spark.implicits._
     val refine = params.get("refine").map(_.toInt).getOrElse(4)
-    val candSource = centroids match {
+    // the union of probed lists across the query batch; used twice: as a
+    // static IN filter on the coded scan (guaranteed partition pruning on
+    // a list-partitioned saved layout, same as IvfBuilt's probe path) and
+    // on the re-rank vector lookup (candidate labels can only come from
+    // probed lists, so unprobed lists never need their raw vectors read)
+    val (candSource, probedLists) = centroids match {
       case Some(cents) =>
         val nprobe = params.get("nprobe").map(_.toInt).getOrElse(math.max(1, cents.length / 8))
         // coarse probing is L2 by FAISS convention (assignment uses L2SQ too)
-        val probes = qArr.toSeq.flatMap { case (qid, qv) =>
+        val probePairs = qArr.toSeq.flatMap { case (qid, qv) =>
           NearestCentroids.nearestIds(qv, cents, nprobe, VectorMath.L2SQ).map(l => (qid, l))
-        }.toDF("qid", "list_id")
-        base.join(broadcast(probes), "list_id")
+        }
+        val probes = probePairs.toDF("qid", "list_id")
+        val lists = probePairs.map(_._2).distinct
+        val pruned =
+          if (lists.size < cents.length) base.where(col("list_id").isInCollection(lists))
+          else base
+        (pruned.join(broadcast(probes), "list_id"), Some(lists).filter(_.size < cents.length))
       case None =>
-        base.crossJoin(broadcast(qArr.map(_._1).toSeq.toDF("qid")))
+        (base.crossJoin(broadcast(qArr.map(_._1).toSeq.toDF("qid"))), None)
     }
     val cands = candSource
       .select(col("qid"), col("label"), codeDist.as("_code_dist"))
       .groupBy(col("qid"))
       .agg(vec.topk(k * refine, col("_code_dist"), col("label"), ascending = true).as("nn"))
       .select(col("qid"), explode(col("nn.label")).as("label"))
-    // exact re-rank on original vectors
+    // exact re-rank on original vectors: lookup restricted to probed
+    // lists, and the bounded candidate set (<= |q| x k x refine rows)
+    // broadcast so the corpus-side vectors never shuffle
+    val rerankSrc = probedLists
+      .map(ls => fullData.where(col("list_id").isInCollection(ls)))
+      .getOrElse(fullData)
+      .select(col("label"), col("vec"))
     val qdf = queries.select(col("qid").cast("long").as("qid"), vec.vector(col("qvec")).as("qvec"))
     Knn.rankResults(
-      cands
-        .join(fullData.select(col("label"), col("vec")), "label")
+      rerankSrc
+        .join(broadcast(cands), "label")
         .join(broadcast(qdf), "qid")
         .select(col("qid"), col("label"), vec.l2sq(col("vec"), col("qvec")).as("_dist")),
       k, ascending = true, padToK = params.get("pad").exists(_.toBoolean))
@@ -1050,7 +1066,10 @@ object IndexCatalog {
         pretrained: Option[(Array[Array[Array[Float]]], Option[Array[Array[Float]]])] = None): PqBuilt = {
       val seed = meta.params.get("seed").map(_.toLong).getOrElse(42L)
       val (codebooks, cents) = pretrained.getOrElse {
-        val sample = data.select(col("vec")).limit(50000).collect()
+        // bounded auto-train sample, matching boundedSample: ~64 points
+        // per k=256 sub-centroid is plenty for a quantizer (FAISS's own
+        // guidance is ~39x k), and the collect stays ~4 MB at dim 64
+        val sample = data.select(col("vec")).limit(16384).collect()
           .map(_.getSeq[Float](0).toArray)
         (Pq.train(sample, m, seed),
           if (nlist > 1) Some(Pq.localKMeans(sample, math.min(nlist, sample.length), seed + 999, 10))
@@ -1098,7 +1117,9 @@ object IndexCatalog {
         pretrained: Option[(Array[Float], Array[Float], Option[Array[Array[Float]]])] = None): SqBuilt = {
       val seed = meta.params.get("seed").map(_.toLong).getOrElse(42L)
       val (vmin, vdiff, cents) = pretrained.getOrElse {
-        val sample = data.select(col("vec")).limit(50000).collect()
+        // bounded auto-train sample (see PqBuilt.build): per-dim [min,max]
+        // bounds and a small coarse quantizer don't need more
+        val sample = data.select(col("vec")).limit(16384).collect()
           .map(_.getSeq[Float](0).toArray)
         val (mn, df) = Sq.train(sample)
         (mn, df,

@@ -21,6 +21,7 @@ object Profile {
     spark.sparkContext.setLogLevel("WARN")
     if (name == "ivfbig-breakdown") { ivfBigBreakdown(spark, sfDir); spark.stop(); return }
     if (name == "saveload-breakdown") { saveLoadBreakdown(spark, sfDir); spark.stop(); return }
+    if (name == "pqbig-breakdown") { pqBigBreakdown(spark, sfDir); spark.stop(); return }
     val fn = graft.SparkEntry.queries(name)
     val warmDir = {
       val w = "/root/testdata/sf0.001"
@@ -65,6 +66,32 @@ object Profile {
       t("destroy") { IndexCatalog.destroy("prof_svl") }
       t("load") { IndexCatalog.load("prof_svl", path, spark) }
       t("search") { IndexCatalog.search("prof_svl", 5, qs).count() }
+    }
+  }
+
+  /** stage-level timing of the knn_ivfpq_big lifecycle */
+  private def pqBigBreakdown(spark: SparkSession, dir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    import graft.functions.vec
+    import graft.index.IndexCatalog
+    (1 to 2).foreach { round =>
+      System.err.println(s"[profile] -- round $round --")
+      if (IndexCatalog.exists("prof_pq")) IndexCatalog.destroy("prof_pq")
+      val copies = spark.range(0, 50).select(col("id").as("copy"))
+      val data = copies
+        .join(broadcast(graft.queries.Tables(spark, dir, "embeddings")))
+        .select((col("vec_id") + col("copy") * 1000000L).as("label"),
+          vec.vector(col("embedding")).as("vec"))
+      val qs = graft.queries.Tables(spark, dir, "embeddings").where(col("vec_id") < 100)
+        .select(col("vec_id").as("qid"), vec.vector(col("embedding")).as("qvec"))
+      t("create+add") {
+        IndexCatalog.create("prof_pq", 64, "IDMap,IVF16,PQ8", "l2sq",
+          Map("nprobe" -> "4", "refine" -> "16"))
+        IndexCatalog.add(data, "prof_pq")
+      }
+      t("build(train+encode+cache)") { IndexCatalog.build("prof_pq") }
+      t("search") { IndexCatalog.search("prof_pq", 5, qs).count() }
+      t("search2") { IndexCatalog.search("prof_pq", 5, qs).count() }
     }
   }
 
