@@ -102,6 +102,33 @@ case class VectorNormalize(child: Expression)
     copy(child = newChild)
 }
 
+/**
+ * 1-bit binary quantization: sign bits of the first ≤64 dims packed
+ * into one bigint (codegen'd). Hamming search then runs on
+ * `bit_count(bits ^ bits)` — 32x less data scanned than float32, the
+ * memory-bounded coarse pass of a binarize-then-rerank pipeline.
+ */
+case class SignBits(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"$prettyName requires array<float>, got ${t.catalogString}")
+  }
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "vec_sign_bits"
+
+  override protected def nullSafeEval(input: Any): Any =
+    VectorMath.signBits(input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.VectorMath.signBits($a)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Column DSL for the vector functions. */
 object vec {
   import org.apache.spark.sql.functions.sqrt
@@ -132,6 +159,9 @@ object vec {
 
   /** unit-normalize a vector in one fused pass (zero vectors unchanged) */
   def normalize(a: Column): Column = col(VectorNormalize(ex(a)))
+
+  /** sign-bit binary quantization (≤64 dims -> one bigint) */
+  def signBits(a: Column): Column = col(SignBits(ex(a)))
 
   /** |A ∩ B| over sorted array<bigint> columns; see [[SortedIntersectCount]] */
   def sortedIntersectCount(a: Column, b: Column): Column =

@@ -197,6 +197,17 @@ object VectorMath {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
+  /** pack the sign bits of up to the first 64 dims into one long
+    * (bit i set ⇔ a(i) >= 0) — 1-bit binary quantization: 32x smaller
+    * than float32, Hamming distance via one XOR + POPCNT per pair */
+  def signBits(a: ArrayData): Long = {
+    val n = math.min(a.numElements(), 64)
+    var bits = 0L
+    var i = 0
+    while (i < n) { if (a.getFloat(i) >= 0f) bits |= (1L << i); i += 1 }
+    bits
+  }
+
   /** |A ∩ B| of two SORTED long arrays by linear merge — no per-call
     * hash set, the cheap inner loop of set-similarity joins */
   def sortedIntersectCount(a: ArrayData, b: ArrayData): Int = {

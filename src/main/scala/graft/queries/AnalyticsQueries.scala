@@ -341,6 +341,33 @@ object AnalyticsQueries {
         .select(col("cohort_day"), datediff(col("day"), col("cohort_day")).as("day_offset"))
         .groupBy("cohort_day", "day_offset")
         .agg(count(lit(1)).as("n_users"))
+    },
+    // session path mining (product-analytics "top paths"): most common
+    // within-session event-type trigrams. Sessionize by 30-min gap
+    // (events_sessionize's exact logic), two leads inside each session,
+    // one global rollup. Corpus-wide movement = the user_id window
+    // shuffle sessionize already pays + the (user, session) window that
+    // AQE-coalesces off its output; the path rollup shuffles one row
+    // per distinct path per partition (map-side combine).
+    "events_top_paths" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val sess = Tables.events(s, dir)
+        .withColumn("prev_ts", lag("ts", 1).over(byUser))
+        .withColumn("new_session",
+          (col("prev_ts").isNull ||
+            col("ts").cast("long") - col("prev_ts").cast("long") > 1800L).cast("int"))
+        .withColumn("session_seq", sum("new_session").over(byUser))
+      val bySess = Window.partitionBy("user_id", "session_seq").orderBy("ts", "event_id")
+      sess
+        .withColumn("e2", lead("event_type", 1).over(bySess))
+        .withColumn("e3", lead("event_type", 2).over(bySess))
+        .where(col("e3").isNotNull)
+        .select(concat_ws(">", col("event_type"), col("e2"), col("e3")).as("path"))
+        .groupBy("path")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("path"))
+        .limit(10)
     })
 
   def oracles: Map[String, String] = Map(
@@ -556,5 +583,34 @@ object AnalyticsQueries {
         |SELECT f.cohort_day, CAST(d.day - f.cohort_day AS INTEGER) AS day_offset,
         |  count(*) AS n_users
         |FROM d JOIN f ON d.user_id = f.user_id
-        |GROUP BY 1, 2""".stripMargin)
+        |GROUP BY 1, 2""".stripMargin,
+    // same sessionization CTE as events_sessionize (second-floored ts
+    // diffs), then trigram paths per session; NULL leads (session
+    // shorter than 3) drop out before the rollup
+    "events_top_paths" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+        |    CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS ts_sec
+        |  FROM events
+        |), flagged AS (
+        |  SELECT user_id, event_id, event_type, ts, ts_sec,
+        |    CASE WHEN lag(ts_sec) OVER w IS NULL
+        |           OR ts_sec - lag(ts_sec) OVER w > 1800 THEN 1 ELSE 0 END AS new_session
+        |  FROM ev
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), sess AS (
+        |  SELECT user_id, event_id, event_type, ts,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS session_seq
+        |  FROM flagged
+        |), tri AS (
+        |  SELECT
+        |    event_type || '>' || lead(event_type, 1) OVER w2
+        |      || '>' || lead(event_type, 2) OVER w2 AS path,
+        |    lead(event_type, 2) OVER w2 AS e3
+        |  FROM sess
+        |  WINDOW w2 AS (PARTITION BY user_id, session_seq ORDER BY ts, event_id)
+        |)
+        |SELECT path, count(*) AS n FROM tri WHERE e3 IS NOT NULL
+        |GROUP BY path ORDER BY n DESC, path LIMIT 10""".stripMargin)
 }

@@ -32,6 +32,28 @@ object TextQueries {
       Tables(s, dir, "documents")
         .select(col("doc_id"), md5(col("text")).as("fp_md5"))
     },
+    // RAG/context chunking: overlapping token windows (64 tokens,
+    // stride 48 -> 16-token overlap), the step between curation and
+    // embedding in a retrieval corpus build. Chunk starts walk 0, S,
+    // 2S, ... until the window reaches the end; the final chunk may be
+    // short but always contributes new tokens. A scan-stage explode —
+    // no shuffle, output rows ~ n_tokens/stride per doc; at 100 TB
+    // chunking is embarrassingly parallel and the downstream embed /
+    // index steps see bounded-size texts.
+    "text_chunk" -> { (s, dir) =>
+      val W = 64; val S = 48
+      val d = Tables.wide(s, dir, "documents")
+      val lastIdx = floor(
+        (greatest(size(col("toks")) - lit(W), lit(0)) + lit(S - 1)) / lit(S)).cast("int")
+      d.select(col("doc_id"), tokens(col("text")).as("toks"))
+        .select(col("doc_id"), explode(transform(
+          sequence(lit(0), lastIdx),
+          i => struct(i.as("ci"), slice(col("toks"), i * lit(S) + 1, lit(W)).as("ch")))).as("u"))
+        .select(col("doc_id"),
+          col("u.ci").as("chunk_idx"),
+          size(col("u.ch")).as("chunk_tokens"),
+          array_join(col("u.ch"), " ").as("chunk_text"))
+    },
     // PII scrubbing audit: scrubbed-text hash + URL/email hit counts
     "text_scrub" -> { (s, dir) =>
       val d = Tables(s, dir, "documents")
@@ -79,6 +101,22 @@ object TextQueries {
         .withColumn("rn", row_number().over(w))
         .where(col("rn") <= 20)
         .select(col("doc_id"), col("lang"), col("rn"))
+    },
+    // per-domain quota cap (the Common-Crawl curation rule: no single
+    // domain may dominate the corpus): keep at most 15 docs per source,
+    // chosen by content hash so the survivors are deterministic AND
+    // unbiased by ingest order (capping by doc_id would keep whatever
+    // was crawled first). One shuffle on source; a skewed mega-domain
+    // still only materializes its own partition, and the window could
+    // swap to the bounded-heap top-k aggregate if rank-to-quota over a
+    // hot domain ever became the straggler.
+    "sample_quota" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("source").orderBy(md5(col("text")), col("doc_id"))
+      Tables(s, dir, "documents")
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 15)
+        .select(col("doc_id"), col("source"), col("rn"))
     },
     // deterministic train/val split on a content hash: stable across runs,
     // engines, and partitionings (never split on random() in a pipeline)
@@ -215,6 +253,20 @@ object TextQueries {
   }
 
   def oracles: Map[String, String] = Map(
+    // same walk: starts 0, 48, 96, ... ceil(max(n-64,0)/48) inclusive;
+    // DuckDB list slicing is 1-based inclusive like Spark's slice()
+    "text_chunk" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |n AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+         |c AS (
+         |  SELECT doc_id,
+         |    unnest([{'ci': i, 'ch': toks[i*48+1 : least(i*48+64, n)]}
+         |            FOR i IN range(0, CAST(ceil(greatest(n-64, 0)/48.0) AS BIGINT)+1)]) AS u
+         |  FROM n)
+         |SELECT doc_id, CAST(u.ci AS INTEGER) AS chunk_idx,
+         |  CAST(len(u.ch) AS INTEGER) AS chunk_tokens,
+         |  array_to_string(u.ch, ' ') AS chunk_text
+         |FROM c""".stripMargin,
     "text_langid" -> langidSql,
     "text_tokens" ->
       s"""SELECT doc_id,
@@ -271,6 +323,10 @@ object TextQueries {
          |  r4.top4 AS top4_ratio, r2.dup2 AS dup2_frac
          |FROM r2 JOIN r3 USING (doc_id) JOIN r4 USING (doc_id)""".stripMargin
     },
+    "sample_quota" ->
+      """SELECT doc_id, source,
+        |  CAST(row_number() OVER (PARTITION BY source ORDER BY md5(text), doc_id) AS INTEGER) AS rn
+        |FROM documents QUALIFY rn <= 15""".stripMargin,
     "sample_split" ->
       """SELECT doc_id,
         |  CASE WHEN CAST(('0x' || substring(md5(text), 1, 4)) AS INTEGER) % 10 < 9

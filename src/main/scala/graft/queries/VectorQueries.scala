@@ -104,6 +104,30 @@ object VectorQueries {
         .where(dist < lit(RADIUS))
         .select(col("qid"), col("label"), Tables.quant4(dist).as("distance"))
     },
+    // 1-bit binary quantization + Hamming top-k: the coarse pass of the
+    // binarize-then-rerank serving pattern. Each vector's 64 sign bits
+    // pack into ONE bigint via a codegen kernel — 32x less data scanned
+    // than float32, and at 100 TB the packed column is what you'd
+    // materialize/cache while raw floats stay in cold storage for
+    // re-rank only. Distance = POPCNT(XOR): pure integer arithmetic,
+    // so unlike the float ANN paths this compressed search has an EXACT
+    // cross-engine oracle (the oracle recomputes sign mismatches from
+    // the raw floats).
+    "knn_hamming" -> { (s, dir) =>
+      val e = Tables(s, dir, "embeddings")
+      val d = e.select(col("vec_id").as("label"),
+        vec.signBits(vec.vector(col("embedding"))).as("bits"))
+      val q = e.where(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"),
+          vec.signBits(vec.vector(col("embedding"))).as("qbits"))
+      val ham = bit_count(col("bits").bitwiseXOR(col("qbits")))
+      Knn.rankResults(
+          d.crossJoin(broadcast(q))
+            .select(col("qid"), col("label"), ham.cast("double").as("_dist")),
+          K, ascending = true)
+        .select(col("qid"), col("rank"), col("label"),
+          col("distance").cast("long").as("hamming"))
+    },
     // corpus clustering by centroid assignment (the domain-discovery /
     // data-mixing primitive): deterministic seed centroids (the first 8
     // embeddings), assignment via the same codegen'd argmin kernel IVF
@@ -186,6 +210,22 @@ object VectorQueries {
     "knn_flat_ip" -> knnOracle(ipSql, "DESC", ""),
     "knn_flat_cosine" -> knnOracle(cosSql, "ASC", ""),
     "knn_search_filter" -> knnOracle(l2sqSql, "ASC", "WHERE vec_id % 2 = 0"),
+    // sign-bit Hamming distance replayed from the raw floats: bit i of
+    // the packed word is set iff v[i] >= 0, so POPCNT(a XOR b) equals
+    // the count of dimensions whose signs disagree
+    "knn_hamming" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS a FROM embeddings WHERE vec_id < 10),
+         |d AS (
+         |  SELECT q.qid, e.vec_id AS label,
+         |    CAST(len([i FOR i IN range(1, len(q.a)+1) IF (q.a[i] >= 0) <> (e.embedding[i] >= 0)]) AS BIGINT) AS ham
+         |  FROM q CROSS JOIN embeddings e
+         |),
+         |r AS (
+         |  SELECT qid, label, ham,
+         |    CAST(row_number() OVER (PARTITION BY qid ORDER BY ham ASC, label) - 1 AS INTEGER) AS rank
+         |  FROM d
+         |)
+         |SELECT qid, rank, label, ham AS hamming FROM r WHERE rank < $K""".stripMargin,
     "knn_radius" ->
       s"""WITH q AS (SELECT vec_id AS qid, embedding AS a FROM embeddings WHERE vec_id < 10),
          |d AS (

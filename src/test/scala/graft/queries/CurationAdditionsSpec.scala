@@ -1,0 +1,98 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.VectorMath
+import graft.text.TextFunctions
+
+/** Invariant checks for the round-5 additions (text_chunk, knn_hamming,
+  * sample_quota, events_top_paths); value-level correctness is
+  * DuckDB-oracle-gated, these pin semantics a refactor could break. */
+class CurationAdditionsSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+  private def run(q: String) = graft.SparkEntry.queries(q)(spark, dir)
+
+  test("text_chunk: dense chunk ids, full windows except the tail, overlap reconstructs the doc") {
+    val chunks = run("text_chunk")
+      .select(col("doc_id"), col("chunk_idx"), col("chunk_text"))
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (id, rs) =>
+        id -> rs.sortBy(_.getInt(1)).map(_.getString(2).split(" ").toSeq)
+      }
+    val toks = Tables(spark, dir, "documents")
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(chunks.nonEmpty && chunks.keySet === toks.keySet)
+    chunks.foreach { case (id, cs) =>
+      cs.init.foreach(c => assert(c.length === 64, s"non-tail chunk short for doc $id"))
+      assert(cs.last.length <= 64)
+      // stride 48 / window 64 => every chunk after the first re-covers
+      // exactly the previous chunk's final 16 tokens
+      val rebuilt = cs.head ++ cs.tail.flatMap(_.drop(16))
+      assert(rebuilt === toks(id), s"overlap reconstruction failed for doc $id")
+    }
+  }
+
+  test("signBits kernel: bit i tracks v(i) >= 0, Hamming via XOR/popcount matches sign mismatches") {
+    def bits(v: Array[Float]): Long =
+      VectorMath.signBits(new org.apache.spark.sql.catalyst.util.GenericArrayData(v))
+    val a = Array(1.0f, -2.0f, 0.0f, -0.0f, Float.NaN, 3.5f)
+    assert(bits(a) === ((1L << 0) | (1L << 2) | (1L << 3) | (1L << 5)), "-0.0 counts as >= 0, NaN does not")
+    val rnd = new scala.util.Random(7)
+    val v1 = Array.fill(64)(rnd.nextFloat() - 0.5f)
+    val v2 = Array.fill(64)(rnd.nextFloat() - 0.5f)
+    val expected = v1.indices.count(i => (v1(i) >= 0) != (v2(i) >= 0))
+    assert(java.lang.Long.bitCount(bits(v1) ^ bits(v2)) === expected)
+  }
+
+  test("knn_hamming: rank 0 is the query itself at distance 0, distances bounded and ascending") {
+    val rows = run("knn_hamming").collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (qid, rs) =>
+      val sorted = rs.sortBy(_.getInt(1))
+      assert(sorted.head.getLong(2) === qid && sorted.head.getLong(3) === 0L)
+      val ds = sorted.map(_.getLong(3))
+      assert(ds.forall(d => d >= 0 && d <= 64))
+      assert(ds === ds.sorted)
+    }
+  }
+
+  test("sample_quota: at most 15 docs per source, exactly 15 where supply allows, deterministic") {
+    val kept = run("sample_quota").collect()
+    val supply = Tables(spark, dir, "documents").groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val perSource = kept.groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    perSource.foreach { case (src, n) =>
+      assert(n === math.min(15L, supply(src)).toInt, s"quota wrong for $src")
+    }
+    val again = run("sample_quota").collect()
+    assert(kept.map(_.toString).sorted.toSeq === again.map(_.toString).sorted.toSeq)
+  }
+
+  test("events_top_paths: matches an independently computed trigram ranking") {
+    val got = run("events_top_paths").collect().map(r => (r.getString(0), r.getLong(1)))
+    // recompute driver-side from raw events (small at sf0.001)
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts").cast("long").as("sec"), col("ts"), col("event_id"), col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2), r.getLong(3), r.getString(4)))
+    val paths = ev.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+      val sorted = rows.sortBy(r => (r._3.getTime, r._4))
+      // split into sessions on >30min gaps (same floored-second rule)
+      val sessions = sorted.foldLeft(Vector.empty[Vector[String]]) { (acc, r) =>
+        acc.lastOption match {
+          case Some(_) if r._2 - sorted(acc.map(_.size).sum - 1)._2 <= 1800 =>
+            acc.init :+ (acc.last :+ r._5)
+          case _ => acc :+ Vector(r._5)
+        }
+      }
+      sessions.flatMap(s => s.sliding(3).filter(_.size == 3).map(_.mkString(">")))
+    }
+    val expected = paths.groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      .sortBy { case (p, n) => (-n, p) }.take(10)
+    assert(got.toSeq === expected)
+  }
+}
