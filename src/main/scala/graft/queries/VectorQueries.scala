@@ -128,6 +128,35 @@ object VectorQueries {
         .select(col("qid"), col("rank"), col("label"),
           col("distance").cast("long").as("hamming"))
     },
+    // the COMPOSED binary serving pipeline: Hamming top-50 on packed
+    // sign bits (the only corpus-wide scan — 8 bytes/vector), then
+    // exact L2 re-rank of the 50 survivors on raw floats. At 100 TB
+    // the packed column is ~3 TB and cacheable; floats are fetched for
+    // k×10 rows per query only. Approximate (sign bits ≠ L2 order), so
+    // rows-only at the gate; recall is spec-asserted.
+    "knn_binary_rerank" -> { (s, dir) =>
+      val e = Tables(s, dir, "embeddings")
+      val d = e.select(col("vec_id").as("label"),
+        vec.signBits(vec.vector(col("embedding"))).as("bits"))
+      val q = e.where(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"),
+          vec.signBits(vec.vector(col("embedding"))).as("qbits"),
+          vec.vector(col("embedding")).as("qvec"))
+      val ham = bit_count(col("bits").bitwiseXOR(col("qbits")))
+      val coarse = Knn.rankResults(
+          d.crossJoin(broadcast(q.select(col("qid"), col("qbits"))))
+            .select(col("qid"), col("label"), ham.cast("double").as("_dist")),
+          K * 10, ascending = true)
+        .select(col("qid"), col("label"))
+      Knn.rankResults(
+          data(s, dir).join(broadcast(coarse), "label")
+            .join(broadcast(q.select(col("qid"), col("qvec"))), "qid")
+            .select(col("qid"), col("label"),
+              vec.l2sq(col("vec"), col("qvec")).as("_dist")),
+          K, ascending = true)
+        .select(col("qid"), col("rank"), col("label"),
+          Tables.quant4(col("distance")).as("distance"))
+    },
     // corpus clustering by centroid assignment (the domain-discovery /
     // data-mixing primitive): deterministic seed centroids (the first 8
     // embeddings), assignment via the same codegen'd argmin kernel IVF

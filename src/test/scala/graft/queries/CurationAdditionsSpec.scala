@@ -60,6 +60,17 @@ class CurationAdditionsSpec extends SparkSpec {
     }
   }
 
+  test("knn_binary_rerank: exact self-hit at rank 0, recall@5 >= 0.7 vs the exact scan") {
+    val approx = run("knn_binary_rerank").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    approx.filter(_._2 == 0).foreach { case (qid, _, label) => assert(label === qid) }
+    val exact = run("knn_flat_l2").collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val hits = approx.count { case (qid, _, label) => exact((qid, label)) }
+    val recall = hits.toDouble / exact.size
+    assert(recall >= 0.7, f"recall@5 = $recall%.2f")
+  }
+
   test("sample_quota: at most 15 docs per source, exactly 15 where supply allows, deterministic") {
     val kept = run("sample_quota").collect()
     val supply = Tables(spark, dir, "documents").groupBy("source").count()

@@ -145,6 +145,22 @@ class PlanShapeSpec extends SparkSpec {
     assert(pp.contains("partial_sum"), "phase one must map-side combine: " + pp.take(2000))
   }
 
+  test("text_chunk: chunking is a scan-stage explode, no shuffle") {
+    assert(exchanges("text_chunk") === 0)
+  }
+
+  test("knn_hamming: one packed-bits scan (broadcast queries) + the top-k shuffle only") {
+    val plan = physical("knn_hamming")
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    assert(exchanges("knn_hamming") === 1, "coarse scan -> one top-k aggregate shuffle")
+  }
+
+  test("sample_quota: one shuffle, keyed by the quota domain") {
+    val plan = physical("sample_quota")
+    assert(exchanges("sample_quota") === 1)
+    assert(plan.contains("hashpartitioning(source"), plan.take(2000))
+  }
+
   test("knn_radius: broadcast queries, no shuffle — radius filter inside the scan stage") {
     val plan = physical("knn_radius")
     assert(exchanges("knn_radius") === 0, plan.take(2000))

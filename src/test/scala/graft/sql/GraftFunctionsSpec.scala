@@ -39,12 +39,14 @@ class GraftFunctionsSpec extends SparkSpec {
       """SELECT top_shingle_ratio(split('a b a b a b', ' '), 2) ratio,
         |       dup_shingle_fraction(split('a b c a b', ' '), 2) dup,
         |       vec_normalize(CAST(array(3.0, 4.0) AS array<float>)) unit,
-        |       sorted_intersect_count(array(1L, 2L, 5L), array(2L, 3L, 5L)) n
+        |       sorted_intersect_count(array(1L, 2L, 5L), array(2L, 3L, 5L)) n,
+        |       vec_sign_bits(CAST(array(1.0, -2.0, 3.0) AS array<float>)) bits
         |""".stripMargin).collect()(0)
     assert(r.getDouble(0) === 3.0 / 5.0)
     assert(r.getDouble(1) === 2.0 / 4.0)
     assert(r.getSeq[Float](2).toSeq === Seq(0.6f, 0.8f))
     assert(r.getInt(3) === 2)
+    assert(r.getLong(4) === 5L) // bits 0 and 2 set
   }
 
   test("hash functions work from SQL") {
