@@ -158,7 +158,43 @@ object IndexQueries {
     Tables(s, dir, "embeddings").where(col("vec_id") < 100)
       .select(col("vec_id").as("qid"), vec.vector(col("embedding")).as("qvec"))
 
+  /** nprobe values swept by vs_recall_eval (16 = exhaustive = exact) */
+  private[queries] val RecallNprobes = Seq(1, 2, 4, 8, 16)
+
   def scaleQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // index-quality self-evaluation: recall@5 of IVF probing vs the
+    // exact scan, per nprobe — the sweep a deployment runs BEFORE
+    // committing to a probe setting at 100 TB. One plan: the tagged
+    // union of the per-nprobe searches left-joins the exact result
+    // once, then a tiny rollup; every per-nprobe search still prunes
+    // its own probed lists off the shared cached assignment.
+    // Deterministic (seeded training, integer hit counts / fixed
+    // denominator) but structurally oracle-less (custom index) ->
+    // rows-only at the gate; monotonicity + exhaustive-probe-equals-
+    // exact are spec-asserted.
+    "vs_recall_eval" -> { (s, dir) =>
+      import s.implicits._
+      val name = fresh("q_recall_eval")
+      IndexCatalog.create(name, 64, "IDMap,IVF16,Flat", "l2sq")
+      IndexCatalog.add(embData(s, dir), name)
+      val qs = embQueries(s, dir)
+      // truth rows replicated per swept nprobe (tiny broadcast) so the
+      // rollup's count(*) IS the recall denominator — the expensive
+      // exact-scan subtree appears in the plan exactly once
+      val truth = graft.search.Knn.searchFlat(embData(s, dir), qs, 5, "l2sq")
+        .select(col("qid"), col("label"))
+        .crossJoin(broadcast(RecallNprobes.toDF("nprobe")))
+      val tagged = RecallNprobes.map { np =>
+        IndexCatalog.search(name, 5, qs, Map("nprobe" -> np.toString))
+          .select(lit(np).as("nprobe"), col("qid"), col("label"), lit(1L).as("hit"))
+      }.reduce(_ unionByName _)
+      truth
+        .join(tagged, Seq("nprobe", "qid", "label"), "left")
+        .groupBy("nprobe")
+        .agg((sum(coalesce(col("hit"), lit(0L))).cast("double") /
+          count(lit(1)).cast("double")).as("recall_at_5"))
+        .orderBy("nprobe")
+    },
     // exact scan over the replicated corpus: the baseline cost
     // (partition-local-heap path; equality with the declarative path is
     // spec- and oracle-gated via knn_join)

@@ -83,6 +83,16 @@ class CurationAdditionsSpec extends SparkSpec {
     assert(kept.map(_.toString).sorted.toSeq === again.map(_.toString).sorted.toSeq)
   }
 
+  test("vs_recall_eval: recall non-decreasing in nprobe, exhaustive probe is exact") {
+    val rows = run("vs_recall_eval").collect()
+      .map(r => (r.getInt(0), r.getDouble(1))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq === IndexQueries.RecallNprobes)
+    assert(rows.last._1 === 16, "sweep max must stay = nlist for the exhaustive-exact pin")
+    rows.foreach { case (_, rec) => assert(rec >= 0.0 && rec <= 1.0) }
+    assert(rows.map(_._2).toSeq === rows.map(_._2).sorted.toSeq, "recall must not drop as nprobe grows")
+    assert(rows.last._2 === 1.0, "nprobe = nlist probes every list -> exact")
+  }
+
   test("events_top_paths: matches an independently computed trigram ranking") {
     val got = run("events_top_paths").collect().map(r => (r.getString(0), r.getLong(1)))
     // recompute driver-side from raw events (small at sf0.001)
