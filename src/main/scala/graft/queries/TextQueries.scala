@@ -102,6 +102,23 @@ object TextQueries {
         .where(col("rn") <= 20)
         .select(col("doc_id"), col("lang"), col("rn"))
     },
+    // the corpus datasheet: per (lang, source) doc counts, token
+    // volume, and mean quality — the report a curation run publishes
+    // alongside its output. One scan + one tiny rollup shuffle; the
+    // quality mean goes through per-doc fixed-point quantization (sum
+    // of longs is order-independent) so the result is bit-stable on
+    // any partitioning and the oracle compares exactly.
+    "corpus_stats" -> { (s, dir) =>
+      val d = Tables.wide(s, dir, "documents")
+      d.select(col("lang"), col("source"),
+          size(tokens(col("text"))).as("n_toks"),
+          floor(qualityScore(col("text")) * 10000 + 0.5).cast("long").as("qmicro"))
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_toks").cast("long")).as("n_tokens"),
+          (sum(col("qmicro")).cast("double") / 10000.0 / count(lit(1)).cast("double"))
+            .as("mean_quality"))
+    },
     // per-domain quota cap (the Common-Crawl curation rule: no single
     // domain may dominate the corpus): keep at most 15 docs per source,
     // chosen by content hash so the survivors are deterministic AND
@@ -215,9 +232,9 @@ object TextQueries {
     * the composed pipeline_curate oracle (one definition — the gate
     * would silently diverge if these were copied) */
   private[queries] val qualityCtesSql: String =
-    s"""t AS (SELECT doc_id, lang, text, $toksSql AS toks FROM documents),
+    s"""t AS (SELECT doc_id, lang, source, text, $toksSql AS toks FROM documents),
        |f AS (
-       |  SELECT doc_id, lang, text, toks,
+       |  SELECT doc_id, lang, source, text, toks,
        |    CASE WHEN len(toks) > 0
        |      THEN CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE)
        |      ELSE 0.0 END AS uniq_ratio,
@@ -323,6 +340,13 @@ object TextQueries {
          |  r4.top4 AS top4_ratio, r2.dup2 AS dup2_frac
          |FROM r2 JOIN r3 USING (doc_id) JOIN r4 USING (doc_id)""".stripMargin
     },
+    "corpus_stats" ->
+      s"""WITH $qualityCtesSql
+         |SELECT lang, source, count(*) AS n_docs,
+         |  CAST(sum(len(toks)) AS BIGINT) AS n_tokens,
+         |  CAST(sum(CAST(floor(($qualityExprSql) * 10000 + 0.5) AS BIGINT)) AS DOUBLE)
+         |    / 10000.0 / CAST(count(*) AS DOUBLE) AS mean_quality
+         |FROM f GROUP BY lang, source""".stripMargin,
     "sample_quota" ->
       """SELECT doc_id, source,
         |  CAST(row_number() OVER (PARTITION BY source ORDER BY md5(text), doc_id) AS INTEGER) AS rn

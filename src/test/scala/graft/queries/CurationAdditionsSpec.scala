@@ -93,6 +93,17 @@ class CurationAdditionsSpec extends SparkSpec {
     assert(rows.last._2 === 1.0, "nprobe = nlist probes every list -> exact")
   }
 
+  test("corpus_stats: partitions the corpus exactly, token totals and quality bounds hold") {
+    val rows = run("corpus_stats").collect()
+    val docs = Tables(spark, dir, "documents")
+    assert(rows.map(_.getLong(2)).sum === docs.count(), "n_docs partitions the corpus")
+    assert(rows.map(_.getLong(3)).sum ===
+      docs.select(sum(size(TextFunctions.tokens(col("text"))))).collect()(0).getLong(0),
+      "token volume preserved")
+    rows.foreach(r => assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0))
+    assert(rows.map(r => (r.getString(0), r.getString(1))).distinct.length === rows.length)
+  }
+
   test("events_top_paths: matches an independently computed trigram ranking") {
     val got = run("events_top_paths").collect().map(r => (r.getString(0), r.getLong(1)))
     // recompute driver-side from raw events (small at sf0.001)
