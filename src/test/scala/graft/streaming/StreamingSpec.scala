@@ -92,6 +92,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("RAG chunking streams as-is and matches the batch chunker on identical docs") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.text.TextFunctions
+    implicit val ctx = spark.sqlContext
+    val W = 64; val S = 48
+    def chunked(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      val lastIdx = floor(
+        (greatest(size(col("toks")) - lit(W), lit(0)) + lit(S - 1)) / lit(S)).cast("int")
+      df.select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+        .select(col("doc_id"), explode(transform(
+          sequence(lit(0), lastIdx),
+          i => struct(i.as("ci"), slice(col("toks"), i * lit(S) + 1, lit(W)).as("ch")))).as("u"))
+        .select(col("doc_id"), col("u.ci").as("chunk_idx"),
+          array_join(col("u.ch"), " ").as("chunk_text"))
+    }
+    val docs = Seq(
+      (1L, (1 to 150).map(i => s"tok$i").mkString(" ")), // 3 chunks
+      (2L, "short doc"))
+    val mem = MemoryStream[(Long, String)]
+    val q = chunked(mem.toDF.toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("s_chunk").outputMode("append").start()
+    try {
+      mem.addData(docs: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("s_chunk").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).sorted.toSeq
+      val batch = chunked(docs.toDF("doc_id", "text")).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).sorted.toSeq
+      assert(streamed === batch)
+      assert(streamed.count(_._1 == 1L) === 3 && streamed.count(_._1 == 2L) === 1)
+    } finally q.stop()
+  }
+
   test("curation gate: quality filter + watermarked dedup + scrub on a stream") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
