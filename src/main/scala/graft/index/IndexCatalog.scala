@@ -299,6 +299,38 @@ object IndexCatalog {
   }
 
   /**
+   * FAISS-style index diagnostics (InvertedLists::imbalance_factor):
+   * one row of (ntotal, nlist, imbalance_factor) for the BUILT index.
+   * imbalance = nlist · Σ sz² / (Σ sz)² over the coarse lists — 1.0 is
+   * perfectly balanced, nlist is everything-in-one-list; probing a hot
+   * list costs imbalance× the balanced estimate, so this is the skew
+   * check to run before trusting nprobe latency at scale. One tiny
+   * aggregation over the built layout (the list-size rollup shuffles
+   * nlist rows per partition). Non-IVF kinds report one flat "list".
+   */
+  def stats(name: String): DataFrame = {
+    val e = entry(name)
+    val b = build(name)
+    val listSizes = (b match {
+      case ivf: IvfBuilt => ivf.data
+      case pq: PqBuilt => pq.data
+      case sq: SqBuilt => sq.data
+      case other => other.data.select(lit(0).as("list_id"), col("label"))
+    }).groupBy(col("list_id")).agg(count(lit(1)).as("sz"))
+    val nlist = b match {
+      case ivf: IvfBuilt => math.max(ivf.centroids.length, 1)
+      case _: PqBuilt => e.synchronized(e.trainedPq.flatMap(_._2).map(_.length).getOrElse(1))
+      case _: SqBuilt => e.synchronized(e.trainedSq.flatMap(_._3).map(_.length).getOrElse(1))
+      case _ => 1
+    }
+    listSizes.agg(
+      sum(col("sz")).as("ntotal"),
+      lit(nlist).as("nlist"),
+      (lit(nlist) * sum(col("sz") * col("sz")).cast("double") /
+        (sum(col("sz")) * sum(col("sz"))).cast("double")).as("imbalance_factor"))
+  }
+
+  /**
    * Collapse an incrementally-extended IVF back to one materialized,
    * list-co-partitioned cache — the maintenance step a long-running
    * ingest stream schedules between micro-batches: appended batches

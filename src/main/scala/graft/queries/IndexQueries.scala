@@ -162,6 +162,18 @@ object IndexQueries {
   private[queries] val RecallNprobes = Seq(1, 2, 4, 8, 16)
 
   def scaleQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // FAISS-style index diagnostics: ntotal / nlist / imbalance factor
+    // of the built IVF assignment (InvertedLists::imbalance_factor) —
+    // the skew check a deployment runs before trusting nprobe latency.
+    // Deterministic (seeded training) but assignment is custom ->
+    // rows-only; exact semantics spec-asserted incl. a planted
+    // perfectly-balanced corpus measuring exactly 1.0.
+    "vs_index_stats" -> { (s, dir) =>
+      val name = fresh("q_ivf_stats")
+      IndexCatalog.create(name, 64, "IDMap,IVF16,Flat", "l2sq")
+      IndexCatalog.add(embData(s, dir), name)
+      IndexCatalog.stats(name)
+    },
     // index-quality self-evaluation: recall@5 of IVF probing vs the
     // exact scan, per nprobe — the sweep a deployment runs BEFORE
     // committing to a probe setting at 100 TB. One plan: the tagged

@@ -104,6 +104,40 @@ class CurationAdditionsSpec extends SparkSpec {
     assert(rows.map(r => (r.getString(0), r.getString(1))).distinct.length === rows.length)
   }
 
+  test("vs_index_stats: ntotal exact, imbalance bounded, planted balance measures exactly 1.0") {
+    val r = run("vs_index_stats").collect()(0)
+    val nVecs = Tables(spark, dir, "embeddings").count()
+    assert(r.getLong(0) === nVecs)
+    assert(r.getInt(1) === 16)
+    val f = r.getDouble(2)
+    assert(f >= 1.0 && f <= 16.0, s"imbalance $f out of [1, nlist]")
+
+    // planted perfectly-balanced corpus: 4 clusters x 25 points at
+    // axis-aligned corners, manually trained on the exact corners
+    import spark.implicits._
+    import graft.index.IndexCatalog
+    import graft.functions.vec
+    import org.apache.spark.sql.functions._
+    val dim = 8
+    def corner(c: Int): Array[Float] =
+      Array.tabulate(dim)(i => if (i == c) 10f else 0f)
+    val pts = for (c <- 0 until 4; j <- 0 until 25)
+      yield ((c * 25 + j).toLong, corner(c).map(_ + (j % 3) * 0.01f).toSeq)
+    if (IndexCatalog.exists("t_stats_bal")) IndexCatalog.destroy("t_stats_bal")
+    IndexCatalog.create("t_stats_bal", dim, "IDMap,IVF4,Flat", "l2sq")
+    IndexCatalog.add(
+      pts.toDF("label", "v").select(col("label"), vec.vector(col("v")).as("vec")),
+      "t_stats_bal")
+    IndexCatalog.manualTrain(
+      (0 until 4).map(c => Tuple1(corner(c).toSeq)).toDF("v")
+        .select(vec.vector(col("v")).as("vec")),
+      "t_stats_bal")
+    val bal = IndexCatalog.stats("t_stats_bal").collect()(0)
+    assert(bal.getLong(0) === 100L && bal.getInt(1) === 4)
+    assert(bal.getDouble(2) === 1.0, "equal lists must measure exactly 1.0")
+    IndexCatalog.destroy("t_stats_bal")
+  }
+
   test("events_top_paths: matches an independently computed trigram ranking") {
     val got = run("events_top_paths").collect().map(r => (r.getString(0), r.getLong(1)))
     // recompute driver-side from raw events (small at sf0.001)
