@@ -7,9 +7,11 @@ import graft.queries._
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * pipeline_rag composes the engine end-to-end: quality gate →
+    * exact-dedup survivors → embedding join → catalog IVF build → serve. */
   def entry(spark: SparkSession): DataFrame =
-    VectorQueries.queries("knn_flat_l2")(spark, "/root/testdata/sf0.001")
+    RetrievalQueries.queries("pipeline_rag")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
