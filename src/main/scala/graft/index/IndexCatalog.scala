@@ -310,11 +310,21 @@ object IndexCatalog {
    */
   def stats(name: String): DataFrame = {
     val e = entry(name)
-    val b = build(name)
+    // unwrap pretransform wrappers: PCA/OPQ indexes must report their
+    // INNER coarse structure, not a flat single list
+    @scala.annotation.tailrec
+    def unwrap(b: BuiltIndex): BuiltIndex = b match {
+      case pca: PcaBuilt => unwrap(pca.inner)
+      case other => other
+    }
+    val b = unwrap(build(name))
+    // list -1 parks all-NaN vectors that no probe can ever reach — it is
+    // not an inverted list, so it joins neither ntotal nor the skew sum
+    // (matches FAISS imbalance_factor over the probe-able lists)
     val listSizes = (b match {
-      case ivf: IvfBuilt => ivf.data
-      case pq: PqBuilt => pq.data
-      case sq: SqBuilt => sq.data
+      case ivf: IvfBuilt => ivf.data.where(col("list_id") >= 0)
+      case pq: PqBuilt => pq.data.where(col("list_id") >= 0)
+      case sq: SqBuilt => sq.data.where(col("list_id") >= 0)
       case other => other.data.select(lit(0).as("list_id"), col("label"))
     }).groupBy(col("list_id")).agg(count(lit(1)).as("sz"))
     val nlist = b match {
@@ -323,11 +333,14 @@ object IndexCatalog {
       case _: SqBuilt => e.synchronized(e.trainedSq.flatMap(_._3).map(_.length).getOrElse(1))
       case _ => 1
     }
+    // square in DOUBLE: long*long overflows past ~3e9 rows — exactly the
+    // corpus size this diagnostic is for
     listSizes.agg(
       sum(col("sz")).as("ntotal"),
       lit(nlist).as("nlist"),
-      (lit(nlist) * sum(col("sz") * col("sz")).cast("double") /
-        (sum(col("sz")) * sum(col("sz"))).cast("double")).as("imbalance_factor"))
+      (lit(nlist) * sum(col("sz").cast("double") * col("sz").cast("double")) /
+        (sum(col("sz")).cast("double") * sum(col("sz")).cast("double")))
+        .as("imbalance_factor"))
   }
 
   /**

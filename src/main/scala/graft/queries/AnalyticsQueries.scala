@@ -363,7 +363,10 @@ object AnalyticsQueries {
         .withColumn("e2", lead("event_type", 1).over(bySess))
         .withColumn("e3", lead("event_type", 2).over(bySess))
         .where(col("e3").isNotNull)
-        .select(concat_ws(">", col("event_type"), col("e2"), col("e3")).as("path"))
+        // concat (not concat_ws): a NULL event_type must propagate to a
+        // NULL path like the oracle's ||, never silently collapse a
+        // trigram into a bigram
+        .select(concat(col("event_type"), lit(">"), col("e2"), lit(">"), col("e3")).as("path"))
         .groupBy("path")
         .agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("path"))

@@ -41,18 +41,7 @@ object TextQueries {
     // chunking is embarrassingly parallel and the downstream embed /
     // index steps see bounded-size texts.
     "text_chunk" -> { (s, dir) =>
-      val W = 64; val S = 48
-      val d = Tables.wide(s, dir, "documents")
-      val lastIdx = floor(
-        (greatest(size(col("toks")) - lit(W), lit(0)) + lit(S - 1)) / lit(S)).cast("int")
-      d.select(col("doc_id"), tokens(col("text")).as("toks"))
-        .select(col("doc_id"), explode(transform(
-          sequence(lit(0), lastIdx),
-          i => struct(i.as("ci"), slice(col("toks"), i * lit(S) + 1, lit(W)).as("ch")))).as("u"))
-        .select(col("doc_id"),
-          col("u.ci").as("chunk_idx"),
-          size(col("u.ch")).as("chunk_tokens"),
-          array_join(col("u.ch"), " ").as("chunk_text"))
+      graft.text.Pipeline.chunk(Tables.wide(s, dir, "documents"))
     },
     // PII scrubbing audit: scrubbed-text hash + URL/email hit counts
     "text_scrub" -> { (s, dir) =>
@@ -274,7 +263,7 @@ object TextQueries {
     // DuckDB list slicing is 1-based inclusive like Spark's slice()
     "text_chunk" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
-         |n AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+         |n AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) >= 1),
          |c AS (
          |  SELECT doc_id,
          |    unnest([{'ci': i, 'ch': toks[i*48+1 : least(i*48+64, n)]}

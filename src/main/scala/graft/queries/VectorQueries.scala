@@ -241,12 +241,16 @@ object VectorQueries {
     "knn_search_filter" -> knnOracle(l2sqSql, "ASC", "WHERE vec_id % 2 = 0"),
     // sign-bit Hamming distance replayed from the raw floats: bit i of
     // the packed word is set iff v[i] >= 0, so POPCNT(a XOR b) equals
-    // the count of dimensions whose signs disagree
+    // the count of dimensions whose signs disagree. Two deliberate
+    // mirrors of the kernel: only the first 64 dims participate
+    // (signBits packs one word), and NaN counts as sign 0 (Java
+    // NaN >= 0 is false; DuckDB sorts NaN above 0, so spell it out)
     "knn_hamming" ->
       s"""WITH q AS (SELECT vec_id AS qid, embedding AS a FROM embeddings WHERE vec_id < 10),
          |d AS (
          |  SELECT q.qid, e.vec_id AS label,
-         |    CAST(len([i FOR i IN range(1, len(q.a)+1) IF (q.a[i] >= 0) <> (e.embedding[i] >= 0)]) AS BIGINT) AS ham
+         |    CAST(len([i FOR i IN range(1, least(len(q.a), 64)+1)
+         |              IF (NOT isnan(q.a[i]) AND q.a[i] >= 0) <> (NOT isnan(e.embedding[i]) AND e.embedding[i] >= 0)]) AS BIGINT) AS ham
          |  FROM q CROSS JOIN embeddings e
          |),
          |r AS (

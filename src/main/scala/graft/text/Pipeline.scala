@@ -13,6 +13,33 @@ import org.apache.spark.sql.functions._
 object Pipeline {
 
   /**
+   * RAG/context chunking: split each document into overlapping token
+   * windows (`window` tokens, `stride` step → `window - stride` token
+   * overlap). Chunk starts walk 0, stride, 2·stride, … until the
+   * window reaches the end; the final chunk may be short but always
+   * contributes new tokens. A stateless scan-stage explode — no
+   * shuffle, streams as-is; output rows ≈ n_tokens/stride per doc.
+   * Expects (doc_id, text) columns; emits (doc_id, chunk_idx,
+   * chunk_tokens, chunk_text).
+   */
+  def chunk(df: DataFrame, window: Int = 64, stride: Int = 48): DataFrame = {
+    require(window > 0 && stride > 0 && stride <= window,
+      s"need 0 < stride <= window, got window=$window stride=$stride")
+    val lastIdx = floor(
+      (greatest(size(col("toks")) - lit(window), lit(0)) + lit(stride - 1)) / lit(stride))
+      .cast("int")
+    df.select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+      .where(size(col("toks")) >= 1) // no zero-token chunk for empty docs
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(0), lastIdx),
+        i => struct(i.as("ci"), slice(col("toks"), i * lit(stride) + 1, lit(window)).as("ch")))).as("u"))
+      .select(col("doc_id"),
+        col("u.ci").as("chunk_idx"),
+        size(col("u.ch")).as("chunk_tokens"),
+        array_join(col("u.ch"), " ").as("chunk_text"))
+  }
+
+  /**
    * Pack documents into token-budget training sequences. Docs are laid
    * out in deterministic (groupCol, orderCol) order; each doc joins the
    * sequence holding the running token total so far:

@@ -140,13 +140,16 @@ class CurationAdditionsSpec extends SparkSpec {
 
   test("events_top_paths: matches an independently computed trigram ranking") {
     val got = run("events_top_paths").collect().map(r => (r.getString(0), r.getLong(1)))
-    // recompute driver-side from raw events (small at sf0.001)
+    // recompute driver-side from raw events (small at sf0.001); order by
+    // MICROsecond ts like the query's window, not Timestamp.getTime's
+    // millis (sub-ms pairs would sort differently)
     val ev = Tables.events(spark, dir)
-      .select(col("user_id"), col("ts").cast("long").as("sec"), col("ts"), col("event_id"), col("event_type"))
+      .select(col("user_id"), col("ts").cast("long").as("sec"),
+        unix_micros(col("ts")).as("micros"), col("event_id"), col("event_type"))
       .collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2), r.getLong(3), r.getString(4)))
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
     val paths = ev.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
-      val sorted = rows.sortBy(r => (r._3.getTime, r._4))
+      val sorted = rows.sortBy(r => (r._3, r._4))
       // split into sessions on >30min gaps (same floored-second rule)
       val sessions = sorted.foldLeft(Vector.empty[Vector[String]]) { (acc, r) =>
         acc.lastOption match {

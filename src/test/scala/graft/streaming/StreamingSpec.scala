@@ -94,20 +94,13 @@ class StreamingSpec extends SparkSpec {
 
   test("RAG chunking streams as-is and matches the batch chunker on identical docs") {
     import spark.implicits._
-    import org.apache.spark.sql.functions._
-    import graft.text.TextFunctions
+    import org.apache.spark.sql.functions.col
     implicit val ctx = spark.sqlContext
-    val W = 64; val S = 48
-    def chunked(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-      val lastIdx = floor(
-        (greatest(size(col("toks")) - lit(W), lit(0)) + lit(S - 1)) / lit(S)).cast("int")
-      df.select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
-        .select(col("doc_id"), explode(transform(
-          sequence(lit(0), lastIdx),
-          i => struct(i.as("ci"), slice(col("toks"), i * lit(S) + 1, lit(W)).as("ch")))).as("u"))
-        .select(col("doc_id"), col("u.ci").as("chunk_idx"),
-          array_join(col("u.ch"), " ").as("chunk_text"))
-    }
+    // THE production chunker (same function text_chunk serves), not a
+    // local re-implementation — parity here must track the real code
+    def chunked(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      graft.text.Pipeline.chunk(df)
+        .select(col("doc_id"), col("chunk_idx"), col("chunk_text"))
     val docs = Seq(
       (1L, (1 to 150).map(i => s"tok$i").mkString(" ")), // 3 chunks
       (2L, "short doc"))
