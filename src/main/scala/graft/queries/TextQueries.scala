@@ -91,6 +91,21 @@ object TextQueries {
         .where(col("rn") <= 20)
         .select(col("doc_id"), col("lang"), col("rn"))
     },
+    // chunk-level dedup: the RAG complement of text_chunk — repeated
+    // boilerplate chunks (headers, footers, licence blocks) collapse to
+    // one canonical copy BEFORE embedding, where doc-level dedup can't
+    // see them. Chunk → hash → keep min (doc_id, chunk_idx) per hash;
+    // the shuffle carries (hash, ids), never chunk text. Survivor count
+    // and canonical choice are deterministic.
+    "dedup_chunks" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val chunks = graft.text.Pipeline.chunk(Tables.wide(s, dir, "documents"))
+      val w = Window.partitionBy(md5(col("chunk_text"))).orderBy("doc_id", "chunk_idx")
+      chunks
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("doc_id"), col("chunk_idx"), md5(col("chunk_text")).as("chunk_md5"))
+    },
     // the corpus datasheet: per (lang, source) doc counts, token
     // volume, and mean quality — the report a curation run publishes
     // alongside its output. One scan + one tiny rollup shuffle; the
@@ -329,6 +344,22 @@ object TextQueries {
          |  r4.top4 AS top4_ratio, r2.dup2 AS dup2_frac
          |FROM r2 JOIN r3 USING (doc_id) JOIN r4 USING (doc_id)""".stripMargin
     },
+    // same chunk walk as text_chunk, then min-(doc_id, chunk_idx) per
+    // chunk hash
+    "dedup_chunks" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |n AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) >= 1),
+         |c AS (
+         |  SELECT doc_id,
+         |    unnest([{'ci': i, 'ch': toks[i*48+1 : least(i*48+64, n)]}
+         |            FOR i IN range(0, CAST(ceil(greatest(n-64, 0)/48.0) AS BIGINT)+1)]) AS u
+         |  FROM n),
+         |h AS (
+         |  SELECT doc_id, CAST(u.ci AS INTEGER) AS chunk_idx,
+         |    md5(array_to_string(u.ch, ' ')) AS chunk_md5
+         |  FROM c)
+         |SELECT doc_id, chunk_idx, chunk_md5 FROM h
+         |QUALIFY row_number() OVER (PARTITION BY chunk_md5 ORDER BY doc_id, chunk_idx) = 1""".stripMargin,
     "corpus_stats" ->
       s"""WITH $qualityCtesSql
          |SELECT lang, source, count(*) AS n_docs,

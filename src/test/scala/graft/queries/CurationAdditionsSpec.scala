@@ -93,6 +93,18 @@ class CurationAdditionsSpec extends SparkSpec {
     assert(rows.last._2 === 1.0, "nprobe = nlist probes every list -> exact")
   }
 
+  test("dedup_chunks: one survivor per distinct chunk text, canonical = min (doc_id, chunk_idx)") {
+    val survivors = run("dedup_chunks").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    val all = run("text_chunk").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(3)))
+    assert(survivors.map(_._3).distinct.length === survivors.length, "one row per hash")
+    assert(survivors.map(_._3).toSet.size === all.map(_._3).distinct.length,
+      "every distinct chunk text survives exactly once")
+    val expected = all.groupBy(_._3).values.map(_.minBy(c => (c._1, c._2))).toSet
+    assert(survivors.map(c => (c._1, c._2)).toSet === expected.map(c => (c._1, c._2)))
+  }
+
   test("corpus_stats: partitions the corpus exactly, token totals and quality bounds hold") {
     val rows = run("corpus_stats").collect()
     val docs = Tables(spark, dir, "documents")
