@@ -97,14 +97,17 @@ object TextQueries {
     // see them. Chunk → hash → keep min (doc_id, chunk_idx) per hash;
     // the shuffle carries (hash, ids), never chunk text. Survivor count
     // and canonical choice are deterministic.
+    // min(struct) instead of a window rank: the lexicographic struct
+    // min partial-aggregates map-side, so the one shuffle carries at
+    // most one (hash, ids) row per hash per partition — a window would
+    // move and SORT every chunk row
     "dedup_chunks" -> { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
       val chunks = graft.text.Pipeline.chunk(Tables.wide(s, dir, "documents"))
-      val w = Window.partitionBy(md5(col("chunk_text"))).orderBy("doc_id", "chunk_idx")
       chunks
-        .withColumn("rn", row_number().over(w))
-        .where(col("rn") === 1)
-        .select(col("doc_id"), col("chunk_idx"), md5(col("chunk_text")).as("chunk_md5"))
+        .groupBy(md5(col("chunk_text")).as("chunk_md5"))
+        .agg(min(struct(col("doc_id"), col("chunk_idx"))).as("c"))
+        .select(col("c.doc_id").as("doc_id"), col("c.chunk_idx").as("chunk_idx"),
+          col("chunk_md5"))
     },
     // the corpus datasheet: per (lang, source) doc counts, token
     // volume, and mean quality — the report a curation run publishes

@@ -155,6 +155,13 @@ class PlanShapeSpec extends SparkSpec {
     assert(exchanges("knn_hamming") === 1, "coarse scan -> one top-k aggregate shuffle")
   }
 
+  test("dedup_chunks: one hash shuffle with map-side partial min, no window sort") {
+    val plan = physical("dedup_chunks")
+    assert(exchanges("dedup_chunks") === 1)
+    assert(plan.contains("partial_min"), "struct min must partial-aggregate map-side")
+    assert(!plan.contains("Window"), "no window rank over chunk rows")
+  }
+
   test("sample_quota: one shuffle, keyed by the quota domain") {
     val plan = physical("sample_quota")
     assert(exchanges("sample_quota") === 1)
