@@ -94,13 +94,11 @@ object TextQueries {
     // chunk-level dedup: the RAG complement of text_chunk — repeated
     // boilerplate chunks (headers, footers, licence blocks) collapse to
     // one canonical copy BEFORE embedding, where doc-level dedup can't
-    // see them. Chunk → hash → keep min (doc_id, chunk_idx) per hash;
-    // the shuffle carries (hash, ids), never chunk text. Survivor count
-    // and canonical choice are deterministic.
+    // see them. Chunk → hash → keep min (doc_id, chunk_idx) per hash.
     // min(struct) instead of a window rank: the lexicographic struct
     // min partial-aggregates map-side, so the one shuffle carries at
-    // most one (hash, ids) row per hash per partition — a window would
-    // move and SORT every chunk row
+    // most one (hash, ids) row per hash per partition — never chunk
+    // text, and never a per-hash sort of every chunk row.
     "dedup_chunks" -> { (s, dir) =>
       val chunks = graft.text.Pipeline.chunk(Tables.wide(s, dir, "documents"))
       chunks
@@ -276,17 +274,21 @@ object TextQueries {
        |SELECT doc_id, list_max([$cands]).lang AS lang_pred, lang FROM t""".stripMargin
   }
 
+  // the chunk walk shared by text_chunk and dedup_chunks: starts 0, 48,
+  // 96, ... ceil(max(n-64,0)/48) inclusive; DuckDB list slicing is
+  // 1-based inclusive like Spark's slice()
+  private val chunkCtesSql: String =
+    s"""t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |n AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) >= 1),
+       |c AS (
+       |  SELECT doc_id,
+       |    unnest([{'ci': i, 'ch': toks[i*48+1 : least(i*48+64, n)]}
+       |            FOR i IN range(0, CAST(ceil(greatest(n-64, 0)/48.0) AS BIGINT)+1)]) AS u
+       |  FROM n)""".stripMargin
+
   def oracles: Map[String, String] = Map(
-    // same walk: starts 0, 48, 96, ... ceil(max(n-64,0)/48) inclusive;
-    // DuckDB list slicing is 1-based inclusive like Spark's slice()
     "text_chunk" ->
-      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
-         |n AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) >= 1),
-         |c AS (
-         |  SELECT doc_id,
-         |    unnest([{'ci': i, 'ch': toks[i*48+1 : least(i*48+64, n)]}
-         |            FOR i IN range(0, CAST(ceil(greatest(n-64, 0)/48.0) AS BIGINT)+1)]) AS u
-         |  FROM n)
+      s"""WITH $chunkCtesSql
          |SELECT doc_id, CAST(u.ci AS INTEGER) AS chunk_idx,
          |  CAST(len(u.ch) AS INTEGER) AS chunk_tokens,
          |  array_to_string(u.ch, ' ') AS chunk_text
@@ -350,13 +352,7 @@ object TextQueries {
     // same chunk walk as text_chunk, then min-(doc_id, chunk_idx) per
     // chunk hash
     "dedup_chunks" ->
-      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
-         |n AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) >= 1),
-         |c AS (
-         |  SELECT doc_id,
-         |    unnest([{'ci': i, 'ch': toks[i*48+1 : least(i*48+64, n)]}
-         |            FOR i IN range(0, CAST(ceil(greatest(n-64, 0)/48.0) AS BIGINT)+1)]) AS u
-         |  FROM n),
+      s"""WITH $chunkCtesSql,
          |h AS (
          |  SELECT doc_id, CAST(u.ci AS INTEGER) AS chunk_idx,
          |    md5(array_to_string(u.ch, ' ')) AS chunk_md5
