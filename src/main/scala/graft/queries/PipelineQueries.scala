@@ -24,13 +24,15 @@ object PipelineQueries {
     // dedup is the single text-key shuffle, sampling/split are
     // content-hash projections — nothing materializes between stages.
     "pipeline_curate" -> { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
       val d = Tables.wide(s, dir, "documents")
       val gated = d.where(graft.text.TextFunctions.qualityScore(col("text")) >= 0.6)
-      val canon = Window.partitionBy("text")
+      // canonical survivor per text via a partial-aggregating struct
+      // min (map-side combine collapses duplicate texts BEFORE the
+      // shuffle); a window min would move and sort every gated row
       val surv = gated
-        .withColumn("canon_id", min("doc_id").over(canon))
-        .where(col("doc_id") === col("canon_id"))
+        .groupBy(col("text"))
+        .agg(min(struct(col("doc_id"), col("lang"))).as("c"))
+        .select(col("c.doc_id").as("doc_id"), col("c.lang").as("lang"), col("text"))
       val bucket = contentBucket
       val rate = when(col("lang") === "en", 9000)
         .when(col("lang") === "de", 5000)

@@ -115,13 +115,14 @@ object RetrievalQueries {
     // force. At scale only the gate scan and the one index-build
     // assignment touch the corpus; serving reads probed lists.
     "pipeline_rag" -> { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
       import graft.index.IndexCatalog
       val d = Tables.wide(s, dir, "documents")
+      // partial-aggregating groupBy min (not a window): duplicates
+      // collapse map-side, only (text-hash, min id) partials shuffle
       val surv = d
         .where(graft.text.TextFunctions.qualityScore(col("text")) >= 0.6)
-        .withColumn("canon_id", min("doc_id").over(Window.partitionBy("text")))
-        .where(col("doc_id") === col("canon_id"))
+        .groupBy(col("text"))
+        .agg(min(col("doc_id")).as("doc_id"))
         .select(col("doc_id"))
       val e = Tables(s, dir, "embeddings")
       val corpus = e.join(surv, e("vec_id") === surv("doc_id"))

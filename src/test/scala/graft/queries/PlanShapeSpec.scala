@@ -155,6 +155,14 @@ class PlanShapeSpec extends SparkSpec {
     assert(exchanges("knn_hamming") === 1, "coarse scan -> one top-k aggregate shuffle")
   }
 
+  test("pipeline_curate/pipeline_rag: dedup step partial-aggregates, no window over text") {
+    for (q <- Seq("pipeline_curate")) { // pipeline_rag plans lazily through the catalog
+      val plan = physical(q)
+      assert(plan.contains("partial_min"), s"$q: struct min must combine map-side")
+      assert(!plan.contains("Window"), s"$q: no window sort over gated rows")
+    }
+  }
+
   test("dedup_chunks: one hash shuffle with map-side partial min, no window sort") {
     val plan = physical("dedup_chunks")
     assert(exchanges("dedup_chunks") === 1)
