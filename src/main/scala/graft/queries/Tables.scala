@@ -5,8 +5,17 @@ import org.apache.spark.sql.functions._
 
 /** Test-table loaders + oracle-stable numeric canonicalization helpers. */
 object Tables {
+  // memoized per (session, path): spark.read.parquet re-lists files and
+  // re-reads footers for schema inference on EVERY call (~70 ms on local
+  // files — a real catalog caches table metadata once). DataFrames are
+  // immutable plans, so reuse is safe; the map stays tiny (sessions ×
+  // tables) and a racing double-read is harmless.
+  private val cache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    cache.getOrElseUpdate((spark, s"$dir/$name.parquet"),
+      spark.read.parquet(s"$dir/$name.parquet"))
 
   /** widened scan for CPU-heavy per-row work: the testdata files are
     * single-row-group parquet (unsplittable -> 1 partition), which would
@@ -19,11 +28,12 @@ object Tables {
    * rejects; read nanos as long and truncate to micros (exactly what
    * DuckDB's CAST(ts_ns AS TIMESTAMP) does, keeping the oracle aligned).
    */
-  def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-  }
+  def events(spark: SparkSession, dir: String): DataFrame =
+    cache.getOrElseUpdate((spark, s"$dir/events.parquet@nanos"), {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$dir/events.parquet")
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    })
 
   /**
    * Money amounts are doubles with float noise; summing them directly is
