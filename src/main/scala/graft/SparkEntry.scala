@@ -19,7 +19,7 @@ object SparkEntry {
       VectorQueries.queries ++
       TextQueries.queries ++ DedupQueries.queries ++ IndexQueries.queries ++
       IndexQueries.scaleQueries ++ MultimodalQueries.queries ++
-      PipelineQueries.queries ++ RetrievalQueries.queries
+      PipelineQueries.queries ++ RetrievalQueries.queries ++ SqlQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -28,5 +28,5 @@ object SparkEntry {
       VectorQueries.oracles ++
       TextQueries.oracles ++ DedupQueries.oracles ++ IndexQueries.oracles ++
       MultimodalQueries.oracles ++ PipelineQueries.oracles ++
-      RetrievalQueries.oracles
+      RetrievalQueries.oracles ++ SqlQueries.oracles
 }

@@ -1,0 +1,176 @@
+package graft.sql
+
+import org.apache.spark.sql.{Column, DataFrame, GraftBridge, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, Generator, NamedExpression, Unevaluable}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, Generate, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.index.IndexCatalog
+
+/**
+ * Per-row `faiss_search` SQL parity (reference README:71
+ * `SELECT id, UNNEST(FAISS_SEARCH('name', 10, data)) FROM queries`):
+ * the call parses as this unevaluable placeholder, and
+ * [[FaissSearchRewrite]] rewrites the enclosing operator into the
+ * relational search plan (broadcast query batch -> pruned index scan ->
+ * partial top-k), joined back to the input rows on query-vector
+ * equality. The reference executes one serial FAISS call per chunk;
+ * here the SAME SQL text becomes a distributed Catalyst plan.
+ *
+ * Result type matches the reference shape: LIST<STRUCT(rank, label,
+ * distance)> per input row (README:243), distances as DOUBLE.
+ */
+case class FaissSearchCall(
+    indexName: String,
+    k: Int,
+    qvec: Expression,
+    params: Map[String, String],
+    // faiss_search_filter[_set]: (filterSql, idSelector, tableName) —
+    // only rows of `tableName` passing `filterSql` participate, labels
+    // taken from `idSelector` (reference README:225 argument order)
+    restrict: Option[(String, String, String)])
+  extends Expression with Unevaluable {
+  override def children: Seq[Expression] = Seq(qvec)
+  override def nullable: Boolean = false
+  override def dataType: DataType = FaissSearchCall.resultType
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression = copy(qvec = newChildren.head)
+}
+
+object FaissSearchCall {
+  val resultType: DataType = ArrayType(StructType(Seq(
+    StructField("rank", IntegerType, nullable = true),
+    StructField("label", LongType, nullable = true),
+    StructField("distance", DoubleType, nullable = true))), containsNull = true)
+}
+
+/**
+ * Rewrites [[FaissSearchCall]] placeholders into executable plans.
+ * Registered two ways (mirroring GraftFunctions):
+ *  - `spark.sql.extensions=graft.sql.GraftExtensions` -> resolution rule
+ *  - `GraftFunctions.registerAll(spark)` -> experimental optimizer rule
+ *    (a live session's analyzer cannot be extended post-hoc)
+ *
+ * The join-back key is the query VECTOR itself, not a synthetic row id:
+ * duplicate vectors share one search (FAISS would return identical
+ * results anyway) and no id has to survive a recomputed nondeterministic
+ * scan. Null vectors get an empty result list, zero-candidate queries
+ * too — faiss_search returns a list value for every input row.
+ */
+case class FaissSearchRewrite(spark: SparkSession, postAnalysis: Boolean = true)
+  extends Rule[LogicalPlan] {
+
+  private def hasCall(es: Seq[Expression]): Boolean =
+    es.exists(_.exists(_.isInstanceOf[FaissSearchCall]))
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    val rewritten = plan.transformUp {
+      case p: Project if p.resolved && hasCall(p.projectList) =>
+        val (child, subst) = rewriteCalls(p.child, p.projectList)
+        Project(p.projectList.map(subst(_).asInstanceOf[NamedExpression]), child)
+      // SELECT explode(faiss_search(...)): if generator extraction won the
+      // race to this subtree, the call sits inside the Generate node
+      case g: Generate if g.resolved && hasCall(Seq(g.generator)) =>
+        val (child, subst) = rewriteCalls(g.child, Seq(g.generator))
+        g.copy(generator = subst(g.generator).asInstanceOf[Generator],
+          unrequiredChildIndex = Nil, child = child)
+      // optimizer rules can copy the call into a Filter (e.g.
+      // InferFiltersFromGenerate + pushdown on the post-hoc path);
+      // restore the original schema above the result join
+      case f: Filter if f.resolved && hasCall(Seq(f.condition)) =>
+        val (child, subst) = rewriteCalls(f.child, Seq(f.condition))
+        Project(f.output, Filter(subst(f.condition), child))
+    }
+    if (rewritten.eq(plan)) {
+      if (plan.exists(n => hasCall(n.expressions)))
+        logError(s"faiss_search call not matched by the rewrite:\n${plan.treeString}")
+      plan
+    }
+    else if (!rewritten.resolved) {
+      rewritten.foreachUp {
+        case n if !n.resolved && n.children.forall(_.resolved) =>
+          logError(s"faiss_search rewrite produced unresolved node:\n${n.treeString}")
+        case _ => ()
+      }
+      rewritten
+    } else if (!postAnalysis) rewritten // main optimizer still runs after analysis
+    else {
+      // as a post-analysis rule this subtree would miss the main
+      // optimizer entirely (Deduplicate, hint elimination, pushdown all
+      // live there) — run it through the session optimizer explicitly;
+      // re-entry terminates because no placeholder survives the rewrite
+      val spark2 = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      spark2.sessionState.optimizer.execute(rewritten)
+    }
+  }
+
+  /** Join `child` with the results of every distinct call in `exprs`;
+    * returns the joined plan and a substitution over expressions. */
+  private def rewriteCalls(
+      child0: LogicalPlan, exprs: Seq[Expression]): (LogicalPlan, Expression => Expression) = {
+    val calls = exprs.flatMap(_.collect { case c: FaissSearchCall => c }).distinct
+    var child = child0
+    val replacements = calls.zipWithIndex.map { case (call, i) =>
+      val (joined, rep) = joinResults(child, call, i)
+      child = joined
+      (call: Expression) -> rep
+    }.toMap
+    (child, e => e.transformUp { case c: FaissSearchCall => replacements(c) })
+  }
+
+  /** Left-join `child` with the search results for `call`, keyed by the
+    * query vector; returns the joined plan and the replacement
+    * expression (an attribute coalesced to an empty list). */
+  private def joinResults(
+      child: LogicalPlan, call: FaissSearchCall, i: Int): (LogicalPlan, Expression) = {
+    val vcol = s"__graft_qvec_$i"
+    val rcol = s"__graft_res_$i"
+    val df = GraftBridge.ofRows(spark, child)
+    val qvecCol = GraftBridge.column(call.qvec)
+    // bounded distinct query batch; row_number gives the catalog path a
+    // qid (single-partition window is fine — the batch broadcasts anyway)
+    val qdf = df
+      .select(graft.functions.vec.vector(qvecCol).as("qvec"))
+      .where(col("qvec").isNotNull).distinct()
+      .select(row_number().over(Window.orderBy(col("qvec"))).cast("long").as("qid"),
+        col("qvec"))
+    val flat = call.restrict match {
+      case None =>
+        IndexCatalog.search(call.indexName, call.k, qdf, call.params)
+      case Some((filterSql, idSelector, tableName)) =>
+        val ids = spark.table(tableName).where(expr(filterSql))
+          .select(expr(idSelector).cast("long").as("label"))
+        IndexCatalog.searchFilterSet(call.indexName, call.k, qdf, ids, call.params)
+    }
+    val empty = array().cast(FaissSearchCall.resultType)
+    val nested = flat.groupBy("qid")
+      .agg(sort_array(collect_list(struct(col("rank"), col("label"),
+        col("distance").cast("double").as("distance")))).as("r"))
+    val keyed = qdf.join(nested, Seq("qid"), "left")
+      .select(col("qvec").as(vcol),
+        coalesce(col("r").cast(FaissSearchCall.resultType), empty).as(rcol))
+    val joined = df.join(keyed,
+      graft.functions.vec.vector(qvecCol) <=> keyed(vcol), "left")
+    // broadcast the (bounded) result side explicitly: a ResolvedHint
+    // from broadcast() would survive past EliminateResolvedHint when
+    // this rewrite runs as a late optimizer rule, so set the JoinHint
+    // on the Join node itself
+    import org.apache.spark.sql.catalyst.plans.logical.{HintInfo, Join, JoinHint, BROADCAST}
+    val jplan = joined.queryExecution.analyzed match {
+      case j: Join => j.copy(hint = JoinHint(None, Some(HintInfo(Some(BROADCAST)))))
+      case other => other
+    }
+    val rattr: Attribute = jplan.output.filter(_.name == rcol).last
+    // concrete Catalyst nodes (Column sugar like coalesce() defers to an
+    // UnresolvedFunction in Spark 4, which would leave the plan unresolved
+    // here — no analyzer runs after this rewrite on the post-hoc path)
+    val rep = org.apache.spark.sql.catalyst.expressions.Coalesce(Seq(
+      rattr,
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Seq.empty[Any], FaissSearchCall.resultType)))
+    (jplan, rep)
+  }
+}

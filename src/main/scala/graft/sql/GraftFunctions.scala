@@ -1,10 +1,11 @@
 package graft.sql
 
 import org.apache.spark.sql.{GraftBridge, SparkSession, SparkSessionExtensions}
-import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal, NamedArgumentExpression}
+import org.apache.spark.sql.types.{MapType, StringType}
 
 import graft.functions._
-import graft.index.NearestCentroids
+import graft.index.{IndexCatalog, NearestCentroids}
 
 /**
  * SQL surface: every graft expression as a `vec_*` / hash function, so
@@ -72,17 +73,181 @@ object GraftFunctions {
           litLong(args.lift(3).getOrElse(Literal(42L)), "seed"))))
   }
 
-  def registerAll(spark: SparkSession): Unit =
-    builders.foreach { case (name, b) => GraftBridge.registerFunction(spark, name, b) }
+  private def litString(e: Expression, what: String): String = e match {
+    case Literal(v: org.apache.spark.unsafe.types.UTF8String, StringType) => v.toString
+    case other => throw new IllegalArgumentException(s"$what must be a string literal, got $other")
+  }
+
+  private def litMap(e: Expression, what: String): Map[String, String] = e match {
+    case m if m.foldable && m.dataType.isInstanceOf[MapType] =>
+      val md = m.eval().asInstanceOf[org.apache.spark.sql.catalyst.util.MapData]
+      val mt = m.dataType.asInstanceOf[MapType]
+      (0 until md.numElements()).map { i =>
+        md.keyArray().get(i, mt.keyType).toString -> md.valueArray().get(i, mt.valueType).toString
+      }.toMap
+    case other => throw new IllegalArgumentException(s"$what must be a map literal, got $other")
+  }
+
+  /** split `metric_type => '...'` named args (reference README:120) from positionals */
+  private def splitMetricArg(args: Seq[Expression]): (Seq[Expression], Option[String]) = {
+    val (named, pos) = args.partition(_.isInstanceOf[NamedArgumentExpression])
+    val metric = named.collectFirst {
+      case NamedArgumentExpression("metric_type", v) => metricName(litString(v, "metric_type"))
+    }
+    named.collect { case NamedArgumentExpression(k, _) if k != "metric_type" =>
+      throw new IllegalArgumentException(s"unknown named argument '$k'")
+    }
+    (pos, metric)
+  }
+
+  /** FAISS metric spellings (METRIC_L2, INNER_PRODUCT, ...) -> graft names */
+  private def metricName(m: String): String = m.trim.toUpperCase match {
+    case "L2" | "METRIC_L2" => "l2sq"
+    case "INNER_PRODUCT" | "IP" | "METRIC_INNER_PRODUCT" => "ip"
+    case "L1" | "METRIC_L1" => "l1"
+    case "LINF" | "METRIC_LINF" => "linf"
+    case "LP" | "METRIC_LP" => "lp"
+    case "CANBERRA" | "METRIC_CANBERRA" => "canberra"
+    case "BRAYCURTIS" | "METRIC_BRAYCURTIS" => "braycurtis"
+    case "JENSENSHANNON" | "METRIC_JENSENSHANNON" => "jensenshannon"
+    case "JACCARD" | "METRIC_JACCARD" => "jaccard"
+    case other => other.toLowerCase // graft's own spellings pass through; create() validates
+  }
+
+  /**
+   * SQL lifecycle surface — the reference's `CALL faiss_create(...)` /
+   * `faiss_add(TABLE, name)` scripts port as `SELECT faiss_create(...)`
+   * / `SELECT faiss_add('view_or_table', 'name')` (Spark has no CALL
+   * for session-extension procedures; TABLE arguments become
+   * table/view-name strings, the convention the reference itself uses
+   * for faiss_search_filter's `tablename` argument, README:225).
+   *
+   * The catalog mutation happens while the function is RESOLVED on the
+   * driver — analysis of a `spark.sql(...)` call is eager, so each
+   * statement applies exactly once, in statement order, like a DuckDB
+   * CALL. The expression then folds to a boolean TRUE row.
+   */
+  def lifecycleBuilders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "faiss_create" -> { raw =>
+      val (args, metric) = splitMetricArg(raw)
+      IndexCatalog.create(litString(args(0), "name"), litInt(args(1), "dimension"),
+        litString(args(2), "index_type"),
+        metric.orElse(args.lift(3).map(litString(_, "metric"))).getOrElse("l2sq"))
+      Literal(true)
+    },
+    "faiss_create_params" -> { raw =>
+      val (args, metric) = splitMetricArg(raw)
+      IndexCatalog.create(litString(args(0), "name"), litInt(args(1), "dimension"),
+        litString(args(2), "index_type"),
+        metric.orElse(args.lift(4).map(litString(_, "metric"))).getOrElse("l2sq"),
+        litMap(args(3), "parameters"))
+      Literal(true)
+    },
+    "faiss_add" -> { args =>
+      val spark = SparkSession.active
+      IndexCatalog.add(spark.table(litString(args(0), "data table")), litString(args(1), "name"))
+      Literal(true)
+    },
+    "faiss_manual_train" -> { args =>
+      val spark = SparkSession.active
+      IndexCatalog.manualTrain(
+        spark.table(litString(args(0), "data table")), litString(args(1), "name"))
+      Literal(true)
+    },
+    "faiss_save" -> { args =>
+      IndexCatalog.save(litString(args(0), "name"), litString(args(1), "path"))
+      Literal(true)
+    },
+    "faiss_load" -> { args =>
+      IndexCatalog.load(litString(args(0), "name"), litString(args(1), "path"),
+        SparkSession.active)
+      Literal(true)
+    },
+    "faiss_destroy" -> { args =>
+      IndexCatalog.destroy(litString(args(0), "name"))
+      Literal(true)
+    },
+    "faiss_move_gpu" -> { args =>
+      IndexCatalog.moveGpu(litString(args(0), "name"),
+        args.lift(1).map(litInt(_, "gpu")).getOrElse(0))
+      Literal(true)
+    })
+
+  /** per-row search calls -> [[FaissSearchCall]] placeholders for [[FaissSearchRewrite]] */
+  def searchBuilders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    // faiss_search(name, k, q [, params map]) — README:71
+    "faiss_search" -> { args =>
+      FaissSearchCall(litString(args(0), "name"), litInt(args(1), "k"), args(2),
+        args.lift(3).map(litMap(_, "parameters")).getOrElse(Map.empty), None)
+    },
+    // faiss_search_filter[_set](name, k, q, filter, idselector, tablename [, params])
+    // — README:225/251; both restrict to rows of `tablename` passing
+    // `filter`, labels from `idselector` (the _set variant differs only
+    // in the reference's internal selector representation)
+    "faiss_search_filter" -> { args =>
+      FaissSearchCall(litString(args(0), "name"), litInt(args(1), "k"), args(2),
+        args.lift(6).map(litMap(_, "parameters")).getOrElse(Map.empty),
+        Some((litString(args(3), "filter"), litString(args(4), "idselector"),
+          litString(args(5), "tablename"))))
+    },
+    "faiss_search_filter_set" -> { args =>
+      FaissSearchCall(litString(args(0), "name"), litInt(args(1), "k"), args(2),
+        args.lift(6).map(litMap(_, "parameters")).getOrElse(Map.empty),
+        Some((litString(args(3), "filter"), litString(args(4), "idselector"),
+          litString(args(5), "tablename"))))
+    })
+
+  /** FROM-clause introspection: `SELECT * FROM faiss_list()` — catalog
+    * metadata snapshot at analysis time (name, dim, index_type,
+    * metric_type), the porting target for scripts that inspect the
+    * reference's registry. */
+  def tableBuilders: Seq[(String, Seq[Expression] =>
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)] = Seq(
+    "faiss_list" -> { _ =>
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+      val s = SparkSession.active
+      val rows = IndexCatalog.list().map(m => Row(m.name, m.dim, m.factory, m.metric))
+      val schema = StructType(Seq(
+        StructField("name", StringType), StructField("dim", IntegerType),
+        StructField("index_type", StringType), StructField("metric_type", StringType)))
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+        .queryExecution.analyzed
+    })
+
+  def registerAll(spark: SparkSession): Unit = {
+    (builders ++ lifecycleBuilders ++ searchBuilders).foreach {
+      case (name, b) => GraftBridge.registerFunction(spark, name, b)
+    }
+    tableBuilders.foreach {
+      case (name, b) => GraftBridge.registerTableFunction(spark, name, b)
+    }
+    // a live session's analyzer can't be extended post-hoc; the rewrite
+    // runs as an experimental optimizer rule instead (idempotent add)
+    val existing = spark.experimental.extraOptimizations
+    if (!existing.exists(_.isInstanceOf[FaissSearchRewrite]))
+      spark.experimental.extraOptimizations = existing :+ FaissSearchRewrite(spark)
+  }
 }
 
 /** `spark.sql.extensions` entry point */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
-    GraftFunctions.builders.foreach { case (name, b) =>
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    (GraftFunctions.builders ++ GraftFunctions.lifecycleBuilders ++
+      GraftFunctions.searchBuilders).foreach { case (name, b) =>
       ext.injectFunction((
         org.apache.spark.sql.catalyst.FunctionIdentifier(name),
         new org.apache.spark.sql.catalyst.expressions.ExpressionInfo("graft", name),
         b))
     }
+    GraftFunctions.tableBuilders.foreach { case (name, b) =>
+      ext.injectTableFunction((
+        org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo("graft", name),
+        b))
+    }
+    // on the extensions path the rewrite can run at resolution, so the
+    // produced search subtree flows through the full optimizer
+    ext.injectResolutionRule(s => FaissSearchRewrite(s, postAnalysis = false))
+  }
 }

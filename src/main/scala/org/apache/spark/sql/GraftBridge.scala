@@ -22,4 +22,21 @@ object GraftBridge {
       "graft", name)
     fr.registerFunction(ident, info, builder)
   }
+
+  /** wrap an analyzed/unanalyzed logical plan as a DataFrame (Dataset.ofRows is private[sql]) */
+  def ofRows(
+      spark: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** register a table-valued function (FROM-clause) on a live session */
+  def registerTableFunction(
+      spark: SparkSession,
+      name: String,
+      builder: Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Unit = {
+    val tfr = spark.asInstanceOf[classic.SparkSession].sessionState.tableFunctionRegistry
+    val ident = org.apache.spark.sql.catalyst.FunctionIdentifier(name)
+    val info = new org.apache.spark.sql.catalyst.expressions.ExpressionInfo("graft", name)
+    tfr.registerFunction(ident, info, builder)
+  }
 }
