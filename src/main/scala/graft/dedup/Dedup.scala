@@ -30,6 +30,29 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
       .select(md5(col(textCol)).as("text_hash"), col("keep_id"), col("n_copies"))
 
+  /**
+   * Incremental (continuous-ingest) exact dedup: a new crawl batch is
+   * screened against the already-accepted corpus — a batch document
+   * survives iff its content hash is new to BOTH the corpus and the
+   * smaller-id part of its own batch. Returns one row per surviving
+   * distinct text: (text_hash, keep_id, n_copies in the batch).
+   *
+   * 100 TB shape: the corpus side reduces to DISTINCT 16-byte hashes
+   * (map-side combined) before the LEFT ANTI join, so the shuffle
+   * carries (hash, id) pairs — never document text — and re-screening a
+   * daily batch costs one batch scan + one corpus hash scan, not a full
+   * corpus re-dedup.
+   */
+  def incremental(
+      corpus: DataFrame, batch: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val corpusHashes = corpus.select(md5(col(textCol)).as("text_hash")).distinct()
+    batch
+      .groupBy(col(textCol))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select(md5(col(textCol)).as("text_hash"), col("keep_id"), col("n_copies"))
+      .join(corpusHashes, Seq("text_hash"), "left_anti")
+  }
+
   /** (id, sig array<bigint>) MinHash signatures over word shingles */
   def minhashSignatures(
       docs: DataFrame, idCol: String, textCol: String,

@@ -197,6 +197,16 @@ object AnalyticsQueries {
         .select(col("w.start").as("bucket"), col("event_type"),
           col("n_events"), col("sum_value"))
     },
+    // value-distribution histogram per event type: fixed-width bins in
+    // ONE aggregation pass (bin id is a scan-stage projection, partial
+    // counts combine map-side) — the profiling scan that sizes
+    // percentile/zscore follow-ups without a sort. floor(x/50) is one
+    // correctly-rounded IEEE op, so bins match the oracle bit-exactly.
+    "events_histogram" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("event_type"), floor(col("value") / 50.0).cast("long").as("bin"))
+        .agg(count(lit(1)).as("n_events"), moneySum(col("value")).as("sum_value"))
+    },
     // anomaly screen: per-type z-scores against streaming-friendly
     // moment sums (count / cents-sum / cents-sum-of-squares — one
     // aggregation pass, order-independent by integer fixed-point),
@@ -495,6 +505,10 @@ object AnalyticsQueries {
          |SELECT bucket, event_type, count(*) AS n_events,
          |  ${moneySumSql("value")} AS sum_value
          |FROM w GROUP BY 1, 2""".stripMargin,
+    "events_histogram" ->
+      s"""SELECT event_type, CAST(floor("value" / 50.0) AS BIGINT) AS bin,
+         |  count(*) AS n_events, ${moneySumSql("value")} AS sum_value
+         |FROM events GROUP BY 1, 2""".stripMargin,
     "events_zscore" ->
       s"""WITH stats AS (
          |  SELECT event_type AS t,

@@ -34,6 +34,22 @@ object DedupQueries {
         .select((col("doc_id") + col("copy") * 1000000L).as("doc_id"), col("text"))
       Dedup.exact(big, "doc_id", "text")
     },
+    // continuous-ingest dedup: screen a new crawl batch against the
+    // accepted corpus (docs < 250). The batch mixes genuinely-new docs
+    // (>= 250), recrawls of corpus content (ids +1e6 — must be dropped
+    // by the corpus anti-join), and within-batch duplicates (ids +2e6 —
+    // must collapse to the min-id copy). Exact oracle.
+    "dedup_incremental" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val corpus = d.where(col("doc_id") < 250)
+      val batch = d.where(col("doc_id") >= 250)
+        .select(col("doc_id"), col("text"))
+        .unionByName(d.where(col("doc_id") < 50)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+        .unionByName(d.where(col("doc_id") >= 250 && col("doc_id") < 300)
+          .select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
+      Dedup.incremental(corpus, batch, "doc_id", "text")
+    },
     // top-20 most-similar bigram-jaccard pairs within an id window of 25
     "dedup_ngram_jaccard" -> { (s, dir) =>
       Dedup.ngramJaccardWindow(docs(s, dir), "doc_id", "text", window = 25, shingleSize = 2)
@@ -175,6 +191,19 @@ object DedupQueries {
     "dedup_exact" ->
       """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY text""".stripMargin,
+    "dedup_incremental" ->
+      """WITH corpus AS (SELECT text FROM documents WHERE doc_id < 250),
+        |batch AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id >= 250
+        |  UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 50
+        |  UNION ALL SELECT doc_id + 2000000, text FROM documents WHERE doc_id >= 250 AND doc_id < 300
+        |),
+        |canon AS (
+        |  SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+        |  FROM batch GROUP BY text
+        |)
+        |SELECT c.text_hash, c.keep_id, c.n_copies FROM canon c
+        |WHERE NOT EXISTS (SELECT 1 FROM corpus k WHERE md5(k.text) = c.text_hash)""".stripMargin,
     "dedup_exact_big" ->
       """WITH big AS (
         |  SELECT d.doc_id + c.c * 1000000 AS doc_id, d.text

@@ -104,6 +104,22 @@ object Streaming {
   }
 
   /**
+   * Stream-static enrichment: every micro-batch LEFT-joins the static
+   * dimension snapshot — stateless (no watermark, no join state), the
+   * standard at-ingest enrichment step before a streaming rollup or a
+   * curation gate. The broadcast hint keeps the unbounded stream side
+   * from ever shuffling: at 100 TB-of-stream the dimension ships to
+   * executors once per micro-batch and each event row is touched once.
+   * LEFT (not inner) so an event with no dimension row survives with
+   * nulls — enrichment must not silently drop traffic.
+   */
+  def enrich(
+      events: DataFrame, // streaming, keyed by `key`
+      dim: DataFrame, // static dimension
+      key: String, dimKey: String): DataFrame =
+    events.join(broadcast(dim), col(key) === col(dimKey), "left")
+
+  /**
    * Real-time index ingestion: an unbounded (id, vector) stream feeds a
    * catalog index micro-batch by micro-batch — the write side of
    * [[serveAnn]], closing the "batch build only" gap a Spark port of

@@ -24,6 +24,30 @@ class DedupSpec extends SparkSpec {
     assert(res.length === 3)
   }
 
+  test("incremental dedup: corpus recrawls dropped, within-batch dups collapse, new docs survive") {
+    import spark.implicits._
+    val corpus = Seq((0L, "alpha doc"), (1L, "beta doc")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "alpha doc"),  // recrawl of corpus content -> dropped
+      (11L, "gamma doc"), (12L, "gamma doc"), // within-batch dup -> min id kept
+      (13L, "delta doc")) // genuinely new
+      .toDF("doc_id", "text")
+    val res = Dedup.incremental(corpus, batch, "doc_id", "text")
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(res === Map(11L -> 2L, 13L -> 1L))
+  }
+
+  test("incremental dedup of an empty batch or empty corpus") {
+    import spark.implicits._
+    val corpus = Seq((0L, "alpha doc")).toDF("doc_id", "text")
+    val empty = corpus.where(lit(false))
+    assert(Dedup.incremental(corpus, empty, "doc_id", "text").count() === 0)
+    // empty corpus: incremental == plain exact dedup of the batch
+    val batch = Seq((5L, "x y z"), (6L, "x y z")).toDF("doc_id", "text")
+    val res = Dedup.incremental(empty, batch, "doc_id", "text").collect()
+    assert(res.map(r => (r.getLong(1), r.getLong(2))).toSeq === Seq((5L, 2L)))
+  }
+
   test("minhash LSH finds planted near-duplicates, not unrelated docs") {
     val cands = Dedup.minhashCandidates(docs, "doc_id", "text", numHashes = 64, bands = 32)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

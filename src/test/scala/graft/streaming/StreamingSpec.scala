@@ -276,6 +276,25 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static enrichment joins the dimension without dropping unmatched events") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val memE = MemoryStream[(Long, Long, Double)]
+    val edf = memE.toDF.toDF("event_id", "user_id", "value")
+    val dim = Seq((1L, "alice", "DE"), (2L, "bob", "FR"))
+      .toDF("c_custkey", "c_name", "c_country")
+    val q = Streaming.enrich(edf, dim, "user_id", "c_custkey")
+      .select("event_id", "c_name")
+      .writeStream.format("memory").queryName("s_enrich").outputMode("append").start()
+    try {
+      memE.addData((100L, 1L, 5.0), (101L, 2L, 6.0), (102L, 9L, 7.0))
+      q.processAllAvailable()
+      val got = spark.table("s_enrich").collect()
+        .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+      assert(got === Map(100L -> Some("alice"), 101L -> Some("bob"), 102L -> None))
+    } finally q.stop()
+  }
+
   test("stream-stream interval join matches the batch join on the same rows") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
