@@ -61,13 +61,36 @@ object FaissSearchCall {
  * too — faiss_search returns a list value for every input row.
  */
 case class FaissSearchRewrite(spark: SparkSession, postAnalysis: Boolean = true)
-  extends Rule[LogicalPlan] {
+  extends Rule[LogicalPlan]
+  with org.apache.spark.sql.catalyst.expressions.PredicateHelper {
 
   private def hasCall(es: Seq[Expression]): Boolean =
     es.exists(_.exists(_.isInstanceOf[FaissSearchCall]))
 
+  /** `size(faiss_search(...)) > 0` / `isnotnull(faiss_search(...))`
+    * conjuncts are vacuous — the SQL surface pads every result list to
+    * exactly k like the reference (README:243), so they can only come
+    * from InferFiltersFromGenerate (the post-hoc path runs after the
+    * main optimizer). Left in place they would each rewrite into a
+    * complete SECOND search of the corpus. */
+  private def isVacuousCallGuard(e: Expression): Boolean = e match {
+    case org.apache.spark.sql.catalyst.expressions.GreaterThan(
+      org.apache.spark.sql.catalyst.expressions.Size(_: FaissSearchCall, _), lit)
+      if lit.foldable && lit.eval() == 0 => true
+    case org.apache.spark.sql.catalyst.expressions.IsNotNull(_: FaissSearchCall) => true
+    case _ => false
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
-    val rewritten = plan.transformUp {
+    val cleaned = plan.transformUp {
+      case f: Filter if hasCall(Seq(f.condition)) =>
+        val conj = splitConjunctivePredicates(f.condition)
+        val kept = conj.filterNot(isVacuousCallGuard)
+        if (kept.length == conj.length) f
+        else kept.reduceOption(org.apache.spark.sql.catalyst.expressions.And)
+          .map(Filter(_, f.child)).getOrElse(f.child)
+    }
+    val rewritten = cleaned.transformUp {
       case p: Project if p.resolved && hasCall(p.projectList) =>
         val (child, subst) = rewriteCalls(p.child, p.projectList)
         Project(p.projectList.map(subst(_).asInstanceOf[NamedExpression]), child)
@@ -96,15 +119,7 @@ case class FaissSearchRewrite(spark: SparkSession, postAnalysis: Boolean = true)
         case _ => ()
       }
       rewritten
-    } else if (!postAnalysis) rewritten // main optimizer still runs after analysis
-    else {
-      // as a post-analysis rule this subtree would miss the main
-      // optimizer entirely (Deduplicate, hint elimination, pushdown all
-      // live there) — run it through the session optimizer explicitly;
-      // re-entry terminates because no placeholder survives the rewrite
-      val spark2 = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-      spark2.sessionState.optimizer.execute(rewritten)
-    }
+    } else rewritten
   }
 
   /** Join `child` with the results of every distinct call in `exprs`;
@@ -130,39 +145,65 @@ case class FaissSearchRewrite(spark: SparkSession, postAnalysis: Boolean = true)
     val rcol = s"__graft_res_$i"
     val df = GraftBridge.ofRows(spark, child)
     val qvecCol = GraftBridge.column(call.qvec)
-    // bounded distinct query batch; row_number gives the catalog path a
-    // qid (single-partition window is fine — the batch broadcasts anyway)
-    val qdf = df
+    // the query batch is bounded by contract (every index kind
+    // broadcasts or collects it — FAISS-parity serving path), so assign
+    // qids on the driver and plan from a LocalRelation: one distinct
+    // job here instead of a 3-exchange window chain evaluated once per
+    // use of the batch
+    val qRows = df
       .select(graft.functions.vec.vector(qvecCol).as("qvec"))
-      .where(col("qvec").isNotNull).distinct()
-      .select(row_number().over(Window.orderBy(col("qvec"))).cast("long").as("qid"),
-        col("qvec"))
+      .where(col("qvec").isNotNull).distinct().collect()
+    val qSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("qid", org.apache.spark.sql.types.LongType,
+        nullable = false),
+      org.apache.spark.sql.types.StructField("qvec",
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType))))
+    val qdf = spark.createDataFrame(
+      java.util.Arrays.asList(qRows.zipWithIndex.map { case (r, qi) =>
+        org.apache.spark.sql.Row(qi.toLong, r.get(0))
+      }: _*), qSchema)
+    // the reference pads every result list to exactly k (label = -1 for
+    // missing, README:243) — mirror that by default, overridable via
+    // an explicit map('pad','false') parameter
+    val params = Map("pad" -> "true") ++ call.params
     val flat = call.restrict match {
       case None =>
-        IndexCatalog.search(call.indexName, call.k, qdf, call.params)
+        IndexCatalog.search(call.indexName, call.k, qdf, params)
       case Some((filterSql, idSelector, tableName)) =>
         val ids = spark.table(tableName).where(expr(filterSql))
           .select(expr(idSelector).cast("long").as("label"))
-        IndexCatalog.searchFilterSet(call.indexName, call.k, qdf, ids, call.params)
+        IndexCatalog.searchFilterSet(call.indexName, call.k, qdf, ids, params)
     }
     val empty = array().cast(FaissSearchCall.resultType)
     val nested = flat.groupBy("qid")
       .agg(sort_array(collect_list(struct(col("rank"), col("label"),
         col("distance").cast("double").as("distance")))).as("r"))
-    val keyed = qdf.join(nested, Seq("qid"), "left")
+    // both joins broadcast their bounded side — the query batch and its
+    // k-row result lists; only the index scan inside `flat` touches data
+    val keyed = qdf.join(broadcast(nested), Seq("qid"), "left")
       .select(col("qvec").as(vcol),
         coalesce(col("r").cast(FaissSearchCall.resultType), empty).as(rcol))
     val joined = df.join(keyed,
       graft.functions.vec.vector(qvecCol) <=> keyed(vcol), "left")
-    // broadcast the (bounded) result side explicitly: a ResolvedHint
-    // from broadcast() would survive past EliminateResolvedHint when
-    // this rewrite runs as a late optimizer rule, so set the JoinHint
-    // on the Join node itself
+    // broadcast the result side via an explicit JoinHint on the node (a
+    // ResolvedHint from broadcast() would reach the planner unresolved
+    // when this runs as a late optimizer rule — only the subtree below
+    // gets re-optimized, where the inner broadcast() hint is handled)
     import org.apache.spark.sql.catalyst.plans.logical.{HintInfo, Join, JoinHint, BROADCAST}
-    val jplan = joined.queryExecution.analyzed match {
+    val jplan0 = joined.queryExecution.analyzed match {
       case j: Join => j.copy(hint = JoinHint(None, Some(HintInfo(Some(BROADCAST)))))
       case other => other
     }
+    // post-analysis registration: nothing optimizes this subtree after
+    // us (Deduplicate->Aggregate, hint elimination, pushdown all live in
+    // the main optimizer), so run it through the session optimizer now.
+    // Scoped to the subtree — the surrounding plan is already optimized.
+    // The optimizer preserves root output attributes, and re-entry into
+    // this rule terminates (no placeholder survives the rewrite).
+    val jplan =
+      if (!postAnalysis) jplan0
+      else spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+        .sessionState.optimizer.execute(jplan0)
     val rattr: Attribute = jplan.output.filter(_.name == rcol).last
     // concrete Catalyst nodes (Column sugar like coalesce() defers to an
     // UnresolvedFunction in Spark 4, which would leave the plan unresolved

@@ -100,6 +100,20 @@ object GraftFunctions {
     (pos, metric)
   }
 
+  /** TABLE arguments accept a view/table name OR an inline query — the
+    * reference's scripts pass subqueries to FAISS_ADD
+    * (test/sql/faiss_add_ids_with_train: `FAISS_ADD((SELECT ...), name)`) */
+  private def tableArg(ref: String): org.apache.spark.sql.DataFrame = {
+    val spark = SparkSession.active
+    val t0 = ref.trim
+    // the reference style wraps the subquery in parens: FAISS_ADD((SELECT ...), n)
+    val t = (if (t0.startsWith("(") && t0.endsWith(")")) t0.substring(1, t0.length - 1)
+             else t0).trim
+    if (t.toUpperCase.startsWith("SELECT") || t.toUpperCase.startsWith("WITH") ||
+      t.toUpperCase.startsWith("VALUES")) spark.sql(t)
+    else spark.table(ref)
+  }
+
   /** FAISS metric spellings (METRIC_L2, INNER_PRODUCT, ...) -> graft names */
   private def metricName(m: String): String = m.trim.toUpperCase match {
     case "L2" | "METRIC_L2" => "l2sq"
@@ -144,14 +158,12 @@ object GraftFunctions {
       Literal(true)
     },
     "faiss_add" -> { args =>
-      val spark = SparkSession.active
-      IndexCatalog.add(spark.table(litString(args(0), "data table")), litString(args(1), "name"))
+      IndexCatalog.add(tableArg(litString(args(0), "data table")), litString(args(1), "name"))
       Literal(true)
     },
     "faiss_manual_train" -> { args =>
-      val spark = SparkSession.active
       IndexCatalog.manualTrain(
-        spark.table(litString(args(0), "data table")), litString(args(1), "name"))
+        tableArg(litString(args(0), "data table")), litString(args(1), "name"))
       Literal(true)
     },
     "faiss_save" -> { args =>

@@ -271,6 +271,17 @@ class PlanShapeSpec extends SparkSpec {
       "both modality top-100s must come from per-partition heaps:\n" + plan.take(3000))
   }
 
+  test("vs_sql_search: the rewrite plans exactly ONE search (no inferred-filter duplicate)") {
+    // InferFiltersFromGenerate once duplicated the whole search subtree
+    // through a pushed-down size(faiss_search(...)) > 0 guard; the
+    // vacuous-guard strip must keep the plan at a single top-k pipeline
+    val plan = physical("vs_sql_search")
+    val topks = "partial_vec_topk".r.findAllIn(plan).length
+    assert(topks === 1, s"expected one partial top-k, found $topks:\n" + plan.take(3000))
+    // both result-side joins broadcast — the stream/corpus side never shuffles for the join
+    assert("BroadcastHashJoin".r.findAllIn(plan).length >= 2, plan.take(3000))
+  }
+
   test("dedup_spans: the span-key shuffle carries (doc_id, span) pairs, not documents") {
     val q = graft.SparkEntry.queries("dedup_spans")(spark, dir)
     val plan = q.queryExecution.executedPlan.toString

@@ -135,6 +135,19 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(n === 8)
   }
 
+  test("faiss_add accepts an inline subquery as the TABLE argument (faiss_add_ids_with_train)") {
+    ready
+    fresh("sqlidx_inline")
+    spark.sql("SELECT faiss_create('sqlidx_inline', 2, 'IDMap,IVF1,Flat')").collect()
+    spark.sql("SELECT faiss_add('SELECT id, vector FROM (VALUES (231, array(0.0040321066, 0.023423655))) AS tb(id, vector)', 'sqlidx_inline')").collect()
+    val rows = spark.sql(
+      """SELECT r.label FROM (SELECT faiss_search('sqlidx_inline', 1,
+        |array(0.004, 0.023)) AS rs) LATERAL VIEW explode(rs) t AS r""".stripMargin)
+      .collect().map(_.getLong(0))
+    assert(rows === Array(231L))
+    IndexCatalog.destroy("sqlidx_inline")
+  }
+
   test("faiss_list table function reports the catalog snapshot") {
     ready
     fresh("sqlidx_list")
