@@ -1216,6 +1216,56 @@ object IndexCatalog {
         padToK = params.get("pad").exists(_.toBoolean))
     }
 
+    /**
+     * Selector inside the graph search (FAISS applies its IDSelector
+     * within HNSW traversal, faiss_extension.cpp:940-1000). A NARROW
+     * restriction (a Catalyst filter — searchFilter's predicate) keeps
+     * the cached shard partitioning, so each shard's allowed-label set
+     * rides zipPartitions to its own graph: no shuffle, no broadcast,
+     * traversal keeps full connectivity and only allowed labels surface.
+     * A shuffling restriction (searchFilterSet's LEFT SEMI id join)
+     * breaks shard alignment — that path stays the EXACT flat scan of
+     * the restricted set (pushdown-friendly, and exact beats
+     * approximate when the selector already bounds the scan).
+     */
+    override def searchRestricted(
+        queries: DataFrame, k: Int, params: Map[String, String],
+        restrict: DataFrame => DataFrame): DataFrame = {
+      val restricted = restrict(data.select(col("label"), col("vec")))
+      import org.apache.spark.sql.catalyst.plans.logical._
+      val narrow = !restricted.queryExecution.optimizedPlan.exists {
+        case _: Aggregate | _: Join | _: Window | _: RepartitionOperation | _: Deduplicate => true
+        case s: Sort => s.global
+        case _ => false
+      }
+      if (!narrow || restricted.rdd.getNumPartitions != graphs.getNumPartitions)
+        super.searchRestricted(queries, k, params, restrict)
+      else {
+        val spark = data.sparkSession
+        import spark.implicits._
+        val efSearch = params.get("efSearch").map(_.toInt).getOrElse(math.max(2 * k, 64))
+        val metricId = VectorMath.metricId(meta.metric)
+        val qArr = collectQueryBatch(queries)
+        val qB = spark.sparkContext.broadcast(qArr)
+        val allowedRdd = restricted.select("label").rdd.mapPartitions({ it =>
+          val s = new java.util.HashSet[Long]()
+          it.foreach(r => s.add(r.getLong(0)))
+          Iterator.single(s)
+        }, preservesPartitioning = true)
+        val perShard = graphs.zipPartitions(allowedRdd) { (git, ait) =>
+          val allowed = if (ait.hasNext) ait.next() else new java.util.HashSet[Long]()
+          git.flatMap { g =>
+            qB.value.iterator.flatMap { case (qid, qv) =>
+              Nsw.searchSel(g, qv, k, efSearch, metricId, allowed.contains).iterator
+                .map { case (d, label) => (qid, label, d) }
+            }
+          }
+        }.toDF("qid", "label", "_dist")
+        Knn.rankResults(perShard, k, ascending = VectorMath.smallerIsCloser(metricId),
+          padToK = params.get("pad").exists(_.toBoolean))
+      }
+    }
+
     override def close(): Unit = {
       graphs.unpersist(blocking = false)
       super.close()

@@ -225,4 +225,61 @@ object Nsw {
       g.labels(_), g.labels.length, ep, q, k, math.max(efSearch, k), metricId)
       .map { case (_, idx) => (rawDist(metricId, q, g.vecs(idx)), g.labels(idx)) }
   }
+
+  /**
+   * Selector-inside-graph search (FAISS `SearchParametersHNSW::sel`):
+   * the beam TRAVERSES the full graph — deleting disallowed nodes
+   * would sever shard connectivity — but only allowed labels are
+   * collected into the result set. Every visited allowed node is a
+   * candidate result (not only beam survivors), so a selective filter
+   * degrades recall no faster than FAISS's own selector path.
+   */
+  def searchSel(g: Graph, q: Array[Float], k: Int, efSearch: Int,
+      metricId: Int, allowedLabel: Long => Boolean): Array[(Double, Long)] = {
+    if (g.labels.isEmpty) return Array.empty
+    var ep = g.entry
+    var l = g.maxLevel
+    while (l > 0) { ep = greedyClosest(g.vecs, g.adj, l, ep, q, metricId); l -= 1 }
+    val vecs = g.vecs
+    val adj = g.adj
+    val nNodes = g.labels.length
+    val visited = new java.util.BitSet(nNodes)
+    val cand = mutable.PriorityQueue.empty[(Double, Int)](Ordering.by(-_._1))
+    val beamOrd: Ordering[(Double, Int)] =
+      Ordering.by { case (d, idx) => (d, g.labels(idx)) }
+    val beam = mutable.PriorityQueue.empty[(Double, Int)](beamOrd)
+    val sel = mutable.PriorityQueue.empty[(Double, Int)](beamOrd)
+    val width = math.max(efSearch, k)
+    @inline def visit(idx: Int, d: Double): Unit =
+      if (allowedLabel(g.labels(idx))) {
+        sel.enqueue((d, idx))
+        if (sel.size > width) sel.dequeue()
+      }
+    val d0 = key(metricId, q, vecs(ep))
+    cand.enqueue((d0, ep)); beam.enqueue((d0, ep)); visited.set(ep); visit(ep, d0)
+    while (cand.nonEmpty) {
+      val (d, node) = cand.dequeue()
+      if (d > beam.head._1 && beam.size >= width) cand.clear()
+      else {
+        val neighbors = adj(node)(0)
+        var i = 0
+        while (i < neighbors.length) {
+          val nb = neighbors(i)
+          if (!visited.get(nb)) {
+            visited.set(nb)
+            val dn = key(metricId, q, vecs(nb))
+            visit(nb, dn)
+            if (beam.size < width || beamOrd.lt((dn, nb), beam.head)) {
+              cand.enqueue((dn, nb))
+              beam.enqueue((dn, nb))
+              if (beam.size > width) beam.dequeue()
+            }
+          }
+          i += 1
+        }
+      }
+    }
+    sel.dequeueAll.reverse.take(k)
+      .map { case (_, idx) => (rawDist(metricId, q, vecs(idx)), g.labels(idx)) }.toArray
+  }
 }

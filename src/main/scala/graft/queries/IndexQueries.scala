@@ -49,6 +49,20 @@ object IndexQueries {
       IndexCatalog.add(embData(s, dir), name)
       quantized(IndexCatalog.searchFilter(name, 5, embQueries(s, dir), col("label") % 2 === 0))
     },
+    // selector composed INSIDE the graph traversal (FAISS
+    // SearchParametersHNSW::sel): per-shard allowed sets ride a
+    // partition zip, the beam walks the full graph and only allowed
+    // labels surface. Exhaustive efSearch visits every shard node, so
+    // the result is EXACT and shares the filtered brute-force oracle;
+    // partial-ef recall + singleton-selector reachability are
+    // spec-asserted (NswSpec, IndexCatalogSpec).
+    "knn_hnsw_filter" -> { (s, dir) =>
+      val name = fresh("q_hnsw_filter")
+      IndexCatalog.create(name, 64, "IDMap,HNSW16", "l2sq", Map("efConstruction" -> "96"))
+      IndexCatalog.add(embData(s, dir), name)
+      quantized(IndexCatalog.searchFilter(name, 5, embQueries(s, dir),
+        col("label") % 2 === 0, Map("efSearch" -> "1000000")))
+    },
     // save -> destroy -> load -> search through the gate: proves the
     // list-partitioned parquet layout + static list pruning survive a
     // round-trip (exhaustive probe -> exact, shares the L2 oracle)
@@ -241,6 +255,7 @@ object IndexQueries {
     "vs_index_build" -> VectorQueries.oracles("knn_flat_l2"),
     // exhaustive-probe searches stay exact through filter / save-load
     "knn_ivf_filter" -> VectorQueries.oracles("knn_search_filter"),
+    "knn_hnsw_filter" -> VectorQueries.oracles("knn_search_filter"),
     "vs_index_saveload" -> VectorQueries.oracles("knn_flat_l2"),
     // exhaustive-probe range search is exact -> brute-force radius oracle
     "knn_radius_ivf" -> VectorQueries.oracles("knn_radius"),

@@ -511,6 +511,28 @@ class IndexCatalogSpec extends SparkSpec {
     assert(gotF === want)
   }
 
+  test("HNSW filtered search composes the selector INSIDE the graph traversal") {
+    IndexCatalog.create("t_hnsw_sel", 2, "IDMap,HNSW16", "l2sq", Map("efConstruction" -> "128"))
+    IndexCatalog.add(grid.coalesce(1), "t_hnsw_sel")
+    val pred = col("label") % 2 === 0
+    val filtered = IndexCatalog.searchFilter(
+      "t_hnsw_sel", 4, qs, pred, Map("efSearch" -> "512"))
+    // the narrow-predicate path searches the shard GRAPHS (an RDD of
+    // per-shard results — SerializeFromObject), not a flat scan of the
+    // restricted rows (BroadcastNestedLoopJoin + codegen distance)
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("SerializeFromObject") && !plan.contains("BroadcastNestedLoopJoin"),
+      "selector should ride the graph search, not the flat fallback:\n" + plan.take(1500))
+    val got = labelsOf(filtered)
+    val want = labelsOf(Knn.searchFlat(grid.where(pred), qs, 4, "l2sq"))
+    assert(got === want) // exhaustive ef on one shard: graph+selector is exact here
+    // id-SET restriction shuffles (LEFT SEMI) — stays the exact flat path
+    import spark.implicits._
+    val ids = (0 until 256 by 2).map(_.toLong).toDF("label")
+    val gotSet = labelsOf(IndexCatalog.searchFilterSet("t_hnsw_sel", 4, qs, ids))
+    assert(gotSet === want)
+  }
+
   test("metric/kind compatibility errors at create (HNSW + PQ/SQ conventions)") {
     intercept[IllegalArgumentException](
       IndexCatalog.create("t_bad_hnsw", 2, "IDMap,HNSW8", "canberra"))

@@ -61,4 +61,45 @@ class NswSpec extends AnyFunSuite {
     val r = Nsw.search(g1, Array(0f, 0f), 3, 32)
     assert(r.map(_._2).toSeq === Seq(42L))
   }
+
+  test("selector search: only allowed labels surface, traversal keeps connectivity") {
+    val pts = randomPoints(2000, 8, seed = 17L)
+    val g = Nsw.build(pts, m = 16, efConstruction = 96)
+    val L2SQ = graft.functions.VectorMath.L2SQ
+    val rnd = new scala.util.Random(23L)
+    var hits = 0; var total = 0
+    for (_ <- 0 until 20) {
+      val q = Array.fill(8)(rnd.nextFloat() * 10f)
+      val res = Nsw.searchSel(g, q, 10, 128, L2SQ, _ % 2 == 0)
+      assert(res.forall(_._2 % 2 == 0), "odd label leaked through the selector")
+      assert(res.length === 10, "half the corpus is allowed; k must fill")
+      // distances ascend (best first)
+      assert(res.map(_._1).toSeq === res.map(_._1).sorted.toSeq)
+      val truth = bruteTopK(pts.filter(_._1 % 2 == 0), q, 10).toSet
+      hits += res.count(r => truth(r._2)); total += 10
+    }
+    assert(hits.toDouble / total >= 0.85,
+      s"filtered recall@10 degraded to ${hits.toDouble / total}")
+  }
+
+  test("selector search with a singleton selector finds the one allowed point") {
+    val pts = randomPoints(500, 4, seed = 5L)
+    val g = Nsw.build(pts, m = 8, efConstruction = 64)
+    val L2SQ = graft.functions.VectorMath.L2SQ
+    // the sole allowed node is FAR from the query — only a traversal
+    // that keeps full connectivity while collecting every visited
+    // allowed node can still surface it at high ef
+    val res = Nsw.searchSel(g, Array(0f, 0f, 0f, 0f), 3, 500, L2SQ, _ == 499L)
+    assert(res.map(_._2).toSeq === Seq(499L))
+  }
+
+  test("selector allowing everything equals the plain search") {
+    val pts = randomPoints(1000, 8, seed = 29L)
+    val g = Nsw.build(pts, m = 16, efConstruction = 96)
+    val L2SQ = graft.functions.VectorMath.L2SQ
+    val q = Array.fill(8)(3.3f)
+    val plain = Nsw.search(g, q, 10, 96, L2SQ).toSeq
+    val sel = Nsw.searchSel(g, q, 10, 96, L2SQ, _ => true).toSeq
+    assert(sel === plain)
+  }
 }
