@@ -92,6 +92,22 @@ object VectorQueries {
         .select(col("qid"), col("rank"), col("label"),
           Tables.quant4(col("distance")).as("distance"))
     },
+    // grouped (multi-tenant) k-NN join: neighbors only WITHIN the same
+    // group (per-language near-dup screens, per-tenant serving). The
+    // group key makes the pairing an EQUI-join — at scale both sides
+    // hash-shuffle once on the key and groups never cross; top-k via
+    // the same bounded-heap aggregate as the ungrouped join.
+    "knn_join_grouped" -> { (s, dir) =>
+      val e = Tables(s, dir, "embeddings")
+      val right = e.select((col("vec_id") % 4).as("grp"),
+        col("vec_id").as("label"), vec.vector(col("embedding")).as("vec"))
+      val left = e.where(col("vec_id") < 20)
+        .select((col("vec_id") % 4).as("grp"),
+          col("vec_id").as("qid"), vec.vector(col("embedding")).as("qvec"))
+      Knn.knnJoinGrouped(left, right, 3, "l2sq", excludeSelf = true)
+        .select(col("grp"), col("qid"), col("rank"), col("label"),
+          Tables.quant4(col("distance")).as("distance"))
+    },
     // range search (FAISS range_search analog): ALL neighbors within an
     // L2 radius, not a fixed k. Queries broadcast against a single scan
     // of the corpus; the radius predicate filters inside the scan stage,
@@ -218,6 +234,21 @@ object VectorQueries {
     "1.0 - list_cosine_similarity(CAST(a AS DOUBLE[]), CAST(b AS DOUBLE[]))"
 
   def oracles: Map[String, String] = Map(
+    "knn_join_grouped" ->
+      s"""WITH e AS (SELECT vec_id, vec_id % 4 AS grp, embedding FROM embeddings),
+         |q AS (SELECT grp, vec_id AS qid, embedding AS a FROM e WHERE vec_id < 20),
+         |d AS (
+         |  SELECT q.grp, q.qid, e.vec_id AS label, $l2sqSql AS dist
+         |  FROM q JOIN (SELECT grp, vec_id, embedding AS b FROM e) e
+         |    ON q.grp = e.grp AND e.vec_id <> q.qid
+         |),
+         |r AS (
+         |  SELECT grp, qid, label, dist,
+         |    CAST(row_number() OVER (PARTITION BY grp, qid ORDER BY dist, label) - 1 AS INTEGER) AS rank
+         |  FROM d
+         |)
+         |SELECT grp, qid, rank, label, CAST(CAST(dist AS DECIMAL(18,4)) AS DOUBLE) AS distance
+         |FROM r WHERE rank < 3""".stripMargin,
     "knn_join" ->
       s"""WITH q AS (SELECT vec_id AS qid, embedding AS a FROM embeddings),
          |d AS (

@@ -125,6 +125,40 @@ object Knn {
     searchFlatFast(right, left, k, metric, excludeSelf = excludeSelf)
 
   /**
+   * Grouped (multi-tenant) exact k-NN join: every left row gets its
+   * top-k neighbors from the right rows of the SAME group — per-language
+   * near-dup screens, per-source retrieval, per-tenant serving. The
+   * group key turns the broadcast cross join into an EQUI-join, so at
+   * scale both sides hash-shuffle once on the key and co-partitioned
+   * groups never see each other's vectors; the bounded-heap aggregate
+   * then shuffles only `partitions x queries x k` rows, exactly like
+   * the ungrouped path.
+   *
+   * @param left  (group, qid, qvec)
+   * @param right (group, label, vec)
+   * @return (group, qid, rank, label, distance) — best first per (group, qid)
+   */
+  def knnJoinGrouped(
+      left: DataFrame, right: DataFrame, k: Int, metric: String,
+      groupCol: String = "grp", excludeSelf: Boolean = false): DataFrame = {
+    val mid = VectorMath.metricId(metric)
+    val asc = VectorMath.smallerIsCloser(mid)
+    val d = vec.dist(metric, col("vec"), col("qvec"))
+    val cleanQ = left.where(col("qid").isNotNull && col("qvec").isNotNull)
+    val joined = widen(right).join(cleanQ, groupCol)
+    val filtered = if (excludeSelf) joined.where(col("label") =!= col("qid")) else joined
+    filtered
+      .select(col(groupCol), col("qid"), col("label"), d.as("_dist"))
+      .groupBy(col(groupCol), col("qid"))
+      .agg(vec.topk(k, col("_dist"), col("label"), asc).as("nn"))
+      .select(col(groupCol), col("qid"), posexplode(col("nn")).as(Seq("pos", "nn")))
+      .select(col(groupCol), col("qid"),
+        col("nn.rank").as("rank"),
+        col("nn.label").as("label"),
+        col("nn.distance").as("distance"))
+  }
+
+  /**
    * Partition-local-heap exact search: same math, same heap, same
    * (dist, label) tie-breaks as [[searchFlat]] — the knn_join oracle
    * gates their equality — but the QxN pair loop runs over primitive

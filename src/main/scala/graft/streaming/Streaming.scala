@@ -174,11 +174,20 @@ object Streaming {
     import graft.text.TextFunctions._
     docs
       .withWatermark("ts", watermark)
+      // observability rides the SAME pass (CollectMetrics): ingest and
+      // survivor counters per micro-batch with zero extra scans —
+      // read them from StreamingQueryProgress.observedMetrics (streams)
+      // or an Observation handle (batch). A curation gate that can't
+      // report its drop rate is unoperable at 100 TB; a second counting
+      // pass over 100 TB is unaffordable.
+      .observe("curation_in", count(lit(1)).as("n_in"))
       .withColumn("quality", qualityScore(col("text")))
       .where(col("quality") >= minQuality)
       .withColumn("fp", md5(col("text")))
       .dropDuplicatesWithinWatermark("fp")
       .select(col("doc_id"), col("ts"), col("quality"), scrub(col("text")).as("text"))
+      .observe("curation_out", count(lit(1)).as("n_out"),
+        avg(col("quality")).as("mean_quality"))
   }
 
   case class TypedEv(user_id: Long, event_type: String, ts: Timestamp)

@@ -22,6 +22,46 @@ class KnnSpec extends SparkSpec {
     assert(math.abs(res(0).getDouble(3) - 0.04) < 1e-6)
   }
 
+  test("grouped knn join: neighbors never cross the group boundary") {
+    import spark.implicits._
+    // two tenants; the globally-nearest neighbor of each query sits in
+    // the OTHER tenant — grouping must refuse it
+    val right = Seq(
+      ("a", 1L, Array(0f, 0f)), ("a", 2L, Array(5f, 0f)),
+      ("b", 3L, Array(0.1f, 0f)), ("b", 4L, Array(9f, 0f)))
+      .toDF("grp", "label", "vec")
+    val left = Seq(
+      ("a", 10L, Array(0.2f, 0f)), ("b", 11L, Array(0.2f, 0f)))
+      .toDF("grp", "qid", "qvec")
+    val res = Knn.knnJoinGrouped(left, right, 2, "l2sq")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+    val byQuery = res.groupBy(t => (t._1, t._2)).view
+      .mapValues(_.sortBy(_._3).map(_._4).toSeq).toMap
+    assert(byQuery(("a", 10L)) === Seq(1L, 2L)) // NOT label 3 (dist 0.01 but tenant b)
+    assert(byQuery(("b", 11L)) === Seq(3L, 4L))
+  }
+
+  test("grouped knn join equals per-group flat search, excludeSelf respected") {
+    import spark.implicits._
+    val right = data.select((col("label") % 3).as("grp"), col("label"), col("vec"))
+    val left = data.where(col("label") < 9)
+      .select((col("label") % 3).as("grp"), col("label").as("qid"), col("vec").as("qvec"))
+    val res = Knn.knnJoinGrouped(left, right, 4, "l2sq", excludeSelf = true)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), (r.getInt(2), r.getLong(3)))).toSeq
+    assert(res.nonEmpty)
+    // no self pairs, all within-group
+    assert(res.forall { case ((g, qid), (_, label)) => label != qid && label % 3 == g })
+    // per-group reference: flat search restricted to one group's rows
+    for (g <- 0L until 3L) {
+      val want = Knn.searchFlat(
+          right.where(col("grp") === g).select(col("label"), col("vec")),
+          left.where(col("grp") === g).select(col("qid"), col("qvec")),
+          4, "l2sq", excludeSelf = true)
+        .collect().map(r => ((g, r.getLong(0)), (r.getInt(1), r.getLong(2)))).toSet
+      assert(res.filter(_._1._1 == g).toSet === want)
+    }
+  }
+
   test("inner product orders descending") {
     import spark.implicits._
     val queries = Seq((0L, Array(1.0f, 1.0f))).toDF("qid", "qvec")

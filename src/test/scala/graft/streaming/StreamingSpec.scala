@@ -140,6 +140,15 @@ class StreamingSpec extends SparkSpec {
         .map(r => r.getLong(0) -> r.getString(3)).toMap
       assert(rows.keySet === Set(1L, 4L))
       assert(rows(4L).contains("<EMAIL>") && !rows(4L).contains("x@y.com"))
+      // observability rides the same micro-batch (CollectMetrics): the
+      // gate reports ingest vs survivor counts without a second scan
+      val observed = q.recentProgress.filter(_.observedMetrics.containsKey("curation_in"))
+      val nIn = observed.map(_.observedMetrics.get("curation_in").getLong(0)).sum
+      val nOut = observed
+        .filter(_.observedMetrics.containsKey("curation_out"))
+        .map(_.observedMetrics.get("curation_out").getLong(0)).sum
+      assert(nIn === 4, s"ingest counter saw $nIn rows")
+      assert(nOut === 2, s"survivor counter saw $nOut rows")
       // gate threshold matches the batch expression exactly
       val batchQ = Seq((3L, "zzz zzz zzz zzz zzz zzz zzz zzz zzz zzz zzz zzz")).toDF("doc_id", "text")
         .select(TextFunctions.qualityScore(col("text"))).collect()(0).getDouble(0)
