@@ -112,6 +112,65 @@ object Dedup {
         lit(0x9e3779b97f4a7c15L),
         (acc, x) => shiftleft(acc, 7).bitwiseOR(shiftrightunsigned(acc, 57)).bitwiseXOR(x)))
 
+  /**
+   * Incremental NEAR-dup screening — the fuzzy complement of
+   * [[incremental]]: a new crawl batch's LSH band buckets join the
+   * ACCEPTED corpus's band buckets, and candidate (batch, corpus)
+   * pairs are verified with exact jaccard over sorted shingle hashes.
+   * Returns flagged pairs (batch_id, corpus_id, jaccard >= minJaccard);
+   * anti-join the batch against the flagged ids to get survivors.
+   *
+   * 100 TB shape: corpus band buckets are fixed-width (bands x 8 B per
+   * doc) and derivable once per corpus version; a daily batch shuffles
+   * only its own signatures into the bucket join, and only candidate
+   * pairs fetch shingle-hash arrays for the verify join — document
+   * text never crosses a keyed shuffle. Hot corpus buckets capped like
+   * [[minhashCandidates]], so boilerplate can't go quadratic.
+   */
+  def incrementalNearDup(
+      corpus: DataFrame, batch: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 128, bands: Int = 32, shingleSize: Int = 3,
+      seed: Long = 42L, minJaccard: Double = 0.8,
+      maxBucketSize: Int = 1000): DataFrame = {
+    val rows = numHashes / bands
+    require(rows * bands == numHashes, "bands must divide numHashes")
+    def bucketed(d: DataFrame): DataFrame =
+      minhashSignatures(d, idCol, textCol, numHashes, shingleSize, seed)
+        .where(col("sig")(0) =!= Long.MaxValue) // shingle-less stubs: see minhashCandidates
+        .select(col("id"),
+          posexplode(bandBuckets(col("sig"), bands, rows)).as(Seq("band", "bucket")))
+    val corpusCapped = bucketed(corpus)
+      .withColumn("_n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")))
+      .where(col("_n") <= maxBucketSize)
+      .drop("_n")
+    val cand = bucketed(batch).as("q")
+      .join(corpusCapped.as("c"),
+        col("q.band") === col("c.band") && col("q.bucket") === col("c.bucket"))
+      .select(col("q.id").as("batch_id"), col("c.id").as("corpus_id"))
+      .distinct()
+    def hashedShingles(d: DataFrame, idOut: String, shOut: String): DataFrame =
+      graft.search.Knn.widen(d)
+        .select(col(idCol).cast("long").as(idOut),
+          TextFunctions.tokens(col(textCol)).as("_toks"))
+        .select(col(idOut),
+          array_sort(transform(
+            TextFunctions.shingles(col("_toks"), shingleSize), s => xxhash64(s))).as(shOut))
+    val inter = graft.functions.vec.sortedIntersectCount(col("sa"), col("sb"))
+    cand
+      .join(hashedShingles(batch, "batch_id", "sa"), Seq("batch_id"))
+      .join(hashedShingles(corpus, "corpus_id", "sb"), Seq("corpus_id"))
+      // size-ratio prefilter (j >= t implies min/max >= t): skip the
+      // merge intersect for pairs that cannot qualify
+      .where(
+        least(size(col("sa")), size(col("sb"))).cast("double") >=
+          lit(minJaccard) * greatest(size(col("sa")), size(col("sb"))).cast("double"))
+      .select(col("batch_id"), col("corpus_id"),
+        (inter.cast("double") /
+          (size(col("sa")) + size(col("sb")) - inter).cast("double")).as("jaccard"))
+      .where(col("jaccard") >= minJaccard)
+  }
+
   /** (id, simhash bigint) plus the 4 16-bit block keys for candidate gen */
   def simhashCandidates(
       docs: DataFrame, idCol: String, textCol: String,

@@ -50,6 +50,24 @@ object DedupQueries {
           .select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
       Dedup.incremental(corpus, batch, "doc_id", "text")
     },
+    // the fuzzy complement of dedup_incremental: batch band buckets
+    // join corpus band buckets, candidates verified by exact jaccard
+    // over sorted shingle hashes. Planted recrawls (corpus docs with a
+    // small appended tail, ids +1e6) must flag against their originals.
+    // Custom minhash banding -> rows-only; planted-edit/unrelated-doc
+    // behavior spec-asserted (DedupSpec).
+    "dedup_incremental_near" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val corpus = d.where(col("doc_id") < 250).select(col("doc_id"), col("text"))
+      val batch = d.where(col("doc_id") >= 250).select(col("doc_id"), col("text"))
+        .unionByName(d.where(col("doc_id") < 30)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            concat(col("text"), lit(" near dup tail")).as("text")))
+      Dedup.incrementalNearDup(corpus, batch, "doc_id", "text", minJaccard = 0.7)
+        .select(col("batch_id"), col("corpus_id"),
+          Tables.quant4(col("jaccard")).as("jaccard"))
+        .orderBy("batch_id", "corpus_id")
+    },
     // top-20 most-similar bigram-jaccard pairs within an id window of 25
     "dedup_ngram_jaccard" -> { (s, dir) =>
       Dedup.ngramJaccardWindow(docs(s, dir), "doc_id", "text", window = 25, shingleSize = 2)

@@ -48,6 +48,23 @@ class DedupSpec extends SparkSpec {
     assert(res.map(r => (r.getLong(1), r.getLong(2))).toSeq === Seq((5L, 2L)))
   }
 
+  test("incremental near-dup flags lightly-edited recrawls, not unrelated docs") {
+    import spark.implicits._
+    val far = "completely different content about spark partitions shuffles and codegen " +
+      "stages with nothing shared at all in any shingle of this text whatsoever here"
+    val corpus = Seq((0L, base), (1L, far)).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, base.replace("quick", "rapid")), // one-token edit of corpus doc 0
+      (11L, far.replace("different", "distinct").replace("spark", "flink")
+        .reverse)) // unrelated shingles
+      .toDF("doc_id", "text")
+    val res = Dedup.incrementalNearDup(corpus, batch, "doc_id", "text", minJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(res.map(t => (t._1, t._2)).toSet === Set((10L, 0L)),
+      s"expected exactly the edited recrawl pair, got ${res.mkString(",")}")
+    assert(res.head._3 >= 0.5 && res.head._3 < 1.0)
+  }
+
   test("minhash LSH finds planted near-duplicates, not unrelated docs") {
     val cands = Dedup.minhashCandidates(docs, "doc_id", "text", numHashes = 64, bands = 32)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
