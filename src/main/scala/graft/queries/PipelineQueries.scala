@@ -17,6 +17,30 @@ object PipelineQueries {
   private val EvalCutoff = 20L // doc_id < 20 = "benchmark" eval set
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // corpus VERSION diff: what a retrain actually needs to know about
+    // a new crawl snapshot — per doc id: added / removed / changed
+    // (by content hash). Both sides reduce to (id, md5) projections
+    // BEFORE the full-outer id join, so document text never shuffles;
+    // at 100 TB the movement is two id+16B-hash streams. Simulated
+    // versions from the given table: v1 = ids < 400, v2 = ids >= 100
+    // with a text edit planted on 200..209. Exact oracle.
+    "corpus_delta" -> { (s, dir) =>
+      val d = Tables.wide(s, dir, "documents")
+      val v1 = d.where(col("doc_id") < 400).select(col("doc_id"), col("text"))
+      val v2 = d.where(col("doc_id") >= 100)
+        .select(col("doc_id"),
+          when(col("doc_id").between(200, 209), concat(col("text"), lit(" edited")))
+            .otherwise(col("text")).as("text"))
+      val h1 = v1.select(col("doc_id"), md5(col("text")).as("h1"))
+      val h2 = v2.select(col("doc_id"), md5(col("text")).as("h2"))
+      h1.join(h2, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          when(col("h1").isNull, "added")
+            .when(col("h2").isNull, "removed")
+            .when(col("h1") =!= col("h2"), "changed")
+            .otherwise("unchanged").as("status"))
+        .where(col("status") =!= "unchanged")
+    },
     // composed end-to-end curation: quality gate -> exact-dedup
     // survivors -> deterministic mixture sample -> train/val split, the
     // operators chained the way a production corpus build runs them.
@@ -164,6 +188,23 @@ object PipelineQueries {
       |  ELSE [] END)""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "corpus_delta" ->
+      """WITH v1 AS (SELECT doc_id, md5(text) AS h1 FROM documents WHERE doc_id < 400),
+        |v2 AS (
+        |  SELECT doc_id,
+        |    md5(CASE WHEN doc_id BETWEEN 200 AND 209 THEN text || ' edited' ELSE text END) AS h2
+        |  FROM documents WHERE doc_id >= 100
+        |)
+        |SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id,
+        |  CASE WHEN v1.doc_id IS NULL THEN 'added'
+        |       WHEN v2.doc_id IS NULL THEN 'removed'
+        |       WHEN h1 <> h2 THEN 'changed'
+        |       ELSE 'unchanged' END AS status
+        |FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+        |WHERE (CASE WHEN v1.doc_id IS NULL THEN 'added'
+        |            WHEN v2.doc_id IS NULL THEN 'removed'
+        |            WHEN h1 <> h2 THEN 'changed'
+        |            ELSE 'unchanged' END) <> 'unchanged'""".stripMargin,
     "pipeline_curate" ->
       s"""WITH ${TextQueries.qualityCtesSql},
          |gated AS (

@@ -73,12 +73,14 @@ case class FaissSearchRewrite(spark: SparkSession, postAnalysis: Boolean = true)
     * from InferFiltersFromGenerate (the post-hoc path runs after the
     * main optimizer). Left in place they would each rewrite into a
     * complete SECOND search of the corpus. */
-  private def isVacuousCallGuard(e: Expression): Boolean = e match {
-    case org.apache.spark.sql.catalyst.expressions.GreaterThan(
-      org.apache.spark.sql.catalyst.expressions.Size(_: FaissSearchCall, _), lit)
-      if lit.foldable && lit.eval() == 0 => true
-    case org.apache.spark.sql.catalyst.expressions.IsNotNull(_: FaissSearchCall) => true
-    case _ => false
+  private def isVacuousCallGuard(e: Expression): Boolean = {
+    import org.apache.spark.sql.catalyst.expressions.{GreaterThan, IsNotNull, LessThan, Size}
+    e match {
+      case GreaterThan(Size(_: FaissSearchCall, _), l) if l.foldable && l.eval() == 0 => true
+      case LessThan(l, Size(_: FaissSearchCall, _)) if l.foldable && l.eval() == 0 => true
+      case IsNotNull(_: FaissSearchCall) => true
+      case _ => false
+    }
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = {

@@ -109,8 +109,9 @@ object GraftFunctions {
     // the reference style wraps the subquery in parens: FAISS_ADD((SELECT ...), n)
     val t = (if (t0.startsWith("(") && t0.endsWith(")")) t0.substring(1, t0.length - 1)
              else t0).trim
-    if (t.toUpperCase.startsWith("SELECT") || t.toUpperCase.startsWith("WITH") ||
-      t.toUpperCase.startsWith("VALUES")) spark.sql(t)
+    // word boundary required: a TABLE legitimately named "select_log"
+    // must not be parsed as a query
+    if (t.matches("(?is)^(SELECT|WITH|VALUES)\\b.*")) spark.sql(t)
     else spark.table(ref)
   }
 
@@ -225,6 +226,11 @@ object GraftFunctions {
         StructField("index_type", StringType), StructField("metric_type", StringType)))
       s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
         .queryExecution.analyzed
+    },
+    // `SELECT * FROM faiss_stats('name')` — ntotal / nlist / imbalance
+    // factor of the built index (FAISS InvertedLists::imbalance_factor)
+    "faiss_stats" -> { args =>
+      IndexCatalog.stats(litString(args(0), "name")).queryExecution.analyzed
     })
 
   def registerAll(spark: SparkSession): Unit = {

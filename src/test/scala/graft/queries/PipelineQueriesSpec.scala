@@ -20,6 +20,18 @@ class PipelineQueriesSpec extends SparkSpec {
     }
   }
 
+  test("corpus_delta: statuses partition the diff exactly as planted") {
+    val rows = PipelineQueries.queries("corpus_delta")(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val byStatus = rows.groupBy(_._2).view.mapValues(_.map(_._1).sorted.toSeq).toMap
+    val n = Tables(spark, dir, "documents").count() // sf0.001: 50 docs
+    // v1 = ids < 400, v2 = ids >= 100 (with 200..209 edited): at tiny SF
+    // all ids < 100 are removals and nothing else differs
+    assert(byStatus.getOrElse("removed", Seq()) === (0L until math.min(100L, n)),
+      s"got $byStatus")
+    assert(!rows.exists(_._2 == "unchanged"))
+  }
+
   test("events_range_join: one row per order, non-negative attribution") {
     val rows = PipelineQueries.queries("events_range_join")(spark, dir).collect()
     val orders = Tables(spark, dir, "orders").count()

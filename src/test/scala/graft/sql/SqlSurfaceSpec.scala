@@ -148,6 +148,17 @@ class SqlSurfaceSpec extends SparkSpec {
     IndexCatalog.destroy("sqlidx_inline")
   }
 
+  test("faiss_stats table function reports build diagnostics") {
+    ready
+    fresh("sqlidx_stats")
+    spark.sql("SELECT faiss_create('sqlidx_stats', 4, 'IDMap,IVF2,Flat')").collect()
+    spark.sql("SELECT faiss_add('sql_corpus', 'sqlidx_stats')").collect()
+    val r = spark.sql("SELECT * FROM faiss_stats('sqlidx_stats')").collect()
+    assert(r.length === 1)
+    assert(r(0).getLong(r(0).fieldIndex("ntotal")) === 20L)
+    IndexCatalog.destroy("sqlidx_stats")
+  }
+
   test("faiss_list table function reports the catalog snapshot") {
     ready
     fresh("sqlidx_list")
