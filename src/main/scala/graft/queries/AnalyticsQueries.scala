@@ -197,6 +197,22 @@ object AnalyticsQueries {
         .select(col("w.start").as("bucket"), col("event_type"),
           col("n_events"), col("sum_value"))
     },
+    // rolling active users (DAU + 7-day WAU per day): the activity
+    // dashboard scan. WAU via the sliding-window expansion trick — each
+    // distinct (user, day) activity registers into the 7 windows it
+    // belongs to (scan-stage explode of 7 ints), then ONE distinct
+    // aggregation per window end; no self-join, no range join, and the
+    // expansion carries (day, user_id) pairs only. Exact oracle.
+    "events_active_users" -> { (s, dir) =>
+      val act = Tables.events(s, dir)
+        .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+      val dau = act.groupBy("day").agg(countDistinct("user_id").as("dau"))
+      val wau = act
+        .select(explode(sequence(lit(0), lit(6))).as("off"), col("day"), col("user_id"))
+        .select(date_add(col("day"), col("off")).as("day"), col("user_id"))
+        .groupBy("day").agg(countDistinct("user_id").as("wau"))
+      dau.join(wau, Seq("day"))
+    },
     // value-distribution histogram per event type: fixed-width bins in
     // ONE aggregation pass (bin id is a scan-stage projection, partial
     // counts combine map-side) — the profiling scan that sizes
@@ -505,6 +521,18 @@ object AnalyticsQueries {
          |SELECT bucket, event_type, count(*) AS n_events,
          |  ${moneySumSql("value")} AS sum_value
          |FROM w GROUP BY 1, 2""".stripMargin,
+    "events_active_users" ->
+      """WITH a AS (
+        |  SELECT DISTINCT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, user_id FROM events
+        |), dau AS (
+        |  SELECT day, count(DISTINCT user_id) AS dau FROM a GROUP BY 1
+        |), w AS (
+        |  SELECT a.day + CAST(i.i AS INTEGER) AS day, a.user_id
+        |  FROM a CROSS JOIN (SELECT unnest(range(0, 7)) AS i) i
+        |), wau AS (
+        |  SELECT day, count(DISTINCT user_id) AS wau FROM w GROUP BY 1
+        |)
+        |SELECT dau.day, dau.dau, wau.wau FROM dau JOIN wau USING (day)""".stripMargin,
     "events_histogram" ->
       s"""SELECT event_type, CAST(floor("value" / 50.0) AS BIGINT) AS bin,
          |  count(*) AS n_events, ${moneySumSql("value")} AS sum_value

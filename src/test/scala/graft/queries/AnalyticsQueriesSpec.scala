@@ -261,6 +261,19 @@ class AnalyticsQueriesSpec extends SparkSpec {
     self.foreach(r => assert(r.getLong(0) === r.getLong(1)))
   }
 
+  test("events_active_users: WAU bounds DAU and matches a direct recount") {
+    val rows = run("events_active_users").collect()
+      .map(r => (r.getDate(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    assert(rows.forall { case (_, dau, wau) => wau >= dau })
+    // independent recount of one day's WAU via a direct range filter
+    val (day, _, wau) = rows.maxBy(_._2)
+    val expect = Tables.events(spark, dir)
+      .where(to_date(col("ts")).between(date_sub(lit(day), 6), lit(day)))
+      .select(col("user_id")).distinct().count()
+    assert(wau === expect)
+  }
+
   test("knn_radius: hits are exactly the pairs within the radius") {
     val hits = run("knn_radius").collect()
     assert(hits.forall(_.getDouble(2) < VectorQueries.RADIUS))
