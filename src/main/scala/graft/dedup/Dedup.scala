@@ -46,11 +46,7 @@ object Dedup {
   def incremental(
       corpus: DataFrame, batch: DataFrame, idCol: String, textCol: String): DataFrame = {
     val corpusHashes = corpus.select(md5(col(textCol)).as("text_hash")).distinct()
-    batch
-      .groupBy(col(textCol))
-      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
-      .select(md5(col(textCol)).as("text_hash"), col("keep_id"), col("n_copies"))
-      .join(corpusHashes, Seq("text_hash"), "left_anti")
+    exact(batch, idCol, textCol).join(corpusHashes, Seq("text_hash"), "left_anti")
   }
 
   /** (id, sig array<bigint>) MinHash signatures over word shingles */
@@ -69,30 +65,53 @@ object Dedup {
    * MinHash signature: `bands` groups of `numHashes/bands` lanes, each
    * group folded to one bucket key; docs sharing any bucket pair up.
    */
+  /** (id, band, bucket) band-bucket registrations, stub docs dropped:
+    * shingle-less docs (< shingleSize tokens) all share MinHash's
+    * empty-input sentinel signature — without this filter every stub
+    * doc lands in the same bucket of every band and pairs up
+    * quadratically as meaningless candidates. */
+  private def bucketedSignatures(
+      docs: DataFrame, idCol: String, textCol: String,
+      numHashes: Int, bands: Int, shingleSize: Int, seed: Long): DataFrame = {
+    val rows = numHashes / bands
+    require(rows * bands == numHashes, "bands must divide numHashes")
+    minhashSignatures(docs, idCol, textCol, numHashes, shingleSize, seed)
+      .where(col("sig")(0) =!= Long.MaxValue)
+      .select(col("id"), posexplode(bandBuckets(col("sig"), bands, rows)).as(Seq("band", "bucket")))
+  }
+
+  /** hot-bucket cap: a degenerate bucket (boilerplate that hashes a large
+    * fraction of the corpus together) would make the bucket join quadratic
+    * in that bucket; capping bounds worst-case pairs at B x cap^2 while
+    * true near-dup groups above the cap still pair up in their other bands */
+  private def capBuckets(bucketed: DataFrame, maxBucketSize: Int): DataFrame =
+    bucketed
+      .withColumn("_n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")))
+      .where(col("_n") <= maxBucketSize)
+      .drop("_n")
+
+  /** (idOut, shOut) sorted 64-bit shingle-hash arrays: set sizes and
+    * intersections are collision-exact for any realistic doc
+    * (P ~ m^2/2^64) and a sorted-merge intersect costs O(|A|+|B|). */
+  private def hashedShingles(
+      docs: DataFrame, idCol: String, textCol: String, shingleSize: Int,
+      idOut: String, shOut: String): DataFrame =
+    graft.search.Knn.widen(docs)
+      .select(col(idCol).cast("long").as(idOut),
+        TextFunctions.tokens(col(textCol)).as("_toks"))
+      .select(col(idOut),
+        array_sort(transform(
+          TextFunctions.shingles(col("_toks"), shingleSize), s => xxhash64(s))).as(shOut))
+
   def minhashCandidates(
       docs: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 128, bands: Int = 32,
       shingleSize: Int = 3, seed: Long = 42L,
       maxBucketSize: Int = 1000): DataFrame = {
-    val rows = numHashes / bands
-    require(rows * bands == numHashes, "bands must divide numHashes")
-    // shingle-less docs (< shingleSize tokens) all share MinHash's
-    // empty-input sentinel signature — without this filter every stub
-    // doc lands in the same bucket of every band and pairs up
-    // quadratically as meaningless candidates
-    val sigs = minhashSignatures(docs, idCol, textCol, numHashes, shingleSize, seed)
-      .where(col("sig")(0) =!= Long.MaxValue)
-    val bucketed = sigs
-      .select(col("id"), posexplode(bandBuckets(col("sig"), bands, rows)).as(Seq("band", "bucket")))
-    // hot-bucket cap: a degenerate bucket (boilerplate that hashes a large
-    // fraction of the corpus together) would make the self-join quadratic
-    // in that bucket; capping bounds worst-case pairs at B x cap^2 while
-    // true near-dup groups above the cap still pair up in their other bands
-    val capped = bucketed
-      .withColumn("_n", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")))
-      .where(col("_n") <= maxBucketSize)
-      .drop("_n")
+    val capped = capBuckets(
+      bucketedSignatures(docs, idCol, textCol, numHashes, bands, shingleSize, seed),
+      maxBucketSize)
     val a = capped.as("a")
     val b = capped.as("b")
     a.join(b,
@@ -132,34 +151,20 @@ object Dedup {
       numHashes: Int = 128, bands: Int = 32, shingleSize: Int = 3,
       seed: Long = 42L, minJaccard: Double = 0.8,
       maxBucketSize: Int = 1000): DataFrame = {
-    val rows = numHashes / bands
-    require(rows * bands == numHashes, "bands must divide numHashes")
-    def bucketed(d: DataFrame): DataFrame =
-      minhashSignatures(d, idCol, textCol, numHashes, shingleSize, seed)
-        .where(col("sig")(0) =!= Long.MaxValue) // shingle-less stubs: see minhashCandidates
-        .select(col("id"),
-          posexplode(bandBuckets(col("sig"), bands, rows)).as(Seq("band", "bucket")))
-    val corpusCapped = bucketed(corpus)
-      .withColumn("_n", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")))
-      .where(col("_n") <= maxBucketSize)
-      .drop("_n")
-    val cand = bucketed(batch).as("q")
+    // cap on the CORPUS side (the big one): a boilerplate bucket would
+    // otherwise pair every batch doc against a large corpus fraction
+    val corpusCapped = capBuckets(
+      bucketedSignatures(corpus, idCol, textCol, numHashes, bands, shingleSize, seed),
+      maxBucketSize)
+    val cand = bucketedSignatures(batch, idCol, textCol, numHashes, bands, shingleSize, seed).as("q")
       .join(corpusCapped.as("c"),
         col("q.band") === col("c.band") && col("q.bucket") === col("c.bucket"))
       .select(col("q.id").as("batch_id"), col("c.id").as("corpus_id"))
       .distinct()
-    def hashedShingles(d: DataFrame, idOut: String, shOut: String): DataFrame =
-      graft.search.Knn.widen(d)
-        .select(col(idCol).cast("long").as(idOut),
-          TextFunctions.tokens(col(textCol)).as("_toks"))
-        .select(col(idOut),
-          array_sort(transform(
-            TextFunctions.shingles(col("_toks"), shingleSize), s => xxhash64(s))).as(shOut))
     val inter = graft.functions.vec.sortedIntersectCount(col("sa"), col("sb"))
     cand
-      .join(hashedShingles(batch, "batch_id", "sa"), Seq("batch_id"))
-      .join(hashedShingles(corpus, "corpus_id", "sb"), Seq("corpus_id"))
+      .join(hashedShingles(batch, idCol, textCol, shingleSize, "batch_id", "sa"), Seq("batch_id"))
+      .join(hashedShingles(corpus, idCol, textCol, shingleSize, "corpus_id", "sb"), Seq("corpus_id"))
       // size-ratio prefilter (j >= t implies min/max >= t): skip the
       // merge intersect for pairs that cannot qualify
       .where(
@@ -232,17 +237,8 @@ object Dedup {
   def ngramJaccardWindow(
       docs: DataFrame, idCol: String, textCol: String,
       window: Int, shingleSize: Int, minJaccard: Double = 0.0): DataFrame = {
-    // shingle sets are compared as SORTED 64-bit hash arrays: set sizes
-    // and intersection counts are collision-exact for any realistic doc
-    // (P ~ m^2/2^64), and a sorted-merge count costs O(|A|+|B|) with no
-    // per-pair allocation — ~100x cheaper than string-set intersection
-    val sh = graft.search.Knn.widen(docs)
-      .select(col(idCol).cast("long").as("id"), TextFunctions.tokens(col(textCol)).as("_toks"))
-      .select(
-        col("id"),
-        array_sort(transform(
-          TextFunctions.shingles(col("_toks"), shingleSize),
-          s => xxhash64(s))).as("sh"))
+    // shingle sets compared as sorted hash arrays — see [[hashedShingles]]
+    val sh = hashedShingles(docs, idCol, textCol, shingleSize, "id", "sh")
     // floor INTEGER division for the bucket key: `/` on longs is a
     // double divide, which rounds for hash-derived ids above 2^53 and
     // silently drops in-window pairs into non-adjacent buckets

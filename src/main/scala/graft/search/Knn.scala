@@ -83,19 +83,22 @@ object Knn {
 
   /**
    * Shared result shaping for every index kind: candidate rows
-   * (qid, label, _dist) -> (qid, rank, label, distance) via the
-   * partial top-k aggregate.
+   * ([groupCols,] qid, label, _dist) -> ([groupCols,] qid, rank, label,
+   * distance) via the partial top-k aggregate. Extra group columns
+   * (multi-tenant joins) simply widen the aggregation key.
    */
-  def rankResults(cands: DataFrame, k: Int, ascending: Boolean, padToK: Boolean = false): DataFrame =
+  def rankResults(cands: DataFrame, k: Int, ascending: Boolean, padToK: Boolean = false,
+      groupCols: Seq[String] = Nil): DataFrame = {
+    val keys = groupCols :+ "qid"
     cands
-      .groupBy(col("qid"))
+      .groupBy(keys.map(col): _*)
       .agg(vec.topk(k, col("_dist"), col("label"), ascending, padToK).as("nn"))
-      .select(col("qid"), posexplode(col("nn")).as(Seq("pos", "nn")))
-      .select(
-        col("qid"),
+      .select(keys.map(col) :+ posexplode(col("nn")).as(Seq("pos", "nn")): _*)
+      .select(keys.map(col) ++ Seq(
         col("nn.rank").as("rank"),
         col("nn.label").as("label"),
-        col("nn.distance").as("distance"))
+        col("nn.distance").as("distance")): _*)
+  }
 
   /**
    * `faiss_search_filter` twin: only rows satisfying `predicate`
@@ -147,15 +150,9 @@ object Knn {
     val cleanQ = left.where(col("qid").isNotNull && col("qvec").isNotNull)
     val joined = widen(right).join(cleanQ, groupCol)
     val filtered = if (excludeSelf) joined.where(col("label") =!= col("qid")) else joined
-    filtered
-      .select(col(groupCol), col("qid"), col("label"), d.as("_dist"))
-      .groupBy(col(groupCol), col("qid"))
-      .agg(vec.topk(k, col("_dist"), col("label"), asc).as("nn"))
-      .select(col(groupCol), col("qid"), posexplode(col("nn")).as(Seq("pos", "nn")))
-      .select(col(groupCol), col("qid"),
-        col("nn.rank").as("rank"),
-        col("nn.label").as("label"),
-        col("nn.distance").as("distance"))
+    rankResults(
+      filtered.select(col(groupCol), col("qid"), col("label"), d.as("_dist")),
+      k, asc, groupCols = Seq(groupCol))
   }
 
   /**

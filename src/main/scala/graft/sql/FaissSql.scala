@@ -68,26 +68,40 @@ case class FaissSearchRewrite(spark: SparkSession, postAnalysis: Boolean = true)
     es.exists(_.exists(_.isInstanceOf[FaissSearchCall]))
 
   /** `size(faiss_search(...)) > 0` / `isnotnull(faiss_search(...))`
-    * conjuncts are vacuous — the SQL surface pads every result list to
-    * exactly k like the reference (README:243), so they can only come
-    * from InferFiltersFromGenerate (the post-hoc path runs after the
-    * main optimizer). Left in place they would each rewrite into a
-    * complete SECOND search of the corpus. */
-  private def isVacuousCallGuard(e: Expression): Boolean = {
+    * conjuncts over a call that is ALSO computed elsewhere in the plan
+    * are vacuous — the surface pads every result list to exactly k like
+    * the reference (README:243), so such guards can only come from
+    * InferFiltersFromGenerate (the post-hoc path runs after the main
+    * optimizer). Left in place they would each rewrite into a complete
+    * SECOND search of the corpus. A guard over a call that appears
+    * nowhere else, or whose padding the user disabled, is kept and
+    * rewritten like any filter (it genuinely drops empty-list rows —
+    * e.g. null query vectors). */
+  private def isVacuousCallGuard(e: Expression, alsoComputed: FaissSearchCall => Boolean): Boolean = {
     import org.apache.spark.sql.catalyst.expressions.{GreaterThan, IsNotNull, LessThan, Size}
+    def padded(c: FaissSearchCall): Boolean =
+      !c.params.get("pad").contains("false") && alsoComputed(c)
     e match {
-      case GreaterThan(Size(_: FaissSearchCall, _), l) if l.foldable && l.eval() == 0 => true
-      case LessThan(l, Size(_: FaissSearchCall, _)) if l.foldable && l.eval() == 0 => true
-      case IsNotNull(_: FaissSearchCall) => true
+      case GreaterThan(Size(c: FaissSearchCall, _), l)
+        if l.foldable && l.eval() == 0 && padded(c) => true
+      case LessThan(l, Size(c: FaissSearchCall, _))
+        if l.foldable && l.eval() == 0 && padded(c) => true
+      case IsNotNull(c: FaissSearchCall) if alsoComputed(c) => true
       case _ => false
     }
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
+    // calls computed outside Filters (project lists, generators): their
+    // inferred filter guards are redundant copies
+    val computed = plan.collect {
+      case n if !n.isInstanceOf[Filter] =>
+        n.expressions.flatMap(_.collect { case c: FaissSearchCall => c })
+    }.flatten.toSet
     val cleaned = plan.transformUp {
       case f: Filter if hasCall(Seq(f.condition)) =>
         val conj = splitConjunctivePredicates(f.condition)
-        val kept = conj.filterNot(isVacuousCallGuard)
+        val kept = conj.filterNot(isVacuousCallGuard(_, computed.contains))
         if (kept.length == conj.length) f
         else kept.reduceOption(org.apache.spark.sql.catalyst.expressions.And)
           .map(Filter(_, f.child)).getOrElse(f.child)
@@ -110,8 +124,19 @@ case class FaissSearchRewrite(spark: SparkSession, postAnalysis: Boolean = true)
         Project(f.output, Filter(subst(f.condition), child))
     }
     if (rewritten.eq(plan)) {
-      if (plan.exists(n => hasCall(n.expressions)))
-        logError(s"faiss_search call not matched by the rewrite:\n${plan.treeString}")
+      // a surviving call in an unsupported position (aggregate list,
+      // join condition, window spec, ...) would otherwise die deep in
+      // codegen as an obscure Unevaluable error. On the post-hoc path
+      // this is the terminal pass — fail with a clear message. During
+      // resolution the batch is a fixpoint and the call may simply not
+      // be matchable YET, so only log there; unresolved leftovers then
+      // surface through the injected check rule.
+      if (plan.exists(n => hasCall(n.expressions))) {
+        val msg = "faiss_search is supported in SELECT lists, generators (explode), " +
+          "and WHERE clauses over a resolved FROM — not in aggregate/join/window positions"
+        if (postAnalysis) throw new UnsupportedOperationException(msg)
+        else logError(s"$msg:\n${plan.treeString}")
+      }
       plan
     }
     else if (!rewritten.resolved) {

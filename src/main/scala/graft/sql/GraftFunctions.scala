@@ -83,7 +83,11 @@ object GraftFunctions {
       val md = m.eval().asInstanceOf[org.apache.spark.sql.catalyst.util.MapData]
       val mt = m.dataType.asInstanceOf[MapType]
       (0 until md.numElements()).map { i =>
-        md.keyArray().get(i, mt.keyType).toString -> md.valueArray().get(i, mt.valueType).toString
+        val k = md.keyArray().get(i, mt.keyType)
+        val v = md.valueArray().get(i, mt.valueType)
+        if (k == null || v == null)
+          throw new IllegalArgumentException(s"$what must not contain null keys or values")
+        k.toString -> v.toString
       }.toMap
     case other => throw new IllegalArgumentException(s"$what must be a map literal, got $other")
   }
@@ -107,11 +111,23 @@ object GraftFunctions {
     val spark = SparkSession.active
     val t0 = ref.trim
     // the reference style wraps the subquery in parens: FAISS_ADD((SELECT ...), n)
-    val t = (if (t0.startsWith("(") && t0.endsWith(")")) t0.substring(1, t0.length - 1)
-             else t0).trim
+    // — strip ONLY a fully-enclosing balanced pair, so a compound like
+    // "(SELECT ...) UNION ALL (SELECT ...)" is left intact
+    def enclosing(s: String): Boolean = {
+      if (!(s.startsWith("(") && s.endsWith(")"))) return false
+      var depth = 0
+      var i = 0
+      while (i < s.length) {
+        if (s.charAt(i) == '(') depth += 1
+        else if (s.charAt(i) == ')') { depth -= 1; if (depth == 0 && i < s.length - 1) return false }
+        i += 1
+      }
+      depth == 0
+    }
+    val t = (if (enclosing(t0)) t0.substring(1, t0.length - 1) else t0).trim
     // word boundary required: a TABLE legitimately named "select_log"
     // must not be parsed as a query
-    if (t.matches("(?is)^(SELECT|WITH|VALUES)\\b.*")) spark.sql(t)
+    if (t.matches("(?is)^(\\(*\\s*)*(SELECT|WITH|VALUES)\\b.*")) spark.sql(t)
     else spark.table(ref)
   }
 

@@ -116,8 +116,12 @@ object Streaming {
   def enrich(
       events: DataFrame, // streaming, keyed by `key`
       dim: DataFrame, // static dimension
-      key: String, dimKey: String): DataFrame =
-    events.join(broadcast(dim), col(key) === col(dimKey), "left")
+      key: String, dimKey: String): DataFrame = {
+    // dataset-qualified columns: the common enrichment shape has the
+    // SAME key name on both sides, where bare col(...) would be ambiguous
+    val d = broadcast(dim)
+    events.join(d, events(key) === d(dimKey), "left")
+  }
 
   /**
    * Real-time index ingestion: an unbounded (id, vector) stream feeds a

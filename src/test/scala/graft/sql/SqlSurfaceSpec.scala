@@ -205,6 +205,23 @@ class SqlSurfaceSpec extends SparkSpec {
     }
   }
 
+  test("user-written empty-result filters still execute (not stripped as vacuous)") {
+    ready
+    import spark.implicits._
+    fresh("sqlidx_guard")
+    spark.sql("SELECT faiss_create('sqlidx_guard', 4, 'IDMap,Flat')").collect()
+    spark.sql("SELECT faiss_add('sql_corpus', 'sqlidx_guard')").collect()
+    Seq((1L, Some(Array(3f, 0f, 0f, 0f))), (2L, None))
+      .toDF("qid", "qv").createOrReplaceTempView("sql_q_guard")
+    // the call appears ONLY in the WHERE clause: null-vector rows have
+    // empty result lists and must be dropped by the user's own guard
+    val kept = spark.sql(
+      "SELECT qid FROM sql_q_guard WHERE size(faiss_search('sqlidx_guard', 2, qv)) > 0")
+      .collect().map(_.getLong(0)).toSeq
+    assert(kept === Seq(1L), s"null-vector row must fail the guard, got $kept")
+    IndexCatalog.destroy("sqlidx_guard")
+  }
+
   test("errors surface like the reference: duplicate create, unknown metric, move_gpu") {
     ready
     fresh("sqlidx8")

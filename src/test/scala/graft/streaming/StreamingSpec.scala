@@ -304,6 +304,24 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static enrichment works when both sides share the key column name") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val memE = MemoryStream[(Long, Long)]
+    val edf = memE.toDF.toDF("event_id", "user_id")
+    val dim = Seq((1L, "alice")).toDF("user_id", "c_name") // SAME key name
+    val q = Streaming.enrich(edf, dim, "user_id", "user_id")
+      .select(edf("event_id"), dim("c_name"))
+      .writeStream.format("memory").queryName("s_enrich2").outputMode("append").start()
+    try {
+      memE.addData((100L, 1L), (101L, 9L))
+      q.processAllAvailable()
+      val got = spark.table("s_enrich2").collect()
+        .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+      assert(got === Map(100L -> Some("alice"), 101L -> None))
+    } finally q.stop()
+  }
+
   test("stream-stream interval join matches the batch join on the same rows") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
