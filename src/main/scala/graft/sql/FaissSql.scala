@@ -31,11 +31,16 @@ case class FaissSearchCall(
     // faiss_search_filter[_set]: (filterSql, idSelector, tableName) —
     // only rows of `tableName` passing `filterSql` participate, labels
     // taken from `idSelector` (reference README:225 argument order)
-    restrict: Option[(String, String, String)])
+    restrict: Option[(String, String, String)],
+    // faiss_range_search (FAISS range_search; a graft extension of the
+    // reference's SQL surface): all neighbors within `radius`, variable
+    // length, never padded — so the result shape drops `rank`
+    radius: Option[Double] = None)
   extends Expression with Unevaluable {
   override def children: Seq[Expression] = Seq(qvec)
   override def nullable: Boolean = false
-  override def dataType: DataType = FaissSearchCall.resultType
+  override def dataType: DataType =
+    if (radius.isDefined) FaissSearchCall.rangeResultType else FaissSearchCall.resultType
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): Expression = copy(qvec = newChildren.head)
 }
@@ -45,6 +50,10 @@ object FaissSearchCall {
     StructField("rank", IntegerType, nullable = true),
     StructField("label", LongType, nullable = true),
     StructField("distance", DoubleType, nullable = true))), containsNull = true)
+  // distance leads so the sorted-list order IS the metric order
+  val rangeResultType: DataType = ArrayType(StructType(Seq(
+    StructField("distance", DoubleType, nullable = true),
+    StructField("label", LongType, nullable = true))), containsNull = true)
 }
 
 /**
@@ -197,25 +206,36 @@ case class FaissSearchRewrite(spark: SparkSession, postAnalysis: Boolean = true)
       }: _*), qSchema)
     // the reference pads every result list to exactly k (label = -1 for
     // missing, README:243) — mirror that by default, overridable via
-    // an explicit map('pad','false') parameter
+    // an explicit map('pad','false') parameter (k-NN only; range
+    // results are inherently variable-length)
     val params = Map("pad" -> "true") ++ call.params
-    val flat = call.restrict match {
-      case None =>
+    val flat = (call.radius, call.restrict) match {
+      case (Some(r), None) =>
+        IndexCatalog.searchRadius(call.indexName, r, qdf, call.params)
+      case (Some(_), Some(_)) =>
+        throw new UnsupportedOperationException(
+          "faiss_range_search does not take a filter; compose WHERE over the result")
+      case (None, None) =>
         IndexCatalog.search(call.indexName, call.k, qdf, params)
-      case Some((filterSql, idSelector, tableName)) =>
+      case (None, Some((filterSql, idSelector, tableName))) =>
         val ids = spark.table(tableName).where(expr(filterSql))
           .select(expr(idSelector).cast("long").as("label"))
         IndexCatalog.searchFilterSet(call.indexName, call.k, qdf, ids, params)
     }
-    val empty = array().cast(FaissSearchCall.resultType)
+    val empty = array().cast(call.dataType)
+    val resultStruct =
+      if (call.radius.isDefined)
+        // sorted best-first by (distance, label) — distance leads the
+        // struct so sort_array's lexicographic order is the metric order
+        struct(col("distance").cast("double").as("distance"), col("label"))
+      else struct(col("rank"), col("label"), col("distance").cast("double").as("distance"))
     val nested = flat.groupBy("qid")
-      .agg(sort_array(collect_list(struct(col("rank"), col("label"),
-        col("distance").cast("double").as("distance")))).as("r"))
+      .agg(sort_array(collect_list(resultStruct)).as("r"))
     // both joins broadcast their bounded side — the query batch and its
     // k-row result lists; only the index scan inside `flat` touches data
     val keyed = qdf.join(broadcast(nested), Seq("qid"), "left")
       .select(col("qvec").as(vcol),
-        coalesce(col("r").cast(FaissSearchCall.resultType), empty).as(rcol))
+        coalesce(col("r").cast(call.dataType), empty).as(rcol))
     val joined = df.join(keyed,
       graft.functions.vec.vector(qvecCol) <=> keyed(vcol), "left")
     // broadcast the result side via an explicit JoinHint on the node (a
@@ -244,7 +264,7 @@ case class FaissSearchRewrite(spark: SparkSession, postAnalysis: Boolean = true)
     val rep = org.apache.spark.sql.catalyst.expressions.Coalesce(Seq(
       rattr,
       org.apache.spark.sql.catalyst.expressions.Literal.create(
-        Seq.empty[Any], FaissSearchCall.resultType)))
+        Seq.empty[Any], call.dataType)))
     (jplan, rep)
   }
 }

@@ -224,6 +224,15 @@ object GraftFunctions {
         args.lift(6).map(litMap(_, "parameters")).getOrElse(Map.empty),
         Some((litString(args(3), "filter"), litString(args(4), "idselector"),
           litString(args(5), "tablename"))))
+    },
+    // faiss_range_search(name, radius, q [, params]) — FAISS
+    // range_search per row (a graft extension of the reference's SQL
+    // surface): LIST<STRUCT(distance, label)>, variable length, sorted
+    // best-first, never padded
+    "faiss_range_search" -> { args =>
+      FaissSearchCall(litString(args(0), "name"), 0, args(2),
+        args.lift(3).map(litMap(_, "parameters")).getOrElse(Map.empty), None,
+        Some(litDouble(args(1), "radius")))
     })
 
   /** FROM-clause introspection: `SELECT * FROM faiss_list()` — catalog
@@ -283,5 +292,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // on the extensions path the rewrite can run at resolution, so the
     // produced search subtree flows through the full optimizer
     ext.injectResolutionRule(s => FaissSearchRewrite(s, postAnalysis = false))
+    // any placeholder that survives analysis sits in an unsupported
+    // position (aggregate list, join condition, window spec) — fail at
+    // CheckAnalysis with a clear message, not deep in codegen
+    ext.injectCheckRule(_ => plan => {
+      if (plan.exists(_.expressions.exists(_.exists(_.isInstanceOf[FaissSearchCall]))))
+        throw new UnsupportedOperationException(
+          "faiss_search is supported in SELECT lists, generators (explode), and WHERE " +
+            "clauses over a resolved FROM — not in aggregate/join/window positions")
+    })
   }
 }

@@ -205,6 +205,31 @@ class SqlSurfaceSpec extends SparkSpec {
     }
   }
 
+  test("faiss_range_search returns all within-radius hits, sorted, variable length") {
+    ready
+    fresh("sqlidx_range")
+    spark.sql("SELECT faiss_create('sqlidx_range', 4, 'IDMap,Flat')").collect()
+    spark.sql("SELECT faiss_add('sql_corpus', 'sqlidx_range')").collect()
+    // corpus = integer points on a line; radius 4.5 around qid-th point
+    // catches exactly the points within |d| <= 2 (L2sq <= 4)
+    val rows = spark.sql(
+      """SELECT qid, r.label, r.distance
+        |FROM (SELECT qid, faiss_range_search('sqlidx_range', 4.5, qv) AS rs
+        |      FROM sql_queries)
+        |LATERAL VIEW explode(rs) t AS r""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.forall(_._3 < 4.5))
+    val byQ = rows.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(byQ(5L) === Set(3L, 4L, 5L, 6L, 7L))
+    assert(byQ(0L) === Set(0L, 1L, 2L)) // boundary: only 2 neighbors exist rightward
+    // sorted best-first per row list
+    val lists = spark.sql(
+      "SELECT faiss_range_search('sqlidx_range', 4.5, qv) AS rs FROM sql_queries")
+      .collect().map(_.getSeq[org.apache.spark.sql.Row](0).map(_.getDouble(0)))
+    assert(lists.forall(l => l == l.sorted))
+    IndexCatalog.destroy("sqlidx_range")
+  }
+
   test("user-written empty-result filters still execute (not stripped as vacuous)") {
     ready
     import spark.implicits._
