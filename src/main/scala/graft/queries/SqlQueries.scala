@@ -47,6 +47,19 @@ object SqlQueries {
            |      FROM g_sql_corpus WHERE vec_id < 10)
            |LATERAL VIEW explode(rs) t AS r""".stripMargin))
     },
+    // per-row range search through SQL (graft extension of the surface;
+    // FAISS range_search semantics): variable-length sorted lists,
+    // exact -> shares the brute-force radius oracle
+    "vs_sql_range" -> { (s, dir) =>
+      val name = prepare(s, dir, "q_sql_gate")
+      s.sql(
+        s"""SELECT qid, r.label AS label, r.distance AS distance
+           |FROM (SELECT vec_id AS qid,
+           |        faiss_range_search('$name', ${VectorQueries.RADIUS}, embedding) AS rs
+           |      FROM g_sql_corpus WHERE vec_id < 10)
+           |LATERAL VIEW explode(rs) t AS r""".stripMargin)
+        .select(col("qid"), col("label"), Tables.quant4(col("distance")).as("distance"))
+    },
     // README:67 FAISS_SEARCH_FILTER(name, k, q, filter, idselector, table)
     "vs_sql_filter" -> { (s, dir) =>
       val name = prepare(s, dir, "q_sql_gate")
@@ -61,5 +74,6 @@ object SqlQueries {
 
   def oracles: Map[String, String] = Map(
     "vs_sql_search" -> VectorQueries.oracles("knn_flat_l2"),
-    "vs_sql_filter" -> VectorQueries.oracles("knn_search_filter"))
+    "vs_sql_filter" -> VectorQueries.oracles("knn_search_filter"),
+    "vs_sql_range" -> VectorQueries.oracles("knn_radius"))
 }
