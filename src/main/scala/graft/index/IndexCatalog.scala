@@ -681,7 +681,7 @@ object IndexCatalog {
     val spark = b.data.sparkSession
     b match {
       case ivf: IvfBuilt =>
-        ivf.data.write.mode("overwrite").partitionBy("list_id").parquet(s"$path/data")
+        ivf.data.write.mode("overwrite").option("compression", "zstd").partitionBy("list_id").parquet(s"$path/data")
         import spark.implicits._
         ivf.centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
           .toSeq.toDF("centroid_id", "centroid")
@@ -690,16 +690,16 @@ object IndexCatalog {
         // undo the per-band row duplication; distinct on (label, vec)
         // keeps genuinely different vectors that share a label
         lsh.data.select(col("label"), col("vec")).dropDuplicates("label", "vec")
-          .write.mode("overwrite").parquet(s"$path/data")
+          .write.mode("overwrite").option("compression", "zstd").parquet(s"$path/data")
       case pca: PcaBuilt =>
         // inner data is in projected space; persist the ORIGINAL rows —
         // the transform re-applies deterministically on load
         e.pending.get.select(col("label"), vec.vector(col("vec")).as("vec"))
-          .write.mode("overwrite").parquet(s"$path/data")
+          .write.mode("overwrite").option("compression", "zstd").parquet(s"$path/data")
       case other =>
         // canonical (label, vec) layout rebuilds deterministically on load
         other.data.select(col("label"), col("vec"))
-          .write.mode("overwrite").parquet(s"$path/data")
+          .write.mode("overwrite").option("compression", "zstd").parquet(s"$path/data")
     }
     import spark.implicits._
     // persist PQ training (FAISS saves trained quantizers in the index file)
