@@ -173,6 +173,19 @@ object VectorQueries {
         .select(col("qid"), col("rank"), col("label"),
           Tables.quant4(col("distance")).as("distance"))
     },
+    // Matryoshka (prefix-dim) serving: coarse top-20 on the FIRST 16
+    // dims (25% of the vector bytes — the only corpus-wide scan), exact
+    // re-rank of the survivors on full 64-dim vectors. The tunable
+    // middle point of the compression family (1-bit Hamming < 8-bit PQ
+    // < prefix-dim < full float). Both stages deterministic (ties by
+    // label), so the COMPOSITION has an exact oracle — the coarse cut
+    // is replayed in SQL, not assumed.
+    "knn_matryoshka" -> { (s, dir) =>
+      Knn.searchMatryoshka(data(s, dir), queriesDf(s, dir),
+          K, prefixDim = 16, factor = 4)
+        .select(col("qid"), col("rank"), col("label"),
+          Tables.quant4(col("distance")).as("distance"))
+    },
     // corpus clustering by centroid assignment (the domain-discovery /
     // data-mixing primitive): deterministic seed centroids (the first 8
     // embeddings), assignment via the same codegen'd argmin kernel IVF
@@ -233,7 +246,33 @@ object VectorQueries {
   private val cosSql =
     "1.0 - list_cosine_similarity(CAST(a AS DOUBLE[]), CAST(b AS DOUBLE[]))"
 
+  /** prefix-dim L2²: the same double accumulation over the first 16
+    * elements only */
+  private val l2sqPrefixSql =
+    "list_sum([ (CAST(a[i] AS DOUBLE) - CAST(b[i] AS DOUBLE)) * (CAST(a[i] AS DOUBLE) - CAST(b[i] AS DOUBLE)) FOR i IN range(1, 17) ])"
+
   def oracles: Map[String, String] = Map(
+    // replay BOTH stages: coarse rank over prefix-16 distance (ties by
+    // label), survivors rn <= 20, then full-vector re-rank of survivors
+    "knn_matryoshka" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS a FROM embeddings WHERE vec_id < 10),
+         |cd AS (
+         |  SELECT q.qid, e.vec_id AS label, q.a, e.b, $l2sqPrefixSql AS pdist
+         |  FROM q CROSS JOIN (SELECT vec_id, embedding AS b FROM embeddings) e
+         |),
+         |surv AS (
+         |  SELECT qid, label, a, b,
+         |    row_number() OVER (PARTITION BY qid ORDER BY pdist, label) AS crn
+         |  FROM cd QUALIFY crn <= ${K * 4}
+         |),
+         |rd AS (SELECT qid, label, $l2sqSql AS dist FROM surv),
+         |r AS (
+         |  SELECT qid, label, dist,
+         |    CAST(row_number() OVER (PARTITION BY qid ORDER BY dist, label) - 1 AS INTEGER) AS rank
+         |  FROM rd
+         |)
+         |SELECT qid, rank, label, CAST(CAST(dist AS DECIMAL(18,4)) AS DOUBLE) AS distance
+         |FROM r WHERE rank < $K""".stripMargin,
     "knn_join_grouped" ->
       s"""WITH e AS (SELECT vec_id, vec_id % 4 AS grp, embedding FROM embeddings),
          |q AS (SELECT grp, vec_id AS qid, embedding AS a FROM e WHERE vec_id < 20),

@@ -117,6 +117,45 @@ object Knn {
     searchFlat(data.where(predicate), queries, k, metric)
 
   /**
+   * Matryoshka (prefix-dimension) two-stage search: coarse
+   * top-(k*factor) per query on the FIRST `prefixDim` dimensions, then
+   * exact re-rank of the survivors on full vectors. MRL-trained
+   * embeddings (Kusupati et al. 2022) order information by dimension,
+   * so a prefix is a faithful coarse metric; the same structure is what
+   * the reference's PCA pretransform exploits after rotation
+   * (/root/reference/src/faiss_extension.cpp factory "PCA64,...").
+   *
+   * The 100 TB shape: the prefix column is materialized once
+   * (prefixDim/d of the vector bytes — e.g. 16/64 = 25%) and is the
+   * ONLY corpus-wide scan; full vectors are fetched for k*factor rows
+   * per query only, exactly like the sign-bit re-rank path but with a
+   * tunable accuracy/bytes knob instead of a fixed 1-bit one. Both
+   * stages are deterministic (ties by label), so unlike IVF/LSH the
+   * composition has an exact cross-engine oracle.
+   */
+  def searchMatryoshka(data: DataFrame, queries: DataFrame, k: Int,
+      prefixDim: Int, factor: Int, metric: String = "l2sq"): DataFrame = {
+    val asc = VectorMath.smallerIsCloser(VectorMath.metricId(metric))
+    val d = widen(data)
+    val q = queries.where(col("qid").isNotNull && col("qvec").isNotNull)
+    val coarse = rankResults(
+        d.select(col("label"), slice(col("vec"), 1, prefixDim).as("pvec"))
+          .crossJoin(broadcast(
+            q.select(col("qid"), slice(col("qvec"), 1, prefixDim).as("qpvec"))))
+          .select(col("qid"), col("label"),
+            vec.dist(metric, col("pvec"), col("qpvec")).as("_dist")),
+        k * factor, ascending = asc)
+      .select(col("qid"), col("label"))
+    rankResults(
+        d.select(col("label"), col("vec"))
+          .join(broadcast(coarse), "label")
+          .join(broadcast(q.select(col("qid"), col("qvec"))), "qid")
+          .select(col("qid"), col("label"),
+            vec.dist(metric, col("vec"), col("qvec")).as("_dist")),
+        k, ascending = asc)
+  }
+
+  /**
    * Full k-NN join: every row of `left` gets its top-k neighbors from
    * `right` (self-pairs excluded when ids collide). For bounded `left`
    * batches this broadcasts; for the NxN case at scale, route through

@@ -176,4 +176,40 @@ class KnnSpec extends SparkSpec {
     assert(partial.subsetOf(exact), "partial probe can only miss, never invent")
     assert(partial.size.toDouble / exact.size >= 0.5, "nearest-list probing keeps most hits")
   }
+
+  test("matryoshka: exhaustive coarse pass equals exact flat search") {
+    import spark.implicits._
+    // 4-d points whose FIRST dims are uninformative — the coarse prefix
+    // pass ranks badly, but with factor covering the whole corpus the
+    // re-rank must recover the exact answer
+    val rows = (0 until 60).map { i =>
+      (i.toLong, Array(0f, (i % 7).toFloat, i.toFloat, (i * 3 % 11).toFloat))
+    }
+    val pts = rows.toDF("label", "vec")
+    val qs = pts.where(col("label") < 5).select(col("label").as("qid"), col("vec").as("qvec"))
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sortBy(t => (t._1, t._2))
+    val exact = canon(Knn.searchFlat(pts, qs, 3, "l2sq"))
+    val full = canon(Knn.searchMatryoshka(pts, qs, 3, prefixDim = 2, factor = 20))
+    assert(full === exact)
+  }
+
+  test("matryoshka: self-hit survives the coarse cut; results are coarse-set-bounded") {
+    import spark.implicits._
+    val rows = (0 until 80).map { i =>
+      (i.toLong, Array.tabulate(8)(d => ((i * (d + 3)) % 13).toFloat))
+    }
+    val pts = rows.toDF("label", "vec")
+    val qs = pts.where(col("label") < 6).select(col("label").as("qid"), col("vec").as("qvec"))
+    val res = Knn.searchMatryoshka(pts, qs, 3, prefixDim = 4, factor = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    // prefix distance of the query to itself is 0 — it can never be cut,
+    // so rank 0 is always the self hit at distance 0
+    for (q <- 0L until 6L) {
+      val top = res.filter(_._1 == q).minBy(_._2)
+      assert(top._3 === q && top._4 === 0.0)
+    }
+    // every query returns exactly k rows (coarse set is k*factor >= k)
+    assert(res.groupBy(_._1).forall(_._2.length == 3))
+  }
 }
