@@ -382,6 +382,77 @@ object IndexCatalog {
     }
   }
 
+  /**
+   * FAISS `IndexIVF::merge_from(other, add_id)` analog: move every
+   * vector of `src` into `dst`, leaving `src` registered but EMPTY
+   * (FAISS clears the source's inverted lists). This is the
+   * shard-then-merge build path at scale — N workers each add their
+   * slice to a private index, then the shards fold into one serving
+   * index without ever re-reading the corpus. `dst` keeps its own
+   * trained state; a built IVF with pinned centroids extends
+   * INCREMENTALLY (only src's rows are assigned — O(src), never a
+   * corpus rebuild), any other built kind rebuilds lazily.
+   *
+   * `addId` shifts src's labels on the way over (FAISS's add_id):
+   * pass dst's current size when folding auto-id shards so labels stay
+   * collision-free; 0 preserves labels (IDMap semantics). Merge is an
+   * index-to-index operation, so it bypasses the user-facing IDMap add
+   * gate exactly like merge_from does.
+   */
+  def merge(dstName: String, srcName: String, addId: Long = 0L): Unit = {
+    if (dstName == srcName)
+      throw new IllegalArgumentException(s"cannot merge index '$dstName' into itself")
+    val dst = entry(dstName)
+    val src = entry(srcName)
+    if (dst.meta.dim != src.meta.dim)
+      throw new IllegalArgumentException(
+        s"merge dim mismatch: '$dstName' has dim ${dst.meta.dim}, '$srcName' has dim ${src.meta.dim}")
+    if (dst.meta.metric != src.meta.metric)
+      throw new IllegalArgumentException(
+        s"merge metric mismatch: '$dstName' is ${dst.meta.metric}, '$srcName' is ${src.meta.metric}")
+    // snapshot + clear src under its lock, then fill dst under its own —
+    // sequential (never nested) locks, so two concurrent merges cannot
+    // deadlock. Cache ownership MOVES with the rows: src's auto-id
+    // batches must stay pinned (an unpersist-then-recompute through
+    // zipWithIndex could renumber them), so destroy(src) must not
+    // release them once dst's lineage depends on them.
+    val (moved, movedCaches) = src.synchronized {
+      if (src.destroyed) throw new NoSuchElementException(s"no index named '$srcName'")
+      val rows = src.pending
+      val caches = src.cachedBatches.toList
+      src.pending = None
+      src.cachedBatches.clear()
+      src.built.foreach(_.close())
+      src.built = None
+      (rows, caches)
+    }
+    dst.synchronized {
+      if (dst.destroyed) throw new NoSuchElementException(s"no index named '$dstName'")
+      dst.cachedBatches ++= movedCaches
+      moved.foreach { rows =>
+        val shifted =
+          if (addId == 0L) rows
+          else rows.select((col("label") + lit(addId)).as("label"), col("vec"))
+        dst.pending = Some(dst.pending.map(_.unionByName(shifted)).getOrElse(shifted))
+        dst.built = dst.built match {
+          case Some(ivf: IvfBuilt) if ivf.centroids.nonEmpty =>
+            Some(ivf.appended(shifted))
+          case other =>
+            other.foreach(_.close())
+            None
+        }
+        // keep auto-id numbering collision-free after the fold: the next
+        // add must start past every merged label (one bounded scalar agg
+        // over the moved rows — catalog metadata, not a query path)
+        if (!dst.idMap) {
+          val mx = shifted.agg(max(col("label"))).head()
+          if (!mx.isNullAt(0))
+            dst.nextAutoId = math.max(dst.nextAutoId, mx.getLong(0) + 1L)
+        }
+      }
+    }
+  }
+
   /** train now on a sample (IVF: KMeans centroids; PQ: codebooks +
     * coarse centroids); later adds don't retrain. Invalidates any built
     * state so retraining after a search takes effect on the next one. */

@@ -80,6 +80,24 @@ object IndexQueries {
       IndexCatalog.load(name, path, s)
       quantized(IndexCatalog.search(name, 5, embQueries(s, dir)))
     },
+    // FAISS IndexIVF::merge_from through the gate: two shards each hold
+    // half the corpus, src folds into dst (src left registered but
+    // empty), dst searches the union. The shard-then-merge build path —
+    // at scale N workers each index their slice and the shards fold
+    // without re-reading the corpus. Exhaustive probe -> exact, shares
+    // the brute-force L2 oracle over the FULL corpus, which only
+    // matches if the merge moved every row.
+    "vs_index_merge" -> { (s, dir) =>
+      val dst = fresh("q_merge_dst")
+      val src = fresh("q_merge_src")
+      IndexCatalog.create(dst, 64, "IDMap,IVF16,Flat", "l2sq", Map("nprobe" -> "16"))
+      IndexCatalog.create(src, 64, "IDMap,IVF16,Flat", "l2sq", Map("nprobe" -> "16"))
+      val d = embData(s, dir)
+      IndexCatalog.add(d.where(col("label") % 2 === 0), dst)
+      IndexCatalog.add(d.where(col("label") % 2 =!= 0), src)
+      IndexCatalog.merge(dst, src)
+      quantized(IndexCatalog.search(dst, 5, embQueries(s, dir)))
+    },
     // range search through the IVF structure (FAISS range_search):
     // exhaustive probe -> exact, shares the brute-force radius oracle;
     // partial-probe containment is spec-asserted (IndexCatalogSpec)
@@ -257,6 +275,8 @@ object IndexQueries {
     "knn_ivf_filter" -> VectorQueries.oracles("knn_search_filter"),
     "knn_hnsw_filter" -> VectorQueries.oracles("knn_search_filter"),
     "vs_index_saveload" -> VectorQueries.oracles("knn_flat_l2"),
+    // merged shards + exhaustive probe = exact over the full corpus
+    "vs_index_merge" -> VectorQueries.oracles("knn_flat_l2"),
     // exhaustive-probe range search is exact -> brute-force radius oracle
     "knn_radius_ivf" -> VectorQueries.oracles("knn_radius"),
     // exact scan over the replicated corpus — the oracle replays the

@@ -142,4 +142,57 @@ class IncrementalSpec extends SparkSpec {
     // and the rebuild sees everything
     assert(IndexCatalog.search("t_incr_flat", 2, qs).count() === 4)
   }
+
+  test("merge folds src into dst, equals one index over the union; src left empty") {
+    IndexCatalog.create("t_mrg_dst", 2, "IDMap,IVF4,Flat", "l2sq", Map("nprobe" -> "4"))
+    IndexCatalog.create("t_mrg_src", 2, "IDMap,IVF4,Flat", "l2sq", Map("nprobe" -> "4"))
+    IndexCatalog.add(vecs(0 until 64), "t_mrg_dst")
+    IndexCatalog.add(vecs(64 until 128), "t_mrg_src")
+    // dst is BUILT before the merge: the fold must extend it
+    // incrementally (pinned centroids), not invalidate it
+    IndexCatalog.search("t_mrg_dst", 4, qs).count()
+    assert(IndexCatalog.isBuilt("t_mrg_dst"))
+    IndexCatalog.merge("t_mrg_dst", "t_mrg_src")
+    assert(IndexCatalog.isBuilt("t_mrg_dst"),
+      "merge into a built IVF must append incrementally")
+    // exhaustive probe over the merged index = brute force over the union
+    val want = Knn.searchFlat(vecs(0 until 128), qs, 4, "l2sq")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(resultSet("t_mrg_dst") === want)
+    // src stays registered but holds nothing (FAISS clears the source's
+    // inverted lists); searching it reports the empty-index error
+    assert(IndexCatalog.exists("t_mrg_src"))
+    val e = intercept[Exception](IndexCatalog.search("t_mrg_src", 2, qs).count())
+    assert(e.getMessage.contains("no vectors"))
+  }
+
+  test("merge addId shifts labels and keeps auto-id numbering collision-free") {
+    import spark.implicits._
+    IndexCatalog.create("t_mrg_auto_d", 2, "IVF2,Flat", "l2sq", Map("nprobe" -> "2"))
+    IndexCatalog.create("t_mrg_auto_s", 2, "IVF2,Flat", "l2sq", Map("nprobe" -> "2"))
+    // 1-col adds -> auto ids 0..3 in each shard
+    IndexCatalog.add(vecs(0 until 4).select(col("vec")), "t_mrg_auto_d")
+    IndexCatalog.add(vecs(4 until 8).select(col("vec")), "t_mrg_auto_s")
+    IndexCatalog.merge("t_mrg_auto_d", "t_mrg_auto_s", addId = 4L)
+    // all 8 rows searchable under distinct labels 0..7
+    val labels = IndexCatalog.search("t_mrg_auto_d", 8,
+        Seq((0L, Array(0f, 0f))).toDF("qid", "qvec"))
+      .collect().map(_.getLong(2)).toSet
+    assert(labels === (0L until 8L).toSet)
+    // the NEXT auto-id add starts past the merged labels
+    IndexCatalog.add(vecs(8 until 9).select(col("vec")), "t_mrg_auto_d")
+    val after = IndexCatalog.search("t_mrg_auto_d", 9,
+        Seq((0L, Array(0f, 0f))).toDF("qid", "qvec"))
+      .collect().map(_.getLong(2)).toSet
+    assert(after === (0L until 9L).toSet)
+  }
+
+  test("merge rejects self, dim and metric mismatches") {
+    IndexCatalog.create("t_mrg_e1", 2, "IDMap,Flat", "l2sq")
+    IndexCatalog.create("t_mrg_e2", 3, "IDMap,Flat", "l2sq")
+    IndexCatalog.create("t_mrg_e3", 2, "IDMap,Flat", "ip")
+    intercept[IllegalArgumentException](IndexCatalog.merge("t_mrg_e1", "t_mrg_e1"))
+    intercept[IllegalArgumentException](IndexCatalog.merge("t_mrg_e1", "t_mrg_e2"))
+    intercept[IllegalArgumentException](IndexCatalog.merge("t_mrg_e1", "t_mrg_e3"))
+  }
 }
