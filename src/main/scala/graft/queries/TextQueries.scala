@@ -221,6 +221,35 @@ object TextQueries {
           size(enc).as("n_subwords"),
           size(array_distinct(enc)).as("n_distinct_subwords"))
     },
+    // fasttext-shaped hashed linear classifier (the quality-filter model
+    // CCNet/RefinedWeb-style curation runs over every document): token →
+    // 64-bit hash → one of 1024 weight buckets → summed weight = logit,
+    // keep = logit > 0. The weight table here is a deterministic
+    // stand-in (weight derived from the bucket id — no pretrained model
+    // ships with the repo) but the PLUMBING is the real thing: hashing
+    // and bucket lookup run in the scan stage, weights are integer
+    // millis so the per-doc sum partial-aggregates to ONE long per doc
+    // per partition (order-independent, bit-stable) — at 100 TB the
+    // shuffle carries (doc_id, long, count), never tokens, and a real
+    // 1024-float weight vector would ride the plan as a literal exactly
+    // like this derivation does.
+    "text_classifier" -> { (s, dir) =>
+      val tok = Tables.wide(s, dir, "documents")
+        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      val bucket = conv(substring(md5(col("tok")), 1, 4), 16, 10).cast("long") % 1024L
+      val milli = (bucket * lit(2654435761L)) % 2003L - 1001L
+      tok.select(col("doc_id"), milli.as("w"))
+        .groupBy("doc_id")
+        .agg(sum(col("w")).as("wsum"), count(lit(1)).as("n_toks"))
+        // ONE division of two exact longs: bit-identical across engines
+        // (quantizing here would be WORSE — milli sums over thousandths
+        // land exactly on 4-decimal half-way points, where decimal
+        // rounding modes disagree)
+        .select(col("doc_id"),
+          (col("wsum").cast("double")
+            / (col("n_toks") * 1000L).cast("double")).as("logit"),
+          (col("wsum") > 0L).as("keep"))
+    },
     // heuristic language id (the synthetic corpus shares one vocabulary,
     // so accuracy is not meaningful here — the deterministic argmax is)
     "text_langid" -> { (s, dir) =>
@@ -287,6 +316,21 @@ object TextQueries {
        |  FROM n)""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    // identical hash → bucket → integer-milli weight chain; the sum of
+    // longs is order-independent so the hash compares exactly
+    "text_classifier" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |tok AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+         |w AS (
+         |  SELECT doc_id,
+         |    ((CAST(('0x' || substring(md5(tok), 1, 4)) AS BIGINT) % 1024)
+         |      * 2654435761) % 2003 - 1001 AS w
+         |  FROM tok
+         |)
+         |SELECT doc_id,
+         |  CAST(sum(w) AS DOUBLE) / CAST(count(*) * 1000 AS DOUBLE) AS logit,
+         |  sum(w) > 0 AS keep
+         |FROM w GROUP BY doc_id""".stripMargin,
     "text_chunk" ->
       s"""WITH $chunkCtesSql
          |SELECT doc_id, CAST(u.ci AS INTEGER) AS chunk_idx,

@@ -176,4 +176,34 @@ class CurationAdditionsSpec extends SparkSpec {
       .sortBy { case (p, n) => (-n, p) }.take(10)
     assert(got.toSeq === expected)
   }
+
+  test("text_classifier: every doc scored once, keep tracks the logit sign, bit-stable on any partitioning") {
+    val res = run("text_classifier").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2)))
+    val nDocs = Tables(spark, dir, "documents").count()
+    assert(res.length.toLong === nDocs)
+    // logits are mean milli-weights in [-1.001, 1.001]
+    assert(res.forall { case (_, l, _) => l >= -1.001 && l <= 1.001 })
+    assert(res.forall { case (_, l, k) => k === (l > 0.0) || l == 0.0 },
+      "keep must be the logit's sign (keep uses the exact long sum, not the quantized logit)")
+    // independent driver-side replay of the hash → bucket → milli-weight
+    // chain for a sample of docs (pins the exact arithmetic the oracle
+    // mirrors, independent of Catalyst)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def milli(tok: String): Long = {
+      val hex = md.digest(tok.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val bucket = java.lang.Long.parseLong(hex.substring(0, 4), 16) % 1024L
+      (bucket * 2654435761L) % 2003L - 1001L
+    }
+    val docs = Tables(spark, dir, "documents").where(col("doc_id") < 20)
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val byId = res.map(r => r._1 -> r).toMap
+    docs.foreach { case (id, toks) =>
+      val wsum = toks.map(milli).sum
+      val want = wsum.toDouble / (toks.length * 1000L).toDouble
+      assert(byId(id)._2 === want, s"logit replay mismatch for doc $id")
+      assert(byId(id)._3 === (wsum > 0))
+    }
+  }
 }
