@@ -22,6 +22,32 @@ import Tables.{moneySum, moneySumSql, quant4, quant4Sql}
 object AnalyticsQueries {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Z-order layout through the gate: lineitem re-clustered on the
+    // (shipdate, partkey) Morton code (graft.sources.Layout — Delta/
+    // Iceberg OPTIMIZE ZORDER BY shape), then a 2-D range predicate
+    // reads it back. Every output file covers a tight rectangle in BOTH
+    // dimensions, so parquet min/max stats skip files for either
+    // predicate — a linear sort serves only its leading column; the
+    // skipping ratio is spec-quantified (StorageLayoutSpec). The
+    // ORACLE runs the same filter on the ORIGINAL table: a layout may
+    // change what a scan skips, never what a filter selects.
+    "layout_zorder" -> { (s, dir) =>
+      val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_zorder_gate_${dir.hashCode.toHexString}").getAbsolutePath
+      graft.sources.Layout.writeZOrdered(
+        Tables(s, dir, "lineitem"),
+        datediff(col("l_shipdate"), lit("1992-01-01")),
+        col("l_partkey"), path, numFiles = 16)
+      s.read.parquet(path)
+        .where(
+          col("l_shipdate") >= lit("1995-01-01 00:00:00").cast("timestamp") &&
+            col("l_shipdate") < lit("1996-01-01 00:00:00").cast("timestamp") &&
+            col("l_partkey") >= 50 && col("l_partkey") < 120)
+        .agg(
+          moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+          count(lit(1)).as("n_items"),
+          sum(col("l_quantity").cast("long")).as("total_qty"))
+    },
     // TPC-H Q2 shape: cheapest part per brand. The correlated min
     // subquery decorrelates to a window min + equality filter: ONE
     // shuffle on p_brand instead of a self-join against a grouped copy.
@@ -400,6 +426,16 @@ object AnalyticsQueries {
     })
 
   def oracles: Map[String, String] = Map(
+    // the SAME filter over the ORIGINAL table: the z-ordered copy must
+    // select identical rows or the layout broke the data
+    "layout_zorder" ->
+      s"""SELECT ${moneySumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+         |  count(*) AS n_items,
+         |  sum(CAST(l_quantity AS BIGINT)) AS total_qty
+         |FROM lineitem
+         |WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+         |  AND l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
+         |  AND l_partkey >= 50 AND l_partkey < 120""".stripMargin,
     "q2_mincost" ->
       """SELECT p_brand, p_partkey, p_name, p_retailprice
         |FROM part

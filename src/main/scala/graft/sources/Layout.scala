@@ -1,0 +1,69 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Space-filling-curve (Z-order) data layout: cluster a table on the
+ * Morton interleave of two columns so every output file covers a tight
+ * rectangle in BOTH dimensions. Parquet min/max stats then prune
+ * files/row-groups for 2-D range predicates — a linear sort serves only
+ * its leading column, and at 100 TB the difference is reading ~√s of
+ * the selectivity-s file set instead of all of it for the second
+ * dimension. Same idea as Delta/Iceberg OPTIMIZE ZORDER BY; results are
+ * layout-independent (the layout changes what a scan SKIPS, never what
+ * a filter selects).
+ *
+ * Everything is codegen'd bitwise builtins — no UDF, no shuffle beyond
+ * the single range exchange that IS the clustering.
+ */
+object Layout {
+
+  private val spreadSteps = Seq(
+    (8, 0x00FF00FF00FF00FFL),
+    (4, 0x0F0F0F0F0F0F0F0FL),
+    (2, 0x3333333333333333L),
+    (1, 0x5555555555555555L))
+
+  /** spread the low 16 bits of x so original bit j lands at bit 2j */
+  private def spread16(x: Column): Column =
+    spreadSteps.foldLeft(x.bitwiseAND(lit(0xFFFFL))) { case (acc, (s, m)) =>
+      acc.bitwiseOR(shiftleft(acc, s)).bitwiseAND(lit(m))
+    }
+
+  /** 32-bit Morton code over two 16-bit values: bit j of `a` at 2j, bit
+    * j of `b` at 2j+1 — the top bits ALTERNATE dimensions, so range
+    * splits of the code cut both dimensions evenly */
+  def zorder32(a: Column, b: Column): Column =
+    spread16(a.cast("long")).bitwiseOR(shiftleft(spread16(b.cast("long")), 1))
+
+  /** min/max-scale an integer column to the 16-bit Morton domain */
+  private def scale16(x: Column, lo: Long, hi: Long): Column =
+    ((x.cast("long") - lit(lo)) * lit(65535L) / lit(math.max(hi - lo, 1L))).cast("long")
+
+  /**
+   * Write `df` Z-clustered on integer expressions (a, b).
+   *
+   * One bounds pass (a 4-scalar aggregate — at a real deployment the
+   * catalog's column stats replace it), then ONE range exchange on the
+   * Morton code with an in-partition sort: every output file covers a
+   * tight (a, b) rectangle. Both columns are min/max-scaled to 16 bits
+   * first so dimensions of very different magnitudes (day numbers vs
+   * keys) still alternate in the code's high bits — unscaled, the wider
+   * dimension would monopolize every split.
+   */
+  def writeZOrdered(
+      df: DataFrame, a: Column, b: Column, path: String, numFiles: Int): Unit = {
+    val bounds = df.agg(
+      min(a.cast("long")), max(a.cast("long")),
+      min(b.cast("long")), max(b.cast("long"))).head()
+    val z = zorder32(
+      scale16(a, bounds.getLong(0), bounds.getLong(1)),
+      scale16(b, bounds.getLong(2), bounds.getLong(3)))
+    df.withColumn("__graft_z", z)
+      .repartitionByRange(numFiles, col("__graft_z"))
+      .sortWithinPartitions(col("__graft_z"))
+      .drop("__graft_z")
+      .write.mode("overwrite").parquet(path)
+  }
+}

@@ -291,4 +291,28 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.split("Exchange hashpartitioning").drop(1).exists(_.take(400).contains("text#")),
       plan.take(4000))
   }
+
+  test("knn_matryoshka: both stages broadcast the small side; survivors fetched by broadcast join") {
+    val plan = physical("knn_matryoshka")
+    // coarse queries + survivor set + re-rank queries all broadcast —
+    // the corpus never shuffles for a join; the only hash exchanges are
+    // the two bounded top-k merges (partitions x Q x k rows each)
+    assert("BroadcastHashJoin".r.findAllIn(plan).length >= 2, plan.take(3000))
+    assert("partial_vec_topk".r.findAllIn(plan).length === 2,
+      "expected exactly two top-k pipelines (coarse + re-rank):\n" + plan.take(3000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(3000))
+  }
+
+  test("text_classifier: hash/bucket/weight in the scan stage, ONE partial-aggregated shuffle") {
+    assert(exchanges("text_classifier") === 1)
+    val plan = physical("text_classifier")
+    // partial aggregation before the exchange: the shuffle carries one
+    // (doc_id, sum, count) row per doc per partition, never tokens
+    // the exchange's DIRECT child is the partial aggregate — shuffled
+    // rows are (doc_id, partial sum, partial count), never tokens
+    val lines = plan.linesIterator.toVector
+    val ex = lines.indexWhere(_.contains("Exchange hashpartitioning"))
+    assert(ex >= 0 && lines(ex + 1).contains("partial_sum"),
+      "shuffle input must be the partial aggregate:\n" + plan.take(3000))
+  }
 }

@@ -57,6 +57,60 @@ class StorageLayoutSpec extends SparkSpec {
     } finally spark.sql("DROP DATABASE IF EXISTS graft_layout CASCADE")
   }
 
+  test("z-order layout: files cover tight rectangles in BOTH dims; linear sort serves only one") {
+    import org.apache.spark.sql.DataFrame
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val day = datediff(col("l_shipdate"), lit("1992-01-01"))
+    val nFiles = 32
+    val zOut = Files.createTempDirectory("graft_zorder").toString
+    Layout.writeZOrdered(li, day, col("l_partkey"), zOut, nFiles)
+    // the comparison layout: linear sort on shipdate (what a naive
+    // time-series table does) — same file count
+    val linOut = Files.createTempDirectory("graft_linear").toString
+    li.withColumn("__d", day).repartitionByRange(nFiles, col("__d"))
+      .sortWithinPartitions(col("__d")).drop("__d")
+      .write.mode("overwrite").parquet(linOut)
+
+    // per-FILE value ranges (what parquet footer min/max stats expose to
+    // the scan) for both layouts
+    def fileRanges(path: String): Array[(Long, Long, Long, Long)] =
+      new java.io.File(path).listFiles().filter(_.getName.endsWith(".parquet")).map { f =>
+        val r = spark.read.parquet(f.getAbsolutePath)
+          .agg(min(day), max(day), min("l_partkey"), max("l_partkey")).head()
+        (r.getInt(0).toLong, r.getInt(1).toLong, r.getLong(2), r.getLong(3))
+      }
+    val zR = fileRanges(zOut)
+    val linR = fileRanges(linOut)
+    assert(zR.length >= nFiles / 2 && linR.length >= nFiles / 2)
+
+    // a ~25%-per-dim rectangle: count files a stats-based scan CANNOT
+    // skip (range intersects the predicate) under each layout
+    val (d0, d1) = (1096L, 1461L) // 1995 in day numbers
+    val (p0, p1) = (100L, 149L)
+    def cantSkip(rs: Array[(Long, Long, Long, Long)],
+        dayPred: Boolean, pkPred: Boolean): Int =
+      rs.count { case (dl, dh, pl, ph) =>
+        (!dayPred || (dh >= d0 && dl <= d1)) && (!pkPred || (ph >= p0 && pl <= p1)) }
+
+    // partkey-only predicate: the linear (time-sorted) layout can skip
+    // NOTHING — every file spans ~the full key range; z-order skips most
+    assert(cantSkip(linR, dayPred = false, pkPred = true) === linR.length,
+      "time-sorted files should all intersect a key predicate")
+    assert(cantSkip(zR, dayPred = false, pkPred = true) <= zR.length / 2,
+      s"z-order must let a key-only predicate skip files: ${zR.mkString(", ")}")
+    // the 2-D rectangle: z-order reads strictly fewer files than the
+    // linear layout's date pruning alone
+    assert(cantSkip(zR, dayPred = true, pkPred = true) <
+      cantSkip(linR, dayPred = true, pkPred = true),
+      s"z=${zR.mkString(",")} lin=${linR.mkString(",")}")
+
+    // and the layout never changes RESULTS: the gate rectangle selects
+    // identical rows from both copies
+    def sel(path: String): Long = spark.read.parquet(path)
+      .where(day.between(d0, d1) && col("l_partkey").between(p0, p1 - 1)).count()
+    assert(sel(zOut) === sel(linOut))
+  }
+
   test("value-partitioned sink prunes partitions at the scan") {
     val out = Files.createTempDirectory("graft_part_events").toString
     val e = graft.queries.Tables.events(spark, dir)
