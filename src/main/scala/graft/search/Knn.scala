@@ -135,6 +135,10 @@ object Knn {
    */
   def searchMatryoshka(data: DataFrame, queries: DataFrame, k: Int,
       prefixDim: Int, factor: Int, metric: String = "l2sq"): DataFrame = {
+    // prefixDim <= 0 would make every coarse distance 0 — an arbitrary
+    // label-ordered cut that silently returns garbage
+    require(prefixDim > 0, s"prefixDim must be positive, got $prefixDim")
+    require(factor >= 1, s"factor must be >= 1, got $factor")
     val asc = VectorMath.smallerIsCloser(VectorMath.metricId(metric))
     val d = widen(data)
     val q = queries.where(col("qid").isNotNull && col("qvec").isNotNull)

@@ -57,6 +57,12 @@ object Layout {
     val bounds = df.agg(
       min(a.cast("long")), max(a.cast("long")),
       min(b.cast("long")), max(b.cast("long"))).head()
+    if (bounds.isNullAt(0) || bounds.isNullAt(2)) {
+      // empty input (or an all-null dimension): nothing to cluster —
+      // write as-is instead of NPEing on absent bounds
+      df.write.mode("overwrite").parquet(path)
+      return
+    }
     val z = zorder32(
       scale16(a, bounds.getLong(0), bounds.getLong(1)),
       scale16(b, bounds.getLong(2), bounds.getLong(3)))
