@@ -87,15 +87,24 @@ case class FaissSearchRewrite(spark: SparkSession, postAnalysis: Boolean = true)
     * rewritten like any filter (it genuinely drops empty-list rows —
     * e.g. null query vectors). */
   private def isVacuousCallGuard(e: Expression, alsoComputed: FaissSearchCall => Boolean): Boolean = {
-    import org.apache.spark.sql.catalyst.expressions.{GreaterThan, IsNotNull, LessThan, Size}
+    import org.apache.spark.sql.catalyst.expressions.{GetArrayStructFields, GreaterThan, IsNotNull, LessThan, Size}
     def padded(c: FaissSearchCall): Boolean =
       !c.params.get("pad").contains("false") && alsoComputed(c)
+    // SimplifyExtractValueOps / nested-column pruning can rewrite
+    // `size(call)` into `size(call.rank)` — per-element field extraction
+    // preserves array length, so the guard is equally vacuous through
+    // any GetArrayStructFields chain
+    def callUnder(x: Expression): Option[FaissSearchCall] = x match {
+      case c: FaissSearchCall => Some(c)
+      case g: GetArrayStructFields => callUnder(g.child)
+      case _ => None
+    }
     e match {
-      case GreaterThan(Size(c: FaissSearchCall, _), l)
-        if l.foldable && l.eval() == 0 && padded(c) => true
-      case LessThan(l, Size(c: FaissSearchCall, _))
-        if l.foldable && l.eval() == 0 && padded(c) => true
-      case IsNotNull(c: FaissSearchCall) if alsoComputed(c) => true
+      case GreaterThan(Size(a, _), l)
+        if l.foldable && l.eval() == 0 && callUnder(a).exists(padded) => true
+      case LessThan(l, Size(a, _))
+        if l.foldable && l.eval() == 0 && callUnder(a).exists(padded) => true
+      case IsNotNull(a) if callUnder(a).exists(alsoComputed) => true
       case _ => false
     }
   }
