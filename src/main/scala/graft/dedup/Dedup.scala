@@ -151,20 +151,39 @@ object Dedup {
       numHashes: Int = 128, bands: Int = 32, shingleSize: Int = 3,
       seed: Long = 42L, minJaccard: Double = 0.8,
       maxBucketSize: Int = 1000): DataFrame = {
+    val rows = numHashes / bands
+    require(rows * bands == numHashes, "bands must divide numHashes")
+    // ONE heavy text pass per side: the sorted shingle-hash array feeds
+    // the exact-jaccard verify AND (via MinHashFromHashes) the LSH
+    // banding, and the repartition-by-id exchange after the projection
+    // lets both consumers (bucket explode, verify join) reuse a single
+    // materialized computation instead of re-tokenizing the corpus
+    def profile(docs: DataFrame, idOut: String, shOut: String): DataFrame =
+      hashedShingles(docs, idCol, textCol, shingleSize, idOut, shOut)
+        .select(col(idOut), col(shOut),
+          graft.functions.hashes.minhashFromHashes(col(shOut), numHashes, seed).as("sig"))
+        .repartition(col(idOut))
+    // stub docs (< shingleSize tokens) all share the empty-signature
+    // sentinel — drop them from banding or every stub pairs with every
+    // other in all bands
+    def buckets(prof: DataFrame, idOut: String, shOut: String): DataFrame =
+      prof.where(size(col(shOut)) > 0)
+        .select(col(idOut).as("id"),
+          posexplode(bandBuckets(col("sig"), bands, rows)).as(Seq("band", "bucket")))
+    val cProf = profile(corpus, "corpus_id", "sb")
+    val bProf = profile(batch, "batch_id", "sa")
     // cap on the CORPUS side (the big one): a boilerplate bucket would
     // otherwise pair every batch doc against a large corpus fraction
-    val corpusCapped = capBuckets(
-      bucketedSignatures(corpus, idCol, textCol, numHashes, bands, shingleSize, seed),
-      maxBucketSize)
-    val cand = bucketedSignatures(batch, idCol, textCol, numHashes, bands, shingleSize, seed).as("q")
+    val corpusCapped = capBuckets(buckets(cProf, "corpus_id", "sb"), maxBucketSize)
+    val cand = buckets(bProf, "batch_id", "sa").as("q")
       .join(corpusCapped.as("c"),
         col("q.band") === col("c.band") && col("q.bucket") === col("c.bucket"))
       .select(col("q.id").as("batch_id"), col("c.id").as("corpus_id"))
       .distinct()
     val inter = graft.functions.vec.sortedIntersectCount(col("sa"), col("sb"))
     cand
-      .join(hashedShingles(batch, idCol, textCol, shingleSize, "batch_id", "sa"), Seq("batch_id"))
-      .join(hashedShingles(corpus, idCol, textCol, shingleSize, "corpus_id", "sb"), Seq("corpus_id"))
+      .join(bProf.drop("sig"), Seq("batch_id"))
+      .join(cProf.drop("sig"), Seq("corpus_id"))
       // size-ratio prefilter (j >= t implies min/max >= t): skip the
       // merge intersect for pairs that cannot qualify
       .where(

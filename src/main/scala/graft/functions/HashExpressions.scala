@@ -76,6 +76,51 @@ case class MinHashSignature(child: Expression, numHashes: Int, seed: Long)
 }
 
 /**
+ * MinHash signature over PRE-HASHED shingles (array<bigint>):
+ * sig[i] = min over bases of mix(base ^ seed_i). Same hash family as
+ * [[MinHashSignature]] but the per-shingle base hash is taken from the
+ * input instead of recomputed from the string — so one
+ * tokenize+shingle+hash pass can feed both the LSH banding and an
+ * exact-jaccard verify stage (duplicates in the input cannot change a
+ * min, so the multiset array is as good as the set).
+ */
+case class MinHashFromHashes(child: Expression, numHashes: Int, seed: Long)
+    extends UnaryExpression
+    with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_from_hashes"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"minhash_from_hashes needs array<bigint>, got ${t.catalogString}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val base = arr.getLong(i)
+        var j = 0
+        while (j < numHashes) {
+          val h = Hash64.mix(base ^ (seed + 0x9e3779b97f4a7c15L * j))
+          if (h < sig(j)) sig(j) = h
+          j += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/**
  * 64-bit SimHash over an array<string> of tokens: per-token FNV hash
  * votes +-1 on each bit; the sign of each bit's tally forms the
  * fingerprint. Near-duplicate texts land within small hamming distance.
@@ -222,6 +267,8 @@ object hashes {
 
   def minhash(shingles: Column, numHashes: Int = 128, seed: Long = 42L): Column =
     col(MinHashSignature(ex(shingles), numHashes, seed))
+  def minhashFromHashes(shingleHashes: Column, numHashes: Int = 128, seed: Long = 42L): Column =
+    col(MinHashFromHashes(ex(shingleHashes), numHashes, seed))
   def simhash(tokens: Column, seed: Long = 42L): Column =
     col(SimHash64(ex(tokens), seed))
   def fingerprint64(text: Column): Column =
