@@ -260,6 +260,47 @@ case class HyperplaneBuckets(child: Expression, bands: Int, bitsPerBand: Int, se
     copy(child = newChild)
 }
 
+/**
+ * Count of elements in an array<bigint> that hit a serialized Bloom
+ * filter — the map-side screen of the broadcast-Bloom contamination
+ * pattern: the small side (eval-set shingles) folds to a few MB of
+ * filter shipped in the task closure, and the 100 TB side is scanned
+ * WITHOUT shuffling a single shingle. Blooms have no false negatives,
+ * so `hits = 0` exactly rules a row out; positives are re-verified by
+ * an exact join over the (tiny) surviving candidate set.
+ */
+case class BloomHitCount(child: Expression, bloomBytes: Array[Byte])
+    extends UnaryExpression
+    with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "bloom_hit_count"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"bloom_hit_count needs array<bigint>, got ${t.catalogString}")
+  }
+
+  @transient private lazy val bloom =
+    org.apache.spark.util.sketch.BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(bloomBytes))
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    var hits = 0L
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      if (!arr.isNullAt(i) && bloom.mightContainLong(arr.getLong(i))) hits += 1L
+      i += 1
+    }
+    hits
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Column DSL for the hashing family. */
 object hashes {
   private def col(e: Expression): Column = GraftBridge.column(e)
@@ -269,6 +310,11 @@ object hashes {
     col(MinHashSignature(ex(shingles), numHashes, seed))
   def minhashFromHashes(shingleHashes: Column, numHashes: Int = 128, seed: Long = 42L): Column =
     col(MinHashFromHashes(ex(shingleHashes), numHashes, seed))
+  def bloomHitCount(hashArray: Column, bloom: org.apache.spark.util.sketch.BloomFilter): Column = {
+    val bos = new java.io.ByteArrayOutputStream()
+    bloom.writeTo(bos)
+    col(BloomHitCount(ex(hashArray), bos.toByteArray))
+  }
   def simhash(tokens: Column, seed: Long = 42L): Column =
     col(SimHash64(ex(tokens), seed))
   def fingerprint64(text: Column): Column =

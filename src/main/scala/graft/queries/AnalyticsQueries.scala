@@ -239,6 +239,24 @@ object AnalyticsQueries {
         .groupBy("day").agg(countDistinct("user_id").as("wau"))
       dau.join(wau, Seq("day"))
     },
+    // the REAGGREGATABLE-sketch rollup (Datasketches HLL, built into
+    // Spark 4): per-(event_type, day) user sketches at the fine grain,
+    // then a coarse per-type rollup that unions the SKETCHES — raw
+    // user ids cross the first shuffle once and never again. This is
+    // the 100 TB dashboard shape: daily sketch partitions are a few KB
+    // each, persistable, and any coarser rollup (weekly, all-time,
+    // cross-type) is a sketch union, not a rescan. Estimates are
+    // sketch-specific -> rows-only; merge-vs-direct agreement is
+    // spec-asserted (AnalyticsSpec).
+    "events_hll_rollup" -> { (s, dir) =>
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"))
+      daily.groupBy("event_type")
+        .agg(count(lit(1)).as("n_days"),
+          hll_sketch_estimate(hll_union_agg(col("sk"))).cast("long").as("est_users"))
+        .orderBy("event_type")
+    },
     // value-distribution histogram per event type: fixed-width bins in
     // ONE aggregation pass (bin id is a scan-stage projection, partial
     // counts combine map-side) — the profiling scan that sizes

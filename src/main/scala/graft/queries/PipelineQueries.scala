@@ -77,6 +77,17 @@ object PipelineQueries {
           col("doc_id") < EvalCutoff, shingleSize = 3)
         .select(col("id").as("doc_id"), col("n_overlap"))
     },
+    // broadcast-Bloom twin of `contamination`: eval shingles fold to a
+    // driver Bloom shipped in the closure, training shingles never
+    // shuffle, and only Bloom-hit docs reach the exact verify join.
+    // No false negatives + exact verify -> bit-identical output, SAME
+    // exact oracle as `contamination`.
+    "contamination_bloom" -> { (s, dir) =>
+      Pipeline.contaminationBloom(
+          Tables(s, dir, "documents"), "doc_id", "text",
+          col("doc_id") < EvalCutoff, shingleSize = 3)
+        .select(col("id").as("doc_id"), col("n_overlap"))
+    },
     // symmetric int8 quantization round-trip: per-vector scale and the
     // max absolute dequantization error (the compression/fidelity
     // tradeoff check before shipping embeddings at scale)
@@ -230,6 +241,17 @@ object PipelineQueries {
          |    ROWS UNBOUNDED PRECEDING) - n_tokens) / $TokenBudget) AS BIGINT) AS seq_no
          |FROM t""".stripMargin,
     "contamination" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |sh AS (SELECT doc_id, $shingles3Sql AS sh FROM t),
+         |ev AS (SELECT DISTINCT unnest(sh) AS s FROM sh WHERE doc_id < $EvalCutoff),
+         |tr AS (SELECT doc_id, unnest(sh) AS s FROM sh WHERE doc_id >= $EvalCutoff),
+         |cnt AS (SELECT doc_id, count(*) AS n_overlap FROM tr JOIN ev USING (s) GROUP BY doc_id)
+         |SELECT s2.doc_id, coalesce(c.n_overlap, CAST(0 AS BIGINT)) AS n_overlap
+         |FROM (SELECT doc_id FROM sh WHERE doc_id >= $EvalCutoff) s2
+         |LEFT JOIN cnt c USING (doc_id)""".stripMargin,
+    // the Bloom screen is exact end-to-end (no false negatives + exact
+    // verify join), so it shares contamination's oracle verbatim
+    "contamination_bloom" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
          |sh AS (SELECT doc_id, $shingles3Sql AS sh FROM t),
          |ev AS (SELECT DISTINCT unnest(sh) AS s FROM sh WHERE doc_id < $EvalCutoff),

@@ -99,4 +99,60 @@ object Pipeline {
       .join(overlap, Seq("id"), "left")
       .select(col("id"), coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
   }
+
+  /**
+   * [[contamination]] rebuilt for the 100 TB corpus / small eval-set
+   * asymmetry: the distinct eval shingle hashes fold into a driver-side
+   * Bloom filter (a few MB at fpp=1e-3 even for millions of shingles)
+   * that ships in the task closure, and the training side is screened
+   * map-side — zero training shingles cross a shuffle. Only docs with
+   * at least one Bloom hit (true overlaps plus the fpp sliver) explode
+   * their shingles into the exact verify join, so the join input is
+   * proportional to the CONTAMINATED corpus fraction, not the corpus.
+   * Blooms have no false negatives and the verify join is exact, so the
+   * result equals [[contamination]] bit-for-bit — same oracle.
+   */
+  def contaminationBloom(
+      docs: DataFrame, idCol: String, textCol: String,
+      evalPred: org.apache.spark.sql.Column, shingleSize: Int,
+      fpp: Double = 0.001): DataFrame = {
+    def shingled(df: DataFrame): DataFrame = df.select(
+      col(idCol).as("id"),
+      transform(
+        TextFunctions.shingles(TextFunctions.tokens(col(textCol)), shingleSize),
+        s => xxhash64(s)).as("sh"))
+    // the eval side is small by contract (it's a benchmark suite):
+    // ONE tiny job (no widen shuffle) collects its distinct shingle
+    // hashes, the Bloom is built driver-side, and the exact verify set
+    // rides the same broadcast-sized local relation — no eval-side
+    // reshuffle, and the cap fails loudly instead of silently OOMing
+    // the driver
+    val maxEval = 4 << 20
+    val evalRows = shingled(docs.where(evalPred))
+      .select(explode(col("sh")).as("s")).distinct()
+      .limit(maxEval + 1).collect()
+    if (evalRows.length > maxEval)
+      throw new IllegalStateException(
+        s"eval set exceeds $maxEval distinct shingles; use contamination() — its " +
+          "shuffle join handles an unbounded eval side")
+    val bloom = org.apache.spark.util.sketch.BloomFilter
+      .create(math.max(evalRows.length.toLong, 1L), fpp)
+    evalRows.foreach(r => bloom.putLong(r.getLong(0)))
+    val spark = docs.sparkSession
+    val evalDf = spark.createDataFrame(
+      java.util.Arrays.asList(evalRows: _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("s",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+    val candidates = shingled(graft.search.Knn.widen(docs.where(!evalPred)))
+      .where(graft.functions.hashes.bloomHitCount(col("sh"), bloom) > 0)
+    val overlap = candidates
+      .select(col("id"), explode(col("sh")).as("s"))
+      .join(broadcast(evalDf), Seq("s")) // exact verify over survivors only
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_overlap"))
+    docs.where(!evalPred).select(col(idCol).as("id"))
+      .join(overlap, Seq("id"), "left")
+      .select(col("id"), coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
+  }
 }

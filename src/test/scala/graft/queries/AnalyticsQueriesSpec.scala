@@ -22,6 +22,28 @@ class AnalyticsQueriesSpec extends SparkSpec {
     assert(rows.map(_.getString(0)).toSet === mins.keySet, "every brand represented")
   }
 
+  test("events_hll_rollup: sketch-union rollup tracks exact distinct within HLL error") {
+    val rows = run("events_hll_rollup").collect()
+    assert(rows.nonEmpty)
+    val exact = Tables.events(spark, dir)
+      .groupBy("event_type").agg(countDistinct("user_id").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val (tpe, est) = (r.getString(0), r.getLong(2))
+      val ex = exact(tpe)
+      // lgConfigK=12 -> rse ~1.6%; allow 10% slack for small cardinalities
+      assert(math.abs(est - ex) <= math.max(3.0, 0.10 * ex),
+        s"$tpe: est=$est exact=$ex")
+    }
+    // merged rollup must equal a direct single-level sketch of the same
+    // keys: register-wise union at equal lgConfigK is lossless
+    val direct = Tables.events(spark, dir)
+      .groupBy("event_type")
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"), lit(12))).cast("long").as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach(r => assert(r.getLong(2) === direct(r.getString(0))))
+  }
+
   test("q8_share: share is nation_revenue/total_revenue and bounded") {
     val rows = run("q8_share").collect()
     assert(rows.nonEmpty)

@@ -45,6 +45,40 @@ class PipelineSpec extends SparkSpec {
     assert(res(11L) === 0L)
   }
 
+  test("contaminationBloom matches contamination bit-for-bit") {
+    import spark.implicits._
+    val docs = (
+      Seq((0L, "alpha beta gamma delta epsilon zeta"),
+        (1L, "the quick brown fox jumps over the lazy dog")) ++ // eval
+        (10L until 60L).map(i => (i, s"filler document number $i with unique words u$i v$i w$i")) ++
+        Seq((60L, "alpha beta gamma delta something else entirely"),
+          (61L, "jumps over the lazy dog and keeps running"))
+      ).toDF("doc_id", "text")
+    val exact = Pipeline.contamination(docs, "doc_id", "text", col("doc_id") < 10, 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bloom = Pipeline.contaminationBloom(docs, "doc_id", "text", col("doc_id") < 10, 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(bloom === exact)
+    assert(bloom(60L) > 0L && bloom(61L) > 0L) // planted overlaps flagged
+    assert(bloom(10L) === 0L)
+  }
+
+  test("bloomHitCount: zero for misses, counts multiset hits") {
+    import spark.implicits._
+    val members = spark.range(0, 100).select(col("id"))
+    val bf = members.stat.bloomFilter("id", 100, 0.001)
+    val got = Seq(
+      (1L, Seq(5L, 5L, 99L)), // 3 hits incl. duplicate
+      (2L, Seq(1000000L, 2000000L)), // misses (fpp 1e-3 on 2 probes)
+      (3L, Seq.empty[Long]))
+      .toDF("id", "hs")
+      .select(col("id"), graft.functions.hashes.bloomHitCount(col("hs"), bf).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(1L) === 3L)
+    assert(got(2L) === 0L)
+    assert(got(3L) === 0L)
+  }
+
   test("topShingleRatio matches the explode+group-by definition") {
     import spark.implicits._
     val docs = Seq(
