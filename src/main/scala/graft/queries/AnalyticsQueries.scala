@@ -257,6 +257,31 @@ object AnalyticsQueries {
           hll_sketch_estimate(hll_union_agg(col("sk"))).cast("long").as("est_users"))
         .orderBy("event_type")
     },
+    // theta-sketch set ALGEBRA (union/intersection/difference — the
+    // operations HLL cannot do): day-over-day churn of the active-user
+    // set. Raw ids cross one shuffle into per-day sketches; churned /
+    // added / retained are then sketch math over KB summaries — no
+    // self-join of (day, user) pairs. In exact mode (daily actives <
+    // 4096 nominal entries) theta estimates are exact, so this gates
+    // against an exact anti-join oracle. The lead() window runs over
+    // the AGGREGATED frame (#days rows), not raw events.
+    "events_theta_churn" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables.events(s, dir)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(graft.functions.theta.sketchAgg(col("user_id")).as("sk"))
+      val w = Window.orderBy("day")
+      daily
+        .withColumn("next_sk", lead(col("sk"), 1).over(w))
+        .where(col("next_sk").isNotNull)
+        .select(col("day"),
+          graft.functions.theta.estimate(
+            graft.functions.theta.aNotB(col("sk"), col("next_sk"))).cast("long").as("churned"),
+          graft.functions.theta.estimate(
+            graft.functions.theta.aNotB(col("next_sk"), col("sk"))).cast("long").as("added"),
+          graft.functions.theta.estimate(
+            graft.functions.theta.intersect(col("sk"), col("next_sk"))).cast("long").as("retained"))
+    },
     // value-distribution histogram per event type: fixed-width bins in
     // ONE aggregation pass (bin id is a scan-stage projection, partial
     // counts combine map-side) — the profiling scan that sizes
@@ -575,6 +600,24 @@ object AnalyticsQueries {
          |SELECT bucket, event_type, count(*) AS n_events,
          |  ${moneySumSql("value")} AS sum_value
          |FROM w GROUP BY 1, 2""".stripMargin,
+    // exact-mode theta estimates are exact counts, so the oracle is the
+    // literal anti-join/semi-join definition of churn
+    "events_theta_churn" ->
+      """WITH a AS (
+        |  SELECT DISTINCT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, user_id FROM events
+        |), p AS (
+        |  SELECT day, lead(day) OVER (ORDER BY day) AS nd
+        |  FROM (SELECT DISTINCT day FROM a)
+        |  QUALIFY nd IS NOT NULL
+        |)
+        |SELECT p.day,
+        |  (SELECT count(*) FROM a x WHERE x.day = p.day
+        |     AND x.user_id NOT IN (SELECT user_id FROM a y WHERE y.day = p.nd)) AS churned,
+        |  (SELECT count(*) FROM a x WHERE x.day = p.nd
+        |     AND x.user_id NOT IN (SELECT user_id FROM a y WHERE y.day = p.day)) AS added,
+        |  (SELECT count(*) FROM a x WHERE x.day = p.day
+        |     AND x.user_id IN (SELECT user_id FROM a y WHERE y.day = p.nd)) AS retained
+        |FROM p""".stripMargin,
     "events_active_users" ->
       """WITH a AS (
         |  SELECT DISTINCT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, user_id FROM events

@@ -44,6 +44,41 @@ class AnalyticsQueriesSpec extends SparkSpec {
     rows.foreach(r => assert(r.getLong(2) === direct(r.getString(0))))
   }
 
+  test("events_theta_churn: exact-mode sketch algebra equals set arithmetic") {
+    val rows = run("events_theta_churn").collect()
+    assert(rows.nonEmpty)
+    val act = Tables.events(spark, dir)
+      .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+      .collect().groupBy(_.getDate(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    rows.foreach { r =>
+      val day = r.getDate(0)
+      val nextDay = java.sql.Date.valueOf(day.toLocalDate.plusDays(1))
+      val (a, b) = (act(day), act(nextDay))
+      assert(r.getLong(1) === (a -- b).size.toLong, s"churned@$day")
+      assert(r.getLong(2) === (b -- a).size.toLong, s"added@$day")
+      assert(r.getLong(3) === (a & b).size.toLong, s"retained@$day")
+    }
+  }
+
+  test("theta sketches: union-agg rollup of partials equals direct sketch") {
+    import graft.functions.theta
+    val df = Tables.events(spark, dir)
+      .select(col("event_type"), col("user_id"))
+    val direct = df.groupBy("event_type")
+      .agg(theta.estimate(theta.sketchAgg(col("user_id"))).cast("long").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rolled = df
+      .groupBy(col("event_type"), (col("user_id") % 7).as("shard"))
+      .agg(theta.sketchAgg(col("user_id")).as("sk"))
+      .groupBy("event_type")
+      .agg(theta.estimate(theta.unionAgg(col("sk"))).cast("long").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rolled === direct)
+    val exact = df.groupBy("event_type").agg(countDistinct("user_id").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(direct === exact) // exact mode below nominal entries
+  }
+
   test("q8_share: share is nation_revenue/total_revenue and bounded") {
     val rows = run("q8_share").collect()
     assert(rows.nonEmpty)
