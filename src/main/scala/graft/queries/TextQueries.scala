@@ -157,6 +157,20 @@ object TextQueries {
         .orderBy(col("doc_freq").desc, col("tok"))
         .limit(20)
     },
+    // heavy-hitter PHRASES via the frequent-items sketch — the
+    // bounded-memory twin of text_topterms' exact groupBy: no term
+    // ever leaves its scan partition (no explode, no term shuffle);
+    // fixed-size Misra-Gries maps merge per partition. Right-sized
+    // (vocab < 0.75 x maxMapSize, spec-asserted max_err = 0) the
+    // counts are exact, so this gates against the exact trigram
+    // multiset oracle while keeping the 100 TB plan shape.
+    "text_heavy_hitters" -> { (s, dir) =>
+      Tables.wide(s, dir, "documents")
+        .select(shinglesAll(tokens(col("text")), 3).as("grams"))
+        .agg(graft.functions.freqitems.agg(col("grams")).as("sk"))
+        .select(explode(graft.functions.freqitems.topK(col("sk"), 25)).as("h"))
+        .select(col("h.term").as("term"), col("h.n").as("n"))
+    },
     // corpus-LM quality signal: mean unigram surprisal (-ln p(tok) under
     // the corpus's own term frequencies). Per-token surprisal quantizes
     // to fixed-point BEFORE the sum (integer sums are order-independent)
@@ -338,6 +352,15 @@ object TextQueries {
          |  array_to_string(u.ch, ' ') AS chunk_text
          |FROM c""".stripMargin,
     "text_langid" -> langidSql,
+    // unpurged frequent-items counts are exact -> the literal trigram
+    // multiset top-k is the oracle
+    "text_heavy_hitters" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |g AS (SELECT unnest(CASE WHEN len(toks) >= 3
+         |  THEN [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] FOR i IN range(1, len(toks) - 1)]
+         |  ELSE [] END) AS term FROM t)
+         |SELECT term, count(*) AS n FROM g
+         |GROUP BY term ORDER BY n DESC, term LIMIT 25""".stripMargin,
     "text_tokens" ->
       s"""SELECT doc_id,
          |  CAST(len($toksSql) AS INTEGER) AS n_tokens,

@@ -206,4 +206,41 @@ class CurationAdditionsSpec extends SparkSpec {
       assert(byId(id)._3 === (wsum > 0))
     }
   }
+
+  test("text_heavy_hitters: unpurged sketch counts match the exact groupBy") {
+    import graft.text.TextFunctions
+    // max_err = 0 proves no purge happened -> estimates are exact
+    val raw = Tables.wide(spark, dir, "documents")
+      .select(TextFunctions.shinglesAll(TextFunctions.tokens(col("text")), 3).as("g"))
+      .agg(graft.functions.freqitems.agg(col("g")).as("sk"))
+      .select(explode(graft.functions.freqitems.topK(col("sk"), 25)).as("h"))
+      .select(col("h.term"), col("h.n"), col("h.max_err"))
+      .collect()
+    assert(raw.nonEmpty)
+    raw.foreach(r => assert(r.getLong(2) === 0L, "sketch purged — counts no longer exact"))
+    val exact = Tables(spark, dir, "documents")
+      .select(explode(TextFunctions.shinglesAll(TextFunctions.tokens(col("text")), 3)).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("term")).limit(25)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(raw.map(r => (r.getString(0), r.getLong(1))).toSeq === exact.toSeq)
+  }
+
+  test("freq_items_agg: purged sketch still bounds error and keeps true heavy hitters") {
+    import spark.implicits._
+    // 1 dominant term + 1000 singletons through a tiny 64-slot map:
+    // the sketch must purge, report a nonzero error bound, and STILL
+    // surface the heavy hitter with estimate within max_err of truth
+    val docs = ((1 to 500).map(_ => "hot") ++ (1 to 1000).map(i => s"cold$i"))
+      .map(t => Seq(t)).toDF("g")
+    val h = docs.agg(graft.functions.freqitems.agg(col("g"), maxMapSize = 64).as("sk"))
+      .select(explode(graft.functions.freqitems.topK(col("sk"), 5)).as("h"))
+      .select(col("h.term"), col("h.n"), col("h.max_err"))
+      .collect()
+    val hot = h.find(_.getString(0) == "hot")
+    assert(hot.isDefined, "dominant term must survive purging")
+    val (est, err) = (hot.get.getLong(1), hot.get.getLong(2))
+    assert(err > 0L)
+    assert(est >= 500L && est <= 500L + err)
+  }
 }
