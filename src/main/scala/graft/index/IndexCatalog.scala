@@ -655,9 +655,16 @@ object IndexCatalog {
         qv).as("qvec"))
   }
 
+  /** searches PLANNED since JVM start (not rows scanned) — lets specs
+    * assert a SQL rewrite composed exactly one search (a duplicated
+    * subtree can hide its second search in rewrite-time execution,
+    * invisible to final-plan inspection) */
+  val searchesPlanned = new java.util.concurrent.atomic.AtomicLong(0L)
+
   def search(
       name: String, k: Int, queries: DataFrame,
       params: Map[String, String] = Map.empty): DataFrame = {
+    searchesPlanned.incrementAndGet()
     val e = entry(name)
     build(name).search(guardDim(queries, e.meta.dim, name), k,
       e.meta.params ++ normalizeParams(params))

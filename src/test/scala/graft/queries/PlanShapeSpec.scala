@@ -275,11 +275,47 @@ class PlanShapeSpec extends SparkSpec {
     // InferFiltersFromGenerate once duplicated the whole search subtree
     // through a pushed-down size(faiss_search(...)) > 0 guard; the
     // vacuous-guard strip must keep the plan at a single top-k pipeline
+    val before = graft.index.IndexCatalog.searchesPlanned.get()
     val plan = physical("vs_sql_search")
     val topks = "partial_vec_topk".r.findAllIn(plan).length
     assert(topks === 1, s"expected one partial top-k, found $topks:\n" + plan.take(3000))
     // both result-side joins broadcast — the stream/corpus side never shuffles for the join
     assert("BroadcastHashJoin".r.findAllIn(plan).length >= 2, plan.take(3000))
+    // ...and the rewrite COMPOSED exactly one search: a duplicated call
+    // (e.g. via an inferred size() guard the vacuous strip misses) runs
+    // its second search during rewrite-time execution, where final-plan
+    // inspection can't see it — the catalog counter can
+    val planned = graft.index.IndexCatalog.searchesPlanned.get() - before
+    assert(planned === 1L, s"rewrite planned $planned searches, expected 1")
+  }
+
+  test("contamination_bloom: Bloom screen in the scan stage, no keyed shuffle of text") {
+    val plan = physical("contamination_bloom")
+    assert(plan.contains("bloom_hit_count"), plan.take(2000))
+    // training text may ride the round-robin widen, never a keyed shuffle
+    assert(!plan.split("Exchange hashpartitioning").drop(1).exists(_.take(400).contains("text#")),
+      plan.take(4000))
+    // the exact verify set is a broadcast local relation
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+  }
+
+  test("text_heavy_hitters: partial sketches merge, no keyed term shuffle") {
+    val plan = physical("text_heavy_hitters")
+    assert(plan.contains("partial_freq_items_agg"), plan.take(2000))
+    // the ONLY exchanges are the round-robin widen and the single-
+    // partition sketch merge — a keyed shuffle would mean terms moved
+    assert(!plan.contains("Exchange hashpartitioning"), plan.take(4000))
+  }
+
+  test("events_theta_churn / events_hll_rollup: rollup shuffles carry sketches, not ids") {
+    val churn = physical("events_theta_churn")
+    assert(churn.contains("partial_theta_sketch_agg"), churn.take(2000))
+    val rollup = physical("events_hll_rollup")
+    // two-level sketch shape: raw ids fold into partial sketches before
+    // the fine shuffle, and the coarse rollup PARTIALLY UNIONS sketches
+    // map-side — so the second shuffle moves union buffers, never ids
+    assert(rollup.contains("partial_hll_sketch_agg(user_id"), rollup.take(3000))
+    assert(rollup.contains("partial_hll_union_agg(sk"), rollup.take(3000))
   }
 
   test("dedup_spans: the span-key shuffle carries (doc_id, span) pairs, not documents") {
