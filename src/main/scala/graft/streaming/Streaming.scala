@@ -32,6 +32,24 @@ object Streaming {
       .select(col("bucket"), col("nn.rank").as("rank"),
         col("nn.label").as("event_id"), col("nn.distance").as("value"))
 
+  /**
+   * Streaming distinct-users sketch: the theta aggregate under a
+   * watermarked window. Partial sketches union across micro-batches in
+   * the state store exactly as they union across map tasks in batch,
+   * so the streaming answer equals the batch answer on the same rows
+   * (spec-asserted via exact-mode estimates). Per-window state is a
+   * KB-sized sketch rather than an id set — the bounded-memory
+   * property that survives unbounded user cardinality, and emitted
+   * sketches stay mergeable into coarser offline rollups.
+   */
+  def windowDistinctSketch(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(graft.functions.theta.sketchAgg(col("user_id")).as("sk"))
+      .select(col("w.start").as("bucket"),
+        graft.functions.theta.estimate(col("sk")).cast("long").as("distinct_users"))
+
   /** tumbling 1h aggregation with a watermark (streaming twin of events_window_agg) */
   def hourlyWindowAgg(events: DataFrame, watermark: String = "2 hours"): DataFrame =
     events

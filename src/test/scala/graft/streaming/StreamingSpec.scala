@@ -11,6 +11,33 @@ class StreamingSpec extends SparkSpec {
   private def ts(hour: Int, min: Int): Timestamp =
     Timestamp.valueOf(f"2024-01-01 $hour%02d:$min%02d:00")
 
+  test("streaming distinct sketch: theta unions across micro-batches, equals batch") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long)]
+    val df = mem.toDF.toDF("ts", "user_id")
+    val q = Streaming.windowDistinctSketch(df)
+      .writeStream.format("memory").queryName("s_sketch").outputMode("complete").start()
+    try {
+      // overlapping users across two micro-batches of the SAME window:
+      // only a correct sketch UNION in the state store (not re-count)
+      // yields the distinct cardinality
+      mem.addData((1L to 5L).map(u => (ts(1, 5), u)): _*)
+      q.processAllAvailable()
+      mem.addData(((4L to 8L).map(u => (ts(1, 30), u)) ++ (1L to 3L).map(u => (ts(2, 10), u))): _*)
+      q.processAllAvailable()
+      val rows = spark.table("s_sketch").collect()
+        .map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
+      assert(rows === Map(ts(1, 0) -> 8L, ts(2, 0) -> 3L))
+      // batch twin on the same rows agrees
+      val batch = ((1L to 5L).map(u => (ts(1, 5), u)) ++ (4L to 8L).map(u => (ts(1, 30), u)) ++
+        (1L to 3L).map(u => (ts(2, 10), u))).toDF("ts", "user_id")
+      val batchRows = Streaming.windowDistinctSketch(batch).collect()
+        .map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
+      assert(batchRows === rows)
+    } finally q.stop()
+  }
+
   test("streaming top-k: bounded heap merges across micro-batches, equals batch") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
