@@ -48,6 +48,32 @@ object AnalyticsQueries {
           count(lit(1)).as("n_items"),
           sum(col("l_quantity").cast("long")).as("total_qty"))
     },
+    // bucketed-layout co-located join: orders and lineitem persisted
+    // hash-bucketed on the join key (write-once), then joined with NO
+    // exchange on either side — the recurring fact-fact join shuffle
+    // becomes a file-layout property (StorageLayoutSpec asserts the
+    // exchange-free join). merge hint pins SortMergeJoin so the
+    // bucketed path is exercised even where stats would broadcast.
+    // Results are layout-independent -> exact oracle on the originals.
+    "layout_bucketed" -> { (s, dir) =>
+      val suffix = dir.hashCode.toHexString
+      val (ot, lt) = (s"graft_bkt_orders_$suffix", s"graft_bkt_lineitem_$suffix")
+      if (!s.catalog.tableExists(ot)) {
+        graft.sources.Layout.writeBucketed(
+          Tables(s, dir, "orders").select("o_orderkey", "o_orderpriority"),
+          "o_orderkey", ot, numBuckets = 8)
+        graft.sources.Layout.writeBucketed(
+          Tables(s, dir, "lineitem")
+            .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount")),
+          "l_orderkey", lt, numBuckets = 8)
+      }
+      s.table(ot).hint("merge")
+        .join(s.table(lt), col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+          moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+          count(lit(1)).as("n_items"))
+    },
     // TPC-H Q2 shape: cheapest part per brand. The correlated min
     // subquery decorrelates to a window min + equality filter: ONE
     // shuffle on p_brand instead of a self-join against a grouped copy.
@@ -479,6 +505,14 @@ object AnalyticsQueries {
          |WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
          |  AND l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
          |  AND l_partkey >= 50 AND l_partkey < 120""".stripMargin,
+    // layout-independent: the bucketed tables hold the same rows, so
+    // the oracle is the plain join over the originals
+    "layout_bucketed" ->
+      s"""SELECT o_orderpriority,
+         |  ${moneySumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+         |  count(*) AS n_items
+         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         |GROUP BY o_orderpriority""".stripMargin,
     "q2_mincost" ->
       """SELECT p_brand, p_partkey, p_name, p_retailprice
         |FROM part

@@ -72,4 +72,20 @@ object Layout {
       .drop("__graft_z")
       .write.mode("overwrite").parquet(path)
   }
+
+  /**
+   * Bucketed-table layout: persist `df` hash-bucketed (and sorted)
+   * on `key` via the catalog. Two tables bucketed on the same key with
+   * the same bucket count join WITHOUT any exchange — the partitioning
+   * is baked into the file layout, so the recurring fact-fact join
+   * shuffle is paid ONCE at write time and never again. At 100 TB this
+   * is the difference between re-shuffling both sides on every run of
+   * a daily join and streaming co-located buckets file-against-file.
+   */
+  def writeBucketed(df: DataFrame, key: String, table: String, numBuckets: Int): Unit =
+    df.write.mode("overwrite")
+      .format("parquet")
+      .bucketBy(numBuckets, key)
+      .sortBy(key)
+      .saveAsTable(table)
 }

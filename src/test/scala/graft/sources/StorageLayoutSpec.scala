@@ -57,6 +57,18 @@ class StorageLayoutSpec extends SparkSpec {
     } finally spark.sql("DROP DATABASE IF EXISTS graft_layout CASCADE")
   }
 
+  test("layout_bucketed gate query: bucketed layout eliminates both join-side exchanges") {
+    val q = graft.SparkEntry.queries("layout_bucketed")(spark, dir)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), plan.take(3000))
+    // everything BELOW the join (its two sides) must be exchange-free:
+    // the bucketed files ARE the partitioning. Only the priority
+    // aggregate above the join may repartition.
+    val joinSection = plan.split("SortMergeJoin")(1)
+    assert(!joinSection.contains("Exchange hashpartitioning"), plan.take(4000))
+    assert(plan.contains("Bucketed: true"), plan.take(3000))
+  }
+
   test("z-order layout: files cover tight rectangles in BOTH dims; linear sort serves only one") {
     import org.apache.spark.sql.DataFrame
     val li = spark.read.parquet(s"$dir/lineitem.parquet")
