@@ -82,10 +82,24 @@ object Layout {
    * is the difference between re-shuffling both sides on every run of
    * a daily join and streaming co-located buckets file-against-file.
    */
-  def writeBucketed(df: DataFrame, key: String, table: String, numBuckets: Int): Unit =
+  def writeBucketed(df: DataFrame, key: String, table: String, numBuckets: Int): Unit = {
+    val spark = df.sparkSession
+    // a previous JVM can leave the managed location behind while the
+    // (in-memory) catalog has forgotten the table — CTAS then refuses
+    // the orphaned directory. Unknown table + existing dir = stale.
+    if (!spark.catalog.tableExists(table)) {
+      val wh = java.nio.file.Paths.get(new java.net.URI(
+        spark.conf.get("spark.sql.warehouse.dir")).getPath)
+      val loc = wh.resolve(table.toLowerCase)
+      if (java.nio.file.Files.isDirectory(loc)) {
+        java.nio.file.Files.walk(loc).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+    }
     df.write.mode("overwrite")
       .format("parquet")
       .bucketBy(numBuckets, key)
       .sortBy(key)
       .saveAsTable(table)
+  }
 }
