@@ -63,6 +63,18 @@ class PipelineSpec extends SparkSpec {
     assert(bloom(10L) === 0L)
   }
 
+  test("contaminationBloom: empty eval set flags nothing, returns all zeros") {
+    import spark.implicits._
+    val docs = (10L until 20L).map(i => (i, s"doc number $i with words w$i x$i y$i z$i"))
+      .toDF("doc_id", "text")
+    // predicate selects NO eval docs: the Bloom is empty, every train
+    // doc must survive with n_overlap = 0 (and nothing throws)
+    val res = Pipeline.contaminationBloom(docs, "doc_id", "text", col("doc_id") < 0, 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(res.keySet === (10L until 20L).toSet)
+    assert(res.values.forall(_ === 0L))
+  }
+
   test("bloomHitCount: zero for misses, counts multiset hits") {
     import spark.implicits._
     val members = spark.range(0, 100).select(col("id"))
