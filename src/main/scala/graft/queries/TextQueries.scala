@@ -148,6 +148,22 @@ object TextQueries {
         .select(col("doc_id"),
           when(bucket < 9, lit("train")).otherwise(lit("val")).as("split"))
     },
+    // training-shard layout: every doc lands in exactly one of N shards
+    // by a salted id hash, with a deterministic hash-ordered position
+    // inside the shard — the pre-training data-loader order, shuffled
+    // once and reproducible across engines/runs/partitionings (a
+    // random() shuffle can't re-run, a doc_id order isn't shuffled).
+    // One shuffle on shard; the per-shard sort is the window.
+    "sample_shards" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val h = md5(concat(lit("shard:"), col("doc_id").cast("string")))
+      val w = Window.partitionBy("shard").orderBy(col("h"), col("doc_id"))
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), h.as("h"),
+          (conv(substring(h, 1, 4), 16, 10).cast("int") % 8).as("shard"))
+        .withColumn("pos", row_number().over(w))
+        .select(col("doc_id"), col("shard"), col("pos"))
+    },
     // corpus vocabulary statistics: top-20 tokens by document frequency
     "text_topterms" -> { (s, dir) =>
       val d = Tables(s, dir, "documents")
@@ -442,6 +458,16 @@ object TextQueries {
         |  CASE WHEN CAST(('0x' || substring(md5(text), 1, 4)) AS INTEGER) % 10 < 9
         |       THEN 'train' ELSE 'val' END AS split
         |FROM documents""".stripMargin,
+    "sample_shards" ->
+      """WITH h AS (
+        |  SELECT doc_id, md5('shard:' || CAST(doc_id AS VARCHAR)) AS h FROM documents
+        |)
+        |SELECT doc_id,
+        |  CAST(CAST(('0x' || substring(h, 1, 4)) AS INTEGER) % 8 AS INTEGER) AS shard,
+        |  CAST(row_number() OVER (
+        |    PARTITION BY CAST(('0x' || substring(h, 1, 4)) AS INTEGER) % 8
+        |    ORDER BY h, doc_id) AS INTEGER) AS pos
+        |FROM h""".stripMargin,
     "sample_stratified" ->
       """SELECT doc_id, lang,
         |  CAST(row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS INTEGER) AS rn

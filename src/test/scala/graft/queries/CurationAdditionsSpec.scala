@@ -207,6 +207,21 @@ class CurationAdditionsSpec extends SparkSpec {
     }
   }
 
+  test("sample_shards: exact cover, dense per-shard positions, rerun-stable") {
+    val rows = graft.SparkEntry.queries("sample_shards")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    val nDocs = Tables(spark, dir, "documents").count()
+    assert(rows.length.toLong === nDocs) // every doc in exactly one shard
+    assert(rows.map(_._1).distinct.length === rows.length)
+    rows.groupBy(_._2).foreach { case (shard, rs) =>
+      assert(rs.map(_._3).sorted.toSeq === (1 to rs.length).toSeq, s"shard $shard not dense")
+    }
+    // deterministic: a rerun (fresh plan) assigns identical (shard, pos)
+    val again = graft.SparkEntry.queries("sample_shards")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(again.toSet === rows.toSet)
+  }
+
   test("text_heavy_hitters: unpurged sketch counts match the exact groupBy") {
     import graft.text.TextFunctions
     // max_err = 0 proves no purge happened -> estimates are exact
