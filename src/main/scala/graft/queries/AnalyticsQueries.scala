@@ -287,6 +287,24 @@ object AnalyticsQueries {
           hll_sketch_estimate(hll_union_agg(col("sk"))).cast("long").as("est_users"))
         .orderBy("event_type")
     },
+    // percentile ROLLUP from persisted sketches: per-(type, day) KLL
+    // value sketches at the fine grain, per-type p50/p95/p99 by sketch
+    // MERGE — raw values cross one shuffle once; weekly/all-time/
+    // cross-tenant percentiles are KB-sized merges, never rescans.
+    // KLL compaction is randomized -> rows-only; rank-error bound vs
+    // exact percentiles is spec-asserted (AnalyticsQueriesSpec).
+    "events_kll_rollup" -> { (s, dir) =>
+      import graft.functions.kll
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(kll.sketchAgg(col("value")).as("sk"))
+      daily.groupBy("event_type")
+        .agg(count(lit(1)).as("n_days"),
+          kll.quantiles(kll.mergeAgg(col("sk")), Seq(0.5, 0.95, 0.99)).as("q"))
+        .select(col("event_type"), col("n_days"),
+          col("q")(0).as("p50"), col("q")(1).as("p95"), col("q")(2).as("p99"))
+        .orderBy("event_type")
+    },
     // theta-sketch set ALGEBRA (union/intersection/difference — the
     // operations HLL cannot do): day-over-day churn of the active-user
     // set. Raw ids cross one shuffle into per-day sketches; churned /

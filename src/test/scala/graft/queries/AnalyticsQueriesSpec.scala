@@ -44,6 +44,26 @@ class AnalyticsQueriesSpec extends SparkSpec {
     rows.foreach(r => assert(r.getLong(2) === direct(r.getString(0))))
   }
 
+  test("events_kll_rollup: merged percentile estimates land within KLL rank error") {
+    val rows = run("events_kll_rollup").collect()
+    assert(rows.nonEmpty)
+    val byType = Tables.events(spark, dir)
+      .select(col("event_type"), col("value"))
+      .collect().groupBy(_.getString(0)).view.mapValues(_.map(_.getDouble(1)).sorted).toMap
+    // k=200 -> normalized rank error ~1.65%; assert the estimate's true
+    // rank is within 5% of the target rank (slack for small days)
+    def rankOf(sorted: Array[Double], v: Double): Double =
+      sorted.count(_ <= v).toDouble / sorted.length
+    rows.foreach { r =>
+      val vals = byType(r.getString(0))
+      for ((target, idx) <- Seq(0.5 -> 2, 0.95 -> 3, 0.99 -> 4)) {
+        val est = r.getDouble(idx)
+        assert(math.abs(rankOf(vals, est) - target) <= 0.05,
+          s"${r.getString(0)} p$target: est=$est rank=${rankOf(vals, est)}")
+      }
+    }
+  }
+
   test("events_theta_churn: exact-mode sketch algebra equals set arithmetic") {
     val rows = run("events_theta_churn").collect()
     assert(rows.nonEmpty)
