@@ -2,7 +2,7 @@ package graft.sql
 
 import org.apache.spark.sql.{GraftBridge, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.expressions.{Expression, Literal, NamedArgumentExpression}
-import org.apache.spark.sql.types.{MapType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DecimalType, DoubleType, FloatType, IntegerType, LongType, MapType, StringType}
 
 import graft.functions._
 import graft.index.{IndexCatalog, NearestCentroids}
@@ -70,7 +70,42 @@ object GraftFunctions {
         graft.text.DupShingleFraction(args(0), litInt(args(1), "n"))),
       "hyperplane_buckets" -> (args =>
         HyperplaneBuckets(args(0), litInt(args(1), "bands"), litInt(args(2), "bitsPerBand"),
-          litLong(args.lift(3).getOrElse(Literal(42L)), "seed"))))
+          litLong(args.lift(3).getOrElse(Literal(42L)), "seed"))),
+      // sketch tier: aggregates return the AggregateFunction, the
+      // analyzer wraps it when the call sits in aggregate position
+      "theta_sketch_agg" -> (args =>
+        ThetaSketchAgg(args(0), args.lift(1).map(litInt(_, "lgNomEntries")).getOrElse(12))),
+      "theta_union_agg" -> (args =>
+        ThetaUnionAgg(args(0), args.lift(1).map(litInt(_, "lgNomEntries")).getOrElse(12))),
+      "theta_estimate" -> (args => ThetaEstimate(args(0))),
+      "theta_a_not_b" -> (args => ThetaANotB(args(0), args(1))),
+      "theta_intersect" -> (args => ThetaIntersect(args(0), args(1))),
+      "freq_items_agg" -> (args =>
+        FreqItemsAgg(args(0), args.lift(1).map(litInt(_, "maxMapSize")).getOrElse(65536))),
+      "freq_items_topk" -> (args => FreqItemsTopK(args(0), litInt(args(1), "k"))),
+      "kll_sketch_agg" -> (args =>
+        KllSketchAgg(args(0), args.lift(1).map(litInt(_, "k")).getOrElse(200))),
+      "kll_merge_agg" -> (args =>
+        KllMergeAgg(args(0), args.lift(1).map(litInt(_, "k")).getOrElse(200))),
+      "kll_quantiles" -> (args => KllQuantiles(args(0), litDoubleSeq(args(1), "ranks"))))
+  }
+
+  private def litDoubleSeq(e: Expression, what: String): Seq[Double] = e match {
+    case a if a.foldable && a.dataType.isInstanceOf[ArrayType] =>
+      val at = a.dataType.asInstanceOf[ArrayType]
+      val ad = a.eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      (0 until ad.numElements()).map { i =>
+        at.elementType match {
+          case DoubleType => ad.getDouble(i)
+          case FloatType => ad.getFloat(i).toDouble
+          case dt: DecimalType => ad.getDecimal(i, dt.precision, dt.scale).toDouble
+          case IntegerType => ad.getInt(i).toDouble
+          case LongType => ad.getLong(i).toDouble
+          case other => throw new IllegalArgumentException(
+            s"$what must be a numeric array literal, got element type $other")
+        }
+      }
+    case other => throw new IllegalArgumentException(s"$what must be an array literal, got $other")
   }
 
   private def litString(e: Expression, what: String): String = e match {

@@ -58,4 +58,41 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(r.getInt(2) === 16)
     assert(r.getLong(0) !== 0L)
   }
+
+  test("sketch functions work from SQL") {
+    spark.range(0, 100).selectExpr("id", "id % 3 AS g", "CAST(id AS DOUBLE) AS v")
+      .createOrReplaceTempView("sk_in")
+    // theta: per-group sketches, set algebra across two groups
+    val theta = spark.sql(
+      """WITH s AS (SELECT g, theta_sketch_agg(id) sk FROM sk_in GROUP BY g)
+        |SELECT CAST(theta_estimate(a.sk) AS BIGINT) na,
+        |       CAST(theta_estimate(theta_a_not_b(a.sk, b.sk)) AS BIGINT) diff,
+        |       CAST(theta_estimate(theta_intersect(a.sk, b.sk)) AS BIGINT) inter
+        |FROM (SELECT sk FROM s WHERE g = 0) a CROSS JOIN (SELECT sk FROM s WHERE g = 1) b
+        |""".stripMargin).collect()(0)
+    assert(theta.getLong(0) === 34L) // ids 0,3,...,99
+    assert(theta.getLong(1) === 34L) // disjoint groups
+    assert(theta.getLong(2) === 0L)
+    // theta_union_agg re-aggregates the per-group sketches
+    val union = spark.sql(
+      """SELECT CAST(theta_estimate(theta_union_agg(sk)) AS BIGINT) n
+        |FROM (SELECT g, theta_sketch_agg(id) sk FROM sk_in GROUP BY g)
+        |""".stripMargin).collect()(0)
+    assert(union.getLong(0) === 100L)
+    // kll: quantiles of 0..99 via a sketch-of-sketches
+    val kllRow = spark.sql(
+      """SELECT kll_quantiles(kll_merge_agg(sk), array(0.5D, 0.99D)) q
+        |FROM (SELECT g, kll_sketch_agg(v) sk FROM sk_in GROUP BY g)
+        |""".stripMargin).collect()(0)
+    val q = kllRow.getSeq[Double](0)
+    assert(math.abs(q(0) - 49.5) <= 5.0, s"p50=${q(0)}")
+    assert(q(1) >= 90.0)
+    // frequent items over term arrays
+    val fi = spark.sql(
+      """SELECT freq_items_topk(freq_items_agg(t), 1) top
+        |FROM (SELECT CASE WHEN id < 60 THEN array('hot') ELSE array('c' || id) END t FROM sk_in)
+        |""".stripMargin).collect()(0)
+    val top = fi.getSeq[org.apache.spark.sql.Row](0)
+    assert(top.head.getString(0) === "hot" && top.head.getLong(1) === 60L)
+  }
 }
