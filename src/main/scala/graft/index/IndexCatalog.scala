@@ -749,7 +749,7 @@ object IndexCatalog {
 
   def moveGpu(name: String, gpu: Int): Unit =
     throw new UnsupportedOperationException(
-      "faiss_move_gpu has no Spark-CPU analog; executors are the parallel hardware here")
+      "faiss_to_gpu has no Spark-CPU analog; executors are the parallel hardware here")
 
   // ---- persistence ----
 

@@ -514,6 +514,26 @@ object AnalyticsQueries {
         .agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("path"))
         .limit(10)
+    },
+    // next-event transition matrix (first-order Markov chain over event
+    // types): the sequence statistic behind session-flow diagrams and
+    // synthetic-session generators. ONE user_id window (per-user state
+    // is a single lead row, so the window scales by user partitioning)
+    // feeds a map-side-combined (from,to) rollup — corpus-wide movement
+    // is the user shuffle plus |types|^2 aggregate rows. p_trans is one
+    // IEEE division of two exact longs (correctly rounded in both
+    // engines); the row-count normalizer windows over the TINY aggregate.
+    "events_markov" -> { (s, dir) =>
+      val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      Tables.events(s, dir)
+        .withColumn("to_type", lead("event_type", 1).over(byUser))
+        .where(col("to_type").isNotNull)
+        .select(col("event_type").as("from_type"), col("to_type"))
+        .groupBy("from_type", "to_type")
+        .agg(count(lit(1)).as("n_trans"))
+        .withColumn("p_trans",
+          col("n_trans").cast("double") /
+            sum("n_trans").over(Window.partitionBy("from_type")).cast("double"))
     })
 
   def oracles: Map[String, String] = Map(
@@ -810,5 +830,22 @@ object AnalyticsQueries {
         |  WINDOW w2 AS (PARTITION BY user_id, session_seq ORDER BY ts, event_id)
         |)
         |SELECT path, count(*) AS n FROM tri WHERE e3 IS NOT NULL
-        |GROUP BY path ORDER BY n DESC, path LIMIT 10""".stripMargin)
+        |GROUP BY path ORDER BY n DESC, path LIMIT 10""".stripMargin,
+    // same per-user lead ordering as the Spark window; the probability
+    // is a single double division of two exact longs in both engines
+    "events_markov" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events
+        |), t AS (
+        |  SELECT event_type AS from_type,
+        |    lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+        |  FROM ev
+        |), c AS (
+        |  SELECT from_type, to_type, count(*) AS n_trans
+        |  FROM t WHERE to_type IS NOT NULL GROUP BY 1, 2
+        |)
+        |SELECT from_type, to_type, n_trans,
+        |  CAST(n_trans AS DOUBLE) /
+        |    CAST(CAST(sum(n_trans) OVER (PARTITION BY from_type) AS BIGINT) AS DOUBLE) AS p_trans
+        |FROM c""".stripMargin)
 }

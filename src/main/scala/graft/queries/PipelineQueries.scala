@@ -145,6 +145,38 @@ object PipelineQueries {
         .where(bucket < rate)
         .select(col("doc_id"), col("lang"))
     },
+    // temperature-scaled source mixture (the multilingual-LM sqrt-
+    // sampling rule, alpha = 0.5): unlike mixture_sample's HANDED-IN
+    // weights, the keep rates are COMPUTED from corpus counts —
+    // p_s ∝ sqrt(n_s), budget M = N/2 — then applied as the same
+    // deterministic content-hash bucket threshold. Every number is
+    // either an exact integer aggregate or a fixed single-expression
+    // IEEE chain (sqrt is correctly rounded; the cross-source
+    // normalizer sums FIXED-POINT sqrt values so no order-dependent
+    // double addition survives), so the realized sample is
+    // bit-identical across engines/runs/partitionings. Plan: tiny
+    // source rollup → 1-row total → broadcast rate join → scan-stage
+    // bucket filter; documents shuffle once for the map-side-combined
+    // count, never for the sampling itself.
+    "sample_temperature" -> { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val stats = docs.groupBy("source").agg(count(lit(1)).as("n_s"))
+        .withColumn("ssq",
+          floor(sqrt(col("n_s").cast("double")) * lit(1000000.0)).cast("long"))
+      val tot = stats.agg(
+        sum("ssq").as("s_fp"), sum("n_s").as("n_tot"))
+      val rates = stats.crossJoin(broadcast(tot))
+        .withColumn("m", floor(col("n_tot").cast("double") / 2).cast("long"))
+        .withColumn("rate_bp",
+          least(lit(10000.0),
+            floor(lit(10000.0) * col("m").cast("double") * col("ssq").cast("double")
+              / col("s_fp").cast("double") / col("n_s").cast("double")))
+            .cast("int"))
+        .select("source", "rate_bp")
+      docs.join(broadcast(rates), "source")
+        .where(contentBucket < col("rate_bp"))
+        .select(col("doc_id"), col("source"))
+    },
     // the >1-epoch complement of mixture_sample: per-domain epoch
     // weights (DoReMi-style) materialized as deterministic row copies —
     // floor(epochs) guaranteed copies plus one more for the content-hash
@@ -282,6 +314,26 @@ object PipelineQueries {
       s"""SELECT doc_id, lang FROM documents
         |WHERE $contentBucketSql <
         |  CASE WHEN lang = 'en' THEN 9000 WHEN lang = 'de' THEN 5000 ELSE 2500 END""".stripMargin,
+    // same fixed-point normalizer and identical IEEE expression chain
+    // for the rate, so the bucket comparison lands identically
+    "sample_temperature" ->
+      s"""WITH st AS (
+        |  SELECT source, count(*) AS n_s,
+        |    CAST(floor(sqrt(CAST(count(*) AS DOUBLE)) * 1000000.0) AS BIGINT) AS ssq
+        |  FROM documents GROUP BY source
+        |), tot AS (
+        |  SELECT CAST(sum(ssq) AS BIGINT) AS s_fp, CAST(sum(n_s) AS BIGINT) AS n_tot FROM st
+        |), r AS (
+        |  SELECT source,
+        |    CAST(least(10000.0,
+        |      floor(10000.0 * CAST(CAST(floor(CAST(n_tot AS DOUBLE) / 2) AS BIGINT) AS DOUBLE)
+        |        * CAST(ssq AS DOUBLE) / CAST(s_fp AS DOUBLE) / CAST(n_s AS DOUBLE)))
+        |      AS INTEGER) AS rate_bp
+        |  FROM st, tot
+        |)
+        |SELECT d.doc_id, d.source
+        |FROM documents d JOIN r USING (source)
+        |WHERE $contentBucketSql < r.rate_bp""".stripMargin,
     "mixture_upsample" ->
       s"""WITH n AS (
         |  SELECT doc_id, lang,

@@ -32,6 +32,22 @@ object TextQueries {
       Tables(s, dir, "documents")
         .select(col("doc_id"), md5(col("text")).as("fp_md5"))
     },
+    // Winnowing fingerprints (Schleimer/Wilkerson/Aiken '03 — the MOSS
+    // scheme, the LOCAL complement of text_fingerprint's whole-doc
+    // hash): k=3-token shingle hashes, sliding w=4 window keeps each
+    // window's min. Two docs sharing any k+w-1 = 6 consecutive tokens
+    // share a fingerprint, yet only ~2/(w+1) of hashes are kept — the
+    // partial-overlap dedup screen quote/boilerplate detection needs
+    // and whole-doc hashing can't see. Scan-stage HOFs end-to-end: the
+    // hash array materializes ONCE per row (separate projection), the w
+    // shifted slices reference it, and the only data movement is the
+    // exploded (doc_id, fp) output itself. Exact oracle: the 15-hex-md5
+    // hash replays in DuckDB digit for digit.
+    "text_winnowing" -> { (s, dir) =>
+      Tables.wide(s, dir, "documents")
+        .withColumn("hs", shingleHashes15(tokens(col("text")), 3))
+        .select(col("doc_id"), explode(winnowSelect(col("hs"), 4)).as("fp"))
+    },
     // RAG/context chunking: overlapping token windows (64 tokens,
     // stride 48 -> 16-token overlap), the step between curation and
     // embedding in a retrieval corpus build. Chunk starts walk 0, S,
@@ -389,6 +405,25 @@ object TextQueries {
          |FROM f""".stripMargin,
     "text_fingerprint" ->
       "SELECT doc_id, md5(text) AS fp_md5 FROM documents",
+    // same trigram shingles, same 15-hex-digit md5 hash, same w=4
+    // sliding min; docs with no fingerprints (< 3 tokens) drop out of
+    // the unnest on both sides
+    "text_winnowing" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |h AS (
+         |  SELECT doc_id, CASE WHEN len(toks) >= 3
+         |    THEN [CAST(('0x' || substring(md5(array_to_string(toks[i:i+2], ' ')), 1, 15)) AS BIGINT)
+         |          FOR i IN range(1, len(toks) - 1)]
+         |    ELSE [] END AS hs
+         |  FROM t
+         |), sel AS (
+         |  SELECT doc_id, list_distinct(CASE
+         |      WHEN len(hs) >= 4 THEN [list_min(hs[i:i+3]) FOR i IN range(1, len(hs) - 2)]
+         |      WHEN len(hs) >= 1 THEN [list_min(hs)]
+         |      ELSE [] END) AS fps
+         |  FROM h
+         |)
+         |SELECT doc_id, unnest(fps) AS fp FROM sel""".stripMargin,
     "text_topterms" ->
       s"""WITH t AS (SELECT doc_id, unnest(list_distinct($toksSql)) AS tok FROM documents)
          |SELECT tok, count(*) AS doc_freq FROM t

@@ -231,6 +231,13 @@ object GraftFunctions {
       IndexCatalog.destroy(litString(args(0), "name"))
       Literal(true)
     },
+    // the reference registers this as faiss_to_gpu (faiss_extension.cpp:1044);
+    // faiss_move_gpu stays as a compatible alias from earlier rounds
+    "faiss_to_gpu" -> { args =>
+      IndexCatalog.moveGpu(litString(args(0), "name"),
+        args.lift(1).map(litInt(_, "gpu")).getOrElse(0))
+      Literal(true)
+    },
     "faiss_move_gpu" -> { args =>
       IndexCatalog.moveGpu(litString(args(0), "name"),
         args.lift(1).map(litInt(_, "gpu")).getOrElse(0))

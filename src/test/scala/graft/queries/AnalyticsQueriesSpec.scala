@@ -12,6 +12,20 @@ class AnalyticsQueriesSpec extends SparkSpec {
   private val dir = "/root/testdata/sf0.001"
   private def run(q: String) = graft.SparkEntry.queries(q)(spark, dir)
 
+  test("events_markov: rows partition transitions, probabilities sum to 1 per from_type") {
+    val rows = run("events_markov").collect()
+    assert(rows.nonEmpty)
+    // total transitions = events - distinct users (each user's last event has no successor)
+    val ev = Tables.events(spark, dir)
+    val nEvents = ev.count()
+    val nUsers = ev.select("user_id").distinct().count()
+    assert(rows.map(_.getLong(2)).sum === nEvents - nUsers)
+    rows.groupBy(_.getString(0)).foreach { case (from, rs) =>
+      val p = rs.map(_.getDouble(3)).sum
+      assert(math.abs(p - 1.0) < 1e-9, s"p_trans for $from sums to $p")
+    }
+  }
+
   test("q2_mincost: one-or-more argmin parts per brand, price equals the brand min") {
     val rows = run("q2_mincost").collect()
     val mins = Tables(spark, dir, "part").groupBy("p_brand")

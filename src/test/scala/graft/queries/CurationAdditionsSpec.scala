@@ -71,6 +71,30 @@ class CurationAdditionsSpec extends SparkSpec {
     assert(recall >= 0.7, f"recall@5 = $recall%.2f")
   }
 
+  test("sample_temperature: flattens the mix toward small sources, realized sizes track rates") {
+    val kept = run("sample_temperature").collect()
+    assert(kept.nonEmpty)
+    val keptBySrc = kept.groupBy(_.getString(1)).view.mapValues(_.length.toLong).toMap
+    val totBySrc = Tables(spark, dir, "documents").groupBy("source")
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // sqrt temperature flattens: keep RATE must be (weakly) higher for
+    // smaller sources wherever neither rate saturates at 1.0
+    val rates = totBySrc.map { case (s, n) =>
+      s -> (keptBySrc.getOrElse(s, 0L).toDouble / n, n)
+    }
+    for {
+      (s1, (r1, n1)) <- rates; (s2, (r2, n2)) <- rates
+      if n1 < n2 && r1 < 0.98 && r2 < 0.98
+    } assert(r1 >= r2 - 0.05, s"smaller source $s1 (rate $r1) vs $s2 (rate $r2)")
+    // realized total tracks the M = N/2 budget (bucket granularity slack)
+    val total = kept.length.toDouble / totBySrc.values.sum
+    assert(total > 0.35 && total < 0.65, s"realized fraction $total far from 0.5")
+    // deterministic: re-run selects the identical id set
+    val again = run("sample_temperature").collect().map(_.getLong(0)).toSet
+    assert(again === kept.map(_.getLong(0)).toSet)
+  }
+
   test("sample_quota: at most 15 docs per source, exactly 15 where supply allows, deterministic") {
     val kept = run("sample_quota").collect()
     val supply = Tables(spark, dir, "documents").groupBy("source").count()

@@ -263,6 +263,10 @@ class SqlSurfaceSpec extends SparkSpec {
     val gpu = intercept[Exception](
       spark.sql("SELECT faiss_move_gpu('sqlidx8')").collect())
     assert(messages(gpu).contains("no Spark-CPU analog"))
+    // the reference's own registered spelling (faiss_extension.cpp:1044)
+    val gpu2 = intercept[Exception](
+      spark.sql("SELECT faiss_to_gpu('sqlidx8', 0)").collect())
+    assert(messages(gpu2).contains("no Spark-CPU analog"))
     IndexCatalog.destroy("sqlidx8")
   }
 }

@@ -24,6 +24,28 @@ class TextFunctionsSpec extends SparkSpec {
     assert(short.isEmpty)
   }
 
+  test("winnowing: shared >= k+w-1 token run yields a shared fingerprint") {
+    import spark.implicits._
+    def fps(text: String): Set[Long] =
+      Seq(text).toDF("text")
+        .withColumn("hs", TextFunctions.shingleHashes15(TextFunctions.tokens(col("text")), 3))
+        .select(TextFunctions.winnowSelect(col("hs"), 4).as("fp"))
+        .collect()(0).getSeq[Long](0).toSet
+    // k=3, w=4: any shared run of >= 6 tokens guarantees a shared pick
+    val shared = "alpha beta gamma delta epsilon zeta"
+    val a = fps(s"one two three $shared four five")
+    val b = fps(s"$shared nine ten eleven twelve thirteen")
+    assert(a.intersect(b).nonEmpty, "6-token shared run must share a fingerprint")
+    // below k tokens: nothing selected
+    assert(fps("only two").isEmpty)
+    // k <= tokens < k+w-1: one global-min window
+    assert(fps("a b c d").size === 1)
+    // compression: far fewer fingerprints than shingles on a long doc
+    val long = (1 to 200).map(i => s"tok$i").mkString(" ")
+    assert(fps(long).size < 198, "winnowing must select a strict subset")
+    assert(fps(long).size >= 198 / 5, "roughly 2/(w+1) of hashes survive")
+  }
+
   test("stopword ratio and unique ratio") {
     assert(one(TextFunctions.stopwordRatio(TextFunctions.tokens(col("text"))), "the cat the dog") === 0.5)
     assert(one(TextFunctions.uniqueRatio(TextFunctions.tokens(col("text"))), "a a b b") === 0.5)
