@@ -74,6 +74,32 @@ object DedupQueries {
         .orderBy(col("jaccard").desc, col("a_id"), col("b_id"))
         .limit(20)
     },
+    // Winnowing-based near-dup candidates (the MOSS pipeline's second
+    // half): docs sharing >= 2 selected fingerprints pair up — catches
+    // PARTIAL overlap (any shared 6-token run shares a fingerprint)
+    // that whole-doc hashing misses, with an EXACT oracle unlike the
+    // custom-hash minhash/simhash banding (the 15-hex-md5 fingerprint
+    // replays in SQL). Hot boilerplate fingerprints (doc freq > 50)
+    // are dropped before pairing — the stop-fingerprint cap that keeps
+    // the bucket self-join quadratic bounded at any corpus size. Only
+    // (doc_id, fp) longs cross shuffles; text stays in the scan stage.
+    "dedup_winnow" -> { (s, dir) =>
+      import graft.text.TextFunctions._
+      val fp = Tables.wide(s, dir, "documents")
+        .withColumn("hs", shingleHashes15(tokens(col("text")), 3))
+        .select(col("doc_id"), explode(winnowSelect(col("hs"), 4)).as("fp"))
+      val rare = fp.groupBy("fp").agg(count(lit(1)).as("df"))
+        .where(col("df") <= 50).select("fp")
+      val f2 = fp.join(rare, "fp")
+      f2.select(col("fp"), col("doc_id").as("a_id"))
+        .join(f2.select(col("fp"), col("doc_id").as("b_id")), Seq("fp"))
+        .where(col("a_id") < col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(count(lit(1)).as("n_shared"))
+        .where(col("n_shared") >= 2)
+        .orderBy(col("n_shared").desc, col("a_id"), col("b_id"))
+        .limit(20)
+    },
     // top-20 nearest embedding pairs within an id window of 50
     "dedup_embedding" -> { (s, dir) =>
       val e = embs(s, dir)
@@ -193,6 +219,32 @@ object DedupQueries {
        |  ELSE [] END)""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    // identical winnowing selection as text_winnowing's oracle, then
+    // the same capped fp self-join pairing
+    "dedup_winnow" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |h AS (
+         |  SELECT doc_id, CASE WHEN len(toks) >= 3
+         |    THEN [CAST(('0x' || substring(md5(array_to_string(toks[i:i+2], ' ')), 1, 15)) AS BIGINT)
+         |          FOR i IN range(1, len(toks) - 1)]
+         |    ELSE [] END AS hs
+         |  FROM t
+         |), sel AS (
+         |  SELECT doc_id, list_distinct(CASE
+         |      WHEN len(hs) >= 4 THEN [list_min(hs[i:i+3]) FOR i IN range(1, len(hs) - 2)]
+         |      WHEN len(hs) >= 1 THEN [list_min(hs)]
+         |      ELSE [] END) AS fps
+         |  FROM h
+         |), fp AS (SELECT doc_id, unnest(fps) AS fp FROM sel),
+         |rare AS (SELECT fp FROM fp GROUP BY fp HAVING count(*) <= 50),
+         |f2 AS (SELECT doc_id, fp.fp FROM fp JOIN rare USING (fp)),
+         |p AS (
+         |  SELECT x.doc_id AS a_id, y.doc_id AS b_id, count(*) AS n_shared
+         |  FROM f2 x JOIN f2 y ON x.fp = y.fp AND x.doc_id < y.doc_id
+         |  GROUP BY 1, 2
+         |)
+         |SELECT a_id, b_id, n_shared FROM p WHERE n_shared >= 2
+         |ORDER BY n_shared DESC, a_id, b_id LIMIT 20""".stripMargin,
     "dedup_spans" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
          |sh AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 4

@@ -65,6 +65,33 @@ class DedupSpec extends SparkSpec {
     assert(res.head._3 >= 0.5 && res.head._3 < 1.0)
   }
 
+  test("winnow pairing surfaces partial overlap that whole-doc hashing misses") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.text.TextFunctions._
+    // two docs sharing ONLY a 12-token quoted run (plus unrelated halves)
+    val quote = "to be or not to be that is the question we ask"
+    val d = Seq(
+      (0L, s"opening words before anything else $quote"),
+      (1L, s"$quote and then entirely different closing material follows here"),
+      (2L, "unrelated third document about morning coffee and newspaper reading"))
+      .toDF("doc_id", "text")
+    val fp = d
+      .withColumn("hs", shingleHashes15(tokens(col("text")), 3))
+      .select(col("doc_id"), explode(winnowSelect(col("hs"), 4)).as("fp"))
+    val pairs = fp.select(col("fp"), col("doc_id").as("a_id"))
+      .join(fp.select(col("fp"), col("doc_id").as("b_id")), Seq("fp"))
+      .where(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("n_shared"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs.getOrElse((0L, 1L), 0L) >= 2L,
+      s"quote-sharing docs must share >= 2 fingerprints, got $pairs")
+    assert(!pairs.contains((0L, 2L)) && !pairs.contains((1L, 2L)),
+      s"unrelated doc must not pair: $pairs")
+    // whole-doc hashing sees three distinct docs — the contrast
+    assert(d.select(md5(col("text"))).distinct().count() === 3)
+  }
+
   test("minhash LSH finds planted near-duplicates, not unrelated docs") {
     val cands = Dedup.minhashCandidates(docs, "doc_id", "text", numHashes = 64, bands = 32)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
