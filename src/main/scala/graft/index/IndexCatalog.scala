@@ -76,7 +76,8 @@ object IndexCatalog {
     val pqPart = parts.find(_.startsWith("PQ")).map(_.stripPrefix("PQ").toInt)
     val sqPart = parts.find(_.startsWith("SQ")).map(_.stripPrefix("SQ"))
     sqPart.foreach { b =>
-      require(b == "8", s"only SQ8 scalar quantization is supported, got SQ$b")
+      require(b == "8" || b == "4" || b == "fp16",
+        s"only SQ8/SQ4/SQfp16 scalar quantization is supported, got SQ$b")
     }
     parts.headOption.getOrElse("Flat") match {
       case s if s.startsWith("IVF") && pqPart.isDefined =>
@@ -1204,11 +1205,15 @@ object IndexCatalog {
   }
 
   /**
-   * SQ8 / IVF-SQ8: vectors stored as per-dim uint8 codes against
-   * trained [min, max] bounds (4x compression, higher fidelity than
-   * PQ); asymmetric search decodes inside the fused distance loop,
-   * then exact re-rank of the top k x refine candidates. Same
+   * SQ8 / SQ4 / SQfp16 (+ IVF- prefixes): vectors stored as fixed-width
+   * per-dim codes — uint8 against trained [min, max] bounds (4x
+   * compression), packed 4-bit nibbles (8x), or raw IEEE halves (2x,
+   * training-independent) — the FAISS ScalarQuantizer family;
+   * asymmetric search decodes inside the fused distance loop, then
+   * exact re-rank of the top k x refine candidates. Same
    * candidate-source shape as PqBuilt (probed lists or full scan).
+   * The variant is carried by the factory string, so save/load and
+   * auto-train persistence are variant-agnostic.
    */
   final class SqBuilt(
       val data: DataFrame, // (list_id int, label bigint, code binary, vec array<float>)
@@ -1229,7 +1234,7 @@ object IndexCatalog {
       val qArr = collectQueryBatch(queries)
       val sqd = GraftBridge.column(SqL2Distance(
         GraftBridge.expression(col("code")), GraftBridge.expression(col("qid")),
-        qArr.toMap, vmin, vdiff))
+        qArr.toMap, vmin, vdiff, Sq.variantOf(meta.factory)))
       codedSearch(restrict(data), data, queries, qArr, k, params, centroids, sqd)
     }
   }
@@ -1249,7 +1254,8 @@ object IndexCatalog {
           if (nlist > 1) Some(Pq.localKMeans(sample, math.min(nlist, sample.length), seed + 999, 10))
           else None)
       }
-      val encode = GraftBridge.column(SqEncode(GraftBridge.expression(col("vec")), vmin, vdiff))
+      val encode = GraftBridge.column(SqEncode(
+        GraftBridge.expression(col("vec")), vmin, vdiff, Sq.variantOf(meta.factory)))
       new SqBuilt(codedLayout(data, encode, cents).cache(), meta, vmin, vdiff, cents)
     }
   }

@@ -149,6 +149,25 @@ object IndexQueries {
       IndexCatalog.add(embData(s, dir), name)
       quantized(IndexCatalog.search(name, 5, embQueries(s, dir)))
     },
+    // the 8x end of the scalar-quantizer family (FAISS QT_4bit): two
+    // dims per byte, same trained bounds, same re-rank (rows-only;
+    // coarser codes -> recall spec'd, not exactness)
+    "knn_sq4" -> { (s, dir) =>
+      val name = fresh("q_sq4")
+      IndexCatalog.create(name, 64, "IDMap,SQ4", "l2sq", Map("refine" -> "8"))
+      IndexCatalog.add(embData(s, dir), name)
+      quantized(IndexCatalog.search(name, 5, embQueries(s, dir)))
+    },
+    // the fidelity end (FAISS QT_fp16): raw IEEE halves, 2x compression
+    // with ~2^-11 relative error — close enough that the re-ranked
+    // top-k is near-exact, but half rounding can flip genuine distance
+    // ties, so it stays rows-only with exactness spec'd at the kernel
+    "knn_sqfp16" -> { (s, dir) =>
+      val name = fresh("q_sqfp16")
+      IndexCatalog.create(name, 64, "IDMap,SQfp16", "l2sq", Map("refine" -> "8"))
+      IndexCatalog.add(embData(s, dir), name)
+      quantized(IndexCatalog.search(name, 5, embQueries(s, dir)))
+    },
     // OPQ: learned-rotation pretransform ahead of PQ (FAISS factory
     // "OPQ8,PQ8") — the rotation decorrelates subspaces so PQ codes
     // waste less of their budget; rows-only (approximate), error-

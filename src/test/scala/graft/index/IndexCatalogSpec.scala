@@ -287,6 +287,51 @@ class IndexCatalogSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("fp16 codec: exact on representable values, bounded error, ordered, inf/NaN edges") {
+    // halves are exact for small ints, powers of two, and 1/2^k sums
+    for (v <- Seq(0f, 1f, -1f, 0.5f, 1024f, 0.09375f, -65504f))
+      assert(Sq.halfToFloat(Sq.floatToHalf(v)) === v, s"round-trip of $v")
+    // relative error <= 2^-11 within normal range
+    for (v <- Seq(0.1f, 3.14159f, -271.5f, 1e-3f, 60000f)) {
+      val r = Sq.halfToFloat(Sq.floatToHalf(v))
+      assert(math.abs(r - v) <= math.abs(v) / 2048f + 1e-8f, s"$v -> $r")
+    }
+    assert(Sq.halfToFloat(Sq.floatToHalf(1e6f)) === Float.PositiveInfinity)
+    assert(Sq.halfToFloat(Sq.floatToHalf(-1e6f)) === Float.NegativeInfinity)
+    assert(Sq.halfToFloat(Sq.floatToHalf(Float.NaN)).isNaN)
+    // subnormal half range round-trips within its quantum (2^-24)
+    val tiny = 3e-6f
+    assert(math.abs(Sq.halfToFloat(Sq.floatToHalf(tiny)) - tiny) <= Math.scalb(1f, -25))
+  }
+
+  test("SQfp16: half-precision search recovers the exact top-k on the grid") {
+    IndexCatalog.create("t_sqfp16", 2, "IDMap,SQfp16", "l2sq", Map("refine" -> "8"))
+    IndexCatalog.add(grid, "t_sqfp16")
+    val got = labelsOf(IndexCatalog.search("t_sqfp16", 4, qs))
+    val want = labelsOf(Knn.searchFlat(grid, qs, 4, "l2sq"))
+    assert(got === want)
+  }
+
+  test("SQ4: nibble-packed search with re-rank recovers the exact top-k on the grid") {
+    IndexCatalog.create("t_sq4", 2, "IDMap,SQ4", "l2sq", Map("refine" -> "8"))
+    IndexCatalog.add(grid, "t_sq4")
+    val got = labelsOf(IndexCatalog.search("t_sq4", 4, qs))
+    val want = labelsOf(Knn.searchFlat(grid, qs, 4, "l2sq"))
+    assert(got === want)
+    // codes really are nibble-packed: 2 dims -> 1 byte per vector
+    val codeLen = IndexCatalog.build("t_sq4") match {
+      case sq: IndexCatalog.SqBuilt => sq.data.select("code").head.getAs[Array[Byte]](0).length
+      case other => fail(s"unexpected built kind $other")
+    }
+    assert(codeLen === 1, s"expected 1 packed byte for 2 dims, got $codeLen")
+  }
+
+  test("unsupported SQ widths fail at create") {
+    val e = intercept[IllegalArgumentException](
+      IndexCatalog.create("t_sq6", 2, "IDMap,SQ6", "l2sq"))
+    assert(e.getMessage.contains("SQ8/SQ4/SQfp16"))
+  }
+
   test("IVF-SQ8 factory combines list pruning with scalar-quantized search") {
     IndexCatalog.create("t_ivfsq", 2, "IDMap,IVF4,SQ8", "l2sq",
       Map("nprobe" -> "4", "refine" -> "8"))
@@ -307,10 +352,6 @@ class IndexCatalogSpec extends SparkSpec {
     IndexCatalog.load("t_sqsave2", dir, spark)
     val after = labelsOf(IndexCatalog.search("t_sqsave2", 4, qs))
     assert(before === after)
-  }
-
-  test("unsupported SQ widths fail at create") {
-    intercept[IllegalArgumentException](IndexCatalog.create("t_sq4", 2, "IDMap,SQ4"))
   }
 
   test("IVF-PQ factory combines list pruning with code search") {
