@@ -85,15 +85,22 @@ object DedupQueries {
     // (doc_id, fp) longs cross shuffles; text stays in the scan stage.
     "dedup_winnow" -> { (s, dir) =>
       import graft.text.TextFunctions._
+      // single-consumption shape: ONE fp-keyed groupBy collects each
+      // fingerprint's (capped) doc list, pairs explode from the list in
+      // the reduce stage — the corpus is winnowed exactly once and the
+      // only shuffles are the fp rollup and the bounded pair rollup
+      // (a join formulation would re-hash the corpus per consumer)
       val fp = Tables.wide(s, dir, "documents")
         .withColumn("hs", shingleHashes15(tokens(col("text")), 3))
         .select(col("doc_id"), explode(winnowSelect(col("hs"), 4)).as("fp"))
-      val rare = fp.groupBy("fp").agg(count(lit(1)).as("df"))
-        .where(col("df") <= 50).select("fp")
-      val f2 = fp.join(rare, "fp")
-      f2.select(col("fp"), col("doc_id").as("a_id"))
-        .join(f2.select(col("fp"), col("doc_id").as("b_id")), Seq("fp"))
-        .where(col("a_id") < col("b_id"))
+      val buckets = fp.groupBy("fp").agg(collect_list("doc_id").as("ids"))
+        .where(size(col("ids")).between(2, 50))
+        .select(array_sort(col("ids")).as("ids"))
+      buckets
+        .select(explode(flatten(transform(col("ids"), (x, i) =>
+          transform(slice(col("ids"), i + lit(2), size(col("ids"))),
+            y => struct(x.as("a_id"), y.as("b_id")))))).as("p"))
+        .select(col("p.a_id"), col("p.b_id"))
         .groupBy("a_id", "b_id")
         .agg(count(lit(1)).as("n_shared"))
         .where(col("n_shared") >= 2)

@@ -339,6 +339,38 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), plan.take(3000))
   }
 
+  test("text_winnowing: fingerprint selection is a scan-stage projection, zero shuffles") {
+    assert(exchanges("text_winnowing") === 0,
+      physical("text_winnowing").take(3000))
+  }
+
+  test("dedup_winnow: only (doc_id, fp) longs cross keyed shuffles, never text") {
+    val plan = physical("dedup_winnow")
+    assert(!plan.split("Exchange hashpartitioning").drop(1).exists(_.take(400).contains("text#")),
+      plan.take(4000))
+  }
+
+  test("sample_temperature: rates broadcast back, documents shuffle only for the count") {
+    val plan = physical("sample_temperature")
+    // the sampling filter itself must join via broadcast (never shuffle
+    // the corpus on source), and the only hash exchanges belong to the
+    // tiny source rollup (partial-aggregated)
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(3000))
+    assert(!plan.split("Exchange hashpartitioning").drop(1).exists(_.take(400).contains("text#")),
+      "document text must never cross a keyed shuffle:\n" + plan.take(4000))
+  }
+
+  test("events_markov: one user window shuffle + partial-aggregated rollup, no text movement") {
+    val plan = physical("events_markov")
+    // window over user_id, then the (from,to) rollup; the normalizer
+    // windows over the aggregate — 3 keyed exchanges total, all narrow
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length <= 3, plan.take(3000))
+    val lines = plan.linesIterator.toVector
+    val ex = lines.indexWhere(l => l.contains("Exchange hashpartitioning") && l.contains("from_type"))
+    assert(ex >= 0, "rollup exchange present:\n" + plan.take(2000))
+  }
+
   test("text_classifier: hash/bucket/weight in the scan stage, ONE partial-aggregated shuffle") {
     assert(exchanges("text_classifier") === 1)
     val plan = physical("text_classifier")
