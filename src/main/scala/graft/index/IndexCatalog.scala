@@ -748,6 +748,51 @@ object IndexCatalog {
       _.join(idSet, Seq("label"), "left_semi"))
   }
 
+  /**
+   * Cost-based filtered search — the pre- vs post-filter strategy
+   * switch every production vector store makes around ANN + predicates:
+   * measure the predicate's selectivity on the indexed corpus, then
+   *  - NARROW slice (selectivity <= `adaptiveCutoff`, default 0.1):
+   *    PRE-filter — an exact brute-force scan restricted to the
+   *    matching rows. When few rows pass, scanning them exactly is both
+   *    cheaper than probing and recall-proof (an ANN structure probed
+   *    for a thin slice can come up empty).
+   *  - WIDE predicate: POST-filter — index search with k boosted by
+   *    2/selectivity, hits filtered, top k kept. The index does the
+   *    pruning work; the over-fetch compensates for non-matching hits.
+   * The strategy pick costs two column-pruned counts over the (cached)
+   * built layout — the statistics a 100 TB catalog would serve from
+   * table metadata instead of a scan. Output carries the chosen
+   * strategy so callers/specs can observe the switch.
+   */
+  def searchFilterAdaptive(
+      name: String, k: Int, queries: DataFrame, filter: Column,
+      params: Map[String, String] = Map.empty): DataFrame = {
+    val e = entry(name)
+    val b = build(name)
+    val merged = e.meta.params ++ normalizeParams(params)
+    val cutoff = merged.get("adaptiveCutoff").map(_.toDouble).getOrElse(0.1)
+    val total = math.max(b.data.count(), 1L)
+    val matching = b.data.where(filter).count()
+    val q = guardDim(queries, e.meta.dim, name)
+    if (matching <= math.max(1L, (cutoff * total).toLong)) {
+      Knn.searchFlat(b.data.where(filter), q, k, e.meta.metric,
+          padToK = merged.get("pad").exists(_.toBoolean))
+        .withColumn("strategy", lit("prefilter_scan"))
+    } else {
+      val sel = matching.toDouble / total
+      val kBoost = math.min(total, math.ceil(2.0 * k / sel).toLong).toInt
+      val allowed = b.data.where(filter).select("label")
+      val metricId = VectorMath.metricId(e.meta.metric)
+      val hits = b.search(q, kBoost, merged - "pad")
+        .join(allowed, Seq("label"), "left_semi")
+        .select(col("qid"), col("label"), col("distance").as("_dist"))
+      Knn.rankResults(hits, k, ascending = VectorMath.smallerIsCloser(metricId),
+          padToK = merged.get("pad").exists(_.toBoolean))
+        .withColumn("strategy", lit("postfilter_index"))
+    }
+  }
+
   def moveGpu(name: String, gpu: Int): Unit =
     throw new UnsupportedOperationException(
       "faiss_to_gpu has no Spark-CPU analog; executors are the parallel hardware here")

@@ -49,6 +49,24 @@ object IndexQueries {
       IndexCatalog.add(embData(s, dir), name)
       quantized(IndexCatalog.searchFilter(name, 5, embQueries(s, dir), col("label") % 2 === 0))
     },
+    // cost-based filtered search: the SAME index serves a narrow slice
+    // via a pre-filter exact scan (5% selectivity <= the 10% cutoff)
+    // and a wide predicate via a post-filter boosted probe (50%).
+    // Exhaustive probe + 2/selectivity over-fetch keep both paths
+    // exact, so the strategy SWITCH itself is oracle-gated — including
+    // which strategy each predicate lands on (the output column).
+    "knn_filter_adaptive" -> { (s, dir) =>
+      val name = fresh("q_adapt")
+      IndexCatalog.create(name, 64, "IDMap,IVF16,Flat", "l2sq", Map("nprobe" -> "16"))
+      IndexCatalog.add(embData(s, dir), name)
+      val narrow = IndexCatalog.searchFilterAdaptive(
+        name, 5, embQueries(s, dir), col("label") % 20 === 0)
+      val wide = IndexCatalog.searchFilterAdaptive(
+        name, 5, embQueries(s, dir), col("label") % 2 === 0)
+      narrow.unionByName(wide)
+        .select(col("qid"), col("rank"), col("label"),
+          Tables.quant4(col("distance")).as("distance"), col("strategy"))
+    },
     // selector composed INSIDE the graph traversal (FAISS
     // SearchParametersHNSW::sel): per-shard allowed sets ride a
     // partition zip, the beam walks the full graph and only allowed
@@ -292,6 +310,25 @@ object IndexQueries {
     "vs_index_build" -> VectorQueries.oracles("knn_flat_l2"),
     // exhaustive-probe searches stay exact through filter / save-load
     "knn_ivf_filter" -> VectorQueries.oracles("knn_search_filter"),
+    // both strategies replayed as filtered brute force; the strategy
+    // column pins WHICH path each predicate must take
+    "knn_filter_adaptive" -> {
+      val l2 = "list_sum([ (CAST(a[i] AS DOUBLE) - CAST(b[i] AS DOUBLE)) * (CAST(a[i] AS DOUBLE) - CAST(b[i] AS DOUBLE)) FOR i IN range(1, len(a)+1) ])"
+      def arm(whereMod: String, strategy: String): String =
+        s"""SELECT qid, rank, label,
+           |  CAST(CAST(dist AS DECIMAL(18,4)) AS DOUBLE) AS distance,
+           |  '$strategy' AS strategy
+           |FROM (
+           |  SELECT qid, label, dist,
+           |    CAST(row_number() OVER (PARTITION BY qid ORDER BY dist ASC, label) - 1 AS INTEGER) AS rank
+           |  FROM (
+           |    SELECT q.qid, e.vec_id AS label, $l2 AS dist
+           |    FROM (SELECT vec_id AS qid, embedding AS a FROM embeddings WHERE vec_id < 10) q
+           |    CROSS JOIN (SELECT vec_id, embedding AS b FROM embeddings WHERE vec_id % $whereMod = 0) e
+           |  )
+           |) WHERE rank < 5""".stripMargin
+      arm("20", "prefilter_scan") + "\nUNION ALL\n" + arm("2", "postfilter_index")
+    },
     "knn_hnsw_filter" -> VectorQueries.oracles("knn_search_filter"),
     "vs_index_saveload" -> VectorQueries.oracles("knn_flat_l2"),
     // merged shards + exhaustive probe = exact over the full corpus

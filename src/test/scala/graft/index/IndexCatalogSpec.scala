@@ -287,6 +287,26 @@ class IndexCatalogSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("adaptive filtered search: narrow picks the exact scan, wide picks the boosted probe, both correct") {
+    IndexCatalog.create("t_adapt", 2, "IDMap,IVF8,Flat", "l2sq", Map("nprobe" -> "8"))
+    IndexCatalog.add(grid, "t_adapt")
+    val narrowPred = col("label") < 12 // 12/256 ~ 4.7% <= 10% cutoff
+    val widePred = col("label") % 2 === 0 // 50%
+    val narrow = IndexCatalog.searchFilterAdaptive("t_adapt", 4, qs, narrowPred).collect()
+    val wide = IndexCatalog.searchFilterAdaptive("t_adapt", 4, qs, widePred).collect()
+    assert(narrow.nonEmpty && narrow.forall(_.getString(4) == "prefilter_scan"), narrow.toSeq)
+    assert(wide.nonEmpty && wide.forall(_.getString(4) == "postfilter_index"), wide.toSeq)
+    // both strategies return the exact filtered answer (exhaustive probe)
+    def asMap(rows: Array[org.apache.spark.sql.Row]) =
+      rows.groupBy(_.getLong(0)).view.mapValues(_.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq).toMap
+    assert(asMap(narrow) === labelsOf(Knn.searchFlat(grid.where(narrowPred), qs, 4, "l2sq")))
+    assert(asMap(wide) === labelsOf(Knn.searchFlat(grid.where(widePred), qs, 4, "l2sq")))
+    // the cutoff is a real knob: raising it flips the wide predicate to the scan
+    val flipped = IndexCatalog.searchFilterAdaptive(
+      "t_adapt", 4, qs, widePred, Map("adaptiveCutoff" -> "0.9")).collect()
+    assert(flipped.forall(_.getString(4) == "prefilter_scan"))
+  }
+
   test("fp16 codec: exact on representable values, bounded error, ordered, inf/NaN edges") {
     // halves are exact for small ints, powers of two, and 1/2^k sums
     for (v <- Seq(0f, 1f, -1f, 0.5f, 1024f, 0.09375f, -65504f))
