@@ -515,6 +515,32 @@ object AnalyticsQueries {
         .orderBy(col("n").desc, col("path"))
         .limit(10)
     },
+    // time-series gap filling + forward fill (the dashboard/feature-
+    // pipeline step between raw events and models that assume dense
+    // series): hourly rollup per type, then each type's [min, max] hour
+    // range becomes a generated spine, missing buckets join in as
+    // zero-count rows and carry the last observed sum forward. The only
+    // corpus-scale movement is the map-side-combined hourly rollup —
+    // spine generation and the fill window run over the tiny aggregate
+    // (|types| x hours rows). value sums are cents-fixed-point
+    // (moneySum), so fills replay bit-identically in the oracle.
+    "events_gap_fill" -> { (s, dir) =>
+      val hourly = Tables.events(s, dir)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+        .agg(count(lit(1)).as("n_events"), Tables.moneySum(col("value")).as("value_sum"))
+      val spine = hourly.groupBy("event_type")
+        .agg(min("hour").as("h0"), max("hour").as("h1"))
+        .select(col("event_type"),
+          explode(sequence(col("h0"), col("h1"), expr("INTERVAL 1 HOUR"))).as("hour"))
+      val joined = spine.join(hourly, Seq("event_type", "hour"), "left")
+      val w = Window.partitionBy("event_type").orderBy("hour")
+      joined.select(
+        col("event_type"), col("hour"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        col("n_events").isNull.as("filled"),
+        coalesce(col("value_sum"), lit(0.0)).as("value_sum"),
+        last(col("value_sum"), ignoreNulls = true).over(w).as("carry_sum"))
+    },
     // next-event transition matrix (first-order Markov chain over event
     // types): the sequence statistic behind session-flow diagrams and
     // synthetic-session generators. ONE user_id window (per-user state
@@ -831,6 +857,30 @@ object AnalyticsQueries {
         |)
         |SELECT path, count(*) AS n FROM tri WHERE e3 IS NOT NULL
         |GROUP BY path ORDER BY n DESC, path LIMIT 10""".stripMargin,
+    // same hourly spine and ROWS-framed forward fill; hour buckets are
+    // unique per type so RANGE/ROWS framing agree across engines
+    "events_gap_fill" ->
+      s"""WITH ev AS (
+         |  SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, value FROM events
+         |), hourly AS (
+         |  SELECT event_type, hour, count(*) AS n_events,
+         |    ${moneySumSql("value")} AS value_sum
+         |  FROM ev GROUP BY 1, 2
+         |), rng AS (
+         |  SELECT event_type, min(hour) AS h0, max(hour) AS h1 FROM hourly GROUP BY 1
+         |), spine AS (
+         |  SELECT event_type, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour FROM rng
+         |), j AS (
+         |  SELECT s.event_type, s.hour, h.n_events, h.value_sum
+         |  FROM spine s LEFT JOIN hourly h USING (event_type, hour)
+         |)
+         |SELECT event_type, hour,
+         |  coalesce(n_events, CAST(0 AS BIGINT)) AS n_events,
+         |  n_events IS NULL AS filled,
+         |  coalesce(value_sum, 0.0) AS value_sum,
+         |  last_value(value_sum IGNORE NULLS) OVER (
+         |    PARTITION BY event_type ORDER BY hour ROWS UNBOUNDED PRECEDING) AS carry_sum
+         |FROM j""".stripMargin,
     // same per-user lead ordering as the Spark window; the probability
     // is a single double division of two exact longs in both engines
     "events_markov" ->

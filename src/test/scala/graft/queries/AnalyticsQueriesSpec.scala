@@ -12,6 +12,31 @@ class AnalyticsQueriesSpec extends SparkSpec {
   private val dir = "/root/testdata/sf0.001"
   private def run(q: String) = graft.SparkEntry.queries(q)(spark, dir)
 
+  test("events_gap_fill: dense hourly spine per type, fills carry the last observed sum") {
+    val rows = run("events_gap_fill").collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).getTime, r.getLong(2),
+        r.getBoolean(3), r.getDouble(4), r.getDouble(5)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (tpe, rs) =>
+      val sorted = rs.sortBy(_._2)
+      // contiguous hourly spine from first to last observed bucket
+      val hours = sorted.map(_._2)
+      assert(hours.zip(hours.tail).forall { case (a, b) => b - a == 3600000L },
+        s"$tpe spine not dense")
+      assert(rows.length === rows.map(x => (x._1, x._2)).distinct.length)
+      // fills are zero-count and carry forward the last real sum
+      var lastReal = Double.NaN
+      sorted.foreach { case (_, _, n, filled, vs, carry) =>
+        if (filled) {
+          assert(n === 0L && vs === 0.0)
+          assert(carry === lastReal, s"$tpe fill must carry $lastReal, got $carry")
+        } else { lastReal = vs; assert(carry === vs) }
+      }
+      // first bucket of each type is always a real observation
+      assert(!sorted.head._4)
+    }
+  }
+
   test("events_markov: rows partition transitions, probabilities sum to 1 per from_type") {
     val rows = run("events_markov").collect()
     assert(rows.nonEmpty)
