@@ -282,6 +282,68 @@ object Streaming {
     * simple state-store encoding), kept sorted by (ts, event_id) */
   case class SessBuf(ts: Seq[Long], ids: Seq[Long])
 
+  case class TransEv(user_id: Long, event_id: Long, event_type: String, ts: Timestamp)
+  case class TransOut(user_id: Long, from_type: String, to_type: String)
+  /** buffered (ts, event_id, type) rows awaiting a final successor */
+  case class TransBuf(ts: Seq[Long], ids: Seq[Long], types: Seq[String])
+
+  /**
+   * Streaming twin of the batch events_markov: per-user next-event
+   * transitions emitted INCREMENTALLY. A pair (a -> b) is final once
+   * the watermark passes b strictly: any still-admissible event has
+   * ts >= watermark and could otherwise order between a and b (at
+   * b.ts it could even tie-break by event_id), so eager emission would
+   * mis-order exactly the late events the watermark admits. The buffer
+   * keeps the last emitted 'to' row — it is the next pair's 'from' —
+   * plus everything unemitted, so state is bounded by the watermark
+   * horizon. The event-time timeout flushes the tail pairs when the
+   * user goes idle. Downstream, a plain streaming groupBy over
+   * (from_type, to_type) turns the append stream into the transition
+   * matrix; batch/stream parity is spec-asserted on identical inputs.
+   */
+  def markovFMGWS(
+      events: Dataset[TransEv], watermark: String = "2 hours",
+      idleCloseMs: Long = 3600 * 1000L): Dataset[TransOut] = {
+    import events.sparkSession.implicits._
+    events
+      .filter(e => e.ts != null && e.event_type != null)
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[TransBuf, TransOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, rows: Iterator[TransEv], state: GroupState[TransBuf]) =>
+          val prior = state.getOption
+            .map(b => b.ts.indices.map(i => (b.ts(i), b.ids(i), b.types(i))))
+            .getOrElse(Seq.empty)
+          val all = (prior ++ rows.map(e => (e.ts.getTime, e.event_id, e.event_type)))
+            .sortBy(t => (t._1, t._2)).toVector
+          if (all.length < 2) {
+            if (state.hasTimedOut) { state.remove(); Iterator.empty }
+            else if (all.isEmpty) { if (state.exists) state.remove(); Iterator.empty }
+            else {
+              state.update(TransBuf(all.map(_._1), all.map(_._2), all.map(_._3)))
+              state.setTimeoutTimestamp(
+                math.max(all.last._1 + idleCloseMs, state.getCurrentWatermarkMs() + 1))
+              Iterator.empty
+            }
+          } else if (state.hasTimedOut) {
+            // idle close: every buffered pair is final
+            state.remove()
+            all.sliding(2).map(p => TransOut(user, p(0)._3, p(1)._3))
+          } else {
+            val wm = state.getCurrentWatermarkMs()
+            // pairs whose 'to' sits strictly before the watermark are final
+            val nFinal = all.lastIndexWhere(_._1 < wm) // index of last final 'to'
+            val emit = (1 to math.max(nFinal, 0))
+              .map(i => TransOut(user, all(i - 1)._3, all(i)._3))
+            val keep = all.drop(math.max(nFinal, 0))
+            state.update(TransBuf(keep.map(_._1), keep.map(_._2), keep.map(_._3)))
+            state.setTimeoutTimestamp(math.max(keep.last._1 + idleCloseMs, wm + 1))
+            emit.iterator
+          }
+      }
+  }
+
   /**
    * Custom sessionization via flatMapGroupsWithState (the escape hatch
    * for state logic session_window can't express — e.g. emitting

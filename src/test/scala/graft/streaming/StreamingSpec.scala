@@ -220,6 +220,48 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming markov transitions match the batch lead-window on the same events") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[Streaming.TransEv]
+    val q = Streaming.markovFMGWS(mem.toDS(), idleCloseMs = 3600 * 1000L)
+      .writeStream.format("memory").queryName("s_markov").outputMode("append").start()
+    try {
+      // user 1 delivered OUT OF ORDER within the watermark: the final
+      // transition sequence must follow event time, not arrival time
+      mem.addData(
+        Streaming.TransEv(1L, 3L, "purchase", ts(1, 30)),
+        Streaming.TransEv(1L, 1L, "view", ts(1, 0)),
+        Streaming.TransEv(1L, 2L, "click", ts(1, 10)),
+        Streaming.TransEv(2L, 4L, "view", ts(1, 0)),
+        Streaming.TransEv(2L, 5L, "view", ts(1, 5)))
+      q.processAllAvailable()
+      // push the watermark far past every buffered event, then idle-close
+      mem.addData(Streaming.TransEv(99L, 9L, "view", ts(9, 0)))
+      q.processAllAvailable()
+      mem.addData(Streaming.TransEv(98L, 10L, "view", ts(20, 0)))
+      q.processAllAvailable()
+      val got = spark.table("s_markov").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+        .groupBy(identity).view.mapValues(_.length).toMap
+      // batch twin: lead over (ts, event_id) per user
+      val batch = Seq(
+        (1L, 3L, "purchase", ts(1, 30)), (1L, 1L, "view", ts(1, 0)), (1L, 2L, "click", ts(1, 10)),
+        (2L, 4L, "view", ts(1, 0)), (2L, 5L, "view", ts(1, 5)))
+        .toDF("user_id", "event_id", "event_type", "ts")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts", "event_id")
+      val want = batch
+        .withColumn("to_type", org.apache.spark.sql.functions.lead("event_type", 1).over(w))
+        .where($"to_type".isNotNull)
+        .select($"user_id", $"event_type", $"to_type").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+        .groupBy(identity).view.mapValues(_.length).toMap
+      assert(got.view.filterKeys(k => k._1 <= 2L).toMap === want,
+        s"stream $got vs batch $want")
+    } finally q.stop()
+  }
+
   test("streaming funnel matches the batch funnel semantics on the same events") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
