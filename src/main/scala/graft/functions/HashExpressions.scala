@@ -301,6 +301,118 @@ case class BloomHitCount(child: Expression, bloomBytes: Array[Byte])
     copy(child = newChild)
 }
 
+/**
+ * md5-prefix shingle hashes: for each k-token window of an
+ * array<string>, hash the space-joined shingle with MD5 and keep the
+ * first 15 hex digits as a positive BIGINT. Unlike the splitmix hash
+ * family this replays digit-for-digit in ANSI SQL (DuckDB
+ * md5/substring/hex-cast), so fingerprint pipelines built on it keep
+ * EXACT cross-engine oracles. Null tokens are skipped inside a shingle
+ * (concat_ws semantics); below k tokens the result is empty.
+ */
+case class ShingleHashes15(child: Expression, k: Int)
+    extends UnaryExpression
+    with CodegenFallback {
+  require(k >= 1, s"shingle size must be >= 1, got $k")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_hashes15"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"shingle_hashes15 needs array<string>, got ${t.catalogString}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n < k) return new GenericArrayData(Array.empty[Long])
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val toks = Array.tabulate(n) { i =>
+      val s = arr.getUTF8String(i)
+      if (s == null) null else s.toString
+    }
+    val out = new Array[Long](n - k + 1)
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    while (i <= n - k) {
+      sb.setLength(0)
+      var j = 0
+      while (j < k) { // concat_ws(" "): null parts skipped, no double sep
+        val t = toks(i + j)
+        if (t != null) { if (sb.length() > 0) sb.append(' '); sb.append(t) }
+        j += 1
+      }
+      md.reset()
+      val digest = md.digest(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      // first 15 hex digits = high 60 bits of the digest, always positive
+      var h = 0L
+      var b = 0
+      while (b < 7) { h = (h << 8) | (digest(b) & 0xffL); b += 1 }
+      h = (h << 4) | ((digest(7) & 0xf0L) >> 4)
+      out(i) = h
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/**
+ * Winnowing fingerprint selection (Schleimer/Wilkerson/Aiken '03, the
+ * MOSS scheme) over a pre-hashed array<bigint>: each w-window's MINIMUM
+ * hash is kept, distinct in first-occurrence order. Any shared run of
+ * >= w hashes (= k+w-1 tokens upstream) yields a shared fingerprint at
+ * ~2/(w+1) selection density. Sequences shorter than w collapse to one
+ * global-min window; empty input selects nothing.
+ */
+case class WinnowSelect(child: Expression, w: Int)
+    extends UnaryExpression
+    with CodegenFallback {
+  require(w >= 1, s"winnow window must be >= 1, got $w")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "winnow_select"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"winnow_select needs array<bigint>, got ${t.catalogString}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n == 0) return new GenericArrayData(Array.empty[Long])
+    val hs = Array.tabulate(n)(arr.getLong)
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    if (n < w) {
+      var m = hs(0); var i = 1
+      while (i < n) { if (hs(i) < m) m = hs(i); i += 1 }
+      seen.add(m)
+    } else {
+      var i = 0
+      while (i <= n - w) {
+        var m = hs(i); var j = 1
+        while (j < w) { if (hs(i + j) < m) m = hs(i + j); j += 1 }
+        seen.add(m)
+        i += 1
+      }
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Column DSL for the hashing family. */
 object hashes {
   private def col(e: Expression): Column = GraftBridge.column(e)

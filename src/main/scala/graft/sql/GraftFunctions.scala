@@ -87,7 +87,10 @@ object GraftFunctions {
         KllSketchAgg(args(0), args.lift(1).map(litInt(_, "k")).getOrElse(200))),
       "kll_merge_agg" -> (args =>
         KllMergeAgg(args(0), args.lift(1).map(litInt(_, "k")).getOrElse(200))),
-      "kll_quantiles" -> (args => KllQuantiles(args(0), litDoubleSeq(args(1), "ranks"))))
+      "kll_quantiles" -> (args => KllQuantiles(args(0), litDoubleSeq(args(1), "ranks"))),
+      // winnowing fingerprint family — same kernels the Column API wraps
+      "shingle_hashes15" -> (args => ShingleHashes15(args(0), litInt(args(1), "k"))),
+      "winnow_select" -> (args => WinnowSelect(args(0), litInt(args(1), "w"))))
   }
 
   private def litDoubleSeq(e: Expression, what: String): Seq[Double] = e match {

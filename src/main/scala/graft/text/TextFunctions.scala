@@ -82,34 +82,29 @@ object TextFunctions {
    * Per-shingle 60-bit positive hashes, replayable in ANSI SQL: the
    * first 15 md5 hex digits of each k-token shingle as a BIGINT (the
    * content-bucket hash family at fingerprint width — 16 digits could
-   * flip the sign bit, which engines cast differently). Feed a
-   * materialized COLUMN of these into [[winnowSelect]]: keeping hash
-   * and selection in separate projections means the md5 array is
-   * computed once per row, not once per window.
+   * flip the sign bit, which engines cast differently). A native
+   * kernel ([[graft.functions.ShingleHashes15]]) — one compiled call
+   * per row instead of an md5-per-lambda HOF tree, and registrable on
+   * the SQL surface.
    */
-  def shingleHashes15(toks: Column, k: Int): Column =
-    transform(shinglesAll(toks, k),
-      s => conv(substring(md5(s), 1, 15), 16, 10).cast("long"))
+  def shingleHashes15(toks: Column, k: Int): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(graft.functions.ShingleHashes15(GraftBridge.expression(toks), k))
+  }
 
   /**
    * Winnowing fingerprint selection (Schleimer/Wilkerson/Aiken '03,
    * the MOSS local fingerprinting scheme): slide a w-hash window over
-   * the shingle-hash sequence and keep each window's MINIMUM hash.
-   * Guarantee: any token run of >= k+w-1 tokens shared by two docs
-   * yields a shared fingerprint, while only ~2/(w+1) of all hashes are
-   * kept. Sequences shorter than w collapse to one global-min window;
-   * empty input selects nothing. The sliding min is w shifted slices
-   * zip_with-reduced by least() — same O(w·n) shape as [[shinglesAll]],
-   * no per-element re-evaluation of the hash array.
+   * the shingle-hash sequence and keep each window's MINIMUM hash,
+   * distinct in first-occurrence order. Guarantee: any token run of
+   * >= k+w-1 tokens shared by two docs yields a shared fingerprint,
+   * while only ~2/(w+1) of all hashes are kept. Sequences shorter than
+   * w collapse to one global-min window; empty input selects nothing.
+   * Native kernel: [[graft.functions.WinnowSelect]].
    */
   def winnowSelect(hs: Column, w: Int): Column = {
-    val win = size(hs) - (w - 1)
-    val parts = (0 until w).map(j => slice(hs, lit(j + 1), win))
-    val mins = parts.reduce((a, b) => zip_with(a, b, (x, y) => least(x, y)))
-    array_distinct(
-      when(size(hs) >= w, mins)
-        .when(size(hs) >= 1, array(array_min(hs)))
-        .otherwise(array().cast("array<bigint>")))
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(graft.functions.WinnowSelect(GraftBridge.expression(hs), w))
   }
 
   val stopwords: Seq[String] = Seq(

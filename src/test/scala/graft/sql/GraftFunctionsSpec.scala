@@ -49,6 +49,21 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(r.getLong(4) === 5L) // bits 0 and 2 set
   }
 
+  test("winnowing functions work from SQL and agree with the Column API") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val text = "one two three four five six seven eight nine ten"
+    val viaSql = spark.sql(
+      s"""SELECT winnow_select(
+         |  shingle_hashes15(split('$text', ' '), 3), 4) fps""".stripMargin)
+      .collect()(0).getSeq[Long](0).toSet
+    val viaApi = Seq(text).toDF("text")
+      .select(graft.text.TextFunctions.winnowSelect(
+        graft.text.TextFunctions.shingleHashes15(split(col("text"), " "), 3), 4).as("fps"))
+      .collect()(0).getSeq[Long](0).toSet
+    assert(viaSql === viaApi && viaSql.nonEmpty)
+  }
+
   test("hash functions work from SQL") {
     val r = spark.sql(
       """SELECT fingerprint64('abc') f,
