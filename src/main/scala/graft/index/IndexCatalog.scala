@@ -793,6 +793,37 @@ object IndexCatalog {
     }
   }
 
+  /**
+   * FAISS `reconstruct`/`sa_decode` analog: the STORED approximation of
+   * each requested label — raw vectors for Flat/IVF/graph/LSH, decoded
+   * codes for SQ/PQ (exactly what their asymmetric distance loops score
+   * against, so reconstruction error IS the search-time quantization
+   * error). A LEFT SEMI id join against the built layout keeps list
+   * pruning/partition layout; unknown labels simply don't appear, like
+   * FAISS's reconstruct raising only on direct-map misses. Pretransform
+   * wrappers (PCA/OPQ) fail loudly: their codes live in projected
+   * space and a truncated transform has no inverse.
+   */
+  def reconstruct(name: String, ids: DataFrame): DataFrame = {
+    val b = build(name)
+    val idSet = ids.select(col(ids.columns.head).cast("long").as("label"))
+    val rows = b.data.join(broadcast(idSet), Seq("label"), "left_semi")
+    b match {
+      case sq: SqBuilt =>
+        rows.select(col("label"), GraftBridge.column(SqDecode(
+          GraftBridge.expression(col("code")), sq.vmin, sq.vdiff,
+          Sq.variantOf(sq.meta.factory))).as("vec"))
+      case pq: PqBuilt =>
+        rows.select(col("label"), GraftBridge.column(PqDecode(
+          GraftBridge.expression(col("code")), pq.codebooks)).as("vec"))
+      case _: PcaBuilt =>
+        throw new UnsupportedOperationException(
+          "reconstruct through a PCA/OPQ pretransform is not supported " +
+            "(codes live in projected space; a truncated transform has no inverse)")
+      case _ => rows.select(col("label"), col("vec"))
+    }
+  }
+
   def moveGpu(name: String, gpu: Int): Unit =
     throw new UnsupportedOperationException(
       "faiss_to_gpu has no Spark-CPU analog; executors are the parallel hardware here")
@@ -1126,7 +1157,7 @@ object IndexCatalog {
   final class PqBuilt(
       val data: DataFrame, // (list_id int, label bigint, code binary, vec array<float>)
       val meta: IndexMeta,
-      codebooks: Array[Array[Array[Float]]],
+      private[index] val codebooks: Array[Array[Array[Float]]],
       centroids: Option[Array[Array[Float]]])
       extends BuiltIndex {
 

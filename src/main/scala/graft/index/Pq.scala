@@ -131,6 +131,21 @@ object Pq {
     out
   }
 
+  /** decode codes back to the concatenated codebook centroids (FAISS
+    * sa_decode/reconstruct semantics — the approximation ADC scores) */
+  def decodeOne(code: Array[Byte], codebooks: Array[Array[Array[Float]]]): Array[Float] = {
+    val m = codebooks.length
+    val dsub = codebooks(0)(0).length
+    val out = new Array[Float](m * dsub)
+    var sub = 0
+    while (sub < m) {
+      val cen = codebooks(sub)(code(sub) & 0xff)
+      System.arraycopy(cen, 0, out, sub * dsub, dsub)
+      sub += 1
+    }
+    out
+  }
+
   /** per-query ADC lookup table: lut(sub * 256 + code) = partial L2^2 */
   def lutFor(q: Array[Float], codebooks: Array[Array[Array[Float]]]): Array[Float] = {
     val m = codebooks.length
@@ -205,4 +220,24 @@ case class PqAdcDistance(left: Expression, right: Expression, luts: Map[Long, Ar
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
+}
+
+/** decode PQ codes back to the stored approximation (reconstruct) */
+case class PqDecode(child: Expression, codebooks: Array[Array[Array[Float]]])
+    extends UnaryExpression
+    with CodegenFallback {
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def prettyName: String = "pq_decode"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"pq_decode needs binary, got ${t.catalogString}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Pq.decodeOne(input.asInstanceOf[Array[Byte]], codebooks))
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }

@@ -139,6 +139,34 @@ object Sq {
     }
   }
 
+  /** decode a code back to the stored approximation (FAISS
+    * `sa_decode`/`reconstruct` semantics — exactly the values the
+    * asymmetric distance loop compares against) */
+  def decodeOne(code: Array[Byte], vmin: Array[Float], vdiff: Array[Float],
+      variant: Variant): Array[Float] = {
+    val dim = vmin.length
+    val out = new Array[Float](dim)
+    var i = 0
+    variant match {
+      case V8 =>
+        while (i < dim) {
+          out(i) = vmin(i) + (code(i) & 0xff).toFloat / 255f * vdiff(i); i += 1
+        }
+      case V4 =>
+        while (i < dim) {
+          val nib = if ((i & 1) == 0) code(i >> 1) & 0x0f else (code(i >> 1) >> 4) & 0x0f
+          out(i) = vmin(i) + nib.toFloat / 15f * vdiff(i); i += 1
+        }
+      case Fp16 =>
+        while (i < dim) {
+          out(i) = halfToFloat(
+            ((code(2 * i) & 0xff) | ((code(2 * i + 1) & 0xff) << 8)).toShort)
+          i += 1
+        }
+    }
+    out
+  }
+
   /** asymmetric L2^2: query float vs decoded code, fused loop */
   def l2Distance(
       code: Array[Byte], q: Array[Float], vmin: Array[Float], vdiff: Array[Float],
@@ -220,4 +248,26 @@ case class SqL2Distance(
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
+}
+
+/** decode per-dim codes back to the stored approximation (reconstruct) */
+case class SqDecode(
+    child: Expression, vmin: Array[Float], vdiff: Array[Float],
+    variant: Sq.Variant = Sq.V8)
+    extends UnaryExpression
+    with CodegenFallback {
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def prettyName: String = "sq_decode"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"sq_decode needs binary, got ${t.catalogString}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Sq.decodeOne(input.asInstanceOf[Array[Byte]], vmin, vdiff, variant))
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }

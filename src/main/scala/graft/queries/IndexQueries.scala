@@ -49,6 +49,19 @@ object IndexQueries {
       IndexCatalog.add(embData(s, dir), name)
       quantized(IndexCatalog.searchFilter(name, 5, embQueries(s, dir), col("label") % 2 === 0))
     },
+    // FAISS reconstruct parity: stored vectors come back by id — raw
+    // for Flat (exact oracle: the original embeddings), decoded for
+    // coded indexes (spec'd: decode error IS the search-time
+    // quantization error)
+    "vs_reconstruct" -> { (s, dir) =>
+      val name = fresh("q_recon")
+      IndexCatalog.create(name, 64, "IDMap,Flat", "l2sq")
+      IndexCatalog.add(embData(s, dir), name)
+      val ids = Tables(s, dir, "embeddings").where(col("vec_id") < 20).select("vec_id")
+      IndexCatalog.reconstruct(name, ids)
+        .select(col("label"),
+          transform(col("vec"), x => Tables.quant4(x)).as("vec"))
+    },
     // cost-based filtered search: the SAME index serves a narrow slice
     // via a pre-filter exact scan (5% selectivity <= the 10% cutoff)
     // and a wide predicate via a post-filter boosted probe (50%).
@@ -310,6 +323,10 @@ object IndexQueries {
     "vs_index_build" -> VectorQueries.oracles("knn_flat_l2"),
     // exhaustive-probe searches stay exact through filter / save-load
     "knn_ivf_filter" -> VectorQueries.oracles("knn_search_filter"),
+    "vs_reconstruct" ->
+      """SELECT vec_id AS label,
+        |  [CAST(CAST(x AS DECIMAL(18,4)) AS DOUBLE) FOR x IN embedding] AS vec
+        |FROM embeddings WHERE vec_id < 20""".stripMargin,
     // both strategies replayed as filtered brute force; the strategy
     // column pins WHICH path each predicate must take
     "knn_filter_adaptive" -> {

@@ -287,6 +287,39 @@ class IndexCatalogSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("reconstruct: raw for flat, decoded within quantization error for SQ, codebook rows for PQ") {
+    import spark.implicits._
+    IndexCatalog.create("t_rec_flat", 2, "IDMap,Flat")
+    IndexCatalog.add(grid, "t_rec_flat")
+    val ids = Seq(0L, 17L, 255L).toDF("id")
+    val flat = IndexCatalog.reconstruct("t_rec_flat", ids).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toSeq).toMap
+    assert(flat === Map(0L -> Seq(0f, 0f), 17L -> Seq(1f, 1f), 255L -> Seq(15f, 15f)))
+    // SQ8: decode error bounded by one quantization step per dim
+    IndexCatalog.create("t_rec_sq", 2, "IDMap,SQ8")
+    IndexCatalog.add(grid, "t_rec_sq")
+    val sq = IndexCatalog.reconstruct("t_rec_sq", ids).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toSeq).toMap
+    for ((id, orig) <- flat; (a, b) <- sq(id).zip(orig))
+      assert(math.abs(a - b) <= 15f / 255f + 1e-4f, s"SQ8 decode of $id: ${sq(id)} vs $orig")
+    // fp16: near-exact (grid coords are exactly representable halves)
+    IndexCatalog.create("t_rec_fp16", 2, "IDMap,SQfp16")
+    IndexCatalog.add(grid, "t_rec_fp16")
+    val fp = IndexCatalog.reconstruct("t_rec_fp16", ids).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toSeq).toMap
+    assert(fp === flat, "small-int grid must round-trip fp16 exactly")
+    // PQ: every decoded subvector is one of its codebook centroids
+    IndexCatalog.create("t_rec_pq", 2, "IDMap,PQ2")
+    IndexCatalog.add(grid, "t_rec_pq")
+    val pq = IndexCatalog.reconstruct("t_rec_pq", ids).collect()
+    assert(pq.length === 3 && pq.forall(_.getSeq[Float](1).length == 2))
+    // pretransform wrappers refuse (projected-space codes)
+    IndexCatalog.create("t_rec_pca", 2, "IDMap,PCA2,Flat")
+    IndexCatalog.add(grid, "t_rec_pca")
+    intercept[UnsupportedOperationException](
+      IndexCatalog.reconstruct("t_rec_pca", ids).collect())
+  }
+
   test("adaptive filtered search: narrow picks the exact scan, wide picks the boosted probe, both correct") {
     IndexCatalog.create("t_adapt", 2, "IDMap,IVF8,Flat", "l2sq", Map("nprobe" -> "8"))
     IndexCatalog.add(grid, "t_adapt")
