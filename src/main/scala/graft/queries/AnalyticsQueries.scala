@@ -515,6 +515,34 @@ object AnalyticsQueries {
         .orderBy(col("n").desc, col("path"))
         .limit(10)
     },
+    // sequence pattern matching (MATCH_RECOGNIZE-lite): each user's
+    // event-time-ordered type sequence becomes a compact symbol string
+    // (one char per known type), and a regex counts non-overlapping
+    // occurrences of view -> (anything)* -> purchase-within-3 — the CEP
+    // query shape warehouses bolt onto funnels. ONE user-keyed
+    // aggregation builds the string (collect_list is order-agnostic;
+    // array_sort on (ts, event_id) structs restores event order
+    // deterministically inside the aggregate, so no window pre-sort
+    // shuffle); the regex scan runs over |users| tiny strings. The
+    // per-user string is bounded by that user's event count — the same
+    // per-key-bounded-state assumption sessionize/funnel already make.
+    "events_pattern" -> { (s, dir) =>
+      val sym = when(col("event_type") === "view", "v")
+        .when(col("event_type") === "click", "c")
+        .when(col("event_type") === "purchase", "p")
+        .otherwise("x")
+      val seqStr = array_join(
+        transform(
+          array_sort(collect_list(struct(col("ts"), col("event_id"), sym.as("s")))),
+          x => x.getField("s")), "")
+      Tables.events(s, dir)
+        .groupBy("user_id")
+        .agg(seqStr.as("seq"))
+        .select(col("user_id"), length(col("seq")).as("n_events"),
+          size(regexp_extract_all(col("seq"), lit("v[^p]{0,2}p"), lit(0)))
+            .as("n_quick_conversions"))
+        .where(col("n_quick_conversions") > 0)
+    },
     // time-series gap filling + forward fill (the dashboard/feature-
     // pipeline step between raw events and models that assume dense
     // series): hourly rollup per type, then each type's [min, max] hour
@@ -857,6 +885,21 @@ object AnalyticsQueries {
         |)
         |SELECT path, count(*) AS n FROM tri WHERE e3 IS NOT NULL
         |GROUP BY path ORDER BY n DESC, path LIMIT 10""".stripMargin,
+    // same symbol mapping, in-aggregate ordering, and non-overlapping
+    // leftmost regex count (Java regex and RE2 agree on both)
+    "events_pattern" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+        |    CASE event_type WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+        |      WHEN 'purchase' THEN 'p' ELSE 'x' END AS sym
+        |  FROM events
+        |), seqs AS (
+        |  SELECT user_id, string_agg(sym, '' ORDER BY ts, event_id) AS seq
+        |  FROM ev GROUP BY user_id
+        |)
+        |SELECT user_id, CAST(len(seq) AS INTEGER) AS n_events,
+        |  CAST(len(regexp_extract_all(seq, 'v[^p]{0,2}p')) AS INTEGER) AS n_quick_conversions
+        |FROM seqs WHERE len(regexp_extract_all(seq, 'v[^p]{0,2}p')) > 0""".stripMargin,
     // same hourly spine and ROWS-framed forward fill; hour buckets are
     // unique per type so RANGE/ROWS framing agree across engines
     "events_gap_fill" ->

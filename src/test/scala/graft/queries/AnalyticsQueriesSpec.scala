@@ -12,6 +12,25 @@ class AnalyticsQueriesSpec extends SparkSpec {
   private val dir = "/root/testdata/sf0.001"
   private def run(q: String) = graft.SparkEntry.queries(q)(spark, dir)
 
+  test("events_pattern: counts match a driver-side replay of the regex over ordered symbols") {
+    val rows = run("events_pattern").collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    assert(rows.nonEmpty)
+    val replay = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2), r.getString(3)))
+      .groupBy(_._1).view.mapValues { es =>
+        val seq = es.sortBy(e => (e._3.getTime, e._2)).map(_._4 match {
+          case "view" => 'v'; case "click" => 'c'; case "purchase" => 'p'; case _ => 'x'
+        }).mkString
+        (seq.length, "v[^p]{0,2}p".r.findAllIn(seq).length)
+      }.toMap
+    val expected = replay.filter(_._2._2 > 0)
+    assert(rows === expected,
+      s"mismatch: ${rows.toSet.diff(expected.toSet)} / ${expected.toSet.diff(rows.toSet)}")
+  }
+
   test("events_gap_fill: dense hourly spine per type, fills carry the last observed sum") {
     val rows = run("events_gap_fill").collect()
       .map(r => (r.getString(0), r.getTimestamp(1).getTime, r.getLong(2),
