@@ -338,6 +338,10 @@ class IndexCatalogSpec extends SparkSpec {
     val flipped = IndexCatalog.searchFilterAdaptive(
       "t_adapt", 4, qs, widePred, Map("adaptiveCutoff" -> "0.9")).collect()
     assert(flipped.forall(_.getString(4) == "prefilter_scan"))
+    // nothing matches -> empty result with the full schema, no error
+    val none = IndexCatalog.searchFilterAdaptive("t_adapt", 4, qs, col("label") < 0)
+    assert(none.columns.toSeq ===
+      Seq("qid", "rank", "label", "distance", "strategy") && none.count() === 0)
   }
 
   test("fp16 codec: exact on representable values, bounded error, ordered, inf/NaN edges") {
