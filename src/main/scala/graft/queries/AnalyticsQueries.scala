@@ -588,6 +588,84 @@ object AnalyticsQueries {
         .withColumn("p_trans",
           col("n_trans").cast("double") /
             sum("n_trans").over(Window.partitionBy("from_type")).cast("double"))
+    },
+    // CUBE over (year, priority): all four grouping combinations in ONE
+    // Expand + one shuffle (4x the aggregate rows, never 4 scans).
+    // grouping_id bit-parity with DuckDB GROUPING, like sales_rollup.
+    "sales_cube" -> { (s, dir) =>
+      Tables(s, dir, "orders")
+        .cube(year(col("o_orderdate")).as("o_year"), col("o_orderpriority"))
+        .agg(grouping_id().as("gid"),
+          count(lit(1)).as("n_orders"),
+          moneySum(col("o_totalprice")).as("sum_price"))
+        .select("o_year", "o_orderpriority", "gid", "n_orders", "sum_price")
+    },
+    // robust outlier detection per event type: median + MAD (the
+    // skew-immune twin of events_zscore's mean/std). Exact interpolated
+    // medians need a sort, but only WITHIN each type partition — two
+    // bounded passes over the value column (med, then MAD over |v-med|),
+    // each a per-type sort-aggregate; the per-type scalars ride back as
+    // 1-row-per-type broadcast joins (never a driver collect). The
+    // anomaly comparison runs on raw doubles: both engines compute med
+    // and MAD from identical inputs with the same interpolation formula,
+    // so the flag is deterministic; output scalars quantize for the hash.
+    "events_anomaly" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val med = ev.groupBy(col("event_type").as("t"))
+        .agg(expr("percentile(value, 0.5)").as("med"))
+      val withMed = ev.join(broadcast(med), col("event_type") === col("t")).drop("t")
+      val mad = withMed.groupBy(col("event_type").as("t"))
+        .agg(expr("percentile(abs(value - med), 0.5)").as("mad"))
+      withMed.join(broadcast(mad), col("event_type") === col("t")).drop("t")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(when(abs(col("value") - col("med")) > lit(3.0) * col("mad"), 1L)
+            .otherwise(0L)).as("n_anomalies"),
+          quant4(first("med")).as("med"),
+          quant4(first("mad")).as("mad"))
+    },
+    // last-touch revenue attribution: each purchase credits the user's
+    // most recent preceding touch event (click/view/signup), 'direct'
+    // when none precedes. ONE per-user window (same shuffle the
+    // sessionize/markov family rides) computes the carried channel; the
+    // rollup is |channels| rows with map-side combine. Cents-fixed-point
+    // revenue keeps the sum order-independent.
+    "events_attribution" -> { (s, dir) =>
+      val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.events(s, dir)
+        .withColumn("channel",
+          last(when(col("event_type").isin("click", "view", "signup"),
+            col("event_type")), ignoreNulls = true).over(byUser))
+        .where(col("event_type") === "purchase")
+        .groupBy(coalesce(col("channel"), lit("direct")).as("channel"))
+        .agg(count(lit(1)).as("n_purchases"), moneySum(col("value")).as("revenue"))
+    },
+    // small-file compaction (OPTIMIZE/bin-pack): the table-maintenance
+    // op a streaming ingest demands — micro-batch sinks leave thousands
+    // of KB-sized files whose open/footer cost dominates scans at 100 TB.
+    // A fragmented copy (64 files) is bin-packed to size-targeted files
+    // via coalesce (NO shuffle — packing is a file-boundary change, not
+    // a repartition; at scale it runs per partition-dir). Write-once like
+    // the other layout gates; the oracle runs the same aggregate on the
+    // ORIGINAL table because compaction must never change table contents.
+    "layout_compact" -> { (s, dir) =>
+      val base = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_compact_gate_${dir.hashCode.toHexString}").getAbsolutePath
+      val compacted = s"$base/compacted"
+      if (!new java.io.File(compacted, "_SUCCESS").isFile) {
+        val frag = s"$base/frag"
+        if (!new java.io.File(frag, "_SUCCESS").isFile)
+          Tables(s, dir, "lineitem").repartition(64)
+            .write.mode("overwrite").parquet(frag)
+        graft.sources.Layout.compact(s, frag, compacted,
+          targetFileBytes = 64L << 20)
+      }
+      s.read.parquet(compacted)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_quantity").cast("long")).as("total_qty"),
+          moneySum(col("l_extendedprice")).as("sum_price"))
     })
 
   def oracles: Map[String, String] = Map(
@@ -940,5 +1018,48 @@ object AnalyticsQueries {
         |SELECT from_type, to_type, n_trans,
         |  CAST(n_trans AS DOUBLE) /
         |    CAST(CAST(sum(n_trans) OVER (PARTITION BY from_type) AS BIGINT) AS DOUBLE) AS p_trans
-        |FROM c""".stripMargin)
+        |FROM c""".stripMargin,
+    "sales_cube" ->
+      s"""SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year, o_orderpriority,
+         |  CAST(GROUPING(year(o_orderdate), o_orderpriority) AS BIGINT) AS gid,
+         |  count(*) AS n_orders,
+         |  ${moneySumSql("o_totalprice")} AS sum_price
+         |FROM orders
+         |GROUP BY CUBE (year(o_orderdate), o_orderpriority)""".stripMargin,
+    "events_anomaly" ->
+      s"""WITH med AS (
+         |  SELECT event_type AS t, median(value) AS med FROM events GROUP BY 1
+         |), j AS (
+         |  SELECT e.event_type, e.value, med.med
+         |  FROM events e JOIN med ON e.event_type = med.t
+         |), mad AS (
+         |  SELECT event_type AS t, median(abs(value - med)) AS mad FROM j GROUP BY 1
+         |)
+         |SELECT j.event_type, count(*) AS n,
+         |  sum(CASE WHEN abs(j.value - j.med) > 3.0 * mad.mad THEN 1 ELSE 0 END) AS n_anomalies,
+         |  ${quant4Sql("any_value(j.med)")} AS med,
+         |  ${quant4Sql("any_value(mad.mad)")} AS mad
+         |FROM j JOIN mad ON j.event_type = mad.t
+         |GROUP BY j.event_type""".stripMargin,
+    "events_attribution" ->
+      s"""WITH ev AS (
+         |  SELECT user_id, event_id, event_type, value, CAST(ts AS TIMESTAMP) AS ts
+         |  FROM events
+         |), a AS (
+         |  SELECT event_type, value,
+         |    last_value(CASE WHEN event_type IN ('click', 'view', 'signup')
+         |               THEN event_type END IGNORE NULLS)
+         |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS channel
+         |  FROM ev
+         |)
+         |SELECT coalesce(channel, 'direct') AS channel, count(*) AS n_purchases,
+         |  ${moneySumSql("value")} AS revenue
+         |FROM a WHERE event_type = 'purchase' GROUP BY 1""".stripMargin,
+    // contents must be layout-invariant: aggregate the ORIGINAL table
+    "layout_compact" ->
+      s"""SELECT l_returnflag, count(*) AS n_items,
+         |  sum(CAST(l_quantity AS BIGINT)) AS total_qty,
+         |  ${moneySumSql("l_extendedprice")} AS sum_price
+         |FROM lineitem GROUP BY l_returnflag""".stripMargin)
 }

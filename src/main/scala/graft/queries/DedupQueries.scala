@@ -11,6 +11,10 @@ object DedupQueries {
   private def docs(s: SparkSession, dir: String) = Tables(s, dir, "documents")
   private def embs(s: SparkSession, dir: String) = Tables(s, dir, "embeddings")
 
+  /** SemDeDup cosine-distance prune threshold (matches the house
+    * near-dup radius used by dedup_embedding_ann) */
+  private val SemTau = 0.65
+
   /** candidate pairs: ids within a bounded window, so the exact-jaccard
     * oracle stays O(n x window) instead of O(n^2) */
   private def windowPairs(d: DataFrame, idCol: String, window: Int): DataFrame = {
@@ -137,6 +141,47 @@ object DedupQueries {
           greatest(col("qid"), col("label")).as("b_id"),
           Tables.quant4(col("distance")).as("cosine_dist"))
         .dropDuplicates("a_id", "b_id")
+    },
+    // SemDeDup (Abbas et al. '23): cluster the corpus by centroid
+    // assignment, then prune near-duplicate pairs ONLY within a cluster
+    // — the clustering bounds the quadratic to sum(|cluster|^2) instead
+    // of n^2, which is the whole trick (at 100 TB: k scales with the
+    // corpus so clusters stay bounded, and the self-join co-partitions
+    // on cluster_id — one shuffle each side, pairs never leave their
+    // partition). Assignment reuses the IVF argmin kernel (shuffle-free
+    // projection); survivors keep the min id, matching the house dedup
+    // convention. EXACT: assignment replays in the oracle (same double
+    // accumulation, ties to lowest cid) and the cosine threshold
+    // compares quantized values on both sides.
+    "dedup_semantic" -> { (s, dir) =>
+      import org.apache.spark.sql.GraftBridge
+      import graft.functions.{vec, VectorMath}
+      import graft.index.NearestCentroids
+      val e = embs(s, dir)
+      // bounded collect: 8 seed rows (the IVF-centroid-training shape)
+      val cents: Array[Array[Float]] = e.where(col("vec_id") < 8)
+        .orderBy("vec_id")
+        .select(vec.vector(col("embedding")))
+        .collect().map(_.getSeq[Float](0).toArray)
+      val assigned = e.select(
+        col("vec_id"),
+        vec.vector(col("embedding")).as("v"),
+        element_at(GraftBridge.column(NearestCentroids(
+          GraftBridge.expression(vec.vector(col("embedding"))),
+          cents, 1, VectorMath.L2SQ)), 1).cast("long").as("cluster_id"))
+      val a = assigned
+        .select(col("cluster_id"), col("vec_id").as("a_id"), col("v").as("va"))
+      val b = assigned.select(col("cluster_id").as("cb"),
+        col("vec_id").as("b_id"), col("v").as("vb"))
+      val pruned = a
+        .join(b, col("cluster_id") === col("cb") && col("b_id") > col("a_id"))
+        .where(Tables.quant4(vec.cosineDist(col("va"), col("vb"))) <= lit(SemTau))
+        .select(col("cluster_id"), col("b_id")).distinct()
+      assigned.groupBy("cluster_id").agg(count(lit(1)).as("n_members"))
+        .join(pruned.groupBy("cluster_id").agg(count(lit(1)).as("n_pruned")),
+          Seq("cluster_id"), "left")
+        .select(col("cluster_id"), col("n_members"),
+          coalesce(col("n_pruned"), lit(0L)).as("n_pruned"))
     },
     // MinHash-LSH: per-doc candidate-duplicate degree (custom hash family
     // -> no SQL oracle; planted dups at sf0.1 give nonzero counts)
@@ -359,5 +404,36 @@ object DedupQueries {
         |)
         |SELECT a_id, b_id, CAST(CAST(cosine_dist AS DECIMAL(18,4)) AS DOUBLE) AS cosine_dist FROM p
         |WHERE cosine_dist <= 2.0
-        |ORDER BY p.cosine_dist, a_id, b_id LIMIT 20""".stripMargin)
+        |ORDER BY p.cosine_dist, a_id, b_id LIMIT 20""".stripMargin,
+    // replays the centroid assignment (same double accumulation, ties to
+    // lowest cid) then the intra-cluster pairwise prune on quantized
+    // cosine distances — both sides threshold the SAME rounded value
+    "dedup_semantic" ->
+      s"""WITH q AS (SELECT vec_id, embedding AS a FROM embeddings),
+         |seeds AS (SELECT vec_id AS cid, embedding AS b FROM embeddings WHERE vec_id < 8),
+         |d AS (
+         |  SELECT q.vec_id, seeds.cid, ${VectorQueries.l2sqSql} AS dist
+         |  FROM q CROSS JOIN seeds
+         |),
+         |asg AS (
+         |  SELECT vec_id, cid,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+         |  FROM d
+         |),
+         |m AS (
+         |  SELECT asg.vec_id, asg.cid, e.embedding
+         |  FROM asg JOIN embeddings e USING (vec_id) WHERE rn = 1
+         |),
+         |p AS (
+         |  SELECT x.cid, y.vec_id AS b_id,
+         |    CAST(CAST(1.0 - list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+         |      CAST(y.embedding AS DOUBLE[])) AS DECIMAL(18,4)) AS DOUBLE) AS cd
+         |  FROM m x JOIN m y ON x.cid = y.cid AND y.vec_id > x.vec_id
+         |),
+         |dup AS (SELECT cid, b_id FROM p WHERE cd <= $SemTau GROUP BY cid, b_id),
+         |nm AS (SELECT cid, count(*) AS n_members FROM m GROUP BY cid),
+         |nd AS (SELECT cid, count(*) AS n_pruned FROM dup GROUP BY cid)
+         |SELECT nm.cid AS cluster_id, nm.n_members,
+         |  coalesce(nd.n_pruned, CAST(0 AS BIGINT)) AS n_pruned
+         |FROM nm LEFT JOIN nd ON nm.cid = nd.cid""".stripMargin)
 }

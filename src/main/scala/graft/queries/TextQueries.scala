@@ -10,6 +10,36 @@ import graft.text.TextFunctions._
 object TextQueries {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // collocation mining (phrase discovery): rank bigrams by LIFT =
+    // c_xy*N / (c_x*c_y) — the log-free monotone twin of PMI, so the
+    // ranking is integer-derived and ULP-proof (no libm, unlike
+    // surprisal). One explode feeds all four count tables; unigram and
+    // total tables are vocab-sized 1-hop broadcasts (the q11 scalar
+    // pattern — never a driver collect). Ordering compares QUANTIZED
+    // lift with (x, y) tiebreak, so the top-20 cut is deterministic in
+    // both engines.
+    "text_collocations" -> { (s, dir) =>
+      val d = Tables.wide(s, dir, "documents")
+      val toks = tokens(col("text"))
+      val pairs = d.select(explode(
+          when(size(toks) >= 2,
+            transform(sequence(lit(1), size(toks) - 1),
+              i => struct(element_at(toks, i).as("x"), element_at(toks, i + 1).as("y"))))
+            .otherwise(array().cast("array<struct<x:string,y:string>>"))).as("p"))
+        .select(col("p.x").as("x"), col("p.y").as("y"))
+      val cxy = pairs.groupBy("x", "y").agg(count(lit(1)).as("c_xy"))
+      val cx = pairs.groupBy("x").agg(count(lit(1)).as("c_x"))
+      val cy = pairs.groupBy("y").agg(count(lit(1)).as("c_y"))
+      val tot = pairs.agg(count(lit(1)).as("n_total"))
+      cxy.join(broadcast(cx), "x").join(broadcast(cy), "y")
+        .join(broadcast(tot))
+        .where(col("c_xy") >= 5)
+        .select(col("x"), col("y"), col("c_xy"),
+          Tables.quant4(col("c_xy").cast("double") * col("n_total").cast("double") /
+            (col("c_x").cast("double") * col("c_y").cast("double"))).as("lift"))
+        .orderBy(col("lift").desc, col("x"), col("y"))
+        .limit(20)
+    },
     "text_tokens" -> { (s, dir) =>
       val d = Tables(s, dir, "documents")
       d.select(
@@ -362,6 +392,23 @@ object TextQueries {
        |  FROM n)""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "text_collocations" ->
+      s"""WITH t AS (SELECT $toksSql AS toks FROM documents),
+         |p AS (
+         |  SELECT unnest([{'x': toks[i], 'y': toks[i+1]} FOR i IN range(1, len(toks))]) AS b
+         |  FROM t WHERE len(toks) >= 2
+         |),
+         |pp AS (SELECT b.x AS x, b.y AS y FROM p),
+         |cxy AS (SELECT x, y, count(*) AS c_xy FROM pp GROUP BY x, y),
+         |cx AS (SELECT x, count(*) AS c_x FROM pp GROUP BY x),
+         |cy AS (SELECT y, count(*) AS c_y FROM pp GROUP BY y),
+         |tot AS (SELECT count(*) AS n_total FROM pp)
+         |SELECT x, y, c_xy,
+         |  CAST(CAST(CAST(c_xy AS DOUBLE) * CAST(n_total AS DOUBLE) /
+         |    (CAST(c_x AS DOUBLE) * CAST(c_y AS DOUBLE)) AS DECIMAL(18,4)) AS DOUBLE) AS lift
+         |FROM cxy JOIN cx USING (x) JOIN cy USING (y) CROSS JOIN tot
+         |WHERE c_xy >= 5
+         |ORDER BY lift DESC, x, y LIMIT 20""".stripMargin,
     // identical hash → bucket → integer-milli weight chain; the sum of
     // longs is order-independent so the hash compares exactly
     "text_classifier" ->

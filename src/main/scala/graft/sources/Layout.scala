@@ -82,6 +82,35 @@ object Layout {
    * is the difference between re-shuffling both sides on every run of
    * a daily join and streaming co-located buckets file-against-file.
    */
+  /**
+   * Small-file compaction (OPTIMIZE bin-pack): rewrite a fragmented
+   * parquet directory into files of ~`targetFileBytes`. Streaming
+   * micro-batch sinks leave thousands of small files whose per-file
+   * open/footer/stat cost comes to dominate scan time; compaction
+   * restores the scan-friendly layout. File count is sized from the
+   * ACTUAL on-disk bytes (not a guess), and the rewrite uses coalesce —
+   * a file-boundary change, NOT a shuffle: tasks concatenate input
+   * splits, no row ever crosses the wire on a key. At 100 TB this runs
+   * per partition-directory, compacting only dirs whose small-file
+   * count crossed a threshold. Returns (filesBefore, filesAfter).
+   */
+  def compact(
+      spark: org.apache.spark.sql.SparkSession, inPath: String,
+      outPath: String, targetFileBytes: Long): (Int, Int) = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(inPath), spark.sparkContext.hadoopConfiguration)
+    val parts = fs.listStatus(new org.apache.hadoop.fs.Path(inPath))
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+    val totalBytes = parts.map(_.getLen).sum
+    val nFiles = math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
+    spark.read.parquet(inPath)
+      .coalesce(nFiles)
+      .write.mode("overwrite").parquet(outPath)
+    val after = fs.listStatus(new org.apache.hadoop.fs.Path(outPath))
+      .count(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+    (parts.length, after)
+  }
+
   def writeBucketed(df: DataFrame, key: String, table: String, numBuckets: Int): Unit = {
     val spark = df.sparkSession
     // a previous JVM can leave the managed location behind while the

@@ -166,4 +166,35 @@ class DedupSpec extends SparkSpec {
       .collect()
     assert(res.map(r => (r.getLong(0), r.getLong(1))).toSet === Set((0L, 1L)))
   }
+
+  test("dedup_semantic matches a driver-side SemDeDup replay (assignment + intra-cluster prune)") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = graft.SparkEntry.queries("dedup_semantic")(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val embs = spark.read.parquet(s"$dir/embeddings.parquet").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray.map(_.toDouble)))
+      .sortBy(_._1)
+    val cents = embs.filter(_._1 < 8).map(_._2)
+    def l2sq(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    def cosDist(a: Array[Double], b: Array[Double]) = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      1.0 - dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val assigned = embs.map { case (id, v) =>
+      (id, v, cents.zipWithIndex.minBy { case (c, i) => (l2sq(v, c), i) }._2.toLong)
+    }
+    val expected = assigned.groupBy(_._3).map { case (cid, members) =>
+      val pruned = members.count { case (id, v, _) =>
+        members.exists { case (id2, v2, _) =>
+          id2 < id && BigDecimal(cosDist(v2, v)).setScale(4,
+            BigDecimal.RoundingMode.HALF_UP).toDouble <= 0.65
+        }
+      }
+      cid -> (members.length.toLong, pruned.toLong)
+    }
+    assert(rows === expected)
+    // every vector lands in exactly one cluster
+    assert(rows.values.map(_._1).sum === embs.length.toLong)
+  }
 }

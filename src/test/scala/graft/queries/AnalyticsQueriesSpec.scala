@@ -409,6 +409,78 @@ class AnalyticsQueriesSpec extends SparkSpec {
     assert(wau === expect)
   }
 
+  test("events_anomaly matches a driver-side median/MAD replay") {
+    val rows = run("events_anomaly").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rows.nonEmpty)
+    def med(xs: Array[Double]): Double = {
+      val s = xs.sorted; val n = s.length
+      // interpolated percentile at p=0.5: pos = 0.5*(n-1)
+      val pos = 0.5 * (n - 1); val lo = pos.toInt
+      if (lo == pos) s(lo) else s(lo) + (s(lo + 1) - s(lo)) * (pos - lo)
+    }
+    val expected = Tables.events(spark, dir)
+      .select("event_type", "value").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+      .groupBy(_._1).map { case (t, vs) =>
+        val x = vs.map(_._2)
+        val m = med(x)
+        val mad = med(x.map(v => math.abs(v - m)))
+        t -> (x.length.toLong, x.count(v => math.abs(v - m) > 3.0 * mad).toLong)
+      }
+    assert(rows === expected)
+    // anomalies must be a strict minority under a 3-MAD fence
+    rows.foreach { case (t, (n, a)) => assert(a < n / 4, s"$t: $a of $n flagged") }
+  }
+
+  test("events_attribution matches a driver-side last-touch replay; revenue conserved") {
+    val rows = run("events_attribution").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(rows.nonEmpty)
+    val ev = Tables.events(spark, dir)
+      .select("user_id", "event_id", "ts", "event_type", "value").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2).getTime,
+        r.getString(3), r.getDouble(4)))
+    val touch = Set("click", "view", "signup")
+    val credited = ev.groupBy(_._1).toSeq.flatMap { case (_, es) =>
+      val sorted = es.sortBy(e => (e._3, e._2))
+      var last: String = null
+      sorted.flatMap { e =>
+        val out = if (e._4 == "purchase")
+          Some((if (last == null) "direct" else last) -> e._5) else None
+        if (touch(e._4)) last = e._4
+        out
+      }
+    }
+    val expected = credited.groupBy(_._1).map { case (ch, vs) =>
+      ch -> (vs.length.toLong,
+        vs.map(v => math.round(v._2 * 100)).sum.toDouble / 100.0)
+    }
+    assert(rows === expected)
+    // attribution never invents or loses revenue
+    val totalPurchases = ev.count(_._4 == "purchase").toLong
+    assert(rows.values.map(_._1).sum === totalPurchases)
+  }
+
+  test("sales_cube: all four grouping combinations, consistent totals") {
+    val rows = run("sales_cube").collect()
+      .map(r => (if (r.isNullAt(0)) None else Some(r.getInt(0)),
+        Option(r.getString(1)), r.getLong(2), r.getLong(3)))
+    val gids = rows.map(_._3).toSet
+    assert(gids === Set(0L, 1L, 2L, 3L))
+    val total = Tables(spark, dir, "orders").count()
+    // grand total row counts everything; each slice partitions the corpus
+    assert(rows.filter(_._3 == 3L).map(_._4).sum === total)
+    assert(rows.filter(_._3 == 0L).map(_._4).sum === total)
+    assert(rows.filter(_._3 == 1L).map(_._4).sum === total) // year subtotals
+    assert(rows.filter(_._3 == 2L).map(_._4).sum === total) // priority subtotals
+    // gid bit semantics: bit set <=> that dimension is rolled up (NULL)
+    rows.foreach { case (y, p, gid, _) =>
+      assert(((gid & 2L) != 0) === y.isEmpty, s"gid=$gid year=$y")
+      assert(((gid & 1L) != 0) === p.isEmpty, s"gid=$gid prio=$p")
+    }
+  }
+
   test("knn_radius: hits are exactly the pairs within the radius") {
     val hits = run("knn_radius").collect()
     assert(hits.forall(_.getDouble(2) < VectorQueries.RADIUS))

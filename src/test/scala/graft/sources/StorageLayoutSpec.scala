@@ -123,6 +123,28 @@ class StorageLayoutSpec extends SparkSpec {
     assert(sel(zOut) === sel(linOut))
   }
 
+  test("compaction bin-packs small files without changing contents, and never shuffles") {
+    val base = Files.createTempDirectory("graft_compact").toString
+    val frag = s"$base/frag"; val out = s"$base/out"
+    val src = spark.read.parquet(s"$dir/lineitem.parquet")
+    src.repartition(32).write.mode("overwrite").parquet(frag)
+    val (before, after) = Layout.compact(spark, frag, out, targetFileBytes = 256L << 20)
+    assert(before === 32)
+    assert(after < before, s"expected fewer files, got $after")
+    // contents are invariant: same rows, same per-key aggregates
+    val a = spark.read.parquet(out)
+    assert(a.count() === src.count())
+    def agg(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("l_returnflag")
+        .agg(sum(col("l_quantity").cast("long")).as("q"), count(lit(1)).as("n"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(agg(a) === agg(src))
+    // the rewrite is a file-boundary change: no exchange in its plan
+    val plan = spark.read.parquet(frag).coalesce(1)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(1000))
+  }
+
   test("value-partitioned sink prunes partitions at the scan") {
     val out = Files.createTempDirectory("graft_part_events").toString
     val e = graft.queries.Tables.events(spark, dir)

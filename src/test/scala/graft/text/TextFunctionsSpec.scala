@@ -168,6 +168,27 @@ class TextFunctionsSpec extends SparkSpec {
     assert(sim(s(1L), s(2L)) > 0.5)
     assert(sim(s(1L), s(3L)) < 0.3)
   }
+
+  test("text_collocations matches a driver-side lift replay of the top-20") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = graft.SparkEntry.queries("text_collocations")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.length === 20)
+    val toks = spark.read.parquet(s"$dir/documents.parquet")
+      .select("text").collect()
+      .map(_.getString(0).trim.toLowerCase.split("\\s+").toSeq)
+    val bigrams = toks.filter(_.length >= 2).flatMap(t => t.zip(t.tail))
+    val n = bigrams.length.toLong
+    val cxy = bigrams.groupBy(identity).view.mapValues(_.length.toLong)
+    val cx = bigrams.groupBy(_._1).view.mapValues(_.length.toLong)
+    val cy = bigrams.groupBy(_._2).view.mapValues(_.length.toLong)
+    val expected = cxy.toSeq.collect { case ((x, y), c) if c >= 5 =>
+      val lift = BigDecimal(c.toDouble * n.toDouble / (cx(x).toDouble * cy(y).toDouble))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (x, y, c, lift)
+    }.sortBy { case (x, y, _, lift) => (-lift, x, y) }.take(20)
+    assert(rows.toSeq === expected)
+  }
 }
 
 /** helper kept outside the anonymous closures (Spark serializability) */
