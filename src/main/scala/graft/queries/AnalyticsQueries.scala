@@ -33,7 +33,7 @@ object AnalyticsQueries {
     // change what a scan skips, never what a filter selects.
     "layout_zorder" -> { (s, dir) =>
       val path = new java.io.File(System.getProperty("java.io.tmpdir"),
-        s"graft_zorder_gate_${dir.hashCode.toHexString}").getAbsolutePath
+        s"graft_zorder_gate_${Tables.fingerprint(dir, "lineitem")}").getAbsolutePath
       // write-once per dataset (parquet _SUCCESS marker): like the
       // bucketed layout, clustering is paid at write time and every
       // later query reads the clustered files — the steady-state shape
@@ -60,7 +60,7 @@ object AnalyticsQueries {
     // bucketed path is exercised even where stats would broadcast.
     // Results are layout-independent -> exact oracle on the originals.
     "layout_bucketed" -> { (s, dir) =>
-      val suffix = dir.hashCode.toHexString
+      val suffix = Tables.fingerprint(dir, "orders", "lineitem")
       val (ot, lt) = (s"graft_bkt_orders_$suffix", s"graft_bkt_lineitem_$suffix")
       if (!s.catalog.tableExists(ot)) {
         graft.sources.Layout.writeBucketed(
@@ -651,7 +651,7 @@ object AnalyticsQueries {
     // ORIGINAL table because compaction must never change table contents.
     "layout_compact" -> { (s, dir) =>
       val base = new java.io.File(System.getProperty("java.io.tmpdir"),
-        s"graft_compact_gate_${dir.hashCode.toHexString}").getAbsolutePath
+        s"graft_compact_gate_${Tables.fingerprint(dir, "lineitem")}").getAbsolutePath
       val compacted = s"$base/compacted"
       if (!new java.io.File(compacted, "_SUCCESS").isFile) {
         val frag = s"$base/frag"
@@ -674,7 +674,7 @@ object AnalyticsQueries {
     "layout_zorder" ->
       s"""SELECT ${moneySumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue,
          |  count(*) AS n_items,
-         |  sum(CAST(l_quantity AS BIGINT)) AS total_qty
+         |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
          |FROM lineitem
          |WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
          |  AND l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
@@ -882,8 +882,8 @@ object AnalyticsQueries {
          |WHERE part_value > total_value * 0.001""".stripMargin,
     "q12_late_priority" ->
       """SELECT l_linestatus,
-        |  sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
-        |  sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS low_line_count
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
         |GROUP BY l_linestatus""".stripMargin,
@@ -1036,7 +1036,7 @@ object AnalyticsQueries {
          |  SELECT event_type AS t, median(abs(value - med)) AS mad FROM j GROUP BY 1
          |)
          |SELECT j.event_type, count(*) AS n,
-         |  sum(CASE WHEN abs(j.value - j.med) > 3.0 * mad.mad THEN 1 ELSE 0 END) AS n_anomalies,
+         |  CAST(sum(CASE WHEN abs(j.value - j.med) > 3.0 * mad.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies,
          |  ${quant4Sql("any_value(j.med)")} AS med,
          |  ${quant4Sql("any_value(mad.mad)")} AS mad
          |FROM j JOIN mad ON j.event_type = mad.t
@@ -1059,7 +1059,7 @@ object AnalyticsQueries {
     // contents must be layout-invariant: aggregate the ORIGINAL table
     "layout_compact" ->
       s"""SELECT l_returnflag, count(*) AS n_items,
-         |  sum(CAST(l_quantity AS BIGINT)) AS total_qty,
+         |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty,
          |  ${moneySumSql("l_extendedprice")} AS sum_price
          |FROM lineitem GROUP BY l_returnflag""".stripMargin)
 }

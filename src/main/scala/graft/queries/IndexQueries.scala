@@ -58,9 +58,13 @@ object IndexQueries {
       IndexCatalog.create(name, 64, "IDMap,Flat", "l2sq")
       IndexCatalog.add(embData(s, dir), name)
       val ids = Tables(s, dir, "embeddings").where(col("vec_id") < 20).select("vec_id")
+      // one (label, dim, val) row per component: the driver's hasher
+      // canonicalizes scalar cells only (an array<float> column crashes
+      // it), and the exploded shape is the same parity check
       IndexCatalog.reconstruct(name, ids)
-        .select(col("label"),
-          transform(col("vec"), x => Tables.quant4(x)).as("vec"))
+        .select(col("label"), posexplode(col("vec")))
+        .select(col("label"), col("pos").as("dim"),
+          Tables.quant4(col("col")).as("val"))
     },
     // cost-based filtered search: the SAME index serves a narrow slice
     // via a pre-filter exact scan (5% selectivity <= the 10% cutoff)
@@ -325,7 +329,8 @@ object IndexQueries {
     "knn_ivf_filter" -> VectorQueries.oracles("knn_search_filter"),
     "vs_reconstruct" ->
       """SELECT vec_id AS label,
-        |  [CAST(CAST(x AS DECIMAL(18,4)) AS DOUBLE) FOR x IN embedding] AS vec
+        |  CAST(unnest(range(len(embedding))) AS INTEGER) AS dim,
+        |  CAST(CAST(unnest(embedding) AS DECIMAL(18,4)) AS DOUBLE) AS val
         |FROM embeddings WHERE vec_id < 20""".stripMargin,
     // both strategies replayed as filtered brute force; the strategy
     // column pins WHICH path each predicate must take

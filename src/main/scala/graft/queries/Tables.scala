@@ -24,16 +24,45 @@ object Tables {
     graft.search.Knn.widen(apply(spark, dir, name))
 
   /**
-   * events.parquet stores TIMESTAMP(NANOS), which Spark's parquet reader
-   * rejects; read nanos as long and truncate to micros (exactly what
-   * DuckDB's CAST(ts_ns AS TIMESTAMP) does, keeping the oracle aligned).
+   * events.parquet has shipped with two physical `ts` encodings across
+   * testdata generations: TIMESTAMP(NANOS) (which Spark's parquet reader
+   * rejects — read nanos as long, truncate to micros) and plain
+   * timestamp[us] (read natively, arrives as TIMESTAMP_NTZ). Branch on
+   * the loaded schema so either generation works; both paths emit a
+   * session-local TimestampType, and with the UTC session timezone the
+   * NTZ→LTZ cast is value-identity — exactly what the DuckDB oracles'
+   * naive CAST(ts AS TIMESTAMP) sees.
    */
   def events(spark: SparkSession, dir: String): DataFrame =
-    cache.getOrElseUpdate((spark, s"$dir/events.parquet@nanos"), {
+    cache.getOrElseUpdate((spark, s"$dir/events.parquet@events"), {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/events.parquet")
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val raw = spark.read.parquet(s"$dir/events.parquet")
+      raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        case _ =>
+          raw.withColumn("ts", col("ts").cast("timestamp"))
+      }
     })
+
+  /**
+   * Content fingerprint of one or more input tables: name + byte length +
+   * mtime of every file under each `$dir/$name.parquet`, hashed. Keys the
+   * write-once derived layouts (z-order / compacted / bucketed copies) so
+   * a REGENERATED input at the same path gets a fresh layout instead of a
+   * stale cached one — `dir.hashCode` alone survived testdata rewrites.
+   */
+  def fingerprint(dir: String, names: String*): String = {
+    val sig = names.sorted.map { n =>
+      val root = new java.io.File(s"$dir/$n.parquet")
+      val parts =
+        if (root.isDirectory) root.listFiles().sortBy(_.getName) else Array(root)
+      parts.map(p => s"${p.getName}:${p.length}:${p.lastModified}")
+        .mkString(n + "[", ";", "]")
+    }.mkString(dir + "|", "|", "")
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(sig.getBytes("UTF-8")).take(8).map(b => f"$b%02x").mkString
+  }
 
   /**
    * Money amounts are doubles with float noise; summing them directly is

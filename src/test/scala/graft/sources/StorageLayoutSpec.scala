@@ -157,4 +157,25 @@ class StorageLayoutSpec extends SparkSpec {
     assert(clicks.count() ===
       e.where(col("event_type") === "click").count())
   }
+
+  test("layout-gate fingerprint: regenerated input gets a fresh layout key") {
+    import graft.queries.Tables
+    val d = Files.createTempDirectory("graft_fp").toString
+    val t = new java.io.File(s"$d/lineitem.parquet")
+    Files.write(t.toPath, Array[Byte](1, 2, 3))
+    val fp1 = Tables.fingerprint(d, "lineitem")
+    assert(fp1 === Tables.fingerprint(d, "lineitem"), "fingerprint must be stable")
+    // regenerate: same path, different bytes/mtime -> different key, so a
+    // write-once gate dir keyed on it can never serve the stale layout
+    Files.write(t.toPath, Array[Byte](1, 2, 3, 4))
+    t.setLastModified(t.lastModified() + 2000)
+    val fp2 = Tables.fingerprint(d, "lineitem")
+    assert(fp1 !== fp2, "regenerated input must change the layout key")
+    // multi-table keys react to any member changing
+    val o = new java.io.File(s"$d/orders.parquet")
+    Files.write(o.toPath, Array[Byte](9))
+    val both1 = Tables.fingerprint(d, "orders", "lineitem")
+    o.setLastModified(o.lastModified() + 2000)
+    assert(both1 !== Tables.fingerprint(d, "orders", "lineitem"))
+  }
 }
