@@ -247,6 +247,9 @@ object IndexQueries {
   /** nprobe values swept by vs_recall_eval (16 = exhaustive = exact) */
   private[queries] val RecallNprobes = Seq(1, 2, 4, 8, 16)
 
+  /** re-rank candidate multipliers swept by vs_refine_eval */
+  private[queries] val RefineFactors = Seq(1, 2, 4, 8)
+
   def scaleQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // FAISS-style index diagnostics: ntotal / nlist / imbalance factor
     // of the built IVF assignment (InvertedLists::imbalance_factor) —
@@ -292,6 +295,36 @@ object IndexQueries {
         .agg((sum(coalesce(col("hit"), lit(0L))).cast("double") /
           count(lit(1)).cast("double")).as("recall_at_5"))
         .orderBy("nprobe")
+    },
+    // the OTHER recall knob, for the coded (PQ) path: refine = how many
+    // code-distance candidates per result slot get the exact re-rank.
+    // vs_recall_eval's shape sweeping refine at exhaustive probing, so
+    // the measured loss is pure quantization (not probing): the sweep a
+    // deployment runs to size the re-rank budget of knn_ivfpq_big's
+    // plan — recall rises with refine while the re-rank stays k*refine
+    // rows per query, the memory-bounded tradeoff at 100 TB.
+    // Deterministic (seeded PQ training) but code distances are custom
+    // -> rows-only; monotonicity is spec-asserted.
+    "vs_refine_eval" -> { (s, dir) =>
+      import s.implicits._
+      val name = fresh("q_refine_eval")
+      IndexCatalog.create(name, 64, "IDMap,IVF16,PQ8", "l2sq",
+        Map("nprobe" -> "16"))
+      IndexCatalog.add(embData(s, dir), name)
+      val qs = embQueries(s, dir)
+      val truth = graft.search.Knn.searchFlat(embData(s, dir), qs, 5, "l2sq")
+        .select(col("qid"), col("label"))
+        .crossJoin(broadcast(RefineFactors.toDF("refine")))
+      val tagged = RefineFactors.map { rf =>
+        IndexCatalog.search(name, 5, qs, Map("refine" -> rf.toString))
+          .select(lit(rf).as("refine"), col("qid"), col("label"), lit(1L).as("hit"))
+      }.reduce(_ unionByName _)
+      truth
+        .join(tagged, Seq("refine", "qid", "label"), "left")
+        .groupBy("refine")
+        .agg((sum(coalesce(col("hit"), lit(0L))).cast("double") /
+          count(lit(1)).cast("double")).as("recall_at_5"))
+        .orderBy("refine")
     },
     // exact scan over the replicated corpus: the baseline cost
     // (partition-local-heap path; equality with the declarative path is

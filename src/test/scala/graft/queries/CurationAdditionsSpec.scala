@@ -117,6 +117,19 @@ class CurationAdditionsSpec extends SparkSpec {
     assert(rows.last._2 === 1.0, "nprobe = nlist probes every list -> exact")
   }
 
+  test("vs_refine_eval: recall non-decreasing in refine at exhaustive probing") {
+    val rows = run("vs_refine_eval").collect()
+      .map(r => (r.getInt(0), r.getDouble(1))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq === IndexQueries.RefineFactors)
+    rows.foreach { case (_, rec) => assert(rec >= 0.0 && rec <= 1.0) }
+    // nested candidate sets under a consistent (dist, label) order mean a
+    // bigger re-rank budget can only displace a true top-5 member with
+    // another true top-5 member — recall is monotone in refine
+    assert(rows.map(_._2).toSeq === rows.map(_._2).sorted.toSeq, "recall must not drop as refine grows")
+    assert(rows.last._2 > rows.head._2 || rows.head._2 === 1.0,
+      "the sweep must show the knob doing something (or already be exact at refine=1)")
+  }
+
   test("dedup_chunks: one survivor per distinct chunk text, canonical = min (doc_id, chunk_idx)") {
     val survivors = run("dedup_chunks").collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
