@@ -344,6 +344,86 @@ object Streaming {
       }
   }
 
+  case class AttrEv(
+      user_id: Long, event_id: Long, event_type: String, value: Double,
+      ts: Timestamp)
+  case class AttrOut(
+      user_id: Long, event_id: Long, channel: String, value: Double)
+  /** carried last-finalized touch ("" = none yet) + pending event buffer */
+  case class AttrBuf(
+      carry: String, ts: Seq[Long], ids: Seq[Long], types: Seq[String],
+      values: Seq[Double])
+
+  /**
+   * Streaming twin of the batch events_attribution: each purchase
+   * credits the user's most recent PRECEDING touch (click/view/signup),
+   * 'direct' when none precedes — emitted incrementally. A purchase is
+   * final only once the watermark STRICTLY passes its ts: any
+   * still-admissible late event has ts >= watermark and could otherwise
+   * order between the last seen touch and the purchase (at purchase.ts
+   * it could even tie-break ahead by event_id), flipping its channel.
+   * Finalized events fold into ONE carried touch type (the latest —
+   * older touches can never be "most recent preceding" for any later
+   * purchase), so state is that scalar plus the sub-watermark buffer:
+   * bounded by the horizon, independent of stream length. The
+   * event-time timeout flushes pending purchases when the user goes
+   * idle. Downstream a plain streaming groupBy over channel turns the
+   * append stream into the batch query's revenue rollup; batch/stream
+   * parity is spec-asserted on identical out-of-order inputs.
+   */
+  def attributionFMGWS(
+      events: Dataset[AttrEv], watermark: String = "2 hours",
+      idleCloseMs: Long = 3600 * 1000L): Dataset[AttrOut] = {
+    import events.sparkSession.implicits._
+    val touches = Set("click", "view", "signup")
+    events
+      .filter(e => e.ts != null && e.event_type != null)
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[AttrBuf, AttrOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, rows: Iterator[AttrEv], state: GroupState[AttrBuf]) =>
+          val prior = state.getOption
+          val carried = prior.map(_.carry).getOrElse("")
+          val pending = prior
+            .map(b => b.ts.indices.map(i => (b.ts(i), b.ids(i), b.types(i), b.values(i))))
+            .getOrElse(Seq.empty)
+          val all = (pending ++
+            rows.map(e => (e.ts.getTime, e.event_id, e.event_type, e.value)))
+            .sortBy(t => (t._1, t._2)).toVector
+          // replay events up to `until` against the carry: purchases emit
+          // with the channel carried at that point, touches advance it
+          def replay(evs: Seq[(Long, Long, String, Double)], carry0: String) = {
+            var carry = carry0
+            val out = Vector.newBuilder[AttrOut]
+            evs.foreach { case (_, id, tpe, v) =>
+              if (touches(tpe)) carry = tpe
+              else if (tpe == "purchase")
+                out += AttrOut(user, id, if (carry.isEmpty) "direct" else carry, v)
+            }
+            (out.result(), carry)
+          }
+          if (state.hasTimedOut) {
+            // idle close: everything buffered is final
+            state.remove()
+            replay(all, carried)._1.iterator
+          } else if (all.isEmpty) {
+            // nothing buffered or new; keep any carried touch — it is
+            // still the channel of the user's next purchase
+            Iterator.empty
+          } else {
+            val wm = state.getCurrentWatermarkMs()
+            val (fin, rest) = all.partition(_._1 < wm)
+            val (emit, carry) = replay(fin, carried)
+            state.update(AttrBuf(carry, rest.map(_._1), rest.map(_._2),
+              rest.map(_._3), rest.map(_._4)))
+            state.setTimeoutTimestamp(math.max(
+              (if (rest.nonEmpty) rest.last._1 else wm) + idleCloseMs, wm + 1))
+            emit.iterator
+          }
+      }
+  }
+
   /**
    * Custom sessionization via flatMapGroupsWithState (the escape hatch
    * for state logic session_window can't express — e.g. emitting

@@ -262,6 +262,55 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming attribution matches the batch last-touch window on the same events") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[Streaming.AttrEv]
+    val q = Streaming.attributionFMGWS(mem.toDS(), idleCloseMs = 3600 * 1000L)
+      .writeStream.format("memory").queryName("s_attr").outputMode("append").start()
+    try {
+      // user 1 delivered OUT OF ORDER within the watermark: the purchase
+      // arrives before the click that must end up crediting it; user 2
+      // purchases with no preceding touch (direct) then again after a
+      // view; user 3 only touches (no output rows)
+      val evs = Seq(
+        Streaming.AttrEv(1L, 3L, "purchase", 30.0, ts(1, 30)),
+        Streaming.AttrEv(1L, 1L, "view", 0.0, ts(1, 0)),
+        Streaming.AttrEv(1L, 2L, "click", 0.0, ts(1, 10)),
+        Streaming.AttrEv(2L, 4L, "purchase", 10.0, ts(1, 0)),
+        Streaming.AttrEv(2L, 5L, "view", 0.0, ts(1, 5)),
+        Streaming.AttrEv(2L, 6L, "purchase", 20.0, ts(1, 20)),
+        Streaming.AttrEv(3L, 7L, "signup", 0.0, ts(1, 0)))
+      mem.addData(evs: _*)
+      q.processAllAvailable()
+      // advance the watermark past everything, then trigger idle close
+      mem.addData(Streaming.AttrEv(99L, 9L, "view", 0.0, ts(9, 0)))
+      q.processAllAvailable()
+      mem.addData(Streaming.AttrEv(98L, 10L, "view", 0.0, ts(20, 0)))
+      q.processAllAvailable()
+      val got = spark.table("s_attr").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+        .filter(_._1 <= 3L).toSet
+      // batch twin: events_attribution's carried-touch window
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      val fn = org.apache.spark.sql.functions
+      val want = evs.map(e => (e.user_id, e.event_id, e.event_type, e.value, e.ts))
+        .toDF("user_id", "event_id", "event_type", "value", "ts")
+        .withColumn("channel", fn.last(
+          fn.when(fn.col("event_type").isin("click", "view", "signup"),
+            fn.col("event_type")), ignoreNulls = true).over(w))
+        .where(fn.col("event_type") === "purchase")
+        .select(fn.col("user_id"), fn.col("event_id"),
+          fn.coalesce(fn.col("channel"), fn.lit("direct")).as("channel"),
+          fn.col("value"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+        .toSet
+      assert(got === want, s"stream $got vs batch $want")
+    } finally q.stop()
+  }
+
   test("streaming funnel matches the batch funnel semantics on the same events") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
