@@ -302,6 +302,45 @@ case class BloomHitCount(child: Expression, bloomBytes: Array[Byte])
 }
 
 /**
+ * Exact membership-hit count against a closure-shipped SORTED long
+ * array: for each element of an array<bigint> input, one binary search —
+ * the exact-verify complement of [[BloomHitCount]] when the reference
+ * set is small enough to ship whole (an eval/benchmark suite's distinct
+ * shingle hashes). Counts occurrences, not distinct hits, mirroring the
+ * explode+join+count shape of the batch contamination screen. Stateless,
+ * so it is safe in any streaming projection.
+ */
+case class SortedSetHitCount(child: Expression, sortedSet: Array[Long])
+    extends UnaryExpression
+    with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "sorted_set_hit_count"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"sorted_set_hit_count needs array<bigint>, got ${t.catalogString}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    var hits = 0L
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      if (!arr.isNullAt(i) &&
+        java.util.Arrays.binarySearch(sortedSet, arr.getLong(i)) >= 0) hits += 1L
+      i += 1
+    }
+    hits
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/**
  * md5-prefix shingle hashes: for each k-token window of an
  * array<string>, hash the space-joined shingle with MD5 and keep the
  * first 15 hex digits as a positive BIGINT. Unlike the splitmix hash
@@ -427,6 +466,8 @@ object hashes {
     bloom.writeTo(bos)
     col(BloomHitCount(ex(hashArray), bos.toByteArray))
   }
+  def sortedSetHitCount(hashArray: Column, sortedSet: Array[Long]): Column =
+    col(SortedSetHitCount(ex(hashArray), sortedSet))
   def simhash(tokens: Column, seed: Long = 42L): Column =
     col(SimHash64(ex(tokens), seed))
   def fingerprint64(text: Column): Column =

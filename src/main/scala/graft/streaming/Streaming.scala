@@ -212,6 +212,43 @@ object Streaming {
         avg(col("quality")).as("mean_quality"))
   }
 
+  /**
+   * At-ingest benchmark-decontamination screen: the streaming twin of
+   * the batch contamination query. The eval/benchmark side is static
+   * and small by contract, so its distinct shingle hashes collect ONCE
+   * driver-side (loud cap, no silent OOM) and ride the task closure as
+   * a sorted array; each streaming document then scores via one
+   * STATELESS projection — shingle hashes → binary-search hit count
+   * (`SortedSetHitCount`, occurrence semantics identical to the batch
+   * explode+join+count) — so there is no state store, no watermark
+   * coupling, and nothing to shuffle: the screen scales with the
+   * document stream alone. n_overlap matches the batch query row for
+   * row (spec-asserted); `keep` gates the clean docs through.
+   */
+  def contaminationScreen(
+      docs: DataFrame, // streaming (idCol, textCol, ...)
+      evalDocs: DataFrame, // static eval/benchmark corpus (textCol)
+      idCol: String = "doc_id", textCol: String = "text",
+      shingleSize: Int = 3): DataFrame = {
+    import graft.text.TextFunctions
+    def hashed(c: org.apache.spark.sql.Column) =
+      transform(TextFunctions.shingles(TextFunctions.tokens(c), shingleSize),
+        s => xxhash64(s))
+    val maxEval = 4 << 20
+    val evalRows = evalDocs
+      .select(explode(hashed(col(textCol))).as("s")).distinct()
+      .limit(maxEval + 1).collect()
+    if (evalRows.length > maxEval)
+      throw new IllegalStateException(
+        s"eval set exceeds $maxEval distinct shingles; screen against a " +
+          "corpus that size with the batch contamination join instead")
+    val sorted = evalRows.map(_.getLong(0)).sorted
+    docs.select(col(idCol), col(textCol),
+        graft.functions.hashes.sortedSetHitCount(hashed(col(textCol)), sorted)
+          .as("n_overlap"))
+      .withColumn("keep", col("n_overlap") === 0L)
+  }
+
   case class TypedEv(user_id: Long, event_type: String, ts: Timestamp)
   private val Unset = Long.MinValue // sentinel no real epoch-millis can hit (0 would shadow epoch-0 events)
   case class FunnelState(t1: Long, t2: Long, t3: Long, last: Long) // first view/click/purchase mins + max seen ts

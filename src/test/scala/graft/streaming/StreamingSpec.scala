@@ -262,6 +262,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming contamination screen matches the batch join doc for doc") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val evalPred = col("doc_id") < 20L
+    val train = docs.where(!evalPred).limit(150)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    // batch truth on exactly the streamed train docs
+    val trainDf = train.toSeq.toDF("doc_id", "text")
+    val want = graft.text.Pipeline.contamination(
+        trainDf.unionByName(docs.where(evalPred)), "doc_id", "text", evalPred, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val mem = MemoryStream[(Long, String)]
+    val q = Streaming.contaminationScreen(
+        mem.toDF.toDF("doc_id", "text"), docs.where(evalPred))
+      .writeStream.format("memory").queryName("s_contam").outputMode("append").start()
+    try {
+      val (a, b) = train.splitAt(train.length / 2)
+      mem.addData(a: _*); q.processAllAvailable()
+      mem.addData(b: _*); q.processAllAvailable()
+      val got = spark.table("s_contam").collect()
+        .map(r => (r.getLong(0), r.getLong(2), r.getBoolean(3)))
+      assert(got.length === train.length, "stateless screen emits one row per doc")
+      got.foreach { case (id, n, keep) =>
+        assert(n === want(id), s"doc $id: stream $n vs batch ${want(id)}")
+        assert(keep === (n === 0L))
+      }
+      assert(got.exists(_._2 > 0L), "sample must contain contaminated docs")
+      assert(got.exists(_._3), "sample must contain clean docs")
+    } finally q.stop()
+  }
+
   test("streaming attribution matches the batch last-touch window on the same events") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
