@@ -206,6 +206,41 @@ object IndexCatalog {
 
   def destroyAll(): Unit = entries.keySet().asScala.toSeq.foreach(destroy)
 
+  /**
+   * FAISS `IndexIDMap::remove_ids` analog: drop the given labels from
+   * the index, returning how many vectors were removed (the reference's
+   * extension does not register a remove, but a 100 TB production
+   * corpus needs deletes — GDPR erasure, retracted documents — without
+   * a full rebuild). IDMap-only, mirroring FAISS semantics: without an
+   * IDMap, FAISS renumbers the survivors sequentially, which would
+   * silently re-address every stored vector here. The removal is ONE
+   * anti-join folded into the pending plan (AQE broadcasts a small id
+   * side); trained state (centroids/codebooks) survives exactly as in
+   * FAISS, only the built row layout rebuilds lazily on next search.
+   */
+  def remove(name: String, ids: DataFrame): Long = {
+    val e = entry(name)
+    e.synchronized {
+      if (e.destroyed) throw new NoSuchElementException(s"no index named '$name'")
+      if (!e.idMap)
+        throw new UnsupportedOperationException(
+          s"remove requires an IDMap index ('${e.meta.factory}' would renumber " +
+            "survivors, FAISS remove_ids semantics); create with 'IDMap,...'")
+      val idSet = ids.select(col(ids.columns.head).cast("long").as("label")).distinct()
+      e.pending match {
+        case None => 0L
+        case Some(p) =>
+          val nRemoved = p.join(idSet, Seq("label"), "left_semi").count()
+          if (nRemoved > 0L) {
+            e.pending = Some(p.join(idSet, Seq("label"), "left_anti"))
+            e.built.foreach(_.close())
+            e.built = None
+          }
+          nRemoved
+      }
+    }
+  }
+
   def exists(name: String): Boolean = entries.containsKey(name)
 
   /** catalog introspection: metadata of every registered index */

@@ -66,6 +66,19 @@ object IndexQueries {
         .select(col("label"), col("pos").as("dim"),
           Tables.quant4(col("col")).as("val"))
     },
+    // FAISS remove_ids analog: deletes fold into the plan as one
+    // anti-join, trained state survives, and the flat search over the
+    // survivors stays exact — oracle = brute force over the non-removed
+    // corpus. The delete path a 100 TB corpus needs (GDPR erasure)
+    // without a rebuild.
+    "vs_index_remove" -> { (s, dir) =>
+      val name = fresh("q_remove")
+      IndexCatalog.create(name, 64, "IDMap,Flat", "l2sq")
+      IndexCatalog.add(embData(s, dir), name)
+      IndexCatalog.remove(name,
+        Tables(s, dir, "embeddings").where(col("vec_id") % 7 === 0).select("vec_id"))
+      quantized(IndexCatalog.search(name, 5, embQueries(s, dir)))
+    },
     // cost-based filtered search: the SAME index serves a narrow slice
     // via a pre-filter exact scan (5% selectivity <= the 10% cutoff)
     // and a wide predicate via a post-filter boosted probe (50%).
@@ -360,6 +373,9 @@ object IndexQueries {
     "vs_index_build" -> VectorQueries.oracles("knn_flat_l2"),
     // exhaustive-probe searches stay exact through filter / save-load
     "knn_ivf_filter" -> VectorQueries.oracles("knn_search_filter"),
+    // brute force over the survivors: a removed id must never surface
+    "vs_index_remove" ->
+      VectorQueries.knnOracle(VectorQueries.l2sqSql, "ASC", "WHERE vec_id % 7 <> 0"),
     "vs_reconstruct" ->
       """SELECT vec_id AS label,
         |  CAST(unnest(range(len(embedding))) AS INTEGER) AS dim,

@@ -229,7 +229,7 @@ object VectorQueries {
   private val ipSql =
     "list_sum([ CAST(a[i] AS DOUBLE) * CAST(b[i] AS DOUBLE) FOR i IN range(1, len(a)+1) ])"
 
-  private def knnOracle(distExpr: String, order: String, where: String): String =
+  private[queries] def knnOracle(distExpr: String, order: String, where: String): String =
     s"""WITH q AS (SELECT vec_id AS qid, embedding AS a FROM embeddings WHERE vec_id < 10),
        |d AS (
        |  SELECT q.qid, e.vec_id AS label, $distExpr AS dist

@@ -32,6 +32,29 @@ class IndexCatalogSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("remove_ids: survivors searchable and exact, removed never surface, IDMap-gated") {
+    import spark.implicits._
+    IndexCatalog.create("t_rm", 2, "IDMap,IVF4,Flat", "l2sq", Map("nprobe" -> "4"))
+    IndexCatalog.add(grid, "t_rm")
+    IndexCatalog.search("t_rm", 2, qs).count() // force a build before the remove
+    val doomed = grid.where(col("label") % 3 === 0).select("label")
+    val nDoomed = doomed.count()
+    assert(IndexCatalog.remove("t_rm", doomed) === nDoomed)
+    // removing already-gone + unknown ids is a no-op returning 0
+    assert(IndexCatalog.remove("t_rm", Seq(0L, 999999L).toDF("label")) === 0L)
+    val got = IndexCatalog.search("t_rm", 4, qs)
+    got.select("label").collect().foreach(r =>
+      assert(r.getLong(0) % 3 !== 0L, s"removed id ${r.getLong(0)} surfaced"))
+    // exhaustive probe over the survivors must equal brute force on them
+    val want = labelsOf(Knn.searchFlat(grid.where(col("label") % 3 =!= 0), qs, 4, "l2sq"))
+    assert(labelsOf(got) === want)
+    // non-IDMap indexes reject remove (FAISS renumbering semantics)
+    IndexCatalog.create("t_rm_plain", 2, "Flat")
+    IndexCatalog.add(grid.select("vec"), "t_rm_plain")
+    intercept[UnsupportedOperationException](
+      IndexCatalog.remove("t_rm_plain", doomed))
+  }
+
   test("duplicate create fails, destroy frees the name") {
     IndexCatalog.create("t_dup", 2, "Flat")
     intercept[IllegalStateException](IndexCatalog.create("t_dup", 2, "Flat"))
