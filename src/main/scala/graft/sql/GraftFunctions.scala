@@ -221,6 +221,12 @@ object GraftFunctions {
         tableArg(litString(args(0), "data table")), litString(args(1), "name"))
       Literal(true)
     },
+    // beyond the reference's registrations: the delete path (see
+    // IndexCatalog.remove). Returns the number of vectors removed.
+    "faiss_remove" -> { args =>
+      Literal(IndexCatalog.remove(
+        litString(args(1), "name"), tableArg(litString(args(0), "ids table"))))
+    },
     "faiss_save" -> { args =>
       IndexCatalog.save(litString(args(0), "name"), litString(args(1), "path"))
       Literal(true)

@@ -45,6 +45,24 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(best === Map(0L -> (0L, 0.0), 5L -> (5L, 0.0), 10L -> (10L, 0.0), 15L -> (15L, 0.0)))
   }
 
+  test("faiss_remove drops ids through SQL and survivors stay exact") {
+    ready
+    fresh("sqlidx_rm")
+    spark.sql("SELECT faiss_create('sqlidx_rm', 4, 'IDMap,Flat')").collect()
+    spark.sql("SELECT faiss_add('sql_corpus', 'sqlidx_rm')").collect()
+    val n = spark.sql(
+      "SELECT faiss_remove('SELECT id FROM sql_corpus WHERE id % 2 = 0', 'sqlidx_rm')")
+      .collect()(0).getLong(0)
+    assert(n === 10L) // ids 0,2,...,18
+    val labels = spark.sql(
+      """SELECT r.label AS label
+        |FROM (SELECT qid, faiss_search('sqlidx_rm', 3, qv) AS rs FROM sql_queries)
+        |LATERAL VIEW explode(rs) t AS r""".stripMargin)
+      .collect().map(_.getLong(0))
+    assert(labels.nonEmpty)
+    labels.foreach(l => assert(l % 2 === 1L, s"removed id $l surfaced via SQL"))
+  }
+
   test("SQL search equals the catalog API search") {
     ready
     fresh("sqlidx2")
