@@ -262,6 +262,43 @@ object DedupQueries {
           when(col("n_spans") === 0, lit(0.0))
             .otherwise(coalesce(col("n_dup_spans"), lit(0L)).cast("double") /
               col("n_spans").cast("double")).as("dup_frac"))
+    },
+    // ExactSubstr span REMOVAL (Lee et al. '21 "Deduplicating Training
+    // Data Makes Language Models Better", the production form of span
+    // dedup): every W-token window repeated ANYWHERE in the corpus
+    // (other docs or the same doc) marks its token range, and
+    // overlapping/adjacent ranges merge into maximal cut spans —
+    // exactly what a dedup pass hands the writer as per-doc (start,
+    // end) token ranges to drop. Three keyed shuffles, all carrying
+    // (doc_id, pos, 60-bit hash) triples, never text: window-hash
+    // rollup, repeated-hash join-back, and the per-doc interval-merge
+    // window (bounded by tokens-per-doc, the sessionize shape). The
+    // 15-hex-md5 window hash replays digit-for-digit in DuckDB ->
+    // exact oracle incl. the gaps-and-islands merge.
+    "dedup_span_removal" -> { (s, dir) =>
+      import graft.text.TextFunctions
+      import org.apache.spark.sql.expressions.Window
+      val W = 8
+      val pos = Tables.wide(s, dir, "documents").select(col("doc_id"),
+          TextFunctions.shingleHashes15(
+            TextFunctions.tokens(col("text")), W).as("hs"))
+        .select(col("doc_id"), posexplode(col("hs")))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"), col("col").as("h"))
+      val repeated = pos.groupBy("h").agg(count(lit(1)).as("c"))
+        .where(col("c") > 1).select("h")
+      val spans = pos.join(repeated, Seq("h"))
+        .select(col("doc_id"), col("pos").as("s"), (col("pos") + (W - 1)).as("e"))
+      val w = Window.partitionBy("doc_id").orderBy("s", "e")
+      spans
+        .withColumn("maxe",
+          max("e").over(w.rowsBetween(Window.unboundedPreceding, -1)))
+        .withColumn("newg",
+          when(col("maxe").isNull || col("s") > col("maxe") + 1, 1L).otherwise(0L))
+        .withColumn("grp", sum("newg").over(w))
+        .groupBy(col("doc_id"), col("grp"))
+        .agg(min("s").as("span_start"), max("e").as("span_end"))
+        .select(col("doc_id"), col("span_start"), col("span_end"),
+          (col("span_end") - col("span_start") + 1).as("n_tokens"))
     })
 
   private val toksSql = "string_split_regex(lower(trim(text)), '\\s+')"
@@ -271,6 +308,35 @@ object DedupQueries {
        |  ELSE [] END)""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    // the identical 8-token 15-hex-md5 window hashes with positions,
+    // repeated-anywhere filter, and gaps-and-islands interval merge
+    "dedup_span_removal" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |h AS (
+         |  SELECT doc_id, CASE WHEN len(toks) >= 8
+         |    THEN [CAST(('0x' || substring(md5(array_to_string(toks[i:i+7], ' ')), 1, 15)) AS BIGINT)
+         |          FOR i IN range(1, len(toks) - 6)]
+         |    ELSE [] END AS hs
+         |  FROM t
+         |), p AS (
+         |  SELECT doc_id, CAST(unnest(range(len(hs))) AS BIGINT) AS pos, unnest(hs) AS h FROM h
+         |), rep AS (SELECT h FROM p GROUP BY h HAVING count(*) > 1),
+         |sp AS (SELECT doc_id, pos AS s, pos + 7 AS e FROM p JOIN rep USING (h)),
+         |m AS (
+         |  SELECT doc_id, s, e,
+         |    CASE WHEN s > coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -2) + 1
+         |      THEN 1 ELSE 0 END AS newg
+         |  FROM sp
+         |), g AS (
+         |  SELECT doc_id, s, e,
+         |    sum(newg) OVER (PARTITION BY doc_id ORDER BY s, e ROWS UNBOUNDED PRECEDING) AS grp
+         |  FROM m
+         |)
+         |SELECT doc_id, CAST(min(s) AS BIGINT) AS span_start,
+         |  CAST(max(e) AS BIGINT) AS span_end,
+         |  CAST(max(e) - min(s) + 1 AS BIGINT) AS n_tokens
+         |FROM g GROUP BY doc_id, grp""".stripMargin,
     // identical winnowing selection as text_winnowing's oracle, then
     // the same capped fp self-join pairing
     "dedup_winnow" ->

@@ -17,6 +17,31 @@ class DedupSpec extends SparkSpec {
       .toDF("doc_id", "text")
   }
 
+  test("span removal: shared runs merge to maximal cut spans, intra-doc repeats both marked") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_spanrm").toString
+    val u = (0 until 10).map(i => s"u$i"); val sh = (0 until 12).map(i => s"s$i")
+    val v = (0 until 10).map(i => s"v$i"); val w = (0 until 10).map(i => s"w$i")
+    val a = (0 until 8).map(i => s"a$i"); val b = (0 until 6).map(i => s"b$i")
+    Seq(
+      // docs 0/1 share a 12-token run at token offset 10 (W=8 windows
+      // fully inside it repeat; boundary-straddling windows are unique)
+      (0L, (u ++ sh ++ v).mkString(" ")),
+      (1L, (w ++ sh ++ w.map(_ + "x")).mkString(" ")),
+      // all-unique doc: no output row at all
+      (2L, (0 until 30).map(i => s"z$i").mkString(" ")),
+      // intra-doc repetition: the same 8-token phrase twice in ONE doc
+      // marks both occurrences as separate spans (gap > 1 keeps them apart)
+      (3L, (a ++ b ++ a).mkString(" ")))
+      .toDF("doc_id", "text")
+      .write.parquet(s"$tmp/documents.parquet")
+    val got = graft.SparkEntry.queries("dedup_span_removal")(spark, tmp)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got === Set(
+      (0L, 10L, 21L, 12L), (1L, 10L, 21L, 12L),
+      (3L, 0L, 7L, 8L), (3L, 14L, 21L, 8L)))
+  }
+
   test("exact dedup groups identical texts under min id") {
     val res = Dedup.exact(docs, "doc_id", "text").collect()
     val byKeep = res.map(r => r.getLong(1) -> r.getLong(2)).toMap
