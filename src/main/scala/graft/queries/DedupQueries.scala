@@ -269,24 +269,32 @@ object DedupQueries {
     // (other docs or the same doc) marks its token range, and
     // overlapping/adjacent ranges merge into maximal cut spans —
     // exactly what a dedup pass hands the writer as per-doc (start,
-    // end) token ranges to drop. Three keyed shuffles, all carrying
-    // (doc_id, pos, 60-bit hash) triples, never text: window-hash
-    // rollup, repeated-hash join-back, and the per-doc interval-merge
-    // window (bounded by tokens-per-doc, the sessionize shape). The
-    // 15-hex-md5 window hash replays digit-for-digit in DuckDB ->
-    // exact oracle incl. the gaps-and-islands merge.
+    // end) token ranges to drop. TWO keyed shuffles, both carrying
+    // (doc_id, pos, 60-bit hash) triples, never text: the h-partition
+    // repeat count and the per-doc interval-merge window (bounded by
+    // tokens-per-doc, the sessionize shape). A pathological boilerplate
+    // window co-locates its occurrences in one task — the count itself
+    // is O(rows) over tiny rows, the same co-location any h-keyed plan
+    // needs. The 15-hex-md5 window hash replays digit-for-digit in
+    // DuckDB -> exact oracle incl. the gaps-and-islands merge.
     "dedup_span_removal" -> { (s, dir) =>
       import graft.text.TextFunctions
       import org.apache.spark.sql.expressions.Window
       val W = 8
+      // repeated-window detection as ONE window count over h: the corpus
+      // tokenizes + hashes ONCE and shuffles once (an aggregate+join-back
+      // would either re-tokenize the corpus for the count side — column
+      // pruning makes the two subtrees non-identical, so the exchange is
+      // NOT reusable — or shuffle the triples twice)
       val pos = Tables.wide(s, dir, "documents").select(col("doc_id"),
           TextFunctions.shingleHashes15(
             TextFunctions.tokens(col("text")), W).as("hs"))
         .select(col("doc_id"), posexplode(col("hs")))
         .select(col("doc_id"), col("pos").cast("long").as("pos"), col("col").as("h"))
-      val repeated = pos.groupBy("h").agg(count(lit(1)).as("c"))
-        .where(col("c") > 1).select("h")
-      val spans = pos.join(repeated, Seq("h"))
+      val spans = pos
+        .withColumn("c", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("h")))
+        .where(col("c") > 1)
         .select(col("doc_id"), col("pos").as("s"), (col("pos") + (W - 1)).as("e"))
       val w = Window.partitionBy("doc_id").orderBy("s", "e")
       spans

@@ -227,6 +227,20 @@ class PlanShapeSpec extends SparkSpec {
       plan.contains("TableCacheQueryStage"), plan.take(3000))
   }
 
+  test("dedup_span_removal: corpus scanned + tokenized ONCE (window count, no join-back)") {
+    // the repeated-window filter is a window count over h on the single
+    // hashed projection; an aggregate+join-back shape would scan and
+    // md5-tokenize the corpus twice (column pruning makes the two
+    // subtrees non-identical, so exchange reuse cannot save it)
+    val df = graft.SparkEntry.queries("dedup_span_removal")(spark, dir)
+    df.collect()
+    // executedPlan.toString repeats the tree under "== Initial Plan ==";
+    // count scans in the final section only
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val scans = plan.split("FileScan parquet").length - 1
+    assert(scans === 1, s"expected one documents scan, got $scans:\n${plan.take(3000)}")
+  }
+
   test("q16/q20/q21: exclusion and semi-join plan shapes survive") {
     assert(physical("q16_variety").contains("LeftAnti"), "q16 NOT IN must stay anti join")
     assert(physical("q20_heavy_suppliers").contains("LeftSemi"),
