@@ -334,6 +334,33 @@ object TextQueries {
         col("doc_id"),
         langId(tokens(col("text"))).as("lang_pred"),
         col("lang"))
+    },
+    // script/charset profiling (the FineWeb/CCNet-style pre-langid
+    // gate): per-doc counts of latin/digit/cyrillic/cjk/arabic
+    // codepoints by unicode-range regex — one shuffle-free scan-stage
+    // projection — plus a deterministic dominant-script label (fixed
+    // cjk > cyrillic > arabic > latin tie priority, 'unknown' when no
+    // letters). Counts are exact integers and Java/RE2 agree on
+    // character-class ranges, so the oracle is exact.
+    "text_script" -> { (s, dir) =>
+      val t = col("text")
+      def cnt(re: String) = regexp_count(t, lit(re)).cast("long")
+      Tables.wide(s, dir, "documents")
+        .select(col("doc_id"),
+          length(t).cast("long").as("n_chars"),
+          cnt("[a-zA-Z]").as("n_latin"),
+          cnt("[0-9]").as("n_digit"),
+          cnt("[\\x{0400}-\\x{04FF}]").as("n_cyrillic"),
+          cnt("[\\x{4E00}-\\x{9FFF}]").as("n_cjk"),
+          cnt("[\\x{0600}-\\x{06FF}]").as("n_arabic"))
+        .withColumn("script",
+          when(col("n_cjk") > 0 &&
+            col("n_cjk") >= greatest(col("n_latin"), col("n_cyrillic"), col("n_arabic")), "cjk")
+          .when(col("n_cyrillic") > 0 &&
+            col("n_cyrillic") >= greatest(col("n_latin"), col("n_arabic")), "cyrillic")
+          .when(col("n_arabic") > 0 && col("n_arabic") >= col("n_latin"), "arabic")
+          .when(col("n_latin") > 0, "latin")
+          .otherwise("unknown"))
     })
 
   private val toksSql = "string_split_regex(lower(trim(text)), '\\s+')"
@@ -431,6 +458,26 @@ object TextQueries {
          |  array_to_string(u.ch, ' ') AS chunk_text
          |FROM c""".stripMargin,
     "text_langid" -> langidSql,
+    // identical ranges and tie priority; len(regexp_extract_all) = count
+    "text_script" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    CAST(length(text) AS BIGINT) AS n_chars,
+        |    CAST(len(regexp_extract_all(text, '[a-zA-Z]')) AS BIGINT) AS n_latin,
+        |    CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_digit,
+        |    CAST(len(regexp_extract_all(text, '[\x{0400}-\x{04FF}]')) AS BIGINT) AS n_cyrillic,
+        |    CAST(len(regexp_extract_all(text, '[\x{4E00}-\x{9FFF}]')) AS BIGINT) AS n_cjk,
+        |    CAST(len(regexp_extract_all(text, '[\x{0600}-\x{06FF}]')) AS BIGINT) AS n_arabic
+        |  FROM documents
+        |)
+        |SELECT *,
+        |  CASE
+        |    WHEN n_cjk > 0 AND n_cjk >= greatest(n_latin, n_cyrillic, n_arabic) THEN 'cjk'
+        |    WHEN n_cyrillic > 0 AND n_cyrillic >= greatest(n_latin, n_arabic) THEN 'cyrillic'
+        |    WHEN n_arabic > 0 AND n_arabic >= n_latin THEN 'arabic'
+        |    WHEN n_latin > 0 THEN 'latin'
+        |    ELSE 'unknown' END AS script
+        |FROM c""".stripMargin,
     // unpurged frequent-items counts are exact -> the literal trigram
     // multiset top-k is the oracle
     "text_heavy_hitters" ->

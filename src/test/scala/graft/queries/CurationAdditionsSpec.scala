@@ -117,6 +117,25 @@ class CurationAdditionsSpec extends SparkSpec {
     assert(rows.last._2 === 1.0, "nprobe = nlist probes every list -> exact")
   }
 
+  test("text_script: planted multilingual docs land on the right dominant script") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_script").toString
+    Seq(
+      (0L, "hello plain english text", "x", "x", 0L),
+      (1L, "привет мир как дела сегодня", "x", "x", 0L),
+      (2L, "你好世界这是中文文本", "x", "x", 0L),
+      (3L, "مرحبا بالعالم نص عربي", "x", "x", 0L),
+      (4L, "12345 67890", "x", "x", 0L), // digits only -> unknown
+      (5L, "год 2024 mixed год год", "x", "x", 0L)) // cyrillic beats latin
+      .toDF("doc_id", "text", "lang", "source", "n_dummy")
+      .write.parquet(s"$tmp/documents.parquet")
+    val got = graft.SparkEntry.queries("text_script")(spark, tmp)
+      .select("doc_id", "script").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(0L -> "latin", 1L -> "cyrillic", 2L -> "cjk",
+      3L -> "arabic", 4L -> "unknown", 5L -> "cyrillic"))
+  }
+
   test("vs_refine_eval: recall non-decreasing in refine at exhaustive probing") {
     val rows = run("vs_refine_eval").collect()
       .map(r => (r.getInt(0), r.getDouble(1))).sortBy(_._1)
