@@ -220,6 +220,44 @@ object VectorQueries {
         .select(col("cluster_id"), col("n_members"),
           (col("m").cast("double") / 10000.0 / col("n_members").cast("double"))
             .as("avg_dist"))
+    },
+    // embedding-distribution drift between two corpus cohorts (old vs
+    // new crawl snapshot, simulated by the vec_id parity split): per
+    // label, the L2 distance between cohort centroids — the monitor a
+    // 100 TB embedding pipeline runs before trusting a refreshed
+    // corpus against an index trained on the old one (re-train IVF
+    // centroids when drift spikes). One corpus scan; components
+    // quantize to integer micros BEFORE the (label, dim) rollup, so
+    // every sum is an associative long sum (map-side partials; the
+    // shuffle carries labels x dims x 2 rows per partition, not
+    // vectors) and the per-dim centroid delta is bit-identical on any
+    // partitioning. The dim -> drift fold quantizes each SQUARED delta
+    // to fixed point too — a double sum over dims would be
+    // order-dependent — so the whole chain has an exact oracle.
+    "embed_drift" -> { (s, dir) =>
+      val cohortDim = Tables(s, dir, "embeddings")
+        .select(col("label"), (col("vec_id") % 2).as("c"),
+          posexplode(col("embedding").cast("array<double>")))
+        .select(col("label"), col("c"), col("pos").as("dim"),
+          floor(col("col") * 1000000 + 0.5).cast("long").as("vmicro"))
+        .groupBy("label", "dim")
+        .agg(
+          sum(when(col("c") === 0, col("vmicro")).otherwise(0L)).as("s0"),
+          sum(when(col("c") === 0, 1L).otherwise(0L)).as("n0"),
+          sum(when(col("c") === 1, col("vmicro")).otherwise(0L)).as("s1"),
+          sum(when(col("c") === 1, 1L).otherwise(0L)).as("n1"))
+      // delta_d = mean0 - mean1 in micro units; square, re-quantize to
+      // 1e-8 fixed point so the across-dims sum stays associative
+      val delta = (col("s0").cast("double") / col("n0").cast("double")
+        - col("s1").cast("double") / col("n1").cast("double")) / 1000000.0
+      cohortDim
+        .where(col("n0") > 0 && col("n1") > 0)
+        .select(col("label"), col("n0"), col("n1"),
+          floor((delta * delta) * 100000000 + 0.5).cast("long").as("sqq"))
+        .groupBy("label")
+        .agg(min(col("n0")).as("n_a"), min(col("n1")).as("n_b"),
+          Tables.quant4(sqrt(sum(col("sqq")).cast("double") / 100000000.0))
+            .as("drift"))
     })
 
   // DuckDB-side distance formulas over DOUBLE, element order identical to
@@ -353,6 +391,35 @@ object VectorQueries {
          |  CAST(sum(CAST(floor(dist * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0
          |    / CAST(count(*) AS DOUBLE) AS avg_dist
          |FROM a WHERE rn = 1 GROUP BY cid""".stripMargin,
+    // identical fixed-point chain: micro-quantized components, long
+    // sums per (label, dim), squared deltas re-quantized before the
+    // across-dims fold (CASTs kill DuckDB's HUGEINT sum promotion)
+    "embed_drift" ->
+      """WITH x AS (
+        |  SELECT label, vec_id % 2 AS c,
+        |    CAST(unnest(range(len(embedding))) AS INTEGER) AS dim,
+        |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS vmicro
+        |  FROM embeddings
+        |),
+        |g AS (
+        |  SELECT label, dim,
+        |    CAST(sum(CASE WHEN c = 0 THEN vmicro ELSE 0 END) AS BIGINT) AS s0,
+        |    CAST(sum(CASE WHEN c = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+        |    CAST(sum(CASE WHEN c = 1 THEN vmicro ELSE 0 END) AS BIGINT) AS s1,
+        |    CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1
+        |  FROM x GROUP BY label, dim
+        |),
+        |d AS (
+        |  SELECT label, n0, n1,
+        |    CAST(floor(
+        |      ((CAST(s0 AS DOUBLE)/CAST(n0 AS DOUBLE) - CAST(s1 AS DOUBLE)/CAST(n1 AS DOUBLE)) / 1000000.0)
+        |      * ((CAST(s0 AS DOUBLE)/CAST(n0 AS DOUBLE) - CAST(s1 AS DOUBLE)/CAST(n1 AS DOUBLE)) / 1000000.0)
+        |      * 100000000 + 0.5) AS BIGINT) AS sqq
+        |  FROM g WHERE n0 > 0 AND n1 > 0
+        |)
+        |SELECT label, min(n0) AS n_a, min(n1) AS n_b,
+        |  CAST(CAST(sqrt(CAST(CAST(sum(sqq) AS BIGINT) AS DOUBLE) / 100000000.0) AS DECIMAL(18,4)) AS DOUBLE) AS drift
+        |FROM d GROUP BY label""".stripMargin,
     "dist_metrics" ->
       s"""WITH p AS (
          |  SELECT ea.vec_id AS pair_id, ea.embedding AS a, eb.embedding AS b

@@ -314,4 +314,39 @@ class CurationAdditionsSpec extends SparkSpec {
     assert(err > 0L)
     assert(est >= 500L && est <= 500L + err)
   }
+
+  test("embed_drift: cohorts partition each label, drift replays the centroid-delta L2") {
+    val out = run("embed_drift").collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out.nonEmpty)
+    val raw = Tables(spark, dir, "embeddings")
+      .select(col("label"), col("vec_id"), col("embedding").cast("array<double>"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2).toArray))
+    val byLabel = raw.groupBy(_._1)
+    assert(out.keySet === byLabel.keySet.filter { l =>
+      byLabel(l).exists(_._2 % 2 == 0) && byLabel(l).exists(_._2 % 2 == 1)
+    })
+    byLabel.foreach { case (l, rows) =>
+      out.get(l).foreach { case (nA, nB, drift) =>
+        assert(nA === rows.count(_._2 % 2 == 0).toLong)
+        assert(nB === rows.count(_._2 % 2 == 1).toLong)
+        // replay the fixed-point chain: micro-quantized long sums per
+        // dim, squared-delta re-quantization, then the across-dims fold
+        val dims = rows.head._3.length
+        val sqSum = (0 until dims).map { d =>
+          def side(p: Int) = {
+            val vs = rows.filter(_._2 % 2 == p)
+            vs.map(r => math.floor(r._3(d) * 1e6 + 0.5).toLong).sum.toDouble / vs.length
+          }
+          val delta = (side(0) - side(1)) / 1e6
+          math.floor(delta * delta * 1e8 + 0.5).toLong
+        }.sum
+        val expect = BigDecimal(math.sqrt(sqSum.toDouble / 1e8))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(drift === expect, s"label $l")
+        assert(drift >= 0.0)
+      }
+    }
+  }
 }
