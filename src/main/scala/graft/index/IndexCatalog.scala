@@ -241,6 +241,27 @@ object IndexCatalog {
     }
   }
 
+  /**
+   * Retrain the coarse/codec state from the index's CURRENT contents
+   * and rebuild — the maintenance action for centroid drift (a corpus
+   * refresh that `embed_drift` flags). FAISS itself cannot retrain in
+   * place; production wrappers train a new index on current data and
+   * swap, which is what this does under one name: trained state is
+   * re-derived from the full pending row set (through manualTrain's
+   * bounded sampling), the built layout invalidates and rebuilds
+   * lazily, and ids / metric / factory are untouched — so an
+   * exhaustive-probe search after retrain stays exact.
+   */
+  def retrain(name: String): Unit = {
+    val e = entry(name)
+    val sample = e.synchronized {
+      if (e.destroyed) throw new NoSuchElementException(s"no index named '$name'")
+      e.pending.getOrElse(throw new IllegalStateException(
+        s"index '$name' has no vectors; call add first"))
+    }
+    manualTrain(sample.select(col("vec")), name)
+  }
+
   def exists(name: String): Boolean = entries.containsKey(name)
 
   /** catalog introspection: metadata of every registered index */

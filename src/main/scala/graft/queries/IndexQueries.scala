@@ -79,6 +79,24 @@ object IndexQueries {
         Tables(s, dir, "embeddings").where(col("vec_id") % 7 === 0).select("vec_id"))
       quantized(IndexCatalog.search(name, 5, embQueries(s, dir)))
     },
+    // drift maintenance: train the coarse quantizer on a deliberately
+    // skewed sample (one label's corner of the space — the "old
+    // snapshot" an embed_drift spike would flag), then retrain from
+    // the full current contents and search. Exhaustive probing keeps
+    // the search exact through BOTH centroid generations, so the
+    // oracle pins that retraining re-clusters without corrupting ids
+    // or distances; the imbalance improvement itself is spec-asserted
+    // (IndexCatalogSpec).
+    "vs_index_retrain" -> { (s, dir) =>
+      val name = fresh("q_retrain")
+      IndexCatalog.create(name, 64, "IDMap,IVF16,Flat", "l2sq", Map("nprobe" -> "16"))
+      IndexCatalog.manualTrain(
+        Tables(s, dir, "embeddings").where(col("label") === 0).select(col("embedding")),
+        name)
+      IndexCatalog.add(embData(s, dir), name)
+      IndexCatalog.retrain(name)
+      quantized(IndexCatalog.search(name, 5, embQueries(s, dir)))
+    },
     // cost-based filtered search: the SAME index serves a narrow slice
     // via a pre-filter exact scan (5% selectivity <= the 10% cutoff)
     // and a wide predicate via a post-filter boosted probe (50%).
@@ -376,6 +394,8 @@ object IndexQueries {
     // brute force over the survivors: a removed id must never surface
     "vs_index_remove" ->
       VectorQueries.knnOracle(VectorQueries.l2sqSql, "ASC", "WHERE vec_id % 7 <> 0"),
+    // exhaustive probing is exact through both centroid generations
+    "vs_index_retrain" -> VectorQueries.oracles("knn_flat_l2"),
     "vs_reconstruct" ->
       """SELECT vec_id AS label,
         |  CAST(unnest(range(len(embedding))) AS INTEGER) AS dim,

@@ -227,6 +227,13 @@ object GraftFunctions {
       Literal(IndexCatalog.remove(
         litString(args(1), "name"), tableArg(litString(args(0), "ids table"))))
     },
+    // beyond the reference's registrations: drift maintenance (see
+    // IndexCatalog.retrain) — retrain coarse/codec state from the
+    // index's current contents and rebuild lazily
+    "faiss_retrain" -> { args =>
+      IndexCatalog.retrain(litString(args(0), "name"))
+      Literal(true)
+    },
     "faiss_save" -> { args =>
       IndexCatalog.save(litString(args(0), "name"), litString(args(1), "path"))
       Literal(true)

