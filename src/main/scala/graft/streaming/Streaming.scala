@@ -461,6 +461,78 @@ object Streaming {
       }
   }
 
+  case class AnomEv(event_id: Long, event_type: String, value: Double, ts: Timestamp)
+  case class AnomOut(event_id: Long, event_type: String, z: Double, anomalous: Boolean)
+  /** O(1) running stats (count + cents-fixed-point sum / sum-of-squares)
+    * plus the sub-watermark event buffer */
+  case class AnomBuf(
+      n: Long, s: Long, ss: Long, ts: Seq[Long], ids: Seq[Long], vals: Seq[Double])
+
+  /**
+   * Streaming anomaly gate: each event scores against the running
+   * mean/std of all STRICTLY-EARLIER finalized events of its type —
+   * the at-ingest quality fence a 100 TB feed runs (flag a metric
+   * spike the moment its window finalizes, not in tomorrow's batch).
+   * An event is final once the watermark strictly passes it: a
+   * still-admissible late event could order before it (or tie at its
+   * ts by id) and change the statistics it must be scored against.
+   * Finalized events fold into THREE longs (count + cents-fixed-point
+   * sum and sum-of-squares — the associative form events_zscore uses,
+   * so replay order can't drift the doubles): state is those scalars
+   * plus the sub-watermark buffer, bounded by the horizon and
+   * independent of stream length. Unlike the session families the
+   * running sums are LIFETIME state — the idle timeout flushes the
+   * buffered tail but keeps the scalars, so a type that goes quiet
+   * resumes with its history intact. Batch/stream parity
+   * (running-prefix replay on identical out-of-order input) is
+   * spec-asserted.
+   */
+  def anomalyFMGWS(
+      events: Dataset[AnomEv], watermark: String = "2 hours",
+      idleCloseMs: Long = 3600 * 1000L): Dataset[AnomOut] = {
+    import events.sparkSession.implicits._
+    events
+      .filter(e => e.ts != null && e.event_type != null)
+      .withWatermark("ts", watermark)
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[AnomBuf, AnomOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (etype: String, rows: Iterator[AnomEv], state: GroupState[AnomBuf]) =>
+          val prior = state.getOption.getOrElse(AnomBuf(0L, 0L, 0L, Nil, Nil, Nil))
+          val pending = prior.ts.indices.map(i => (prior.ts(i), prior.ids(i), prior.vals(i)))
+          val all = (pending ++ rows.map(e => (e.ts.getTime, e.event_id, e.value)))
+            .sortBy(t => (t._1, t._2)).toVector
+          var n = prior.n; var s = prior.s; var ss = prior.ss
+          // score from the sums BEFORE folding the event in (an event is
+          // never its own baseline), then fold
+          def scoreAndFold(id: Long, v: Double): AnomOut = {
+            val out =
+              if (n < 2) AnomOut(id, etype, 0.0, anomalous = false)
+              else {
+                val mean = s.toDouble / 100.0 / n.toDouble
+                val vr = ss.toDouble / 10000.0 / n.toDouble - mean * mean
+                val std = math.sqrt(math.max(vr, 0.0))
+                if (std <= 0.0) AnomOut(id, etype, 0.0, anomalous = false)
+                else AnomOut(id, etype, (v - mean) / std,
+                  anomalous = math.abs(v - mean) > 3.0 * std)
+              }
+            val c = math.round(v * 100)
+            n += 1; s += c; ss += c * c
+            out
+          }
+          val cut =
+            if (state.hasTimedOut) all.length
+            else all.lastIndexWhere(_._1 < state.getCurrentWatermarkMs()) + 1
+          val emit = all.take(cut).map { case (_, id, v) => scoreAndFold(id, v) }
+          val keep = all.drop(cut)
+          state.update(AnomBuf(n, s, ss, keep.map(_._1), keep.map(_._2), keep.map(_._3)))
+          if (keep.nonEmpty)
+            state.setTimeoutTimestamp(math.max(
+              keep.last._1 + idleCloseMs, state.getCurrentWatermarkMs() + 1))
+          emit.iterator
+      }
+  }
+
   /**
    * Custom sessionization via flatMapGroupsWithState (the escape hatch
    * for state logic session_window can't express — e.g. emitting

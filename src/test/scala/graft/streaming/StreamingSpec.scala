@@ -504,4 +504,84 @@ class StreamingSpec extends SparkSpec {
       assert(got === Set((10L, 100L), (11L, 102L)))
     } finally q.stop()
   }
+
+  test("streaming anomaly gate matches the batch running-prefix z-score on out-of-order input") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[Streaming.AnomEv]
+    val q = Streaming.anomalyFMGWS(mem.toDS(), idleCloseMs = 3600 * 1000L)
+      .writeStream.format("memory").queryName("s_anom").outputMode("append").start()
+    try {
+      // 'pay' delivered OUT OF ORDER: the spike (id 6) arrives first but
+      // must be scored against the stats of the five earlier-in-event-time
+      // normal values; 'tick' has too few events to ever flag
+      val evs = Seq(
+        Streaming.AnomEv(6L, "pay", 500.0, ts(1, 50)),
+        Streaming.AnomEv(1L, "pay", 10.0, ts(1, 0)),
+        Streaming.AnomEv(2L, "pay", 12.0, ts(1, 10)),
+        Streaming.AnomEv(3L, "pay", 11.0, ts(1, 20)),
+        Streaming.AnomEv(4L, "pay", 9.0, ts(1, 30)),
+        Streaming.AnomEv(5L, "pay", 13.0, ts(1, 40)),
+        Streaming.AnomEv(7L, "tick", 1.0, ts(1, 0)),
+        Streaming.AnomEv(8L, "tick", 2.0, ts(1, 5)))
+      mem.addData(evs: _*)
+      q.processAllAvailable()
+      // advance the watermark past everything, then trigger idle close
+      mem.addData(Streaming.AnomEv(99L, "wm", 0.0, ts(9, 0)))
+      q.processAllAvailable()
+      mem.addData(Streaming.AnomEv(98L, "wm2", 0.0, ts(20, 0)))
+      q.processAllAvailable()
+      val got = spark.table("s_anom").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getBoolean(3)))
+        .filter(r => r._2 == "pay" || r._2 == "tick").toSet
+      // batch twin: replay the identical cents-fixed-point prefix fold
+      // in event-time order
+      val want = evs.groupBy(_.event_type).flatMap { case (t, es) =>
+        var n = 0L; var s = 0L; var ss = 0L
+        es.sortBy(e => (e.ts.getTime, e.event_id)).map { e =>
+          val out = if (n < 2) (e.event_id, t, 0.0, false) else {
+            val mean = s.toDouble / 100.0 / n.toDouble
+            val std = math.sqrt(math.max(ss.toDouble / 10000.0 / n - mean * mean, 0.0))
+            if (std <= 0.0) (e.event_id, t, 0.0, false)
+            else (e.event_id, t, (e.value - mean) / std,
+              math.abs(e.value - mean) > 3.0 * std)
+          }
+          val c = math.round(e.value * 100); n += 1; s += c; ss += c * c
+          out
+        }
+      }.toSet
+      assert(got === want)
+      assert(got.exists(r => r._1 === 6L && r._4), "the spike must flag")
+      assert(got.count(_._4) === 1, "only the spike flags")
+    } finally q.stop()
+  }
+
+  test("streaming anomaly running stats survive an idle close (lifetime baseline)") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[Streaming.AnomEv]
+    val q = Streaming.anomalyFMGWS(mem.toDS(), idleCloseMs = 60 * 1000L)
+      .writeStream.format("memory").queryName("s_anom2").outputMode("append").start()
+    try {
+      mem.addData(
+        Streaming.AnomEv(1L, "m", 10.0, ts(1, 0)),
+        Streaming.AnomEv(2L, "m", 12.0, ts(1, 1)),
+        Streaming.AnomEv(3L, "m", 11.0, ts(1, 2)))
+      q.processAllAvailable()
+      // idle-close 'm' (watermark jumps hours ahead), then resume it
+      mem.addData(Streaming.AnomEv(90L, "wm", 0.0, ts(8, 0)))
+      q.processAllAvailable()
+      mem.addData(Streaming.AnomEv(4L, "m", 300.0, ts(8, 30)))
+      q.processAllAvailable()
+      mem.addData(Streaming.AnomEv(91L, "wm", 0.0, ts(23, 0)))
+      q.processAllAvailable()
+      mem.addData(Streaming.AnomEv(92L, "wm", 0.0, ts(23, 30)))
+      q.processAllAvailable()
+      val flagged = spark.table("s_anom2").collect()
+        .filter(r => r.getString(1) == "m" && r.getLong(0) == 4L)
+      assert(flagged.length === 1, "resumed event must be scored")
+      assert(flagged.head.getBoolean(3),
+        "the baseline from before the idle close must still flag the spike")
+    } finally q.stop()
+  }
 }
