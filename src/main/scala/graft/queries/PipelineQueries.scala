@@ -70,6 +70,14 @@ object PipelineQueries {
     "pack_sequences" -> { (s, dir) =>
       Pipeline.packSequences(Tables(s, dir, "documents"), "doc_id", "text", "lang", TokenBudget)
     },
+    // best-fit-decreasing packing: every bin respects the token budget
+    // (the cumulative packer can overflow a bin by one doc). Rows-only
+    // at the gate — BFD's stateful fold has no SQL replay — with the
+    // exact driver replay, budget-cap, and partitioning-invariance
+    // checks spec-asserted (PipelineQueriesSpec).
+    "pack_bestfit" -> { (s, dir) =>
+      Pipeline.packBestFit(Tables(s, dir, "documents"), "doc_id", "text", "lang", TokenBudget)
+    },
     // eval-set n-gram overlap per training doc (contamination screen)
     "contamination" -> { (s, dir) =>
       Pipeline.contamination(

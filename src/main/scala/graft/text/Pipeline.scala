@@ -68,6 +68,65 @@ object Pipeline {
   }
 
   /**
+   * True bin-packing counterpart of [[packSequences]]: best-fit
+   * decreasing within each group. The cumulative packer never overflows
+   * a SEQUENCE COUNT but can overflow a bin by up to one doc (a doc
+   * spanning a budget boundary keeps its whole length in the earlier
+   * bin); BFD instead guarantees every bin respects the budget (an
+   * oversize doc still lands alone in its own bin) at the cost of a
+   * per-group sequential fold — the classical packing-efficiency
+   * tradeoff a training pipeline chooses per corpus.
+   *
+   * Scale shape: ONE shuffle on groupCol + an in-partition sort by
+   * (group, tokens desc, id); the fold walks each group once with a
+   * TreeSet of open bins (log-time best-fit lookup), so cost is
+   * O(n log bins) per group and memory is the OPEN-BIN set, not the
+   * group. The sequential dependency is inherent to bin packing — at
+   * 100 TB you bound it exactly like packSequences: pack within
+   * composite groups (lang, source, shard), which is what training
+   * mixtures want anyway. Deterministic on any partitioning: hash
+   * repartition by group + a total in-partition order + a
+   * deterministic fold.
+   */
+  def packBestFit(
+      docs: DataFrame, idCol: String, textCol: String, groupCol: String,
+      tokenBudget: Int): DataFrame = {
+    require(tokenBudget > 0, s"tokenBudget must be positive, got $tokenBudget")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(col(idCol).cast("long").as("id"), col(groupCol).cast("string").as("grp"),
+        size(TextFunctions.tokens(col(textCol))).cast("long").as("n_tokens"))
+      .repartition(col("grp"))
+      .sortWithinPartitions(col("grp"), col("n_tokens").desc, col("id"))
+      .as[(Long, String, Long)]
+      .mapPartitions { it =>
+        // groups are contiguous after the sort; open bins keyed by
+        // (remaining, seq_no) — smallest remaining that fits = best fit,
+        // ties to the oldest bin
+        var curGrp: String = null
+        val bins = scala.collection.mutable.TreeSet.empty[(Long, Int)]
+        var nextSeq = 0
+        it.map { case (id, grp, n) =>
+          if (grp != curGrp) { curGrp = grp; bins.clear(); nextSeq = 0 }
+          val seq = bins.rangeFrom((n, -1)).headOption match {
+            case Some(bin @ (rem, s)) =>
+              bins.remove(bin)
+              if (rem - n > 0) bins.add((rem - n, s))
+              s
+            case None =>
+              val s = nextSeq
+              nextSeq += 1
+              if (tokenBudget - n > 0) bins.add((tokenBudget - n, s))
+              s
+          }
+          (id, grp, n, seq)
+        }
+      }
+      .toDF("doc_id", groupCol, "n_tokens", "seq_no")
+  }
+
+  /**
    * Benchmark-contamination screen: for every candidate doc, the number
    * of its distinct word n-gram shingles that also occur anywhere in
    * the eval set. Shingles compare as 64-bit hashes (sorted-merge-free

@@ -108,4 +108,48 @@ class PipelineQueriesSpec extends SparkSpec {
     val realizedEn = out("en") / src("en")
     assert(realizedEn > 1.8 && realizedEn < 2.8, s"en epochs realized $realizedEn, want ~2.3")
   }
+
+  test("pack_bestfit: bins respect the budget, assignment replays BFD exactly, partitioning-invariant") {
+    import org.apache.spark.sql.functions._
+    val budget = 2048
+    val out = graft.SparkEntry.queries("pack_bestfit")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getInt(3)))
+    assert(out.nonEmpty)
+    // 1. every bin fits the budget unless it is a single oversize doc
+    out.groupBy(r => (r._2, r._4)).foreach { case ((g, seq), rs) =>
+      val total = rs.map(_._3).sum
+      assert(total <= budget || rs.length == 1,
+        s"bin ($g,$seq) holds $total tokens across ${rs.length} docs")
+    }
+    // 2. exact driver replay of best-fit decreasing per group
+    val toks = out.map(r => (r._1, r._2, r._3))
+    val expect = toks.groupBy(_._2).toSeq.flatMap { case (g, rs) =>
+      val bins = scala.collection.mutable.TreeSet.empty[(Long, Int)]
+      var next = 0
+      rs.sortBy(r => (-r._3, r._1)).map { case (id, _, n) =>
+        val seq = bins.rangeFrom((n, -1)).headOption match {
+          case Some(bin @ (rem, s)) =>
+            bins.remove(bin); if (rem - n > 0) bins.add((rem - n, s)); s
+          case None =>
+            val s = next; next += 1
+            if (budget - n > 0) bins.add((budget - n, s)); s
+        }
+        (id, g, n, seq)
+      }
+    }.toSet
+    assert(out.toSet === expect)
+    // 3. a different input partitioning yields the identical assignment
+    val shuffled = graft.text.Pipeline.packBestFit(
+        Tables(spark, dir, "documents").repartition(7), "doc_id", "text", "lang", budget)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getInt(3))).toSet
+    assert(shuffled === out.toSet)
+    // 4. BFD must not use more bins than the boundary-overflow packer's
+    // sequence count + 1 per group (sanity on packing efficiency)
+    val seqBins = graft.SparkEntry.queries("pack_sequences")(spark, dir).collect()
+      .map(r => (r.getString(1), r.getLong(3))).groupBy(_._1).view.mapValues(_.map(_._2).max + 1)
+    out.groupBy(_._2).foreach { case (g, rs) =>
+      val nBins = rs.map(_._4).max + 1
+      assert(nBins <= seqBins(g) + 1, s"group $g: BFD $nBins bins vs cumulative ${seqBins(g)}")
+    }
+  }
 }
