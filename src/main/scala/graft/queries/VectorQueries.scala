@@ -221,6 +221,30 @@ object VectorQueries {
           (col("m").cast("double") / 10000.0 / col("n_members").cast("double"))
             .as("avg_dist"))
     },
+    // mutual-kNN-graph degree centrality: for each vector, how many of
+    // its top-10 neighbors reciprocate — the embedding-space
+    // core-vs-outlier signal for pruning (mutual-graph degree separates
+    // dense semantic cores from isolated noise; SemDeDup's cousin for
+    // SELECTION rather than dedup). The kNN join is the heavy stage and
+    // rides the identical path the ANN join scales (bounded per-
+    // partition heaps; swap in AnnJoin.ivfJoin at 100 TB); downstream
+    // is all skinny edges — the mutual check is an equi-join of two
+    // N×k (id, id) streams, the degree rollup map-side combines, and
+    // the zero-degree outliers come back via one left join against the
+    // id projection. Exact oracle: brute-force kNN (ties by label),
+    // reciprocal intersection, degree count.
+    "embed_centrality" -> { (s, dir) =>
+      val e = Tables(s, dir, "embeddings")
+      val q = e.select(col("vec_id").as("qid"), vec.vector(col("embedding")).as("qvec"))
+      val nn = Knn.knnJoin(q, data(s, dir), 10, "l2sq").select(col("qid"), col("label"))
+      val rev = nn.select(col("label").as("rq"), col("qid").as("rl"))
+      val deg = nn.join(rev, col("qid") === col("rq") && col("label") === col("rl"))
+        .groupBy("qid").agg(count(lit(1)).as("degree"))
+      e.select(col("vec_id")).join(deg, col("vec_id") === col("qid"), "left")
+        .select(col("vec_id"),
+          coalesce(col("degree"), lit(0L)).as("degree"),
+          (coalesce(col("degree"), lit(0L)) >= 5).as("is_core"))
+    },
     // embedding-distribution drift between two corpus cohorts (old vs
     // new crawl snapshot, simulated by the vec_id parity split): per
     // label, the L2 distance between cohort centroids — the monitor a
@@ -391,6 +415,27 @@ object VectorQueries {
          |  CAST(sum(CAST(floor(dist * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0
          |    / CAST(count(*) AS DOUBLE) AS avg_dist
          |FROM a WHERE rn = 1 GROUP BY cid""".stripMargin,
+    // brute-force kNN (ties by label) -> reciprocal intersection ->
+    // degree; zero-degree outliers restored by the left join
+    "embed_centrality" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS a FROM embeddings),
+         |d AS (
+         |  SELECT q.qid, e.vec_id AS label, $l2sqSql AS dist
+         |  FROM q CROSS JOIN (SELECT vec_id, embedding AS b FROM embeddings) e
+         |  WHERE e.vec_id != q.qid
+         |),
+         |r AS (
+         |  SELECT qid, label,
+         |    row_number() OVER (PARTITION BY qid ORDER BY dist ASC, label) - 1 AS rank
+         |  FROM d
+         |),
+         |nn AS (SELECT qid, label FROM r WHERE rank < 10),
+         |m AS (SELECT a.qid FROM nn a JOIN nn b ON a.qid = b.label AND a.label = b.qid),
+         |deg AS (SELECT qid, CAST(count(*) AS BIGINT) AS degree FROM m GROUP BY qid)
+         |SELECT e.vec_id,
+         |  COALESCE(deg.degree, CAST(0 AS BIGINT)) AS degree,
+         |  COALESCE(deg.degree, 0) >= 5 AS is_core
+         |FROM embeddings e LEFT JOIN deg ON e.vec_id = deg.qid""".stripMargin,
     // identical fixed-point chain: micro-quantized components, long
     // sums per (label, dim), squared deltas re-quantized before the
     // across-dims fold (CASTs kill DuckDB's HUGEINT sum promotion)

@@ -315,6 +315,21 @@ class CurationAdditionsSpec extends SparkSpec {
     assert(est >= 500L && est <= 500L + err)
   }
 
+  test("embed_centrality: degrees bounded by k, edge-count parity, outliers covered") {
+    val out = run("embed_centrality").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val nVecs = Tables(spark, dir, "embeddings").count()
+    assert(out.length.toLong === nVecs, "one row per vector, including zero-degree outliers")
+    out.foreach { case (id, deg, core) =>
+      assert(deg >= 0L && deg <= 10L, s"vec $id degree $deg out of [0,10]")
+      assert(core === (deg >= 5L))
+    }
+    // mutual edges are symmetric: every edge contributes to exactly two
+    // degrees, so the total is even
+    assert(out.map(_._2).sum % 2 === 0L)
+    assert(out.exists(_._2 > 0L), "a dense corpus must have mutual neighbors")
+  }
+
   test("embed_drift: cohorts partition each label, drift replays the centroid-delta L2") {
     val out = run("embed_drift").collect()
       .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
