@@ -221,6 +221,22 @@ object VectorQueries {
           (col("m").cast("double") / 10000.0 / col("n_members").cast("double"))
             .as("avg_dist"))
     },
+    // greedy k-center coreset (Gonzalez '85): the 16 most spread-out
+    // exemplars plus the covering radius each pick closed — the
+    // diversity-selection dual of embed_centrality's density signal.
+    // k bounded scans, each reducing to a per-partition top-1; output
+    // is k driver rows. Rows-only at the gate (the greedy recurrence
+    // has no SQL replay); exact driver replay + radius monotonicity
+    // spec-asserted.
+    "sample_kcenter" -> { (s, dir) =>
+      import s.implicits._
+      val d = Tables(s, dir, "embeddings")
+        .select(col("vec_id").as("label"), vec.vector(col("embedding")).as("vec"))
+      graft.search.Coreset.kCenterGreedy(d, 16)
+        .toDF("center_rank", "label", "radius")
+        .select(col("center_rank"), col("label"),
+          Tables.quant4(col("radius")).as("radius"))
+    },
     // mutual-kNN-graph degree centrality: for each vector, how many of
     // its top-10 neighbors reciprocate — the embedding-space
     // core-vs-outlier signal for pruning (mutual-graph degree separates

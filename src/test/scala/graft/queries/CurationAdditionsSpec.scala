@@ -315,6 +315,37 @@ class CurationAdditionsSpec extends SparkSpec {
     assert(est >= 500L && est <= 500L + err)
   }
 
+  test("sample_kcenter: greedy selection replays exactly, radii non-increasing, centers distinct") {
+    import graft.functions.VectorMath
+    val out = run("sample_kcenter").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    assert(out.length === 16)
+    assert(out.map(_._2).distinct.length === 16, "centers must be distinct")
+    // covering radius is non-increasing after the seed
+    out.drop(1).sliding(2).foreach { case Array(a, b) =>
+      assert(b._3 <= a._3 + 1e-9, s"radius grew: $a -> $b")
+    }
+    // exact driver replay of the greedy recurrence (same float math,
+    // same (dist desc, label asc) tie-break)
+    val vecs = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), graft.functions.vec.vector(col("embedding")))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).sortBy(_._1)
+    def d(a: Array[Float], b: Array[Float]) = VectorMath.distArr(VectorMath.L2SQ, a, b, 3.0)
+    var centers = Vector((0, vecs.head._1, 0.0))
+    val mind = scala.collection.mutable.Map(vecs.map { case (l, v) =>
+      l -> d(v, vecs.head._2) }: _*)
+    val byId = vecs.toMap
+    for (rank <- 1 until 16) {
+      val far = vecs.map { case (l, _) => (l, mind(l)) }
+        .maxBy { case (l, dist) => (dist, -l.toDouble) }
+      centers :+= ((rank, far._1, far._2))
+      vecs.foreach { case (l, v) => mind(l) = math.min(mind(l), d(v, byId(far._1))) }
+    }
+    val expect = centers.map { case (r, l, rad) =>
+      (r, l, BigDecimal(rad).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) }
+    assert(out.toVector === expect)
+  }
+
   test("embed_centrality: degrees bounded by k, edge-count parity, outliers covered") {
     val out = run("embed_centrality").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
