@@ -234,6 +234,19 @@ object GraftFunctions {
       IndexCatalog.retrain(litString(args(0), "name"))
       Literal(true)
     },
+    // FAISS merge_from analog (IndexCatalog.merge): fold src into dst,
+    // optional add_id offset for label disambiguation
+    "faiss_merge" -> { args =>
+      IndexCatalog.merge(litString(args(1), "dst name"), litString(args(0), "src name"),
+        args.lift(2).map(litInt(_, "add_id").toLong).getOrElse(0L))
+      Literal(true)
+    },
+    // ingest maintenance (IndexCatalog.compact): collapse an
+    // incrementally-extended IVF back to one co-partitioned cache
+    "faiss_compact" -> { args =>
+      IndexCatalog.compact(litString(args(0), "name"))
+      Literal(true)
+    },
     "faiss_save" -> { args =>
       IndexCatalog.save(litString(args(0), "name"), litString(args(1), "path"))
       Literal(true)

@@ -78,6 +78,41 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(labels.nonEmpty) // exhaustive probe: each query's own id comes back
   }
 
+  test("faiss_merge folds src into dst through SQL (source first, like faiss_add)") {
+    ready
+    fresh("sqlidx_mdst"); fresh("sqlidx_msrc")
+    spark.sql("SELECT faiss_create('sqlidx_mdst', 4, 'IDMap,Flat')").collect()
+    spark.sql("SELECT faiss_create('sqlidx_msrc', 4, 'IDMap,Flat')").collect()
+    spark.sql("SELECT faiss_add('SELECT id, v FROM sql_corpus WHERE id < 10', 'sqlidx_mdst')").collect()
+    spark.sql("SELECT faiss_add('SELECT id, v FROM sql_corpus WHERE id >= 10', 'sqlidx_msrc')").collect()
+    spark.sql("SELECT faiss_merge('sqlidx_msrc', 'sqlidx_mdst')").collect()
+    assert(!graft.index.IndexCatalog.exists("sqlidx_msrc") ||
+      graft.index.IndexCatalog.meta("sqlidx_msrc").name == "sqlidx_msrc") // src may survive empty
+    val labels = spark.sql(
+      """SELECT r.label AS label
+        |FROM (SELECT qid, faiss_search('sqlidx_mdst', 20, qv) AS rs FROM sql_queries)
+        |LATERAL VIEW explode(rs) t AS r""".stripMargin)
+      .collect().map(_.getLong(0)).toSet
+    assert(labels.exists(_ < 10L) && labels.exists(l => l >= 10L && l < 20L),
+      s"merged dst must serve both halves, got $labels")
+  }
+
+  test("faiss_compact is a loud no-op-or-fold through SQL") {
+    ready
+    fresh("sqlidx_cp")
+    spark.sql("SELECT faiss_create('sqlidx_cp', 4, 'IDMap,IVF4,Flat')").collect()
+    spark.sql("SELECT faiss_add('sql_corpus', 'sqlidx_cp')").collect()
+    spark.sql("SELECT faiss_search('sqlidx_cp', 1, array(0.0F,0.0F,0.0F,0.0F))").collect() // build
+    spark.sql("SELECT faiss_add('SELECT id + 100, v FROM sql_corpus', 'sqlidx_cp')").collect()
+    spark.sql("SELECT faiss_compact('sqlidx_cp')").collect()
+    val n = spark.sql(
+      """SELECT r.label AS label
+        |FROM (SELECT qid, faiss_search('sqlidx_cp', 40, qv, map('nprobe','4')) AS rs
+        |      FROM sql_queries)
+        |LATERAL VIEW explode(rs) t AS r""".stripMargin).collect().length
+    assert(n > 0)
+  }
+
   test("SQL search equals the catalog API search") {
     ready
     fresh("sqlidx2")
