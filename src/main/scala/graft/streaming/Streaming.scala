@@ -50,6 +50,26 @@ object Streaming {
       .select(col("w.start").as("bucket"),
         graft.functions.theta.estimate(col("sk")).cast("long").as("distinct_users"))
 
+  /**
+   * Streaming per-window quantiles: the KLL sketch aggregate under a
+   * watermarked window — p50/p95/p99 latency-style monitoring with
+   * KB-sized per-window state instead of a full value buffer. Partial
+   * sketches merge across micro-batches through the state store
+   * exactly as across map tasks in batch (same deterministic
+   * compaction), so streaming equals batch on the same rows
+   * (spec-asserted), and the emitted windows stay mergeable into
+   * coarser offline rollups via KllMergeAgg.
+   */
+  def windowQuantileSketch(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(graft.functions.kll.sketchAgg(col("value")).as("sk"))
+      .select(col("w.start").as("bucket"), col("event_type"),
+        graft.functions.kll.quantiles(col("sk"), Seq(0.5, 0.95, 0.99)).as("q"))
+      .select(col("bucket"), col("event_type"),
+        col("q")(0).as("p50"), col("q")(1).as("p95"), col("q")(2).as("p99"))
+
   /** tumbling 1h aggregation with a watermark (streaming twin of events_window_agg) */
   def hourlyWindowAgg(events: DataFrame, watermark: String = "2 hours"): DataFrame =
     events

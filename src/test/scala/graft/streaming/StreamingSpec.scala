@@ -38,6 +38,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming quantile sketch: KLL merges across micro-batches, equals batch") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val df = mem.toDF.toDF("ts", "event_type", "value")
+    val q = Streaming.windowQuantileSketch(df)
+      .writeStream.format("memory").queryName("s_kll").outputMode("complete").start()
+    try {
+      // the same window split across two micro-batches: quantiles are
+      // only right if the state-store KLL MERGE equals one-shot build
+      val b1 = (1 to 50).map(i => (ts(1, i % 60), "lat", i.toDouble))
+      val b2 = (51 to 100).map(i => (ts(1, i % 60), "lat", i.toDouble))
+      mem.addData(b1: _*)
+      q.processAllAvailable()
+      mem.addData(b2: _*)
+      q.processAllAvailable()
+      val got = spark.table("s_kll").collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      assert(got.length === 1)
+      val (_, _, p50, p95, p99) = got.head
+      assert(p50 <= p95 && p95 <= p99)
+      assert(Set(p50, p95, p99).subsetOf((1 to 100).map(_.toDouble).toSet),
+        "small-n KLL quantiles are actual observed values")
+      // batch twin on the same rows agrees exactly (same deterministic
+      // sketch build + merge)
+      val batch = Streaming.windowQuantileSketch((b1 ++ b2).toDF("ts", "event_type", "value"))
+        .collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      assert(batch.toSet === got.toSet)
+    } finally q.stop()
+  }
+
   test("streaming top-k: bounded heap merges across micro-batches, equals batch") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
