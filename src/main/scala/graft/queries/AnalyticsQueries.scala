@@ -609,6 +609,43 @@ object AnalyticsQueries {
     // anomaly comparison runs on raw doubles: both engines compute med
     // and MAD from identical inputs with the same interpolation formula,
     // so the flag is deterministic; output scalars quantize for the hash.
+    // mean-shift changepoint per event type (binary segmentation's
+    // first split): the hour boundary maximizing |mean(before) −
+    // mean(after)| over the (hour)-ordered series. Scale-safe by
+    // construction: raw events reduce MAP-SIDE to per-(type, hour)
+    // cents-sum + count first (one small shuffle), so the ordered
+    // window runs over hours-per-type rows, never raw events — the
+    // shape that survives 1e12-events-per-type. All sums are exact
+    // longs; the split score quantizes to fixed point before the
+    // argmax (ties to the earliest hour), so the chosen split is
+    // bit-stable cross-engine and the whole chain oracles exactly.
+    "events_changepoint" -> { (s, dir) =>
+      val hourly = Tables.events(s, dir)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("hc"),
+          count(lit(1)).as("hn"))
+      val ord = Window.partitionBy("event_type").orderBy(col("h"))
+      val run = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = hourly.groupBy("event_type")
+        .agg(sum("hc").as("ct"), sum("hn").as("nt"), count(lit(1)).as("nh"))
+      val scored = hourly
+        .withColumn("cs", sum(col("hc")).over(run))
+        .withColumn("ci", sum(col("hn")).over(run))
+        .withColumn("hi", row_number().over(ord).cast("long"))
+        .join(broadcast(tot), "event_type")
+        .where(col("hi") < col("nh"))
+        .withColumn("delta",
+          abs(col("cs").cast("double") / col("ci").cast("double")
+            - (col("ct") - col("cs")).cast("double") / (col("nt") - col("ci")).cast("double")))
+        .withColumn("dq", floor(col("delta") * 10000 + 0.5).cast("long"))
+      val best = Window.partitionBy("event_type").orderBy(col("dq").desc, col("h").asc)
+      scored.withColumn("rn", row_number().over(best)).where(col("rn") === 1)
+        .select(col("event_type"), col("h").as("split_hour"),
+          quant4(col("cs").cast("double") / 100.0 / col("ci").cast("double"))
+            .as("mean_before"),
+          quant4((col("ct") - col("cs")).cast("double") / 100.0
+            / (col("nt") - col("ci")).cast("double")).as("mean_after"))
+    },
     "events_anomaly" -> { (s, dir) =>
       val ev = Tables.events(s, dir)
       val med = ev.groupBy(col("event_type").as("t"))
@@ -1026,6 +1063,40 @@ object AnalyticsQueries {
          |  ${moneySumSql("o_totalprice")} AS sum_price
          |FROM orders
          |GROUP BY CUBE (year(o_orderdate), o_orderpriority)""".stripMargin,
+    // identical fixed-point chain: per-(type, hour) BIGINT rollup,
+    // window prefix sums (CASTs kill HUGEINT), quantized split score,
+    // earliest-hour tie-break
+    "events_changepoint" ->
+      s"""WITH hourly AS (
+         |  SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+         |    CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS hc,
+         |    CAST(count(*) AS BIGINT) AS hn
+         |  FROM events GROUP BY 1, 2
+         |),
+         |s AS (
+         |  SELECT event_type, h,
+         |    CAST(sum(hc) OVER (PARTITION BY event_type ORDER BY h
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cs,
+         |    CAST(sum(hn) OVER (PARTITION BY event_type ORDER BY h
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS ci,
+         |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY h) AS BIGINT) AS hi,
+         |    CAST(sum(hc) OVER (PARTITION BY event_type) AS BIGINT) AS ct,
+         |    CAST(sum(hn) OVER (PARTITION BY event_type) AS BIGINT) AS nt,
+         |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS nh
+         |  FROM hourly
+         |),
+         |d AS (
+         |  SELECT *,
+         |    abs(CAST(cs AS DOUBLE) / CAST(ci AS DOUBLE)
+         |      - CAST(ct - cs AS DOUBLE) / CAST(nt - ci AS DOUBLE)) AS delta
+         |  FROM s WHERE hi < nh
+         |),
+         |q AS (SELECT *, CAST(floor(delta * 10000 + 0.5) AS BIGINT) AS dq FROM d),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY dq DESC, h ASC) AS rn FROM q)
+         |SELECT event_type, h AS split_hour,
+         |  ${quant4Sql("CAST(cs AS DOUBLE) / 100.0 / CAST(ci AS DOUBLE)")} AS mean_before,
+         |  ${quant4Sql("CAST(ct - cs AS DOUBLE) / 100.0 / CAST(nt - ci AS DOUBLE)")} AS mean_after
+         |FROM r WHERE rn = 1""".stripMargin,
     "events_anomaly" ->
       s"""WITH med AS (
          |  SELECT event_type AS t, median(value) AS med FROM events GROUP BY 1

@@ -495,4 +495,33 @@ class AnalyticsQueriesSpec extends SparkSpec {
       .count()
     assert(hits.length.toLong === expect && expect > 0)
   }
+
+  test("events_changepoint: one split per type, replays the hourly mean-shift argmax") {
+    val out = run("events_changepoint").collect()
+      .map(r => r.getString(0) -> (r.getTimestamp(1), r.getDouble(2), r.getDouble(3))).toMap
+    val hourly = Tables.events(spark, dir)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("hc"), count(lit(1)).as("hn"))
+      .collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2), r.getLong(3)))
+      .groupBy(_._1)
+    assert(out.keySet === hourly.keySet.filter(hourly(_).length > 1))
+    hourly.foreach { case (t, hs) if hs.length > 1 =>
+      val ord = hs.sortBy(_._2.getTime)
+      val (ct, nt) = (ord.map(_._3).sum, ord.map(_._4).sum)
+      var cs = 0L; var ci = 0L
+      val scored = ord.init.map { h =>
+        cs += h._3; ci += h._4
+        val delta = math.abs(cs.toDouble / ci - (ct - cs).toDouble / (nt - ci))
+        (h._2, math.floor(delta * 10000 + 0.5).toLong, cs, ci)
+      }
+      val bestPick = scored.maxBy(s => (s._2, -s._1.getTime.toDouble))
+      def q4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val (gotH, gotB, gotA) = out(t)
+      assert(gotH === bestPick._1, s"type $t split hour")
+      assert(gotB === q4(bestPick._3.toDouble / 100.0 / bestPick._4))
+      assert(gotA === q4((ct - bestPick._3).toDouble / 100.0 / (nt - bestPick._4)))
+    case _ => ()
+    }
+  }
 }
