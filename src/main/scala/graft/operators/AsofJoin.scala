@@ -81,4 +81,84 @@ object AsofJoin {
       .where(col("_side") === 0)
       .select(leftCols.map(col) ++ payload.map(c => col(s"_c.$c").as(c)): _*)
   }
+
+  /**
+   * Nearest-in-time join: for every left row, the right row with the
+   * SMALLEST |rightTs - leftTs| within the same key, either direction
+   * (sensor alignment, closest-order attribution). Ties on equal
+   * distance break to the largest `tiebreak` value — fully
+   * deterministic, so the composition has an exact oracle.
+   *
+   * Same tagged-union shape as [[join]]: ONE shuffle on the key, then
+   * TWO incremental window passes over the sorted partition (forward
+   * carry = latest right at ts <= left, backward carry = earliest right
+   * at ts >= left; both carry max-tiebreak within their boundary ts),
+   * and a scan-stage pick of the nearer side. No per-key right-side
+   * expansion — at 100 TB this scales like the as-of join, not like the
+   * naive key-join + per-left sort (which explodes on hot keys).
+   */
+  def joinNearest(
+      left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String,
+      payload: Seq[String], tiebreak: String): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val reserved = Seq("_ts", "_side", "_tb", "_p", "_prev", "_next")
+    require(!leftCols.exists(reserved.contains),
+      s"left columns collide with asof-join internals: ${leftCols.intersect(reserved).mkString(",")}")
+    require(payload.forall(c => !leftCols.contains(c)),
+      s"payload columns already exist on the left side: ${payload.intersect(leftCols).mkString(",")}")
+    require(left.columns.contains(key) && right.columns.contains(key),
+      s"key '$key' must exist on both sides (rename the right key first)")
+
+    // carried struct leads with (ts, tiebreak) so the pick stage can
+    // compute |delta| and break ties without re-joining the right side
+    val payloadStruct = struct(
+      col(rightTs).cast("timestamp").as("_rts") +:
+        col(tiebreak).as("_rtb") +:
+        payload.map(c => col(c).as(c)): _*)
+    val taggedRight = right
+      .where(col(key).isNotNull && col(rightTs).isNotNull)
+      .select(
+        (col(key) +:
+          col(rightTs).cast("timestamp").as("_ts") +:
+          lit(1).as("_side") +:
+          col(tiebreak).as("_tb") +:
+          payloadStruct.as("_p") +:
+          leftCols.filterNot(_ == key).map(c => lit(null).cast(left.schema(c).dataType).as(c))): _*)
+    val nullTb = lit(null).cast(right.schema(tiebreak).dataType)
+    val nullPayload = lit(null).cast(org.apache.spark.sql.types.StructType(
+      right.schema(rightTs).copy(name = "_rts") +:
+        right.schema(tiebreak).copy(name = "_rtb") +:
+        payload.map(c => right.schema(c).copy(name = c))))
+    val taggedLeft = left.select(
+      (col(key) +:
+        col(leftTs).cast("timestamp").as("_ts") +:
+        lit(0).as("_side") +:
+        nullTb.as("_tb") +:
+        nullPayload.as("_p") +:
+        leftCols.filterNot(_ == key).map(col)): _*)
+    // forward pass: right rows at the same ts sort before left (so an
+    // exact-ts match is visible at distance 0), max tiebreak lands last
+    val wPrev = Window
+      .partitionBy(col(key))
+      .orderBy(col("_ts").asc, col("_side").desc, col("_tb").asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // backward pass: reversed ts; _tb still ASC so the LAST right row of
+    // an equal-ts block (the one the carry sees) is again max tiebreak
+    val wNext = Window
+      .partitionBy(col(key))
+      .orderBy(col("_ts").desc, col("_side").desc, col("_tb").asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val prevD = unix_micros(col("_ts")) - unix_micros(col("_prev._rts"))
+    val nextD = unix_micros(col("_next._rts")) - unix_micros(col("_ts"))
+    val pickPrev = col("_next").isNull ||
+      (col("_prev").isNotNull &&
+        (prevD < nextD || (prevD === nextD && col("_prev._rtb") >= col("_next._rtb"))))
+    taggedRight.unionByName(taggedLeft)
+      .withColumn("_prev", last(col("_p"), ignoreNulls = true).over(wPrev))
+      .withColumn("_next", last(col("_p"), ignoreNulls = true).over(wNext))
+      .where(col("_side") === 0)
+      .withColumn("_p", when(pickPrev, col("_prev")).otherwise(col("_next")))
+      .select(leftCols.map(col) ++ payload.map(c => col(s"_p.$c").as(c)): _*)
+  }
 }

@@ -203,6 +203,21 @@ object RelationalQueries {
         payload = Seq("o_orderkey"), tiebreak = "o_orderkey")
         .select(col("event_id"), col("user_id"), col("o_orderkey"))
     },
+    // nearest-in-time variant: each event attaches to the user's order
+    // CLOSEST in either direction (|o_orderdate - ts| minimal, ties to
+    // the largest o_orderkey) — sensor alignment / closest-order
+    // attribution. Same one-key-shuffle tagged-union plan as events_asof
+    // with a second (reversed) window pass; never a per-event right-side
+    // expansion, so hot users cost O(their rows), not O(rows²).
+    "events_asof_nearest" -> { (s, dir) =>
+      graft.operators.AsofJoin.joinNearest(
+        left = Tables.events(s, dir).select("event_id", "user_id", "ts"),
+        right = Tables(s, dir, "orders").withColumnRenamed("o_custkey", "user_id"),
+        key = "user_id",
+        leftTs = "ts", rightTs = "o_orderdate",
+        payload = Seq("o_orderkey"), tiebreak = "o_orderkey")
+        .select(col("event_id"), col("user_id"), col("o_orderkey"))
+    },
     // TPC-H Q18-style: orders whose total quantity exceeds a threshold,
     // top 10 by order value. One lineitem aggregation (map-side partial
     // sums), then AQE-picked joins back to orders/customer — the
@@ -451,6 +466,21 @@ object RelationalQueries {
         |SELECT e.event_id, e.user_id, o.o_orderkey
         |FROM events e ASOF LEFT JOIN o
         |  ON e.user_id = o.o_custkey AND CAST(e.ts AS TIMESTAMP) >= o.o_orderdate""".stripMargin,
+    // set-based replay of "minimal |delta|, ties to max o_orderkey":
+    // acceptable at oracle scale; the Spark plan is the windowed
+    // tagged union precisely because this join-then-rank shape is the
+    // hot-key quadratic that does NOT survive 100 TB
+    "events_asof_nearest" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+        |), j AS (
+        |  SELECT e.event_id, e.user_id, o.o_orderkey,
+        |    abs(epoch_us(o.o_orderdate) - epoch_us(e.ts)) AS ad
+        |  FROM e LEFT JOIN orders o ON o.o_custkey = e.user_id
+        |)
+        |SELECT event_id, user_id, o_orderkey FROM j
+        |QUALIFY row_number() OVER (
+        |  PARTITION BY event_id ORDER BY ad ASC NULLS LAST, o_orderkey DESC) = 1""".stripMargin,
     "events_sessionize" ->
       """WITH ev AS (
         |  -- parquet stores ns; Spark truncates to micros, and its

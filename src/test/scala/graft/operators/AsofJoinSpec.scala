@@ -58,6 +58,65 @@ class AsofJoinSpec extends SparkSpec {
     assert(res === Map(1L -> true, 2L -> true))
   }
 
+  test("nearest join picks the closer side in either direction") {
+    import spark.implicits._
+    val left = Seq(
+      (100L, 1L, ts(5)), // r at 4 (d=1h) vs r at 9 (d=4h) -> 20
+      (101L, 1L, ts(8)), // r at 9 (d=1h) closer than 4 (d=4h) -> 40
+      (102L, 2L, ts(0)), // only a later order exists -> forward match
+      (103L, 3L, ts(0))  // no orders for this user -> null
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (20L, 1L, ts(4)),
+      (40L, 1L, ts(9)),
+      (30L, 2L, ts(6))
+    ).toDF("o_orderkey", "user_id", "o_orderdate")
+    val res = AsofJoin.joinNearest(left, right, "user_id", "ts", "o_orderdate",
+        Seq("o_orderkey"), "o_orderkey")
+      .collect().map(r => r.getLong(0) -> Option(r.get(3)).map(_.asInstanceOf[Long])).toMap
+    assert(res === Map(
+      100L -> Some(20L), 101L -> Some(40L), 102L -> Some(30L), 103L -> None))
+  }
+
+  test("nearest join: equidistant sides and equal-ts blocks break to max tiebreak") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, 7L, ts(5)), // orders at 3 and 7: both d=2h -> larger key (9)
+      (2L, 8L, ts(5))  // two orders both AT ts 5: d=0 -> larger key (6)
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (4L, 7L, ts(3)), (9L, 7L, ts(7)),
+      (3L, 8L, ts(5)), (6L, 8L, ts(5))
+    ).toDF("o_orderkey", "user_id", "o_orderdate")
+    val res = AsofJoin.joinNearest(left, right, "user_id", "ts", "o_orderdate",
+        Seq("o_orderkey"), "o_orderkey")
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(res === Map(1L -> 9L, 2L -> 6L))
+  }
+
+  test("nearest join matches a brute-force replay on random data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val left = (0 until 200).map(i =>
+      (i.toLong, rnd.nextInt(8).toLong, ts(rnd.nextInt(23)))).toSeq
+      .toDF("event_id", "user_id", "ts")
+    val right = (0 until 60).map(i =>
+      (i.toLong, rnd.nextInt(10).toLong, ts(rnd.nextInt(23)))).toSeq
+      .toDF("o_orderkey", "user_id", "o_orderdate")
+    val res = AsofJoin.joinNearest(left, right, "user_id", "ts", "o_orderdate",
+        Seq("o_orderkey"), "o_orderkey")
+      .collect().map(r => r.getLong(0) -> Option(r.get(3)).map(_.asInstanceOf[Long])).toMap
+    val rights = right.collect().map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2)))
+    left.collect().foreach { l =>
+      val cands = rights.filter(_._2 == l.getLong(1))
+      val expect =
+        if (cands.isEmpty) None
+        else Some(cands.minBy { case (k, _, t) =>
+          (math.abs(t.getTime - l.getTimestamp(2).getTime), -k) }._1)
+      assert(res(l.getLong(0)) === expect, s"event ${l.getLong(0)}")
+    }
+  }
+
   test("equal timestamps: right row at same ts is visible (<=), max tiebreak wins") {
     import spark.implicits._
     val left = Seq((1L, 7L, ts(3))).toDF("event_id", "user_id", "ts")
