@@ -211,6 +211,46 @@ object PipelineQueries {
         .select(col("doc_id"), col("lang"),
           explode(sequence(lit(0L), col("n_copies") - 1L)).as("copy"))
     },
+    // DSIR-style importance resampling (Xie et al. 2023, "Data
+    // Selection for Language Models via Importance Resampling"): score
+    // each doc by how much likelier its hashed word-bigram features are
+    // under the TARGET distribution (the lang='en' slice stands in for
+    // "high-quality target domain") than under the raw corpus, keep the
+    // top-M. The paper's score is sum log(p_tgt(f)/p_raw(f)); log is a
+    // libm-ULP hazard cross-engine (the text_surprisal lesson), so the
+    // ratio stays RATIONAL: bucket f contributes
+    // ((c_tgt+1)*1e6) div (c_raw+1) ppm (add-one smoothing) and a doc
+    // scores the integer mean over its feature occurrences — same
+    // ordering intent, bit-exact on any engine. Plan: ONE bigram-hash
+    // explode repartitioned by bucket feeds both count rollups and the
+    // scoring join (ReuseExchange hashes the corpus once); the ≤4096-row
+    // ppm table broadcasts back; top-M is a distributed TakeOrdered —
+    // at 100 TB nothing but (doc_id, bucket) pairs and one tiny ratio
+    // table ever move.
+    "sample_importance" -> { (s, dir) =>
+      val toks = graft.text.TextFunctions.tokens(col("text"))
+      val feats = Tables.wide(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          explode(
+            when(size(toks) >= 2,
+              transform(sequence(lit(1), size(toks) - 1),
+                i => conv(substring(md5(concat(
+                    element_at(toks, i), lit(" "), element_at(toks, i + 1))), 1, 4), 16, 10)
+                  .cast("long") % 4096L))
+              .otherwise(array().cast("array<long>"))).as("b"))
+        .repartition(col("b"))
+      val cRaw = feats.groupBy("b").agg(count(lit(1)).as("c_raw"))
+      val cTgt = feats.where(col("lang") === "en")
+        .groupBy("b").agg(count(lit(1)).as("c_tgt"))
+      val ppm = cRaw.join(cTgt, Seq("b"), "left_outer")
+        .select(col("b"),
+          expr("((coalesce(c_tgt, 0L) + 1L) * 1000000L) div (c_raw + 1L)").as("ppm"))
+      feats.join(broadcast(ppm), "b")
+        .groupBy("doc_id", "lang")
+        .agg(expr("sum(ppm) div count(*)").as("avg_ppm"))
+        .orderBy(col("avg_ppm").desc, col("doc_id"))
+        .limit(200)
+    },
     // TPC-H Q4-style EXISTS: orders with any late-shipping lineitem
     "q4_priority" -> { (s, dir) =>
       val li = Tables(s, dir, "lineitem").select(col("l_orderkey"), col("l_shipdate"))
@@ -322,6 +362,28 @@ object PipelineQueries {
       s"""SELECT doc_id, lang FROM documents
         |WHERE $contentBucketSql <
         |  CASE WHEN lang = 'en' THEN 9000 WHEN lang = 'de' THEN 5000 ELSE 2500 END""".stripMargin,
+    // identical hash→bucket→integer-ppm chain; integer division (div
+    // vs //) truncates identically for the all-positive operands here
+    "sample_importance" ->
+      s"""WITH t AS (SELECT doc_id, lang, $toksSql AS toks FROM documents),
+         |f AS (
+         |  SELECT doc_id, lang,
+         |    unnest([CAST(('0x' || substring(md5(toks[i] || ' ' || toks[i+1]), 1, 4)) AS BIGINT) % 4096
+         |            FOR i IN range(1, len(toks))]) AS b
+         |  FROM t WHERE len(toks) >= 2
+         |),
+         |cr AS (SELECT b, count(*) AS c_raw FROM f GROUP BY b),
+         |ct AS (SELECT b, count(*) AS c_tgt FROM f WHERE lang = 'en' GROUP BY b),
+         |r AS (
+         |  SELECT cr.b AS b,
+         |    CAST(((coalesce(c_tgt, 0) + 1) * 1000000) // (c_raw + 1) AS BIGINT) AS ppm
+         |  FROM cr LEFT JOIN ct ON cr.b = ct.b
+         |)
+         |SELECT doc_id, lang, CAST(sum(ppm) // count(*) AS BIGINT) AS avg_ppm
+         |FROM f JOIN r USING (b)
+         |GROUP BY doc_id, lang
+         |ORDER BY avg_ppm DESC, doc_id
+         |LIMIT 200""".stripMargin,
     // same fixed-point normalizer and identical IEEE expression chain
     // for the rate, so the bucket comparison lands identically
     "sample_temperature" ->

@@ -51,6 +51,20 @@ class PipelineQueriesSpec extends SparkSpec {
     assert(frac("en") >= 0.7)
   }
 
+  test("sample_importance: scores sort desc and target-language docs rank higher") {
+    val rows = PipelineQueries.queries("sample_importance")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val scores = rows.map(_.getLong(2)).toSeq
+    assert(scores === scores.sorted.reverse, "output not score-descending")
+    // en is the DSIR target slice: its mean rank must beat the rest
+    val ranks = rows.zipWithIndex.map { case (r, i) => (r.getString(1), i) }
+    val (en, other) = ranks.partition(_._1 == "en")
+    assert(en.nonEmpty && other.nonEmpty)
+    val meanEn = en.map(_._2).sum.toDouble / en.length
+    val meanOther = other.map(_._2).sum.toDouble / other.length
+    assert(meanEn < meanOther, s"en mean rank $meanEn vs other $meanOther")
+  }
+
   test("text_surprisal: rarer vocabulary scores higher") {
     import org.apache.spark.sql.functions.col
     val rows = TextQueries.queries("text_surprisal")(spark, dir).collect()
