@@ -41,6 +41,51 @@ object VectorQueries {
         Tables.quant4(col("distance")).as("distance"))
   }
 
+  /** binary IVF (FAISS IndexBinaryIVF shape): sign-bit codes, Hamming
+    * coarse quantizer, nprobe-list search. Centroid codes are the sign
+    * bits of float k-means centroids (bit i set ⇔ dim i >= 0 — the
+    * VectorMath.signBits layout) and ride the plan as a literal array;
+    * assignment and probing are pure scan-stage array ops. Exposed for
+    * the spec to drive exhaustive-probe exactness. */
+  private[graft] def binaryIvf(
+      s: SparkSession, dir: String, nlist: Int, nprobe: Int): DataFrame = {
+    val e = Tables(s, dir, "embeddings")
+    val cf = graft.index.KMeansTrainer.train(
+      e.select(vec.vector(col("embedding"))), nlist, seed = 42L, maxIter = 10)
+    val centBits: Seq[Long] = cf.toSeq.map { c =>
+      var bits = 0L
+      var i = 0
+      val n = math.min(c.length, 64)
+      while (i < n) { if (c(i) >= 0f) bits |= (1L << i); i += 1 }
+      bits
+    }
+    val cents = typedLit(centBits)
+    val code = vec.signBits(vec.vector(col("embedding")))
+    // per-row argmin over the literal centroid array: first occurrence
+    // of the min Hamming distance = lowest centroid id on ties
+    val hams = transform(cents, c => bit_count(col("bits").bitwiseXOR(c)))
+    val d = e.select(col("vec_id").as("label"), code.as("bits"))
+      .withColumn("list",
+        (array_position(hams, array_min(hams)) - 1L).cast("int"))
+    val probeStructs = array_sort(transform(
+      sequence(lit(0), lit(nlist - 1)),
+      i => struct(
+        bit_count(get(cents, i).bitwiseXOR(col("qbits"))).as("d"),
+        i.as("idx"))))
+    val q = e.where(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), code.as("qbits"))
+      .select(col("qid"), col("qbits"),
+        explode(slice(probeStructs, 1, nprobe)).as("p"))
+      .select(col("qid"), col("qbits"), col("p.idx").as("list"))
+    Knn.rankResults(
+        d.join(broadcast(q), "list")
+          .select(col("qid"), col("label"),
+            bit_count(col("bits").bitwiseXOR(col("qbits"))).cast("double").as("_dist")),
+        K, ascending = true)
+      .select(col("qid"), col("rank"), col("label"),
+        col("distance").cast("long").as("hamming"))
+  }
+
   /** pairwise metric panel: all 9 reference metrics over adjacent embedding pairs */
   private def distMetrics(s: SparkSession, dir: String): DataFrame = {
     val e = Tables(s, dir, "embeddings")
@@ -172,6 +217,20 @@ object VectorQueries {
           K, ascending = true)
         .select(col("qid"), col("rank"), col("label"),
           Tables.quant4(col("distance")).as("distance"))
+    },
+    // FAISS IndexBinaryIVF analog (binary codes + inverted lists; the
+    // reference's index_factory reaches only float indexes —
+    // faiss_extension.cpp:155 — so this extends the family to the
+    // 1-bit tier): coarse centroids are the sign codes of float-space
+    // k-means centroids, every vector assigns to its Hamming-nearest
+    // centroid INSIDE the scan (literal centroid array + transform/
+    // argmin — no shuffle, no join), and a query scans only its nprobe
+    // nearest lists. At 100 TB the corpus is an 8-byte code column
+    // read at nprobe/nlist selectivity; the probe table is a broadcast.
+    // Approximate at partial probe → rows-only gate; the spec pins
+    // exhaustive probe == brute-force Hamming and recall at nprobe=4.
+    "knn_binary_ivf" -> { (s, dir) =>
+      binaryIvf(s, dir, nlist = 16, nprobe = 4)
     },
     // Matryoshka (prefix-dim) serving: coarse top-20 on the FIRST 16
     // dims (25% of the vector bytes — the only corpus-wide scan), exact

@@ -71,6 +71,22 @@ class CurationAdditionsSpec extends SparkSpec {
     assert(recall >= 0.7, f"recall@5 = $recall%.2f")
   }
 
+  test("knn_binary_ivf: exhaustive probe equals brute-force Hamming; partial probe recalls") {
+    // nprobe = nlist scans every list — must equal the flat Hamming scan
+    val full = VectorQueries.binaryIvf(spark, dir, nlist = 16, nprobe = 16).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).sorted
+    val flat = run("knn_hamming").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).sorted
+    assert(full === flat, "exhaustive binary IVF diverges from the flat Hamming scan")
+    // partial probe: bounded result shape + useful recall vs the flat scan
+    val part = run("knn_binary_ivf").collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    assert(part.nonEmpty)
+    val exact = flat.map(t => (t._1, t._3)).toSet
+    val recall = part.count(exact).toDouble / exact.size
+    assert(recall >= 0.5, f"recall@5 at nprobe=4 = $recall%.2f")
+  }
+
   test("sample_temperature: flattens the mix toward small sources, realized sizes track rates") {
     val kept = run("sample_temperature").collect()
     assert(kept.nonEmpty)
