@@ -346,6 +346,27 @@ object AnalyticsQueries {
     // then a broadcast join back flags |z| > 3. mean/std/z are chains
     // of correctly-rounded IEEE ops on identical inputs, so the oracle
     // compares exactly despite the floating point.
+    // hour-of-day seasonality profile per event type (the diurnal
+    // traffic fingerprint capacity planning and anomaly baselining both
+    // start from): per (type, hour 0-23) the event count, cents-exact
+    // mean value, and integer-bp share of the type's traffic. ONE
+    // map-side-combined rollup to ≤ 24×|types| rows; the type totals
+    // re-aggregate from the PROFILE (not the raw events) and broadcast
+    // back — at 100 TB the raw table is read once and the join moves
+    // kilobytes. Exact oracle: counts/shares are integer, the mean is
+    // one fixed IEEE division chain over a cents sum.
+    "events_seasonality" -> { (s, dir) =>
+      val cents = round(col("value") * 100).cast("long")
+      val prof = Tables.events(s, dir)
+        .groupBy(col("event_type"), hour(col("ts")).as("hod"))
+        .agg(count(lit(1)).as("n_events"), sum(cents).as("sc"))
+      val tot = prof.groupBy("event_type").agg(sum("n_events").as("n_type"))
+      prof.join(broadcast(tot), "event_type")
+        .select(col("event_type"), col("hod"), col("n_events"),
+          quant4(col("sc").cast("double") / 100.0 / col("n_events").cast("double"))
+            .as("mean_value"),
+          expr("n_events * 10000L div n_type").as("share_bp"))
+    },
     "events_zscore" -> { (s, dir) =>
       val cents = round(col("value") * 100).cast("long")
       val stats = Tables.events(s, dir)
@@ -879,6 +900,21 @@ object AnalyticsQueries {
       s"""SELECT event_type, CAST(floor("value" / 50.0) AS BIGINT) AS bin,
          |  count(*) AS n_events, ${moneySumSql("value")} AS sum_value
          |FROM events GROUP BY 1, 2""".stripMargin,
+    "events_seasonality" ->
+      s"""WITH p AS (
+         |  SELECT event_type,
+         |    CAST(hour(CAST(ts AS TIMESTAMP)) AS INTEGER) AS hod,
+         |    count(*) AS n_events,
+         |    sum(CAST(round(value * 100, 0) AS BIGINT)) AS sc
+         |  FROM events GROUP BY 1, 2
+         |), t AS (
+         |  SELECT event_type, CAST(sum(n_events) AS BIGINT) AS n_type
+         |  FROM p GROUP BY 1
+         |)
+         |SELECT p.event_type, hod, CAST(n_events AS BIGINT) AS n_events,
+         |  ${quant4Sql("CAST(sc AS DOUBLE) / 100.0 / CAST(n_events AS DOUBLE)")} AS mean_value,
+         |  CAST((n_events * 10000) // n_type AS BIGINT) AS share_bp
+         |FROM p JOIN t USING (event_type)""".stripMargin,
     "events_zscore" ->
       s"""WITH stats AS (
          |  SELECT event_type AS t,

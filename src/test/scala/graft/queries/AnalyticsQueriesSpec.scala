@@ -496,6 +496,22 @@ class AnalyticsQueriesSpec extends SparkSpec {
     assert(hits.length.toLong === expect && expect > 0)
   }
 
+  test("events_seasonality: hods in range, counts and shares reconcile per type") {
+    val rows = graft.SparkEntry.queries("events_seasonality")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val byType = rows.groupBy(_.getString(0))
+    val rawByType = Tables.events(spark, dir).groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    byType.foreach { case (t, rs) =>
+      val hods = rs.map(_.getInt(1))
+      assert(hods.forall(h => h >= 0 && h <= 23) && hods.distinct.length === hods.length)
+      assert(rs.map(_.getLong(2)).sum === rawByType(t), s"counts for $t")
+      val shares = rs.map(_.getLong(4)).sum
+      // integer-floor share rounding loses < 1bp per populated hour
+      assert(shares <= 10000L && shares > 10000L - hods.length, s"share sum $shares for $t")
+    }
+  }
+
   test("events_changepoint: one split per type, replays the hourly mean-shift argmax") {
     val out = run("events_changepoint").collect()
       .map(r => r.getString(0) -> (r.getTimestamp(1), r.getDouble(2), r.getDouble(3))).toMap
