@@ -181,6 +181,18 @@ object IndexQueries {
       IndexCatalog.add(embData(s, dir), name)
       quantized(IndexCatalog.search(name, 5, embQueries(s, dir)))
     },
+    // the composed FAISS "IVF16,SQ8" factory through the gate: list
+    // pruning (nprobe=4) over scalar-quantized codes with exact
+    // re-rank — the memory shape a 100 TB corpus actually serves from
+    // (8 bytes/dim → 1, lists cut the scan 4x further). Approximate →
+    // rows-only; IndexCatalogSpec pins the combined recall.
+    "knn_ivfsq" -> { (s, dir) =>
+      val name = fresh("q_ivfsq")
+      IndexCatalog.create(name, 64, "IDMap,IVF16,SQ8", "l2sq",
+        Map("nprobe" -> "4", "refine" -> "8"))
+      IndexCatalog.add(embData(s, dir), name)
+      quantized(IndexCatalog.search(name, 5, embQueries(s, dir)))
+    },
     // LSH-bucketed cosine search — recall asserted in specs
     "knn_lsh" -> { (s, dir) =>
       val name = fresh("q_lsh")
