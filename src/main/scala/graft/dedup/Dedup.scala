@@ -123,7 +123,7 @@ object Dedup {
 
   /** fold each band's slice of the signature into one bucket key
     * (codegen'd; rotate-xor mix — ANSI-safe, no overflowing multiply) */
-  private def bandBuckets(sig: Column, bands: Int, rows: Int): Column =
+  private[graft] def bandBuckets(sig: Column, bands: Int, rows: Int): Column =
     transform(
       sequence(lit(0), lit(bands - 1)),
       b => aggregate(

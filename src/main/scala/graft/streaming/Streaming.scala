@@ -269,6 +269,77 @@ object Streaming {
       .withColumn("keep", col("n_overlap") === 0L)
   }
 
+  case class NearBuf(ids: Seq[Long], sigs: Seq[Seq[Long]])
+  case class NearDupOut(doc_id: Long, dup_of: Long, overlap: Int)
+
+  /**
+   * Streaming NEAR-dup screen at ingest — the LSH complement of
+   * curationGate's exact fingerprint dedup, sharing the batch MinHash
+   * family lane-for-lane (`hashes.minhash` + `Dedup.bandBuckets`, the
+   * same fold `Dedup.minhashCandidates` buckets with). Stateless
+   * scan-stage work computes the 128-lane signature and explodes it
+   * into band buckets; state lives PER (band, bucket) as a bounded
+   * FIFO of (id, signature) — `maxBucketSize` entries, oldest evicted —
+   * so a degenerate bucket (boilerplate) cannot grow state with the
+   * corpus: the streaming analog of the batch hot-bucket cap, and the
+   * reason this holds at 100 TB (state = buckets × cap × 1 KB,
+   * independent of stream length). A doc emits one row per stored
+   * neighbor agreeing on >= minOverlap of 128 lanes (72 ≈ Jaccard
+   * 0.56); band-duplicate emissions collapse under distinct
+   * downstream. "First seen survives" in arrival order — the honest
+   * at-ingest semantics. The same code runs on a BATCH Dataset
+   * (flatMapGroupsWithState degenerates to one per-group fold), which
+   * is what the parity spec pins.
+   */
+  def nearDedupFMGWS(
+      docs: DataFrame, // (doc_id, text, ts) — streaming or batch
+      numHashes: Int = 128, bands: Int = 32, shingleSize: Int = 3,
+      seed: Long = 42L, minOverlap: Int = 72,
+      maxBucketSize: Int = 64): Dataset[NearDupOut] = {
+    import docs.sparkSession.implicits._
+    import graft.text.TextFunctions
+    val rows = numHashes / bands
+    require(rows * bands == numHashes, "bands must divide numHashes")
+    docs
+      .select(col("doc_id").cast("long").as("doc_id"), col("ts"),
+        graft.functions.hashes.minhash(
+          TextFunctions.shingles(TextFunctions.tokens(col("text")), shingleSize),
+          numHashes, seed).as("sig"))
+      // shingle-less stubs share the empty-input sentinel signature and
+      // would flood one bucket per band (same guard as the batch path)
+      .where(col("sig")(0) =!= Long.MaxValue)
+      .select(col("doc_id"), col("ts"), col("sig"),
+        posexplode(graft.dedup.Dedup.bandBuckets(col("sig"), bands, rows))
+          .as(Seq("band", "bucket")))
+      .select(col("band"), col("bucket"), col("doc_id"), col("ts"), col("sig"))
+      .as[(Int, Long, Long, Timestamp, Seq[Long])]
+      .groupByKey { case (band, bucket, _, _, _) => (band, bucket) }
+      .flatMapGroupsWithState[NearBuf, NearDupOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: (Int, Long), grp: Iterator[(Int, Long, Long, Timestamp, Seq[Long])],
+            state: GroupState[NearBuf]) =>
+          var buf = state.getOption.getOrElse(NearBuf(Nil, Nil))
+          val out = scala.collection.mutable.ArrayBuffer.empty[NearDupOut]
+          // deterministic within a micro-batch: fold in (ts, id) order
+          grp.toSeq.sortBy(r => (r._4.getTime, r._3)).foreach { case (_, _, id, _, sig) =>
+            buf.ids.indices.foreach { i =>
+              if (buf.ids(i) != id) {
+                val s = buf.sigs(i)
+                var ov = 0
+                var j = 0
+                while (j < numHashes) { if (s(j) == sig(j)) ov += 1; j += 1 }
+                if (ov >= minOverlap) out += NearDupOut(id, buf.ids(i), ov)
+              }
+            }
+            buf = NearBuf(
+              (buf.ids :+ id).takeRight(maxBucketSize),
+              (buf.sigs :+ sig).takeRight(maxBucketSize))
+          }
+          state.update(buf)
+          out.iterator
+      }
+  }
+
   case class TypedEv(user_id: Long, event_type: String, ts: Timestamp)
   private val Unset = Long.MinValue // sentinel no real epoch-millis can hit (0 would shadow epoch-0 events)
   case class FunnelState(t1: Long, t2: Long, t3: Long, last: Long) // first view/click/purchase mins + max seen ts

@@ -252,6 +252,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming near-dup screen flags planted near-dups and equals the batch fold") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val base = graft.queries.Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).take(30)
+    // near-dup copies (one appended token) arrive strictly after their originals
+    val copies = base.take(5).map { case (id, t) => (id + 10000L, t + " tailmarker") }
+    val b1 = base.zipWithIndex.map { case ((id, t), i) => (id, t, ts(1, i % 50)) }.toSeq
+    val b2 = copies.zipWithIndex.map { case ((id, t), i) => (id, t, ts(2, i)) }.toSeq
+
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    val q = Streaming.nearDedupFMGWS(mem.toDF.toDF("doc_id", "text", "ts"))
+      .writeStream.format("memory").queryName("s_neardup").outputMode("append").start()
+    val streamed = try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+      spark.table("s_neardup").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    } finally q.stop()
+
+    // every planted copy must flag its original, high lane agreement
+    copies.map(_._1).zip(base.take(5).map(_._1)).foreach { case (cid, oid) =>
+      val hit = streamed.find(p => p._1 == cid && p._2 == oid)
+      assert(hit.isDefined, s"copy $cid missed its original $oid")
+      assert(hit.get._3 >= 100, s"lane agreement ${hit.get._3} unexpectedly low")
+    }
+    // batch run of the SAME function over the union = the streaming emission set
+    val batch = Streaming.nearDedupFMGWS((b1 ++ b2).toDF("doc_id", "text", "ts"))
+      .collect().map(o => (o.doc_id, o.dup_of, o.overlap)).toSet
+    assert(streamed === batch, "stream/batch fold divergence")
+  }
+
   test("streaming markov transitions match the batch lead-window on the same events") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
