@@ -222,8 +222,12 @@ object PipelineQueries {
     // ((c_tgt+1)*1e6) div (c_raw+1) ppm (add-one smoothing) and a doc
     // scores the integer mean over its feature occurrences — same
     // ordering intent, bit-exact on any engine. Plan: ONE bigram-hash
-    // explode repartitioned by bucket feeds both count rollups and the
-    // scoring join (ReuseExchange hashes the corpus once); the ≤4096-row
+    // TWO corpus passes — the count-building pass and the scoring pass,
+    // the same two passes the published DSIR pipeline makes (a shared
+    // materialization would shuffle or cache every exploded pair;
+    // re-scanning the source columns is cheaper at any scale). The
+    // count pass map-side-combines into ≤4096 buckets before its only
+    // shuffle; the ≤4096-row
     // ppm table broadcasts back; top-M is a distributed TakeOrdered —
     // at 100 TB nothing but (doc_id, bucket) pairs and one tiny ratio
     // table ever move.
@@ -238,13 +242,13 @@ object PipelineQueries {
                     element_at(toks, i), lit(" "), element_at(toks, i + 1))), 1, 4), 16, 10)
                   .cast("long") % 4096L))
               .otherwise(array().cast("array<long>"))).as("b"))
-        .repartition(col("b"))
-      val cRaw = feats.groupBy("b").agg(count(lit(1)).as("c_raw"))
-      val cTgt = feats.where(col("lang") === "en")
-        .groupBy("b").agg(count(lit(1)).as("c_tgt"))
-      val ppm = cRaw.join(cTgt, Seq("b"), "left_outer")
+      // raw and target tallies in ONE conditional aggregate — a second
+      // target-filtered rollup would cost another corpus pass
+      val ppm = feats.groupBy("b")
+        .agg(count(lit(1)).as("c_raw"),
+          count(when(col("lang") === "en", 1)).as("c_tgt"))
         .select(col("b"),
-          expr("((coalesce(c_tgt, 0L) + 1L) * 1000000L) div (c_raw + 1L)").as("ppm"))
+          expr("((c_tgt + 1L) * 1000000L) div (c_raw + 1L)").as("ppm"))
       feats.join(broadcast(ppm), "b")
         .groupBy("doc_id", "lang")
         .agg(expr("sum(ppm) div count(*)").as("avg_ppm"))
