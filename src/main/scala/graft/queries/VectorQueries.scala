@@ -86,6 +86,31 @@ object VectorQueries {
         col("distance").cast("long").as("hamming"))
   }
 
+  /** seed-centroid assignment shared by embed_cluster / embed_outliers:
+    * 8 seed rows collect (bounded — the IVF-centroid-training shape),
+    * every vector argmins over them via the codegen'd NearestCentroids
+    * kernel (a shuffle-free scan projection), seed vectors ride back on
+    * a broadcast join. Returns (vec_id, cluster_id, v, cvec). */
+  private def seedAssigned(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.GraftBridge
+    import graft.index.NearestCentroids
+    import graft.functions.VectorMath
+    val e = Tables(s, dir, "embeddings")
+    val cents: Array[Array[Float]] = e.where(col("vec_id") < 8)
+      .orderBy("vec_id")
+      .select(vec.vector(col("embedding")))
+      .collect().map(_.getSeq[Float](0).toArray)
+    val assigned = e.select(
+      col("vec_id"),
+      vec.vector(col("embedding")).as("v"),
+      element_at(GraftBridge.column(NearestCentroids(
+        GraftBridge.expression(vec.vector(col("embedding"))),
+        cents, 1, VectorMath.L2SQ)), 1).cast("long").as("cluster_id"))
+    val seedVecs = e.where(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), vec.vector(col("embedding")).as("cvec"))
+    assigned.join(broadcast(seedVecs), col("cluster_id") === col("cid"))
+  }
+
   /** pairwise metric panel: all 9 reference metrics over adjacent embedding pairs */
   private def distMetrics(s: SparkSession, dir: String): DataFrame = {
     val e = Tables(s, dir, "embeddings")
@@ -254,31 +279,44 @@ object VectorQueries {
     // partition. Exact: assignment compares the identical double
     // accumulation the oracle computes (ties broken by lowest id).
     "embed_cluster" -> { (s, dir) =>
-      import org.apache.spark.sql.GraftBridge
-      import graft.index.NearestCentroids
-      import graft.functions.VectorMath
-      val e = Tables(s, dir, "embeddings")
-      // bounded collect: 8 seed rows (the IVF-centroid-training shape)
-      val cents: Array[Array[Float]] = e.where(col("vec_id") < 8)
-        .orderBy("vec_id")
-        .select(vec.vector(col("embedding")))
-        .collect().map(_.getSeq[Float](0).toArray)
-      val assigned = e.select(
-        col("vec_id"),
-        vec.vector(col("embedding")).as("v"),
-        element_at(GraftBridge.column(NearestCentroids(
-          GraftBridge.expression(vec.vector(col("embedding"))),
-          cents, 1, VectorMath.L2SQ)), 1).cast("long").as("cluster_id"))
-      val seedVecs = e.where(col("vec_id") < 8)
-        .select(col("vec_id").as("cid"), vec.vector(col("embedding")).as("cvec"))
-      assigned
-        .join(broadcast(seedVecs), col("cluster_id") === col("cid"))
+      seedAssigned(s, dir)
         .groupBy("cluster_id")
         .agg(count(lit(1)).as("n_members"),
           sum(floor(vec.l2sq(col("v"), col("cvec")) * 10000 + 0.5).cast("long")).as("m"))
         .select(col("cluster_id"), col("n_members"),
           (col("m").cast("double") / 10000.0 / col("n_members").cast("double"))
             .as("avg_dist"))
+    },
+    // embedding-space outlier screen (the noise/poisoning complement of
+    // SemDeDup's within-cluster near-dup cut): distance-to-own-centroid
+    // z-score per vector, flag > 1.5σ within the cluster (high-dim
+    // distance concentration makes a classic 3σ cut vacuous on
+    // isotropic data; the threshold is the tunable in real use). Same seed
+    // assignment as embed_cluster; the per-cluster moments aggregate
+    // over FIXED-POINT distances (1e4 grid: qd ≤ ~3e6 → Σqd² well
+    // under long range at any per-cluster count a 2-level rollup
+    // wouldn't already shard) and broadcast back — two scan-stage
+    // passes, one tiny shuffle, the shape that holds at 100 TB. Exact
+    // oracle: assignment + moments + the identical IEEE mean/std chain
+    // replay in SQL (events_zscore precedent).
+    "embed_outliers" -> { (s, dir) =>
+      val qd = floor(vec.l2sq(col("v"), col("cvec")) * 10000 + 0.5).cast("long")
+      val withD = seedAssigned(s, dir)
+        .select(col("vec_id"), col("cluster_id"), qd.as("qd"))
+      val stats = withD.groupBy(col("cluster_id").as("sid"))
+        .agg(count(lit(1)).as("n"), sum("qd").as("sq"), sum(col("qd") * col("qd")).as("ssq"))
+        .select(col("sid"),
+          (col("sq").cast("double") / 10000.0 / col("n").cast("double")).as("mean"),
+          sqrt(
+            (col("ssq").cast("double") / 100000000.0 / col("n").cast("double")) -
+              (col("sq").cast("double") / 10000.0 / col("n").cast("double")) *
+              (col("sq").cast("double") / 10000.0 / col("n").cast("double"))).as("std"))
+      withD.join(broadcast(stats), col("cluster_id") === col("sid"))
+        .where(col("std") > 0.0 &&
+          (col("qd").cast("double") / 10000.0 - col("mean")) > lit(1.5) * col("std"))
+        .select(col("vec_id"), col("cluster_id"),
+          Tables.quant4((col("qd").cast("double") / 10000.0 - col("mean")) / col("std"))
+            .as("z"))
     },
     // greedy k-center coreset (Gonzalez '85): the 16 most spread-out
     // exemplars plus the covering radius each pick closed — the
@@ -490,6 +528,37 @@ object VectorQueries {
          |  CAST(sum(CAST(floor(dist * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0
          |    / CAST(count(*) AS DOUBLE) AS avg_dist
          |FROM a WHERE rn = 1 GROUP BY cid""".stripMargin,
+    // identical assignment replay + fixed-point moments + the same IEEE
+    // mean/std chain, so the 2σ cut and z values compare bit-equal
+    "embed_outliers" ->
+      s"""WITH q AS (SELECT vec_id, embedding AS a FROM embeddings),
+         |seeds AS (SELECT vec_id AS cid, embedding AS b FROM embeddings WHERE vec_id < 8),
+         |d AS (
+         |  SELECT q.vec_id, seeds.cid, $l2sqSql AS dist
+         |  FROM q CROSS JOIN seeds
+         |),
+         |asg AS (
+         |  SELECT vec_id, cid, dist,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+         |  FROM d
+         |),
+         |w AS (
+         |  SELECT vec_id, cid AS cluster_id,
+         |    CAST(floor(dist * 10000 + 0.5) AS BIGINT) AS qd
+         |  FROM asg WHERE rn = 1
+         |),
+         |st AS (
+         |  SELECT cluster_id AS sid,
+         |    CAST(sum(qd) AS DOUBLE) / 10000.0 / CAST(count(*) AS DOUBLE) AS mean,
+         |    sqrt(CAST(sum(qd * qd) AS DOUBLE) / 100000000.0 / CAST(count(*) AS DOUBLE)
+         |      - (CAST(sum(qd) AS DOUBLE) / 10000.0 / CAST(count(*) AS DOUBLE))
+         |        * (CAST(sum(qd) AS DOUBLE) / 10000.0 / CAST(count(*) AS DOUBLE))) AS std
+         |  FROM w GROUP BY cluster_id
+         |)
+         |SELECT vec_id, cluster_id,
+         |  ${Tables.quant4Sql("(CAST(qd AS DOUBLE) / 10000.0 - mean) / std")} AS z
+         |FROM w JOIN st ON cluster_id = sid
+         |WHERE std > 0.0 AND (CAST(qd AS DOUBLE) / 10000.0 - mean) > 1.5 * std""".stripMargin,
     // brute-force kNN (ties by label) -> reciprocal intersection ->
     // degree; zero-degree outliers restored by the left join
     "embed_centrality" ->

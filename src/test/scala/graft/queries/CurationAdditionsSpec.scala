@@ -87,6 +87,17 @@ class CurationAdditionsSpec extends SparkSpec {
     assert(recall >= 0.5, f"recall@5 at nprobe=4 = $recall%.2f")
   }
 
+  test("embed_outliers: flags the far tail of each cluster, deterministic") {
+    val rows = run("embed_outliers").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.nonEmpty, "no outliers at sf0.001 — threshold drifted?")
+    assert(rows.forall(_._3 > 1.5), "z at or below the 1.5σ cut leaked through")
+    assert(rows.forall(r => r._2 >= 0 && r._2 < 8), "cluster id outside the seed range")
+    val again = run("embed_outliers").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.sorted.toSeq === again.sorted.toSeq)
+  }
+
   test("sample_temperature: flattens the mix toward small sources, realized sizes track rates") {
     val kept = run("sample_temperature").collect()
     assert(kept.nonEmpty)
