@@ -351,17 +351,19 @@ object AnalyticsQueries {
     // start from): per (type, hour 0-23) the event count, cents-exact
     // mean value, and integer-bp share of the type's traffic. ONE
     // map-side-combined rollup to ≤ 24×|types| rows; the type totals
-    // re-aggregate from the PROFILE (not the raw events) and broadcast
-    // back — at 100 TB the raw table is read once and the join moves
-    // kilobytes. Exact oracle: counts/shares are integer, the mean is
-    // one fixed IEEE division chain over a cents sum.
+    // come from a WINDOW over the profile itself (plan-asserted single
+    // raw-events scan — a separate totals rollup would recompute the
+    // whole scan subtree), so at 100 TB the raw table is read once and
+    // only profile rows ever shuffle again. Exact oracle: counts/shares
+    // are integer, the mean is one fixed IEEE division chain over a
+    // cents sum.
     "events_seasonality" -> { (s, dir) =>
       val cents = round(col("value") * 100).cast("long")
-      val prof = Tables.events(s, dir)
+      Tables.events(s, dir)
         .groupBy(col("event_type"), hour(col("ts")).as("hod"))
         .agg(count(lit(1)).as("n_events"), sum(cents).as("sc"))
-      val tot = prof.groupBy("event_type").agg(sum("n_events").as("n_type"))
-      prof.join(broadcast(tot), "event_type")
+        .withColumn("n_type",
+          sum("n_events").over(Window.partitionBy("event_type")))
         .select(col("event_type"), col("hod"), col("n_events"),
           quant4(col("sc").cast("double") / 100.0 / col("n_events").cast("double"))
             .as("mean_value"),

@@ -385,6 +385,22 @@ class PlanShapeSpec extends SparkSpec {
     assert(ex >= 0, "rollup exchange present:\n" + plan.take(2000))
   }
 
+  test("events_seasonality: ONE raw-events scan; totals come from the profile window") {
+    val plan = physical("events_seasonality")
+    assert("FileScan parquet".r.findAllIn(plan).length === 1,
+      "type totals must window over the profile, not re-scan events:\n" + plan.take(2000))
+    assert(plan.contains("Window"), "share_bp should come from a window over the rollup")
+  }
+
+  test("sample_importance: two corpus passes (DSIR count + score), distributed top-M") {
+    val plan = physical("sample_importance")
+    assert("FileScan parquet".r.findAllIn(plan).length === 2,
+      "the DSIR pipeline is exactly two passes:\n" + plan.take(2000))
+    assert(plan.contains("TakeOrderedAndProject"),
+      "top-M must be a distributed TakeOrdered, not a global sort")
+    assert(plan.contains("BroadcastHashJoin"), "the ppm table must broadcast")
+  }
+
   test("text_classifier: hash/bucket/weight in the scan stage, ONE partial-aggregated shuffle") {
     assert(exchanges("text_classifier") === 1)
     val plan = physical("text_classifier")
