@@ -369,6 +369,31 @@ object AnalyticsQueries {
             .as("mean_value"),
           expr("n_events * 10000L div n_type").as("share_bp"))
     },
+    // inter-arrival (dwell) statistics per event type: how long users
+    // sit between consecutive events, attributed to the LATER event's
+    // type — the engagement-cadence fingerprint sessionization/markov
+    // don't expose. One user-keyed window shuffle carrying only
+    // (user, type, id, epoch-µs longs), then a map-side-combined
+    // per-type rollup of integer gaps. Exact oracle: ordering is the
+    // total (ts µs, event_id) order on both engines, gaps/extrema are
+    // integers, the mean is one IEEE division of two longs.
+    "events_dwell" -> { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          expr("unix_micros(ts)").as("us"))
+        .withColumn("gap_us", col("us") - lag(col("us"), 1).over(w))
+        .where(col("gap_us").isNotNull)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_gaps"),
+          sum("gap_us").as("sg"),
+          min("gap_us").as("min_gap_us"),
+          max("gap_us").as("max_gap_us"))
+        .select(col("event_type"), col("n_gaps"),
+          quant4(col("sg").cast("double") / col("n_gaps").cast("double"))
+            .as("mean_gap_us"),
+          col("min_gap_us"), col("max_gap_us"))
+    },
     "events_zscore" -> { (s, dir) =>
       val cents = round(col("value") * 100).cast("long")
       val stats = Tables.events(s, dir)
@@ -902,6 +927,22 @@ object AnalyticsQueries {
       s"""SELECT event_type, CAST(floor("value" / 50.0) AS BIGINT) AS bin,
          |  count(*) AS n_events, ${moneySumSql("value")} AS sum_value
          |FROM events GROUP BY 1, 2""".stripMargin,
+    "events_dwell" ->
+      s"""WITH e AS (
+         |  SELECT user_id, event_type, event_id,
+         |    epoch_us(CAST(ts AS TIMESTAMP)) AS us
+         |  FROM events
+         |), g AS (
+         |  SELECT event_type,
+         |    us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS gap_us
+         |  FROM e
+         |)
+         |SELECT event_type, count(*) AS n_gaps,
+         |  ${quant4Sql("CAST(sum(gap_us) AS DOUBLE) / CAST(count(*) AS DOUBLE)")} AS mean_gap_us,
+         |  CAST(min(gap_us) AS BIGINT) AS min_gap_us,
+         |  CAST(max(gap_us) AS BIGINT) AS max_gap_us
+         |FROM g WHERE gap_us IS NOT NULL
+         |GROUP BY event_type""".stripMargin,
     "events_seasonality" ->
       s"""WITH p AS (
          |  SELECT event_type,

@@ -512,6 +512,19 @@ class AnalyticsQueriesSpec extends SparkSpec {
     }
   }
 
+  test("events_dwell: gap counts reconcile to events minus users, extrema bound the mean") {
+    val rows = graft.SparkEntry.queries("events_dwell")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (mean, mn, mx) = (r.getDouble(2), r.getLong(3), r.getLong(4))
+      assert(mn >= 0L, "negative inter-arrival gap")
+      assert(mean >= mn - 1e-4 && mean <= mx + 1e-4, s"mean $mean outside [$mn, $mx]")
+    }
+    val ev = Tables.events(spark, dir)
+    val expected = ev.count() - ev.select("user_id").distinct().count()
+    assert(rows.map(_.getLong(1)).sum === expected, "each user contributes n-1 gaps")
+  }
+
   test("events_changepoint: one split per type, replays the hourly mean-shift argmax") {
     val out = run("events_changepoint").collect()
       .map(r => r.getString(0) -> (r.getTimestamp(1), r.getDouble(2), r.getDouble(3))).toMap
