@@ -101,6 +101,27 @@ object TextQueries {
     // Gopher-style repetition: most frequent bigram's share of all
     // bigrams — per-row codegen'd kernel, no shuffle (oracle stays the
     // string group-by; exact token-sequence equivalence)
+    // Flesch reading-ease readability (the classic quality/complexity
+    // screen): words = whitespace tokens (the engine-wide contract),
+    // sentences = [.!?]+ runs (min 1), syllables ≈ vowel groups. All
+    // three are integer regex counts in ONE scan-stage projection —
+    // zero shuffles — and the score is a single IEEE chain over them,
+    // so the whole row is exact cross-engine (no libm: just * and /).
+    "text_readability" -> { (s, dir) =>
+      val d = Tables.wide(s, dir, "documents")
+      val stats = d.select(col("doc_id"),
+        size(tokens(col("text"))).as("n_words"),
+        greatest(size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0))), lit(1))
+          .as("n_sents"),
+        size(regexp_extract_all(lower(col("text")), lit("[aeiouy]+"), lit(0)))
+          .as("n_syll"))
+      stats.where(col("n_words") > 0)
+        .select(col("doc_id"), col("n_words"), col("n_sents"), col("n_syll"),
+          Tables.quant4(lit(206.835)
+            - lit(1.015) * (col("n_words").cast("double") / col("n_sents").cast("double"))
+            - lit(84.6) * (col("n_syll").cast("double") / col("n_words").cast("double")))
+            .as("flesch"))
+    },
     "text_repetition" -> { (s, dir) =>
       val d = Tables.wide(s, dir, "documents")
       // the cheap size(tokens) filter DOES tokenize a second time, but
@@ -419,6 +440,20 @@ object TextQueries {
        |  FROM n)""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    // identical token/regex counts and one shared IEEE score chain
+    "text_readability" ->
+      s"""WITH c AS (
+         |  SELECT doc_id,
+         |    CAST(len($toksSql) AS INTEGER) AS n_words,
+         |    CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS INTEGER) AS n_sents,
+         |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS INTEGER) AS n_syll
+         |  FROM documents
+         |)
+         |SELECT doc_id, n_words, n_sents, n_syll,
+         |  ${Tables.quant4Sql(
+               "206.835 - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sents AS DOUBLE)) " +
+               "- 84.6 * (CAST(n_syll AS DOUBLE) / CAST(n_words AS DOUBLE))")} AS flesch
+         |FROM c WHERE n_words > 0""".stripMargin,
     "text_collocations" ->
       s"""WITH t AS (SELECT $toksSql AS toks FROM documents),
          |p AS (

@@ -87,6 +87,19 @@ class CurationAdditionsSpec extends SparkSpec {
     assert(recall >= 0.5, f"recall@5 at nprobe=4 = $recall%.2f")
   }
 
+  test("text_readability: every doc scored, counts sane, formula replays") {
+    val rows = run("text_readability").collect()
+    val n = Tables(spark, dir, "documents").count()
+    assert(rows.length.toLong === n, "every non-empty doc gets a score")
+    rows.foreach { r =>
+      val (w, s2, syl, f) = (r.getInt(1), r.getInt(2), r.getInt(3), r.getDouble(4))
+      assert(w > 0 && s2 >= 1 && syl >= 0)
+      val expect = 206.835 - 1.015 * (w.toDouble / s2) - 84.6 * (syl.toDouble / w)
+      val q4 = BigDecimal(expect).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(f === q4, s"doc ${r.getLong(0)}: $f vs $q4")
+    }
+  }
+
   test("embed_outliers: flags the far tail of each cluster, deterministic") {
     val rows = run("embed_outliers").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
