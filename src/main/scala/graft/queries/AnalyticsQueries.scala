@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -368,6 +368,40 @@ object AnalyticsQueries {
           quant4(col("sc").cast("double") / 100.0 / col("n_events").cast("double"))
             .as("mean_value"),
           expr("n_events * 10000L div n_type").as("share_bp"))
+    },
+    // RFM customer segmentation (recency / frequency / monetary
+    // quartile scores — the classic warehouse marketing rollup): one
+    // orders rollup to customer grain, quartile thresholds computed on
+    // that DIMENSION-sized frame (orders of magnitude below the fact
+    // table; swap approx_percentile in only past ~1e9 customers),
+    // broadcast back, scan-stage CASE bucketing. Exact cross-engine:
+    // all three metrics are integers and quarter-quantile interpolation
+    // over integers is exact in IEEE (g ∈ {0,.25,.5,.75} and b−a are
+    // all exact binaries), so boundary comparisons cannot ULP-flip.
+    "customer_rfm" -> { (s, dir) =>
+      val cents = round(col("o_totalprice") * 100).cast("long")
+      val rfm = Tables(s, dir, "orders")
+        .groupBy(col("o_custkey").as("custkey"))
+        .agg(max(col("o_orderdate").cast("date")).as("last_date"),
+          count(lit(1)).as("f"),
+          sum(cents).as("m_cents"))
+        .withColumn("r_days",
+          datediff(lit("1998-12-31").cast("date"), col("last_date")).cast("long"))
+      val th = rfm.agg(
+        expr("percentile(r_days, array(0.25D, 0.5D, 0.75D))").as("rq"),
+        expr("percentile(f, array(0.25D, 0.5D, 0.75D))").as("fq"),
+        expr("percentile(m_cents, array(0.25D, 0.5D, 0.75D))").as("mq"))
+      def hiGood(v: Column, q: Column) =
+        when(v <= element_at(q, 1), 1).when(v <= element_at(q, 2), 2)
+          .when(v <= element_at(q, 3), 3).otherwise(4)
+      def loGood(v: Column, q: Column) =
+        when(v <= element_at(q, 1), 4).when(v <= element_at(q, 2), 3)
+          .when(v <= element_at(q, 3), 2).otherwise(1)
+      rfm.crossJoin(broadcast(th))
+        .select(col("custkey"),
+          loGood(col("r_days").cast("double"), col("rq")).as("r_score"),
+          hiGood(col("f").cast("double"), col("fq")).as("f_score"),
+          hiGood(col("m_cents").cast("double"), col("mq")).as("m_score"))
     },
     // inter-arrival (dwell) statistics per event type: how long users
     // sit between consecutive events, attributed to the LATER event's
@@ -927,6 +961,30 @@ object AnalyticsQueries {
       s"""SELECT event_type, CAST(floor("value" / 50.0) AS BIGINT) AS bin,
          |  count(*) AS n_events, ${moneySumSql("value")} AS sum_value
          |FROM events GROUP BY 1, 2""".stripMargin,
+    "customer_rfm" ->
+      """WITH rfm AS (
+        |  SELECT o_custkey AS custkey,
+        |    CAST(date_diff('day', CAST(max(o_orderdate) AS DATE), DATE '1998-12-31') AS BIGINT) AS r_days,
+        |    count(*) AS f,
+        |    sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS m_cents
+        |  FROM orders GROUP BY o_custkey
+        |), th AS (
+        |  SELECT quantile_cont(r_days, [0.25, 0.5, 0.75]) AS rq,
+        |    quantile_cont(f, [0.25, 0.5, 0.75]) AS fq,
+        |    quantile_cont(m_cents, [0.25, 0.5, 0.75]) AS mq
+        |  FROM rfm
+        |)
+        |SELECT custkey,
+        |  CAST(CASE WHEN CAST(r_days AS DOUBLE) <= rq[1] THEN 4
+        |            WHEN CAST(r_days AS DOUBLE) <= rq[2] THEN 3
+        |            WHEN CAST(r_days AS DOUBLE) <= rq[3] THEN 2 ELSE 1 END AS INTEGER) AS r_score,
+        |  CAST(CASE WHEN CAST(f AS DOUBLE) <= fq[1] THEN 1
+        |            WHEN CAST(f AS DOUBLE) <= fq[2] THEN 2
+        |            WHEN CAST(f AS DOUBLE) <= fq[3] THEN 3 ELSE 4 END AS INTEGER) AS f_score,
+        |  CAST(CASE WHEN CAST(m_cents AS DOUBLE) <= mq[1] THEN 1
+        |            WHEN CAST(m_cents AS DOUBLE) <= mq[2] THEN 2
+        |            WHEN CAST(m_cents AS DOUBLE) <= mq[3] THEN 3 ELSE 4 END AS INTEGER) AS m_score
+        |FROM rfm CROSS JOIN th""".stripMargin,
     "events_dwell" ->
       s"""WITH e AS (
          |  SELECT user_id, event_type, event_id,

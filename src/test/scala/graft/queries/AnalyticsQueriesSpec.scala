@@ -512,6 +512,22 @@ class AnalyticsQueriesSpec extends SparkSpec {
     }
   }
 
+  test("customer_rfm: scores in 1..4, near-unique monetary quartiles balance") {
+    val rows = graft.SparkEntry.queries("customer_rfm")(spark, dir).collect()
+    val nCust = Tables(spark, dir, "orders").select("o_custkey").distinct().count()
+    assert(rows.length.toLong === nCust, "one row per ordering customer")
+    rows.foreach { r =>
+      Seq(r.getInt(1), r.getInt(2), r.getInt(3)).foreach(sc => assert(sc >= 1 && sc <= 4))
+    }
+    // m_cents is near-unique → quartile buckets within interpolation slack
+    val m = rows.groupBy(_.getInt(3)).view.mapValues(_.length).toMap
+    val q = nCust / 4.0
+    (1 to 4).foreach { b =>
+      assert(m.getOrElse(b, 0) >= q * 0.5 && m.getOrElse(b, 0) <= q * 1.5,
+        s"m_score bucket $b size ${m.getOrElse(b, 0)} vs expected ~$q")
+    }
+  }
+
   test("events_dwell: gap counts reconcile to events minus users, extrema bound the mean") {
     val rows = graft.SparkEntry.queries("events_dwell")(spark, dir).collect()
     assert(rows.nonEmpty)
