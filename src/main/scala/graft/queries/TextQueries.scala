@@ -232,6 +232,31 @@ object TextQueries {
         .select(col("doc_id"), col("shard"), col("pos"))
     },
     // corpus vocabulary statistics: top-20 tokens by document frequency
+    // per-doc keyword extraction: top-3 terms by rarity-weighted
+    // frequency — tf × ((N·1e6) div df), the integer monotone twin of
+    // TF-IDF's tf·ln(N/df) (the text_collocations lift-for-PMI move:
+    // no libm, bit-exact everywhere; stopwords die of high df exactly
+    // as under ln). Plan: one explode → (doc, term) counts with
+    // map-side combine, df re-aggregated FROM the tf table (terms
+    // shuffle once, documents never re-read), join back on term (AQE
+    // picks broadcast at small vocab, shuffle join at web-corpus
+    // vocab), per-doc top-3 via a window over ≤|doc terms| rows.
+    // Exact oracle: integers + (score desc, term) total tie order.
+    "text_keywords" -> { (s, dir) =>
+      val tf = Tables.wide(s, dir, "documents")
+        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+      val n = Tables(s, dir, "documents").agg(count(lit(1)).as("n_docs"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy(col("score").desc, col("tok"))
+      tf.join(df, "tok").crossJoin(broadcast(n))
+        .select(col("doc_id"), col("tok"), col("tf"),
+          (col("tf") * expr("(n_docs * 1000000L) div df")).as("score"))
+        .withColumn("rnk", row_number().over(w))
+        .where(col("rnk") <= 3)
+        .select(col("doc_id"), col("rnk"), col("tok"), col("score"))
+    },
     "text_topterms" -> { (s, dir) =>
       val d = Tables(s, dir, "documents")
       d.select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("tok"))
@@ -454,6 +479,21 @@ object TextQueries {
                "206.835 - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sents AS DOUBLE)) " +
                "- 84.6 * (CAST(n_syll AS DOUBLE) / CAST(n_words AS DOUBLE))")} AS flesch
          |FROM c WHERE n_words > 0""".stripMargin,
+    "text_keywords" ->
+      s"""WITH t AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+         |tf AS (SELECT doc_id, tok, count(*) AS tf FROM t GROUP BY doc_id, tok),
+         |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+         |n AS (SELECT count(*) AS n_docs FROM documents),
+         |sc AS (
+         |  SELECT doc_id, tok, CAST(tf AS BIGINT) AS tf,
+         |    CAST(tf * ((n_docs * 1000000) // df) AS BIGINT) AS score
+         |  FROM tf JOIN df USING (tok) CROSS JOIN n
+         |)
+         |SELECT doc_id,
+         |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, tok) AS INTEGER) AS rnk,
+         |  tok, score
+         |FROM sc
+         |QUALIFY rnk <= 3""".stripMargin,
     "text_collocations" ->
       s"""WITH t AS (SELECT $toksSql AS toks FROM documents),
          |p AS (

@@ -87,6 +87,23 @@ class CurationAdditionsSpec extends SparkSpec {
     assert(recall >= 0.5, f"recall@5 at nprobe=4 = $recall%.2f")
   }
 
+  test("text_keywords: 3 ranked keywords per doc, rare terms outrank stopwords") {
+    val rows = run("text_keywords").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (id, ks) =>
+      val ranked = ks.sortBy(_._2)
+      assert(ranked.map(_._2).toSeq === (1 to ranked.length), s"ranks not dense for doc $id")
+      assert(ranked.length <= 3)
+      // scores weakly decrease down the ranks
+      assert(ranked.map(_._4).toSeq === ranked.map(_._4).sorted.reverse.toSeq)
+    }
+    // a corpus-wide stopword (max df) should essentially never be a top keyword
+    val topTok = run("text_topterms").collect().head.getString(0)
+    val stopHits = rows.count(_._3 == topTok)
+    assert(stopHits <= rows.length / 20, s"stopword '$topTok' keyworded $stopHits times")
+  }
+
   test("text_readability: every doc scored, counts sane, formula replays") {
     val rows = run("text_readability").collect()
     val n = Tables(spark, dir, "documents").count()
