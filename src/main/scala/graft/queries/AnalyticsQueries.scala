@@ -369,6 +369,28 @@ object AnalyticsQueries {
             .as("mean_value"),
           expr("n_events * 10000L div n_type").as("share_bp"))
     },
+    // acquisition-cohort revenue matrix (the finance twin of
+    // events_retention's user-count cohorts): customers grouped by
+    // first-order month, revenue and active-customer counts per
+    // (cohort, order month). One customer-grain first-order rollup
+    // joined back on custkey (AQE-sized: broadcast at test scale,
+    // shuffle join when the customer dimension outgrows it), then one
+    // map-side-combined matrix rollup — month-start dates make the
+    // month arithmetic integer-exact on both engines.
+    "orders_cohort" -> { (s, dir) =>
+      val o = Tables(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderdate").cast("date").as("d"),
+          col("o_totalprice"))
+      val first = o.groupBy("o_custkey")
+        .agg(date_trunc("month", min("d")).cast("date").as("cohort"))
+      o.join(first, "o_custkey")
+        .groupBy(col("cohort"), date_trunc("month", col("d")).cast("date").as("month"))
+        .agg(countDistinct("o_custkey").as("n_active"),
+          moneySum(col("o_totalprice")).as("revenue"))
+        .select(col("cohort"), col("month"),
+          months_between(col("month"), col("cohort")).cast("int").as("months_since"),
+          col("n_active"), col("revenue"))
+    },
     // RFM customer segmentation (recency / frequency / monetary
     // quartile scores — the classic warehouse marketing rollup): one
     // orders rollup to customer grain, quartile thresholds computed on
@@ -961,6 +983,19 @@ object AnalyticsQueries {
       s"""SELECT event_type, CAST(floor("value" / 50.0) AS BIGINT) AS bin,
          |  count(*) AS n_events, ${moneySumSql("value")} AS sum_value
          |FROM events GROUP BY 1, 2""".stripMargin,
+    "orders_cohort" ->
+      s"""WITH o AS (
+         |  SELECT o_custkey, CAST(o_orderdate AS DATE) AS d, o_totalprice FROM orders
+         |), f AS (
+         |  SELECT o_custkey, CAST(date_trunc('month', min(d)) AS DATE) AS cohort
+         |  FROM o GROUP BY o_custkey
+         |)
+         |SELECT cohort, CAST(date_trunc('month', d) AS DATE) AS month,
+         |  CAST(date_diff('month', cohort, date_trunc('month', d)) AS INTEGER) AS months_since,
+         |  count(DISTINCT o_custkey) AS n_active,
+         |  ${moneySumSql("o_totalprice")} AS revenue
+         |FROM o JOIN f USING (o_custkey)
+         |GROUP BY 1, 2, 3""".stripMargin,
     "customer_rfm" ->
       """WITH rfm AS (
         |  SELECT o_custkey AS custkey,

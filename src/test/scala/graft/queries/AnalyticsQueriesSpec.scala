@@ -512,6 +512,22 @@ class AnalyticsQueriesSpec extends SparkSpec {
     }
   }
 
+  test("orders_cohort: diagonal completeness and active-count conservation") {
+    val rows = graft.SparkEntry.queries("orders_cohort")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getInt(2) >= 0, "order month precedes its cohort")
+      assert(r.getLong(3) > 0 && r.getDouble(4) > 0.0)
+    }
+    // months_since = 0 cell exists for every cohort (the acquisition month itself)
+    val cohorts = rows.map(_.getDate(0)).distinct
+    val diag = rows.filter(_.getInt(2) == 0).map(_.getDate(0)).distinct
+    assert(diag.toSet === cohorts.toSet)
+    // month-0 actives across cohorts = total distinct customers
+    val nCust = Tables(spark, dir, "orders").select("o_custkey").distinct().count()
+    assert(rows.filter(_.getInt(2) == 0).map(_.getLong(3)).sum === nCust)
+  }
+
   test("customer_rfm: scores in 1..4, near-unique monetary quartiles balance") {
     val rows = graft.SparkEntry.queries("customer_rfm")(spark, dir).collect()
     val nCust = Tables(spark, dir, "orders").select("o_custkey").distinct().count()
