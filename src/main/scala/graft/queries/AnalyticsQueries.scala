@@ -369,6 +369,35 @@ object AnalyticsQueries {
             .as("mean_value"),
           expr("n_events * 10000L div n_type").as("share_bp"))
     },
+    // market-basket pair mining (association rules over order baskets,
+    // ranked by LIFT — the same integer-derived log-free ranking as
+    // text_collocations): distinct (order, part) pairs self-join
+    // CO-PARTITIONED on the order key, so the quadratic is bounded by
+    // the basket size (≤7 items in TPC-H shape — never corpus-sized);
+    // pair supports ≥ 3 join part supports (AQE-sized: the part
+    // dimension outgrows broadcast at scale), lift quantizes, top-20
+    // is a distributed TakeOrdered. Exact oracle: identical supports,
+    // one IEEE lift chain, (lift, pa, pb) total tie order.
+    "basket_pairs" -> { (s, dir) =>
+      val li = Tables(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+      val pairs = li.as("a").join(li.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .select(col("a.pk").as("pa"), col("b.pk").as("pb"))
+      val cab = pairs.groupBy("pa", "pb").agg(count(lit(1)).as("c_ab"))
+        .where(col("c_ab") >= 3)
+      val cnt = li.groupBy("pk").agg(count(lit(1)).as("c"))
+      val n = li.select("ok").distinct().agg(count(lit(1)).as("n_orders"))
+      cab
+        .join(cnt.select(col("pk").as("pa"), col("c").as("c_a")), "pa")
+        .join(cnt.select(col("pk").as("pb"), col("c").as("c_b")), "pb")
+        .crossJoin(broadcast(n))
+        .select(col("pa"), col("pb"), col("c_ab"),
+          quant4(col("c_ab").cast("double") * col("n_orders").cast("double") /
+            (col("c_a").cast("double") * col("c_b").cast("double"))).as("lift"))
+        .orderBy(col("lift").desc, col("pa"), col("pb"))
+        .limit(20)
+    },
     // acquisition-cohort revenue matrix (the finance twin of
     // events_retention's user-count cohorts): customers grouped by
     // first-order month, revenue and active-customer counts per
@@ -983,6 +1012,23 @@ object AnalyticsQueries {
       s"""SELECT event_type, CAST(floor("value" / 50.0) AS BIGINT) AS bin,
          |  count(*) AS n_events, ${moneySumSql("value")} AS sum_value
          |FROM events GROUP BY 1, 2""".stripMargin,
+    "basket_pairs" ->
+      s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+         |p AS (
+         |  SELECT a.pk AS pa, b.pk AS pb FROM li a JOIN li b
+         |  ON a.ok = b.ok AND a.pk < b.pk
+         |),
+         |cab AS (SELECT pa, pb, count(*) AS c_ab FROM p GROUP BY pa, pb HAVING count(*) >= 3),
+         |cnt AS (SELECT pk, count(*) AS c FROM li GROUP BY pk),
+         |n AS (SELECT count(DISTINCT ok) AS n_orders FROM li)
+         |SELECT pa, pb, c_ab,
+         |  ${quant4Sql("CAST(c_ab AS DOUBLE) * CAST(n_orders AS DOUBLE) / " +
+              "(CAST(ca.c AS DOUBLE) * CAST(cb.c AS DOUBLE))")} AS lift
+         |FROM cab
+         |JOIN cnt ca ON cab.pa = ca.pk
+         |JOIN cnt cb ON cab.pb = cb.pk
+         |CROSS JOIN n
+         |ORDER BY lift DESC, pa, pb LIMIT 20""".stripMargin,
     "orders_cohort" ->
       s"""WITH o AS (
          |  SELECT o_custkey, CAST(o_orderdate AS DATE) AS d, o_totalprice FROM orders

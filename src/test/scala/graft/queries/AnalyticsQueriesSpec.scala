@@ -512,6 +512,27 @@ class AnalyticsQueriesSpec extends SparkSpec {
     }
   }
 
+  test("basket_pairs: ordered pair keys, support floor, lift replays from raw counts") {
+    import org.apache.spark.sql.functions.{col, countDistinct}
+    val rows = graft.SparkEntry.queries("basket_pairs")(spark, dir).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    assert(rows.forall(r => r.getLong(0) < r.getLong(1)), "pairs must be (pa < pb)")
+    assert(rows.forall(_.getLong(2) >= 3L), "support floor violated")
+    val lifts = rows.map(_.getDouble(3)).toSeq
+    assert(lifts === lifts.sorted.reverse, "not lift-descending")
+    // replay the top pair's lift from the raw table
+    val li = Tables(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val (pa, pb, cab, lift) =
+      (rows.head.getLong(0), rows.head.getLong(1), rows.head.getLong(2), rows.head.getDouble(3))
+    val nOrders = li.agg(countDistinct("ok")).head.getLong(0)
+    val ca = li.where(col("pk") === pa).count()
+    val cb = li.where(col("pk") === pb).count()
+    val expect = BigDecimal(cab.toDouble * nOrders / (ca.toDouble * cb.toDouble))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(lift === expect, s"lift $lift vs replay $expect")
+  }
+
   test("orders_cohort: diagonal completeness and active-count conservation") {
     val rows = graft.SparkEntry.queries("orders_cohort")(spark, dir).collect()
     assert(rows.nonEmpty)
