@@ -115,12 +115,18 @@ object TextQueries {
           .as("n_sents"),
         size(regexp_extract_all(lower(col("text")), lit("[aeiouy]+"), lit(0)))
           .as("n_syll"))
+      // one rational form — (206835·S·W − 1015·W² − 84600·Syl·S) /
+      // (1000·S·W) — so the score is a SINGLE division of two exact
+      // integers: a multi-term float chain lands on half-grid values
+      // whose decimal rounding the engines split (27/5000 docs at
+      // sf0.1 flipped by 1e-4 before this)
+      val num = lit(206835L) * col("n_sents") * col("n_words") -
+        lit(1015L) * col("n_words") * col("n_words") -
+        lit(84600L) * col("n_syll") * col("n_sents")
+      val den = lit(1000L) * col("n_sents") * col("n_words")
       stats.where(col("n_words") > 0)
         .select(col("doc_id"), col("n_words"), col("n_sents"), col("n_syll"),
-          Tables.quant4(lit(206.835)
-            - lit(1.015) * (col("n_words").cast("double") / col("n_sents").cast("double"))
-            - lit(84.6) * (col("n_syll").cast("double") / col("n_words").cast("double")))
-            .as("flesch"))
+          Tables.quant4(num.cast("double") / den.cast("double")).as("flesch"))
     },
     "text_repetition" -> { (s, dir) =>
       val d = Tables.wide(s, dir, "documents")
@@ -476,8 +482,9 @@ object TextQueries {
          |)
          |SELECT doc_id, n_words, n_sents, n_syll,
          |  ${Tables.quant4Sql(
-               "206.835 - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sents AS DOUBLE)) " +
-               "- 84.6 * (CAST(n_syll AS DOUBLE) / CAST(n_words AS DOUBLE))")} AS flesch
+               "CAST(206835 * n_sents * n_words - 1015 * n_words * n_words " +
+               "- 84600 * n_syll * n_sents AS DOUBLE) " +
+               "/ CAST(1000 * n_sents * n_words AS DOUBLE)")} AS flesch
          |FROM c WHERE n_words > 0""".stripMargin,
     "text_keywords" ->
       s"""WITH t AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),

@@ -111,7 +111,8 @@ class CurationAdditionsSpec extends SparkSpec {
     rows.foreach { r =>
       val (w, s2, syl, f) = (r.getInt(1), r.getInt(2), r.getInt(3), r.getDouble(4))
       assert(w > 0 && s2 >= 1 && syl >= 0)
-      val expect = 206.835 - 1.015 * (w.toDouble / s2) - 84.6 * (syl.toDouble / w)
+      val expect = (206835L * s2 * w - 1015L * w.toLong * w - 84600L * syl * s2).toDouble /
+        (1000L * s2 * w).toDouble
       val q4 = BigDecimal(expect).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
       assert(f === q4, s"doc ${r.getLong(0)}: $f vs $q4")
     }
