@@ -339,6 +339,43 @@ object IndexQueries {
           count(lit(1)).cast("double")).as("recall_at_5"))
         .orderBy("nprobe")
     },
+    // the codec DASHBOARD: one row per compression tier (flat / fp16 /
+    // sq8 / sq4 / pq8 / 1-bit binary) with bytes-per-vector and
+    // recall@5 vs the exact scan — the table a deployment reads to
+    // pick its memory/recall point before sizing a 100 TB corpus
+    // (FAISS-bench shape). Every tier searches the SAME corpus and
+    // query batch; refine is held at 8 so the differences are codec
+    // fidelity, not re-rank budget. Deterministic but custom code
+    // distances -> rows-only; flat==1.0 + bounds are spec-asserted.
+    "vs_compression_eval" -> { (s, dir) =>
+      import s.implicits._
+      val d = embData(s, dir)
+      val qs = embQueries(s, dir)
+      val truth = graft.search.Knn.searchFlat(d, qs, 5, "l2sq")
+        .select(col("qid"), col("label"))
+      val tiers = Seq( // (tier, factory, bytes per 64-dim vector)
+        ("flat", "IDMap,Flat", 256L),
+        ("fp16", "IDMap,SQfp16", 128L),
+        ("sq8", "IDMap,SQ8", 64L),
+        ("sq4", "IDMap,SQ4", 32L),
+        ("pq8", "IDMap,PQ8", 8L),
+        ("lsh", "IDMap,LSH16", 32L)) // 16 bands × 16-bit keys
+      val tagged = tiers.map { case (tier, factory, bytes) =>
+        val name = fresh(s"q_comp_$tier")
+        IndexCatalog.create(name, 64, factory, "l2sq", Map("refine" -> "8"))
+        IndexCatalog.add(d, name)
+        IndexCatalog.search(name, 5, qs)
+          .select(lit(tier).as("tier"), lit(bytes).as("bytes_per_vec"),
+            col("qid"), col("label"), lit(1L).as("hit"))
+      }.reduce(_ unionByName _)
+      truth
+        .crossJoin(broadcast(tiers.map(t => (t._1, t._3)).toDF("tier", "bytes_per_vec")))
+        .join(tagged, Seq("tier", "bytes_per_vec", "qid", "label"), "left")
+        .groupBy("tier", "bytes_per_vec")
+        .agg((sum(coalesce(col("hit"), lit(0L))).cast("double") /
+          count(lit(1)).cast("double")).as("recall_at_5"))
+        .orderBy(col("bytes_per_vec").desc, col("tier"))
+    },
     // the OTHER recall knob, for the coded (PQ) path: refine = how many
     // code-distance candidates per result slot get the exact re-rank.
     // vs_recall_eval's shape sweeping refine at exhaustive probing, so

@@ -165,6 +165,16 @@ class CurationAdditionsSpec extends SparkSpec {
     assert(kept.map(_.toString).sorted.toSeq === again.map(_.toString).sorted.toSeq)
   }
 
+  test("vs_compression_eval: one row per tier, flat is exact, recalls bounded") {
+    val rows = run("vs_compression_eval").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.map(_._1).sorted.toSeq === Seq("flat", "fp16", "lsh", "pq8", "sq4", "sq8"))
+    assert(rows.forall(r => r._3 >= 0.0 && r._3 <= 1.0))
+    assert(rows.find(_._1 == "flat").get._3 === 1.0, "flat must recall perfectly")
+    // fp16 codes are ~2^-11 relative error: indistinguishable at k=5
+    assert(rows.find(_._1 == "fp16").get._3 >= 0.95)
+  }
+
   test("vs_recall_eval: recall non-decreasing in nprobe, exhaustive probe is exact") {
     val rows = run("vs_recall_eval").collect()
       .map(r => (r.getInt(0), r.getDouble(1))).sortBy(_._1)
