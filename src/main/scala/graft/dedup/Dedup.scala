@@ -253,9 +253,28 @@ object Dedup {
     *   and a size-ratio prefilter (j >= t implies min(|A|,|B|)/max >= t,
     *   so it can't change the result) skips the sorted-merge intersect
     *   for pairs that can't possibly qualify */
-  def ngramJaccardWindow(
+  /** asymmetric twin of [[ngramJaccardWindow]]: overlap coefficient
+    * |A∩B| / min(|A|,|B|) over the same bucketed id window — flags
+    * SUBSET duplication (one doc quoted/embedded inside another) that
+    * symmetric jaccard dilutes when the containing doc is much larger.
+    * Same plan: bucketed equi-join, O(n × window) pairs. */
+  def containmentWindow(
       docs: DataFrame, idCol: String, textCol: String,
-      window: Int, shingleSize: Int, minJaccard: Double = 0.0): DataFrame = {
+      window: Int, shingleSize: Int): DataFrame = {
+    val inter = graft.functions.vec.sortedIntersectCount(col("sa"), col("sb"))
+    windowPairs(docs, idCol, textCol, window, shingleSize)
+      .where(size(col("sa")) > 0 && size(col("sb")) > 0)
+      .select(col("a_id"), col("b_id"),
+        (inter.cast("double") /
+          least(size(col("sa")), size(col("sb"))).cast("double")).as("containment"))
+  }
+
+  /** (a_id, b_id, sa, sb) candidate pairs for b_id in (a_id, a_id+window]
+    * via the bucketed equi-join — the shared pair generator of the
+    * windowed jaccard/containment scorers */
+  private def windowPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      window: Int, shingleSize: Int): DataFrame = {
     // shingle sets compared as sorted hash arrays — see [[hashedShingles]]
     val sh = hashedShingles(docs, idCol, textCol, shingleSize, "id", "sh")
     // floor INTEGER division for the bucket key: `/` on longs is a
@@ -271,9 +290,15 @@ object Dedup {
     val bSide = sh.select(col("id").as("b_id"), col("sh").as("sb"), col("id").as("_b_id"))
       .withColumn("bucket", explode(array(bucketOf("_b_id"), bucketOf("_b_id") - 1)))
       .drop("_b_id")
-    val inter = graft.functions.vec.sortedIntersectCount(col("sa"), col("sb"))
-    val joined = aSide.join(bSide, Seq("bucket"))
+    aSide.join(bSide, Seq("bucket"))
       .where(col("b_id") > col("a_id") && col("b_id") <= col("a_id") + window)
+  }
+
+  def ngramJaccardWindow(
+      docs: DataFrame, idCol: String, textCol: String,
+      window: Int, shingleSize: Int, minJaccard: Double = 0.0): DataFrame = {
+    val inter = graft.functions.vec.sortedIntersectCount(col("sa"), col("sb"))
+    val joined = windowPairs(docs, idCol, textCol, window, shingleSize)
     val prefiltered =
       if (minJaccard > 0)
         joined.where(

@@ -72,6 +72,14 @@ object DedupQueries {
           Tables.quant4(col("jaccard")).as("jaccard"))
         .orderBy("batch_id", "corpus_id")
     },
+    // top-20 subset-duplication pairs (overlap coefficient
+    // |A∩B|/min(|A|,|B|)) in the same id window — catches a doc QUOTED
+    // inside a larger one, which symmetric jaccard dilutes
+    "dedup_containment" -> { (s, dir) =>
+      Dedup.containmentWindow(docs(s, dir), "doc_id", "text", window = 25, shingleSize = 2)
+        .orderBy(col("containment").desc, col("a_id"), col("b_id"))
+        .limit(20)
+    },
     // top-20 most-similar bigram-jaccard pairs within an id window of 25
     "dedup_ngram_jaccard" -> { (s, dir) =>
       Dedup.ngramJaccardWindow(docs(s, dir), "doc_id", "text", window = 25, shingleSize = 2)
@@ -407,6 +415,20 @@ object DedupQueries {
         |)
         |SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM big GROUP BY text""".stripMargin,
+    "dedup_containment" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |sh AS (SELECT doc_id, $shinglesSql AS sh FROM t),
+         |pairs AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.sh AS sa, b.sh AS sb
+         |  FROM sh a JOIN sh b
+         |    ON b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 25
+         |  WHERE len(a.sh) > 0 AND len(b.sh) > 0
+         |)
+         |SELECT a_id, b_id,
+         |  CAST(len(list_intersect(sa, sb)) AS DOUBLE)
+         |    / CAST(least(len(sa), len(sb)) AS DOUBLE) AS containment
+         |FROM pairs
+         |ORDER BY containment DESC, a_id, b_id LIMIT 20""".stripMargin,
     "dedup_ngram_jaccard" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
          |sh AS (SELECT doc_id, $shinglesSql AS sh FROM t),

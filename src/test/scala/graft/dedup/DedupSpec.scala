@@ -142,6 +142,23 @@ class DedupSpec extends SparkSpec {
     assert(j((0L, 3L)) === 0.0)
   }
 
+  test("containment: a quoted subset scores 1.0 where jaccard dilutes") {
+    import spark.implicits._
+    // doc 5 is doc 4 QUOTED inside a much larger doc: containment must
+    // say 1.0 while jaccard is diluted by the container's extra text
+    val snippet = "alpha beta gamma delta epsilon zeta eta theta"
+    val container = base + " " + snippet + " " + base.replace("quick", "swift")
+    val d = Seq((4L, snippet), (5L, container), (6L, base)).toDF("doc_id", "text")
+    val c = Dedup.containmentWindow(d, "doc_id", "text", window = 25, shingleSize = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(c((4L, 5L)) === 1.0, s"subset should be fully contained: $c")
+    val j = Dedup.ngramJaccardWindow(d, "doc_id", "text", window = 25, shingleSize = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(j((4L, 5L)) < 0.5, "jaccard should be diluted by the container")
+    // overlap coefficient dominates jaccard on every pair
+    j.keys.foreach(k => assert(c(k) >= j(k) - 1e-12, s"pair $k: c=${c(k)} j=${j(k)}"))
+  }
+
   test("connected components: chains collapse to min id, components stay separate") {
     import spark.implicits._
     // 1-2, 2-3, 3-4 chain (diameter 3, exercises multiple rounds); 10-11 separate
