@@ -211,6 +211,55 @@ object PipelineQueries {
         .select(col("doc_id"), col("lang"),
           explode(sequence(lit(0L), col("n_copies") - 1L)).as("copy"))
     },
+    // the FLAGSHIP pretraining corpus build — quality gate →
+    // exact-dedup survivors → benchmark decontamination → DSIR
+    // importance selection → deterministic shard/position layout, the
+    // five stages a production corpus build chains, in ONE Catalyst
+    // plan with nothing materialized between stages. Every stage is
+    // individually oracle-gated elsewhere; because each is
+    // deterministic-exact, the COMPOSITION carries a full chained SQL
+    // oracle too. Scale: the gate/dedup/decontam stages shuffle
+    // content hashes and shingle hashes only, DSIR is the two-pass
+    // count+score shape over the CLEAN candidates, and the final
+    // layout windows over the 300-row selection.
+    "pipeline_pretrain" -> { (s, dir) =>
+      import graft.text.TextFunctions
+      val d = Tables.wide(s, dir, "documents")
+      val gated = d.where(TextFunctions.qualityScore(col("text")) >= 0.6)
+      val surv = gated.groupBy(col("text"))
+        .agg(min(struct(col("doc_id"), col("lang"))).as("c"))
+        .select(col("c.doc_id").as("doc_id"), col("c.lang").as("lang"), col("text"))
+      val clean = surv.where(col("doc_id") >= EvalCutoff)
+        .join(Pipeline.contamination(d, "doc_id", "text", col("doc_id") < EvalCutoff, 3)
+            .where(col("n_overlap") === 0L).select(col("id").as("doc_id")),
+          Seq("doc_id"), "left_semi")
+      val toks = TextFunctions.tokens(col("text"))
+      val feats = clean.select(col("doc_id"), col("lang"),
+        explode(
+          when(size(toks) >= 2,
+            transform(sequence(lit(1), size(toks) - 1),
+              i => conv(substring(md5(concat(
+                  element_at(toks, i), lit(" "), element_at(toks, i + 1))), 1, 4), 16, 10)
+                .cast("long") % 4096L))
+            .otherwise(array().cast("array<long>"))).as("b"))
+      val ppm = feats.groupBy("b")
+        .agg(count(lit(1)).as("c_raw"),
+          count(when(col("lang") === "en", 1)).as("c_tgt"))
+        .select(col("b"),
+          expr("((c_tgt + 1L) * 1000000L) div (c_raw + 1L)").as("ppm"))
+      val picked = feats.join(broadcast(ppm), "b")
+        .groupBy("doc_id")
+        .agg(expr("sum(ppm) div count(*)").as("avg_ppm"))
+        .orderBy(col("avg_ppm").desc, col("doc_id"))
+        .limit(300)
+      val h = md5(concat(lit("shard:"), col("doc_id").cast("string")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("shard").orderBy(col("h"), col("doc_id"))
+      picked.select(col("doc_id"), col("avg_ppm"), h.as("h"),
+          (conv(substring(h, 1, 4), 16, 10).cast("int") % 8).as("shard"))
+        .withColumn("pos", row_number().over(w))
+        .select(col("doc_id"), col("shard"), col("pos"), col("avg_ppm"))
+    },
     // DSIR-style importance resampling (Xie et al. 2023, "Data
     // Selection for Language Models via Importance Resampling"): score
     // each doc by how much likelier its hashed word-bigram features are
@@ -366,6 +415,58 @@ object PipelineQueries {
       s"""SELECT doc_id, lang FROM documents
         |WHERE $contentBucketSql <
         |  CASE WHEN lang = 'en' THEN 9000 WHEN lang = 'de' THEN 5000 ELSE 2500 END""".stripMargin,
+    // the full five-stage chain replayed: quality CTEs + min-id dedup +
+    // shingle decontamination + bigram-ppm DSIR + md5 shard layout
+    "pipeline_pretrain" ->
+      s"""WITH ${TextQueries.qualityCtesSql},
+         |gated AS (
+         |  SELECT doc_id, lang, text FROM f
+         |  WHERE ${TextQueries.qualityExprSql} >= 0.6
+         |),
+         |surv AS (
+         |  SELECT doc_id, lang, text FROM gated
+         |  QUALIFY doc_id = min(doc_id) OVER (PARTITION BY text)
+         |),
+         |sh AS (SELECT doc_id, $shingles3Sql AS sh FROM t),
+         |ev AS (SELECT DISTINCT unnest(sh) AS s FROM sh WHERE doc_id < $EvalCutoff),
+         |tr AS (SELECT doc_id, unnest(sh) AS s FROM sh WHERE doc_id >= $EvalCutoff),
+         |dirty AS (SELECT DISTINCT tr.doc_id FROM tr JOIN ev USING (s)),
+         |clean AS (
+         |  SELECT doc_id, lang, text FROM surv
+         |  WHERE doc_id >= $EvalCutoff
+         |    AND doc_id NOT IN (SELECT doc_id FROM dirty)
+         |),
+         |ct AS (SELECT doc_id, lang, $toksSql AS toks FROM clean),
+         |fb AS (
+         |  SELECT doc_id, lang,
+         |    unnest([CAST(('0x' || substring(md5(toks[i] || ' ' || toks[i+1]), 1, 4)) AS BIGINT) % 4096
+         |            FOR i IN range(1, len(toks))]) AS b
+         |  FROM ct WHERE len(toks) >= 2
+         |),
+         |cr AS (
+         |  SELECT b, count(*) AS c_raw,
+         |    count(*) FILTER (lang = 'en') AS c_tgt
+         |  FROM fb GROUP BY b
+         |),
+         |r AS (
+         |  SELECT b, CAST(((c_tgt + 1) * 1000000) // (c_raw + 1) AS BIGINT) AS ppm FROM cr
+         |),
+         |sc AS (
+         |  SELECT doc_id, CAST(sum(ppm) // count(*) AS BIGINT) AS avg_ppm
+         |  FROM fb JOIN r USING (b) GROUP BY doc_id
+         |),
+         |picked AS (
+         |  SELECT doc_id, avg_ppm FROM sc ORDER BY avg_ppm DESC, doc_id LIMIT 300
+         |),
+         |laid AS (
+         |  SELECT doc_id, avg_ppm, md5('shard:' || CAST(doc_id AS VARCHAR)) AS h,
+         |    CAST(('0x' || substring(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) % 8 AS shard
+         |  FROM picked
+         |)
+         |SELECT doc_id, shard,
+         |  CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS INTEGER) AS pos,
+         |  avg_ppm
+         |FROM laid""".stripMargin,
     // identical hash→bucket→integer-ppm chain; integer division (div
     // vs //) truncates identically for the all-positive operands here
     "sample_importance" ->

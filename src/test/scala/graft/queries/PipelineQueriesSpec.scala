@@ -51,6 +51,28 @@ class PipelineQueriesSpec extends SparkSpec {
     assert(frac("en") >= 0.7)
   }
 
+  test("pipeline_pretrain: every selected doc passes all upstream stages, dense shard layout") {
+    import org.apache.spark.sql.functions._
+    val rows = PipelineQueries.queries("pipeline_pretrain")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+    assert(rows.nonEmpty && rows.length <= 300)
+    assert(rows.forall(r => r._2 >= 0 && r._2 < 8))
+    // positions dense 1..n within each shard
+    rows.groupBy(_._2).foreach { case (_, rs) =>
+      assert(rs.map(_._3).sorted.toSeq === (1 to rs.length))
+    }
+    val picked = rows.map(_._1).toSet
+    // no eval docs, all above the quality gate, none contaminated
+    assert(picked.forall(_ >= 20L))
+    val quality = Tables(spark, dir, "documents")
+      .select(col("doc_id"), graft.text.TextFunctions.qualityScore(col("text")).as("q"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(picked.forall(id => quality(id) >= 0.6))
+    val dirty = PipelineQueries.queries("contamination")(spark, dir).collect()
+      .filter(_.getLong(1) > 0).map(_.getLong(0)).toSet
+    assert(picked.intersect(dirty).isEmpty, "contaminated docs leaked into the selection")
+  }
+
   test("sample_importance: scores sort desc and target-language docs rank higher") {
     val rows = PipelineQueries.queries("sample_importance")(spark, dir).collect()
     assert(rows.nonEmpty)
