@@ -185,6 +185,27 @@ object PipelineQueries {
         .where(contentBucket < col("rate_bp"))
         .select(col("doc_id"), col("source"))
     },
+    // TOKEN-budget mixture (what a real pretraining mix specifies —
+    // "30B tokens of code, 10B of wiki" — rather than doc-count
+    // rates): per language, docs admit in deterministic content-hash
+    // order until the language's token budget fills; the boundary doc
+    // that crosses the line is included (budgets are soft caps). One
+    // shuffle per lang window over (id, bucket, n_tokens) longs — the
+    // doc text never moves. Exact: integer token counts, integer
+    // budgets, the same total (bucket, doc_id) order both engines.
+    "mixture_token_budget" -> { (s, dir) =>
+      val budget = when(col("lang") === "en", 12000L)
+        .when(col("lang") === "de", 6000L)
+        .otherwise(3000L)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy(col("bucket"), col("doc_id"))
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), contentBucket.as("bucket"),
+          size(graft.text.TextFunctions.tokens(col("text"))).cast("long").as("n_tokens"))
+        .withColumn("cum", sum("n_tokens").over(w))
+        .where(col("cum") - col("n_tokens") < budget)
+        .select(col("doc_id"), col("lang"), col("n_tokens"), col("cum"))
+    },
     // the >1-epoch complement of mixture_sample: per-domain epoch
     // weights (DoReMi-style) materialized as deterministic row copies —
     // floor(epochs) guaranteed copies plus one more for the content-hash
@@ -509,6 +530,20 @@ object PipelineQueries {
         |SELECT d.doc_id, d.source
         |FROM documents d JOIN r USING (source)
         |WHERE $contentBucketSql < r.rate_bp""".stripMargin,
+    "mixture_token_budget" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, lang, $contentBucketSql AS bucket,
+         |    CAST(len($toksSql) AS BIGINT) AS n_tokens
+         |  FROM documents
+         |), c AS (
+         |  SELECT doc_id, lang, n_tokens,
+         |    CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY bucket, doc_id
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+         |  FROM d
+         |)
+         |SELECT doc_id, lang, n_tokens, cum FROM c
+         |WHERE cum - n_tokens <
+         |  CASE lang WHEN 'en' THEN 12000 WHEN 'de' THEN 6000 ELSE 3000 END""".stripMargin,
     "mixture_upsample" ->
       s"""WITH n AS (
         |  SELECT doc_id, lang,

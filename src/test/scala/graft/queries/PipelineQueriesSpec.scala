@@ -51,6 +51,28 @@ class PipelineQueriesSpec extends SparkSpec {
     assert(frac("en") >= 0.7)
   }
 
+  test("mixture_token_budget: realized tokens within one boundary doc of each budget") {
+    val rows = PipelineQueries.queries("mixture_token_budget")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    val budgets = Map("en" -> 12000L, "de" -> 6000L).withDefaultValue(3000L)
+    rows.groupBy(_._2).foreach { case (lang, rs) =>
+      val total = rs.map(_._3).sum
+      val maxDoc = rs.map(_._3).max
+      val supply = Tables(spark, dir, "documents")
+        .where(org.apache.spark.sql.functions.col("lang") === lang).count()
+      // either the language ran out of docs, or the budget filled to
+      // within the one admitted boundary doc
+      assert(total <= budgets(lang) + maxDoc, s"$lang overshot: $total")
+      assert(rs.length.toLong === supply || total >= budgets(lang),
+        s"$lang undershot with supply left: $total of ${budgets(lang)}")
+    }
+    // determinism
+    val again = PipelineQueries.queries("mixture_token_budget")(spark, dir).collect()
+      .map(_.getLong(0)).sorted.toSeq
+    assert(again === rows.map(_._1).sorted.toSeq)
+  }
+
   test("pipeline_pretrain: every selected doc passes all upstream stages, dense shard layout") {
     import org.apache.spark.sql.functions._
     val rows = PipelineQueries.queries("pipeline_pretrain")(spark, dir).collect()
