@@ -273,6 +273,38 @@ object RelationalQueries {
         .groupBy("funnel_depth")
         .agg(count(lit(1)).as("n_users"))
     },
+    // TIME-CONSTRAINED funnel (the window_funnel of warehouse engines):
+    // conversion requires click ≤ 30 min after a view and purchase
+    // ≤ 60 min after that click — EXISTS semantics over per-user
+    // time-window joins, not events_funnel's first-occurrence ordering
+    // (a later view can enable a chain the first view misses). All
+    // three stage frames shuffle once on user_id and AQE co-plans the
+    // equi-joins; the in-window pair fan-out is bounded by per-user
+    // stage counts — the honest funnel cost at any scale. Exact
+    // oracle: identical interval arithmetic, pure set logic.
+    "events_window_funnel" -> { (s, dir) =>
+      val e = Tables.events(s, dir)
+      def stage(t: String, as: String) =
+        e.where(col("event_type") === t).select(col("user_id"), col("ts").as(as))
+      val v = stage("view", "vt")
+      val c = stage("click", "ct")
+      val p = stage("purchase", "pt")
+      val vc = v.join(c, "user_id")
+        .where(col("ct") > col("vt") &&
+          col("ct") <= col("vt") + expr("INTERVAL 30 MINUTES"))
+      val vcp = vc.join(p, "user_id")
+        .where(col("pt") > col("ct") &&
+          col("pt") <= col("ct") + expr("INTERVAL 60 MINUTES"))
+      e.select("user_id").distinct()
+        .join(v.select("user_id").distinct().withColumn("d1", lit(1)), Seq("user_id"), "left")
+        .join(vc.select("user_id").distinct().withColumn("d2", lit(1)), Seq("user_id"), "left")
+        .join(vcp.select("user_id").distinct().withColumn("d3", lit(1)), Seq("user_id"), "left")
+        .select(
+          when(col("d3") === 1, 3).when(col("d2") === 1, 2)
+            .when(col("d1") === 1, 1).otherwise(0).as("funnel_depth"))
+        .groupBy("funnel_depth")
+        .agg(count(lit(1)).as("n_users"))
+    },
     // semi-structured extraction: numeric field out of a JSON props
     // string (regex, not a JSON library — identical semantics in the
     // oracle), aggregated per event type. The 100 TB shape for
@@ -436,6 +468,28 @@ object RelationalQueries {
          |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 30)
          |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 40)
          |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 50)""".stripMargin,
+    "events_window_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |v AS (SELECT user_id, ts AS vt FROM e WHERE event_type = 'view'),
+        |c AS (SELECT user_id, ts AS ct FROM e WHERE event_type = 'click'),
+        |p AS (SELECT user_id, ts AS pt FROM e WHERE event_type = 'purchase'),
+        |vc AS (
+        |  SELECT DISTINCT v.user_id, ct FROM v JOIN c ON v.user_id = c.user_id
+        |  WHERE ct > vt AND ct <= vt + INTERVAL 30 MINUTE
+        |),
+        |vcp AS (
+        |  SELECT DISTINCT vc.user_id FROM vc JOIN p ON vc.user_id = p.user_id
+        |  WHERE pt > ct AND pt <= ct + INTERVAL 60 MINUTE
+        |),
+        |d AS (
+        |  SELECT u.user_id,
+        |    CASE WHEN u.user_id IN (SELECT user_id FROM vcp) THEN 3
+        |         WHEN u.user_id IN (SELECT user_id FROM vc) THEN 2
+        |         WHEN u.user_id IN (SELECT user_id FROM v) THEN 1
+        |         ELSE 0 END AS funnel_depth
+        |  FROM (SELECT DISTINCT user_id FROM e) u
+        |)
+        |SELECT funnel_depth, count(*) AS n_users FROM d GROUP BY funnel_depth""".stripMargin,
     "events_funnel" ->
       """WITH m AS (
         |  SELECT user_id,

@@ -512,6 +512,20 @@ class AnalyticsQueriesSpec extends SparkSpec {
     }
   }
 
+  test("events_window_funnel: user counts conserve, depth>=1 matches the plain funnel") {
+    def depths(q: String) = graft.SparkEntry.queries(q)(spark, dir).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap.withDefaultValue(0L)
+    val con = depths("events_window_funnel")
+    val unc = depths("events_funnel")
+    val users = Tables.events(spark, dir).select("user_id").distinct().count()
+    assert(con.values.sum === users, "every user gets exactly one depth")
+    // depth>=1 (any view exists) is the same predicate in both funnels;
+    // deeper levels use EXISTS vs first-occurrence semantics and are
+    // deliberately incomparable
+    assert((1 to 3).map(con).sum === (1 to 3).map(unc).sum)
+    assert(con(3) >= 0 && con(2) >= 0)
+  }
+
   test("basket_pairs: ordered pair keys, support floor, lift replays from raw counts") {
     import org.apache.spark.sql.functions.{col, countDistinct}
     val rows = graft.SparkEntry.queries("basket_pairs")(spark, dir).collect()
