@@ -289,6 +289,7 @@ object IndexQueries {
 
   /** nprobe values swept by vs_recall_eval (16 = exhaustive = exact) */
   private[queries] val RecallNprobes = Seq(1, 2, 4, 8, 16)
+  private[queries] val EfSweep = Seq(5, 8, 32, 128)
 
   /** re-rank candidate multipliers swept by vs_refine_eval */
   private[queries] val RefineFactors = Seq(1, 2, 4, 8)
@@ -338,6 +339,33 @@ object IndexQueries {
         .agg((sum(coalesce(col("hit"), lit(0L))).cast("double") /
           count(lit(1)).cast("double")).as("recall_at_5"))
         .orderBy("nprobe")
+    },
+    // the GRAPH recall knob: efSearch (beam width) sweep on one built
+    // HNSW — vs_recall_eval's shape for the graph family, the sweep a
+    // deployment runs to size beam width before serving (recall rises
+    // with ef while per-query cost stays O(ef·degree·log n)). Graph
+    // build is deterministic but custom -> rows-only; the spec asserts
+    // recall at the widest beam and (weak) monotonicity.
+    "vs_ef_eval" -> { (s, dir) =>
+      import s.implicits._
+      val name = fresh("q_ef_eval")
+      IndexCatalog.create(name, 64, "IDMap,HNSW4", "l2sq",
+        Map("efConstruction" -> "16")) // coarse graph so the sweep SHOWS the tradeoff at gate scale
+      IndexCatalog.add(embData(s, dir), name)
+      val qs = embQueries(s, dir)
+      val truth = graft.search.Knn.searchFlat(embData(s, dir), qs, 5, "l2sq")
+        .select(col("qid"), col("label"))
+        .crossJoin(broadcast(EfSweep.toDF("ef")))
+      val tagged = EfSweep.map { ef =>
+        IndexCatalog.search(name, 5, qs, Map("efSearch" -> ef.toString))
+          .select(lit(ef).as("ef"), col("qid"), col("label"), lit(1L).as("hit"))
+      }.reduce(_ unionByName _)
+      truth
+        .join(tagged, Seq("ef", "qid", "label"), "left")
+        .groupBy("ef")
+        .agg((sum(coalesce(col("hit"), lit(0L))).cast("double") /
+          count(lit(1)).cast("double")).as("recall_at_5"))
+        .orderBy("ef")
     },
     // the codec DASHBOARD: one row per compression tier (flat / fp16 /
     // sq8 / sq4 / pq8 / 1-bit binary) with bytes-per-vector and

@@ -165,6 +165,17 @@ class CurationAdditionsSpec extends SparkSpec {
     assert(kept.map(_.toString).sorted.toSeq === again.map(_.toString).sorted.toSeq)
   }
 
+  test("vs_ef_eval: recall non-decreasing in beam width, wide beam near-exact") {
+    val rows = run("vs_ef_eval").collect()
+      .map(r => (r.getInt(0), r.getDouble(1))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq === Seq(5, 8, 32, 128))
+    val recalls = rows.map(_._2)
+    assert(recalls.forall(r => r >= 0.0 && r <= 1.0))
+    assert(recalls.zip(recalls.tail).forall { case (a, b) => b >= a - 1e-9 },
+      s"recall not monotone in efSearch: ${recalls.toSeq}")
+    assert(recalls.last >= 0.95, s"wide beam should be near-exact: ${recalls.last}")
+  }
+
   test("vs_compression_eval: one row per tier, flat is exact, recalls bounded") {
     val rows = run("vs_compression_eval").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
