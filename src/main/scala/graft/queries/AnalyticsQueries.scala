@@ -479,6 +479,31 @@ object AnalyticsQueries {
             .as("mean_gap_us"),
           col("min_gap_us"), col("max_gap_us"))
     },
+    // seasonal-baseline anomaly: each event scores against the
+    // mean/std of ITS OWN (type, hour-of-day) cell instead of the
+    // whole-type baseline — a 3 a.m. spike that looks normal against
+    // the 24 h mix stands out against 3 a.m. history (and a peak-hour
+    // value stops false-alarming). Same cents-fixed-point moment
+    // machinery as events_zscore, keyed by (type, hod); the ≤24×|types|
+    // stats table broadcasts back. Exact oracle.
+    "events_anomaly_seasonal" -> { (s, dir) =>
+      val cents = round(col("value") * 100).cast("long")
+      val stats = Tables.events(s, dir)
+        .groupBy(col("event_type").as("t"), hour(col("ts")).as("h"))
+        .agg(count(lit(1)).as("n"), sum(cents).as("sc"), sum(cents * cents).as("ss"))
+        .select(col("t"), col("h"),
+          (col("sc").cast("double") / 100.0 / col("n").cast("double")).as("mean"),
+          sqrt(
+            (col("ss").cast("double") / 10000.0 / col("n").cast("double")) -
+              (col("sc").cast("double") / 100.0 / col("n").cast("double")) *
+              (col("sc").cast("double") / 100.0 / col("n").cast("double"))).as("std"))
+      Tables.events(s, dir)
+        .join(broadcast(stats),
+          col("event_type") === col("t") && hour(col("ts")) === col("h"))
+        .where(col("std") > 0.0 && abs(col("value") - col("mean")) > lit(3.0) * col("std"))
+        .select(col("event_id"), col("event_type"), hour(col("ts")).as("hod"),
+          quant4((col("value") - col("mean")) / col("std")).as("z"))
+    },
     "events_zscore" -> { (s, dir) =>
       val cents = round(col("value") * 100).cast("long")
       val stats = Tables.events(s, dir)
@@ -1097,6 +1122,25 @@ object AnalyticsQueries {
          |  ${quant4Sql("CAST(sc AS DOUBLE) / 100.0 / CAST(n_events AS DOUBLE)")} AS mean_value,
          |  CAST((n_events * 10000) // n_type AS BIGINT) AS share_bp
          |FROM p JOIN t USING (event_type)""".stripMargin,
+    "events_anomaly_seasonal" ->
+      s"""WITH stats AS (
+         |  SELECT event_type AS t, CAST(hour(CAST(ts AS TIMESTAMP)) AS INTEGER) AS h,
+         |    CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0
+         |      / CAST(count(*) AS DOUBLE) AS mean,
+         |    sqrt(
+         |      CAST(sum(CAST(round(value * 100, 0) AS BIGINT) * CAST(round(value * 100, 0) AS BIGINT)) AS DOUBLE) / 10000.0
+         |        / CAST(count(*) AS DOUBLE)
+         |      - (CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0 / CAST(count(*) AS DOUBLE))
+         |        * (CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0 / CAST(count(*) AS DOUBLE))
+         |    ) AS std
+         |  FROM events GROUP BY 1, 2
+         |)
+         |SELECT event_id, event_type,
+         |  CAST(hour(CAST(ts AS TIMESTAMP)) AS INTEGER) AS hod,
+         |  ${quant4Sql("(value - mean) / std")} AS z
+         |FROM events JOIN stats
+         |  ON event_type = t AND CAST(hour(CAST(ts AS TIMESTAMP)) AS INTEGER) = h
+         |WHERE std > 0.0 AND abs(value - mean) > 3.0 * std""".stripMargin,
     "events_zscore" ->
       s"""WITH stats AS (
          |  SELECT event_type AS t,

@@ -72,6 +72,27 @@ object DedupQueries {
           Tables.quant4(col("jaccard")).as("jaccard"))
         .orderBy("batch_id", "corpus_id")
     },
+    // quality-aware exact dedup: the survivor of each duplicate group
+    // is the HIGHEST-QUALITY copy (ties to lowest id), not the first
+    // id — when a recrawl has both a clean copy and a boilerplate-
+    // mangled one of the same body-hash family, keep the better one.
+    // One text-hash shuffle with a map-side-combining struct max; the
+    // quality expression is the engine-wide exact chain, so survivor
+    // choice is oracle-gated too.
+    "dedup_best_copy" -> { (s, dir) =>
+      val q = graft.text.TextFunctions.qualityScore(col("text"))
+      Tables.wide(s, dir, "documents")
+        .groupBy(md5(col("text")).as("text_hash"))
+        .agg(count(lit(1)).as("n_copies"),
+          max(struct(q.as("q"), (lit(0L) - col("doc_id")).as("nid"))).as("m"))
+        .select(col("text_hash"), col("n_copies"),
+          (lit(0L) - col("m.nid")).as("survivor_id"),
+          // fixed-point via floor on the identical double — quant4's
+          // decimal conversion half-grid-flips when quality lands on
+          // x.xxxx5 (8 docs at sf0.1 did); floor of the same double is
+          // bit-equal on any engine
+          floor(col("m.q") * 10000 + 0.5).cast("long").as("quality_fp"))
+    },
     // top-20 subset-duplication pairs (overlap coefficient
     // |A∩B|/min(|A|,|B|)) in the same id window — catches a doc QUOTED
     // inside a larger one, which symmetric jaccard dilutes
@@ -324,6 +345,23 @@ object DedupQueries {
        |  ELSE [] END)""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    // identical quality chain + (q desc, id) survivor order
+    "dedup_best_copy" ->
+      s"""WITH ${TextQueries.qualityCtesSql},
+         |s AS (
+         |  SELECT doc_id, md5(text) AS text_hash,
+         |    ${TextQueries.qualityExprSql} AS q
+         |  FROM f
+         |),
+         |c AS (SELECT text_hash, count(*) AS n_copies FROM s GROUP BY text_hash),
+         |w AS (
+         |  SELECT text_hash, doc_id, q,
+         |    row_number() OVER (PARTITION BY text_hash ORDER BY q DESC, doc_id) AS rn
+         |  FROM s
+         |)
+         |SELECT w.text_hash, c.n_copies, w.doc_id AS survivor_id,
+         |  CAST(floor(q * 10000 + 0.5) AS BIGINT) AS quality_fp
+         |FROM w JOIN c USING (text_hash) WHERE rn = 1""".stripMargin,
     // the identical 8-token 15-hex-md5 window hashes with positions,
     // repeated-anywhere filter, and gaps-and-islands interval merge
     "dedup_span_removal" ->

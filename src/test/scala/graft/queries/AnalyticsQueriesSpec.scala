@@ -512,6 +512,44 @@ class AnalyticsQueriesSpec extends SparkSpec {
     }
   }
 
+  test("events_anomaly_seasonal: flags exceed 3 sigma of their own (type, hour) cell") {
+    val rows = graft.SparkEntry.queries("events_anomaly_seasonal")(spark, dir).collect()
+    rows.foreach { r =>
+      assert(math.abs(r.getDouble(3)) >= 2.9999, s"z ${r.getDouble(3)} under the fence")
+      assert(r.getInt(2) >= 0 && r.getInt(2) <= 23)
+    }
+    // flagged events are a small tail of the corpus
+    val total = Tables.events(spark, dir).count()
+    assert(rows.length < total / 20, s"${rows.length} of $total flagged — fence too loose")
+  }
+
+  test("dedup_best_copy: survivor is the best-quality copy, groups cover the corpus") {
+    import org.apache.spark.sql.functions.col
+    val rows = graft.SparkEntry.queries("dedup_best_copy")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val total = Tables(spark, dir, "documents").count()
+    assert(rows.map(_._2).sum === total, "copies must partition the corpus")
+    val quality = Tables(spark, dir, "documents")
+      .select(col("doc_id"),
+        org.apache.spark.sql.functions.floor(
+          graft.text.TextFunctions.qualityScore(col("text")) * 10000 + 0.5).as("q"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { case (_, _, survivor, qfp) =>
+      assert(quality(survivor) === qfp, s"survivor $survivor quality drifted")
+    }
+    // survivors of multi-copy groups beat (or tie) every other group member
+    val hashes = Tables(spark, dir, "documents")
+      .select(col("doc_id"), org.apache.spark.sql.functions.md5(col("text")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    val byHash = hashes.groupBy(_._2)
+    rows.filter(_._2 > 1).foreach { case (h, _, survivor, qfp) =>
+      byHash(h).foreach { case (id, _) =>
+        assert(quality(id) < qfp || (quality(id) == qfp && id >= survivor),
+          s"member $id beats survivor $survivor in group $h")
+      }
+    }
+  }
+
   test("events_window_funnel: user counts conserve, depth>=1 matches the plain funnel") {
     def depths(q: String) = graft.SparkEntry.queries(q)(spark, dir).collect()
       .map(r => r.getInt(0) -> r.getLong(1)).toMap.withDefaultValue(0L)
