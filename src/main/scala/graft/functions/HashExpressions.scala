@@ -184,6 +184,44 @@ case class Fingerprint64(child: Expression)
 }
 
 /**
+ * DEFLATE-compressed byte size of a UTF-8 string (java.util.zip,
+ * RFC 1951, fixed level) — the compressibility quality signal (Gopher
+ * uses compression ratios to catch boilerplate/repetition: text that
+ * deflates far below ~1:2 is degenerate). Deterministic for a fixed
+ * JDK deflater, but not replayable in the oracle engine → consumers
+ * gate rows-only with replay specs. Per-row cost is O(len); the
+ * Deflater is allocated per call (a thread-local would leak native
+ * memory on executor churn for a negligible win at typical doc sizes).
+ */
+case class DeflateSize(child: Expression)
+    extends UnaryExpression
+    with CodegenFallback {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "deflate_size"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"deflate_size needs string, got ${t.catalogString}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    val d = new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+    try {
+      d.setInput(bytes)
+      d.finish()
+      val buf = new Array[Byte](8192)
+      var total = 0
+      while (!d.finished()) total += d.deflate(buf)
+      total
+    } finally d.end()
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/**
  * Random-hyperplane LSH bucket ids for cosine similarity over
  * array<float>: `bands` buckets, each from `bitsPerBand` signed
  * projections. Hyperplane weights are pseudo-random Rademacher (+-1)
@@ -472,6 +510,8 @@ object hashes {
     col(SimHash64(ex(tokens), seed))
   def fingerprint64(text: Column): Column =
     col(Fingerprint64(ex(text)))
+  def deflateSize(text: Column): Column =
+    col(DeflateSize(ex(text)))
   def hyperplaneBuckets(vector: Column, bands: Int = 16, bitsPerBand: Int = 16, seed: Long = 42L): Column =
     col(HyperplaneBuckets(ex(vector), bands, bitsPerBand, seed))
 }

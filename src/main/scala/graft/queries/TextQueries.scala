@@ -101,6 +101,21 @@ object TextQueries {
     // Gopher-style repetition: most frequent bigram's share of all
     // bigrams — per-row codegen'd kernel, no shuffle (oracle stays the
     // string group-by; exact token-sequence equivalence)
+    // compressibility quality screen (the Gopher-family signal the
+    // token-ratio panels can't see: templated/boilerplate text deflates
+    // far below natural prose): per-doc DEFLATE size via the native
+    // DeflateSize expression — one scan-stage projection, O(len) per
+    // row, no shuffle. DEFLATE isn't replayable in the oracle engine →
+    // rows-only; the spec replays bytes through the same JDK deflater.
+    "text_compressibility" -> { (s, dir) =>
+      val d = Tables.wide(s, dir, "documents")
+      d.select(col("doc_id"),
+          octet_length(col("text")).as("n_bytes"),
+          hashes.deflateSize(col("text")).as("n_deflate"))
+        .where(col("n_bytes") > 0)
+        .select(col("doc_id"), col("n_bytes"), col("n_deflate"),
+          expr("(CAST(n_deflate AS BIGINT) * 10000L) div n_bytes").as("ratio_bp"))
+    },
     // Flesch reading-ease readability (the classic quality/complexity
     // screen): words = whitespace tokens (the engine-wide contract),
     // sentences = [.!?]+ runs (min 1), syllables ≈ vowel groups. All

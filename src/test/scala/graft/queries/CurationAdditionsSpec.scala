@@ -87,6 +87,35 @@ class CurationAdditionsSpec extends SparkSpec {
     assert(recall >= 0.5, f"recall@5 at nprobe=4 = $recall%.2f")
   }
 
+  test("text_compressibility: sizes replay through the JDK deflater, repetition compresses harder") {
+    val rows = run("text_compressibility").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    def deflate(s: String): Int = {
+      val d = new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+      try {
+        d.setInput(s.getBytes("UTF-8")); d.finish()
+        val buf = new Array[Byte](8192); var n = 0
+        while (!d.finished()) n += d.deflate(buf)
+        n
+      } finally d.end()
+    }
+    val texts = Tables(spark, dir, "documents").select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.foreach { case (id, nb, nd, bp) =>
+      assert(nb === texts(id).getBytes("UTF-8").length)
+      assert(nd === deflate(texts(id)), s"doc $id deflate size drifted")
+      assert(bp === nd.toLong * 10000L / nb)
+    }
+    // a pathologically repetitive text must compress far below prose
+    val spam = "spam " * 200
+    val prose = texts.values.maxBy(_.length)
+    val spamBp = deflate(spam).toLong * 10000 / spam.getBytes("UTF-8").length
+    val proseBp = deflate(prose).toLong * 10000 / prose.getBytes("UTF-8").length
+    assert(spamBp < proseBp / 2,
+      s"repetition should compress much harder: spam=$spamBp prose=$proseBp")
+  }
+
   test("text_keywords: 3 ranked keywords per doc, rare terms outrank stopwords") {
     val rows = run("text_keywords").collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3)))
