@@ -61,6 +61,7 @@ object GraftFunctions {
         MinHashSignature(args(0), litInt(args(1), "numHashes"), litLong(args(2), "seed"))),
       "simhash64" -> (args => SimHash64(args(0), litLong(args.lift(1).getOrElse(Literal(42L)), "seed"))),
       "fingerprint64" -> (args => Fingerprint64(args(0))),
+      "deflate_size" -> (args => DeflateSize(args(0))),
       "vec_normalize" -> (args => VectorNormalize(args(0))),
       "vec_sign_bits" -> (args => SignBits(args(0))),
       "sorted_intersect_count" -> (args => SortedIntersectCount(args(0), args(1))),

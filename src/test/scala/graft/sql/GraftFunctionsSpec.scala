@@ -68,10 +68,12 @@ class GraftFunctionsSpec extends SparkSpec {
     val r = spark.sql(
       """SELECT fingerprint64('abc') f,
         |       simhash64(array('a','b')) s,
-        |       size(minhash_signature(array('a','b'), 16, 42L)) n
+        |       size(minhash_signature(array('a','b'), 16, 42L)) n,
+        |       deflate_size(repeat('spam ', 100)) dz
         |""".stripMargin).collect()(0)
     assert(r.getInt(2) === 16)
     assert(r.getLong(0) !== 0L)
+    assert(r.getInt(3) > 0 && r.getInt(3) < 100, "500 repetitive bytes must deflate far down")
   }
 
   test("sketch functions work from SQL") {
