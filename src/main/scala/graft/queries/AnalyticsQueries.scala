@@ -479,6 +479,31 @@ object AnalyticsQueries {
             .as("mean_gap_us"),
           col("min_gap_us"), col("max_gap_us"))
     },
+    // time-to-convert: per user, first view → first purchase strictly
+    // after it; lag distribution per purchase day (count, exact-
+    // interpolated p50, integer mean). Two per-user min rollups
+    // (map-side combined) + one day rollup — only (user, µs) longs
+    // shuffle at any scale. Exact: lags are integer µs, p50
+    // interpolation over integers at g ∈ {0,.5} is IEEE-exact, the
+    // mean is integer division of two longs.
+    "events_conversion_time" -> { (s, dir) =>
+      val e = Tables.events(s, dir)
+      val firstView = e.where(col("event_type") === "view")
+        .groupBy("user_id").agg(min(expr("unix_micros(ts)")).as("vt"))
+      val conv = e.where(col("event_type") === "purchase")
+        .select(col("user_id"), expr("unix_micros(ts)").as("pt"))
+        .join(firstView, "user_id")
+        .where(col("pt") > col("vt"))
+        .groupBy("user_id").agg(min("pt").as("pt"), min("vt").as("vt"))
+      conv
+        .select(col("user_id"),
+          to_date(timestamp_micros(col("pt"))).as("day"),
+          (col("pt") - col("vt")).as("lag_us"))
+        .groupBy("day")
+        .agg(count(lit(1)).as("n_conversions"),
+          quant4(expr("percentile(lag_us, 0.5)")).as("p50_lag_us"),
+          expr("sum(lag_us) div count(*)").as("mean_lag_us"))
+    },
     // seasonal-baseline anomaly: each event scores against the
     // mean/std of ITS OWN (type, hour-of-day) cell instead of the
     // whole-type baseline — a 3 a.m. spike that looks normal against
@@ -1122,6 +1147,23 @@ object AnalyticsQueries {
          |  ${quant4Sql("CAST(sc AS DOUBLE) / 100.0 / CAST(n_events AS DOUBLE)")} AS mean_value,
          |  CAST((n_events * 10000) // n_type AS BIGINT) AS share_bp
          |FROM p JOIN t USING (event_type)""".stripMargin,
+    "events_conversion_time" ->
+      s"""WITH e AS (
+         |  SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+         |    CAST(ts AS TIMESTAMP) AS t FROM events
+         |), fv AS (
+         |  SELECT user_id, min(us) AS vt FROM e WHERE event_type = 'view' GROUP BY user_id
+         |), conv AS (
+         |  SELECT e.user_id, min(us) AS pt, min(vt) AS vt
+         |  FROM e JOIN fv ON e.user_id = fv.user_id
+         |  WHERE event_type = 'purchase' AND us > vt
+         |  GROUP BY e.user_id
+         |)
+         |SELECT CAST(make_timestamp(pt) AS DATE) AS day,
+         |  count(*) AS n_conversions,
+         |  ${quant4Sql("quantile_cont(pt - vt, 0.5)")} AS p50_lag_us,
+         |  CAST(sum(pt - vt) // count(*) AS BIGINT) AS mean_lag_us
+         |FROM conv GROUP BY 1""".stripMargin,
     "events_anomaly_seasonal" ->
       s"""WITH stats AS (
          |  SELECT event_type AS t, CAST(hour(CAST(ts AS TIMESTAMP)) AS INTEGER) AS h,

@@ -512,6 +512,22 @@ class AnalyticsQueriesSpec extends SparkSpec {
     }
   }
 
+  test("events_conversion_time: positive lags, mean within day extrema, converters bounded") {
+    val rows = graft.SparkEntry.queries("events_conversion_time")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) > 0)
+      assert(r.getDouble(2) > 0.0 && r.getLong(3) > 0L, "non-positive conversion lag")
+    }
+    // converting users can't exceed users who ever viewed AND purchased
+    val e = Tables.events(spark, dir)
+    import org.apache.spark.sql.functions.col
+    val both = e.where(col("event_type") === "view").select("user_id").distinct()
+      .intersect(e.where(col("event_type") === "purchase").select("user_id").distinct())
+      .count()
+    assert(rows.map(_.getLong(1)).sum <= both)
+  }
+
   test("events_anomaly_seasonal: flags exceed 3 sigma of their own (type, hour) cell") {
     val rows = graft.SparkEntry.queries("events_anomaly_seasonal")(spark, dir).collect()
     rows.foreach { r =>
