@@ -242,6 +242,30 @@ object TextQueries {
     // once and reproducible across engines/runs/partitionings (a
     // random() shuffle can't re-run, a doc_id order isn't shuffled).
     // One shuffle on shard; the per-shard sort is the window.
+    // curriculum layout: 4 quality stages (cleanest quartile trains
+    // first — the curriculum-learning order), positions within a stage
+    // deterministic by salted hash. Quality quantizes to fixed-point
+    // BEFORE the quartile thresholds (integer quarter-quantiles are
+    // IEEE-exact, the RFM argument), thresholds come from the
+    // dimension-sized doc rollup and broadcast back. Exact oracle.
+    "sample_curriculum" -> { (s, dir) =>
+      import graft.text.TextFunctions.qualityScore
+      val qfp = floor(qualityScore(col("text")) * 10000 + 0.5).cast("long")
+      val d = Tables.wide(s, dir, "documents")
+        .select(col("doc_id"), qfp.as("qfp"))
+      val th = d.agg(expr("percentile(qfp, array(0.25D, 0.5D, 0.75D))").as("q"))
+      val h = md5(concat(lit("cur:"), col("doc_id").cast("string")))
+      val staged = d.crossJoin(broadcast(th))
+        .select(col("doc_id"), col("qfp"), h.as("h"),
+          when(col("qfp").cast("double") > element_at(col("q"), 3), 1)
+            .when(col("qfp").cast("double") > element_at(col("q"), 2), 2)
+            .when(col("qfp").cast("double") > element_at(col("q"), 1), 3)
+            .otherwise(4).as("stage"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("stage").orderBy(col("h"), col("doc_id"))
+      staged.withColumn("pos", row_number().over(w))
+        .select(col("doc_id"), col("stage"), col("pos"), col("qfp"))
+    },
     "sample_shards" -> { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
       val h = md5(concat(lit("shard:"), col("doc_id").cast("string")))
@@ -684,6 +708,25 @@ object TextQueries {
         |  CASE WHEN CAST(('0x' || substring(md5(text), 1, 4)) AS INTEGER) % 10 < 9
         |       THEN 'train' ELSE 'val' END AS split
         |FROM documents""".stripMargin,
+    "sample_curriculum" ->
+      s"""WITH ${qualityCtesSql},
+         |d AS (
+         |  SELECT doc_id,
+         |    CAST(floor(($qualityExprSql) * 10000 + 0.5) AS BIGINT) AS qfp
+         |  FROM f
+         |), th AS (
+         |  SELECT quantile_cont(qfp, [0.25, 0.5, 0.75]) AS q FROM d
+         |), staged AS (
+         |  SELECT doc_id, qfp, md5('cur:' || CAST(doc_id AS VARCHAR)) AS h,
+         |    CAST(CASE WHEN CAST(qfp AS DOUBLE) > q[3] THEN 1
+         |              WHEN CAST(qfp AS DOUBLE) > q[2] THEN 2
+         |              WHEN CAST(qfp AS DOUBLE) > q[1] THEN 3 ELSE 4 END AS INTEGER) AS stage
+         |  FROM d CROSS JOIN th
+         |)
+         |SELECT doc_id, stage,
+         |  CAST(row_number() OVER (PARTITION BY stage ORDER BY h, doc_id) AS INTEGER) AS pos,
+         |  qfp
+         |FROM staged""".stripMargin,
     "sample_shards" ->
       """WITH h AS (
         |  SELECT doc_id, md5('shard:' || CAST(doc_id AS VARCHAR)) AS h FROM documents

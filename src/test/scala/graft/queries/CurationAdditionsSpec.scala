@@ -87,6 +87,23 @@ class CurationAdditionsSpec extends SparkSpec {
     assert(recall >= 0.5, f"recall@5 at nprobe=4 = $recall%.2f")
   }
 
+  test("sample_curriculum: stages order by quality, positions dense, corpus covered") {
+    val rows = run("sample_curriculum").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+    val n = Tables(spark, dir, "documents").count()
+    assert(rows.length.toLong === n, "every doc gets a curriculum slot")
+    rows.groupBy(_._2).foreach { case (_, rs) =>
+      assert(rs.map(_._3).sorted.toSeq === (1 to rs.length), "positions not dense")
+    }
+    // min quality of an earlier stage >= max quality of a later stage
+    val byStage = rows.groupBy(_._2).view.mapValues(rs => (rs.map(_._4).min, rs.map(_._4).max))
+    for (s1 <- 1 to 3; s2 <- (s1 + 1) to 4
+         if byStage.contains(s1) && byStage.contains(s2)) {
+      assert(byStage(s1)._1 >= byStage(s2)._2,
+        s"stage $s1 min ${byStage(s1)._1} < stage $s2 max ${byStage(s2)._2}")
+    }
+  }
+
   test("text_compressibility: sizes replay through the JDK deflater, repetition compresses harder") {
     val rows = run("text_compressibility").collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
