@@ -242,6 +242,27 @@ object TextQueries {
     // once and reproducible across engines/runs/partitionings (a
     // random() shuffle can't re-run, a doc_id order isn't shuffled).
     // One shuffle on shard; the per-shard sort is the window.
+    // corpus novelty curve: per doc (in id order — the crawl-snapshot
+    // order), what fraction of its distinct 3-shingles appears here
+    // FIRST — the diminishing-returns signal that tells a crawl
+    // pipeline when new data stops adding content. One shingle explode
+    // → min-doc-per-shingle rollup (map-side combined) → join back on
+    // shingle; only (shingle-hash, doc_id) longs shuffle. Exact: set
+    // semantics + integer-bp ratio.
+    "text_ngram_novelty" -> { (s, dir) =>
+      import graft.text.TextFunctions._
+      val sh = Tables.wide(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(shingles(tokens(col("text")), 3)).as("g"))
+        .select(col("doc_id"), xxhash64(col("g")).as("h"))
+      val first = sh.groupBy("h").agg(min("doc_id").as("first_doc"))
+      sh.join(first, "h")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shingles"),
+          count(when(col("first_doc") === col("doc_id"), 1)).as("n_novel"))
+        .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+          expr("(n_novel * 10000L) div n_shingles").as("novelty_bp"))
+    },
     // curriculum layout: 4 quality stages (cleanest quartile trains
     // first — the curriculum-learning order), positions within a stage
     // deterministic by salted hash. Quality quantizes to fixed-point
@@ -708,6 +729,23 @@ object TextQueries {
         |  CASE WHEN CAST(('0x' || substring(md5(text), 1, 4)) AS INTEGER) % 10 < 9
         |       THEN 'train' ELSE 'val' END AS split
         |FROM documents""".stripMargin,
+    // shingle-set semantics replayed on the raw strings (the Spark side
+    // hashes only to shrink the shuffle; collisions ~ m^2/2^64)
+    "text_ngram_novelty" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |sh AS (
+         |  SELECT doc_id, unnest(list_distinct(
+         |    CASE WHEN len(toks) >= 3
+         |      THEN [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] FOR i IN range(1, len(toks)-1)]
+         |      ELSE [] END)) AS g
+         |  FROM t
+         |),
+         |f AS (SELECT g, min(doc_id) AS first_doc FROM sh GROUP BY g)
+         |SELECT sh.doc_id, count(*) AS n_shingles,
+         |  count(*) FILTER (first_doc = sh.doc_id) AS n_novel,
+         |  CAST((count(*) FILTER (first_doc = sh.doc_id)) * 10000 // count(*) AS BIGINT) AS novelty_bp
+         |FROM sh JOIN f USING (g)
+         |GROUP BY sh.doc_id""".stripMargin,
     "sample_curriculum" ->
       s"""WITH ${qualityCtesSql},
          |d AS (

@@ -87,6 +87,31 @@ class CurationAdditionsSpec extends SparkSpec {
     assert(recall >= 0.5, f"recall@5 at nprobe=4 = $recall%.2f")
   }
 
+  test("text_ngram_novelty: first doc fully novel, later exact copies score zero") {
+    val rows = run("text_ngram_novelty").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, ns, nn, bp) =>
+      assert(nn >= 0 && nn <= ns)
+      assert(bp === nn * 10000L / ns)
+    }
+    val byId = rows.map(r => r._1 -> r._4).toMap
+    assert(byId(rows.map(_._1).min) === 10000L, "the earliest doc must be fully novel")
+    // exact duplicate pairs exist in testdata: the LATER copy has novelty 0
+    import org.apache.spark.sql.functions.{col, md5, min => smin, count => scount, lit}
+    val dups = Tables(spark, dir, "documents")
+      .groupBy(md5(col("text"))).agg(
+        smin(col("doc_id")).as("first"), scount(lit(1)).as("n"),
+        org.apache.spark.sql.functions.max(col("doc_id")).as("last"))
+      .where(col("n") > 1).collect()
+    // sf0.001 has no planted dup pairs; where they exist the later copy
+    // must be 0-novel
+    dups.foreach { r =>
+      val later = r.getLong(2)
+      if (byId.contains(later)) assert(byId(later) === 0L, s"dup copy $later not 0-novel")
+    }
+  }
+
   test("sample_curriculum: stages order by quality, positions dense, corpus covered") {
     val rows = run("sample_curriculum").collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
