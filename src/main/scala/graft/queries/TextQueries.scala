@@ -447,6 +447,21 @@ object TextQueries {
         langId(tokens(col("text"))).as("lang_pred"),
         col("lang"))
     },
+    // language-ID confusion matrix — the classifier eval a curation
+    // pipeline reads before trusting langid-based filtering: labeled
+    // lang × predicted lang with counts and integer-bp row share.
+    // Composes the exact langid kernel; one map-side-combined rollup +
+    // a window over ≤|langs|² cells. Exact oracle.
+    "text_lang_confusion" -> { (s, dir) =>
+      val cells = Tables(s, dir, "documents")
+        .groupBy(col("lang"), langId(tokens(col("text"))).as("lang_pred"))
+        .agg(count(lit(1)).as("n"))
+      cells
+        .withColumn("n_true",
+          sum("n").over(org.apache.spark.sql.expressions.Window.partitionBy("lang")))
+        .select(col("lang"), col("lang_pred"), col("n"),
+          expr("(n * 10000L) div n_true").as("share_bp"))
+    },
     // script/charset profiling (the FineWeb/CCNet-style pre-langid
     // gate): per-doc counts of latin/digit/cyrillic/cjk/arabic
     // codepoints by unicode-range regex — one shuffle-free scan-stage
@@ -600,6 +615,12 @@ object TextQueries {
          |  array_to_string(u.ch, ' ') AS chunk_text
          |FROM c""".stripMargin,
     "text_langid" -> langidSql,
+    "text_lang_confusion" ->
+      s"""WITH p AS ($langidSql),
+         |c AS (SELECT lang, lang_pred, count(*) AS n FROM p GROUP BY 1, 2)
+         |SELECT lang, lang_pred, n,
+         |  CAST((n * 10000) // (sum(n) OVER (PARTITION BY lang)) AS BIGINT) AS share_bp
+         |FROM c""".stripMargin,
     // identical ranges and tie priority; len(regexp_extract_all) = count
     "text_script" ->
       """WITH c AS (

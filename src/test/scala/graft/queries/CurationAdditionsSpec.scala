@@ -87,6 +87,22 @@ class CurationAdditionsSpec extends SparkSpec {
     assert(recall >= 0.5, f"recall@5 at nprobe=4 = $recall%.2f")
   }
 
+  test("text_lang_confusion: cells reconcile to langid rows, shares sum per label") {
+    val cells = run("text_lang_confusion").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(cells.nonEmpty)
+    val preds = run("text_langid").collect()
+      .map(r => (r.getString(2), r.getString(1)))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    cells.foreach { case (t, p, n, _) =>
+      assert(preds((t, p)) === n, s"cell ($t,$p) count drifted")
+    }
+    cells.groupBy(_._1).foreach { case (t, rs) =>
+      val s2 = rs.map(_._4).sum
+      assert(s2 <= 10000L && s2 > 10000L - rs.length, s"share sum $s2 for $t")
+    }
+  }
+
   test("text_ngram_novelty: first doc fully novel, later exact copies score zero") {
     val rows = run("text_ngram_novelty").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
