@@ -287,6 +287,39 @@ object VectorQueries {
           (col("m").cast("double") / 10000.0 / col("n_members").cast("double"))
             .as("avg_dist"))
     },
+    // PCA explained-variance spectrum — the dimensionality dashboard
+    // read before choosing matryoshka prefix dims / PCA16 serving
+    // configs: train the eigenbasis on a bounded sample (the standard
+    // training path), project the WHOLE corpus in the scan stage
+    // (codegen PcaProject), then per-coordinate variance via one
+    // map-side-combined moment rollup — the projected coordinate's
+    // corpus variance IS the eigenvalue estimate, computed
+    // distributively instead of trusted from the driver-side solve.
+    // Custom eigenbasis → rows-only; spectrum monotonicity is spec'd.
+    "embed_pca_variance" -> { (s, dir) =>
+      import org.apache.spark.sql.GraftBridge
+      import graft.index.{Pca, PcaProject}
+      val e = Tables(s, dir, "embeddings")
+      val sample = e.limit(4096)
+        .select(vec.vector(col("embedding"))).collect()
+        .map(_.getSeq[Float](0).toArray)
+      val (mean, comps) = Pca.train(sample, 16)
+      val proj = e.select(GraftBridge.column(PcaProject(
+        GraftBridge.expression(vec.vector(col("embedding"))), mean, comps)).as("p"))
+      val mom = proj.select(posexplode(col("p")).as(Seq("dim", "x")))
+        .select(col("dim"), col("x").cast("double").as("x"))
+        .groupBy("dim")
+        .agg(count(lit(1)).as("n"), sum("x").as("s"), sum(col("x") * col("x")).as("ss"))
+        .select(col("dim"),
+          ((col("ss") / col("n")) - (col("s") / col("n")) * (col("s") / col("n")))
+            .as("variance"))
+      mom.withColumn("share_bp",
+          floor(col("variance") * 10000.0 /
+            sum(col("variance")).over(
+              org.apache.spark.sql.expressions.Window.partitionBy())).cast("long"))
+        .select(col("dim"), Tables.quant4(col("variance")).as("variance"), col("share_bp"))
+        .orderBy("dim")
+    },
     // embedding-space outlier screen (the noise/poisoning complement of
     // SemDeDup's within-cluster near-dup cut): distance-to-own-centroid
     // z-score per vector, flag > 1.5σ within the cluster (high-dim

@@ -252,6 +252,19 @@ class CurationAdditionsSpec extends SparkSpec {
     assert(kept.map(_.toString).sorted.toSeq === again.map(_.toString).sorted.toSeq)
   }
 
+  test("embed_pca_variance: 16-dim spectrum, positive and near-descending") {
+    val rows = run("embed_pca_variance").collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getLong(2))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq === (0 until 16))
+    assert(rows.forall(_._2 > 0.0))
+    // eigen-order: corpus variance per coordinate descends up to
+    // sample-vs-corpus estimation noise
+    rows.map(_._2).toSeq.sliding(2).foreach { w =>
+      assert(w(1) <= w(0) * 1.10 + 1e-9, s"spectrum inversion: ${w(0)} then ${w(1)}")
+    }
+    assert(rows.map(_._3).sum <= 10000L)
+  }
+
   test("vs_ef_eval: recall non-decreasing in beam width, wide beam near-exact") {
     val rows = run("vs_ef_eval").collect()
       .map(r => (r.getInt(0), r.getDouble(1))).sortBy(_._1)
