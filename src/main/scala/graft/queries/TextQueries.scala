@@ -242,6 +242,24 @@ object TextQueries {
     // once and reproducible across engines/runs/partitionings (a
     // random() shuffle can't re-run, a doc_id order isn't shuffled).
     // One shuffle on shard; the per-shard sort is the window.
+    // per-source quality dashboard — which crawl sources are worth
+    // keeping: doc count, integer-mean and exact-interpolated median of
+    // fixed-point quality, and the reject rate at the 0.6 curation
+    // gate, one map-side-combined rollup per source. Exact: quality
+    // quantizes to fixed point before every aggregate (integer
+    // quantile interpolation is IEEE-exact).
+    "docs_source_quality" -> { (s, dir) =>
+      import graft.text.TextFunctions.qualityScore
+      val qfp = floor(qualityScore(col("text")) * 10000 + 0.5).cast("long")
+      Tables.wide(s, dir, "documents")
+        .select(col("source"), qfp.as("qfp"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          expr("sum(qfp) div count(*)").as("mean_qfp"),
+          Tables.quant4(expr("percentile(qfp, 0.5)")).as("p50_qfp"),
+          expr("(count(CASE WHEN qfp < 6000 THEN 1 END) * 10000L) div count(*)")
+            .as("reject_bp"))
+    },
     // corpus novelty curve: per doc (in id order — the crawl-snapshot
     // order), what fraction of its distinct 3-shingles appears here
     // FIRST — the diminishing-returns signal that tells a crawl
@@ -750,6 +768,18 @@ object TextQueries {
         |  CASE WHEN CAST(('0x' || substring(md5(text), 1, 4)) AS INTEGER) % 10 < 9
         |       THEN 'train' ELSE 'val' END AS split
         |FROM documents""".stripMargin,
+    "docs_source_quality" ->
+      s"""WITH ${qualityCtesSql},
+         |d AS (
+         |  SELECT source,
+         |    CAST(floor(($qualityExprSql) * 10000 + 0.5) AS BIGINT) AS qfp
+         |  FROM f
+         |)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(qfp) // count(*) AS BIGINT) AS mean_qfp,
+         |  ${Tables.quant4Sql("quantile_cont(qfp, 0.5)")} AS p50_qfp,
+         |  CAST((count(CASE WHEN qfp < 6000 THEN 1 END) * 10000) // count(*) AS BIGINT) AS reject_bp
+         |FROM d GROUP BY source""".stripMargin,
     // shingle-set semantics replayed on the raw strings (the Spark side
     // hashes only to shrink the shuffle; collisions ~ m^2/2^64)
     "text_ngram_novelty" ->

@@ -87,6 +87,24 @@ class CurationAdditionsSpec extends SparkSpec {
     assert(recall >= 0.5, f"recall@5 at nprobe=4 = $recall%.2f")
   }
 
+  test("docs_source_quality: counts cover, reject rate replays the 0.6 gate") {
+    import org.apache.spark.sql.functions.col
+    val rows = run("docs_source_quality").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4)))
+    val total = Tables(spark, dir, "documents").count()
+    assert(rows.map(_._2).sum === total)
+    val quality = Tables(spark, dir, "documents")
+      .select(col("source"), graft.text.TextFunctions.qualityScore(col("text")).as("q"))
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    rows.foreach { case (src, n, meanQfp, p50, rejBp) =>
+      val qs = quality.filter(_._1 == src).map(_._2)
+      assert(qs.length.toLong === n)
+      val rejects = qs.count(q => math.floor(q * 10000 + 0.5) < 6000)
+      assert(rejBp === rejects.toLong * 10000L / n, s"$src reject rate")
+      assert(meanQfp >= 0 && meanQfp <= 10000 && p50 >= 0 && p50 <= 10000)
+    }
+  }
+
   test("text_lang_confusion: cells reconcile to langid rows, shares sum per label") {
     val cells = run("text_lang_confusion").collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
