@@ -72,6 +72,32 @@ object DedupQueries {
           Tables.quant4(col("jaccard")).as("jaccard"))
         .orderBy("batch_id", "corpus_id")
     },
+    // MinHash estimator audit — is the sketch good enough to trust the
+    // near-dup verdicts? For every LSH candidate pair: estimated
+    // jaccard (lane agreement / 128) vs TRUE shingle jaccard, with the
+    // integer-bp error. Signatures join the candidate pairs (both
+    // dimension-bounded), truth comes from the bounded pair list only —
+    // never an all-pairs scan. Custom hash family → rows-only; the
+    // estimator's error envelope (theory: σ ≈ 1/√128 ≈ 0.088) is
+    // spec-asserted.
+    "dedup_minhash_eval" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val pairs = Dedup.minhashCandidates(d, "doc_id", "text")
+      val sig = Dedup.minhashSignatures(d, "doc_id", "text",
+        numHashes = 128, shingleSize = 3, seed = 42L)
+      val est = pairs
+        .join(sig.select(col("id").as("a_id"), col("sig").as("sa")), "a_id")
+        .join(sig.select(col("id").as("b_id"), col("sig").as("sb")), "b_id")
+        .select(col("a_id"), col("b_id"),
+          expr("aggregate(zip_with(sa, sb, (x, y) -> IF(x = y, 1, 0)), 0, (acc, v) -> acc + v)")
+            .as("lanes"))
+      val truth = Dedup.ngramJaccard(d, "doc_id", "text", pairs, shingleSize = 3)
+      est.join(truth, Seq("a_id", "b_id"))
+        .select(col("a_id"), col("b_id"),
+          expr("(lanes * 10000) div 128").cast("long").as("est_bp"),
+          floor(col("jaccard") * 10000 + 0.5).cast("long").as("true_bp"))
+        .withColumn("err_bp", abs(col("est_bp") - col("true_bp")))
+    },
     // quality-aware exact dedup: the survivor of each duplicate group
     // is the HIGHEST-QUALITY copy (ties to lowest id), not the first
     // id — when a recrawl has both a clean copy and a boilerplate-

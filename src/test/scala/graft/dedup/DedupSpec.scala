@@ -159,6 +159,21 @@ class DedupSpec extends SparkSpec {
     j.keys.foreach(k => assert(c(k) >= j(k) - 1e-12, s"pair $k: c=${c(k)} j=${j(k)}"))
   }
 
+  test("minhash estimator audit: lane-agreement estimate tracks true jaccard") {
+    val rows = graft.SparkEntry.queries("dedup_minhash_eval")(
+        spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty, "planted dups should produce candidate pairs")
+    rows.foreach { case (est, tru, err) =>
+      assert(est >= 0 && est <= 10000 && tru >= 0 && tru <= 10000)
+      assert(err === math.abs(est - tru))
+    }
+    val meanErr = rows.map(_._3).sum.toDouble / rows.length
+    // estimator std dev is ~1/sqrt(128) = 880bp; candidates average well inside it
+    assert(meanErr <= 900.0, s"mean |est-true| = $meanErr bp")
+    assert(rows.map(_._3).max <= 3 * 880, s"max error ${rows.map(_._3).max} bp")
+  }
+
   test("connected components: chains collapse to min id, components stay separate") {
     import spark.implicits._
     // 1-2, 2-3, 3-4 chain (diameter 3, exercises multiple rounds); 10-11 separate
