@@ -479,6 +479,43 @@ object AnalyticsQueries {
             .as("mean_gap_us"),
           col("min_gap_us"), col("max_gap_us"))
     },
+    // daily active users split NEW vs RETURNING (first-seen day per
+    // user vs activity day) — the growth-accounting twin of
+    // events_active_users. Two map-side-combined rollups: per-user
+    // first day, then per (day, is_new) over distinct (user, day)
+    // activity; only (user, day) pairs shuffle. Exact oracle.
+    "events_new_vs_returning" -> { (s, dir) =>
+      val e = Tables.events(s, dir)
+      val activity = e.select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      val firstDay = activity.groupBy("user_id").agg(min("day").as("first_day"))
+      activity.join(firstDay, "user_id")
+        .groupBy("day")
+        .agg(
+          count(when(col("day") === col("first_day"), 1)).as("n_new"),
+          count(when(col("day") =!= col("first_day"), 1)).as("n_returning"))
+    },
+    // activity concentration — what share of all events the heaviest
+    // decile of users generates (the power-user / abuse-skew metric,
+    // and the skew estimate that decides salting): heavy = the top
+    // ceil(users/10) by the TOTAL (count desc, user_id) rank — pure
+    // integer logic (an interpolated p90 threshold would hang the cut
+    // on a 0.9·k product that isn't IEEE-exact). Per-user counts are
+    // one map-side-combined rollup; the rank runs over the
+    // dimension-sized user table. Exact oracle.
+    "events_concentration" -> { (s, dir) =>
+      val perUser = Tables.events(s, dir)
+        .groupBy("user_id").agg(count(lit(1)).as("n"))
+      val ranked = perUser.withColumn("rk",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("n").desc, col("user_id"))))
+      val tot = ranked.agg(count(lit(1)).as("n_users"), sum("n").as("total"))
+      ranked.crossJoin(broadcast(tot))
+        .where(col("rk") <= expr("(n_users + 9L) div 10L"))
+        .groupBy("n_users")
+        .agg(count(lit(1)).as("n_heavy_users"),
+          expr("(sum(n) * 10000L) div first(total)").as("heavy_share_bp"))
+        .select(col("n_users"), col("n_heavy_users"), col("heavy_share_bp"))
+    },
     // time-to-convert: per user, first view → first purchase strictly
     // after it; lag distribution per purchase day (count, exact-
     // interpolated p50, integer mean). Two per-user min rollups
@@ -1147,6 +1184,30 @@ object AnalyticsQueries {
          |  ${quant4Sql("CAST(sc AS DOUBLE) / 100.0 / CAST(n_events AS DOUBLE)")} AS mean_value,
          |  CAST((n_events * 10000) // n_type AS BIGINT) AS share_bp
          |FROM p JOIN t USING (event_type)""".stripMargin,
+    "events_new_vs_returning" ->
+      """WITH a AS (
+        |  SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day FROM events
+        |), f AS (
+        |  SELECT user_id, min(day) AS first_day FROM a GROUP BY user_id
+        |)
+        |SELECT day,
+        |  count(CASE WHEN day = first_day THEN 1 END) AS n_new,
+        |  count(CASE WHEN day <> first_day THEN 1 END) AS n_returning
+        |FROM a JOIN f USING (user_id)
+        |GROUP BY day""".stripMargin,
+    "events_concentration" ->
+      """WITH pu AS (SELECT user_id, count(*) AS n FROM events GROUP BY user_id),
+        |r AS (
+        |  SELECT user_id, n,
+        |    row_number() OVER (ORDER BY n DESC, user_id) AS rk
+        |  FROM pu
+        |), t AS (SELECT count(*) AS n_users, sum(n) AS total FROM pu)
+        |SELECT CAST(n_users AS BIGINT) AS n_users,
+        |  count(*) AS n_heavy_users,
+        |  CAST((sum(n) * 10000) // max(total) AS BIGINT) AS heavy_share_bp
+        |FROM r CROSS JOIN t
+        |WHERE rk <= (n_users + 9) // 10
+        |GROUP BY n_users""".stripMargin,
     "events_conversion_time" ->
       s"""WITH e AS (
          |  SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us,

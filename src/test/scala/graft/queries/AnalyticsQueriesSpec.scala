@@ -512,6 +512,24 @@ class AnalyticsQueriesSpec extends SparkSpec {
     }
   }
 
+  test("events_new_vs_returning: news sum to the user count, day one is all-new") {
+    val rows = graft.SparkEntry.queries("events_new_vs_returning")(spark, dir).collect()
+      .map(r => (r.getDate(0), r.getLong(1), r.getLong(2))).sortBy(_._1.getTime)
+    assert(rows.nonEmpty)
+    val users = Tables.events(spark, dir).select("user_id").distinct().count()
+    assert(rows.map(_._2).sum === users, "every user is new exactly once")
+    assert(rows.head._3 === 0L, "nobody returns on the first day")
+  }
+
+  test("events_concentration: heavy decile share bounded and above uniform") {
+    val r = graft.SparkEntry.queries("events_concentration")(spark, dir).collect()
+    assert(r.length === 1)
+    val (nUsers, nHeavy, shareBp) = (r.head.getLong(0), r.head.getLong(1), r.head.getLong(2))
+    assert(nHeavy === (nUsers + 9) / 10)
+    assert(shareBp >= 10000L * nHeavy / nUsers, "top decile can't be below uniform share")
+    assert(shareBp <= 10000L)
+  }
+
   test("events_conversion_time: positive lags, mean within day extrema, converters bounded") {
     val rows = graft.SparkEntry.queries("events_conversion_time")(spark, dir).collect()
     assert(rows.nonEmpty)
