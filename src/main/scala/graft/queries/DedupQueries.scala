@@ -72,6 +72,30 @@ object DedupQueries {
           Tables.quant4(col("jaccard")).as("jaccard"))
         .orderBy("batch_id", "corpus_id")
     },
+    // dedup impact accounting — what exact dedup actually removes, per
+    // source: docs/tokens/bytes dropped and the integer-bp removal
+    // rate (the cost-savings line in every dedup report). min-id
+    // survivor rule replayed as one text-hash rollup, removal stats
+    // re-aggregated per source; token/byte counts are integers. Exact.
+    "dedup_impact" -> { (s, dir) =>
+      import graft.text.TextFunctions.tokens
+      val d = Tables.wide(s, dir, "documents")
+        .select(col("doc_id"), col("source"), md5(col("text")).as("h"),
+          size(tokens(col("text"))).cast("long").as("n_tokens"),
+          length(col("text")).cast("long").as("n_bytes")) // chars (ASCII corpus) — duck length() parity
+      val surv = d.groupBy("h").agg(min("doc_id").as("survivor"))
+      d.join(surv, "h")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          count(when(col("doc_id") =!= col("survivor"), 1)).as("n_removed"),
+          sum(when(col("doc_id") =!= col("survivor"), col("n_tokens"))
+            .otherwise(lit(0L))).as("tokens_removed"),
+          sum(when(col("doc_id") =!= col("survivor"), col("n_bytes"))
+            .otherwise(lit(0L))).as("bytes_removed"))
+        .select(col("source"), col("n_docs"), col("n_removed"),
+          col("tokens_removed"), col("bytes_removed"),
+          expr("(n_removed * 10000L) div n_docs").as("removal_bp"))
+    },
     // MinHash estimator audit — is the sketch good enough to trust the
     // near-dup verdicts? For every LSH candidate pair: estimated
     // jaccard (lane agreement / 128) vs TRUE shingle jaccard, with the
@@ -371,6 +395,20 @@ object DedupQueries {
        |  ELSE [] END)""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "dedup_impact" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, source, md5(text) AS h,
+         |    CAST(len($toksSql) AS BIGINT) AS n_tokens,
+         |    CAST(length(text) AS BIGINT) AS n_bytes
+         |  FROM documents
+         |), s AS (SELECT h, min(doc_id) AS survivor FROM d GROUP BY h)
+         |SELECT source, count(*) AS n_docs,
+         |  count(CASE WHEN doc_id <> survivor THEN 1 END) AS n_removed,
+         |  CAST(sum(CASE WHEN doc_id <> survivor THEN n_tokens ELSE 0 END) AS BIGINT) AS tokens_removed,
+         |  CAST(sum(CASE WHEN doc_id <> survivor THEN n_bytes ELSE 0 END) AS BIGINT) AS bytes_removed,
+         |  CAST((count(CASE WHEN doc_id <> survivor THEN 1 END) * 10000) // count(*) AS BIGINT) AS removal_bp
+         |FROM d JOIN s USING (h)
+         |GROUP BY source""".stripMargin,
     // identical quality chain + (q desc, id) survivor order
     "dedup_best_copy" ->
       s"""WITH ${TextQueries.qualityCtesSql},

@@ -159,6 +159,20 @@ class DedupSpec extends SparkSpec {
     j.keys.foreach(k => assert(c(k) >= j(k) - 1e-12, s"pair $k: c=${c(k)} j=${j(k)}"))
   }
 
+  test("dedup_impact: removals reconcile with the exact-dedup survivor count") {
+    val sf = "/root/testdata/sf0.01"
+    val rows = graft.SparkEntry.queries("dedup_impact")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val total = graft.queries.Tables(spark, sf, "documents").count()
+    val survivors = graft.SparkEntry.queries("dedup_exact")(spark, sf).count()
+    assert(rows.map(_._2).sum === total)
+    assert(rows.map(_._3).sum === total - survivors, "removed = corpus - survivors")
+    rows.foreach { case (_, n, rem, toks, bytes) =>
+      assert(rem <= n)
+      assert((rem == 0) == (toks == 0L && bytes == 0L))
+    }
+  }
+
   test("minhash estimator audit: lane-agreement estimate tracks true jaccard") {
     val rows = graft.SparkEntry.queries("dedup_minhash_eval")(
         spark, "/root/testdata/sf0.001").collect()
