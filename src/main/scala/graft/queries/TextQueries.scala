@@ -242,6 +242,29 @@ object TextQueries {
     // once and reproducible across engines/runs/partitionings (a
     // random() shuffle can't re-run, a doc_id order isn't shuffled).
     // One shuffle on shard; the per-shard sort is the window.
+    // Heaps'-law vocabulary growth: distinct vocabulary vs cumulative
+    // tokens at ten crawl-order checkpoints — the curve that says
+    // whether more of the same crawl still buys new language. One
+    // token explode feeds a min-doc-per-token rollup (vocab side) and
+    // a per-doc count rollup (token side); each joins the broadcast
+    // 10-row checkpoint spine. Exact: pure integer set/count logic.
+    "text_vocab_growth" -> { (s, dir) =>
+      import graft.text.TextFunctions.tokens
+      val tok = Tables.wide(s, dir, "documents")
+        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      val nDocs = Tables(s, dir, "documents").agg(count(lit(1)).as("n")).head.getLong(0)
+      val cuts = (1 to 10).map(c => (c, c * nDocs / 10))
+      import s.implicits._
+      val spine = broadcast(cuts.toDF("checkpoint", "cut"))
+      val vocab = tok.groupBy("tok").agg(min("doc_id").as("first_doc"))
+        .join(spine, col("first_doc") < col("cut"))
+        .groupBy("checkpoint").agg(count(lit(1)).as("vocab"))
+      val toks = tok.groupBy("doc_id").agg(count(lit(1)).as("nt"))
+        .join(spine, col("doc_id") < col("cut"))
+        .groupBy(col("checkpoint").as("cp")).agg(sum("nt").as("total_tokens"))
+      vocab.join(toks, col("checkpoint") === col("cp"))
+        .select(col("checkpoint"), col("total_tokens"), col("vocab"))
+    },
     // per-source quality dashboard — which crawl sources are worth
     // keeping: doc count, integer-mean and exact-interpolated median of
     // fixed-point quality, and the reject rate at the 0.6 curation
@@ -768,6 +791,24 @@ object TextQueries {
         |  CASE WHEN CAST(('0x' || substring(md5(text), 1, 4)) AS INTEGER) % 10 < 9
         |       THEN 'train' ELSE 'val' END AS split
         |FROM documents""".stripMargin,
+    "text_vocab_growth" ->
+      s"""WITH t AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+         |n AS (SELECT count(*) AS nd FROM documents),
+         |sp AS (
+         |  SELECT CAST(range AS INTEGER) AS checkpoint, (range * nd) // 10 AS cut
+         |  FROM range(1, 11) CROSS JOIN n
+         |),
+         |v AS (SELECT tok, min(doc_id) AS first_doc FROM t GROUP BY tok),
+         |vc AS (
+         |  SELECT checkpoint, count(*) AS vocab
+         |  FROM v JOIN sp ON first_doc < cut GROUP BY checkpoint
+         |),
+         |dt AS (SELECT doc_id, count(*) AS nt FROM t GROUP BY doc_id),
+         |tc AS (
+         |  SELECT checkpoint, CAST(sum(nt) AS BIGINT) AS total_tokens
+         |  FROM dt JOIN sp ON doc_id < cut GROUP BY checkpoint
+         |)
+         |SELECT checkpoint, total_tokens, vocab FROM vc JOIN tc USING (checkpoint)""".stripMargin,
     "docs_source_quality" ->
       s"""WITH ${qualityCtesSql},
          |d AS (

@@ -87,6 +87,20 @@ class CurationAdditionsSpec extends SparkSpec {
     assert(recall >= 0.5, f"recall@5 at nprobe=4 = $recall%.2f")
   }
 
+  test("text_vocab_growth: both curves monotone, vocab growth decelerates vs tokens") {
+    val rows = run("text_vocab_growth").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq === (1 to 10))
+    val toks = rows.map(_._2)
+    val vocab = rows.map(_._3)
+    assert(toks.toSeq === toks.sorted.toSeq && vocab.toSeq === vocab.sorted.toSeq)
+    assert(vocab.last <= toks.last, "vocab can't exceed token occurrences")
+    // Heaps: vocab grows sublinearly — final vocab/token ratio below the first
+    val r1 = vocab.head.toDouble / toks.head
+    val r10 = vocab.last.toDouble / toks.last
+    assert(r10 <= r1 + 1e-9, s"vocab ratio should fall: $r1 -> $r10")
+  }
+
   test("docs_source_quality: counts cover, reject rate replays the 0.6 gate") {
     import org.apache.spark.sql.functions.col
     val rows = run("docs_source_quality").collect()
