@@ -479,6 +479,25 @@ object AnalyticsQueries {
             .as("mean_gap_us"),
           col("min_gap_us"), col("max_gap_us"))
     },
+    // burst / rate-cap audit: users whose busiest hour exceeds the cap
+    // (the abuse/bot screen, and the per-key hot-spot detector for
+    // stream sizing): one (user, hour) rollup with map-side combine,
+    // then an argmax-by-struct per user — ties to the EARLIEST hour.
+    // Exact oracle: integer counts, total (count desc, hour asc) order
+    // folded into one struct max.
+    "events_burst_users" -> { (s, dir) =>
+      val cap = 2L
+      val hourly = Tables.events(s, dir)
+        .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("h"))
+        .agg(count(lit(1)).as("n"))
+      hourly
+        .groupBy("user_id")
+        .agg(max(struct(col("n"),
+          (lit(0L) - expr("unix_micros(h)")).as("negh"))).as("m"))
+        .select(col("user_id"), col("m.n").as("peak_events"),
+          timestamp_micros(lit(0L) - col("m.negh")).as("peak_hour"))
+        .where(col("peak_events") > cap)
+    },
     // daily active users split NEW vs RETURNING (first-seen day per
     // user vs activity day) — the growth-accounting twin of
     // events_active_users. Two map-side-combined rollups: per-user
@@ -1184,6 +1203,17 @@ object AnalyticsQueries {
          |  ${quant4Sql("CAST(sc AS DOUBLE) / 100.0 / CAST(n_events AS DOUBLE)")} AS mean_value,
          |  CAST((n_events * 10000) // n_type AS BIGINT) AS share_bp
          |FROM p JOIN t USING (event_type)""".stripMargin,
+    "events_burst_users" ->
+      """WITH h AS (
+        |  SELECT user_id, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h, count(*) AS n
+        |  FROM events GROUP BY 1, 2
+        |), p AS (
+        |  SELECT user_id, n AS peak_events, h AS peak_hour,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY n DESC, h) AS rn
+        |  FROM h
+        |)
+        |SELECT user_id, peak_events, peak_hour FROM p
+        |WHERE rn = 1 AND peak_events > 2""".stripMargin,
     "events_new_vs_returning" ->
       """WITH a AS (
         |  SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day FROM events

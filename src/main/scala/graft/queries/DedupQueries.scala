@@ -72,6 +72,21 @@ object DedupQueries {
           Tables.quant4(col("jaccard")).as("jaccard"))
         .orderBy("batch_id", "corpus_id")
     },
+    // shingle document-frequency profile — the histogram that sizes
+    // every hot-bucket / stop-fingerprint cap in this file (how much
+    // boilerplate mass sits at high df?): 3-shingle doc frequencies
+    // bucketed by bit-length (floor(log2 df)+1 — an integer, no libm
+    // log) with the bucket's max df. One explode + two map-side-
+    // combined rollups. Exact oracle.
+    "dedup_df_profile" -> { (s, dir) =>
+      import graft.text.TextFunctions._
+      val df = Tables.wide(s, dir, "documents")
+        .select(col("doc_id"), explode(shingles(tokens(col("text")), 3)).as("g"))
+        .groupBy("g").agg(count(lit(1)).as("df"))
+      df.groupBy(length(bin(col("df"))).as("df_bucket"))
+        .agg(count(lit(1)).as("n_shingles"), max("df").as("max_df"))
+        .orderBy("df_bucket")
+    },
     // dedup impact accounting — what exact dedup actually removes, per
     // source: docs/tokens/bytes dropped and the integer-bp removal
     // rate (the cost-savings line in every dedup report). min-id
@@ -395,6 +410,18 @@ object DedupQueries {
        |  ELSE [] END)""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "dedup_df_profile" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |sh AS (
+         |  SELECT doc_id, unnest(list_distinct(CASE WHEN len(toks) >= 3
+         |    THEN [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] FOR i IN range(1, len(toks)-1)]
+         |    ELSE [] END)) AS g
+         |  FROM t
+         |),
+         |df AS (SELECT g, count(*) AS df FROM sh GROUP BY g)
+         |SELECT CAST(length(bin(df)) AS INTEGER) AS df_bucket,
+         |  count(*) AS n_shingles, CAST(max(df) AS BIGINT) AS max_df
+         |FROM df GROUP BY 1""".stripMargin,
     "dedup_impact" ->
       s"""WITH d AS (
          |  SELECT doc_id, source, md5(text) AS h,

@@ -159,6 +159,20 @@ class DedupSpec extends SparkSpec {
     j.keys.foreach(k => assert(c(k) >= j(k) - 1e-12, s"pair $k: c=${c(k)} j=${j(k)}"))
   }
 
+  test("dedup_df_profile: buckets are bit-lengths, shingle mass reconciles") {
+    val sf = "/root/testdata/sf0.01"
+    val rows = graft.SparkEntry.queries("dedup_df_profile")(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (b, _, maxDf) =>
+      assert(64 - java.lang.Long.numberOfLeadingZeros(maxDf) === b,
+        s"max df $maxDf outside bucket $b")
+    }
+    // bucket-1 mass (df = 1, unique shingles) dominates a natural corpus
+    val total = rows.map(_._2).sum
+    assert(rows.find(_._1 == 1).exists(_._2 > total / 2), "unique shingles should dominate")
+  }
+
   test("dedup_impact: removals reconcile with the exact-dedup survivor count") {
     val sf = "/root/testdata/sf0.01"
     val rows = graft.SparkEntry.queries("dedup_impact")(spark, sf).collect()

@@ -512,6 +512,23 @@ class AnalyticsQueriesSpec extends SparkSpec {
     }
   }
 
+  test("events_burst_users: flagged peaks replay from the raw hourly rollup") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.SparkEntry.queries("events_burst_users")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2)))
+    val hourly = Tables.events(spark, dir)
+      .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2)))
+    val expected = hourly.groupBy(_._1).view.mapValues { hs =>
+      hs.minBy(t => (-t._3, t._2.getTime))
+    }.toMap.filter(_._2._3 > 2)
+    assert(rows.map(_._1).toSet === expected.keySet)
+    rows.foreach { case (u, n, h) =>
+      assert(expected(u)._3 === n && expected(u)._2 === h, s"user $u peak drifted")
+    }
+  }
+
   test("events_new_vs_returning: news sum to the user count, day one is all-new") {
     val rows = graft.SparkEntry.queries("events_new_vs_returning")(spark, dir).collect()
       .map(r => (r.getDate(0), r.getLong(1), r.getLong(2))).sortBy(_._1.getTime)
