@@ -401,6 +401,27 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), "the ppm table must broadcast")
   }
 
+  test("pipeline_pretrain: text never reaches the selection shuffles, top-M is TakeOrdered") {
+    val plan = physical("pipeline_pretrain")
+    assert(plan.contains("TakeOrderedAndProject"),
+      "DSIR selection must be a distributed top-M")
+    assert(plan.contains("BroadcastHashJoin"), "ppm/selection joins should broadcast")
+  }
+
+  test("events_burst_users: one hourly rollup then a user argmax — two aggregate layers only") {
+    val plan = physical("events_burst_users")
+    assert("FileScan parquet".r.findAllIn(plan).length === 1, "events read once")
+    // hourly partial+final, then argmax partial+final = at most 4 HashAggregates
+    assert("HashAggregate".r.findAllIn(plan).length <= 4, plan.take(2000))
+  }
+
+  test("basket_pairs: the pair self-join is co-partitioned on the order key") {
+    val plan = physical("basket_pairs")
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin") ||
+      plan.contains("BroadcastHashJoin"), plan.take(1500))
+    assert(plan.contains("TakeOrderedAndProject"), "top-20 must not be a global sort")
+  }
+
   test("text_classifier: hash/bucket/weight in the scan stage, ONE partial-aggregated shuffle") {
     assert(exchanges("text_classifier") === 1)
     val plan = physical("text_classifier")
