@@ -479,6 +479,25 @@ object AnalyticsQueries {
             .as("mean_gap_us"),
           col("min_gap_us"), col("max_gap_us"))
     },
+    // seasonal-naive forecast BACKTEST (the q6 revenue forecast's
+    // eval-twin on traffic): predict each hour's event count per type
+    // as the SAME HOUR YESTERDAY, score MAE/bias over every scoreable
+    // hour in integer fixed-point. One hourly rollup (map-side
+    // combined), self-joined 24 h back on the (type, hour) key — at
+    // 100 TB only (type, hour, count) triples move. Exact: counts and
+    // errors are integers, MAE is one integer division.
+    "events_forecast_backtest" -> { (s, dir) =>
+      val hourly = Tables.events(s, dir)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+        .agg(count(lit(1)).as("n"))
+      val pred = hourly.select(col("event_type").as("t"),
+        (col("h") + expr("INTERVAL 24 HOURS")).as("h"), col("n").as("n_pred"))
+      hourly.join(pred, col("event_type") === col("t") && hourly("h") === pred("h"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_hours"),
+          expr("(sum(abs(n - n_pred)) * 10000L) div count(*)").as("mae_fp"),
+          expr("sum(n - n_pred)").as("bias"))
+    },
     // burst / rate-cap audit: users whose busiest hour exceeds the cap
     // (the abuse/bot screen, and the per-key hot-spot detector for
     // stream sizing): one (user, hour) rollup with map-side combine,
@@ -1203,6 +1222,18 @@ object AnalyticsQueries {
          |  ${quant4Sql("CAST(sc AS DOUBLE) / 100.0 / CAST(n_events AS DOUBLE)")} AS mean_value,
          |  CAST((n_events * 10000) // n_type AS BIGINT) AS share_bp
          |FROM p JOIN t USING (event_type)""".stripMargin,
+    "events_forecast_backtest" ->
+      """WITH h AS (
+        |  SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h, count(*) AS n
+        |  FROM events GROUP BY 1, 2
+        |), p AS (
+        |  SELECT event_type AS t, h + INTERVAL 24 HOUR AS h, n AS n_pred FROM h
+        |)
+        |SELECT h.event_type, count(*) AS n_hours,
+        |  CAST((sum(abs(h.n - p.n_pred)) * 10000) // count(*) AS BIGINT) AS mae_fp,
+        |  CAST(sum(h.n - p.n_pred) AS BIGINT) AS bias
+        |FROM h JOIN p ON h.event_type = p.t AND h.h = p.h
+        |GROUP BY h.event_type""".stripMargin,
     "events_burst_users" ->
       """WITH h AS (
         |  SELECT user_id, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h, count(*) AS n

@@ -512,6 +512,19 @@ class AnalyticsQueriesSpec extends SparkSpec {
     }
   }
 
+  test("events_forecast_backtest: every type scored, MAE bounds the bias") {
+    val rows = graft.SparkEntry.queries("events_forecast_backtest")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val types = Tables.events(spark, dir).select("event_type").distinct().count()
+    assert(rows.length.toLong === types)
+    rows.foreach { case (t, n, mae, bias) =>
+      assert(n > 0 && mae >= 0)
+      // |sum of signed errors| <= sum of |errors|; mae_fp floors away
+      // up to (n-1)/10000 of that mass, hence the +n slack
+      assert(math.abs(bias) * 10000L <= mae * n + n, s"$t bias $bias exceeds MAE mass")
+    }
+  }
+
   test("events_burst_users: flagged peaks replay from the raw hourly rollup") {
     import org.apache.spark.sql.functions._
     val rows = graft.SparkEntry.queries("events_burst_users")(spark, dir).collect()
