@@ -62,6 +62,14 @@ object GraftFunctions {
       "simhash64" -> (args => SimHash64(args(0), litLong(args.lift(1).getOrElse(Literal(42L)), "seed"))),
       "fingerprint64" -> (args => Fingerprint64(args(0))),
       "deflate_size" -> (args => DeflateSize(args(0))),
+      // curation kernels under SQL spellings — the EXACT Column chains
+      // the gate queries use, resolved once through a dummy projection
+      // (a raw composed Column doesn't survive the SQL function
+      // registry: its v2 ColumnNodes never reach the analyzer) and
+      // re-rooted at the caller's argument
+      "graft_quality" -> (args => kernel(qualityTemplate, args(0))),
+      "graft_langid" -> (args => kernel(langidTemplate, args(0))),
+      "graft_scrub" -> (args => kernel(scrubTemplate, args(0))),
       "vec_normalize" -> (args => VectorNormalize(args(0))),
       "vec_sign_bits" -> (args => SignBits(args(0))),
       "sorted_intersect_count" -> (args => SortedIntersectCount(args(0), args(1))),
@@ -329,6 +337,34 @@ object GraftFunctions {
     "faiss_stats" -> { args =>
       IndexCatalog.stats(litString(args(0), "name")).queryExecution.analyzed
     })
+
+  /** resolve a Column composition into a concrete Expression template
+    * by analyzing a one-column dummy projection; the template's single
+    * AttributeReference is the substitution point. Lazily built against
+    * whatever session is active at first SQL use — the resulting tree
+    * holds only catalyst nodes, no session state. */
+  private def template(make: org.apache.spark.sql.Column => org.apache.spark.sql.Column): Expression = {
+    val spark = SparkSession.active
+    import spark.implicits._
+    val plan = Seq("x").toDF("__in")
+      .select(make(org.apache.spark.sql.functions.col("__in")).as("__out"))
+      .queryExecution.analyzed
+    plan.asInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Project]
+      .projectList.head.asInstanceOf[org.apache.spark.sql.catalyst.expressions.Alias].child
+  }
+
+  private lazy val qualityTemplate =
+    template(graft.text.TextFunctions.qualityScore)
+  private lazy val langidTemplate =
+    template(c => graft.text.TextFunctions.langId(graft.text.TextFunctions.tokens(c)))
+  private lazy val scrubTemplate =
+    template(graft.text.TextFunctions.scrub)
+
+  private def kernel(tmpl: Expression, arg: Expression): Expression =
+    tmpl.transformUp {
+      case a: org.apache.spark.sql.catalyst.expressions.AttributeReference
+          if a.name == "__in" => arg
+    }
 
   def registerAll(spark: SparkSession): Unit = {
     (builders ++ lifecycleBuilders ++ searchBuilders).foreach {

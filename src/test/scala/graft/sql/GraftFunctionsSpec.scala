@@ -76,6 +76,24 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(r.getInt(3) > 0 && r.getInt(3) < 100, "500 repetitive bytes must deflate far down")
   }
 
+  test("curation kernels work from SQL and match the Column API") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val docs = graft.queries.Tables(spark, "/root/testdata/sf0.001", "documents")
+    docs.createOrReplaceTempView("gfs_docs")
+    val viaSql = spark.sql(
+      """SELECT doc_id, graft_quality(text) q, graft_langid(text) l,
+        |       md5(graft_scrub(text)) s
+        |FROM gfs_docs""".stripMargin).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getString(2), r.getString(3))).toMap
+    import graft.text.TextFunctions._
+    val viaApi = docs.select(col("doc_id"), qualityScore(col("text")),
+        langId(tokens(col("text"))),
+        org.apache.spark.sql.functions.md5(scrub(col("text")))).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getString(2), r.getString(3))).toMap
+    assert(viaSql === viaApi && viaSql.nonEmpty)
+  }
+
   test("sketch functions work from SQL") {
     spark.range(0, 100).selectExpr("id", "id % 3 AS g", "CAST(id AS DOUBLE) AS v")
       .createOrReplaceTempView("sk_in")
