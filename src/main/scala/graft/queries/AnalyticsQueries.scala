@@ -479,6 +479,21 @@ object AnalyticsQueries {
             .as("mean_gap_us"),
           col("min_gap_us"), col("max_gap_us"))
     },
+    // hourly top-k events by value through the bounded-heap aggregate
+    // (the BATCH twin of streaming_topk, same TypedImperativeAggregate):
+    // partial k-heaps merge map-side, so no hour's events are ever
+    // fully sorted — the plan that holds when one hour has 1e9 events.
+    // Deterministic ties (smaller id wins, = the oracle's
+    // (value DESC, id) order) make it EXACT despite the custom agg.
+    "events_window_topk" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(date_trunc("hour", col("ts")).as("bucket"))
+        .agg(graft.functions.vec
+          .topk(3, col("value"), col("event_id"), ascending = false).as("top"))
+        .select(col("bucket"), posexplode(col("top")).as(Seq("pos", "nn")))
+        .select(col("bucket"), col("nn.rank").as("rank"),
+          col("nn.label").as("event_id"), col("nn.distance").as("value"))
+    },
     // seasonal-naive forecast BACKTEST (the q6 revenue forecast's
     // eval-twin on traffic): predict each hour's event count per type
     // as the SAME HOUR YESTERDAY, score MAE/bias over every scoreable
@@ -1222,6 +1237,17 @@ object AnalyticsQueries {
          |  ${quant4Sql("CAST(sc AS DOUBLE) / 100.0 / CAST(n_events AS DOUBLE)")} AS mean_value,
          |  CAST((n_events * 10000) // n_type AS BIGINT) AS share_bp
          |FROM p JOIN t USING (event_type)""".stripMargin,
+    "events_window_topk" ->
+      """WITH e AS (
+        |  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket, event_id, value
+        |  FROM events
+        |), r AS (
+        |  SELECT bucket, event_id, value,
+        |    row_number() OVER (PARTITION BY bucket ORDER BY value DESC, event_id) AS rn
+        |  FROM e
+        |)
+        |SELECT bucket, CAST(rn - 1 AS INTEGER) AS rank, event_id, value
+        |FROM r WHERE rn <= 3""".stripMargin,
     "events_forecast_backtest" ->
       """WITH h AS (
         |  SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h, count(*) AS n

@@ -512,6 +512,27 @@ class AnalyticsQueriesSpec extends SparkSpec {
     }
   }
 
+  test("events_window_topk: per-bucket ranks dense, values descend, equal to the window replay") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.SparkEntry.queries("events_window_topk")(spark, dir).collect()
+      .map(r => (r.getTimestamp(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq === (0 until sorted.length))
+      assert(sorted.map(_._4).toSeq === sorted.map(_._4).sortBy(-(_: Double)).toSeq)
+    }
+    // full window-sort replay over the raw events agrees row for row
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("bucket").orderBy(col("value").desc, col("event_id"))
+    val replay = Tables.events(spark, dir)
+      .select(date_trunc("hour", col("ts")).as("bucket"), col("event_id"), col("value"))
+      .withColumn("rn", row_number().over(w)).where(col("rn") <= 3)
+      .select(col("bucket"), (col("rn") - 1).as("rank"), col("event_id"), col("value"))
+      .collect().map(r => (r.getTimestamp(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.sorted.toSeq === replay.sorted.toSeq)
+  }
+
   test("events_forecast_backtest: every type scored, MAE bounds the bias") {
     val rows = graft.SparkEntry.queries("events_forecast_backtest")(spark, dir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
