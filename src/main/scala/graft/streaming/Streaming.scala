@@ -70,6 +70,28 @@ object Streaming {
       .select(col("bucket"), col("event_type"),
         col("q")(0).as("p50"), col("q")(1).as("p95"), col("q")(2).as("p99"))
 
+  /**
+   * Streaming per-window heavy hitters: the Misra-Gries frequent-items
+   * aggregate under a watermarked window — top users per hour with a
+   * fixed-size map as state, completing the streaming sketch tier
+   * (theta distinct + KLL quantiles + frequent items). Right-sized
+   * (map >> distinct keys) the counts are exact, max_err = 0; partial
+   * maps merge across micro-batches through the state store exactly
+   * as across map tasks in batch (spec-asserted parity).
+   */
+  def windowHeavyHitters(
+      events: DataFrame, k: Int = 5, maxMapSize: Int = 4096,
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(graft.functions.freqitems
+        .agg(array(col("user_id").cast("string")), maxMapSize).as("sk"))
+      .select(col("w.start").as("bucket"),
+        explode(graft.functions.freqitems.topK(col("sk"), k)).as("h"))
+      .select(col("bucket"), col("h.term").as("user_id"),
+        col("h.n").as("n"), col("h.max_err").as("max_err"))
+
   /** tumbling 1h aggregation with a watermark (streaming twin of events_window_agg) */
   def hourlyWindowAgg(events: DataFrame, watermark: String = "2 hours"): DataFrame =
     events

@@ -38,6 +38,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming heavy hitters: Misra-Gries merges across micro-batches, equals batch") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long)]
+    val df = mem.toDF.toDF("ts", "user_id")
+    val q = Streaming.windowHeavyHitters(df, k = 2)
+      .writeStream.format("memory").queryName("s_hh").outputMode("complete").start()
+    // user 7 dominates across BOTH micro-batches of the same window —
+    // only a correct map merge in the state store sees the total count
+    val b1 = Seq.fill(5)((ts(1, 5), 7L)) ++ Seq((ts(1, 10), 1L), (ts(1, 11), 2L))
+    val b2 = Seq.fill(4)((ts(1, 40), 7L)) ++ Seq.fill(3)((ts(1, 45), 2L))
+    val streamed = try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+      spark.table("s_hh").collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    } finally q.stop()
+    val top = streamed.toSeq.sortBy(-_._3)
+    assert(top.head._2 === "7" && top.head._3 === 9L && top.head._4 === 0L)
+    assert(top(1)._2 === "2" && top(1)._3 === 4L)
+    val batch = Streaming.windowHeavyHitters((b1 ++ b2).toDF("ts", "user_id"), k = 2)
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(batch === streamed)
+  }
+
   test("streaming quantile sketch: KLL merges across micro-batches, equals batch") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
