@@ -322,6 +322,31 @@ object RelationalQueries {
           Tables.quant4(col("sum_k").cast("double") / col("n").cast("double")).as("avg_k"),
           col("n"))
     },
+    // session-level summary over the SAME 30-min-gap assignment as
+    // events_sessionize: session count, mean events/session, exact-
+    // interpolated median duration (integer µs), bounce share — the
+    // one-row engagement dashboard. Same one user-key window shuffle;
+    // the summary folds in a single final aggregate. Exact oracle.
+    "events_session_stats" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val sess = Tables.events(s, dir)
+        .withColumn("prev_ts", lag("ts", 1).over(byUser))
+        .withColumn("new_session",
+          (col("prev_ts").isNull ||
+            col("ts").cast("long") - col("prev_ts").cast("long") > 1800L).cast("int"))
+        .withColumn("session_seq", sum("new_session").over(byUser))
+        .groupBy("user_id", "session_seq")
+        .agg(count(lit(1)).as("n_events"),
+          min(expr("unix_micros(ts)")).as("t0"),
+          max(expr("unix_micros(ts)")).as("t1"))
+      sess.agg(
+        count(lit(1)).as("n_sessions"),
+        expr("(sum(n_events) * 10000L) div count(*)").as("mean_events_fp"),
+        Tables.quant4(expr("percentile(t1 - t0, 0.5)")).as("p50_duration_us"),
+        expr("(count(CASE WHEN n_events = 1 THEN 1 END) * 10000L) div count(*)")
+          .as("bounce_bp"))
+    },
     "events_sessionize" -> { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
       // batch sessionization: 30-min inactivity gap starts a new session;
@@ -535,6 +560,34 @@ object RelationalQueries {
         |SELECT event_id, user_id, o_orderkey FROM j
         |QUALIFY row_number() OVER (
         |  PARTITION BY event_id ORDER BY ad ASC NULLS LAST, o_orderkey DESC) = 1""".stripMargin,
+    "events_session_stats" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+        |    CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS ts_sec,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        |  FROM events
+        |), flagged AS (
+        |  SELECT user_id, ts, event_id, us,
+        |    CASE WHEN lag(ts_sec) OVER w IS NULL
+        |           OR ts_sec - lag(ts_sec) OVER w > 1800 THEN 1 ELSE 0 END AS new_session
+        |  FROM ev
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), sess AS (
+        |  SELECT user_id,
+        |    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq,
+        |    us
+        |  FROM flagged
+        |), agg AS (
+        |  SELECT user_id, session_seq, count(*) AS n_events,
+        |    min(us) AS t0, max(us) AS t1
+        |  FROM sess GROUP BY user_id, session_seq
+        |)
+        |SELECT count(*) AS n_sessions,
+        |  CAST((sum(n_events) * 10000) // count(*) AS BIGINT) AS mean_events_fp,
+        |  CAST(CAST(quantile_cont(t1 - t0, 0.5) AS DECIMAL(18,4)) AS DOUBLE) AS p50_duration_us,
+        |  CAST((count(CASE WHEN n_events = 1 THEN 1 END) * 10000) // count(*) AS BIGINT) AS bounce_bp
+        |FROM agg""".stripMargin,
     "events_sessionize" ->
       """WITH ev AS (
         |  -- parquet stores ns; Spark truncates to micros, and its

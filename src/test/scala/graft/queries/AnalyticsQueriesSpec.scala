@@ -512,6 +512,20 @@ class AnalyticsQueriesSpec extends SparkSpec {
     }
   }
 
+  test("events_session_stats: one summary row reconciling with the sessionize rollup") {
+    val r = graft.SparkEntry.queries("events_session_stats")(spark, dir).collect()
+    assert(r.length === 1)
+    val (nSess, meanFp, p50, bounceBp) =
+      (r.head.getLong(0), r.head.getLong(1), r.head.getDouble(2), r.head.getLong(3))
+    val sessions = graft.SparkEntry.queries("events_sessionize")(spark, dir).collect()
+    assert(nSess === sessions.length.toLong)
+    val events = Tables.events(spark, dir).count()
+    assert(meanFp === events * 10000L / nSess)
+    val bounces = sessions.count(_.getLong(2) == 1L)
+    assert(bounceBp === bounces.toLong * 10000L / nSess)
+    assert(p50 >= 0.0)
+  }
+
   test("events_window_topk: per-bucket ranks dense, values descend, equal to the window replay") {
     import org.apache.spark.sql.functions._
     val rows = graft.SparkEntry.queries("events_window_topk")(spark, dir).collect()
