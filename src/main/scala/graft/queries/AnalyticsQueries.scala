@@ -479,6 +479,37 @@ object AnalyticsQueries {
             .as("mean_gap_us"),
           col("min_gap_us"), col("max_gap_us"))
     },
+    // cart abandonment: clicks with NO purchase by the same user within
+    // the next hour, rolled up per click day — the anti-funnel (the
+    // time-bounded NOT EXISTS that events_window_funnel's EXISTS
+    // mirrors). LEFT ANTI against the purchase frame on (user, range) —
+    // one user-key shuffle per side, fan-out bounded per user. Exact.
+    "events_cart_abandonment" -> { (s, dir) =>
+      val e = Tables.events(s, dir)
+      val clicks = e.where(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("ct"))
+      val purchases = e.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("pt"))
+      clicks.join(purchases,
+          clicks("user_id") === purchases("user_id") &&
+            col("pt") > col("ct") &&
+            col("pt") <= col("ct") + expr("INTERVAL 60 MINUTES"),
+          "left_anti")
+        .groupBy(to_date(col("ct")).as("day"))
+        .agg(count(lit(1)).as("n_abandoned"),
+          countDistinct(col("user_id")).as("n_users"))
+    },
+    // weekly traffic matrix: (day-of-week, hour-of-day) event counts
+    // per type — the full weekly fingerprint events_seasonality's
+    // hour-only profile flattens (Monday 9 a.m. ≠ Sunday 9 a.m.). One
+    // map-side-combined rollup to ≤ 7×24×|types| rows. Exact.
+    "events_weekly_profile" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("event_type"),
+          dayofweek(col("ts")).as("dow"), hour(col("ts")).as("hod"))
+        .agg(count(lit(1)).as("n_events"),
+          Tables.moneySum(col("value")).as("sum_value"))
+    },
     // hourly top-k events by value through the bounded-heap aggregate
     // (the BATCH twin of streaming_topk, same TypedImperativeAggregate):
     // partial k-heaps merge map-side, so no hour's events are ever
@@ -1237,6 +1268,27 @@ object AnalyticsQueries {
          |  ${quant4Sql("CAST(sc AS DOUBLE) / 100.0 / CAST(n_events AS DOUBLE)")} AS mean_value,
          |  CAST((n_events * 10000) // n_type AS BIGINT) AS share_bp
          |FROM p JOIN t USING (event_type)""".stripMargin,
+    "events_cart_abandonment" ->
+      """WITH c AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ct FROM events WHERE event_type = 'click'
+        |), p AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS pt FROM events WHERE event_type = 'purchase'
+        |)
+        |SELECT CAST(ct AS DATE) AS day, count(*) AS n_abandoned,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM c
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM p WHERE p.user_id = c.user_id
+        |  AND p.pt > c.ct AND p.pt <= c.ct + INTERVAL 60 MINUTE
+        |)
+        |GROUP BY 1""".stripMargin,
+    "events_weekly_profile" ->
+      s"""SELECT event_type,
+         |  CAST(dayofweek(CAST(ts AS TIMESTAMP)) + 1 AS INTEGER) AS dow,
+         |  CAST(hour(CAST(ts AS TIMESTAMP)) AS INTEGER) AS hod,
+         |  count(*) AS n_events,
+         |  ${moneySumSql("value")} AS sum_value
+         |FROM events GROUP BY 1, 2, 3""".stripMargin,
     "events_window_topk" ->
       """WITH e AS (
         |  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket, event_id, value

@@ -512,6 +512,31 @@ class AnalyticsQueriesSpec extends SparkSpec {
     }
   }
 
+  test("events_cart_abandonment: complement of in-hour conversions, per-day counts sane") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.SparkEntry.queries("events_cart_abandonment")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getLong(1) >= r.getLong(2) && r.getLong(2) > 0))
+    // abandoned + converted = all clicks
+    val e = Tables.events(spark, dir)
+    val clicks = e.where(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("ct"))
+    val purchases = e.where(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), col("ts").as("pt"))
+    val converted = clicks.join(purchases,
+        col("user_id") === col("pu") && col("pt") > col("ct") &&
+          col("pt") <= col("ct") + expr("INTERVAL 60 MINUTES"),
+        "left_semi").count()
+    assert(rows.map(_.getLong(1)).sum + converted === clicks.count())
+  }
+
+  test("events_weekly_profile: cells cover the corpus, dow/hod in range") {
+    val rows = graft.SparkEntry.queries("events_weekly_profile")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+    assert(rows.forall(r => r._2 >= 1 && r._2 <= 7 && r._3 >= 0 && r._3 <= 23))
+    assert(rows.map(_._4).sum === Tables.events(spark, dir).count())
+  }
+
   test("events_session_stats: one summary row reconciling with the sessionize rollup") {
     val r = graft.SparkEntry.queries("events_session_stats")(spark, dir).collect()
     assert(r.length === 1)
