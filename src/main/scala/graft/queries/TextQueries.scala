@@ -242,6 +242,31 @@ object TextQueries {
     // once and reproducible across engines/runs/partitionings (a
     // random() shuffle can't re-run, a doc_id order isn't shuffled).
     // One shuffle on shard; the per-shard sort is the window.
+    // token-length histogram (tokenizer diagnostics: where the mass
+    // sits before committing to a subword vocab): occurrences + share
+    // per character length, one explode + one map-side-combined rollup
+    // with a window over the tiny histogram. Exact.
+    "text_token_lengths" -> { (s, dir) =>
+      import graft.text.TextFunctions.tokens
+      Tables.wide(s, dir, "documents")
+        .select(explode(tokens(col("text"))).as("tok"))
+        .groupBy(length(col("tok")).as("tok_len"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("share_bp",
+          expr("(n * 10000L) div (sum(n) OVER ())"))
+    },
+    // column-completeness profile (the data-quality preflight): per
+    // documents column — nulls, empties, distincts. One pass of
+    // conditional counts + three distinct aggregates. Exact.
+    "docs_profile" -> { (s, dir) =>
+      val d = Tables(s, dir, "documents")
+      def prof(c: String) =
+        d.agg(lit(c).as("column"),
+          count(when(col(c).isNull, 1)).as("n_null"),
+          count(when(col(c).cast("string") === "", 1)).as("n_empty"),
+          countDistinct(col(c)).as("n_distinct"))
+      prof("text").unionByName(prof("lang")).unionByName(prof("source"))
+    },
     // Heaps'-law vocabulary growth: distinct vocabulary vs cumulative
     // tokens at ten crawl-order checkpoints — the curve that says
     // whether more of the same crawl still buys new language. One
@@ -791,6 +816,22 @@ object TextQueries {
         |  CASE WHEN CAST(('0x' || substring(md5(text), 1, 4)) AS INTEGER) % 10 < 9
         |       THEN 'train' ELSE 'val' END AS split
         |FROM documents""".stripMargin,
+    "text_token_lengths" ->
+      s"""WITH t AS (SELECT unnest($toksSql) AS tok FROM documents),
+         |h AS (SELECT CAST(length(tok) AS INTEGER) AS tok_len, count(*) AS n FROM t GROUP BY 1)
+         |SELECT tok_len, n,
+         |  CAST((n * 10000) // (sum(n) OVER ()) AS BIGINT) AS share_bp
+         |FROM h""".stripMargin,
+    "docs_profile" ->
+      """SELECT 'text' AS "column", count(CASE WHEN text IS NULL THEN 1 END) AS n_null,
+        |  count(CASE WHEN text = '' THEN 1 END) AS n_empty,
+        |  count(DISTINCT text) AS n_distinct FROM documents
+        |UNION ALL
+        |SELECT 'lang', count(CASE WHEN lang IS NULL THEN 1 END),
+        |  count(CASE WHEN lang = '' THEN 1 END), count(DISTINCT lang) FROM documents
+        |UNION ALL
+        |SELECT 'source', count(CASE WHEN source IS NULL THEN 1 END),
+        |  count(CASE WHEN source = '' THEN 1 END), count(DISTINCT source) FROM documents""".stripMargin,
     "text_vocab_growth" ->
       s"""WITH t AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
          |n AS (SELECT count(*) AS nd FROM documents),

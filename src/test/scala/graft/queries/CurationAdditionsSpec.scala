@@ -87,6 +87,24 @@ class CurationAdditionsSpec extends SparkSpec {
     assert(recall >= 0.5, f"recall@5 at nprobe=4 = $recall%.2f")
   }
 
+  test("text_token_lengths + docs_profile: masses and distincts reconcile") {
+    import org.apache.spark.sql.functions.col
+    val hist = run("text_token_lengths").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(hist.nonEmpty && hist.forall(_._1 > 0))
+    val totalToks = Tables(spark, dir, "documents")
+      .select(org.apache.spark.sql.functions.size(
+        graft.text.TextFunctions.tokens(col("text"))).cast("long").as("n"))
+      .agg(org.apache.spark.sql.functions.sum("n")).head.getLong(0)
+    assert(hist.map(_._2).sum === totalToks)
+    assert(hist.map(_._3).sum <= 10000L)
+    val prof = run("docs_profile").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(prof.keySet === Set("text", "lang", "source"))
+    assert(prof("lang")._3 <= 10 && prof("lang")._1 === 0L)
+    assert(prof("text")._3 <= Tables(spark, dir, "documents").count())
+  }
+
   test("text_vocab_growth: both curves monotone, vocab growth decelerates vs tokens") {
     val rows = run("text_vocab_growth").collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
