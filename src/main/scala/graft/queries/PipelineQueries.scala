@@ -232,6 +232,28 @@ object PipelineQueries {
         .select(col("doc_id"), col("lang"),
           explode(sequence(lit(0L), col("n_copies") - 1L)).as("copy"))
     },
+    // the NIGHTLY INCREMENT: what actually enters the corpus from a new
+    // crawl snapshot — recrawls of unchanged content drop against the
+    // existing corpus's content hashes (Dedup.incremental: only id +
+    // 16-byte hashes cross the wire from the old corpus), within-batch
+    // dups collapse, and the survivors pass the quality gate. Same
+    // simulated versions as corpus_delta (v1 = ids < 400, v2 = ids ≥
+    // 100 with planted edits on 200..209). One plan; exact oracle.
+    "pipeline_increment" -> { (s, dir) =>
+      val d = Tables.wide(s, dir, "documents")
+      val v1 = d.where(col("doc_id") < 400).select(col("doc_id"), col("text"))
+      val v2 = d.where(col("doc_id") >= 100)
+        .select(col("doc_id"), col("lang"),
+          when(col("doc_id").between(200, 209), concat(col("text"), lit(" edited")))
+            .otherwise(col("text")).as("text"))
+      val fresh = graft.dedup.Dedup.incremental(v1, v2, "doc_id", "text")
+      v2.join(fresh.select(col("keep_id").as("doc_id")), Seq("doc_id"), "left_semi")
+        .where(graft.text.TextFunctions.qualityScore(col("text")) >= 0.6)
+        .select(col("doc_id"), col("lang"),
+          floor(graft.text.TextFunctions.qualityScore(col("text")) * 10000 + 0.5)
+            .cast("long").as("quality_fp"))
+        .orderBy("doc_id")
+    },
     // the FLAGSHIP pretraining corpus build — quality gate →
     // exact-dedup survivors → benchmark decontamination → DSIR
     // importance selection → deterministic shard/position layout, the
@@ -436,6 +458,46 @@ object PipelineQueries {
       s"""SELECT doc_id, lang FROM documents
         |WHERE $contentBucketSql <
         |  CASE WHEN lang = 'en' THEN 9000 WHEN lang = 'de' THEN 5000 ELSE 2500 END""".stripMargin,
+    // version diff + incremental-dedup survivor + quality gate replayed
+    "pipeline_increment" ->
+      s"""WITH v1 AS (SELECT doc_id, text FROM documents WHERE doc_id < 400),
+         |v2 AS (
+         |  SELECT doc_id, lang,
+         |    CASE WHEN doc_id BETWEEN 200 AND 209 THEN text || ' edited' ELSE text END AS text
+         |  FROM documents WHERE doc_id >= 100
+         |),
+         |ch AS (SELECT DISTINCT md5(text) AS h FROM v1),
+         |canon AS (
+         |  SELECT md5(text) AS h, min(doc_id) AS keep_id FROM v2 GROUP BY text
+         |),
+         |surv AS (
+         |  SELECT keep_id AS doc_id FROM canon
+         |  WHERE h NOT IN (SELECT h FROM ch)
+         |),
+         |kept AS (
+         |  SELECT v2.doc_id, v2.lang, v2.text FROM v2 JOIN surv USING (doc_id)
+         |),
+         |t AS (SELECT doc_id, lang, text, string_split_regex(lower(trim(text)), '\\s+') AS toks FROM kept),
+         |f AS (
+         |  SELECT doc_id, lang, text, toks,
+         |    CASE WHEN len(toks) > 0
+         |      THEN CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE)
+         |      ELSE 0.0 END AS uniq_ratio,
+         |    CASE WHEN len(toks) > 0
+         |      THEN CAST(len(list_filter(toks, x -> list_contains(['the','a','an','and','or','of','to','in','is','it','for','on','with','as','at','by'], x))) AS DOUBLE)
+         |           / CAST(len(toks) AS DOUBLE)
+         |      ELSE 0.0 END AS stop_ratio,
+         |    CASE WHEN length(text) > 0
+         |      THEN CAST(length(text) - length(regexp_replace(text, '[.,;:!?''"()\\[\\]{}-]', '', 'g')) AS DOUBLE)
+         |           / CAST(length(text) AS DOUBLE)
+         |      ELSE 0.0 END AS punct_ratio,
+         |    least(CAST(len(toks) AS DOUBLE) / 64.0, 1.0) AS len_score
+         |  FROM t
+         |)
+         |SELECT doc_id, lang,
+         |  CAST(floor((${TextQueries.qualityExprSql}) * 10000 + 0.5) AS BIGINT) AS quality_fp
+         |FROM f
+         |WHERE ${TextQueries.qualityExprSql} >= 0.6""".stripMargin,
     // the full five-stage chain replayed: quality CTEs + min-id dedup +
     // shingle decontamination + bigram-ppm DSIR + md5 shard layout
     "pipeline_pretrain" ->

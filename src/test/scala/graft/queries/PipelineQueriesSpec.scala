@@ -73,6 +73,33 @@ class PipelineQueriesSpec extends SparkSpec {
     assert(again === rows.map(_._1).sorted.toSeq)
   }
 
+  test("pipeline_increment: admitted docs are exactly the quality-passing content changes") {
+    import org.apache.spark.sql.functions._
+    val admitted = PipelineQueries.queries("pipeline_increment")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    // every admitted doc is an added/changed id per the version diff
+    val delta = PipelineQueries.queries("corpus_delta")(spark, dir).collect()
+      .filter(r => r.getString(1) == "added" || r.getString(1) == "changed")
+      .map(_.getLong(0)).toSet
+    val admittedCanonical = admitted.map(_._1).toSet
+    // the increment keeps one canonical id per fresh text; all of them
+    // must be content-fresh vs v1 (delta is id-based so canonical ids
+    // of recrawled-under-new-id copies may fall outside it — but real
+    // planted edits/additions must appear)
+    assert(admitted.forall(_._2 >= 6000L), "quality gate leaked")
+    val edits = (200L to 209L).filter(delta.contains)
+    assert(edits.nonEmpty, "planted edits should register as changed")
+    // every planted edit that passes quality is admitted
+    val quality = Tables(spark, dir, "documents")
+      .where(col("doc_id").between(200, 209))
+      .select(col("doc_id"),
+        graft.text.TextFunctions.qualityScore(concat(col("text"), lit(" edited"))).as("q"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    edits.filter(e => quality(e) >= 0.6).foreach { e =>
+      assert(admittedCanonical.contains(e), s"edited doc $e missing from the increment")
+    }
+  }
+
   test("pipeline_pretrain: every selected doc passes all upstream stages, dense shard layout") {
     import org.apache.spark.sql.functions._
     val rows = PipelineQueries.queries("pipeline_pretrain")(spark, dir).collect()
