@@ -21,6 +21,7 @@ object VectorQueries {
     * double accumulation, so the cut compares bit-equal values (nearest
     * distance to the boundary in testdata is ~6e-5 away) */
   val RADIUS = 1.5
+  private[queries] val RerankFactors = Seq(1, 2, 5, 10)
 
   private def data(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "embeddings")
@@ -242,6 +243,44 @@ object VectorQueries {
           K, ascending = true)
         .select(col("qid"), col("rank"), col("label"),
           Tables.quant4(col("distance")).as("distance"))
+    },
+    // the binary cascade's budget sweep (vs_refine_eval's shape for
+    // the 1-bit tier): recall@5 of Hamming-coarse → exact-rerank as a
+    // function of the rerank factor — the table that sizes
+    // knn_binary_rerank's k×factor float fetches. Sign-bit ordering is
+    // engine-custom → rows-only; monotone recall is spec-asserted.
+    "vs_rerank_eval" -> { (s, dir) =>
+      import s.implicits._
+      val e = Tables(s, dir, "embeddings")
+      val d = e.select(col("vec_id").as("label"),
+        vec.signBits(vec.vector(col("embedding"))).as("bits"))
+      val q = e.where(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"),
+          vec.signBits(vec.vector(col("embedding"))).as("qbits"),
+          vec.vector(col("embedding")).as("qvec"))
+      val ham = bit_count(col("bits").bitwiseXOR(col("qbits")))
+      val truth = Knn.searchFlat(data(s, dir), queriesDf(s, dir), K, "l2sq")
+        .select(col("qid"), col("label"))
+        .crossJoin(broadcast(RerankFactors.toDF("factor")))
+      val tagged = RerankFactors.map { f =>
+        val coarse = Knn.rankResults(
+            d.crossJoin(broadcast(q.select(col("qid"), col("qbits"))))
+              .select(col("qid"), col("label"), ham.cast("double").as("_dist")),
+            K * f, ascending = true)
+          .select(col("qid"), col("label"))
+        Knn.rankResults(
+            data(s, dir).join(broadcast(coarse), "label")
+              .join(broadcast(q.select(col("qid"), col("qvec"))), "qid")
+              .select(col("qid"), col("label"),
+                vec.l2sq(col("vec"), col("qvec")).as("_dist")),
+            K, ascending = true)
+          .select(lit(f).as("factor"), col("qid"), col("label"), lit(1L).as("hit"))
+      }.reduce(_ unionByName _)
+      truth.join(tagged, Seq("factor", "qid", "label"), "left")
+        .groupBy("factor")
+        .agg((sum(coalesce(col("hit"), lit(0L))).cast("double") /
+          count(lit(1)).cast("double")).as("recall_at_5"))
+        .orderBy("factor")
     },
     // FAISS IndexBinaryIVF analog (binary codes + inverted lists; the
     // reference's index_factory reaches only float indexes —

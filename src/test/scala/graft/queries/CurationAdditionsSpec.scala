@@ -315,6 +315,17 @@ class CurationAdditionsSpec extends SparkSpec {
     assert(rows.map(_._3).sum <= 10000L)
   }
 
+  test("vs_rerank_eval: recall non-decreasing in the rerank budget") {
+    val rows = run("vs_rerank_eval").collect()
+      .map(r => (r.getInt(0), r.getDouble(1))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq === Seq(1, 2, 5, 10))
+    val rec = rows.map(_._2)
+    assert(rec.forall(r => r >= 0.0 && r <= 1.0))
+    assert(rec.zip(rec.tail).forall { case (a, b) => b >= a - 1e-9 },
+      s"recall not monotone in factor: ${rec.toSeq}")
+    assert(rec.last > rec.head, "widening the budget should help on sign-bit ordering")
+  }
+
   test("vs_ef_eval: recall non-decreasing in beam width, wide beam near-exact") {
     val rows = run("vs_ef_eval").collect()
       .map(r => (r.getInt(0), r.getDouble(1))).sortBy(_._1)
