@@ -420,6 +420,25 @@ object AnalyticsQueries {
           months_between(col("month"), col("cohort")).cast("int").as("months_since"),
           col("n_active"), col("revenue"))
     },
+    // open-order aging matrix (the AR/backlog report): non-finalized
+    // orders bucketed by age at the corpus horizon (≤90 / ≤365 / older
+    // days) × priority, with counts and cents-exact value. The horizon
+    // is max(o_orderdate) — computed once, broadcast — so the query is
+    // reproducible on a frozen snapshot. One rollup; exact oracle.
+    "orders_aging" -> { (s, dir) =>
+      val o = Tables(s, dir, "orders")
+      val horizon = o.agg(max(col("o_orderdate").cast("date")).as("h"))
+      o.where(col("o_orderstatus") =!= "F")
+        .crossJoin(broadcast(horizon))
+        .select(col("o_orderpriority"), col("o_totalprice"),
+          datediff(col("h"), col("o_orderdate").cast("date")).as("age_days"))
+        .groupBy(col("o_orderpriority"),
+          when(col("age_days") <= 90, "0-90")
+            .when(col("age_days") <= 365, "91-365")
+            .otherwise("365+").as("age_bucket"))
+        .agg(count(lit(1)).as("n_orders"),
+          moneySum(col("o_totalprice")).as("open_value"))
+    },
     // RFM customer segmentation (recency / frequency / monetary
     // quartile scores — the classic warehouse marketing rollup): one
     // orders rollup to customer grain, quartile thresholds computed on
@@ -1213,6 +1232,17 @@ object AnalyticsQueries {
          |  ${moneySumSql("o_totalprice")} AS revenue
          |FROM o JOIN f USING (o_custkey)
          |GROUP BY 1, 2, 3""".stripMargin,
+    "orders_aging" ->
+      s"""WITH h AS (SELECT CAST(max(o_orderdate) AS DATE) AS hz FROM orders)
+         |SELECT o_orderpriority,
+         |  CASE WHEN date_diff('day', CAST(o_orderdate AS DATE), hz) <= 90 THEN '0-90'
+         |       WHEN date_diff('day', CAST(o_orderdate AS DATE), hz) <= 365 THEN '91-365'
+         |       ELSE '365+' END AS age_bucket,
+         |  count(*) AS n_orders,
+         |  ${moneySumSql("o_totalprice")} AS open_value
+         |FROM orders CROSS JOIN h
+         |WHERE o_orderstatus <> 'F'
+         |GROUP BY 1, 2""".stripMargin,
     "customer_rfm" ->
       """WITH rfm AS (
         |  SELECT o_custkey AS custkey,

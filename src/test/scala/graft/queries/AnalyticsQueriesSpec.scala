@@ -725,6 +725,17 @@ class AnalyticsQueriesSpec extends SparkSpec {
     assert(rows.filter(_.getInt(2) == 0).map(_.getLong(3)).sum === nCust)
   }
 
+  test("orders_aging: buckets partition the open orders, values positive") {
+    import org.apache.spark.sql.functions.col
+    val rows = graft.SparkEntry.queries("orders_aging")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    assert(rows.map(_._2).toSet.subsetOf(Set("0-90", "91-365", "365+")))
+    rows.foreach(r => assert(r._3 > 0 && r._4 > 0.0))
+    val open = Tables(spark, dir, "orders").where(col("o_orderstatus") =!= "F").count()
+    assert(rows.map(_._3).sum === open, "buckets must partition the open set")
+  }
+
   test("customer_rfm: scores in 1..4, near-unique monetary quartiles balance") {
     val rows = graft.SparkEntry.queries("customer_rfm")(spark, dir).collect()
     val nCust = Tables(spark, dir, "orders").select("o_custkey").distinct().count()
