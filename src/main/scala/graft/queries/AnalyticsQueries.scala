@@ -582,6 +582,20 @@ object AnalyticsQueries {
           timestamp_micros(lit(0L) - col("m.negh")).as("peak_hour"))
         .where(col("peak_events") > cap)
     },
+    // daily click-through and purchase rates in integer basis points
+    // (THE funnel-health timeseries): one conditional-count rollup per
+    // day — views/clicks/purchases never scan separately. Exact.
+    "events_ctr" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(when(col("event_type") === "view", 1)).as("n_views"),
+          count(when(col("event_type") === "click", 1)).as("n_clicks"),
+          count(when(col("event_type") === "purchase", 1)).as("n_purchases"))
+        .where(col("n_views") > 0)
+        .select(col("day"), col("n_views"), col("n_clicks"), col("n_purchases"),
+          expr("(n_clicks * 10000L) div n_views").as("ctr_bp"),
+          expr("(n_purchases * 10000L) div greatest(n_clicks, 1L)").as("cvr_bp"))
+    },
     // daily active users split NEW vs RETURNING (first-seen day per
     // user vs activity day) — the growth-accounting twin of
     // events_active_users. Two map-side-combined rollups: per-user
@@ -1353,6 +1367,18 @@ object AnalyticsQueries {
         |)
         |SELECT user_id, peak_events, peak_hour FROM p
         |WHERE rn = 1 AND peak_events > 2""".stripMargin,
+    "events_ctr" ->
+      """WITH d AS (
+        |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |    count(CASE WHEN event_type = 'view' THEN 1 END) AS n_views,
+        |    count(CASE WHEN event_type = 'click' THEN 1 END) AS n_clicks,
+        |    count(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchases
+        |  FROM events GROUP BY 1
+        |)
+        |SELECT day, n_views, n_clicks, n_purchases,
+        |  CAST((n_clicks * 10000) // n_views AS BIGINT) AS ctr_bp,
+        |  CAST((n_purchases * 10000) // greatest(n_clicks, 1) AS BIGINT) AS cvr_bp
+        |FROM d WHERE n_views > 0""".stripMargin,
     "events_new_vs_returning" ->
       """WITH a AS (
         |  SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day FROM events

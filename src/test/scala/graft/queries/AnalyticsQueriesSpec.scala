@@ -602,6 +602,19 @@ class AnalyticsQueriesSpec extends SparkSpec {
     }
   }
 
+  test("events_ctr: per-day funnel counts reconcile and rates replay") {
+    val rows = graft.SparkEntry.queries("events_ctr")(spark, dir).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (v, c, p, ctr, cvr) =>
+      assert(ctr === c * 10000L / v)
+      assert(cvr === p * 10000L / math.max(c, 1L))
+    }
+    val e = Tables.events(spark, dir)
+    import org.apache.spark.sql.functions.col
+    assert(rows.map(_._1).sum === e.where(col("event_type") === "view").count())
+  }
+
   test("events_new_vs_returning: news sum to the user count, day one is all-new") {
     val rows = graft.SparkEntry.queries("events_new_vs_returning")(spark, dir).collect()
       .map(r => (r.getDate(0), r.getLong(1), r.getLong(2))).sortBy(_._1.getTime)
