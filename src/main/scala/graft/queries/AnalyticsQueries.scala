@@ -420,6 +420,45 @@ object AnalyticsQueries {
           months_between(col("month"), col("cohort")).cast("int").as("months_since"),
           col("n_active"), col("revenue"))
     },
+    // fulfillment-lag distribution per priority: order date → line ship
+    // date in integer days, count/mean/exact-interpolated median — the
+    // SLA report. One orderkey join (AQE-planned), one priority rollup;
+    // integer-day lags make p50 and mean IEEE-exact. Exact oracle.
+    "orders_fulfillment" -> { (s, dir) =>
+      val o = Tables(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          col("o_orderdate").cast("date").as("od"))
+      Tables(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o_orderkey"), col("l_shipdate").cast("date").as("sd"))
+        .join(o, "o_orderkey")
+        .select(col("o_orderpriority"), datediff(col("sd"), col("od")).cast("long").as("lag"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_lines"),
+          quant4(expr("percentile(lag, 0.5)")).as("p50_lag_days"),
+          expr("sum(lag) div count(*)").as("mean_lag_days"))
+    },
+    // supplier revenue Pareto: top-10 suppliers by revenue with rank
+    // and cumulative corpus share in integer bp — the concentration
+    // curve behind "how exposed are we to supplier X". Revenue reduces
+    // to cents per supplier map-side; the rank/cumsum window runs on
+    // the supplier-dimension rollup. Exact.
+    "supplier_pareto" -> { (s, dir) =>
+      val rev = Tables(s, dir, "lineitem")
+        .groupBy(col("l_suppkey").as("suppkey"))
+        .agg(sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100)
+          .cast("long")).as("cents"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("cents").desc, col("suppkey"))
+      val tot = rev.agg(sum("cents").as("total"))
+      rev.crossJoin(broadcast(tot))
+        .withColumn("rnk", row_number().over(w))
+        .withColumn("cum", sum("cents").over(
+          w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+        .where(col("rnk") <= 10)
+        .select(col("rnk"), col("suppkey"),
+          (col("cents").cast("double") / 100.0).as("revenue"),
+          expr("(cum * 10000L) div total").as("cum_share_bp"))
+    },
     // open-order aging matrix (the AR/backlog report): non-finalized
     // orders bucketed by age at the corpus horizon (≤90 / ≤365 / older
     // days) × priority, with counts and cents-exact value. The horizon
@@ -1246,6 +1285,33 @@ object AnalyticsQueries {
          |  ${moneySumSql("o_totalprice")} AS revenue
          |FROM o JOIN f USING (o_custkey)
          |GROUP BY 1, 2, 3""".stripMargin,
+    "orders_fulfillment" ->
+      """WITH j AS (
+        |  SELECT o_orderpriority,
+        |    CAST(date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) AS BIGINT) AS lag
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |)
+        |SELECT o_orderpriority, count(*) AS n_lines,
+        |  CAST(CAST(quantile_cont(lag, 0.5) AS DECIMAL(18,4)) AS DOUBLE) AS p50_lag_days,
+        |  CAST(sum(lag) // count(*) AS BIGINT) AS mean_lag_days
+        |FROM j GROUP BY o_orderpriority""".stripMargin,
+    "supplier_pareto" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey AS suppkey,
+        |    sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100, 0) AS BIGINT)) AS cents
+        |  FROM lineitem GROUP BY l_suppkey
+        |), t AS (SELECT CAST(sum(cents) AS BIGINT) AS total FROM rev),
+        |r AS (
+        |  SELECT suppkey, cents,
+        |    row_number() OVER (ORDER BY cents DESC, suppkey) AS rnk,
+        |    CAST(sum(cents) OVER (ORDER BY cents DESC, suppkey
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |  FROM rev
+        |)
+        |SELECT CAST(rnk AS INTEGER) AS rnk, suppkey,
+        |  CAST(cents AS DOUBLE) / 100.0 AS revenue,
+        |  CAST((cum * 10000) // total AS BIGINT) AS cum_share_bp
+        |FROM r CROSS JOIN t WHERE rnk <= 10""".stripMargin,
     "orders_aging" ->
       s"""WITH h AS (SELECT CAST(max(o_orderdate) AS DATE) AS hz FROM orders)
          |SELECT o_orderpriority,

@@ -738,6 +738,25 @@ class AnalyticsQueriesSpec extends SparkSpec {
     assert(rows.filter(_.getInt(2) == 0).map(_.getLong(3)).sum === nCust)
   }
 
+  test("orders_fulfillment: line counts cover, lag stats ordered sanely") {
+    val rows = graft.SparkEntry.queries("orders_fulfillment")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(rows.map(_._2).sum === Tables(spark, dir, "lineitem").count())
+    rows.foreach { case (_, n, p50, mean) =>
+      assert(n > 0 && p50 >= 0.0 && mean >= 0L)
+    }
+  }
+
+  test("supplier_pareto: ranks dense, cumulative share monotone and bounded") {
+    val rows = graft.SparkEntry.queries("supplier_pareto")(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getLong(3))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq === (1 to rows.length) && rows.length <= 10)
+    assert(rows.map(_._3).toSeq === rows.map(_._3).sortBy(-(_: Double)).toSeq,
+      "revenue must descend with rank")
+    val shares = rows.map(_._4)
+    assert(shares.toSeq === shares.sorted.toSeq && shares.last <= 10000L)
+  }
+
   test("orders_aging: buckets partition the open orders, values positive") {
     import org.apache.spark.sql.functions.col
     val rows = graft.SparkEntry.queries("orders_aging")(spark, dir).collect()
