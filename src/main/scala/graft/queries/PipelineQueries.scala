@@ -232,6 +232,22 @@ object PipelineQueries {
         .select(col("doc_id"), col("lang"),
           explode(sequence(lit(0L), col("n_copies") - 1L)).as("copy"))
     },
+    // referential-integrity audit between the text corpus and its
+    // embedding table (the orphan report every multi-table corpus needs
+    // before training): docs without vectors, vectors without docs,
+    // and the matched count — two full-outer-joined id projections,
+    // nothing but ids shuffle. Exact.
+    "corpus_integrity" -> { (s, dir) =>
+      val d = Tables(s, dir, "documents").select(col("doc_id").as("id"))
+        .withColumn("has_doc", lit(1))
+      val e = Tables(s, dir, "embeddings").select(col("vec_id").as("id"))
+        .withColumn("has_vec", lit(1))
+      d.join(e, Seq("id"), "full_outer")
+        .agg(count(when(col("has_doc").isNotNull && col("has_vec").isNotNull, 1))
+            .as("n_matched"),
+          count(when(col("has_vec").isNull, 1)).as("n_docs_without_vec"),
+          count(when(col("has_doc").isNull, 1)).as("n_vecs_without_doc"))
+    },
     // the NIGHTLY INCREMENT: what actually enters the corpus from a new
     // crawl snapshot — recrawls of unchanged content drop against the
     // existing corpus's content hashes (Dedup.incremental: only id +
@@ -458,6 +474,12 @@ object PipelineQueries {
       s"""SELECT doc_id, lang FROM documents
         |WHERE $contentBucketSql <
         |  CASE WHEN lang = 'en' THEN 9000 WHEN lang = 'de' THEN 5000 ELSE 2500 END""".stripMargin,
+    "corpus_integrity" ->
+      """SELECT
+        |  count(CASE WHEN d.doc_id IS NOT NULL AND e.vec_id IS NOT NULL THEN 1 END) AS n_matched,
+        |  count(CASE WHEN e.vec_id IS NULL THEN 1 END) AS n_docs_without_vec,
+        |  count(CASE WHEN d.doc_id IS NULL THEN 1 END) AS n_vecs_without_doc
+        |FROM documents d FULL OUTER JOIN embeddings e ON d.doc_id = e.vec_id""".stripMargin,
     // version diff + incremental-dedup survivor + quality gate replayed
     "pipeline_increment" ->
       s"""WITH v1 AS (SELECT doc_id, text FROM documents WHERE doc_id < 400),

@@ -73,6 +73,15 @@ class PipelineQueriesSpec extends SparkSpec {
     assert(again === rows.map(_._1).sorted.toSeq)
   }
 
+  test("corpus_integrity: the three cells partition doc ∪ vec ids") {
+    val r = PipelineQueries.queries("corpus_integrity")(spark, dir).collect().head
+    val (m, dOnly, vOnly) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    val docs = Tables(spark, dir, "documents").count()
+    val vecs = Tables(spark, dir, "embeddings").count()
+    assert(m + dOnly === docs)
+    assert(m + vOnly === vecs)
+  }
+
   test("pipeline_increment: admitted docs are exactly the quality-passing content changes") {
     import org.apache.spark.sql.functions._
     val admitted = PipelineQueries.queries("pipeline_increment")(spark, dir).collect()
