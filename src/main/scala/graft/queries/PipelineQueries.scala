@@ -185,6 +185,26 @@ object PipelineQueries {
         .where(contentBucket < col("rate_bp"))
         .select(col("doc_id"), col("source"))
     },
+    // mixture QA: realized vs target keep rate per language for
+    // mixture_sample's handed-in rates — the report that catches a
+    // drifted content-hash bucket or a bad rate table before a mix
+    // ships. One conditional rollup per lang; deviation in signed bp.
+    // Exact (the bucket predicate is the engine-wide deterministic
+    // contract).
+    "mixture_report" -> { (s, dir) =>
+      val bucket = contentBucket
+      val rate = when(col("lang") === "en", 9000)
+        .when(col("lang") === "de", 5000)
+        .otherwise(2500)
+      Tables(s, dir, "documents")
+        .select(col("lang"), rate.as("target_bp"),
+          when(bucket < rate, 1L).otherwise(0L).as("kept"))
+        .groupBy("lang", "target_bp")
+        .agg(count(lit(1)).as("n_total"), sum("kept").as("n_kept"))
+        .select(col("lang"), col("n_total"), col("n_kept"), col("target_bp"),
+          expr("(n_kept * 10000L) div n_total").as("realized_bp"),
+          (expr("(n_kept * 10000L) div n_total") - col("target_bp")).as("deviation_bp"))
+    },
     // TOKEN-budget mixture (what a real pretraining mix specifies —
     // "30B tokens of code, 10B of wiki" — rather than doc-count
     // rates): per language, docs admit in deterministic content-hash
@@ -614,6 +634,23 @@ object PipelineQueries {
         |SELECT d.doc_id, d.source
         |FROM documents d JOIN r USING (source)
         |WHERE $contentBucketSql < r.rate_bp""".stripMargin,
+    "mixture_report" ->
+      s"""WITH d AS (
+         |  SELECT lang,
+         |    CASE WHEN lang = 'en' THEN 9000 WHEN lang = 'de' THEN 5000 ELSE 2500 END AS target_bp,
+         |    CASE WHEN $contentBucketSql <
+         |      CASE WHEN lang = 'en' THEN 9000 WHEN lang = 'de' THEN 5000 ELSE 2500 END
+         |      THEN 1 ELSE 0 END AS kept
+         |  FROM documents
+         |), g AS (
+         |  SELECT lang, target_bp, count(*) AS n_total,
+         |    CAST(sum(kept) AS BIGINT) AS n_kept
+         |  FROM d GROUP BY 1, 2
+         |)
+         |SELECT lang, n_total, n_kept, CAST(target_bp AS INTEGER) AS target_bp,
+         |  CAST((n_kept * 10000) // n_total AS BIGINT) AS realized_bp,
+         |  CAST((n_kept * 10000) // n_total - target_bp AS BIGINT) AS deviation_bp
+         |FROM g""".stripMargin,
     "mixture_token_budget" ->
       s"""WITH d AS (
          |  SELECT doc_id, lang, $contentBucketSql AS bucket,

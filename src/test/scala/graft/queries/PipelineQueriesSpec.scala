@@ -73,6 +73,19 @@ class PipelineQueriesSpec extends SparkSpec {
     assert(again === rows.map(_._1).sorted.toSeq)
   }
 
+  test("mixture_report: realized rates reconcile with mixture_sample exactly") {
+    val rep = PipelineQueries.queries("mixture_report")(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getInt(3), r.getLong(4)))
+      .toMap
+    val kept = PipelineQueries.queries("mixture_sample")(spark, dir).collect()
+      .groupBy(_.getString(1)).view.mapValues(_.length.toLong).toMap
+    rep.foreach { case (lang, (total, nKept, target, realized)) =>
+      assert(nKept === kept.getOrElse(lang, 0L), s"$lang kept count drifted")
+      assert(realized === nKept * 10000L / total)
+      assert(Set(9000, 5000, 2500).contains(target))
+    }
+  }
+
   test("corpus_integrity: the three cells partition doc ∪ vec ids") {
     val r = PipelineQueries.queries("corpus_integrity")(spark, dir).collect().head
     val (m, dOnly, vOnly) = (r.getLong(0), r.getLong(1), r.getLong(2))
