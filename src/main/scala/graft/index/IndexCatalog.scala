@@ -1234,13 +1234,33 @@ object IndexCatalog {
     }
   }
 
+  /** largest query batch the catalog serving path will collect: the
+    * same contract the SQL route enforces (FaissSql) — fail loudly
+    * instead of OOMing the driver on an unbounded query set.
+    * Overridable per-session for tests / constrained drivers. */
+  private[graft] val MaxQueryBatchDefault = 1 << 20
+  private[graft] val MaxQueryBatchConf = "spark.graft.index.maxQueryBatch"
+
   /** bounded FAISS-batch query collect (null rows skipped) — shared by
-    * every index kind's search path */
-  private def collectQueryBatch(queries: DataFrame): Array[(Long, Array[Float])] =
-    queries.select(col("qid").cast("long"), vec.vector(col("qvec")))
+    * every index kind's search path. The limit+check makes the bound a
+    * hard contract on the PROGRAMMATIC path too, not just the SQL one:
+    * an oversized batch throws with a pointer at the unbounded-join
+    * operator instead of collecting to death. */
+  private def collectQueryBatch(queries: DataFrame): Array[(Long, Array[Float])] = {
+    val maxBatch = queries.sparkSession.conf
+      .getOption(MaxQueryBatchConf).map(_.toInt).getOrElse(MaxQueryBatchDefault)
+    val rows = queries.select(col("qid").cast("long"), vec.vector(col("qvec")))
+      .limit(maxBatch + 1)
       .collect()
+    if (rows.length > maxBatch)
+      throw new IllegalStateException(
+        s"index search query batch exceeds $maxBatch rows; the catalog serving path " +
+          "collects the query batch to the driver (FAISS-parity bounded-batch contract) — " +
+          "use graft.search.AnnJoin.ivfJoin / ivfRadiusJoin for unbounded query sets")
+    rows
       .filter(r => !r.isNullAt(0) && !r.isNullAt(1))
       .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+  }
 
   /** shared PQ/SQ coded-search pipeline: probed lists (or full coded
     * scan) -> approximate per-code distance -> bounded k x refine heap

@@ -97,7 +97,10 @@ object DedupQueries {
       val d = Tables.wide(s, dir, "documents")
         .select(col("doc_id"), col("source"), md5(col("text")).as("h"),
           size(tokens(col("text"))).cast("long").as("n_tokens"),
-          length(col("text")).cast("long").as("n_bytes")) // chars (ASCII corpus) — duck length() parity
+          // octet_length: TRUE byte count (UTF-8), not chars — a
+          // cost-savings report in "bytes" must not silently shrink on
+          // a non-ASCII corpus (duck twin: strlen)
+          octet_length(col("text")).cast("long").as("n_bytes"))
       val surv = d.groupBy("h").agg(min("doc_id").as("survivor"))
       d.join(surv, "h")
         .groupBy("source")
@@ -140,14 +143,18 @@ object DedupQueries {
     // quality-aware exact dedup: the survivor of each duplicate group
     // is the HIGHEST-QUALITY copy (ties to lowest id), not the first
     // id — when a recrawl has both a clean copy and a boilerplate-
-    // mangled one of the same body-hash family, keep the better one.
-    // One text-hash shuffle with a map-side-combining struct max; the
-    // quality expression is the engine-wide exact chain, so survivor
-    // choice is oracle-gated too.
+    // mangled one of the same body, keep the better one. The group key
+    // is the SCRUB-NORMALIZED hash (URLs/emails masked), so two copies
+    // that differ only in volatile link spans — the classic recrawl
+    // mutation — land in one group while their raw-text quality scores
+    // genuinely differ; a byte-identical key would make the quality
+    // tie-break vacuous. One normalized-hash shuffle with a map-side-
+    // combining struct max; the quality expression is the engine-wide
+    // exact chain, so survivor choice is oracle-gated too.
     "dedup_best_copy" -> { (s, dir) =>
       val q = graft.text.TextFunctions.qualityScore(col("text"))
       Tables.wide(s, dir, "documents")
-        .groupBy(md5(col("text")).as("text_hash"))
+        .groupBy(md5(graft.text.TextFunctions.scrub(col("text"))).as("text_hash"))
         .agg(count(lit(1)).as("n_copies"),
           max(struct(q.as("q"), (lit(0L) - col("doc_id")).as("nid"))).as("m"))
         .select(col("text_hash"), col("n_copies"),
@@ -426,7 +433,7 @@ object DedupQueries {
       s"""WITH d AS (
          |  SELECT doc_id, source, md5(text) AS h,
          |    CAST(len($toksSql) AS BIGINT) AS n_tokens,
-         |    CAST(length(text) AS BIGINT) AS n_bytes
+         |    CAST(strlen(text) AS BIGINT) AS n_bytes
          |  FROM documents
          |), s AS (SELECT h, min(doc_id) AS survivor FROM d GROUP BY h)
          |SELECT source, count(*) AS n_docs,
@@ -436,11 +443,14 @@ object DedupQueries {
          |  CAST((count(CASE WHEN doc_id <> survivor THEN 1 END) * 10000) // count(*) AS BIGINT) AS removal_bp
          |FROM d JOIN s USING (h)
          |GROUP BY source""".stripMargin,
-    // identical quality chain + (q desc, id) survivor order
+    // identical quality chain + (q desc, id) survivor order; group key
+    // is the scrub-normalized hash (same regexes as text_scrub's twin)
     "dedup_best_copy" ->
       s"""WITH ${TextQueries.qualityCtesSql},
          |s AS (
-         |  SELECT doc_id, md5(text) AS text_hash,
+         |  SELECT doc_id,
+         |    md5(regexp_replace(regexp_replace(text, 'https?://[^\\s]+', '<URL>', 'g'),
+         |        '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}', '<EMAIL>', 'g')) AS text_hash,
          |    ${TextQueries.qualityExprSql} AS q
          |  FROM f
          |),

@@ -30,6 +30,13 @@ object IndexQueries {
     res.select(col("qid"), col("rank"), col("label"),
       Tables.quant4(col("distance")).as("distance"))
 
+  /** refine factor that makes a coded search's k x refine candidate
+    * heap cover the ENTIRE corpus: the re-rank then brute-forces every
+    * row on original vectors, so the result is exact regardless of code
+    * fidelity — the "exhaustive settings" end of each codec's knob,
+    * computed from the live corpus count so it holds at any SF. */
+  private def exhRefine(d: DataFrame, k: Int): String = (d.count() / k + 1).toString
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // full lifecycle with an exhaustive IVF probe (nprobe = nlist):
     // result is exact, so it shares the brute-force L2 oracle
@@ -263,6 +270,65 @@ object IndexQueries {
       IndexCatalog.create(name, 64, "IDMap,IVF8,PQ8", "l2sq",
         Map("nprobe" -> "8", "refine" -> "24"))
       IndexCatalog.add(embData(s, dir), name)
+      quantized(IndexCatalog.search(name, 5, embQueries(s, dir)))
+    },
+    // ---- exhaustive-config twins of the approximate family ----------
+    // Each approximate index searched at its "no approximation left"
+    // setting (nprobe = nlist / efSearch >= N / refine covering the
+    // whole corpus): the result is deterministically exact, so the SAME
+    // brute-force DuckDB oracle that gates knn_flat_l2 gates the index
+    // structure itself — the exhaustive==flat equivalences the specs
+    // assert (IndexCatalogSpec) become driver-hash-verified.
+    "knn_ivf_exh" -> { (s, dir) =>
+      val name = fresh("q_ivf_exh")
+      IndexCatalog.create(name, 64, "IDMap,IVF16,Flat", "l2sq", Map("nprobe" -> "16"))
+      IndexCatalog.add(embData(s, dir), name)
+      quantized(IndexCatalog.search(name, 5, embQueries(s, dir)))
+    },
+    "knn_hnsw_exh" -> { (s, dir) =>
+      val name = fresh("q_hnsw_exh")
+      IndexCatalog.create(name, 64, "IDMap,HNSW16", "l2sq", Map("efConstruction" -> "96"))
+      IndexCatalog.add(embData(s, dir), name)
+      // beam wider than any shard: the walk visits every node
+      quantized(IndexCatalog.search(name, 5, embQueries(s, dir),
+        Map("efSearch" -> "1000000")))
+    },
+    "knn_pq_exh" -> { (s, dir) =>
+      val name = fresh("q_pq_exh")
+      val d = embData(s, dir)
+      IndexCatalog.create(name, 64, "IDMap,PQ8", "l2sq", Map("refine" -> exhRefine(d, 5)))
+      IndexCatalog.add(d, name)
+      quantized(IndexCatalog.search(name, 5, embQueries(s, dir)))
+    },
+    "knn_sq8_exh" -> { (s, dir) =>
+      val name = fresh("q_sq8_exh")
+      val d = embData(s, dir)
+      IndexCatalog.create(name, 64, "IDMap,SQ8", "l2sq", Map("refine" -> exhRefine(d, 5)))
+      IndexCatalog.add(d, name)
+      quantized(IndexCatalog.search(name, 5, embQueries(s, dir)))
+    },
+    "knn_sq4_exh" -> { (s, dir) =>
+      val name = fresh("q_sq4_exh")
+      val d = embData(s, dir)
+      IndexCatalog.create(name, 64, "IDMap,SQ4", "l2sq", Map("refine" -> exhRefine(d, 5)))
+      IndexCatalog.add(d, name)
+      quantized(IndexCatalog.search(name, 5, embQueries(s, dir)))
+    },
+    "knn_sqfp16_exh" -> { (s, dir) =>
+      val name = fresh("q_sqfp16_exh")
+      val d = embData(s, dir)
+      IndexCatalog.create(name, 64, "IDMap,SQfp16", "l2sq", Map("refine" -> exhRefine(d, 5)))
+      IndexCatalog.add(d, name)
+      quantized(IndexCatalog.search(name, 5, embQueries(s, dir)))
+    },
+    // exhaustive probing AND a corpus-covering re-rank: both knobs of
+    // the composed factory at their exact end
+    "knn_ivfsq_exh" -> { (s, dir) =>
+      val name = fresh("q_ivfsq_exh")
+      val d = embData(s, dir)
+      IndexCatalog.create(name, 64, "IDMap,IVF16,SQ8", "l2sq",
+        Map("nprobe" -> "16", "refine" -> exhRefine(d, 5)))
+      IndexCatalog.add(d, name)
       quantized(IndexCatalog.search(name, 5, embQueries(s, dir)))
     })
 
@@ -499,6 +565,14 @@ object IndexQueries {
     },
     "knn_hnsw_filter" -> VectorQueries.oracles("knn_search_filter"),
     "vs_index_saveload" -> VectorQueries.oracles("knn_flat_l2"),
+    // exhaustive-config twins: no approximation left -> the flat oracle
+    "knn_ivf_exh" -> VectorQueries.oracles("knn_flat_l2"),
+    "knn_hnsw_exh" -> VectorQueries.oracles("knn_flat_l2"),
+    "knn_pq_exh" -> VectorQueries.oracles("knn_flat_l2"),
+    "knn_sq8_exh" -> VectorQueries.oracles("knn_flat_l2"),
+    "knn_sq4_exh" -> VectorQueries.oracles("knn_flat_l2"),
+    "knn_sqfp16_exh" -> VectorQueries.oracles("knn_flat_l2"),
+    "knn_ivfsq_exh" -> VectorQueries.oracles("knn_flat_l2"),
     // merged shards + exhaustive probe = exact over the full corpus
     "vs_index_merge" -> VectorQueries.oracles("knn_flat_l2"),
     // exhaustive-probe range search is exact -> brute-force radius oracle

@@ -623,9 +623,13 @@ object TextQueries {
          |)
          |SELECT doc_id, n_words, n_sents, n_syll,
          |  ${Tables.quant4Sql(
-               "CAST(206835 * n_sents * n_words - 1015 * n_words * n_words " +
-               "- 84600 * n_syll * n_sents AS DOUBLE) " +
-               "/ CAST(1000 * n_sents * n_words AS DOUBLE)")} AS flesch
+               // BIGINT product terms: INT32 products overflow (DuckDB
+               // errors) once n_words*n_sents ~ 10k — the Spark side
+               // multiplies in Long, so must the oracle
+               "CAST(CAST(206835 AS BIGINT) * n_sents * n_words " +
+               "- CAST(1015 AS BIGINT) * n_words * n_words " +
+               "- CAST(84600 AS BIGINT) * n_syll * n_sents AS DOUBLE) " +
+               "/ CAST(CAST(1000 AS BIGINT) * n_sents * n_words AS DOUBLE)")} AS flesch
          |FROM c WHERE n_words > 0""".stripMargin,
     "text_keywords" ->
       s"""WITH t AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),

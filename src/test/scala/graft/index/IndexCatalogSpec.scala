@@ -727,4 +727,22 @@ class IndexCatalogSpec extends SparkSpec {
     val want = labelsOf(Knn.searchFlat(grid, qs, 4, "l2sq"))
     assert(got === want)
   }
+
+  test("oversized query batch fails loudly on the programmatic path, not OOM") {
+    import spark.implicits._
+    IndexCatalog.create("t_batchcap", 2, "IDMap,IVF4,Flat", "l2sq", Map("nprobe" -> "4"))
+    IndexCatalog.add(grid, "t_batchcap")
+    // shrink the cap for the test: the contract is the CHECK, not the size
+    spark.conf.set(IndexCatalog.MaxQueryBatchConf, "8")
+    try {
+      val bigBatch = spark.range(0, 20)
+        .select(col("id").as("qid"), array(lit(1.0f), lit(2.0f)).as("qvec"))
+      val err = intercept[IllegalStateException](
+        IndexCatalog.search("t_batchcap", 2, bigBatch).collect())
+      assert(err.getMessage.contains("AnnJoin.ivfJoin"),
+        s"cap error must point at the unbounded-join operator: ${err.getMessage}")
+      // within the cap still serves
+      assert(IndexCatalog.search("t_batchcap", 2, qs).count() === 4)
+    } finally spark.conf.unset(IndexCatalog.MaxQueryBatchConf)
+  }
 }

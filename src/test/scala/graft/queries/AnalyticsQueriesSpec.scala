@@ -675,8 +675,12 @@ class AnalyticsQueriesSpec extends SparkSpec {
       assert(quality(survivor) === qfp, s"survivor $survivor quality drifted")
     }
     // survivors of multi-copy groups beat (or tie) every other group member
+    // (grouping is by the scrub-NORMALIZED hash — the key under which
+    // quality can actually differ within a group)
     val hashes = Tables(spark, dir, "documents")
-      .select(col("doc_id"), org.apache.spark.sql.functions.md5(col("text")).as("h"))
+      .select(col("doc_id"),
+        org.apache.spark.sql.functions.md5(
+          graft.text.TextFunctions.scrub(col("text"))).as("h"))
       .collect().map(r => r.getLong(0) -> r.getString(1))
     val byHash = hashes.groupBy(_._2)
     rows.filter(_._2 > 1).foreach { case (h, _, survivor, qfp) =>
