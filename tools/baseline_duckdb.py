@@ -31,31 +31,42 @@ def main(sf_dir):
             SELECT e.vec_id + c.c * 1000000 AS label, e.embedding::FLOAT[] AS vec
             FROM embeddings e CROSS JOIN (SELECT unnest(range(0, 50)) AS c) c""",
     }
-    topk = f"""
-        SELECT qid, label FROM (
-          SELECT q.qid, corpus.label,
-            row_number() OVER (
-              PARTITION BY q.qid
-              ORDER BY list_distance(q.qvec, corpus.vec), corpus.label) AS rn
-          FROM q CROSS JOIN corpus
-        ) WHERE rn <= {K}"""
+    # two brute-force spellings: the window-rank scan (the naive SQL a
+    # user writes) and the lateral top-k (DuckDB's best shape — a
+    # per-query Top-N heap instead of a global sort)
+    tiers = {
+        "sql_scan_window": f"""
+            SELECT qid, label FROM (
+              SELECT q.qid, corpus.label,
+                row_number() OVER (
+                  PARTITION BY q.qid
+                  ORDER BY list_distance(q.qvec, corpus.vec), corpus.label) AS rn
+              FROM q CROSS JOIN corpus
+            ) WHERE rn <= {K}""",
+        "sql_scan_lateral": f"""
+            SELECT q.qid, n.label
+            FROM q, LATERAL (
+              SELECT label FROM corpus
+              ORDER BY list_distance(q.qvec, corpus.vec), label LIMIT {K}) n""",
+    }
 
     for name, ddl in corpora.items():
         con.sql("DROP TABLE IF EXISTS corpus")
         con.sql(ddl)
         n = con.sql("SELECT count(*) FROM corpus").fetchone()[0]
-        con.sql(topk).fetchall()  # warm
-        best = float("inf")
-        for _ in range(REPS):
-            t0 = time.time()
-            rows = con.sql(topk).fetchall()
-            best = min(best, time.time() - t0)
-        assert len(rows) == nq * K
-        print(json.dumps({
-            "bench": "ann_baseline", "engine": "duckdb_bruteforce",
-            "corpus": name, "n": n, "tier": "sql_scan", "k": K,
-            "n_queries": nq, "batch_sec": best, "qps": nq / best,
-            "recall_at_5": 1.0}))
+        for tier, topk in tiers.items():
+            con.sql(topk).fetchall()  # warm
+            best = float("inf")
+            for _ in range(REPS):
+                t0 = time.time()
+                rows = con.sql(topk).fetchall()
+                best = min(best, time.time() - t0)
+            assert len(rows) == nq * K
+            print(json.dumps({
+                "bench": "ann_baseline", "engine": "duckdb_bruteforce",
+                "corpus": name, "n": n, "tier": tier, "k": K,
+                "n_queries": nq, "batch_sec": best, "qps": nq / best,
+                "recall_at_5": 1.0}))
 
 if __name__ == "__main__":
     main(sys.argv[1])
