@@ -19,7 +19,8 @@ object SparkEntry {
       VectorQueries.queries ++
       TextQueries.queries ++ DedupQueries.queries ++ IndexQueries.queries ++
       IndexQueries.scaleQueries ++ MultimodalQueries.queries ++
-      PipelineQueries.queries ++ RetrievalQueries.queries ++ SqlQueries.queries
+      PipelineQueries.queries ++ RetrievalQueries.queries ++ SqlQueries.queries ++
+      StreamingParityQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -28,5 +29,6 @@ object SparkEntry {
       VectorQueries.oracles ++
       TextQueries.oracles ++ DedupQueries.oracles ++ IndexQueries.oracles ++
       MultimodalQueries.oracles ++ PipelineQueries.oracles ++
-      RetrievalQueries.oracles ++ SqlQueries.oracles
+      RetrievalQueries.oracles ++ SqlQueries.oracles ++
+      StreamingParityQueries.oracles
 }

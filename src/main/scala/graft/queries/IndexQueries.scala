@@ -500,6 +500,46 @@ object IndexQueries {
           count(lit(1)).cast("double")).as("recall_at_5"))
         .orderBy("refine")
     },
+    // the eval sweeps' DETERMINISTIC rows under the driver hash: every
+    // recall-eval family member (IVF probe sweep, HNSW beam sweep, PQ
+    // refine sweep, codec dashboard) is run ONLY at its exhaustive
+    // setting, where recall@5 is exactly 1.0 by construction — so the
+    // whole eval pipeline (tier searches → truth join → hit count →
+    // recall division) is exercised end-to-end against a static oracle.
+    // If the truth join dropped rows, the hit coalesce miscounted, or
+    // the denominator arithmetic drifted, the hash breaks. The
+    // partial-setting rows of the sweeps stay rows-only (custom index
+    // structure), with monotonicity spec-asserted as before.
+    "vs_eval_exact_rows" -> { (s, dir) =>
+      import s.implicits._
+      val d = embData(s, dir)
+      val qs = embQueries(s, dir)
+      val rf = exhRefine(d, 5)
+      val truth = graft.search.Knn.searchFlat(d, qs, 5, "l2sq")
+        .select(col("qid"), col("label"))
+      val tiers: Seq[(String, String, Map[String, String])] = Seq(
+        ("fp16_refine_exh", "IDMap,SQfp16", Map("refine" -> rf)),
+        ("hnsw_ef_exh", "IDMap,HNSW16",
+          Map("efConstruction" -> "96", "efSearch" -> "1000000")),
+        ("ivf_nprobe_exh", "IDMap,IVF16,Flat", Map("nprobe" -> "16")),
+        ("ivfpq_refine_exh", "IDMap,IVF16,PQ8", Map("nprobe" -> "16", "refine" -> rf)),
+        ("sq4_refine_exh", "IDMap,SQ4", Map("refine" -> rf)),
+        ("sq8_refine_exh", "IDMap,SQ8", Map("refine" -> rf)))
+      val tagged = tiers.map { case (tier, factory, params) =>
+        val name = fresh(s"q_evx_$tier")
+        IndexCatalog.create(name, 64, factory, "l2sq", params)
+        IndexCatalog.add(d, name)
+        IndexCatalog.search(name, 5, qs)
+          .select(lit(tier).as("tier"), col("qid"), col("label"), lit(1L).as("hit"))
+      }.reduce(_ unionByName _)
+      truth
+        .crossJoin(broadcast(tiers.map(_._1).toDF("tier")))
+        .join(tagged, Seq("tier", "qid", "label"), "left")
+        .groupBy("tier")
+        .agg((sum(coalesce(col("hit"), lit(0L))).cast("double") /
+          count(lit(1)).cast("double")).as("recall_at_5"))
+        .orderBy("tier")
+    },
     // exact scan over the replicated corpus: the baseline cost
     // (partition-local-heap path; equality with the declarative path is
     // spec- and oracle-gated via knn_join)
@@ -565,6 +605,12 @@ object IndexQueries {
     },
     "knn_hnsw_filter" -> VectorQueries.oracles("knn_search_filter"),
     "vs_index_saveload" -> VectorQueries.oracles("knn_flat_l2"),
+    // every exhaustive-setting sweep row has recall exactly 250/250
+    "vs_eval_exact_rows" ->
+      """SELECT tier, CAST(1.0 AS DOUBLE) AS recall_at_5
+        |FROM (VALUES ('fp16_refine_exh'), ('hnsw_ef_exh'), ('ivf_nprobe_exh'),
+        |             ('ivfpq_refine_exh'), ('sq4_refine_exh'), ('sq8_refine_exh')) t(tier)
+        |ORDER BY tier""".stripMargin,
     // exhaustive-config twins: no approximation left -> the flat oracle
     "knn_ivf_exh" -> VectorQueries.oracles("knn_flat_l2"),
     "knn_hnsw_exh" -> VectorQueries.oracles("knn_flat_l2"),

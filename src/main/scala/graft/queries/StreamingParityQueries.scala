@@ -1,0 +1,151 @@
+package graft.queries
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.streaming.Streaming
+
+/**
+ * Driver-gated batch==stream parity: the events table is REPLAYED
+ * through a real MemoryStream — contiguous event-time chunks, each
+ * internally shuffled (genuine out-of-order arrival inside every
+ * micro-batch, always within the 2 h watermark) — through the same
+ * Structured Streaming operators the streaming twins use, and the
+ * STREAMED result itself goes under the DuckDB oracle hash. This
+ * lifts the streaming family's core equivalence claims (spec-only by
+ * harness design, the batch driver can't run a socket source) into
+ * CORRECTNESS: if the stateful window/session machinery dropped,
+ * duplicated, or mis-merged anything, the hash breaks.
+ *
+ * Reference anchor: the reference has no streaming surface at all
+ * (duckdb-faiss-ext is batch-only) — this is part of the
+ * beyond-the-reference pipeline tier.
+ */
+object StreamingParityQueries {
+
+  /** deterministic replay schedule: rows sorted by event time, cut
+    * into `nChunks` contiguous slices (so no row ever arrives behind
+    * the watermark), each slice reordered by a splitmix of its sort
+    * key — out-of-order inside every micro-batch. */
+  private def chunked[T](rows: Array[T], key: T => Long, nChunks: Int = 4): Seq[Array[T]] = {
+    val per = math.max(1, (rows.length + nChunks - 1) / nChunks)
+    rows.grouped(per).map(_.sortBy(r => {
+      var z = key(r) + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    })).toSeq
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // hourly windowed aggregation, streamed: complete-mode memory sink,
+    // four out-of-order micro-batches; output == the batch GROUP BY
+    "streaming_parity" -> { (s, dir) =>
+      import s.implicits._
+      implicit val ctx = s.sqlContext
+      val input = Tables.events(s, dir)
+        .select(col("ts"), col("event_type"), col("user_id").cast("long"),
+          col("value").cast("double"), col("event_id").cast("long"))
+        .collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3), r.getLong(4)))
+        .sortBy(r => (r._1.getTime, r._5))
+      val mem = MemoryStream[(Timestamp, String, Long, Double)]
+      val df = mem.toDF.toDF("ts", "event_type", "user_id", "value")
+      val q = Streaming.hourlyWindowAggExact(df)
+        .writeStream.format("memory").queryName("parity_hourly")
+        .outputMode("complete").start()
+      try {
+        chunked[(Timestamp, String, Long, Double, Long)](input, _._5).foreach { chunk =>
+          mem.addData(chunk.map(r => (r._1, r._2, r._3, r._4)).toSeq)
+          q.processAllAvailable()
+        }
+        val out = s.table("parity_hourly").collect()
+        s.createDataFrame(
+          java.util.Arrays.asList(out: _*),
+          StructType(Seq(
+            StructField("bucket", TimestampType),
+            StructField("event_type", StringType),
+            StructField("n_events", LongType),
+            StructField("sum_value", DoubleType))))
+      } finally q.stop()
+    },
+    // native session windows, streamed in APPEND mode: sessions only
+    // emit once the watermark strictly passes their end, so two
+    // far-future sentinel batches (reserved user -1, never emitted —
+    // its session stays open) flush every real session. Output == the
+    // batch gap-sessionization under session_window's exact merge rule
+    // (new session iff gap >= 30 min, microsecond precision).
+    "streaming_parity_session" -> { (s, dir) =>
+      import s.implicits._
+      implicit val ctx = s.sqlContext
+      val input = Tables.events(s, dir)
+        .select(col("user_id").cast("long"), col("event_id").cast("long"), col("ts"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2)))
+        .sortBy(r => (r._3.getTime, r._2))
+      val maxTs = input.last._3.getTime
+      val mem = MemoryStream[(Long, Long, Timestamp)]
+      val df = mem.toDF.toDF("user_id", "event_id", "ts")
+      val q = Streaming.sessionWindowAgg(df, gap = "30 minutes", watermark = "2 hours")
+        .writeStream.format("memory").queryName("parity_session")
+        .outputMode("append").start()
+      try {
+        chunked[(Long, Long, Timestamp)](input, _._2).foreach { chunk =>
+          mem.addData(chunk.toSeq)
+          q.processAllAvailable()
+        }
+        // watermark advances at END of the batch that saw the sentinel;
+        // the SECOND sentinel batch emits everything the first unlocked
+        mem.addData((-1L, -1L, new Timestamp(maxTs + 30L * 86400 * 1000)))
+        q.processAllAvailable()
+        mem.addData((-1L, -2L, new Timestamp(maxTs + 60L * 86400 * 1000)))
+        q.processAllAvailable()
+        val out = s.table("parity_session").where(col("user_id") >= 0).collect()
+        s.createDataFrame(
+          java.util.Arrays.asList(out: _*),
+          StructType(Seq(
+            StructField("user_id", LongType),
+            StructField("session_start", TimestampType),
+            StructField("session_end", TimestampType),
+            StructField("n_events", LongType))))
+      } finally q.stop()
+    })
+
+  def oracles: Map[String, String] = Map(
+    // the batch GROUP BY the stream must reproduce (events_window_agg's
+    // oracle minus the distinct column — distinct doesn't stream)
+    "streaming_parity" ->
+      s"""SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket, event_type,
+         |  count(*) AS n_events,
+         |  ${Tables.moneySumSql("value")} AS sum_value
+         |FROM events
+         |GROUP BY 1, 2""".stripMargin,
+    // session_window's exact merge rule replayed relationally:
+    // new session iff the gap to the previous event is >= 30 min
+    // (microsecond precision — an event AT first_ts+gap starts a new
+    // window); session_end is last event + gap, per session_window
+    "streaming_parity_session" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        |  FROM events
+        |), flagged AS (
+        |  SELECT user_id, event_id, ts, us,
+        |    CASE WHEN lag(us) OVER w IS NULL
+        |           OR us - lag(us) OVER w >= 1800000000 THEN 1 ELSE 0 END AS new_s
+        |  FROM ev
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+        |), sess AS (
+        |  SELECT user_id, ts,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM flagged
+        |)
+        |SELECT user_id, min(ts) AS session_start,
+        |  max(ts) + INTERVAL 30 MINUTE AS session_end,
+        |  count(*) AS n_events
+        |FROM sess GROUP BY user_id, sid""".stripMargin)
+}

@@ -104,6 +104,20 @@ object Streaming {
       .select(col("w.start").as("bucket"), col("event_type"),
         col("n_events"), col("approx_users"), col("sum_value"))
 
+  /** [[hourlyWindowAgg]]'s exact-sum twin for driver-gated parity:
+    * integer-cents money sum (associative + order-independent, so
+    * batch == stream is bit-exact and DuckDB-hashable) and no sketch
+    * column — distinct aggregation doesn't stream. */
+  def hourlyWindowAggExact(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        (sum(round(col("value") * 100).cast("long")).cast("double") / 100.0).as("sum_value"))
+      .select(col("w.start").as("bucket"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
   /**
    * Native session windows: Spark's session_window keeps per-key state
    * and merges windows under watermark control — the declarative path
