@@ -112,6 +112,97 @@ object StreamingParityQueries {
             StructField("session_end", TimestampType),
             StructField("n_events", LongType))))
       } finally q.stop()
+    },
+    // the CUSTOM-state sessionizer (flatMapGroupsWithState, hand-rolled
+    // gap split + watermark-gated close) under the same replay — unlike
+    // parity_session this pins OUR state code, not Spark's session_window.
+    // FMGWS semantics: millisecond precision (Timestamp.getTime), same
+    // session iff gap <= 30 min, session bounds are first/last EVENT time
+    // (no +gap) — the oracle replays exactly that.
+    "streaming_parity_fmgws" -> { (s, dir) =>
+      import s.implicits._
+      implicit val ctx = s.sqlContext
+      val input = Tables.events(s, dir)
+        .select(col("user_id").cast("long"), col("event_id").cast("long"), col("ts"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2)))
+        .sortBy(r => (r._3.getTime, r._2))
+      val maxTs = input.last._3.getTime
+      val mem = MemoryStream[(Long, Long, Timestamp)]
+      val ds = mem.toDF.toDF("user_id", "event_id", "ts").as[Streaming.Ev]
+      val q = Streaming.sessionizeFMGWS(ds, gapSeconds = 1800L, watermark = "2 hours")
+        .toDF()
+        .writeStream.format("memory").queryName("parity_fmgws")
+        .outputMode("append").start()
+      try {
+        chunked[(Long, Long, Timestamp)](input, _._2).foreach { chunk =>
+          mem.addData(chunk.toSeq)
+          q.processAllAvailable()
+        }
+        mem.addData((-1L, -1L, new Timestamp(maxTs + 30L * 86400 * 1000)))
+        q.processAllAvailable()
+        mem.addData((-1L, -2L, new Timestamp(maxTs + 60L * 86400 * 1000)))
+        q.processAllAvailable()
+        val out = s.table("parity_fmgws").where(col("user_id") >= 0).collect()
+        s.createDataFrame(
+          java.util.Arrays.asList(out: _*),
+          StructType(Seq(
+            StructField("user_id", LongType),
+            StructField("session_start", TimestampType),
+            StructField("session_end", TimestampType),
+            StructField("n_events", LongType))))
+      } finally q.stop()
+    },
+    // per-user transition emission (the streaming markov feeder):
+    // a pair is final only when the watermark strictly passes its 'to'
+    // event. Idle-close is disabled for the replay (its firing depends
+    // on micro-batch boundaries; the watermark path is deterministic),
+    // so the emitted multiset is EXACTLY the batch lead() pair list.
+    "streaming_parity_markov" -> { (s, dir) =>
+      import s.implicits._
+      implicit val ctx = s.sqlContext
+      val input = Tables.events(s, dir)
+        .select(col("user_id").cast("long"), col("event_id").cast("long"),
+          col("event_type"), col("ts"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getTimestamp(3)))
+        .sortBy(r => (r._4.getTime, r._2))
+      val maxTs = input.last._4.getTime
+      val mem = MemoryStream[(Long, Long, String, Timestamp)]
+      val ds = mem.toDF.toDF("user_id", "event_id", "event_type", "ts")
+        .as[Streaming.TransEv]
+      val q = Streaming.markovFMGWS(ds, watermark = "2 hours",
+          idleCloseMs = 3650L * 86400 * 1000) // ~10 years: never idle-close
+        .toDF()
+        .writeStream.format("memory").queryName("parity_markov")
+        .outputMode("append").start()
+      try {
+        chunked[(Long, Long, String, Timestamp)](input, _._2).foreach { chunk =>
+          mem.addData(chunk.toSeq)
+          q.processAllAvailable()
+        }
+        // with idle-close disabled a user's tail pairs only finalize on
+        // its OWN next batch — so the flush sentinel goes to EVERY user
+        // (marker type, filtered below), twice: the first advances the
+        // watermark past all real 'to' events, the second triggers the
+        // per-user emission under that watermark
+        val users = input.map(_._1).distinct
+        mem.addData(users.map(u =>
+          (u, -1L, "__flush__", new Timestamp(maxTs + 30L * 86400 * 1000))).toSeq)
+        q.processAllAvailable()
+        mem.addData(users.map(u =>
+          (u, -2L, "__flush__", new Timestamp(maxTs + 60L * 86400 * 1000))).toSeq)
+        q.processAllAvailable()
+        val out = s.table("parity_markov")
+          .where(col("from_type") =!= "__flush__" && col("to_type") =!= "__flush__")
+          .collect()
+        s.createDataFrame(
+          java.util.Arrays.asList(out: _*),
+          StructType(Seq(
+            StructField("user_id", LongType),
+            StructField("from_type", StringType),
+            StructField("to_type", StringType))))
+      } finally q.stop()
     })
 
   def oracles: Map[String, String] = Map(
@@ -147,5 +238,43 @@ object StreamingParityQueries {
         |SELECT user_id, min(ts) AS session_start,
         |  max(ts) + INTERVAL 30 MINUTE AS session_end,
         |  count(*) AS n_events
-        |FROM sess GROUP BY user_id, sid""".stripMargin)
+        |FROM sess GROUP BY user_id, sid""".stripMargin,
+    // the FMGWS sessionizer's exact rule: MILLISECOND precision
+    // (Timestamp.getTime floors µs→ms on both engines), same session
+    // iff gap <= 30 min (new iff > — note the strictness differs from
+    // session_window's >=), bounds are first/last event time at ms
+    "streaming_parity_fmgws" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS ms FROM events
+        |), flagged AS (
+        |  SELECT user_id, ms,
+        |    CASE WHEN lag(ms) OVER w IS NULL
+        |           OR ms - lag(ms) OVER w > 1800000 THEN 1 ELSE 0 END AS new_s
+        |  FROM ev
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ms)
+        |), sess AS (
+        |  SELECT user_id, ms,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ms
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM flagged
+        |)
+        |SELECT user_id, make_timestamp(min(ms) * 1000) AS session_start,
+        |  make_timestamp(max(ms) * 1000) AS session_end,
+        |  count(*) AS n_events
+        |FROM sess GROUP BY user_id, sid""".stripMargin,
+    // every consecutive (from, to) pair per user under (ms, event_id)
+    // order — the multiset the stream must emit exactly once each
+    "streaming_parity_markov" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, event_type,
+        |    epoch_ms(CAST(ts AS TIMESTAMP)) AS ms
+        |  FROM events
+        |), ord AS (
+        |  SELECT user_id, event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ms, event_id)
+        |      AS next_type
+        |  FROM ev
+        |)
+        |SELECT user_id, event_type AS from_type, next_type AS to_type
+        |FROM ord WHERE next_type IS NOT NULL""".stripMargin)
 }

@@ -244,6 +244,42 @@ object VectorQueries {
         .select(col("qid"), col("rank"), col("label"),
           Tables.quant4(col("distance")).as("distance"))
     },
+    // exhaustive twin of the binary cascade: the Hamming coarse cut is
+    // widened to the WHOLE corpus (budget = live count), so the
+    // raw-float re-rank IS brute force and the cascade machinery —
+    // both rank stages, the label join-back, the broadcast shape —
+    // gates against the flat L2 oracle. Zero codec replay needed: the
+    // re-rank distance is the same vec.l2sq chain knn_flat_l2 gates.
+    "knn_binary_exh" -> { (s, dir) =>
+      val e = Tables(s, dir, "embeddings")
+      val n = e.count().toInt
+      val d = e.select(col("vec_id").as("label"),
+        vec.signBits(vec.vector(col("embedding"))).as("bits"))
+      val q = e.where(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"),
+          vec.signBits(vec.vector(col("embedding"))).as("qbits"),
+          vec.vector(col("embedding")).as("qvec"))
+      val ham = bit_count(col("bits").bitwiseXOR(col("qbits")))
+      val coarse = Knn.rankResults(
+          d.crossJoin(broadcast(q.select(col("qid"), col("qbits"))))
+            .select(col("qid"), col("label"), ham.cast("double").as("_dist")),
+          n, ascending = true)
+        .select(col("qid"), col("label"))
+      Knn.rankResults(
+          data(s, dir).join(broadcast(coarse), "label")
+            .join(broadcast(q.select(col("qid"), col("qvec"))), "qid")
+            .select(col("qid"), col("label"),
+              vec.l2sq(col("vec"), col("qvec")).as("_dist")),
+          K, ascending = true)
+        .select(col("qid"), col("rank"), col("label"),
+          Tables.quant4(col("distance")).as("distance"))
+    },
+    // exhaustive twin of the binary IVF: every list probed -> identical
+    // to the flat Hamming scan, so the coarse sign-code assignment +
+    // probe machinery shares knn_hamming's exact oracle
+    "knn_binary_ivf_exh" -> { (s, dir) =>
+      binaryIvf(s, dir, nlist = 16, nprobe = 16)
+    },
     // the binary cascade's budget sweep (vs_refine_eval's shape for
     // the 1-bit tier): recall@5 of Hamming-coarse → exact-rerank as a
     // function of the rerank factor — the table that sizes
@@ -498,6 +534,27 @@ object VectorQueries {
   private val l2sqPrefixSql =
     "list_sum([ (CAST(a[i] AS DOUBLE) - CAST(b[i] AS DOUBLE)) * (CAST(a[i] AS DOUBLE) - CAST(b[i] AS DOUBLE)) FOR i IN range(1, 17) ])"
 
+  // sign-bit Hamming distance replayed from the raw floats: bit i of
+  // the packed word is set iff v[i] >= 0, so POPCNT(a XOR b) equals
+  // the count of dimensions whose signs disagree. Two deliberate
+  // mirrors of the kernel: only the first 64 dims participate
+  // (signBits packs one word), and NaN counts as sign 0 (Java
+  // NaN >= 0 is false; DuckDB sorts NaN above 0, so spell it out)
+  private val hammingOracleSql: String =
+    s"""WITH q AS (SELECT vec_id AS qid, embedding AS a FROM embeddings WHERE vec_id < 10),
+       |d AS (
+       |  SELECT q.qid, e.vec_id AS label,
+       |    CAST(len([i FOR i IN range(1, least(len(q.a), 64)+1)
+       |              IF (NOT isnan(q.a[i]) AND q.a[i] >= 0) <> (NOT isnan(e.embedding[i]) AND e.embedding[i] >= 0)]) AS BIGINT) AS ham
+       |  FROM q CROSS JOIN embeddings e
+       |),
+       |r AS (
+       |  SELECT qid, label, ham,
+       |    CAST(row_number() OVER (PARTITION BY qid ORDER BY ham ASC, label) - 1 AS INTEGER) AS rank
+       |  FROM d
+       |)
+       |SELECT qid, rank, label, ham AS hamming FROM r WHERE rank < $K""".stripMargin
+
   def oracles: Map[String, String] = Map(
     // replay BOTH stages: coarse rank over prefix-16 distance (ties by
     // label), survivors rn <= 20, then full-vector re-rank of survivors
@@ -562,20 +619,11 @@ object VectorQueries {
     // mirrors of the kernel: only the first 64 dims participate
     // (signBits packs one word), and NaN counts as sign 0 (Java
     // NaN >= 0 is false; DuckDB sorts NaN above 0, so spell it out)
-    "knn_hamming" ->
-      s"""WITH q AS (SELECT vec_id AS qid, embedding AS a FROM embeddings WHERE vec_id < 10),
-         |d AS (
-         |  SELECT q.qid, e.vec_id AS label,
-         |    CAST(len([i FOR i IN range(1, least(len(q.a), 64)+1)
-         |              IF (NOT isnan(q.a[i]) AND q.a[i] >= 0) <> (NOT isnan(e.embedding[i]) AND e.embedding[i] >= 0)]) AS BIGINT) AS ham
-         |  FROM q CROSS JOIN embeddings e
-         |),
-         |r AS (
-         |  SELECT qid, label, ham,
-         |    CAST(row_number() OVER (PARTITION BY qid ORDER BY ham ASC, label) - 1 AS INTEGER) AS rank
-         |  FROM d
-         |)
-         |SELECT qid, rank, label, ham AS hamming FROM r WHERE rank < $K""".stripMargin,
+    "knn_hamming" -> hammingOracleSql,
+    // all 16 lists probed == the flat Hamming scan
+    "knn_binary_ivf_exh" -> hammingOracleSql,
+    // corpus-covering coarse cut -> the re-rank is brute-force L2
+    "knn_binary_exh" -> knnOracle(l2sqSql, "ASC", ""),
     "knn_radius" ->
       s"""WITH q AS (SELECT vec_id AS qid, embedding AS a FROM embeddings WHERE vec_id < 10),
          |d AS (
