@@ -27,6 +27,30 @@ object DedupQueries {
     "dedup_exact" -> { (s, dir) =>
       Dedup.exact(docs(s, dir), "doc_id", "text")
     },
+    // the splitmix/FNV hash FAMILY itself under the driver hash: the
+    // exact MinHash lane values (sig[j] = min over shingles of
+    // mix(fnv1a(shingle) ^ (seed + GOLDEN*j))) for a bounded doc slice,
+    // replayed bit-for-bit in DuckDB via HUGEINT 64-bit-wraparound
+    // arithmetic (32-bit split multiply — a 64x64 product overflows
+    // INT128). This converts the "custom hash family -> rows-only"
+    // justification of the banding gates into a driver-verified fact:
+    // the lanes the LSH buckets are built from are cross-engine exact.
+    "dedup_minhash_sig" -> { (s, dir) =>
+      Dedup.minhashSignatures(
+          Tables.wide(s, dir, "documents").where(col("doc_id") < 50),
+          "doc_id", "text", numHashes = 16, shingleSize = 3, seed = 42L)
+        .select(col("id").as("doc_id"), posexplode(col("sig")))
+        .select(col("doc_id"), col("pos").as("lane"), col("col").as("sig"))
+    },
+    // same treatment for the 64-bit SimHash fingerprint: per-token
+    // mix(fnv1a ^ seed), per-bit +-1 tally with multiplicity, majority
+    // bit assembly — the whole fingerprint replayed in SQL
+    "dedup_simhash_sig" -> { (s, dir) =>
+      Tables.wide(s, dir, "documents").where(col("doc_id") < 50)
+        .select(col("doc_id"),
+          graft.functions.hashes.simhash(
+            graft.text.TextFunctions.tokens(col("text")), 42L).as("simhash"))
+    },
     // scale pair for text dedup (the knn_flat_big pattern): the corpus
     // replicated 20x with distinct ids — 100k docs at sf0.1 — through
     // the same one-shuffle exact dedup. Replication is generated
@@ -416,7 +440,78 @@ object DedupQueries {
        |  THEN [toks[i] || ' ' || toks[i+1] FOR i IN range(1, len(toks))]
        |  ELSE [] END)""".stripMargin
 
+  // ---- 64-bit wraparound arithmetic in DuckDB (oracle side) --------
+  // The oracle engine has no wrapping UBIGINT: a 64x64 product is done
+  // in HUGEINT via a 32-bit split (hi*b mod 2^32 shifted + lo*b, all
+  // mod 2^64 — no intermediate exceeds INT128), xors/shifts operate on
+  // the non-negative HUGEINT representation directly.
+  private val M64 = "18446744073709551616::HUGEINT"
+  private def wmul(a: String, b: String): String =
+    s"((((($a) >> 32) * ($b)) % 4294967296::HUGEINT) * 4294967296::HUGEINT" +
+      s" + ((($a) % 4294967296::HUGEINT) * ($b))) % $M64"
+  /** FNV-1a over the (ASCII) chars of string expression `g` */
+  private def fnvSql(g: String): String =
+    s"""list_reduce(
+       |      list_prepend(14695981039346656037::HUGEINT,
+       |        [ord(substring($g, i, 1))::HUGEINT FOR i IN range(1, len($g)+1)]),
+       |      (acc, x) -> ${wmul("xor(acc, x)", "1099511628211::HUGEINT")})""".stripMargin
+  /** splitmix64 mix() as chained CTE stages over column `z` keyed by `keys` */
+  private def mixCtes(prev: String, keys: String): String =
+    s"""z1 AS (SELECT $keys, (z + 11400714819323198485::HUGEINT) % $M64 AS z FROM $prev),
+       |z2 AS (SELECT $keys, ${wmul("xor(z, z >> 30)", "13787848793156543929::HUGEINT")} AS z FROM z1),
+       |z3 AS (SELECT $keys, ${wmul("xor(z, z >> 27)", "10723151780598845931::HUGEINT")} AS z FROM z2),
+       |mx AS (SELECT $keys, xor(z, z >> 31) AS h FROM z3)""".stripMargin
+  /** HUGEINT in [0, 2^64) -> the signed BIGINT Spark emits */
+  private def signedSql(v: String): String =
+    s"CAST(CASE WHEN $v >= 9223372036854775808::HUGEINT THEN $v - $M64 ELSE $v END AS BIGINT)"
+
   def oracles: Map[String, String] = Map(
+    // lane-exact MinHash signature replay (doc_id < 50, 16 lanes):
+    // distinct 3-shingles -> FNV-1a base -> xor with the lane constant
+    // (seed + GOLDEN*j mod 2^64) -> splitmix -> per-lane min; shingle-
+    // less docs coalesce to the Long.MaxValue sentinel like the kernel
+    "dedup_minhash_sig" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents WHERE doc_id < 50),
+         |sh AS (
+         |  SELECT doc_id, unnest(list_distinct(CASE WHEN len(toks) >= 3
+         |    THEN [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] FOR i IN range(1, len(toks)-1)]
+         |    ELSE [] END)) AS g
+         |  FROM t),
+         |base AS (SELECT doc_id, ${fnvSql("g")} AS b FROM sh),
+         |lanes AS (SELECT CAST(unnest(range(0, 16)) AS BIGINT) AS lane),
+         |z0 AS (
+         |  SELECT doc_id, lane,
+         |    xor(b, (42::HUGEINT + ${wmul("lane::HUGEINT", "11400714819323198485::HUGEINT")}) % $M64) AS z
+         |  FROM base CROSS JOIN lanes),
+         |${mixCtes("z0", "doc_id, lane")},
+         |-- the kernel's per-lane min compares SIGNED longs: convert
+         |-- each mixed hash to its signed value BEFORE taking the min
+         |s AS (SELECT doc_id, lane, min(${signedSql("h")}) AS sv FROM mx GROUP BY doc_id, lane)
+         |SELECT t.doc_id, CAST(l.lane AS INTEGER) AS lane,
+         |  coalesce(s.sv, 9223372036854775807) AS sig
+         |FROM t CROSS JOIN lanes l
+         |LEFT JOIN s ON s.doc_id = t.doc_id AND s.lane = l.lane""".stripMargin,
+    // bit-exact SimHash replay: per-token (with multiplicity) mixed
+    // hash -> 64 per-bit +-1 tallies -> majority assembly; token-less
+    // docs coalesce to fingerprint 0 like the kernel
+    "dedup_simhash_sig" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents WHERE doc_id < 50),
+         |tok AS (SELECT doc_id, unnest(toks) AS g FROM t),
+         |base AS (SELECT doc_id, ${fnvSql("g")} AS b FROM tok),
+         |z0 AS (SELECT doc_id, xor(b, 42::HUGEINT) AS z FROM base),
+         |${mixCtes("z0", "doc_id")},
+         |bits AS (
+         |  SELECT doc_id, h, CAST(unnest(range(0, 64)) AS BIGINT) AS bit FROM mx),
+         |tally AS (
+         |  SELECT doc_id, bit,
+         |    sum(CASE WHEN (h >> bit) % 2 = 1 THEN 1 ELSE -1 END) AS v
+         |  FROM bits GROUP BY doc_id, bit),
+         |asm AS (
+         |  SELECT doc_id,
+         |    sum(CASE WHEN v > 0 THEN (1::HUGEINT << bit) ELSE 0::HUGEINT END) AS hu
+         |  FROM tally GROUP BY doc_id)
+         |SELECT t.doc_id, coalesce(${signedSql("a.hu::HUGEINT")}, 0) AS simhash
+         |FROM t LEFT JOIN asm a ON a.doc_id = t.doc_id""".stripMargin,
     "dedup_df_profile" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
          |sh AS (
