@@ -491,6 +491,90 @@ object DedupQueries {
          |  coalesce(s.sv, 9223372036854775807) AS sig
          |FROM t CROSS JOIN lanes l
          |LEFT JOIN s ON s.doc_id = t.doc_id AND s.lane = l.lane""".stripMargin,
+    // the FULL MinHash+LSH banding pipeline replayed end-to-end (the
+    // sig gate's chain continued): 128 signed-min lanes -> 32 rotl7-xor
+    // band buckets (unsigned fold, init GOLDEN) -> hot-bucket cap ->
+    // same-bucket pairs a<b distinct -> per-doc candidate degree.
+    // Converts dedup_minhash itself from rows-only to EXACT.
+    "dedup_minhash" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |sh AS (
+         |  SELECT doc_id, unnest(list_distinct(CASE WHEN len(toks) >= 3
+         |    THEN [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] FOR i IN range(1, len(toks)-1)]
+         |    ELSE [] END)) AS g
+         |  FROM t),
+         |base AS (SELECT doc_id, ${fnvSql("g")} AS b FROM sh),
+         |lanes AS (SELECT CAST(unnest(range(0, 128)) AS BIGINT) AS lane),
+         |z0 AS (
+         |  SELECT doc_id, lane,
+         |    xor(b, (42::HUGEINT + ${wmul("lane::HUGEINT", "11400714819323198485::HUGEINT")}) % $M64) AS z
+         |  FROM base CROSS JOIN lanes),
+         |${mixCtes("z0", "doc_id, lane")},
+         |sigl AS (SELECT doc_id, lane, min(${signedSql("h")}) AS sv FROM mx GROUP BY doc_id, lane),
+         |sigu AS (
+         |  SELECT doc_id, lane,
+         |    CASE WHEN sv < 0 THEN sv::HUGEINT + $M64 ELSE sv::HUGEINT END AS u
+         |  FROM sigl),
+         |sigarr AS (SELECT doc_id, list(u ORDER BY lane) AS sig FROM sigu GROUP BY doc_id),
+         |bb AS (
+         |  SELECT doc_id, band,
+         |    list_reduce(
+         |      list_prepend(11400714819323198485::HUGEINT, sig[band*4+1 : band*4+4]),
+         |      (acc, x) -> xor(((acc << 7) % $M64) + (acc >> 57), x)) AS bucket
+         |  FROM sigarr CROSS JOIN (SELECT CAST(unnest(range(0, 32)) AS INTEGER) AS band)),
+         |capped AS (
+         |  SELECT doc_id, band, bucket FROM (
+         |    SELECT doc_id, band, bucket,
+         |      count(*) OVER (PARTITION BY band, bucket) AS n FROM bb)
+         |  WHERE n <= 1000),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM capped a JOIN capped b
+         |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+         |deg AS (
+         |  SELECT doc_id, count(*) AS n FROM (
+         |    SELECT a_id AS doc_id FROM pairs
+         |    UNION ALL SELECT b_id AS doc_id FROM pairs) GROUP BY doc_id)
+         |SELECT t.doc_id, CAST(coalesce(deg.n, 0) AS BIGINT) AS n_dup_candidates
+         |FROM t LEFT JOIN deg USING (doc_id)""".stripMargin,
+    // the FULL SimHash near-dup pipeline: bit-exact fingerprints ->
+    // 4x16-bit block keys (pigeonhole for hamming <= 3) -> same-block
+    // pairs -> hamming verify -> per-doc degree. Token-less docs keep
+    // fingerprint 0 and DO participate, like the kernel. EXACT.
+    "dedup_simhash" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |tok AS (SELECT doc_id, unnest(toks) AS g FROM t),
+         |base AS (SELECT doc_id, ${fnvSql("g")} AS b FROM tok),
+         |z0 AS (SELECT doc_id, xor(b, 42::HUGEINT) AS z FROM base),
+         |${mixCtes("z0", "doc_id")},
+         |bits AS (
+         |  SELECT doc_id, h, CAST(unnest(range(0, 64)) AS BIGINT) AS bit FROM mx),
+         |tally AS (
+         |  SELECT doc_id, bit,
+         |    sum(CASE WHEN (h >> bit) % 2 = 1 THEN 1 ELSE -1 END) AS v
+         |  FROM bits GROUP BY doc_id, bit),
+         |asm AS (
+         |  SELECT doc_id,
+         |    sum(CASE WHEN v > 0 THEN (1::HUGEINT << bit) ELSE 0::HUGEINT END) AS hu
+         |  FROM tally GROUP BY doc_id),
+         |sims AS (
+         |  SELECT t.doc_id, coalesce(a.hu::HUGEINT, 0::HUGEINT) AS hu,
+         |    coalesce(${signedSql("a.hu::HUGEINT")}, 0) AS sim
+         |  FROM t LEFT JOIN asm a USING (doc_id)),
+         |blocked AS (
+         |  SELECT doc_id, sim, k, (hu >> (k * 16)) % 65536::HUGEINT AS key
+         |  FROM sims CROSS JOIN (SELECT CAST(unnest(range(0, 4)) AS BIGINT) AS k)),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM blocked a JOIN blocked b
+         |    ON a.k = b.k AND a.key = b.key AND a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.sim, b.sim)) <= 3),
+         |deg AS (
+         |  SELECT doc_id, count(*) AS n FROM (
+         |    SELECT a_id AS doc_id FROM pairs
+         |    UNION ALL SELECT b_id AS doc_id FROM pairs) GROUP BY doc_id)
+         |SELECT t.doc_id, CAST(coalesce(deg.n, 0) AS BIGINT) AS n_near_dups
+         |FROM t LEFT JOIN deg USING (doc_id)""".stripMargin,
     // bit-exact SimHash replay: per-token (with multiplicity) mixed
     // hash -> 64 per-bit +-1 tallies -> majority assembly; token-less
     // docs coalesce to fingerprint 0 like the kernel
