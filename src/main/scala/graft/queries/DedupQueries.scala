@@ -465,6 +465,49 @@ object DedupQueries {
   private def signedSql(v: String): String =
     s"CAST(CASE WHEN $v >= 9223372036854775808::HUGEINT THEN $v - $M64 ELSE $v END AS BIGINT)"
 
+  /** shared MinHash chain CTEs (through the per-(doc, lane) SIGNED
+    * minimum `sigl(doc_id, lane, sv)`): docs -> distinct 3-shingles ->
+    * FNV bases -> lane xor/mix -> signed min. Tails differ per oracle. */
+  private def minhashChainCtes(nLanes: Int): String =
+    s"""t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |sh AS (
+       |  SELECT doc_id, unnest(list_distinct(CASE WHEN len(toks) >= 3
+       |    THEN [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] FOR i IN range(1, len(toks)-1)]
+       |    ELSE [] END)) AS g
+       |  FROM t),
+       |base AS (SELECT doc_id, ${fnvSql("g")} AS b FROM sh),
+       |lanes AS (SELECT CAST(unnest(range(0, $nLanes)) AS BIGINT) AS lane),
+       |z0 AS (
+       |  SELECT doc_id, lane,
+       |    xor(b, (42::HUGEINT + ${wmul("lane::HUGEINT", "11400714819323198485::HUGEINT")}) % $M64) AS z
+       |  FROM base CROSS JOIN lanes),
+       |${mixCtes("z0", "doc_id, lane")},
+       |sigl AS (SELECT doc_id, lane, min(${signedSql("h")}) AS sv FROM mx GROUP BY doc_id, lane)""".stripMargin
+
+  /** banding tail over [[minhashChainCtes]]: unsigned lane lists ->
+    * rotl7-xor band buckets -> hot-bucket cap -> distinct a<b pairs */
+  private def bandPairCtes(bands: Int, rows: Int, cap: Int): String =
+    s"""sigu AS (
+       |  SELECT doc_id, lane,
+       |    CASE WHEN sv < 0 THEN sv::HUGEINT + $M64 ELSE sv::HUGEINT END AS u
+       |  FROM sigl),
+       |sigarr AS (SELECT doc_id, list(u ORDER BY lane) AS sig FROM sigu GROUP BY doc_id),
+       |bb AS (
+       |  SELECT doc_id, band,
+       |    list_reduce(
+       |      list_prepend(11400714819323198485::HUGEINT, sig[band*$rows+1 : band*$rows+$rows]),
+       |      (acc, x) -> xor(((acc << 7) % $M64) + (acc >> 57), x)) AS bucket
+       |  FROM sigarr CROSS JOIN (SELECT CAST(unnest(range(0, $bands)) AS INTEGER) AS band)),
+       |capped AS (
+       |  SELECT doc_id, band, bucket FROM (
+       |    SELECT doc_id, band, bucket,
+       |      count(*) OVER (PARTITION BY band, bucket) AS n FROM bb)
+       |  WHERE n <= $cap),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM capped a JOIN capped b
+       |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)""".stripMargin
+
   def oracles: Map[String, String] = Map(
     // lane-exact MinHash signature replay (doc_id < 50, 16 lanes):
     // distinct 3-shingles -> FNV-1a base -> xor with the lane constant
@@ -497,46 +540,48 @@ object DedupQueries {
     // same-bucket pairs a<b distinct -> per-doc candidate degree.
     // Converts dedup_minhash itself from rows-only to EXACT.
     "dedup_minhash" ->
-      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
-         |sh AS (
-         |  SELECT doc_id, unnest(list_distinct(CASE WHEN len(toks) >= 3
-         |    THEN [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] FOR i IN range(1, len(toks)-1)]
-         |    ELSE [] END)) AS g
-         |  FROM t),
-         |base AS (SELECT doc_id, ${fnvSql("g")} AS b FROM sh),
-         |lanes AS (SELECT CAST(unnest(range(0, 128)) AS BIGINT) AS lane),
-         |z0 AS (
-         |  SELECT doc_id, lane,
-         |    xor(b, (42::HUGEINT + ${wmul("lane::HUGEINT", "11400714819323198485::HUGEINT")}) % $M64) AS z
-         |  FROM base CROSS JOIN lanes),
-         |${mixCtes("z0", "doc_id, lane")},
-         |sigl AS (SELECT doc_id, lane, min(${signedSql("h")}) AS sv FROM mx GROUP BY doc_id, lane),
-         |sigu AS (
-         |  SELECT doc_id, lane,
-         |    CASE WHEN sv < 0 THEN sv::HUGEINT + $M64 ELSE sv::HUGEINT END AS u
-         |  FROM sigl),
-         |sigarr AS (SELECT doc_id, list(u ORDER BY lane) AS sig FROM sigu GROUP BY doc_id),
-         |bb AS (
-         |  SELECT doc_id, band,
-         |    list_reduce(
-         |      list_prepend(11400714819323198485::HUGEINT, sig[band*4+1 : band*4+4]),
-         |      (acc, x) -> xor(((acc << 7) % $M64) + (acc >> 57), x)) AS bucket
-         |  FROM sigarr CROSS JOIN (SELECT CAST(unnest(range(0, 32)) AS INTEGER) AS band)),
-         |capped AS (
-         |  SELECT doc_id, band, bucket FROM (
-         |    SELECT doc_id, band, bucket,
-         |      count(*) OVER (PARTITION BY band, bucket) AS n FROM bb)
-         |  WHERE n <= 1000),
-         |pairs AS (
-         |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-         |  FROM capped a JOIN capped b
-         |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+      s"""WITH ${minhashChainCtes(128)},
+         |${bandPairCtes(32, 4, 1000)},
          |deg AS (
          |  SELECT doc_id, count(*) AS n FROM (
          |    SELECT a_id AS doc_id FROM pairs
          |    UNION ALL SELECT b_id AS doc_id FROM pairs) GROUP BY doc_id)
          |SELECT t.doc_id, CAST(coalesce(deg.n, 0) AS BIGINT) AS n_dup_candidates
          |FROM t LEFT JOIN deg USING (doc_id)""".stripMargin,
+    // the MinHash estimator audit replayed end-to-end: the SAME lane
+    // chain feeds both the banding pairs and the per-pair lane-agreement
+    // estimate; truth is the distinct-shingle jaccard on the pair list.
+    // est/true/err are integer fixed-point. EXACT (was rows-only).
+    "dedup_minhash_eval" ->
+      s"""WITH ${minhashChainCtes(128)},
+         |${bandPairCtes(32, 4, 1000)},
+         |siga AS (SELECT doc_id, list(sv ORDER BY lane) AS sig FROM sigl GROUP BY doc_id),
+         |sharr AS (
+         |  SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3
+         |    THEN [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] FOR i IN range(1, len(toks)-1)]
+         |    ELSE [] END) AS shs
+         |  FROM t),
+         |est AS (
+         |  SELECT p.a_id, p.b_id,
+         |    len([i FOR i IN range(1, 129) IF sa.sig[i] = sb.sig[i]]) AS lanes
+         |  FROM pairs p
+         |  JOIN siga sa ON sa.doc_id = p.a_id
+         |  JOIN siga sb ON sb.doc_id = p.b_id),
+         |tru AS (
+         |  SELECT p.a_id, p.b_id,
+         |    len(list_intersect(ha.shs, hb.shs)) AS inter,
+         |    len(ha.shs) AS na, len(hb.shs) AS nb
+         |  FROM pairs p
+         |  JOIN sharr ha ON ha.doc_id = p.a_id
+         |  JOIN sharr hb ON hb.doc_id = p.b_id)
+         |SELECT e.a_id, e.b_id,
+         |  CAST((e.lanes * 10000) // 128 AS BIGINT) AS est_bp,
+         |  CAST(floor(CAST(t2.inter AS DOUBLE) / CAST(t2.na + t2.nb - t2.inter AS DOUBLE)
+         |       * 10000 + 0.5) AS BIGINT) AS true_bp,
+         |  CAST(abs(CAST((e.lanes * 10000) // 128 AS BIGINT)
+         |    - CAST(floor(CAST(t2.inter AS DOUBLE) / CAST(t2.na + t2.nb - t2.inter AS DOUBLE)
+         |           * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS err_bp
+         |FROM est e JOIN tru t2 ON t2.a_id = e.a_id AND t2.b_id = e.b_id""".stripMargin,
     // the FULL SimHash near-dup pipeline: bit-exact fingerprints ->
     // 4x16-bit block keys (pigeonhole for hamming <= 3) -> same-block
     // pairs -> hamming verify -> per-doc degree. Token-less docs keep
