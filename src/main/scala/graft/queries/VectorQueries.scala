@@ -479,6 +479,53 @@ object VectorQueries {
     // partitioning. The dim -> drift fold quantizes each SQUARED delta
     // to fixed point too — a double sum over dims would be
     // order-dependent — so the whole chain has an exact oracle.
+    // k-NN label propagation (weak supervision / auto-labeling over an
+    // embedding column): each query vector takes the majority class of
+    // its 5 nearest OTHER vectors (ties: most votes, then smallest
+    // class id). The candidate filter excludes self BEFORE ranking, so
+    // the oracle replays the identical (dist, id)-ordered top-5. The
+    // pipeline shape that labels a raw crawl from a small seeded set.
+    "knn_classify" -> { (s, dir) =>
+      val e = Tables(s, dir, "embeddings")
+      val q = e.where(col("vec_id") < 100)
+        .select(col("vec_id").as("qid"), vec.vector(col("embedding")).as("qvec"))
+      val d = e.select(col("vec_id").as("nn_id"), vec.vector(col("embedding")).as("vec"))
+      val cands = d.crossJoin(broadcast(q))
+        .where(col("nn_id") =!= col("qid"))
+        .select(col("qid"), col("nn_id").as("label"),
+          vec.l2sq(col("vec"), col("qvec")).as("_dist"))
+      val nn = Knn.rankResults(cands, K, ascending = true)
+        .select(col("qid"), col("label").as("nn_id"))
+      val classes = e.select(col("vec_id").as("nn_id"), col("label").as("cls"))
+      nn.join(broadcast(classes), "nn_id")
+        .groupBy("qid", "cls")
+        .agg(count(lit(1)).as("votes"))
+        .groupBy("qid")
+        .agg(max(struct(col("votes"), (lit(0) - col("cls")).as("ncls"))).as("m"))
+        .select(col("qid"), (lit(0) - col("m.ncls")).as("pred_label"),
+          col("m.votes").as("votes"))
+    },
+    // per-dimension corpus health profile (the check before trusting an
+    // embedding batch: dead dims, variance collapse, mean shift): n /
+    // mean / variance over 1e-6-quantized cells — integer sums are
+    // order-independent, the final divisions are the identical IEEE
+    // expression on both engines. Exact oracle.
+    "embed_dim_stats" -> { (s, dir) =>
+      Tables(s, dir, "embeddings")
+        .select(posexplode(col("embedding").cast("array<double>")))
+        .select(col("pos").as("dim"),
+          floor(col("col") * 1000000 + 0.5).cast("long").as("vq"))
+        .groupBy("dim")
+        .agg(count(lit(1)).as("n"), sum("vq").as("s"),
+          sum(col("vq") * col("vq")).as("ss"))
+        .select(col("dim"), col("n"),
+          Tables.quant4(col("s").cast("double") / 1000000.0 / col("n").cast("double"))
+            .as("mean"),
+          Tables.quant4((col("ss").cast("double") / 1000000000000.0
+            - (col("s").cast("double") / 1000000.0) * (col("s").cast("double") / 1000000.0)
+              / col("n").cast("double")) / col("n").cast("double"))
+            .as("variance"))
+    },
     "embed_drift" -> { (s, dir) =>
       val cohortDim = Tables(s, dir, "embeddings")
         .select(col("label"), (col("vec_id") % 2).as("c"),
@@ -620,6 +667,38 @@ object VectorQueries {
     // (signBits packs one word), and NaN counts as sign 0 (Java
     // NaN >= 0 is false; DuckDB sorts NaN above 0, so spell it out)
     "knn_hamming" -> hammingOracleSql,
+    // exclude-self top-5 by (dist, id), then (votes desc, class asc)
+    "knn_classify" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS a FROM embeddings WHERE vec_id < 100),
+         |d AS (
+         |  SELECT q.qid, e.vec_id AS nn_id, e.label AS cls, $l2sqSql AS dist
+         |  FROM q CROSS JOIN (SELECT vec_id, label, embedding AS b FROM embeddings) e
+         |  WHERE e.vec_id <> q.qid),
+         |r AS (
+         |  SELECT qid, cls,
+         |    row_number() OVER (PARTITION BY qid ORDER BY dist, nn_id) AS rn
+         |  FROM d),
+         |v AS (SELECT qid, cls, count(*) AS votes FROM r WHERE rn <= $K GROUP BY qid, cls),
+         |w AS (
+         |  SELECT qid, cls, votes,
+         |    row_number() OVER (PARTITION BY qid ORDER BY votes DESC, cls) AS pick
+         |  FROM v)
+         |SELECT qid, CAST(cls AS INTEGER) AS pred_label, CAST(votes AS BIGINT) AS votes
+         |FROM w WHERE pick = 1""".stripMargin,
+    // identical quantize -> integer sums -> identical IEEE divisions
+    "embed_dim_stats" ->
+      s"""WITH c AS (
+         |  SELECT CAST(unnest(range(len(embedding))) AS INTEGER) AS dim,
+         |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS vq
+         |  FROM embeddings)
+         |SELECT dim, count(*) AS n,
+         |  ${Tables.quant4Sql(
+             "CAST(sum(vq) AS DOUBLE) / 1000000.0 / CAST(count(*) AS DOUBLE)")} AS mean,
+         |  ${Tables.quant4Sql(
+             "(CAST(sum(vq * vq) AS DOUBLE) / 1000000000000.0 " +
+             "- (CAST(sum(vq) AS DOUBLE) / 1000000.0) * (CAST(sum(vq) AS DOUBLE) / 1000000.0) " +
+             "/ CAST(count(*) AS DOUBLE)) / CAST(count(*) AS DOUBLE)")} AS variance
+         |FROM c GROUP BY dim""".stripMargin,
     // all 16 lists probed == the flat Hamming scan
     "knn_binary_ivf_exh" -> hammingOracleSql,
     // corpus-covering coarse cut -> the re-rank is brute-force L2

