@@ -203,6 +203,92 @@ object StreamingParityQueries {
             StructField("from_type", StringType),
             StructField("to_type", StringType))))
       } finally q.stop()
+    },
+    // funnel depth per user (funnelFMGWS): emission happens ONLY via
+    // the idle timeout, so the window is stretched past the data span
+    // (40 days > the corpus's ~30) — no user closes mid-stream with a
+    // partial funnel — and the far-future sentinels push the watermark
+    // past every user's last+idle so each closes exactly once, with
+    // its full first-occurrence state. The state folds are min/max
+    // (order-insensitive), so out-of-order replay cannot change depth.
+    "streaming_parity_funnel" -> { (s, dir) =>
+      import s.implicits._
+      implicit val ctx = s.sqlContext
+      val input = Tables.events(s, dir)
+        .select(col("user_id").cast("long"), col("event_type"), col("ts"),
+          col("event_id").cast("long"))
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2), r.getLong(3)))
+        .sortBy(r => (r._3.getTime, r._4))
+      val maxTs = input.last._3.getTime
+      val mem = MemoryStream[(Long, String, Timestamp)]
+      val ds = mem.toDF.toDF("user_id", "event_type", "ts").as[Streaming.TypedEv]
+      val q = Streaming.funnelFMGWS(ds, watermark = "2 hours",
+          idleCloseMs = 40L * 86400 * 1000)
+        .toDF()
+        .writeStream.format("memory").queryName("parity_funnel")
+        .outputMode("append").start()
+      try {
+        chunked[(Long, String, Timestamp, Long)](input, _._4).foreach { chunk =>
+          mem.addData(chunk.map(r => (r._1, r._2, r._3)).toSeq)
+          q.processAllAvailable()
+        }
+        mem.addData((-1L, "view", new Timestamp(maxTs + 60L * 86400 * 1000)))
+        q.processAllAvailable()
+        mem.addData((-1L, "view", new Timestamp(maxTs + 120L * 86400 * 1000)))
+        q.processAllAvailable()
+        val out = s.table("parity_funnel").where(col("user_id") >= 0).collect()
+        s.createDataFrame(
+          java.util.Arrays.asList(out: _*),
+          StructType(Seq(
+            StructField("user_id", LongType),
+            StructField("funnel_depth", IntegerType))))
+      } finally q.stop()
+    },
+    // last-touch attribution (attributionFMGWS): purchases emit with
+    // the channel carried at their (ms, event_id) position; idle-close
+    // disabled, per-user marker-typed sentinels (neither touch nor
+    // purchase — they only advance the watermark) flush the tail.
+    "streaming_parity_attribution" -> { (s, dir) =>
+      import s.implicits._
+      implicit val ctx = s.sqlContext
+      val input = Tables.events(s, dir)
+        .select(col("user_id").cast("long"), col("event_id").cast("long"),
+          col("event_type"), col("value").cast("double"), col("ts"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3),
+          r.getTimestamp(4)))
+        .sortBy(r => (r._5.getTime, r._2))
+      val maxTs = input.last._5.getTime
+      val mem = MemoryStream[(Long, Long, String, Double, Timestamp)]
+      val ds = mem.toDF.toDF("user_id", "event_id", "event_type", "value", "ts")
+        .as[Streaming.AttrEv]
+      val q = Streaming.attributionFMGWS(ds, watermark = "2 hours",
+          idleCloseMs = 3650L * 86400 * 1000)
+        .toDF()
+        .writeStream.format("memory").queryName("parity_attribution")
+        .outputMode("append").start()
+      try {
+        chunked[(Long, Long, String, Double, Timestamp)](input, _._2).foreach { chunk =>
+          mem.addData(chunk.toSeq)
+          q.processAllAvailable()
+        }
+        val users = input.map(_._1).distinct
+        mem.addData(users.map(u =>
+          (u, -1L, "__flush__", 0.0, new Timestamp(maxTs + 30L * 86400 * 1000))).toSeq)
+        q.processAllAvailable()
+        mem.addData(users.map(u =>
+          (u, -2L, "__flush__", 0.0, new Timestamp(maxTs + 60L * 86400 * 1000))).toSeq)
+        q.processAllAvailable()
+        val out = s.table("parity_attribution").where(col("user_id") >= 0).collect()
+        s.createDataFrame(
+          java.util.Arrays.asList(out: _*),
+          StructType(Seq(
+            StructField("user_id", LongType),
+            StructField("purchase_id", LongType),
+            StructField("channel", StringType),
+            StructField("value", DoubleType))))
+      } finally q.stop()
     })
 
   def oracles: Map[String, String] = Map(
@@ -276,5 +362,43 @@ object StreamingParityQueries {
         |  FROM ev
         |)
         |SELECT user_id, event_type AS from_type, next_type AS to_type
-        |FROM ord WHERE next_type IS NOT NULL""".stripMargin)
+        |FROM ord WHERE next_type IS NOT NULL""".stripMargin,
+    // the when-chain over first-occurrence (ms) minima — exactly the
+    // state the stream folds, evaluated relationally
+    "streaming_parity_funnel" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, epoch_ms(CAST(ts AS TIMESTAMP)) AS ms FROM events
+        |), m AS (
+        |  SELECT user_id,
+        |    min(CASE WHEN event_type = 'view' THEN ms END) AS t1,
+        |    min(CASE WHEN event_type = 'click' THEN ms END) AS t2,
+        |    min(CASE WHEN event_type = 'purchase' THEN ms END) AS t3
+        |  FROM ev GROUP BY user_id
+        |)
+        |SELECT user_id,
+        |  CAST(CASE
+        |    WHEN t1 IS NOT NULL AND t2 IS NOT NULL AND t3 IS NOT NULL
+        |         AND t1 < t2 AND t2 < t3 THEN 3
+        |    WHEN t1 IS NOT NULL AND t2 IS NOT NULL AND t1 < t2 THEN 2
+        |    WHEN t1 IS NOT NULL THEN 1
+        |    ELSE 0 END AS INTEGER) AS funnel_depth
+        |FROM m""".stripMargin,
+    // per purchase: the last touch (click/view/signup) at or before its
+    // (ms, event_id) position, 'direct' when none — the carry replay
+    "streaming_parity_attribution" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, event_type, value,
+        |    epoch_ms(CAST(ts AS TIMESTAMP)) AS ms
+        |  FROM events
+        |), c AS (
+        |  SELECT user_id, event_id, event_type, value, ms,
+        |    last_value(CASE WHEN event_type IN ('click','view','signup')
+        |                    THEN event_type END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ms, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS carry
+        |  FROM ev
+        |)
+        |SELECT user_id, event_id AS purchase_id,
+        |  coalesce(carry, 'direct') AS channel, value
+        |FROM c WHERE event_type = 'purchase'""".stripMargin)
 }
