@@ -245,6 +245,55 @@ object StreamingParityQueries {
             StructField("funnel_depth", IntegerType))))
       } finally q.stop()
     },
+    // stream-STREAM interval join (intervalJoin): orders and events
+    // replayed as two lockstep-chunked streams; inner-join matches
+    // emit as both sides arrive (no suppression to flush), join state
+    // survives because the global watermark is the min over both
+    // streams and each stream's chunks are time-ordered. The emitted
+    // multiset hash-equals the batch range join.
+    "streaming_parity_interval" -> { (s, dir) =>
+      import s.implicits._
+      implicit val ctx = s.sqlContext
+      val ordersIn = Tables(s, dir, "orders")
+        .select(col("o_orderkey").cast("long"), col("o_custkey").cast("long"),
+          col("o_orderdate").cast("timestamp"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2)))
+        .sortBy(r => (r._3.getTime, r._1))
+      val eventsIn = Tables.events(s, dir)
+        .select(col("user_id").cast("long"), col("event_id").cast("long"),
+          col("ts"), col("value").cast("double"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2), r.getDouble(3)))
+        .sortBy(r => (r._3.getTime, r._2))
+      val memO = MemoryStream[(Long, Long, Timestamp)]
+      val memE = MemoryStream[(Long, Long, Timestamp, Double)]
+      val q = Streaming.intervalJoin(
+          memO.toDF.toDF("o_orderkey", "o_custkey", "o_ts"),
+          memE.toDF.toDF("user_id", "event_id", "ts", "value"),
+          windowHours = 72)
+        .writeStream.format("memory").queryName("parity_interval")
+        .outputMode("append").start()
+      try {
+        val oChunks = chunked[(Long, Long, Timestamp)](ordersIn, _._1)
+        val eChunks = chunked[(Long, Long, Timestamp, Double)](eventsIn, _._2)
+        oChunks.zipAll(eChunks, Array.empty[(Long, Long, Timestamp)],
+            Array.empty[(Long, Long, Timestamp, Double)])
+          .foreach { case (oc, ec) =>
+            if (oc.nonEmpty) memO.addData(oc.toSeq)
+            if (ec.nonEmpty) memE.addData(ec.toSeq)
+            q.processAllAvailable()
+          }
+        val out = s.table("parity_interval").collect()
+        s.createDataFrame(
+          java.util.Arrays.asList(out: _*),
+          StructType(Seq(
+            StructField("o_orderkey", LongType),
+            StructField("event_id", LongType),
+            StructField("ts", TimestampType),
+            StructField("value", DoubleType))))
+      } finally q.stop()
+    },
     // last-touch attribution (attributionFMGWS): purchases emit with
     // the channel carried at their (ms, event_id) position; idle-close
     // disabled, per-user marker-typed sentinels (neither touch nor
@@ -383,6 +432,13 @@ object StreamingParityQueries {
         |    WHEN t1 IS NOT NULL THEN 1
         |    ELSE 0 END AS INTEGER) AS funnel_depth
         |FROM m""".stripMargin,
+    // the batch range join the stream must reproduce, row for row
+    "streaming_parity_interval" ->
+      """SELECT o.o_orderkey, e.event_id, CAST(e.ts AS TIMESTAMP) AS ts, e.value
+        |FROM orders o JOIN events e
+        |  ON e.user_id = o.o_custkey
+        | AND CAST(e.ts AS TIMESTAMP) >= CAST(o.o_orderdate AS TIMESTAMP)
+        | AND CAST(e.ts AS TIMESTAMP) < CAST(o.o_orderdate AS TIMESTAMP) + INTERVAL 72 HOURS""".stripMargin,
     // per purchase: the last touch (click/view/signup) at or before its
     // (ms, event_id) position, 'direct' when none — the carry replay
     "streaming_parity_attribution" ->
