@@ -294,6 +294,46 @@ object StreamingParityQueries {
             StructField("value", DoubleType))))
       } finally q.stop()
     },
+    // streaming exact dedup (dropDuplicatesWithinWatermark): the corpus
+    // replays in duplicate-rank waves — wave k carries each text's
+    // (k+1)-th lowest-id copy, so within any micro-batch all keys are
+    // DISTINCT (state dedup is deterministic regardless of partition
+    // order) and the survivor of every group is provably its lowest id.
+    // The surviving set hash-equals batch exact dedup.
+    "streaming_parity_dedup" -> { (s, dir) =>
+      import s.implicits._
+      implicit val ctx = s.sqlContext
+      val docs = Tables.wide(s, dir, "documents")
+        .select(col("doc_id").cast("long"), col("text"))
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+        .sortBy(_._1)
+      val waves = docs.groupBy(_._2).values.toArray
+        .flatMap(g => g.sortBy(_._1).zipWithIndex.map { case ((id, t), k) => (k, id, t) })
+        .groupBy(_._1).toSeq.sortBy(_._1)
+        .map { case (k, rows) => (k, rows.map(r => (r._2, r._3)).sortBy(_._1)) }
+      val base = 1700000000000L
+      val mem = MemoryStream[(Long, String, Timestamp)]
+      val df = mem.toDF.toDF("doc_id", "text", "ts")
+        .withWatermark("ts", "30 days")
+        .dropDuplicatesWithinWatermark("text")
+        .select(col("doc_id"), md5(col("text")).as("text_hash"))
+      val q = df.writeStream.format("memory").queryName("parity_dedup")
+        .outputMode("append").start()
+      try {
+        waves.foreach { case (k, rows) =>
+          mem.addData(rows.map { case (id, t) =>
+            (id, t, new Timestamp(base + k * 3600 * 1000L)) }.toSeq)
+          q.processAllAvailable()
+        }
+        val out = s.table("parity_dedup").collect()
+        s.createDataFrame(
+          java.util.Arrays.asList(out: _*),
+          StructType(Seq(
+            StructField("doc_id", LongType),
+            StructField("text_hash", StringType))))
+      } finally q.stop()
+    },
     // last-touch attribution (attributionFMGWS): purchases emit with
     // the channel carried at their (ms, event_id) position; idle-close
     // disabled, per-user marker-typed sentinels (neither touch nor
@@ -432,6 +472,10 @@ object StreamingParityQueries {
         |    WHEN t1 IS NOT NULL THEN 1
         |    ELSE 0 END AS INTEGER) AS funnel_depth
         |FROM m""".stripMargin,
+    // the lowest-id copy of every text survives, nothing else
+    "streaming_parity_dedup" ->
+      """SELECT min(doc_id) AS doc_id, md5(text) AS text_hash
+        |FROM documents GROUP BY md5(text), text""".stripMargin,
     // the batch range join the stream must reproduce, row for row
     "streaming_parity_interval" ->
       """SELECT o.o_orderkey, e.event_id, CAST(e.ts AS TIMESTAMP) AS ts, e.value
