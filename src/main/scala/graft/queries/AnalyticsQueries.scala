@@ -635,6 +635,43 @@ object AnalyticsQueries {
           expr("(n_clicks * 10000L) div n_views").as("ctr_bp"),
           expr("(n_purchases * 10000L) div greatest(n_clicks, 1L)").as("cvr_bp"))
     },
+    // two-sample conversion test (the A/B readout): users split by id
+    // parity into variants, per-user converted flag, 2x2 contingency
+    // counts, and the chi-square statistic computed as ONE division of
+    // two exact DECIMAL(38) integers — n(ad-bc)^2 / ((a+b)(c+d)(a+c)
+    // (b+d)) — so the float value is identical cross-engine (no
+    // variance/sqrt chain to drift). Exact oracle incl. the statistic.
+    "events_ab_test" -> { (s, dir) =>
+      // "converted" = a heavy buyer (>= 14 purchases, above the corpus
+      // median of ~13) — any-purchase converts EVERYONE in this corpus
+      // and degenerates the table to the zero-signal branch
+      val conv = Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(when(sum(when(col("event_type") === "purchase", 1L).otherwise(0L)) >= 14, 1L)
+          .otherwise(0L).as("converted"))
+        .select((col("user_id") % 2).as("variant"), col("converted"))
+      val p = conv.agg(
+        sum(when(col("variant") === 0, 1L).otherwise(0L)).as("users_a"),
+        sum(when(col("variant") === 0, col("converted")).otherwise(0L)).as("conv_a"),
+        sum(when(col("variant") === 1, 1L).otherwise(0L)).as("users_b"),
+        sum(when(col("variant") === 1, col("converted")).otherwise(0L)).as("conv_b"))
+      def dec(c: Column) = c.cast("decimal(38,0)")
+      val a = dec(col("conv_a"))
+      val b = dec(col("users_a") - col("conv_a"))
+      val c0 = dec(col("conv_b"))
+      val d0 = dec(col("users_b") - col("conv_b"))
+      val n = dec(col("users_a") + col("users_b"))
+      val diff = a * d0 - b * c0
+      // a degenerate margin (all users converted, or none) carries no
+      // signal: chi-square is 0 by convention instead of 0/0
+      val den = (a + b) * (c0 + d0) * (a + c0) * (b + d0)
+      p.select(col("users_a"), col("conv_a"), col("users_b"), col("conv_b"),
+        expr("(conv_a * 10000L) div users_a").as("conv_a_bp"),
+        expr("(conv_b * 10000L) div users_b").as("conv_b_bp"),
+        when(den === dec(lit(0)), lit(0.0))
+          .otherwise(Tables.quant4((n * diff * diff).cast("double") / den.cast("double")))
+          .as("chi2"))
+    },
     // daily active users split NEW vs RETURNING (first-seen day per
     // user vs activity day) — the growth-accounting twin of
     // events_active_users. Two map-side-combined rollups: per-user
@@ -1082,6 +1119,35 @@ object AnalyticsQueries {
     })
 
   def oracles: Map[String, String] = Map(
+    // identical 2x2 fold + the chi-square as one HUGEINT-exact division
+    "events_ab_test" ->
+      """WITH conv AS (
+        |  SELECT user_id,
+        |    CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >= 14
+        |         THEN 1 ELSE 0 END AS converted
+        |  FROM events GROUP BY user_id
+        |), v AS (SELECT user_id % 2 AS variant, converted FROM conv),
+        |p AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS users_a,
+        |    CAST(sum(CASE WHEN variant = 0 THEN converted ELSE 0 END) AS BIGINT) AS conv_a,
+        |    CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS users_b,
+        |    CAST(sum(CASE WHEN variant = 1 THEN converted ELSE 0 END) AS BIGINT) AS conv_b
+        |  FROM v),
+        |h AS (
+        |  SELECT users_a, conv_a, users_b, conv_b,
+        |    conv_a::HUGEINT AS a, (users_a - conv_a)::HUGEINT AS b,
+        |    conv_b::HUGEINT AS c, (users_b - conv_b)::HUGEINT AS d,
+        |    (users_a + users_b)::HUGEINT AS n
+        |  FROM p)
+        |SELECT users_a, conv_a, users_b, conv_b,
+        |  CAST((conv_a * 10000) // users_a AS BIGINT) AS conv_a_bp,
+        |  CAST((conv_b * 10000) // users_b AS BIGINT) AS conv_b_bp,
+        |  CASE WHEN (a+b) * (c+d) * (a+c) * (b+d) = 0 THEN 0.0
+        |    ELSE CAST(CAST(CAST(n * (a*d - b*c) * (a*d - b*c) AS DOUBLE)
+        |      / CAST((a+b) * (c+d) * (a+c) * (b+d) AS DOUBLE)
+        |      AS DECIMAL(18,4)) AS DOUBLE) END AS chi2
+        |FROM h""".stripMargin,
     // the SAME filter over the ORIGINAL table: the z-ordered copy must
     // select identical rows or the layout broke the data
     "layout_zorder" ->
