@@ -245,6 +245,78 @@ object StreamingParityQueries {
             StructField("funnel_depth", IntegerType))))
       } finally q.stop()
     },
+    // per-window bounded top-k heap (windowTopK): the streamed hourly
+    // top-3 events by value (ties by event_id, the heap's rule) in
+    // complete mode — values pass through untouched, so the oracle is
+    // a plain window-rank replay
+    "streaming_parity_topk" -> { (s, dir) =>
+      import s.implicits._
+      implicit val ctx = s.sqlContext
+      val input = Tables.events(s, dir)
+        .select(col("ts"), col("event_id").cast("long"), col("value").cast("double"))
+        .collect()
+        .map(r => (r.getTimestamp(0), r.getLong(1), r.getDouble(2)))
+        .sortBy(r => (r._1.getTime, r._2))
+      val mem = MemoryStream[(Timestamp, Long, Double)]
+      val df = mem.toDF.toDF("ts", "event_id", "value")
+      val q = Streaming.windowTopK(df, k = 3)
+        .writeStream.format("memory").queryName("parity_topk")
+        .outputMode("complete").start()
+      try {
+        chunked[(Timestamp, Long, Double)](input, _._2).foreach { chunk =>
+          mem.addData(chunk.toSeq)
+          q.processAllAvailable()
+        }
+        val out = s.table("parity_topk").collect()
+        s.createDataFrame(
+          java.util.Arrays.asList(out: _*),
+          StructType(Seq(
+            StructField("bucket", TimestampType),
+            StructField("rank", IntegerType),
+            StructField("event_id", LongType),
+            StructField("value", DoubleType))))
+      } finally q.stop()
+    },
+    // the COMPOSED at-ingest curation gate (quality filter + fp dedup +
+    // PII scrub, one streaming pass with observe() counters): replayed
+    // in duplicate-rank waves like parity_dedup; survivors carry the
+    // raw IEEE quality score (the chain is bit-exact cross-engine —
+    // text_quality gates it unquantized) and the scrubbed-text md5
+    "streaming_parity_curation" -> { (s, dir) =>
+      import s.implicits._
+      implicit val ctx = s.sqlContext
+      val docs = Tables.wide(s, dir, "documents")
+        .select(col("doc_id").cast("long"), col("text"))
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+        .sortBy(_._1)
+      val waves = docs.groupBy(_._2).values.toArray
+        .flatMap(g => g.sortBy(_._1).zipWithIndex.map { case ((id, t), k) => (k, id, t) })
+        .groupBy(_._1).toSeq.sortBy(_._1)
+        .map { case (k, rows) => (k, rows.map(r => (r._2, r._3)).sortBy(_._1)) }
+      val base = 1700000000000L
+      val mem = MemoryStream[(Long, String, Timestamp)]
+      val df = mem.toDF.toDF("doc_id", "text", "ts")
+      val q = Streaming.curationGate(df, minQuality = 0.6, watermark = "30 days")
+        .writeStream.format("memory").queryName("parity_curation")
+        .outputMode("append").start()
+      try {
+        waves.foreach { case (k, rows) =>
+          mem.addData(rows.map { case (id, t) =>
+            (id, t, new Timestamp(base + k * 3600 * 1000L)) }.toSeq)
+          q.processAllAvailable()
+        }
+        val out = s.table("parity_curation")
+          .select(col("doc_id"), col("quality"), md5(col("text")).as("scrubbed_md5"))
+          .collect()
+        s.createDataFrame(
+          java.util.Arrays.asList(out: _*),
+          StructType(Seq(
+            StructField("doc_id", LongType),
+            StructField("quality", DoubleType),
+            StructField("scrubbed_md5", StringType))))
+      } finally q.stop()
+    },
     // stream-STREAM interval join (intervalJoin): orders and events
     // replayed as two lockstep-chunked streams; inner-join matches
     // emit as both sides arrive (no suppression to flush), join state
@@ -483,6 +555,28 @@ object StreamingParityQueries {
     "streaming_parity_dedup" ->
       """SELECT min(doc_id) AS doc_id, md5(text) AS text_hash
         |FROM documents GROUP BY md5(text), text""".stripMargin,
+    // hourly top-3 by (value desc, event_id) — the heap's tie rule
+    "streaming_parity_topk" ->
+      """WITH r AS (
+        |  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket,
+        |    event_id, value,
+        |    CAST(row_number() OVER (
+        |      PARTITION BY date_trunc('hour', CAST(ts AS TIMESTAMP))
+        |      ORDER BY value DESC, event_id) - 1 AS INTEGER) AS rank
+        |  FROM events
+        |)
+        |SELECT bucket, rank, event_id, value FROM r WHERE rank < 3""".stripMargin,
+    // quality gate >= 0.6 (the bit-exact chain text_quality gates raw),
+    // min-id survivor per surviving text, scrubbed-text md5
+    "streaming_parity_curation" ->
+      s"""WITH ${TextQueries.qualityCtesSql},
+         |s AS (SELECT doc_id, text, ${TextQueries.qualityExprSql} AS q FROM f),
+         |pass AS (SELECT doc_id, text, q FROM s WHERE q >= 0.6),
+         |surv AS (SELECT min(doc_id) AS doc_id FROM pass GROUP BY md5(text), text)
+         |SELECT p.doc_id, p.q AS quality,
+         |  md5(regexp_replace(regexp_replace(p.text, 'https?://[^\\s]+', '<URL>', 'g'),
+         |      '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}', '<EMAIL>', 'g')) AS scrubbed_md5
+         |FROM pass p JOIN surv USING (doc_id)""".stripMargin,
     // the batch range join the stream must reproduce, row for row
     "streaming_parity_interval" ->
       """SELECT o.o_orderkey, e.event_id, CAST(e.ts AS TIMESTAMP) AS ts, e.value
