@@ -154,6 +154,20 @@ object VectorQueries {
           k = 3, nlist = 16, nprobe = 4, excludeSelf = true)
         .select(col("qid"), col("rank"), col("label"))
     },
+    // exhaustive twin of the unbounded ANN join: every list probed ->
+    // each (query, corpus) pair is scored exactly once with the same
+    // codegen'd L2 kernel the exact join uses, so the one-shuffle-per-
+    // side distributed plan (no driver collect of either side) gates
+    // against knn_join's brute-force oracle
+    "knn_join_ann_exh" -> { (s, dir) =>
+      val e = Tables(s, dir, "embeddings")
+      graft.search.AnnJoin.ivfJoin(
+          left = e.select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+          right = e.select(col("vec_id").as("label"), col("embedding").as("vec")),
+          k = 3, nlist = 16, nprobe = 16, excludeSelf = true)
+        .select(col("qid"), col("rank"), col("label"),
+          Tables.quant4(col("distance")).as("distance"))
+    },
     // full self k-NN join: every embedding -> 3 nearest other embeddings
     "knn_join" -> { (s, dir) =>
       val e = Tables(s, dir, "embeddings")
@@ -640,6 +654,21 @@ object VectorQueries {
          |SELECT grp, qid, rank, label, CAST(CAST(dist AS DECIMAL(18,4)) AS DOUBLE) AS distance
          |FROM r WHERE rank < 3""".stripMargin,
     "knn_join" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS a FROM embeddings),
+         |d AS (
+         |  SELECT q.qid, e.vec_id AS label, $l2sqSql AS dist
+         |  FROM q CROSS JOIN (SELECT vec_id, embedding AS b FROM embeddings) e
+         |  WHERE e.vec_id != q.qid
+         |),
+         |r AS (
+         |  SELECT qid, label, dist,
+         |    CAST(row_number() OVER (PARTITION BY qid ORDER BY dist ASC, label) - 1 AS INTEGER) AS rank
+         |  FROM d
+         |)
+         |SELECT qid, rank, label, CAST(CAST(dist AS DECIMAL(18,4)) AS DOUBLE) AS distance
+         |FROM r WHERE rank < 3""".stripMargin,
+    // exhaustive probing makes the distributed ANN join brute force
+    "knn_join_ann_exh" ->
       s"""WITH q AS (SELECT vec_id AS qid, embedding AS a FROM embeddings),
          |d AS (
          |  SELECT q.qid, e.vec_id AS label, $l2sqSql AS dist
