@@ -168,6 +168,18 @@ object VectorQueries {
         .select(col("qid"), col("rank"), col("label"),
           Tables.quant4(col("distance")).as("distance"))
     },
+    // and the RADIUS flavor of the same path (ivfRadiusJoin, the
+    // 100 TB embedding-near-dup shape): exhaustive probing -> every
+    // within-radius pair surfaces exactly once -> brute-force oracle
+    "knn_radius_join_exh" -> { (s, dir) =>
+      val e = Tables(s, dir, "embeddings")
+      graft.search.AnnJoin.ivfRadiusJoin(
+          left = e.select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+          right = e.select(col("vec_id").as("label"), col("embedding").as("vec")),
+          radius = RADIUS, nlist = 16, nprobe = 16, excludeSelf = true)
+        .select(col("qid"), col("label"),
+          Tables.quant4(col("distance")).as("distance"))
+    },
     // full self k-NN join: every embedding -> 3 nearest other embeddings
     "knn_join" -> { (s, dir) =>
       val e = Tables(s, dir, "embeddings")
@@ -737,6 +749,16 @@ object VectorQueries {
          |d AS (
          |  SELECT q.qid, e.vec_id AS label, $l2sqSql AS dist
          |  FROM q CROSS JOIN (SELECT vec_id, embedding AS b FROM embeddings) e
+         |)
+         |SELECT qid, label, CAST(CAST(dist AS DECIMAL(18,4)) AS DOUBLE) AS distance
+         |FROM d WHERE dist < ${RADIUS}""".stripMargin,
+    // all within-radius pairs over the FULL corpus, self excluded
+    "knn_radius_join_exh" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS a FROM embeddings),
+         |d AS (
+         |  SELECT q.qid, e.vec_id AS label, $l2sqSql AS dist
+         |  FROM q CROSS JOIN (SELECT vec_id, embedding AS b FROM embeddings) e
+         |  WHERE e.vec_id != q.qid
          |)
          |SELECT qid, label, CAST(CAST(dist AS DECIMAL(18,4)) AS DOUBLE) AS distance
          |FROM d WHERE dist < ${RADIUS}""".stripMargin,
