@@ -272,6 +272,18 @@ object IndexQueries {
       IndexCatalog.add(embData(s, dir), name)
       quantized(IndexCatalog.search(name, 5, embQueries(s, dir)))
     },
+    // the id-SET filtered search (faiss_search_filter_set: allowed ids
+    // as a relation, LEFT SEMI into the pruned scan — the "only these
+    // shards/tenants" serving shape). Exhaustive probe -> exact ->
+    // filtered brute-force oracle; was spec-only.
+    "knn_filter_set" -> { (s, dir) =>
+      val name = fresh("q_filter_set")
+      IndexCatalog.create(name, 64, "IDMap,IVF16,Flat", "l2sq", Map("nprobe" -> "16"))
+      IndexCatalog.add(embData(s, dir), name)
+      val ids = Tables(s, dir, "embeddings")
+        .where(col("vec_id") % 3 === 0).select("vec_id")
+      quantized(IndexCatalog.searchFilterSet(name, 5, embQueries(s, dir), ids))
+    },
     // ---- exhaustive-config twins of the approximate family ----------
     // Each approximate index searched at its "no approximation left"
     // setting (nprobe = nlist / efSearch >= N / refine covering the
@@ -605,6 +617,8 @@ object IndexQueries {
     },
     "knn_hnsw_filter" -> VectorQueries.oracles("knn_search_filter"),
     "vs_index_saveload" -> VectorQueries.oracles("knn_flat_l2"),
+    "knn_filter_set" ->
+      VectorQueries.knnOracle(VectorQueries.l2sqSql, "ASC", "WHERE vec_id % 3 = 0"),
     // every exhaustive-setting sweep row has recall exactly 250/250
     "vs_eval_exact_rows" ->
       """SELECT tier, CAST(1.0 AS DOUBLE) AS recall_at_5

@@ -245,6 +245,45 @@ object StreamingParityQueries {
             StructField("funnel_depth", IntegerType))))
       } finally q.stop()
     },
+    // real-time ANN serving (serveAnn: a stream of query vectors
+    // answered micro-batch by micro-batch against a catalog index via
+    // foreachBatch): queries replayed in two chunks against an
+    // exhaustive-probe IVF — the union of the served batches must
+    // hash-equal the brute-force oracle. Gates the streaming SERVING
+    // path end-to-end (was spec-only).
+    "streaming_parity_serve" -> { (s, dir) =>
+      import s.implicits._
+      implicit val ctx = s.sqlContext
+      import graft.index.IndexCatalog
+      val name = "q_serve_parity"
+      if (IndexCatalog.exists(name)) IndexCatalog.destroy(name)
+      IndexCatalog.create(name, 64, "IDMap,IVF16,Flat", "l2sq", Map("nprobe" -> "16"))
+      IndexCatalog.add(
+        Tables(s, dir, "embeddings")
+          .select(col("vec_id").as("label"),
+            graft.functions.vec.vector(col("embedding")).as("vec")), name)
+      val qIn = Tables(s, dir, "embeddings").where(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+        .sortBy(_._1)
+      val mem = MemoryStream[(Long, Array[Float])]
+      val served = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Long, Double)]
+      val q = Streaming.serveAnn(
+          mem.toDF.toDF("qid", "qvec"), name, 5) { (res, _) =>
+        served ++= res.collect().map(r =>
+          (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      }
+      try {
+        qIn.grouped(math.max(1, qIn.length / 2)).foreach { chunk =>
+          mem.addData(chunk.toSeq)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      served.toSeq.toDF("qid", "rank", "label", "d")
+        .select(col("qid"), col("rank"), col("label"),
+          Tables.quant4(col("d")).as("distance"))
+    },
     // per-window bounded top-k heap (windowTopK): the streamed hourly
     // top-3 events by value (ties by event_id, the heap's rule) in
     // complete mode — values pass through untouched, so the oracle is
@@ -555,6 +594,8 @@ object StreamingParityQueries {
     "streaming_parity_dedup" ->
       """SELECT min(doc_id) AS doc_id, md5(text) AS text_hash
         |FROM documents GROUP BY md5(text), text""".stripMargin,
+    // served batches union == brute force (exhaustive-probe IVF)
+    "streaming_parity_serve" -> VectorQueries.oracles("knn_flat_l2"),
     // hourly top-3 by (value desc, event_id) — the heap's tie rule
     "streaming_parity_topk" ->
       """WITH r AS (
