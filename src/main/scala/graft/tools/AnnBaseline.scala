@@ -58,7 +58,8 @@ object AnnBaseline {
 
     val corpora = Seq(
       "raw" -> emb,
-      "x50" -> replicated(50))
+      "x50" -> replicated(50),
+      "x500" -> replicated(500)) // ~1M vectors: where pruning must win
 
     for ((corpusName, corpus) <- corpora) {
       val n = corpus.count()
