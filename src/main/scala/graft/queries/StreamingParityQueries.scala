@@ -371,18 +371,25 @@ object StreamingParityQueries {
         .collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2), r.getDouble(3)))
         .sortBy(r => (r._3.getTime, r._2))
-      // only orders whose 72 h window can overlap the events span can
-      // ever match — pre-trimming them changes NOTHING in the output
-      // (the oracle needs no mirror filter) but shrinks join state ~10x
-      // and aligns the two replay timelines
-      val (loMs, hiMs) = (eventsIn.head._3.getTime - 72L * 3600 * 1000,
-        eventsIn.last._3.getTime)
+      // orders dates (1995-2001) never overlap the events epoch (2024):
+      // remap each o_orderdate onto the events day-span (day index since
+      // 1995-01-01, mod span — deterministic, mirrored in the DuckDB
+      // oracle) so the join is NON-vacuous. Custkeys that never appear
+      // as event users are trimmed — output-preserving under inner join.
+      val dayMs = 86400000L
+      val d0Day = Math.floorDiv(eventsIn.head._3.getTime, dayMs)
+      val spanDays = Math.floorDiv(eventsIn.last._3.getTime, dayMs) - d0Day + 1
+      val users = eventsIn.map(_._1).toSet
       val ordersIn = Tables(s, dir, "orders")
         .select(col("o_orderkey").cast("long"), col("o_custkey").cast("long"),
-          col("o_orderdate").cast("timestamp"))
+          datediff(col("o_orderdate").cast("date"), lit("1995-01-01"))
+            .cast("long").as("day_idx"))
         .collect()
-        .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2)))
-        .filter(r => r._3.getTime >= loMs && r._3.getTime <= hiMs)
+        .map { r =>
+          val idx = Math.floorMod(r.getLong(2), spanDays)
+          (r.getLong(0), r.getLong(1), new Timestamp((d0Day + idx) * dayMs))
+        }
+        .filter(r => users.contains(r._2))
         .sortBy(r => (r._3.getTime, r._1))
       val memO = MemoryStream[(Long, Long, Timestamp)]
       val memE = MemoryStream[(Long, Long, Timestamp, Double)]
@@ -403,6 +410,9 @@ object StreamingParityQueries {
             q.processAllAvailable()
           }
         val out = s.table("parity_interval").collect()
+        // the round-8 gate passed on a 0-row hash (vacuous); never again
+        require(out.nonEmpty,
+          "streaming_parity_interval emitted 0 rows — vacuous gate")
         s.createDataFrame(
           java.util.Arrays.asList(out: _*),
           StructType(Seq(
@@ -618,13 +628,26 @@ object StreamingParityQueries {
          |  md5(regexp_replace(regexp_replace(p.text, 'https?://[^\\s]+', '<URL>', 'g'),
          |      '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}', '<EMAIL>', 'g')) AS scrubbed_md5
          |FROM pass p JOIN surv USING (doc_id)""".stripMargin,
-    // the batch range join the stream must reproduce, row for row
+    // the batch range join the stream must reproduce, row for row —
+    // with the SAME deterministic date remap (orders day-index since
+    // 1995-01-01 mod the events day-span) the replay applies, so the
+    // join is non-vacuous (≈9k rows at sf0.01, vs 0 before round 9)
     "streaming_parity_interval" ->
-      """SELECT o.o_orderkey, e.event_id, CAST(e.ts AS TIMESTAMP) AS ts, e.value
-        |FROM orders o JOIN events e
+      """WITH span AS (
+        |  SELECT CAST(date_trunc('day', min(CAST(ts AS TIMESTAMP))) AS DATE) AS d0,
+        |         CAST(date_trunc('day', max(CAST(ts AS TIMESTAMP))) AS DATE) AS d1
+        |  FROM events
+        |), o AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    CAST(d0 + CAST((CAST(o_orderdate AS DATE) - DATE '1995-01-01')
+        |                   % (d1 - d0 + 1) AS INTEGER) AS TIMESTAMP) AS o_ts
+        |  FROM orders, span
+        |)
+        |SELECT o.o_orderkey, e.event_id, CAST(e.ts AS TIMESTAMP) AS ts, e.value
+        |FROM o JOIN events e
         |  ON e.user_id = o.o_custkey
-        | AND CAST(e.ts AS TIMESTAMP) >= CAST(o.o_orderdate AS TIMESTAMP)
-        | AND CAST(e.ts AS TIMESTAMP) < CAST(o.o_orderdate AS TIMESTAMP) + INTERVAL 72 HOURS""".stripMargin,
+        | AND CAST(e.ts AS TIMESTAMP) >= o.o_ts
+        | AND CAST(e.ts AS TIMESTAMP) < o.o_ts + INTERVAL 72 HOURS""".stripMargin,
     // per purchase: the last touch (click/view/signup) at or before its
     // (ms, event_id) position, 'direct' when none — the carry replay
     "streaming_parity_attribution" ->
