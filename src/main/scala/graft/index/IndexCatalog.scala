@@ -1247,20 +1247,33 @@ object IndexCatalog {
     * an oversized batch throws with a pointer at the unbounded-join
     * operator instead of collecting to death. */
   private def collectQueryBatch(queries: DataFrame): Array[(Long, Array[Float])] = {
-    val maxBatch = queries.sparkSession.conf
-      .getOption(MaxQueryBatchConf).map(_.toInt).getOrElse(MaxQueryBatchDefault)
-    val rows = queries.select(col("qid").cast("long"), vec.vector(col("qvec")))
+    val maxBatch = maxQueryBatch(queries.sparkSession)
+    // null rows are dropped BEFORE the limit so they never count toward
+    // the cap — the bound is on rows actually collected
+    val rows = queries
+      .where(col("qid").isNotNull && col("qvec").isNotNull)
+      .select(col("qid").cast("long"), vec.vector(col("qvec")))
       .limit(maxBatch + 1)
       .collect()
     if (rows.length > maxBatch)
       throw new IllegalStateException(
-        s"index search query batch exceeds $maxBatch rows; the catalog serving path " +
-          "collects the query batch to the driver (FAISS-parity bounded-batch contract) — " +
-          "use graft.search.AnnJoin.ivfJoin / ivfRadiusJoin for unbounded query sets")
-    rows
-      .filter(r => !r.isNullAt(0) && !r.isNullAt(1))
-      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+        s"index search query batch exceeds $maxBatch rows ($MaxQueryBatchConf); the " +
+          "catalog serving path collects the query batch to the driver (FAISS-parity " +
+          "bounded-batch contract) — use graft.search.AnnJoin.ivfJoin / ivfRadiusJoin " +
+          "for unbounded query sets")
+    rows.map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
   }
+
+  /** parse the query-batch cap, naming the config key on a bad value
+    * instead of surfacing a bare NumberFormatException. Shared with the
+    * programmatic `Knn` flat path (same contract, same error shape). */
+  private[graft] def maxQueryBatch(spark: SparkSession): Int =
+    spark.conf.getOption(MaxQueryBatchConf).map { v =>
+      try v.toInt catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"$MaxQueryBatchConf must be an integer, got '$v'")
+      }
+    }.getOrElse(MaxQueryBatchDefault)
 
   /** shared PQ/SQ coded-search pipeline: probed lists (or full coded
     * scan) -> approximate per-code distance -> bounded k x refine heap

@@ -642,14 +642,25 @@ object AnalyticsQueries {
     // (b+d)) — so the float value is identical cross-engine (no
     // variance/sqrt chain to drift). Exact oracle incl. the statistic.
     "events_ab_test" -> { (s, dir) =>
-      // "converted" = a heavy buyer (>= 14 purchases, above the corpus
-      // median of ~13) — any-purchase converts EVERYONE in this corpus
-      // and degenerates the table to the zero-signal branch
-      val conv = Tables.events(s, dir)
+      // "converted" = a heavy buyer: strictly above the corpus's per-user
+      // purchase LOWER MEDIAN (rank (N+1) div 2, integer — no
+      // interpolation to drift), derived IN-QUERY on both engines so the
+      // split stays non-degenerate at any scale factor (a constant
+      // threshold tuned to one SF can silently collapse the 2x2 table to
+      // the chi2=0 branch elsewhere). Global window over the per-user
+      // rollup: dimension-sized (|users|), never the events table.
+      val pc = Tables.events(s, dir)
         .groupBy(col("user_id"))
-        .agg(when(sum(when(col("event_type") === "purchase", 1L).otherwise(0L)) >= 14, 1L)
-          .otherwise(0L).as("converted"))
-        .select((col("user_id") % 2).as("variant"), col("converted"))
+        .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n_purch"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("n_purch"), col("user_id"))
+      val thrDf = pc.select(col("n_purch"),
+          row_number().over(w).as("rn"),
+          count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy()).as("n_users"))
+        .where(col("rn") === expr("(n_users + 1) div 2"))
+        .select(col("n_purch").as("thr"))
+      val conv = pc.crossJoin(broadcast(thrDf))
+        .select((col("user_id") % 2).as("variant"),
+          when(col("n_purch") > col("thr"), 1L).otherwise(0L).as("converted"))
       val p = conv.agg(
         sum(when(col("variant") === 0, 1L).otherwise(0L)).as("users_a"),
         sum(when(col("variant") === 0, col("converted")).otherwise(0L)).as("conv_a"),
@@ -1121,12 +1132,19 @@ object AnalyticsQueries {
   def oracles: Map[String, String] = Map(
     // identical 2x2 fold + the chi-square as one HUGEINT-exact division
     "events_ab_test" ->
-      """WITH conv AS (
+      """WITH pc AS (
         |  SELECT user_id,
-        |    CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >= 14
-        |         THEN 1 ELSE 0 END AS converted
+        |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purch
         |  FROM events GROUP BY user_id
-        |), v AS (SELECT user_id % 2 AS variant, converted FROM conv),
+        |), r AS (
+        |  SELECT n_purch, row_number() OVER (ORDER BY n_purch, user_id) AS rn,
+        |         count(*) OVER () AS n_users
+        |  FROM pc
+        |), t AS (SELECT n_purch AS thr FROM r WHERE rn = (n_users + 1) // 2),
+        |v AS (
+        |  SELECT user_id % 2 AS variant,
+        |    CASE WHEN n_purch > t.thr THEN 1 ELSE 0 END AS converted
+        |  FROM pc, t),
         |p AS (
         |  SELECT
         |    CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS users_a,

@@ -68,20 +68,31 @@ object AnnBaseline {
         .select(col("qid"), col("label")).collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
 
+      // on replicated corpora recall@5 against the flat scan is an
+      // ARTIFACT (duplicate vectors make many equally-correct answer
+      // sets) — flag it in the JSON so consumers can discount it
+      val replicatedCorpus = corpusName != "raw"
       def run(tier: String, search: () => DataFrame): Unit = {
         search().count() // warm: builds/caches the index layout + JIT
         var best = Double.MaxValue
-        var hits = 0L
-        (1 to Reps).foreach { _ =>
+        var hits = -1L
+        (1 to Reps).foreach { rep =>
           val t0 = System.nanoTime()
           val got = search().select(col("qid"), col("label")).collect()
           val dt = (System.nanoTime() - t0) / 1e9
           if (dt < best) best = dt
-          hits = got.count(r => truth((r.getLong(0), r.getLong(1))))
+          // recall from the FIRST measured rep only (a nondeterministic
+          // tier would otherwise report whichever rep ran last); later
+          // reps assert agreement instead of silently overwriting
+          val repHits = got.count(r => truth((r.getLong(0), r.getLong(1)))).toLong
+          if (rep == 1) hits = repHits
+          else if (repHits != hits)
+            System.err.println(s"[ann_baseline] $corpusName/$tier: rep $rep hit count " +
+              s"$repHits != rep 1's $hits — tier is nondeterministic across reps")
         }
         val recall = hits.toDouble / truth.size
         val qps = nQueries / best
-        println(s"""{"bench":"ann_baseline","engine":"graft","corpus":"$corpusName","n":$n,"tier":"$tier","k":$K,"n_queries":$nQueries,"batch_sec":$best,"qps":$qps,"recall_at_5":$recall}""")
+        println(s"""{"bench":"ann_baseline","engine":"graft","corpus":"$corpusName","n":$n,"tier":"$tier","k":$K,"n_queries":$nQueries,"batch_sec":$best,"qps":$qps,"recall_at_5":$recall,"replicated_corpus":$replicatedCorpus}""")
       }
 
       run("flat_scan", () =>

@@ -12,6 +12,14 @@ class AnalyticsQueriesSpec extends SparkSpec {
   private val dir = "/root/testdata/sf0.001"
   private def run(q: String) = graft.SparkEntry.queries(q)(spark, dir)
 
+  test("events_ab_test: corpus-derived threshold keeps the 2x2 margins non-degenerate") {
+    val r = run("events_ab_test").collect()(0)
+    val users = r.getAs[Long]("users_a") + r.getAs[Long]("users_b")
+    val conv = r.getAs[Long]("conv_a") + r.getAs[Long]("conv_b")
+    assert(conv > 0, "nobody converted — the chi2=0 branch would pass vacuously")
+    assert(conv < users, "everyone converted — degenerate 2x2 margin")
+  }
+
   test("events_pattern: counts match a driver-side replay of the regex over ordered symbols") {
     val rows = run("events_pattern").collect()
       .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap

@@ -66,7 +66,7 @@ def main(sf_dir):
                 "bench": "ann_baseline", "engine": "duckdb_bruteforce",
                 "corpus": name, "n": n, "tier": tier, "k": K,
                 "n_queries": nq, "batch_sec": best, "qps": nq / best,
-                "recall_at_5": 1.0}))
+                "recall_at_5": 1.0, "replicated_corpus": name != "raw"}))
 
 if __name__ == "__main__":
     main(sys.argv[1])
