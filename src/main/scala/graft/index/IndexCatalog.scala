@@ -44,6 +44,11 @@ object IndexCatalog {
   sealed trait Kind
   case object FlatKind extends Kind
   case class IvfKind(nlist: Int) extends Kind
+  /** IVF whose coarse quantizer is an HNSW graph over the centroids
+    * (FAISS `IVF<n>_HNSW<m>`): at nlist ≳ 10^5 flat centroid argmin is
+    * itself a scan per vector; the graph walk is O(log nlist). List
+    * layout and probing are IVF-identical — only assignment changes. */
+  case class IvfHnswKind(nlist: Int, m: Int) extends Kind
   case class LshKind(bits: Int) extends Kind
   case class PqKind(m: Int, nlist: Int) extends Kind
   case class SqKind(nlist: Int) extends Kind
@@ -80,6 +85,15 @@ object IndexCatalog {
         s"only SQ8/SQ4/SQfp16 scalar quantization is supported, got SQ$b")
     }
     parts.headOption.getOrElse("Flat") match {
+      case s if s.startsWith("IVF") && s.contains("_HNSW") =>
+        // FAISS grammar IVF<n>_HNSW<m>[,Flat]: HNSW-coarse storage is
+        // Flat only here (PQ/SQ fine-quantizer composition under a graph
+        // coarse stays a loud error, not a silent behavior change)
+        if (pqPart.isDefined || sqPart.isDefined)
+          throw new UnsupportedOperationException(
+            s"'$s': IVF with an HNSW coarse quantizer supports only Flat storage")
+        val Array(nl, hm) = s.stripPrefix("IVF").split("_HNSW", 2)
+        IvfHnswKind(nl.toInt, if (hm.isEmpty) 32 else hm.toInt)
       case s if s.startsWith("IVF") && pqPart.isDefined =>
         PqKind(pqPart.get, s.stripPrefix("IVF").toInt)
       case s if s.startsWith("IVF") && sqPart.isDefined =>
@@ -433,7 +447,8 @@ object IndexCatalog {
           e.cachedBatches.clear()
           ivf.close()
           e.built = Some(new IvfBuilt(
-            folded, ivf.meta, ivf.centroids, VectorMath.metricId(e.meta.metric)))
+            folded, ivf.meta, ivf.centroids, VectorMath.metricId(e.meta.metric),
+            coarseGraph = ivf.coarseGraph))
         case _ => ()
       }
     }
@@ -519,7 +534,12 @@ object IndexCatalog {
     if (e.destroyed) throw new NoSuchElementException(s"no index named '$name'")
     val seed = e.meta.params.get("seed").map(_.toLong).getOrElse(42L)
     e.kind match {
-      case IvfKind(nlist) =>
+      case IvfKind(_) | IvfHnswKind(_, _) =>
+        val nlist = e.kind match {
+          case IvfKind(n) => n
+          case IvfHnswKind(n, _) => n
+          case _ => 0
+        }
         val n = if (nlist > 0) nlist else math.max(4, math.sqrt(sample.count().toDouble).toInt)
         val vcol = sample.columns.last
         val cents = KMeansTrainer.train(sample.select(vec.vector(col(vcol)).as("vec")), n,
@@ -573,6 +593,8 @@ object IndexCatalog {
         val n0 = if (nlist > 0) nlist else math.max(4, math.sqrt(pts.length.toDouble).toInt)
         e.trained = Some(Pq.localKMeans(pts, math.min(n0, math.max(1, pts.length)), seed,
           e.meta.params.get("maxIter").map(_.toInt).getOrElse(10)))
+      case IvfHnswKind(nlist, _) =>
+        trainPointsKind(e, IvfKind(nlist), pts, seed) // same centroids; graph derives at build
       case PqKind(m, nlist) =>
         val codebooks = Pq.train(pts, m, seed)
         val cents =
@@ -616,6 +638,21 @@ object IndexCatalog {
   private def boundedSample(data: DataFrame): Array[Array[Float]] =
     data.select(col("vec")).limit(16384).collect().map(_.getSeq[Float](0).toArray)
 
+  /** coarse quantizers probe by L2 for every metric except IP (the
+    * FAISS convention NearestCentroids.distTo mirrors) */
+  private[index] def coarseMetricId(metricId: Int): Int =
+    if (metricId == VectorMath.IP) VectorMath.IP else VectorMath.L2SQ
+
+  /** driver-built HNSW over the (bounded) centroid table — deterministic
+    * in (centroids, m, efConstruction) via Nsw's label-hash levels, so
+    * save/load rebuilds the identical graph from the saved centroids */
+  private def coarseGraph(
+      e: Entry, centroids: Array[Array[Float]], m: Int, metricId: Int): Nsw.Graph = {
+    val efc = e.meta.params.get("coarseEfConstruction").map(_.toInt).getOrElse(64)
+    Nsw.build(centroids.zipWithIndex.map { case (c, i) => (i.toLong, c) },
+      m, efc, coarseMetricId(metricId))
+  }
+
   private def buildKind(e: Entry, kind: Kind, data: DataFrame, metricId: Int): BuiltIndex =
     kind match {
       case FlatKind => new FlatBuilt(Knn.widen(data).cache(), e.meta) // widen once, before the cache
@@ -642,6 +679,13 @@ object IndexCatalog {
           e.trained.getOrElse(Array.empty)
         }
         IvfBuilt.build(data, e.meta, centroids, metricId)
+      case IvfHnswKind(nlist, m) =>
+        val centroids = e.trained.getOrElse {
+          trainPointsKind(e, IvfHnswKind(nlist, m), boundedSample(data), seed(e))
+          e.trained.getOrElse(Array.empty)
+        }
+        IvfBuilt.build(data, e.meta, centroids, metricId,
+          Some(coarseGraph(e, centroids, m, metricId)))
       case PcaKind(outDim, inner) =>
         val (mean, comps) = e.trainedPca.getOrElse {
           val pts = boundedSample(data)
@@ -973,19 +1017,26 @@ object IndexCatalog {
     create(name, m.getInt(1), m.getString(2), m.getString(3), params)
     val e = entry(name)
     e.kind match {
-      case IvfKind(_) =>
+      case IvfKind(_) | IvfHnswKind(_, _) =>
         val data = spark.read.parquet(s"$path/data")
         e.pending = Some(data.select(col("label"), col("vec")))
         val cents = spark.read.parquet(s"$path/centroids").collect()
           .sortBy(_.getInt(0)).map(_.getSeq[Float](1).toArray)
         e.trained = Some(cents)
+        // the coarse graph is a deterministic function of the saved
+        // centroids (label-hash levels, no RNG) — rebuild, don't persist
+        val graph = e.kind match {
+          case IvfHnswKind(_, m) =>
+            Some(coarseGraph(e, cents, m, VectorMath.metricId(e.meta.metric)))
+          case _ => None
+        }
         // rebuild from the partitioned layout without re-assigning.
         // NOT cached: the scan must stay file-backed so the static
         // probed-list filter prunes partitions on disk (a cache would
         // materialize every list on first search)
         e.built = Some(new IvfBuilt(
           data.select(col("list_id"), col("label"), col("vec")),
-          e.meta, cents, VectorMath.metricId(e.meta.metric)))
+          e.meta, cents, VectorMath.metricId(e.meta.metric), coarseGraph = graph))
       case _ =>
         e.pending = Some(spark.read.parquet(s"$path/data").select(col("label"), col("vec")))
         if (pathExists(spark, s"$path/pq_codebooks")) {
@@ -1090,7 +1141,10 @@ object IndexCatalog {
       val centroids: Array[Array[Float]],
       metricId: Int,
       cachedParts: Seq[DataFrame] = Nil, // union components to release on close
-      private[index] val hasAppends: Boolean = false)
+      private[index] val hasAppends: Boolean = false,
+      // IVF<n>_HNSW<m>: graph coarse quantizer over the centroids;
+      // None = flat argmin assignment/probing (plain IVF)
+      private[index] val coarseGraph: Option[Nsw.Graph] = None)
       extends BuiltIndex {
 
     override def close(): Unit = { data.unpersist(); cachedParts.foreach(_.unpersist()) }
@@ -1109,16 +1163,19 @@ object IndexCatalog {
      * folds everything into one co-partitioned cache.
      */
     private[index] def appended(newRows: DataFrame): IvfBuilt = {
-      val assign = GraftBridge.column(
-        NearestCentroids(GraftBridge.expression(col("vec")), centroids, 1, metricId))
+      val assign = IvfBuilt.assignCol(centroids, coarseGraph, metricId, coarseEf)
       val assignedNew = newRows
         .select(
           when(size(assign) > 0, element_at(assign, 1)).otherwise(lit(-1)).as("list_id"),
           col("label"), col("vec"))
       new IvfBuilt(data.unionByName(assignedNew), meta, centroids, metricId,
         if (cachedParts.isEmpty) Seq(data) else cachedParts,
-        hasAppends = true)
+        hasAppends = true, coarseGraph = coarseGraph)
     }
+
+    /** beam width for graph-coarse assignment/probing */
+    private def coarseEf: Int =
+      meta.params.get("coarseEfSearch").map(_.toInt).getOrElse(64)
 
     def search(queries: DataFrame, k: Int, params: Map[String, String]): DataFrame =
       searchRestricted(queries, k, params, identity)
@@ -1163,9 +1220,21 @@ object IndexCatalog {
       import spark.implicits._
       val qRows = collectQueryBatch(queries)
       // probe with the SAME metric vectors were assigned with (an IP
-      // index probed by L2 would look in lists its vectors never joined)
+      // index probed by L2 would look in lists its vectors never joined).
+      // Graph coarse: walk the centroid HNSW instead of the flat argmin —
+      // EXCEPT at exhaustive probe, where all lists are returned outright
+      // (a disconnected graph could otherwise silently skip a list and
+      // break the nprobe=nlist exactness contract the _exh gates pin).
+      val probeOne: Array[Float] => Seq[Int] = coarseGraph match {
+        case Some(g) if nprobe < centroids.length =>
+          qv => Nsw.search(g, qv, nprobe, math.max(coarseEf, nprobe),
+            coarseMetricId(metricId)).map(_._2.toInt).toSeq
+        case Some(_) => _ => centroids.indices
+        case None =>
+          qv => NearestCentroids.nearestIds(qv, centroids, nprobe, metricId)
+      }
       val probePairs = qRows.toSeq.flatMap { case (qid, qv) =>
-        NearestCentroids.nearestIds(qv, centroids, nprobe, metricId).map(l => (qid, qv.toSeq, l))
+        probeOne(qv).map(l => (qid, qv.toSeq, l))
       }
       val probes = probePairs.toDF("qid", "qvec", "list_id")
         .select(col("qid"), vec.vector(col("qvec")).as("qvec"), col("list_id"))
@@ -1184,11 +1253,24 @@ object IndexCatalog {
   }
 
   object IvfBuilt {
+
+    /** shared assignment column: flat argmin or (for IVF_HNSW) the
+      * graph walk — both return an int array of nearest list ids */
+    private[index] def assignCol(
+        centroids: Array[Array[Float]], graph: Option[Nsw.Graph],
+        metricId: Int, coarseEf: Int): Column = graph match {
+      case Some(g) => GraftBridge.column(HnswNearestCentroids(
+        GraftBridge.expression(col("vec")), g, 1, coarseEf, coarseMetricId(metricId)))
+      case None => GraftBridge.column(
+        NearestCentroids(GraftBridge.expression(col("vec")), centroids, 1, metricId))
+    }
+
     def build(
         data: DataFrame, meta: IndexMeta,
-        centroids: Array[Array[Float]], metricId: Int): IvfBuilt = {
-      val assign = GraftBridge.column(
-        NearestCentroids(GraftBridge.expression(col("vec")), centroids, 1, metricId))
+        centroids: Array[Array[Float]], metricId: Int,
+        coarseGraph: Option[Nsw.Graph] = None): IvfBuilt = {
+      val assign = assignCol(centroids, coarseGraph, metricId,
+        meta.params.get("coarseEfSearch").map(_.toInt).getOrElse(64))
       // all-NaN vectors probe nothing -> park them in list -1 (never
       // probed), instead of failing the build on element_at(empty, 1).
       // Widen first: assignment is the map stage of the list_id shuffle,
@@ -1199,7 +1281,7 @@ object IndexCatalog {
           col("label"), col("vec"))
         .repartition(col("list_id"))
         .cache()
-      new IvfBuilt(assigned, meta, centroids, metricId)
+      new IvfBuilt(assigned, meta, centroids, metricId, coarseGraph = coarseGraph)
     }
   }
 

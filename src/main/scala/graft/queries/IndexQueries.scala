@@ -188,6 +188,20 @@ object IndexQueries {
       IndexCatalog.add(embData(s, dir), name)
       quantized(IndexCatalog.search(name, 5, embQueries(s, dir)))
     },
+    // IVF with an HNSW coarse quantizer (FAISS "IVF<n>_HNSW<m>",
+    // factory delegation at faiss_extension.cpp:155): the composition
+    // that matters at nlist ≳ 1e5, where flat centroid argmin is itself
+    // a full scan per vector — assignment and probing walk a
+    // driver-built graph over the bounded centroid table instead.
+    // Approximate (graph assignment + partial probe) → rows-only;
+    // recall is spec-asserted and the _exh twin is driver-hash exact.
+    "knn_ivf_hnsw" -> { (s, dir) =>
+      val name = fresh("q_ivf_hnsw")
+      IndexCatalog.create(name, 64, "IDMap,IVF16_HNSW8,Flat", "l2sq",
+        Map("nprobe" -> "4", "coarseEfSearch" -> "32"))
+      IndexCatalog.add(embData(s, dir), name)
+      quantized(IndexCatalog.search(name, 5, embQueries(s, dir)))
+    },
     // the composed FAISS "IVF16,SQ8" factory through the gate: list
     // pruning (nprobe=4) over scalar-quantized codes with exact
     // re-rank — the memory shape a 100 TB corpus actually serves from
@@ -294,6 +308,16 @@ object IndexQueries {
     "knn_ivf_exh" -> { (s, dir) =>
       val name = fresh("q_ivf_exh")
       IndexCatalog.create(name, 64, "IDMap,IVF16,Flat", "l2sq", Map("nprobe" -> "16"))
+      IndexCatalog.add(embData(s, dir), name)
+      quantized(IndexCatalog.search(name, 5, embQueries(s, dir)))
+    },
+    // graph-coarse IVF at nprobe = nlist: every list scanned, so graph
+    // assignment approximation cannot cost recall — exact by
+    // construction (and the probe path returns ALL lists outright at
+    // exhaustive probe, so even a disconnected coarse graph can't skip one)
+    "knn_ivf_hnsw_exh" -> { (s, dir) =>
+      val name = fresh("q_ivf_hnsw_exh")
+      IndexCatalog.create(name, 64, "IDMap,IVF16_HNSW8,Flat", "l2sq", Map("nprobe" -> "16"))
       IndexCatalog.add(embData(s, dir), name)
       quantized(IndexCatalog.search(name, 5, embQueries(s, dir)))
     },
@@ -627,6 +651,7 @@ object IndexQueries {
         |ORDER BY tier""".stripMargin,
     // exhaustive-config twins: no approximation left -> the flat oracle
     "knn_ivf_exh" -> VectorQueries.oracles("knn_flat_l2"),
+    "knn_ivf_hnsw_exh" -> VectorQueries.oracles("knn_flat_l2"),
     "knn_hnsw_exh" -> VectorQueries.oracles("knn_flat_l2"),
     "knn_pq_exh" -> VectorQueries.oracles("knn_flat_l2"),
     "knn_sq8_exh" -> VectorQueries.oracles("knn_flat_l2"),

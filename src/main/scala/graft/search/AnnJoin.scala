@@ -125,24 +125,39 @@ object AnnJoin {
     // estimated hot-list split factors, driver-side arithmetic over a
     // PARTITION-SPREAD sample: the training prefix (limit) can be blind
     // to clusters living past the first partitions of a sorted/clustered
-    // corpus, which is exactly where a degenerate hot list hides. A few
-    // rows from EVERY partition decorrelate the estimate from storage
-    // order for one bounded collect.
+    // corpus, which is exactly where a degenerate hot list hides. ONE
+    // job returns each partition's exact row count alongside its
+    // bounded sample — no separate right.count() job (a full second
+    // pass on non-parquet inputs), and each partition's sample is
+    // weighted by ITS row count, so wildly uneven custom partitioning
+    // can't skew the estimate toward small partitions.
     val splitRows: Seq[(Int, Int)] =
       if (maxListRows == Long.MaxValue || samplePts.isEmpty) Seq.empty
       else {
         val spreadRdd = Knn.widen(right).select(vec.vector(col("vec")).as("vec")).rdd
         val perPart = math.max(1, trainSample / math.max(1, spreadRdd.getNumPartitions))
-        val estPts = spreadRdd.mapPartitions(_.take(perPart)).collect()
-          .map(_.getSeq[Float](0).toArray)
-        val sampleCounts = new Array[Long](centroids.length)
-        estPts.foreach { p =>
-          val ids = NearestCentroids.nearestIds(p, centroids, 1, metricId)
-          if (ids.nonEmpty) sampleCounts(ids.head) += 1
+        val partStats: Array[(Long, Array[Array[Float]])] =
+          spreadRdd.mapPartitions { it =>
+            val buf = scala.collection.mutable.ArrayBuffer.empty[Array[Float]]
+            var n = 0L
+            it.foreach { row =>
+              if (n < perPart) buf += row.getSeq[Float](0).toArray
+              n += 1
+            }
+            Iterator.single((n, buf.toArray))
+          }.collect()
+        val estRows = new Array[Double](centroids.length)
+        partStats.foreach { case (nPart, rows) =>
+          if (rows.nonEmpty) {
+            val w = nPart.toDouble / rows.length // rows each sampled point represents
+            rows.foreach { p =>
+              val ids = NearestCentroids.nearestIds(p, centroids, 1, metricId)
+              if (ids.nonEmpty) estRows(ids.head) += w
+            }
+          }
         }
-        val total = right.count().toDouble // column-pruned count, metadata-cheap on parquet
-        sampleCounts.indices.map { i =>
-          val est = sampleCounts(i).toDouble / math.max(1, estPts.length) * total * 2.0 // safety margin
+        estRows.indices.map { i =>
+          val est = estRows(i) * 2.0 // safety margin
           (i, math.min(64L, (est / maxListRows).toLong + 1L).toInt)
         }.filter(_._2 > 1)
       }

@@ -216,11 +216,23 @@ object Knn {
     import spark.implicits._
     val mid = VectorMath.metricId(metric)
     val asc = VectorMath.smallerIsCloser(mid)
-    val qArr: Array[(Long, Array[Float])] = queries
+    // the query side is collected to the driver — same LOUD bound as
+    // IndexCatalog's serving path (spark.graft.index.maxQueryBatch),
+    // so an unbounded left side fails with a pointer at the
+    // distributed operator instead of silently OOMing the driver
+    val maxBatch = graft.index.IndexCatalog.maxQueryBatch(spark)
+    val rows = queries
+      .where(col("qid").isNotNull && col("qvec").isNotNull) // null rows match searchFlat's skip
       .select(col("qid").cast("long"), col("qvec"))
+      .limit(maxBatch + 1)
       .collect()
-      .filter(r => !r.isNullAt(0) && !r.isNullAt(1)) // null rows match searchFlat's skip
-      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    if (rows.length > maxBatch)
+      throw new IllegalStateException(
+        s"knn query batch exceeds $maxBatch rows (${graft.index.IndexCatalog.MaxQueryBatchConf}); " +
+          "searchFlatFast/knnJoin collect the query side to the driver — use " +
+          "graft.search.AnnJoin.ivfJoin / ivfRadiusJoin for unbounded query sets")
+    val qArr: Array[(Long, Array[Float])] =
+      rows.map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
     val qB = spark.sparkContext.broadcast(qArr)
     val perPartition = widen(data)
       .select(col("label").cast("long"), col("vec"))

@@ -91,6 +91,49 @@ class IndexCatalogSpec extends SparkSpec {
     assert(recall >= 0.75, s"recall $recall")
   }
 
+  test("IVF_HNSW coarse quantizer: exhaustive probe exact, partial probe high recall, incremental add consistent") {
+    // exhaustive: graph assignment can't cost recall when every list is scanned
+    IndexCatalog.create("t_ivfh_x", 2, "IDMap,IVF8_HNSW4,Flat", "l2sq", Map("nprobe" -> "8"))
+    IndexCatalog.add(grid, "t_ivfh_x")
+    val want = labelsOf(Knn.searchFlat(grid, qs, 4, "l2sq"))
+    assert(labelsOf(IndexCatalog.search("t_ivfh_x", 4, qs)) === want)
+    // partial probe through the graph walk
+    IndexCatalog.create("t_ivfh_p", 2, "IDMap,IVF8_HNSW4,Flat", "l2sq",
+      Map("nprobe" -> "3", "coarseEfSearch" -> "16"))
+    IndexCatalog.add(grid, "t_ivfh_p")
+    val got = labelsOf(IndexCatalog.search("t_ivfh_p", 4, qs))
+    val recall = qs.collect().map(_.getLong(0)).map { q =>
+      got(q).toSet.intersect(want(q).toSet).size.toDouble / want(q).size
+    }.sum / 2
+    assert(recall >= 0.75, s"recall $recall")
+    // incremental append goes through the SAME graph assignment
+    import spark.implicits._
+    IndexCatalog.search("t_ivfh_x", 1, qs).count() // force build
+    IndexCatalog.add(Seq((999L, Array(3.2f, 3.1f))).toDF("label", "vec"), "t_ivfh_x")
+    val withNew = labelsOf(IndexCatalog.search("t_ivfh_x", 1, qs))
+    assert(withNew(0L) === Seq(999L)) // the appended exact-match vector wins at distance 0
+  }
+
+  test("IVF_HNSW save/load round-trips (graph rebuilds deterministically from saved centroids)") {
+    val dir = Files.createTempDirectory("graft_ivfh").toString
+    IndexCatalog.create("t_ivfh_s", 2, "IDMap,IVF8_HNSW4,Flat", "l2sq", Map("nprobe" -> "3"))
+    IndexCatalog.add(grid, "t_ivfh_s")
+    val before = labelsOf(IndexCatalog.search("t_ivfh_s", 4, qs))
+    IndexCatalog.save("t_ivfh_s", dir)
+    IndexCatalog.destroy("t_ivfh_s")
+    IndexCatalog.load("t_ivfh_l", dir, spark)
+    assert(labelsOf(IndexCatalog.search("t_ivfh_l", 4, qs)) === before)
+  }
+
+  test("IVF_HNSW factory grammar: PQ/SQ storage under a graph coarse fails loudly") {
+    intercept[UnsupportedOperationException](
+      IndexCatalog.parseFactory("IVF64_HNSW8,PQ8"))
+    intercept[UnsupportedOperationException](
+      IndexCatalog.parseFactory("IVF64_HNSW8,SQ8"))
+    assert(IndexCatalog.parseFactory("IVF64_HNSW8,Flat") === IndexCatalog.IvfHnswKind(64, 8))
+    assert(IndexCatalog.parseFactory("IVF64_HNSW") === IndexCatalog.IvfHnswKind(64, 32))
+  }
+
   test("radius search: flat equals brute-force filter; IVF exhaustive equals flat; partial probe is a subset") {
     val r = 9.0 // l2sq radius on the 16x16 grid
     IndexCatalog.create("t_rad_flat", 2, "IDMap,Flat")

@@ -141,6 +141,22 @@ class KnnSpec extends SparkSpec {
     assert(salted === unsalted)
   }
 
+  test("knnJoin/searchFlatFast: oversized query side fails loudly, pointing at AnnJoin") {
+    import spark.implicits._
+    val pts = (0 until 20).map(i => (i.toLong, Array(i.toFloat, 0f))).toDF("label", "vec")
+    val qs = pts.select(col("label").as("qid"), col("vec").as("qvec"))
+    spark.conf.set(graft.index.IndexCatalog.MaxQueryBatchConf, "8")
+    try {
+      val e = intercept[IllegalStateException] {
+        Knn.knnJoin(qs, pts, 3, "l2sq").collect()
+      }
+      assert(e.getMessage.contains("AnnJoin.ivfJoin"))
+      assert(e.getMessage.contains(graft.index.IndexCatalog.MaxQueryBatchConf))
+      // within the cap the path still works
+      assert(Knn.knnJoin(qs.limit(8), pts, 3, "l2sq").count() === 24)
+    } finally spark.conf.unset(graft.index.IndexCatalog.MaxQueryBatchConf)
+  }
+
   test("AnnJoin.ivfJoin with exhaustive probing equals the exact join") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
