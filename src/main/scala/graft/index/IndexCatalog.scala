@@ -578,6 +578,27 @@ object IndexCatalog {
     }
   }
 
+  /** inject coarse centroids DIRECTLY (the FAISS shape of constructing
+    * IndexIVFFlat around an explicit, already-trained quantizer): no
+    * k-means pass — the given vectors become the inverted-list
+    * centroids verbatim, in the given order. Deterministically
+    * replayable assignment, which is what makes vs_index_stats an
+    * EXACT gate. Later adds assign against these pinned centroids. */
+  def manualTrainCentroids(cents: Array[Array[Float]], name: String): Unit = {
+    val e = entry(name)
+    e.synchronized {
+      if (e.destroyed) throw new NoSuchElementException(s"no index named '$name'")
+      e.kind match {
+        case IvfKind(_) | IvfHnswKind(_, _) => ()
+        case other => throw new UnsupportedOperationException(
+          s"manualTrainCentroids applies to IVF kinds, got $other")
+      }
+      e.trained = if (cents.isEmpty) None else Some(cents.map(_.clone()))
+      e.built.foreach(_.close())
+      e.built = None
+    }
+  }
+
   private def samplePoints(sample: DataFrame): Array[Array[Float]] = {
     val vcol = sample.columns.last
     sample.select(vec.vector(col(vcol)).as("vec")).limit(50000)

@@ -32,7 +32,12 @@ object Nsw {
       levels: Array[Int],
       adj: Array[Array[Array[Int]]], // adj(node)(layer), layer <= levels(node)
       entry: Int,
-      maxLevel: Int)
+      maxLevel: Int,
+      // ALL labels each node carries: byte-identical vectors collapse to
+      // one graph node at build (the greedy walk would otherwise stall
+      // inside zero-distance clusters on replicated corpora — recall
+      // collapsed at the 1M baseline rung), expanded back at emit
+      dups: Array[Array[Long]])
 
   @inline private def l2sq(a: Array[Float], b: Array[Float]): Double = {
     var d = 0.0; var i = 0
@@ -147,11 +152,43 @@ object Nsw {
     res.dequeueAll.reverse.take(k).toArray
   }
 
-  /** incremental insert-based construction, one layer stack per node */
+  /** incremental insert-based construction, one layer stack per node.
+    * Byte-identical vectors (raw float bits) collapse into ONE node
+    * carrying all their labels; representative label = the group MIN,
+    * so levels and tie-breaks stay deterministic regardless of arrival
+    * order. Dup-free inputs take the identical code path as before. */
   def build(items: Array[(Long, Array[Float])], m: Int, efConstruction: Int,
       metricId: Int = graft.functions.VectorMath.L2SQ): Graph = {
+    val idx = mutable.HashMap.empty[Seq[Int], Int]
+    val groupVecs = mutable.ArrayBuffer.empty[Array[Float]]
+    val groupLabels = mutable.ArrayBuffer.empty[mutable.ArrayBuffer[Long]]
+    items.foreach { case (lbl, v) =>
+      val bits = new Array[Int](v.length)
+      var i = 0
+      while (i < v.length) { bits(i) = java.lang.Float.floatToRawIntBits(v(i)); i += 1 }
+      val k = scala.collection.immutable.ArraySeq.unsafeWrapArray(bits)
+      idx.get(k) match {
+        case Some(g) => groupLabels(g) += lbl
+        case None =>
+          idx(k) = groupVecs.length
+          groupVecs += v
+          groupLabels += mutable.ArrayBuffer(lbl)
+      }
+    }
+    if (groupVecs.length < items.length)
+      buildNodes(
+        Array.tabulate(groupVecs.length)(i => (groupLabels(i).min, groupVecs(i))),
+        Array.tabulate(groupVecs.length)(i => groupLabels(i).toArray.sorted),
+        m, efConstruction, metricId)
+    else
+      buildNodes(items, items.map(it => Array(it._1)), m, efConstruction, metricId)
+  }
+
+  private def buildNodes(items: Array[(Long, Array[Float])], dups: Array[Array[Long]],
+      m: Int, efConstruction: Int, metricId: Int): Graph = {
     val n = items.length
-    if (n == 0) return Graph(Array.empty, Array.empty, Array.empty, Array.empty, -1, -1)
+    if (n == 0)
+      return Graph(Array.empty, Array.empty, Array.empty, Array.empty, -1, -1, Array.empty)
     val labels = items.map(_._1)
     val vecs = items.map(_._2)
     val mL = 1.0 / math.log(math.max(2, m).toDouble)
@@ -208,7 +245,7 @@ object Nsw {
       if (li > maxLevel) { maxLevel = li; entry = i }
       i += 1
     }
-    Graph(labels, vecs, levels, adjB.map(_.map(_.toArray)), entry, maxLevel)
+    Graph(labels, vecs, levels, adjB.map(_.map(_.toArray)), entry, maxLevel, dups)
   }
 
   /** top-k labels for a query: greedy descent to layer 0, then beam.
@@ -220,10 +257,25 @@ object Nsw {
     var ep = g.entry
     var l = g.maxLevel
     while (l > 0) { ep = greedyClosest(g.vecs, g.adj, l, ep, q, metricId); l -= 1 }
-    searchLayer(
+    val nodes = searchLayer(
       g.vecs, i => scala.collection.immutable.ArraySeq.unsafeWrapArray(g.adj(i)(0)),
       g.labels(_), g.labels.length, ep, q, k, math.max(efSearch, k), metricId)
-      .map { case (_, idx) => (rawDist(metricId, q, g.vecs(idx)), g.labels(idx)) }
+    expand(g, q, nodes, k, metricId)
+  }
+
+  /** top-k NODES → top-k (dist, label) pairs, re-inflating collapsed
+    * duplicate labels. k nodes provably suffice: every node ranked
+    * before a top-k label's node contributes at least one candidate
+    * that sorts earlier, so the label's node is within the first k. */
+  private def expand(g: Graph, q: Array[Float], nodes: Array[(Double, Int)], k: Int,
+      metricId: Int): Array[(Double, Long)] = {
+    val out = mutable.ArrayBuffer.empty[(Double, Double, Long)] // (key, raw, label)
+    nodes.foreach { case (kd, idx) =>
+      val rd = rawDist(metricId, q, g.vecs(idx))
+      g.dups(idx).foreach(l => out += ((kd, rd, l)))
+    }
+    out.sortBy { case (kd, _, l) => (kd, l) }.take(k)
+      .map { case (_, rd, l) => (rd, l) }.toArray
   }
 
   /**
@@ -250,11 +302,18 @@ object Nsw {
     val beam = mutable.PriorityQueue.empty[(Double, Int)](beamOrd)
     val sel = mutable.PriorityQueue.empty[(Double, Int)](beamOrd)
     val width = math.max(efSearch, k)
-    @inline def visit(idx: Int, d: Double): Unit =
-      if (allowedLabel(g.labels(idx))) {
+    // a collapsed node is a candidate when ANY of its labels passes the
+    // selector; disallowed labels are filtered at the final expansion
+    @inline def visit(idx: Int, d: Double): Unit = {
+      val ls = g.dups(idx)
+      var i = 0
+      var any = false
+      while (i < ls.length && !any) { any = allowedLabel(ls(i)); i += 1 }
+      if (any) {
         sel.enqueue((d, idx))
         if (sel.size > width) sel.dequeue()
       }
+    }
     val d0 = key(metricId, q, vecs(ep))
     cand.enqueue((d0, ep)); beam.enqueue((d0, ep)); visited.set(ep); visit(ep, d0)
     while (cand.nonEmpty) {
@@ -279,7 +338,12 @@ object Nsw {
         }
       }
     }
-    sel.dequeueAll.reverse.take(k)
-      .map { case (_, idx) => (rawDist(metricId, q, vecs(idx)), g.labels(idx)) }.toArray
+    val out = mutable.ArrayBuffer.empty[(Double, Double, Long)] // (key, raw, label)
+    sel.dequeueAll.reverse.take(k).foreach { case (kd, idx) =>
+      val rd = rawDist(metricId, q, vecs(idx))
+      g.dups(idx).foreach(l => if (allowedLabel(l)) out += ((kd, rd, l)))
+    }
+    out.sortBy { case (kd, _, l) => (kd, l) }.take(k)
+      .map { case (_, rd, l) => (rd, l) }.toArray
   }
 }

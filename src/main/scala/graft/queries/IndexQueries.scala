@@ -403,9 +403,18 @@ object IndexQueries {
     // Deterministic (seeded training) but assignment is custom ->
     // rows-only; exact semantics spec-asserted incl. a planted
     // perfectly-balanced corpus measuring exactly 1.0.
+    // ntotal/nlist are exact longs and the imbalance factor is ONE IEEE
+    // division of exactly-representable integers — with the quantizer
+    // injected verbatim (manualTrainCentroids, the FAISS
+    // explicit-quantizer construction) the assignment replays in SQL and
+    // the whole stats row hash-gates (EXACT since round 9; was rows-only
+    // behind a k-means training step the oracle couldn't reproduce)
     "vs_index_stats" -> { (s, dir) =>
       val name = fresh("q_ivf_stats")
       IndexCatalog.create(name, 64, "IDMap,IVF16,Flat", "l2sq")
+      val cents = embData(s, dir).where(col("label") < 16).orderBy("label")
+        .select(col("vec")).collect().map(_.getSeq[Float](0).toArray)
+      IndexCatalog.manualTrainCentroids(cents, name)
       IndexCatalog.add(embData(s, dir), name)
       IndexCatalog.stats(name)
     },
@@ -652,6 +661,22 @@ object IndexQueries {
     // exhaustive-config twins: no approximation left -> the flat oracle
     "knn_ivf_exh" -> VectorQueries.oracles("knn_flat_l2"),
     "knn_ivf_hnsw_exh" -> VectorQueries.oracles("knn_flat_l2"),
+    // replay the injected-quantizer assignment (same double accumulation,
+    // ties to lowest cid), then ntotal / nlist / the one-division
+    // imbalance factor over the resulting list sizes
+    "vs_index_stats" ->
+      s"""WITH q AS (SELECT vec_id, embedding AS a FROM embeddings),
+         |seeds AS (SELECT vec_id AS cid, embedding AS b FROM embeddings WHERE vec_id < 16),
+         |d AS (SELECT q.vec_id, seeds.cid, ${VectorQueries.l2sqSql} AS dist
+         |      FROM q CROSS JOIN seeds),
+         |asg AS (SELECT vec_id, cid,
+         |          row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+         |        FROM d),
+         |sz AS (SELECT cid, count(*) AS n FROM asg WHERE rn = 1 GROUP BY cid)
+         |SELECT CAST(sum(n) AS BIGINT) AS ntotal, 16 AS nlist,
+         |  16 * sum(CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) /
+         |    (CAST(sum(n) AS DOUBLE) * CAST(sum(n) AS DOUBLE)) AS imbalance_factor
+         |FROM sz""".stripMargin,
     "knn_hnsw_exh" -> VectorQueries.oracles("knn_flat_l2"),
     "knn_pq_exh" -> VectorQueries.oracles("knn_flat_l2"),
     "knn_sq8_exh" -> VectorQueries.oracles("knn_flat_l2"),

@@ -71,10 +71,11 @@ object PipelineQueries {
       Pipeline.packSequences(Tables(s, dir, "documents"), "doc_id", "text", "lang", TokenBudget)
     },
     // best-fit-decreasing packing: every bin respects the token budget
-    // (the cumulative packer can overflow a bin by one doc). Rows-only
-    // at the gate — BFD's stateful fold has no SQL replay — with the
-    // exact driver replay, budget-cap, and partitioning-invariance
-    // checks spec-asserted (PipelineQueriesSpec).
+    // (the cumulative packer can overflow a bin by one doc). EXACT
+    // since round 9: the stateful fold replays in a DuckDB recursive
+    // CTE (open-bin list as sorted STRUCT array, one doc per recursion
+    // step per group) — plus the budget-cap and partitioning-invariance
+    // specs (PipelineQueriesSpec).
     "pack_bestfit" -> { (s, dir) =>
       Pipeline.packBestFit(Tables(s, dir, "documents"), "doc_id", "text", "lang", TokenBudget)
     },
@@ -452,6 +453,46 @@ object PipelineQueries {
          |  CAST(floor((sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
          |    ROWS UNBOUNDED PRECEDING) - n_tokens) / $TokenBudget) AS BIGINT) AS seq_no
          |FROM t""".stripMargin,
+    // BFD replayed as a sequential fold: one recursion step per doc
+    // (parallel across groups), open bins carried as a sorted
+    // STRUCT(rem, s) list — "smallest remaining that fits, ties to the
+    // oldest bin" is list_sort + first-match, exactly the TreeSet
+    // rangeFrom((n, -1)) rule in Pipeline.packBestFit
+    "pack_bestfit" ->
+      s"""WITH RECURSIVE t AS (
+         |  SELECT lang AS grp, doc_id, CAST(len($toksSql) AS BIGINT) AS n,
+         |    row_number() OVER (PARTITION BY lang
+         |      ORDER BY CAST(len($toksSql) AS BIGINT) DESC, doc_id) AS rn
+         |  FROM documents
+         |),
+         |steps AS (
+         |  SELECT grp, 0::BIGINT AS rn, CAST(NULL AS BIGINT) AS doc_id,
+         |         CAST(NULL AS BIGINT) AS n, CAST(NULL AS INTEGER) AS seq,
+         |         CAST([] AS STRUCT(rem BIGINT, s INTEGER)[]) AS bins, 0 AS next_seq
+         |  FROM (SELECT DISTINCT grp FROM t)
+         |  UNION ALL
+         |  SELECT s.grp, t.rn, t.doc_id, t.n,
+         |    CASE WHEN fit IS NOT NULL THEN fit.s ELSE s.next_seq END AS seq,
+         |    CASE WHEN fit IS NOT NULL THEN
+         |      list_sort(
+         |        CASE WHEN fit.rem - t.n > 0
+         |          THEN list_append(list_filter(s.bins, b -> b <> fit),
+         |                           {'rem': fit.rem - t.n, 's': fit.s})
+         |          ELSE list_filter(s.bins, b -> b <> fit) END)
+         |    ELSE
+         |      CASE WHEN $TokenBudget - t.n > 0
+         |        THEN list_sort(list_append(s.bins, {'rem': $TokenBudget - t.n, 's': s.next_seq}))
+         |        ELSE s.bins END
+         |    END AS bins,
+         |    CASE WHEN fit IS NOT NULL THEN s.next_seq ELSE s.next_seq + 1 END AS next_seq
+         |  FROM steps s
+         |  JOIN t ON t.grp = s.grp AND t.rn = s.rn + 1
+         |  LEFT JOIN LATERAL (
+         |    SELECT list_sort(list_filter(s.bins, b -> b.rem >= t.n))[1] AS fit
+         |  ) ON TRUE
+         |)
+         |SELECT doc_id, grp AS lang, n AS n_tokens, CAST(seq AS INTEGER) AS seq_no
+         |FROM steps WHERE rn > 0""".stripMargin,
     "contamination" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
          |sh AS (SELECT doc_id, $shingles3Sql AS sh FROM t),

@@ -91,6 +91,53 @@ class IndexCatalogSpec extends SparkSpec {
     assert(recall >= 0.75, s"recall $recall")
   }
 
+  test("concurrent add/search/retrain race: per-entry locking keeps the catalog consistent") {
+    // the reference's Go harness shape (main_test.go): writers append,
+    // readers search, a maintainer retrains — all racing on ONE index.
+    // Contract pinned here: every operation is individually atomic
+    // (per-Entry monitor), no operation throws, every appended label is
+    // searchable once its add returns, and the final exhaustive search
+    // is exact over whatever the interleaving produced.
+    import spark.implicits._
+    val name = "t_conc"
+    IndexCatalog.create(name, 2, "IDMap,IVF4,Flat", "l2sq", Map("nprobe" -> "4"))
+    IndexCatalog.add(grid, name)
+    IndexCatalog.search(name, 1, qs).count() // initial build
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val added = new java.util.concurrent.atomic.AtomicInteger(0)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(6)
+    (0 until 6).foreach { t =>
+      pool.submit(new Runnable {
+        def run(): Unit = try {
+          (0 until 4).foreach { i =>
+            t % 3 match {
+              case 0 => // writer: fresh far-away labels, distinct per (t, i)
+                val base = 10000L + t * 1000L + i * 10L
+                IndexCatalog.add(
+                  (0 until 3).map(j => (base + j, Array(50f + t, 40f + i)))
+                    .toDF("label", "vec"), name)
+                added.addAndGet(3)
+              case 1 => // reader: bounded result set, never a crash
+                assert(IndexCatalog.search(name, 4, qs).count() <= 8)
+              case 2 => // maintainer: re-derive centroids from current rows
+                IndexCatalog.retrain(name)
+            }
+          }
+        } catch { case e: Throwable => errs.add(e) }
+      })
+    }
+    pool.shutdown()
+    assert(pool.awaitTermination(180, java.util.concurrent.TimeUnit.SECONDS), "race test timed out")
+    assert(errs.isEmpty, s"concurrent ops raised: ${Option(errs.peek()).map(_.toString)}")
+    // nothing lost, nothing duplicated, and search is exact afterwards
+    val allRows = IndexCatalog.build(name).data.select("label").collect().map(_.getLong(0))
+    assert(allRows.length === allRows.distinct.length)
+    assert(allRows.length === 256 + added.get())
+    val want = labelsOf(Knn.searchFlat(
+      IndexCatalog.build(name).data.select("label", "vec"), qs, 4, "l2sq"))
+    assert(labelsOf(IndexCatalog.search(name, 4, qs)) === want)
+  }
+
   test("IVF_HNSW coarse quantizer: exhaustive probe exact, partial probe high recall, incremental add consistent") {
     // exhaustive: graph assignment can't cost recall when every list is scanned
     IndexCatalog.create("t_ivfh_x", 2, "IDMap,IVF8_HNSW4,Flat", "l2sq", Map("nprobe" -> "8"))

@@ -43,6 +43,42 @@ class NswSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"recall $recall")
   }
 
+  test("duplicate collapse: 100x-replicated corpus keeps recall@5 (walk can't stall in zero-distance clusters)") {
+    // 40 distinct points replicated 100x with distinct labels — before
+    // the collapse, greedy descent stalled inside a duplicate cluster
+    // and recall collapsed (the 1M-vector baseline finding)
+    val base = randomPoints(40, 8, seed = 31L)
+    val pts = (0 until 100).flatMap(c =>
+      base.map { case (l, v) => (c * 1000L + l, v) }).toArray
+    val g = Nsw.build(pts, m = 16, efConstruction = 96)
+    // one node per DISTINCT vector; every label retained across dups
+    assert(g.labels.length === 40)
+    assert(g.dups.map(_.length).sum === 4000)
+    val rnd = new scala.util.Random(37L)
+    val recall = (0 until 20).map { _ =>
+      val q = Array.fill(8)(rnd.nextFloat() * 10f)
+      val want = bruteTopK(pts, q, 5).toSet
+      val got = Nsw.search(g, q, 5, efSearch = 64).map(_._2).toSet
+      assert(got.size === 5, "k results even through collapsed nodes")
+      got.intersect(want).size.toDouble / want.size
+    }.sum / 20
+    assert(recall >= 0.9, s"recall $recall on the replicated corpus")
+    // tie-break parity: expansion orders (dist, label) exactly like brute force
+    val q0 = base(0)._2
+    assert(Nsw.search(g, q0, 5, 64).map(_._2).toSeq === bruteTopK(pts, q0, 5))
+  }
+
+  test("selector search through collapsed duplicates filters per-label, not per-node") {
+    val base = randomPoints(30, 4, seed = 41L)
+    val pts = (0 until 10).flatMap(c =>
+      base.map { case (l, v) => (c * 100L + l, v) }).toArray
+    val g = Nsw.build(pts, m = 8, efConstruction = 64)
+    val L2SQ = graft.functions.VectorMath.L2SQ
+    val res = Nsw.searchSel(g, Array.fill(4)(5.0f), 6, 64, L2SQ, _ % 2 == 0)
+    assert(res.forall(_._2 % 2 == 0), "odd label leaked from a collapsed node")
+    assert(res.length === 6)
+  }
+
   test("graph construction is deterministic (hash-derived levels, no RNG)") {
     val pts = randomPoints(1000, 4, seed = 3L)
     val g1 = Nsw.build(pts, m = 8, efConstruction = 64)
