@@ -660,8 +660,9 @@ object IndexCatalog {
     data.select(col("vec")).limit(16384).collect().map(_.getSeq[Float](0).toArray)
 
   /** coarse quantizers probe by L2 for every metric except IP (the
-    * FAISS convention NearestCentroids.distTo mirrors) */
-  private[index] def coarseMetricId(metricId: Int): Int =
+    * FAISS convention NearestCentroids.distTo mirrors); shared with
+    * AnnJoin's graph-coarse assignment */
+  private[graft] def coarseMetricId(metricId: Int): Int =
     if (metricId == VectorMath.IP) VectorMath.IP else VectorMath.L2SQ
 
   /** driver-built HNSW over the (bounded) centroid table — deterministic

@@ -148,10 +148,13 @@ object VectorQueries {
     // left-side path; recall spec-asserted vs the exact join)
     "knn_join_ann" -> { (s, dir) =>
       val e = Tables(s, dir, "embeddings")
+      // nlist = 0: auto-sized from the measured corpus (~2k rows/list),
+      // so this gate stays linear at every scale rung — fixed nlist=16
+      // cost 479 s at the 100x rung (12.5k-row lists, quadratic)
       graft.search.AnnJoin.ivfJoin(
           left = e.select(col("vec_id").as("qid"), col("embedding").as("qvec")),
           right = e.select(col("vec_id").as("label"), col("embedding").as("vec")),
-          k = 3, nlist = 16, nprobe = 4, excludeSelf = true)
+          k = 3, nlist = 0, nprobe = 4, excludeSelf = true)
         .select(col("qid"), col("rank"), col("label"))
     },
     // exhaustive twin of the unbounded ANN join: every list probed ->

@@ -22,6 +22,13 @@ import graft.index.{KMeansTrainer, NearestCentroids}
  */
 object AnnJoin {
 
+  /** auto-nlist target list size: lists stay near this many rows so
+    * per-query candidate work is constant in corpus size */
+  private val AutoListRows = 2048L
+  /** centroid count beyond which assignment/probing walk an HNSW graph
+    * over the centroids instead of a flat argmin */
+  private val GraphCoarseThreshold = 4096
+
   /**
    * @param maxListRows skew guard: any IVF list ESTIMATED to hold more
    *   right rows than this is split into salted sublists — right rows
@@ -31,13 +38,17 @@ object AnnJoin {
    *   candidate pairs, different partitioning), but the hottest
    *   partition is bounded, which AQE alone cannot guarantee for a
    *   degenerate list (all vectors in one cluster). List sizes are
-   *   estimated driver-side from a bounded PARTITION-SPREAD sample
-   *   (a few rows from every partition, one small collect) scaled by
-   *   one column-pruned count(), with a 2x margin. The estimate
-   *   weights partitions equally — accurate for file-based scans
-   *   (maxPartitionBytes keeps splits near-uniform); a corpus with
-   *   wildly uneven CUSTOM partitioning should lower maxListRows to
-   *   compensate. Long.MaxValue disables the guard and both jobs.
+   *   estimated driver-side from the same single PARTITION-SPREAD
+   *   stats job that feeds training (each partition's sample weighted
+   *   by its exact row count), with a 2x margin. Long.MaxValue
+   *   disables the guard.
+   * @param nlist number of IVF lists; <= 0 picks it AUTOMATICALLY from
+   *   the measured corpus size (~[[AutoListRows]] rows per list,
+   *   clamped to [16, 65536]) so the join stays linear as the corpus
+   *   grows — pass an explicit value only to pin recall geometry (and
+   *   always for exhaustive-probe exactness, where nprobe must equal
+   *   it). Past [[GraphCoarseThreshold]] centroids, assignment and
+   *   probing walk an HNSW graph over the centroid table.
    */
   def ivfJoin(
       left: DataFrame, // (qid bigint, qvec array<float>)
@@ -101,59 +112,82 @@ object AnnJoin {
       excludeSelf: Boolean,
       maxListRows: Long): DataFrame = {
     val metricId = VectorMath.metricId(metric)
-    // one bounded collect feeds both quantizer training and the skew
-    // estimate (same points the old KMeansTrainer.train path pulled)
     val spark = right.sparkSession
     import spark.implicits._
-    val samplePts: Array[Array[Float]] = Knn.widen(right)
-      .select(vec.vector(col("vec")).as("vec")).limit(trainSample)
-      .as[Seq[Float]].collect().map(_.toArray)
-    val centroids = KMeansTrainer.trainLocal(samplePts, nlist, seed, maxIter = 10)
+    // ONE spread-stats job feeds quantizer training, the auto-nlist
+    // choice, and the skew estimate: every partition returns its EXACT
+    // row count plus a bounded sample. A prefix limit() would be blind
+    // to clusters past the first partitions of a sorted corpus, and a
+    // separate count() would be a second full pass on non-parquet
+    // inputs — the spread pass replaces both.
+    val spreadRdd = Knn.widen(right).select(vec.vector(col("vec")).as("vec")).rdd
+    val perPart = math.max(1, trainSample / math.max(1, spreadRdd.getNumPartitions))
+    val partStats: Array[(Long, Array[Array[Float]])] =
+      spreadRdd.mapPartitions { it =>
+        val buf = scala.collection.mutable.ArrayBuffer.empty[Array[Float]]
+        var n = 0L
+        it.foreach { row =>
+          if (n < perPart) buf += row.getSeq[Float](0).toArray
+          n += 1
+        }
+        Iterator.single((n, buf.toArray))
+      }.collect()
+    val totalRows = partStats.map(_._1).sum
+    val samplePts: Array[Array[Float]] = partStats.flatMap(_._2)
+    // nlist <= 0 -> AUTO: size the list count to the corpus so the
+    // expected list stays near AutoListRows and per-query candidate
+    // work is CONSTANT as the corpus grows. A fixed nlist makes the
+    // join quadratic in N — the 100x rung measured knn_join_ann at
+    // 479 s with 16 lists of 12.5k rows each before this.
+    val nlistEff =
+      if (nlist > 0) nlist
+      else math.max(16L, math.min(65536L, (totalRows + AutoListRows - 1) / AutoListRows)).toInt
+    val centroids = KMeansTrainer.trainLocal(samplePts, nlistEff, seed, maxIter = 10)
 
-    val assignOne = GraftBridge.column(
-      NearestCentroids(GraftBridge.expression(vec.vector(col("vec"))), centroids, 1, metricId))
+    // past a few thousand centroids, flat argmin assignment is itself a
+    // scan per vector — walk an HNSW graph over the centroid table
+    // instead (the same IVF<n>_HNSW<m> machinery IndexCatalog uses;
+    // never at exhaustive probe, where all lists must be returned)
+    val coarseMet = graft.index.IndexCatalog.coarseMetricId(metricId)
+    val coarseGraph: Option[graft.index.Nsw.Graph] =
+      if (centroids.length >= GraphCoarseThreshold && math.max(1, nprobe) < centroids.length)
+        Some(graft.index.Nsw.build(
+          centroids.zipWithIndex.map { case (c, i) => (i.toLong, c) },
+          m = 16, efConstruction = 64, metricId = coarseMet))
+      else None
+    def nearestExpr(c: org.apache.spark.sql.Column, n: Int) = coarseGraph match {
+      case Some(g) => GraftBridge.column(graft.index.HnswNearestCentroids(
+        GraftBridge.expression(vec.vector(c)), g, n, math.max(64, n), coarseMet))
+      case None => GraftBridge.column(NearestCentroids(
+        GraftBridge.expression(vec.vector(c)), centroids, n, metricId))
+    }
+
+    val assignOne = nearestExpr(col("vec"), 1)
     val rightListed = Knn.widen(right).select(
       when(size(assignOne) > 0, element_at(assignOne, 1)).otherwise(lit(-1)).as("list_id"),
       col("label"), vec.vector(col("vec")).as("vec"))
 
-    val probeLists = GraftBridge.column(
-      NearestCentroids(GraftBridge.expression(vec.vector(col("qvec"))), centroids,
-        math.max(1, nprobe), metricId))
+    val probeLists = nearestExpr(col("qvec"), math.max(1, nprobe))
     val leftProbed = Knn.widen(left).select(
       col("qid"), vec.vector(col("qvec")).as("qvec"), explode(probeLists).as("list_id"))
 
-    // estimated hot-list split factors, driver-side arithmetic over a
-    // PARTITION-SPREAD sample: the training prefix (limit) can be blind
-    // to clusters living past the first partitions of a sorted/clustered
-    // corpus, which is exactly where a degenerate hot list hides. ONE
-    // job returns each partition's exact row count alongside its
-    // bounded sample — no separate right.count() job (a full second
-    // pass on non-parquet inputs), and each partition's sample is
-    // weighted by ITS row count, so wildly uneven custom partitioning
-    // can't skew the estimate toward small partitions.
+    // estimated hot-list split factors from the SAME spread stats: each
+    // partition's sample is weighted by its actual row count, so
+    // wildly uneven custom partitioning can't skew the estimate.
+    val assignIdOf: Array[Float] => Option[Int] = coarseGraph match {
+      case Some(g) =>
+        p => graft.index.Nsw.search(g, p, 1, 64, coarseMet).headOption.map(_._2.toInt)
+      case None =>
+        p => NearestCentroids.nearestIds(p, centroids, 1, metricId).headOption
+    }
     val splitRows: Seq[(Int, Int)] =
       if (maxListRows == Long.MaxValue || samplePts.isEmpty) Seq.empty
       else {
-        val spreadRdd = Knn.widen(right).select(vec.vector(col("vec")).as("vec")).rdd
-        val perPart = math.max(1, trainSample / math.max(1, spreadRdd.getNumPartitions))
-        val partStats: Array[(Long, Array[Array[Float]])] =
-          spreadRdd.mapPartitions { it =>
-            val buf = scala.collection.mutable.ArrayBuffer.empty[Array[Float]]
-            var n = 0L
-            it.foreach { row =>
-              if (n < perPart) buf += row.getSeq[Float](0).toArray
-              n += 1
-            }
-            Iterator.single((n, buf.toArray))
-          }.collect()
         val estRows = new Array[Double](centroids.length)
         partStats.foreach { case (nPart, rows) =>
           if (rows.nonEmpty) {
             val w = nPart.toDouble / rows.length // rows each sampled point represents
-            rows.foreach { p =>
-              val ids = NearestCentroids.nearestIds(p, centroids, 1, metricId)
-              if (ids.nonEmpty) estRows(ids.head) += w
-            }
+            rows.foreach(p => assignIdOf(p).foreach(estRows(_) += w))
           }
         }
         estRows.indices.map { i =>

@@ -37,6 +37,11 @@ object AnnBaseline {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // TypedImperativeAggregates (top-k heaps, sketches) fall back to
+      // SORT-based aggregation past 128 distinct keys by default — at the
+      // 100x rung that sorted 1.6e9 candidate rows to disk (70 GB spill).
+      // 2M heap objects per partition is still only ~200 MB.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "2097152")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
