@@ -50,14 +50,17 @@ object PipelineQueries {
     "pipeline_curate" -> { (s, dir) =>
       val d = Tables.wide(s, dir, "documents")
       val gated = d.where(graft.text.TextFunctions.qualityScore(col("text")) >= 0.6)
-      // canonical survivor per text via a partial-aggregating struct
-      // min (map-side combine collapses duplicate texts BEFORE the
-      // shuffle); a window min would move and sort every gated row
+      // canonical survivor per CONTENT HASH via a partial-aggregating
+      // struct min (map-side combine collapses duplicate texts BEFORE
+      // the shuffle, and the shuffle carries ~50-byte (hash, id, lang)
+      // rows — never document text); the downstream sample/split
+      // buckets are md5-prefix functions, so they re-derive from the
+      // same hash instead of needing the text column back
       val surv = gated
-        .groupBy(col("text"))
+        .groupBy(md5(col("text")).as("_h"))
         .agg(min(struct(col("doc_id"), col("lang"))).as("c"))
-        .select(col("c.doc_id").as("doc_id"), col("c.lang").as("lang"), col("text"))
-      val bucket = contentBucket
+        .select(col("c.doc_id").as("doc_id"), col("c.lang").as("lang"), col("_h"))
+      val bucket = conv(substring(col("_h"), 1, 4), 16, 10).cast("int") % 10000
       val rate = when(col("lang") === "en", 9000)
         .when(col("lang") === "de", 5000)
         .otherwise(2500)
@@ -298,10 +301,14 @@ object PipelineQueries {
     // plan with nothing materialized between stages. Every stage is
     // individually oracle-gated elsewhere; because each is
     // deterministic-exact, the COMPOSITION carries a full chained SQL
-    // oracle too. Scale: the gate/dedup/decontam stages shuffle
-    // content hashes and shingle hashes only, DSIR is the two-pass
-    // count+score shape over the CLEAN candidates, and the final
-    // layout windows over the 300-row selection.
+    // oracle too. Scale: the dedup stage moves each DISTINCT surviving
+    // text exactly once (map-side combine collapses duplicates before
+    // the shuffle — the minimum possible when the text feeds the
+    // decontam/DSIR stages downstream; operators that don't need text
+    // back, like pipeline_curate/pipeline_rag, dedup on the 16-byte
+    // hash instead), decontam shuffles shingle hashes only, DSIR is
+    // the two-pass count+score shape over the CLEAN candidates, and
+    // the final layout windows over the 300-row selection.
     "pipeline_pretrain" -> { (s, dir) =>
       import graft.text.TextFunctions
       val d = Tables.wide(s, dir, "documents")

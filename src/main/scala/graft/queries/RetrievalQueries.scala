@@ -117,11 +117,13 @@ object RetrievalQueries {
     "pipeline_rag" -> { (s, dir) =>
       import graft.index.IndexCatalog
       val d = Tables.wide(s, dir, "documents")
-      // partial-aggregating groupBy min (not a window): duplicates
-      // collapse map-side, only (text-hash, min id) partials shuffle
+      // partial-aggregating groupBy min over the CONTENT HASH (not the
+      // text, not a window): duplicates collapse map-side and only
+      // 24-byte (hash, min id) partials shuffle — nothing downstream
+      // needs the text column back
       val surv = d
         .where(graft.text.TextFunctions.qualityScore(col("text")) >= 0.6)
-        .groupBy(col("text"))
+        .groupBy(md5(col("text")).as("_h"))
         .agg(min(col("doc_id")).as("doc_id"))
         .select(col("doc_id"))
       val e = Tables(s, dir, "embeddings")

@@ -26,8 +26,12 @@ object AnnJoin {
     * per-query candidate work is constant in corpus size */
   private val AutoListRows = 2048L
   /** centroid count beyond which assignment/probing walk an HNSW graph
-    * over the centroids instead of a flat argmin */
-  private val GraphCoarseThreshold = 4096
+    * over the centroids instead of a flat argmin. The graph walk costs
+    * a few hundred distance evals regardless of nlist, so the
+    * break-even sits near 1k centroids — at the 100x rung (2M vectors,
+    * ~1k auto lists) flat assignment was the superlinear term of the
+    * whole join (N x nlist x d), not the candidate scan. */
+  private val GraphCoarseThreshold = 1024
 
   /**
    * @param maxListRows skew guard: any IVF list ESTIMATED to hold more
