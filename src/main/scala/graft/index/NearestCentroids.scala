@@ -50,7 +50,13 @@ object NearestCentroids {
     * to avoid clashing with Expression.eval, which would suppress the
     * static forwarder and break Janino compilation) */
   def nearest(v: ArrayData, centroids: Array[Array[Float]], nprobe: Int, metric: Int): ArrayData = {
-    val dim = v.numElements()
+    // materialize ONCE per row: ArrayData.getFloat is a virtual call
+    // (boxed on GenericArrayData), and the centroid loop reads the
+    // vector nlist times — through the accessor that measured ~75
+    // MFLOP/s/core and made assignment the dominant term of the 100x
+    // rung's ANN join (218 s); on a primitive float[] the same loop is
+    // JIT-vectorizable
+    val q = v.toFloatArray()
     if (nprobe == 1) {
       // hot path for assignment: plain argmin, no heap. NaN distances
       // are skipped like TopKHeap does; an all-NaN vector probes nothing
@@ -58,7 +64,7 @@ object NearestCentroids {
       var bestD = Double.MaxValue
       var c = 0
       while (c < centroids.length) {
-        val d0 = distTo(v, centroids(c), dim, metric)
+        val d0 = distTo(q, centroids(c), metric)
         if (!java.lang.Double.isNaN(d0)) {
           val d = if (metric == VectorMath.IP) -d0 else d0
           if (d < bestD) { bestD = d; best = c }
@@ -72,7 +78,7 @@ object NearestCentroids {
       val heap = new TopKHeap(math.min(nprobe, centroids.length), asc)
       var c = 0
       while (c < centroids.length) {
-        heap.insert(distTo(v, centroids(c), dim, metric), c.toLong)
+        heap.insert(distTo(q, centroids(c), metric), c.toLong)
         c += 1
       }
       new GenericArrayData(heap.sorted.map(_._2.toInt))
@@ -103,13 +109,13 @@ object NearestCentroids {
     heap.sorted.map(_._2.toInt).toSeq
   }
 
-  @inline private def distTo(v: ArrayData, cen: Array[Float], dim: Int, metric: Int): Double = {
+  @inline private def distTo(v: Array[Float], cen: Array[Float], metric: Int): Double = {
     var d = 0.0
     var i = 0
     if (metric == VectorMath.IP) {
-      while (i < dim) { d += v.getFloat(i).toDouble * cen(i); i += 1 }
+      while (i < v.length) { d += v(i).toDouble * cen(i); i += 1 }
     } else { // coarse quantization probes by L2 for all other metrics
-      while (i < dim) { val t = v.getFloat(i).toDouble - cen(i); d += t * t; i += 1 }
+      while (i < v.length) { val t = v(i).toDouble - cen(i); d += t * t; i += 1 }
     }
     d
   }

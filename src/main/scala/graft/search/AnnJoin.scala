@@ -23,15 +23,34 @@ import graft.index.{KMeansTrainer, NearestCentroids}
 object AnnJoin {
 
   /** auto-nlist target list size: lists stay near this many rows so
-    * per-query candidate work is constant in corpus size */
-  private val AutoListRows = 2048L
+    * per-query candidate work is constant in corpus size. 1024 (not
+    * 2048) so nlist crosses [[GraphCoarseThreshold]] by the 100x rung
+    * (2M rows -> ~2k lists): with graph assignment BOTH per-row terms
+    * — the nprobe x listRows candidate scan and the ~ef x m coarse
+    * walk — are then constant in N, which is what makes the join
+    * linear at 100 TB; flat assignment at the same nlist would grow
+    * as N x nlist x d and dominate (measured: 218 s of the rung's
+    * knn_join_ann before this) */
+  private val AutoListRows = 1024L
   /** centroid count beyond which assignment/probing walk an HNSW graph
-    * over the centroids instead of a flat argmin. The graph walk costs
-    * a few hundred distance evals regardless of nlist, so the
-    * break-even sits near 1k centroids — at the 100x rung (2M vectors,
-    * ~1k auto lists) flat assignment was the superlinear term of the
-    * whole join (N x nlist x d), not the candidate scan. */
-  private val GraphCoarseThreshold = 1024
+    * over the centroids instead of a flat argmin. MEASURED at the 100x
+    * rung (2M-vector self-join, nlist 1954): the graph walk made the
+    * join 2.3x SLOWER than flat (511 s vs ~220 s) — the per-row beam
+    * search pays priority-queue/visited-set churn that the tight
+    * primitive argmin loop doesn't, and a ~2k x 64d centroid table
+    * (500 KB) still sits in L2. Flat loses only when the table blows
+    * the cache (>= ~10^4 centroids: 8192 x 64d = 2 MB/row of streamed
+    * reads), which is where FAISS reaches for IVF_HNSW too. */
+  private val GraphCoarseThreshold = 8192
+
+  /** estimated-candidate-pairs threshold past which the join (a) pins
+    * its shuffle parallelism on the join keys (AQE sizes reduce
+    * partitions by map-output BYTES and is blind to join fan-out) and
+    * (b) switches to the packed [[ListTopKScan]] kernel (probe-count
+    * join cardinality instead of pair-count). Conf-overridable so
+    * specs can force the large-fan-out path on small data and assert
+    * it is bit-equal to the planner-chosen path. */
+  private[graft] val PinPairsThresholdConf = "spark.graft.annjoin.pinPairsThreshold"
 
   /**
    * @param maxListRows skew guard: any IVF list ESTIMATED to hold more
@@ -44,8 +63,14 @@ object AnnJoin {
    *   degenerate list (all vectors in one cluster). List sizes are
    *   estimated driver-side from the same single PARTITION-SPREAD
    *   stats job that feeds training (each partition's sample weighted
-   *   by its exact row count), with a 2x margin. Long.MaxValue
-   *   disables the guard.
+   *   by its exact row count), with a 2x margin. <= 0 (the default)
+   *   auto-sizes to 4x[[AutoListRows]]: the quantity that matters is
+   *   PAIRS per list (probes x rows, quadratic in list size), so the
+   *   guard must bind at a small multiple of the target list size —
+   *   a lax byte/row cap leaves a few mega-lists owning most of the
+   *   candidate work, and the whole join waits on 2-3 straggler tasks
+   *   (measured: the 100x rung's knn_join_ann ran ~900 s with 29 of
+   *   32 tasks idle). Long.MaxValue disables the guard.
    * @param nlist number of IVF lists; <= 0 picks it AUTOMATICALLY from
    *   the measured corpus size (~[[AutoListRows]] rows per list,
    *   clamped to [16, 65536]) so the join stays linear as the corpus
@@ -64,12 +89,34 @@ object AnnJoin {
       seed: Long = 42L,
       trainSample: Int = 16384,
       excludeSelf: Boolean = false,
-      maxListRows: Long = 4000000L): DataFrame = {
-    val asc = VectorMath.smallerIsCloser(VectorMath.metricId(metric))
-    Knn.rankResults(
-      candidatePairs(left, right, nlist, nprobe, metric, seed, trainSample,
-        excludeSelf, maxListRows),
-      k, asc)
+      maxListRows: Long = 0L): DataFrame = {
+    val metricId = VectorMath.metricId(metric)
+    val asc = VectorMath.smallerIsCloser(metricId)
+    val s = listedSides(left, right, nlist, nprobe, metric, seed, trainSample, maxListRows)
+    if (s.pin) {
+      // large fan-out: do NOT join row-per-candidate-pair. Spark's join
+      // operators cost ~0.4-0.9 us per output row (measured: an 8e8-pair
+      // SortMergeJoin burned 2000+ core-seconds at the 100x rung), so the
+      // scan kernel is wrapped the FAISS way instead: each (list, salt)
+      // packs its vectors into ONE row, every probe joins its single
+      // packed row (probe-count join cardinality, not pair-count), and
+      // [[ListTopKScan]] scans the packed list in a primitive loop with
+      // an in-expression bounded heap. The per-(probe, sublist) top-k
+      // survivors then merge through the ordinary partial top-k
+      // aggregate — identical heap semantics end to end, so the
+      // exhaustive-probe EXACT gates hold on this path too.
+      val packed = s.right.groupBy(s.keys.map(col): _*)
+        .agg(collect_list(struct(col("label"), col("vec"))).as("items"))
+      val scanExpr = GraftBridge.column(ListTopKScan(
+        GraftBridge.expression(col("items")),
+        GraftBridge.expression(col("qvec")),
+        GraftBridge.expression(col("qid")),
+        k, metricId, asc, excludeSelf))
+      val scanned = s.left.join(packed, s.keys)
+        .select(col("qid"), explode(scanExpr).as("nn"))
+        .select(col("qid"), col("nn.label").as("label"), col("nn.distance").as("_dist"))
+      Knn.rankResults(scanned, k, asc)
+    } else Knn.rankResults(pairsFrom(s, metric, excludeSelf), k, asc)
   }
 
   /**
@@ -93,9 +140,10 @@ object AnnJoin {
       seed: Long = 42L,
       trainSample: Int = 16384,
       excludeSelf: Boolean = false,
-      maxListRows: Long = 4000000L): DataFrame = {
-    val cands = candidatePairs(left, right, nlist, nprobe, metric, seed,
-      trainSample, excludeSelf, maxListRows)
+      maxListRows: Long = 0L): DataFrame = {
+    val cands = pairsFrom(
+      listedSides(left, right, nlist, nprobe, metric, seed, trainSample, maxListRows),
+      metric, excludeSelf)
     val cmp =
       if (VectorMath.smallerIsCloser(VectorMath.metricId(metric))) col("_dist") < lit(radius)
       else col("_dist") > lit(radius)
@@ -105,7 +153,21 @@ object AnnJoin {
     cands.where(cmp).select(col("qid"), col("label"), col("_dist").as("distance"))
   }
 
-  private def candidatePairs(
+  /** keyed sides of the list-co-partitioned join: probes exploded to
+    * their nprobe (list_id[, salt]) keys, corpus rows assigned to one
+    * key each, hot lists salted, parallelism pinned for big fan-outs */
+  private case class Sides(left: DataFrame, right: DataFrame, keys: Seq[String], pin: Boolean)
+
+  /** row-per-candidate-pair stream from the keyed sides (the radius
+    * join's shape, and the small-scale top-k path) */
+  private def pairsFrom(s: Sides, metric: String, excludeSelf: Boolean): DataFrame = {
+    val d = vec.dist(metric, col("vec"), col("qvec"))
+    val joined = s.left.join(s.right, s.keys)
+    val filtered = if (excludeSelf) joined.where(col("label") =!= col("qid")) else joined
+    filtered.select(col("qid"), col("label"), d.as("_dist"))
+  }
+
+  private def listedSides(
       left: DataFrame,
       right: DataFrame,
       nlist: Int,
@@ -113,8 +175,7 @@ object AnnJoin {
       metric: String,
       seed: Long,
       trainSample: Int,
-      excludeSelf: Boolean,
-      maxListRows: Long): DataFrame = {
+      maxListRows: Long): Sides = {
     val metricId = VectorMath.metricId(metric)
     val spark = right.sparkSession
     import spark.implicits._
@@ -143,10 +204,75 @@ object AnnJoin {
     // work is CONSTANT as the corpus grows. A fixed nlist makes the
     // join quadratic in N — the 100x rung measured knn_join_ann at
     // 479 s with 16 lists of 12.5k rows each before this.
-    val nlistEff =
+    val nlistTarget =
       if (nlist > 0) nlist
       else math.max(16L, math.min(65536L, (totalRows + AutoListRows - 1) / AutoListRows)).toInt
-    val centroids = KMeansTrainer.trainLocal(samplePts, nlistEff, seed, maxIter = 10)
+    var centroids = KMeansTrainer.trainLocal(samplePts, nlistTarget, seed, maxIter = 10)
+
+    // TWO-LEVEL refinement of oversized lists (auto mode only, nlist
+    // pinned by the caller = pinned geometry, e.g. exhaustive gates):
+    // k-means minimizes SSE, and a dense POPULAR region contributes
+    // almost none — so it happily leaves one list holding 20x the
+    // target rows. Candidate pairs per list are quadratic in its size:
+    // at the 100x rung a single such mega-list held 1.36e9 of the
+    // join's 4.9e9 pairs (measured; ~6x the balanced workload).
+    // Re-clustering each oversized list's own sample points splits the
+    // popular region spatially and cuts TOTAL pair work, which no
+    // amount of salting can (salt only spreads it). Byte-identical
+    // duplicate blobs have zero internal variance and cannot be split
+    // geometrically — sub-k-means returns coincident centroids, rows
+    // stay on the first, and the salt guard remains their backstop.
+    if (nlist <= 0) {
+      val refineCap = 4.0 * AutoListRows
+      var round = 0
+      var anySplit = true
+      while (round < 2 && anySplit && samplePts.nonEmpty) {
+        val est = new Array[Double](centroids.length)
+        val memberIdx = new Array[Int](samplePts.length)
+        var si = 0
+        while (si < samplePts.length) {
+          memberIdx(si) = NearestCentroids.nearestIds(samplePts(si), centroids, 1, metricId)
+            .headOption.getOrElse(-1)
+          si += 1
+        }
+        // weight sample membership by each partition's true row count
+        var base = 0
+        partStats.foreach { case (nPart, rows) =>
+          if (rows.nonEmpty) {
+            val w = nPart.toDouble / rows.length
+            var i = 0
+            while (i < rows.length) {
+              val m = memberIdx(base + i)
+              if (m >= 0) est(m) += w
+              i += 1
+            }
+            base += rows.length
+          }
+        }
+        val big = est.indices.filter(i => est(i) > refineCap).toSet
+        anySplit = big.nonEmpty
+        if (anySplit) {
+          val members = Array.fill(centroids.length)(
+            scala.collection.mutable.ArrayBuffer.empty[Array[Float]])
+          var j = 0
+          while (j < samplePts.length) {
+            val m = memberIdx(j)
+            if (m >= 0) members(m) += samplePts(j)
+            j += 1
+          }
+          val kept = centroids.indices.filterNot(big).map(centroids)
+          val splits = centroids.indices.filter(big).flatMap { i =>
+            val subK = math.min(64L, (est(i) / AutoListRows).toLong + 1L).toInt
+            val pts = members(i).toArray
+            if (pts.length < 2 || subK < 2) Seq(centroids(i))
+            else KMeansTrainer.trainLocal(pts, subK, seed + 101 + i, maxIter = 10).toSeq
+          }
+          centroids = (kept ++ splits).toArray
+        }
+        round += 1
+      }
+    }
+    val nlistEff = centroids.length
 
     // past a few thousand centroids, flat argmin assignment is itself a
     // scan per vector — walk an HNSW graph over the centroid table
@@ -166,55 +292,103 @@ object AnnJoin {
         GraftBridge.expression(vec.vector(c)), centroids, n, metricId))
     }
 
+    // get() not when(size>0, element_at): references the assignment
+    // expression ONCE (the when-form evaluates the argmin twice unless
+    // subexpression elimination catches it) and is null-on-empty under
+    // ANSI semantics; only an all-NaN vector assigns to no list
     val assignOne = nearestExpr(col("vec"), 1)
     val rightListed = Knn.widen(right).select(
-      when(size(assignOne) > 0, element_at(assignOne, 1)).otherwise(lit(-1)).as("list_id"),
+      coalesce(get(assignOne, lit(0)), lit(-1)).as("list_id"),
       col("label"), vec.vector(col("vec")).as("vec"))
 
     val probeLists = nearestExpr(col("qvec"), math.max(1, nprobe))
     val leftProbed = Knn.widen(left).select(
       col("qid"), vec.vector(col("qvec")).as("qvec"), explode(probeLists).as("list_id"))
 
+    // AQE sizes reduce partitions by map-output BYTES, which is blind
+    // to join FAN-OUT: ~1M 270-byte listed rows can explode into 1e9
+    // candidate pairs, so AQE coalesces the small list_id exchanges to
+    // a handful of tasks and the candidate scan + top-k runs close to
+    // SERIAL — measured 920 s at the 100x rung for an 8e8-pair join
+    // whose 32-way cost is ~30 s (a replicated bench corpus compresses
+    // ~100x in the shuffle, compounding the underestimate, but the
+    // fan-out blindness is generic). When the estimated pair count is
+    // large, pin the join parallelism by repartitioning both sides on
+    // the join keys at shuffle.partitions — the join then reuses that
+    // co-partitioning (no extra exchange) and every task scans ~equal
+    // candidate volume. Below the threshold the planner stays free to
+    // broadcast, which is the right plan at gate scale.
+    val estPairs = math.max(1, nprobe).toDouble * totalRows * (totalRows.toDouble / nlistEff)
+    val pinParallelism = estPairs >= spark.conf
+      .getOption(AnnJoin.PinPairsThresholdConf).map(_.toDouble).getOrElse(3.2e7)
+    val np = spark.sessionState.conf.numShufflePartitions
+
     // estimated hot-list split factors from the SAME spread stats: each
-    // partition's sample is weighted by its actual row count, so
-    // wildly uneven custom partitioning can't skew the estimate.
-    val assignIdOf: Array[Float] => Option[Int] = coarseGraph match {
-      case Some(g) =>
-        p => graft.index.Nsw.search(g, p, 1, 64, coarseMet).headOption.map(_._2.toInt)
-      case None =>
-        p => NearestCentroids.nearestIds(p, centroids, 1, metricId).headOption
+    // partition's sample is weighted by its actual row count, so wildly
+    // uneven custom partitioning can't skew the estimate. ONE top-nprobe
+    // assignment per sampled point yields BOTH per-list row estimates
+    // (its top-1 list) and per-list probe estimates (all nprobe lists,
+    // left side proxied by the right sample — exact for self-joins, the
+    // dominant shape; an asymmetric left only shifts WHERE the probes
+    // land, and the row-cap term still bounds the build side).
+    val probeIdsOf: Array[Float] => Seq[Int] = {
+      val nq = math.max(1, math.min(nprobe, centroids.length))
+      coarseGraph match {
+        case Some(g) =>
+          p => graft.index.Nsw.search(g, p, nq, math.max(64, nq), coarseMet).map(_._2.toInt).toSeq
+        case None =>
+          p => NearestCentroids.nearestIds(p, centroids, nq, metricId)
+      }
     }
+    val maxListRowsEff = if (maxListRows > 0) maxListRows else 4L * AutoListRows
     val splitRows: Seq[(Int, Int)] =
-      if (maxListRows == Long.MaxValue || samplePts.isEmpty) Seq.empty
+      if (maxListRowsEff == Long.MaxValue || samplePts.isEmpty) Seq.empty
       else {
         val estRows = new Array[Double](centroids.length)
+        val estProbes = new Array[Double](centroids.length)
         partStats.foreach { case (nPart, rows) =>
           if (rows.nonEmpty) {
             val w = nPart.toDouble / rows.length // rows each sampled point represents
-            rows.foreach(p => assignIdOf(p).foreach(estRows(_) += w))
+            rows.foreach { p =>
+              val ids = probeIdsOf(p)
+              if (ids.nonEmpty) estRows(ids.head) += w
+              ids.foreach(estProbes(_) += w)
+            }
           }
         }
+        // balance CANDIDATE PAIRS, not just rows: per-list scan work is
+        // probes x rows (quadratic in list size for a self-join), so a
+        // row-only cap leaves sublists of a popular list each carrying
+        // its full probe load; the pairs target splits hot lists until
+        // every (list, salt) key holds ~a quarter-partition of scan
+        // work. The row cap still applies as a floor (bounds the
+        // per-key build side / memory).
+        val pairsEst = estRows.indices.map(i => estRows(i) * estProbes(i))
+        val targetPairsPerKey = math.max(pairsEst.sum / (4.0 * np), 1.0)
         estRows.indices.map { i =>
-          val est = estRows(i) * 2.0 // safety margin
-          (i, math.min(64L, (est / maxListRows).toLong + 1L).toInt)
+          val rowsSplit = (estRows(i) * 2.0 / maxListRowsEff).toLong + 1L
+          val pairSplit =
+            if (pinParallelism) math.ceil(pairsEst(i) / targetPairsPerKey).toLong else 1L
+          (i, math.min(64L, math.max(rowsSplit, pairSplit)).toInt)
         }.filter(_._2 > 1)
       }
-
-    val d = vec.dist(metric, col("vec"), col("qvec"))
-    val joined =
-      if (splitRows.isEmpty) leftProbed.join(rightListed, "list_id")
-      else {
-        // lists not in splitsDf keep salt 0 on both sides (coalesce),
-        // so cold lists join on the single (list_id, 0) key unchanged
-        val splitsDf = broadcast(splitRows.toDF("list_id", "splits"))
-        val rightSalted = rightListed.join(splitsDf, Seq("list_id"), "left")
-          .withColumn("salt",
-            coalesce(pmod(xxhash64(col("label")), col("splits").cast("long")).cast("int"), lit(0)))
-        val leftSalted = leftProbed.join(splitsDf, Seq("list_id"), "left")
-          .withColumn("salt", explode(sequence(lit(0), coalesce(col("splits"), lit(1)) - 1)))
-        leftSalted.join(rightSalted, Seq("list_id", "salt"))
-      }
-    val filtered = if (excludeSelf) joined.where(col("label") =!= col("qid")) else joined
-    filtered.select(col("qid"), col("label"), d.as("_dist"))
+    def pinned(df: DataFrame, keys: Seq[String]): DataFrame =
+      if (pinParallelism) df.repartition(np, keys.map(col): _*) else df
+    if (splitRows.isEmpty)
+      Sides(pinned(leftProbed, Seq("list_id")), pinned(rightListed, Seq("list_id")),
+        Seq("list_id"), pinParallelism)
+    else {
+      // lists not in splitsDf keep salt 0 on both sides (coalesce),
+      // so cold lists join on the single (list_id, 0) key unchanged
+      val splitsDf = broadcast(splitRows.toDF("list_id", "splits"))
+      val rightSalted = rightListed.join(splitsDf, Seq("list_id"), "left")
+        .withColumn("salt",
+          coalesce(pmod(xxhash64(col("label")), col("splits").cast("long")).cast("int"), lit(0)))
+      val leftSalted = leftProbed.join(splitsDf, Seq("list_id"), "left")
+        .withColumn("salt", explode(sequence(lit(0), coalesce(col("splits"), lit(1)) - 1)))
+      Sides(pinned(leftSalted, Seq("list_id", "salt")),
+        pinned(rightSalted, Seq("list_id", "salt")),
+        Seq("list_id", "salt"), pinParallelism)
+    }
   }
 }

@@ -171,6 +171,32 @@ class KnnSpec extends SparkSpec {
     assert(full === exact)
   }
 
+  test("AnnJoin.ivfJoin packed-scan path (forced pin) is bit-equal to the planner-chosen path") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // the packed ListTopKScan kernel only engages past the estimated-
+    // pairs threshold; force it via the conf so the spec covers the
+    // large-fan-out path on small data, including exhaustive probing
+    // (the _exh exact gates must stay exact if the planner ever pins)
+    val pts = (for (x <- 0 until 12; y <- 0 until 12)
+      yield (y * 12L + x, Array(x.toFloat, y.toFloat))).toDF("label", "vec")
+    val qs = pts.select(col("label").as("qid"), col("vec").as("qvec"))
+    def canon(df: org.apache.spark.sql.DataFrame) = df.select("qid", "rank", "label", "distance")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2))
+    for ((nlist, nprobe) <- Seq((4, 4), (6, 2))) {
+      val free = canon(AnnJoin.ivfJoin(qs, pts, k = 3, nlist = nlist, nprobe = nprobe,
+        excludeSelf = true))
+      spark.conf.set(AnnJoin.PinPairsThresholdConf, "1")
+      val pinned =
+        try canon(AnnJoin.ivfJoin(qs, pts, k = 3, nlist = nlist, nprobe = nprobe,
+          excludeSelf = true))
+        finally spark.conf.unset(AnnJoin.PinPairsThresholdConf)
+      assert(pinned.nonEmpty)
+      assert(pinned === free, s"nlist=$nlist nprobe=$nprobe")
+    }
+  }
+
   test("AnnJoin.ivfRadiusJoin: hits are within-radius, a subset of brute force, exact at full probe") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{broadcast, col, lit}
