@@ -187,15 +187,34 @@ object AnnJoin {
     // inputs — the spread pass replaces both.
     val spreadRdd = Knn.widen(right).select(vec.vector(col("vec")).as("vec")).rdd
     val perPart = math.max(1, trainSample / math.max(1, spreadRdd.getNumPartitions))
+    // per-partition RESERVOIR (Vitter's R, splitmix64 PRNG seeded by
+    // seed+partition for determinism), NOT a prefix: parquet corpora
+    // are routinely clustered (ingest order, sorted ids), and a prefix
+    // sample then misses whole regions — measured at the 100x rung,
+    // where it under-estimated the hottest IVF list 4x (5.2k est vs
+    // 20.1k true rows), so neither the mega-list re-clustering nor the
+    // hot-list salting fired and the join carried 6x the pair work.
     val partStats: Array[(Long, Array[Array[Float]])] =
-      spreadRdd.mapPartitions { it =>
-        val buf = scala.collection.mutable.ArrayBuffer.empty[Array[Float]]
+      spreadRdd.mapPartitionsWithIndex { (pid, it) =>
+        val buf = new Array[Array[Float]](perPart)
+        var rng = seed + 0x9e3779b97f4a7c15L * (pid + 1)
+        def nextLong(): Long = {
+          rng += 0x9e3779b97f4a7c15L
+          var z = rng
+          z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+          z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+          z ^ (z >>> 31)
+        }
         var n = 0L
         it.foreach { row =>
-          if (n < perPart) buf += row.getSeq[Float](0).toArray
+          if (n < perPart) buf(n.toInt) = row.getSeq[Float](0).toArray
+          else {
+            val j = java.lang.Math.floorMod(nextLong(), n + 1)
+            if (j < perPart) buf(j.toInt) = row.getSeq[Float](0).toArray
+          }
           n += 1
         }
-        Iterator.single((n, buf.toArray))
+        Iterator.single((n, buf.take(math.min(n, perPart.toLong).toInt)))
       }.collect()
     val totalRows = partStats.map(_._1).sum
     val samplePts: Array[Array[Float]] = partStats.flatMap(_._2)
@@ -208,6 +227,7 @@ object AnnJoin {
       if (nlist > 0) nlist
       else math.max(16L, math.min(65536L, (totalRows + AutoListRows - 1) / AutoListRows)).toInt
     var centroids = KMeansTrainer.trainLocal(samplePts, nlistTarget, seed, maxIter = 10)
+    val debug = spark.conf.getOption("spark.graft.annjoin.debug").contains("true")
 
     // TWO-LEVEL refinement of oversized lists (auto mode only, nlist
     // pinned by the caller = pinned geometry, e.g. exhaustive gates):
@@ -251,6 +271,8 @@ object AnnJoin {
         }
         val big = est.indices.filter(i => est(i) > refineCap).toSet
         anySplit = big.nonEmpty
+        if (debug) System.err.println(s"[annjoin] recluster round=$round nlist=${centroids.length} " +
+          s"oversized=${big.size} maxEst=${if (est.nonEmpty) est.max.toLong else 0}")
         if (anySplit) {
           val members = Array.fill(centroids.length)(
             scala.collection.mutable.ArrayBuffer.empty[Array[Float]])
@@ -273,6 +295,7 @@ object AnnJoin {
       }
     }
     val nlistEff = centroids.length
+    if (debug) System.err.println(s"[annjoin] totalRows=$totalRows nlistTarget=$nlistTarget nlistEff=$nlistEff")
 
     // past a few thousand centroids, flat argmin assignment is itself a
     // scan per vector — walk an HNSW graph over the centroid table
@@ -363,8 +386,15 @@ object AnnJoin {
         // every (list, salt) key holds ~a quarter-partition of scan
         // work. The row cap still applies as a floor (bounds the
         // per-key build side / memory).
+        // ~16 keys per partition: each (list, salt) key is scanned by
+        // one task, so per-partition balance comes from averaging many
+        // small keys, not from AQE (which can't split a key's scan
+        // without duplicating the packed build side). 4 keys/partition
+        // left ~1.8x task imbalance at the 100x rung; finer salting
+        // costs only probe-side replication, which is probes x salt
+        // rows — two orders below the pair work it levels.
         val pairsEst = estRows.indices.map(i => estRows(i) * estProbes(i))
-        val targetPairsPerKey = math.max(pairsEst.sum / (4.0 * np), 1.0)
+        val targetPairsPerKey = math.max(pairsEst.sum / (16.0 * np), 1.0)
         estRows.indices.map { i =>
           val rowsSplit = (estRows(i) * 2.0 / maxListRowsEff).toLong + 1L
           val pairSplit =
@@ -372,6 +402,10 @@ object AnnJoin {
           (i, math.min(64L, math.max(rowsSplit, pairSplit)).toInt)
         }.filter(_._2 > 1)
       }
+    if (debug) {
+      System.err.println(s"[annjoin] estPairs=$estPairs pin=$pinParallelism " +
+        s"splitLists=${splitRows.size} sumSplits=${splitRows.map(_._2).sum}")
+    }
     def pinned(df: DataFrame, keys: Seq[String]): DataFrame =
       if (pinParallelism) df.repartition(np, keys.map(col): _*) else df
     if (splitRows.isEmpty)
