@@ -367,8 +367,11 @@ object DedupQueries {
       import graft.text.TextFunctions.tokens
       val n = 4
       val d = Tables.wide(s, dir, "documents")
-      val toks = tokens(col("text"))
-      val sh = d.select(col("doc_id"),
+      // bound column, not the raw split expr — slice(<split expr>, i, n)
+      // in the lambda re-runs the regex per span (HOF O(n^2) trap)
+      val toks = col("toks")
+      val sh = d.select(col("doc_id"), tokens(col("text")).as("toks"))
+        .select(col("doc_id"),
         array_distinct(
           when(size(toks) >= n,
             transform(sequence(lit(1), size(toks) - (n - 1)),

@@ -49,7 +49,11 @@ object PipelineQueries {
     // content-hash projections — nothing materializes between stages.
     "pipeline_curate" -> { (s, dir) =>
       val d = Tables.wide(s, dir, "documents")
-      val gated = d.where(graft.text.TextFunctions.qualityScore(col("text")) >= 0.6)
+      // tokenize ONCE into a bound column for the gate (see qualityScoreT)
+      val gated = d
+        .withColumn("_toks", graft.text.TextFunctions.tokens(col("text")))
+        .where(graft.text.TextFunctions.qualityScoreT(col("text"), col("_toks")) >= 0.6)
+        .drop("_toks")
       // canonical survivor per CONTENT HASH via a partial-aggregating
       // struct min (map-side combine collapses duplicate texts BEFORE
       // the shuffle, and the shuffle carries ~50-byte (hash, id, lang)
@@ -320,8 +324,12 @@ object PipelineQueries {
         .join(Pipeline.contamination(d, "doc_id", "text", col("doc_id") < EvalCutoff, 3)
             .where(col("n_overlap") === 0L).select(col("id").as("doc_id")),
           Seq("doc_id"), "left_semi")
-      val toks = TextFunctions.tokens(col("text"))
-      val feats = clean.select(col("doc_id"), col("lang"),
+      // bound column, not the raw split expr — see sample_importance
+      val toks = col("toks")
+      val feats = clean
+        .select(col("doc_id"), col("lang"),
+          TextFunctions.tokens(col("text")).as("toks"))
+        .select(col("doc_id"), col("lang"),
         explode(
           when(size(toks) >= 2,
             transform(sequence(lit(1), size(toks) - 1),
@@ -368,8 +376,14 @@ object PipelineQueries {
     // at 100 TB nothing but (doc_id, bucket) pairs and one tiny ratio
     // table ever move.
     "sample_importance" -> { (s, dir) =>
-      val toks = graft.text.TextFunctions.tokens(col("text"))
+      // tokenize into a BOUND column first: element_at(<split expr>, i)
+      // inside the bigram lambda would re-run the regex split per
+      // element (the HOF O(n^2) trap) — measured 5x the query at the
+      // 100x rung. With `toks` an attribute, the lambda is O(1) lookups.
+      val toks = col("toks")
       val feats = Tables.wide(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          graft.text.TextFunctions.tokens(col("text")).as("toks"))
         .select(col("doc_id"), col("lang"),
           explode(
             when(size(toks) >= 2,

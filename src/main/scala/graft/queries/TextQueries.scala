@@ -20,8 +20,11 @@ object TextQueries {
     // both engines.
     "text_collocations" -> { (s, dir) =>
       val d = Tables.wide(s, dir, "documents")
-      val toks = tokens(col("text"))
-      val pairs = d.select(explode(
+      // bind the split to a column BEFORE the lambda: element_at on the
+      // raw split expression re-runs the regex per element (HOF O(n^2)
+      // trap) — 5x this query at the 100x rung
+      val toks = col("toks")
+      val pairs = d.select(tokens(col("text")).as("toks")).select(explode(
           when(size(toks) >= 2,
             transform(sequence(lit(1), size(toks) - 1),
               i => struct(element_at(toks, i).as("x"), element_at(toks, i + 1).as("y"))))

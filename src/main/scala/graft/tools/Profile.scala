@@ -20,6 +20,7 @@ object Profile {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     if (name == "ivfbig-breakdown") { ivfBigBreakdown(spark, sfDir); spark.stop(); return }
+    if (name == "curate-breakdown") { curateBreakdown(spark, sfDir); spark.stop(); return }
     if (name == "saveload-breakdown") { saveLoadBreakdown(spark, sfDir); spark.stop(); return }
     if (name == "pqbig-breakdown") { pqBigBreakdown(spark, sfDir); spark.stop(); return }
     val fn = graft.SparkEntry.queries(name)
@@ -41,6 +42,32 @@ object Profile {
     val r = f
     System.err.println(f"[profile]   $label: ${(System.nanoTime() - t0) / 1e9}%.3f s")
     r
+  }
+
+  /** stage-level decomposition of the pipeline_curate chain */
+  private def curateBreakdown(spark: SparkSession, dir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    import graft.text.TextFunctions
+    (1 to 2).foreach { round =>
+      System.err.println(s"[profile] -- round $round --")
+      val d = graft.queries.Tables.wide(spark, dir, "documents")
+      t("scan.count") { d.count() }
+      t("md5-groupBy only") {
+        d.groupBy(md5(col("text")).as("_h"))
+          .agg(min(struct(col("doc_id"), col("lang"))).as("c")).count()
+      }
+      t("gate only") {
+        d.where(TextFunctions.qualityScore(col("text")) >= 0.6).count()
+      }
+      t("gate+dedup") {
+        d.where(TextFunctions.qualityScore(col("text")) >= 0.6)
+          .groupBy(md5(col("text")).as("_h"))
+          .agg(min(struct(col("doc_id"), col("lang"))).as("c")).count()
+      }
+      t("full query") {
+        graft.SparkEntry.queries("pipeline_curate")(spark, dir).count()
+      }
+    }
   }
 
   /** stage-level timing of the vs_index_saveload lifecycle */
