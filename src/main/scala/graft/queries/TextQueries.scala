@@ -436,8 +436,13 @@ object TextQueries {
       tok.join(broadcast(scored), "tok")
         .groupBy("doc_id")
         .agg(sum(col("micro")).as("m"), count(lit(1)).as("n_toks"))
+        // floor(x + 0.5) instead of quant4: m/(1e4*n) lands EXACTLY on
+        // the 5e-5 decimal grid whenever n divides m nicely, where
+        // HALF_UP (Spark Decimal) and DuckDB's double->DECIMAL rounding
+        // disagree by one ulp; floor of the same IEEE division result
+        // is bit-identical on both engines
         .select(col("doc_id"),
-          Tables.quant4(col("m").cast("double") / 10000.0 / col("n_toks").cast("double"))
+          (floor(col("m").cast("double") / col("n_toks").cast("double") + 0.5) / 10000.0)
             .as("mean_surprisal"),
           col("n_toks"))
     },
@@ -614,7 +619,114 @@ object TextQueries {
        |            FOR i IN range(0, CAST(ceil(greatest(n-64, 0)/48.0) AS BIGINT)+1)]) AS u
        |  FROM n)""".stripMargin
 
+  /**
+   * BPE merge-learning replay, UNROLLED: one (pair-count -> argmax ->
+   * greedy rewrite) CTE triple per merge round. Recursion can't express
+   * the rewrite (it needs an aggregate over the working table per
+   * step), but 16 rounds unroll mechanically. Two tricks make each
+   * round pure SQL:
+   *  - a word's symbol list rides as a \x1f-delimited string with EVERY
+   *    symbol wrapped ("\x1fa\x1f\x1fb\x1f"), so the pair (l, r) is the
+   *    substring "\x1fl\x1f\x1fr\x1f" — impossible to match across a
+   *    symbol boundary (corpus text never contains \x1f);
+   *  - DuckDB's replace() substitutes left-to-right non-overlapping,
+   *    which IS applyMerge's greedy rule ("a a a" -> ["aa","a"]), and
+   *    the double-separator wrapping keeps back-to-back matches intact
+   *    ("a a a a" -> ["aa","aa"]).
+   * MATERIALIZED is load-bearing: each round references the previous
+   * seg twice, so inlined CTEs would re-expand the chain 2^16 times.
+   * Ties break (freq DESC, left, right) in binary string order — the
+   * corpus is ASCII, where DuckDB's byte order equals Bpe.cpCompare.
+   */
+  private def bpeCtesSql(numMerges: Int): String = {
+    val S = "chr(31)"
+    val head =
+      s"""wf AS MATERIALIZED (
+         |  SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
+         |    SELECT unnest($toksSql) AS word FROM documents
+         |  ) WHERE len(word) > 0 GROUP BY word
+         |),
+         |seg0 AS MATERIALIZED (
+         |  SELECT $S || array_to_string(list_append(string_split(word, ''), '</w>'), $S||$S) || $S AS seg, freq
+         |  FROM wf
+         |)""".stripMargin
+    val rounds = (0 until numMerges).map { t =>
+      s"""b$t AS MATERIALIZED (
+         |  SELECT l, r, CAST(sum(freq) AS BIGINT) AS pf
+         |  FROM (
+         |    SELECT pr.l AS l, pr.r AS r, freq FROM (
+         |      SELECT unnest([ {'l': sy[i], 'r': sy[i+1]} FOR i IN range(1, len(sy)) ]) AS pr, freq
+         |      FROM (SELECT string_split(trim(seg, $S), $S||$S) AS sy, freq FROM seg$t)
+         |    )
+         |  ) GROUP BY l, r
+         |  ORDER BY pf DESC, l, r LIMIT 1
+         |),
+         |seg${t + 1} AS MATERIALIZED (
+         |  SELECT replace(seg, $S||b.l||$S||$S||b.r||$S, $S||b.l||b.r||$S) AS seg, freq
+         |  FROM seg$t, b$t b
+         |)""".stripMargin
+    }
+    (head +: rounds).mkString(",\n")
+  }
+
+  /** 16 merges — must match the literal in the text_bpe gates */
+  private val BpeMerges = 16
+
   def oracles: Map[String, String] = Map(
+    // the learned merge table IS the b0..b15 argmax rows
+    "text_bpe" -> {
+      val union = (0 until BpeMerges).map(t =>
+        s"SELECT CAST($t AS INTEGER) AS rank, l AS left, r AS right, pf AS pair_freq FROM b$t")
+        .mkString("\nUNION ALL\n")
+      s"WITH ${bpeCtesSql(BpeMerges)}\n$union"
+    },
+    // encode-side replay: every doc token (INCLUDING the empty token an
+    // all-whitespace doc yields — it encodes to just '</w>', exactly
+    // like BpeEncodeTokens) runs through the same 16 replace()s the
+    // learner applied, then per-doc subword totals
+    "text_bpe_encode" -> {
+      val S = "chr(31)"
+      val applied = (0 until BpeMerges).foldLeft("w.seg") { (e, t) =>
+        s"replace($e, $S||b$t.l||$S||$S||b$t.r||$S, $S||b$t.l||b$t.r||$S)"
+      }
+      val bjoins = (0 until BpeMerges).map(t => s"b$t").mkString(", ")
+      s"""WITH ${bpeCtesSql(BpeMerges)},
+         |dw AS (SELECT doc_id, unnest($toksSql) AS word FROM documents),
+         |w AS (
+         |  SELECT doc_id, $S || array_to_string(list_append(string_split(word, ''), '</w>'), $S||$S) || $S AS seg
+         |  FROM dw
+         |),
+         |enc AS (
+         |  SELECT doc_id, string_split(trim($applied, $S), $S||$S) AS sy
+         |  FROM w, $bjoins
+         |),
+         |fl AS (SELECT doc_id, unnest(sy) AS sw FROM enc)
+         |SELECT doc_id, CAST(count(*) AS INTEGER) AS n_subwords,
+         |       CAST(count(DISTINCT sw) AS INTEGER) AS n_distinct_subwords
+         |FROM fl GROUP BY doc_id""".stripMargin
+    },
+    // unigram surprisal: the ONLY libm step (-ln) is floor-quantized at
+    // 1e-4 micros; over this corpus the nearest floor boundary is
+    // ~1.6e-2 away while cross-libm ln() differences are ~1e-12
+    // relative — ten orders of magnitude of margin, so the integer
+    // micro chain is stable across engines
+    "text_surprisal" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+         |vocab AS (SELECT tok, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY tok),
+         |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM vocab),
+         |scored AS (
+         |  SELECT tok,
+         |    CAST(floor(-ln(CAST(n AS DOUBLE) / CAST(nn AS DOUBLE)) * 10000 + 0.5) AS BIGINT) AS micro
+         |  FROM vocab, tot
+         |),
+         |agg AS (
+         |  SELECT doc_id, CAST(sum(micro) AS BIGINT) AS m, CAST(count(*) AS BIGINT) AS n_toks
+         |  FROM tok JOIN scored USING (tok) GROUP BY doc_id
+         |)
+         |SELECT doc_id,
+         |  floor(CAST(m AS DOUBLE) / CAST(n_toks AS DOUBLE) + 0.5) / 10000.0 AS mean_surprisal,
+         |  n_toks
+         |FROM agg""".stripMargin,
     // identical token/regex counts and one shared IEEE score chain
     "text_readability" ->
       s"""WITH c AS (

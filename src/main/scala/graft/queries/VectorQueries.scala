@@ -814,6 +814,47 @@ object VectorQueries {
          |WHERE std > 0.0 AND (CAST(qd AS DOUBLE) / 10000.0 - mean) > 1.5 * std""".stripMargin,
     // brute-force kNN (ties by label) -> reciprocal intersection ->
     // degree; zero-degree outliers restored by the left join
+    // Gonzalez greedy k-center replayed as a 16-step sequential fold
+    // (the pack_bestfit recursive-CTE idiom): single-row state carries
+    // the min-distance array; each step's pick is the strict-argmax
+    // with first-index (= lowest-label) tie-break, exactly the
+    // Coreset.kCenterLocal loop. Distances are the same
+    // left-to-right DOUBLE accumulation as l2sqSql, so the chain is
+    // bit-exact — radius quant4 only guards the final display cast.
+    "sample_kcenter" ->
+      """WITH RECURSIVE
+        |pts AS (
+        |  SELECT row_number() OVER (ORDER BY vec_id) AS i, vec_id AS label, embedding AS v
+        |  FROM embeddings
+        |),
+        |vl AS (SELECT list(v ORDER BY i) AS vs, list(label ORDER BY i) AS ls FROM pts),
+        |st AS (
+        |  SELECT 0 AS rank, 1::BIGINT AS pi, CAST(0.0 AS DOUBLE) AS radius,
+        |    [ list_sum([ (CAST(vs[j][i] AS DOUBLE) - CAST(vs[1][i] AS DOUBLE))
+        |               * (CAST(vs[j][i] AS DOUBLE) - CAST(vs[1][i] AS DOUBLE))
+        |        FOR i IN range(1, len(vs[j])+1) ])
+        |      FOR j IN range(1, len(vs)+1) ] AS minds
+        |  FROM vl
+        |  UNION ALL
+        |  SELECT st.rank + 1, nxt.bi, nxt.bm,
+        |    [ least(st.minds[j],
+        |        list_sum([ (CAST(vl.vs[j][i] AS DOUBLE) - CAST(vl.vs[nxt.bi][i] AS DOUBLE))
+        |                 * (CAST(vl.vs[j][i] AS DOUBLE) - CAST(vl.vs[nxt.bi][i] AS DOUBLE))
+        |            FOR i IN range(1, len(vl.vs[j])+1) ]))
+        |      FOR j IN range(1, len(st.minds)+1) ]
+        |  FROM st, vl
+        |  LEFT JOIN LATERAL (
+        |    SELECT u.j AS bi, st.minds[u.j] AS bm
+        |    FROM (SELECT unnest(range(1, len(st.minds)+1)) AS j) u
+        |    ORDER BY st.minds[u.j] DESC, u.j ASC
+        |    LIMIT 1
+        |  ) nxt ON TRUE
+        |  WHERE st.rank < 15
+        |)
+        |SELECT CAST(st.rank AS INTEGER) AS center_rank,
+        |       (SELECT ls FROM vl)[st.pi] AS label,
+        |       CAST(CAST(st.radius AS DECIMAL(18,4)) AS DOUBLE) AS radius
+        |FROM st""".stripMargin,
     "embed_centrality" ->
       s"""WITH q AS (SELECT vec_id AS qid, embedding AS a FROM embeddings),
          |d AS (
