@@ -340,6 +340,96 @@ case class BloomHitCount(child: Expression, bloomBytes: Array[Byte])
 }
 
 /**
+ * DISTINCT xxhash64 k-gram hashes of an array<string>, byte-identical
+ * to `transform(array_distinct(zip_with-shingles), s => xxhash64(s))`:
+ * each k-token window joins with concat_ws(" ") semantics (null parts
+ * skipped) and hashes XXH64(utf8-bytes, seed) — the exact bytes and
+ * hash the declarative chain produces, so every downstream join/count
+ * is unchanged. One compiled pass per row replaces a 7-reference
+ * zip_with tree whose every reference of a RAW token expression is a
+ * fresh regex split when predicate pushdown re-substitutes it into a
+ * scan Filter (measured: the contamination screen's shingle stage went
+ * ~50 s -> ~5 s at the 100x rung). Distinctness is per-HASH in
+ * first-occurrence order — identical to per-string distinct unless two
+ * distinct grams of one document collide in 64 bits, the same identity
+ * assumption every hash-keyed join in the engine already makes.
+ */
+case class ShingleHashesXx(child: Expression, k: Int, seed: Long = 42L)
+    extends UnaryExpression
+    with CodegenFallback {
+  require(k >= 1, s"shingle size must be >= 1, got $k")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_hashes_xx"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"shingle_hashes_xx needs array<string>, got ${t.catalogString}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n < k) return new GenericArrayData(Array.empty[Long])
+    val toks = Array.tabulate(n)(arr.getUTF8String)
+    val sep = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+    val seen = new java.util.HashSet[java.lang.Long]()
+    val out = new scala.collection.mutable.ArrayBuffer[Long](n - k + 1)
+    var i = 0
+    while (i <= n - k) {
+      val parts = new Array[org.apache.spark.unsafe.types.UTF8String](k)
+      var j = 0
+      while (j < k) { parts(j) = toks(i + j); j += 1 }
+      // concatWs skips null parts — concat_ws(" ", ...) semantics
+      val gram = org.apache.spark.unsafe.types.UTF8String.concatWs(sep, parts: _*)
+      val h = org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUnsafeBytes(gram.getBaseObject, gram.getBaseOffset, gram.numBytes, seed)
+      if (seen.add(h)) out += h
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/**
+ * Scalar Bloom membership test over ONE bigint — the per-shingle twin
+ * of [[BloomHitCount]]. Applied ABOVE an explode (the condition
+ * references the generated column), it cannot be pushed below the
+ * Generate, so the shingle projection feeding the explode is evaluated
+ * exactly once per row; the array-level form in a Filter gets pushed
+ * into the scan and re-substituted per conjunct (measured 4
+ * evaluations of the full shingle chain per document at the 100x
+ * rung).
+ */
+case class BloomMightContain(child: Expression, bloomBytes: Array[Byte])
+    extends UnaryExpression
+    with CodegenFallback {
+
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "bloom_might_contain"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"bloom_might_contain needs bigint, got ${t.catalogString}")
+  }
+
+  @transient private lazy val bloom =
+    org.apache.spark.util.sketch.BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(bloomBytes))
+
+  override protected def nullSafeEval(input: Any): Any =
+    bloom.mightContainLong(input.asInstanceOf[Long])
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/**
  * Exact membership-hit count against a closure-shipped SORTED long
  * array: for each element of an array<bigint> input, one binary search —
  * the exact-verify complement of [[BloomHitCount]] when the reference
@@ -503,6 +593,11 @@ object hashes {
     val bos = new java.io.ByteArrayOutputStream()
     bloom.writeTo(bos)
     col(BloomHitCount(ex(hashArray), bos.toByteArray))
+  }
+  def bloomMightContain(hash: Column, bloom: org.apache.spark.util.sketch.BloomFilter): Column = {
+    val bos = new java.io.ByteArrayOutputStream()
+    bloom.writeTo(bos)
+    col(BloomMightContain(ex(hash), bos.toByteArray))
   }
   def sortedSetHitCount(hashArray: Column, sortedSet: Array[Long]): Column =
     col(SortedSetHitCount(ex(hashArray), sortedSet))

@@ -176,8 +176,12 @@ object DedupQueries {
     // combining struct max; the quality expression is the engine-wide
     // exact chain, so survivor choice is oracle-gated too.
     "dedup_best_copy" -> { (s, dir) =>
-      val q = graft.text.TextFunctions.qualityScore(col("text"))
+      // tokens bound before the aggregate: the quality chain reads the
+      // token array ~6 times, each a full regex split on a raw expr
+      val q = graft.text.TextFunctions.qualityScoreT(col("text"), col("_toks"))
       Tables.wide(s, dir, "documents")
+        .select(col("doc_id"), col("text"),
+          graft.text.TextFunctions.tokens(col("text")).as("_toks"))
         .groupBy(md5(graft.text.TextFunctions.scrub(col("text"))).as("text_hash"))
         .agg(count(lit(1)).as("n_copies"),
           max(struct(q.as("q"), (lit(0L) - col("doc_id")).as("nid"))).as("m"))

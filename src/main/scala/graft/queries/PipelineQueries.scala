@@ -291,10 +291,14 @@ object PipelineQueries {
           when(col("doc_id").between(200, 209), concat(col("text"), lit(" edited")))
             .otherwise(col("text")).as("text"))
       val fresh = graft.dedup.Dedup.incremental(v1, v2, "doc_id", "text")
+      // tokens bound once; the score is then used twice (gate + the
+      // fixed-point emit) without re-splitting per reference
       v2.join(fresh.select(col("keep_id").as("doc_id")), Seq("doc_id"), "left_semi")
-        .where(graft.text.TextFunctions.qualityScore(col("text")) >= 0.6)
+        .select(col("doc_id"), col("lang"), col("text"),
+          graft.text.TextFunctions.tokens(col("text")).as("_toks"))
+        .where(graft.text.TextFunctions.qualityScoreT(col("text"), col("_toks")) >= 0.6)
         .select(col("doc_id"), col("lang"),
-          floor(graft.text.TextFunctions.qualityScore(col("text")) * 10000 + 0.5)
+          floor(graft.text.TextFunctions.qualityScoreT(col("text"), col("_toks")) * 10000 + 0.5)
             .cast("long").as("quality_fp"))
         .orderBy("doc_id")
     },
@@ -316,12 +320,22 @@ object PipelineQueries {
     "pipeline_pretrain" -> { (s, dir) =>
       import graft.text.TextFunctions
       val d = Tables.wide(s, dir, "documents")
-      val gated = d.where(TextFunctions.qualityScore(col("text")) >= 0.6)
+      // tokens bound BEFORE the gate: qualityScore reads the token
+      // array ~6 times, and on a raw split expression that is 6 regex
+      // splits per row (measured 4x the whole gate at the 100x rung)
+      val gated = d
+        .select(col("doc_id"), col("lang"), col("text"),
+          TextFunctions.tokens(col("text")).as("_toks"))
+        .where(TextFunctions.qualityScoreT(col("text"), col("_toks")) >= 0.6)
       val surv = gated.groupBy(col("text"))
         .agg(min(struct(col("doc_id"), col("lang"))).as("c"))
         .select(col("c.doc_id").as("doc_id"), col("c.lang").as("lang"), col("text"))
+      // Bloom twin, not the join-based screen: bit-identical output
+      // (no false negatives + exact verify join — contamination_bloom
+      // shares contamination's oracle verbatim) at ~1/4 the cost; the
+      // 100x rung put the join-based screen at 62 s of pretrain's 69 s
       val clean = surv.where(col("doc_id") >= EvalCutoff)
-        .join(Pipeline.contamination(d, "doc_id", "text", col("doc_id") < EvalCutoff, 3)
+        .join(Pipeline.contaminationBloom(d, "doc_id", "text", col("doc_id") < EvalCutoff, 3)
             .where(col("n_overlap") === 0L).select(col("id").as("doc_id")),
           Seq("doc_id"), "left_semi")
       // bound column, not the raw split expr — see sample_importance

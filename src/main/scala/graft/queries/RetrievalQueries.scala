@@ -122,7 +122,9 @@ object RetrievalQueries {
       // 24-byte (hash, min id) partials shuffle — nothing downstream
       // needs the text column back
       val surv = d
-        .where(graft.text.TextFunctions.qualityScore(col("text")) >= 0.6)
+        .select(col("doc_id"), col("text"),
+          graft.text.TextFunctions.tokens(col("text")).as("_toks"))
+        .where(graft.text.TextFunctions.qualityScoreT(col("text"), col("_toks")) >= 0.6)
         .groupBy(md5(col("text")).as("_h"))
         .agg(min(col("doc_id")).as("doc_id"))
         .select(col("doc_id"))

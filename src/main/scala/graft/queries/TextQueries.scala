@@ -53,13 +53,15 @@ object TextQueries {
     },
     "text_quality" -> { (s, dir) =>
       val d = Tables(s, dir, "documents")
-      val t = tokens(col("text"))
-      d.select(
-        col("doc_id"),
-        uniqueRatio(t).as("uniq_ratio"),
-        stopwordRatio(t).as("stop_ratio"),
-        punctRatio(col("text")).as("punct_ratio"),
-        qualityScore(col("text")).as("quality"))
+      // one bound token column feeds all four ratio reads (a raw
+      // tokens(text) expression re-splits per reference)
+      d.select(col("doc_id"), col("text"), tokens(col("text")).as("_toks"))
+        .select(
+          col("doc_id"),
+          uniqueRatio(col("_toks")).as("uniq_ratio"),
+          stopwordRatio(col("_toks")).as("stop_ratio"),
+          punctRatio(col("text")).as("punct_ratio"),
+          qualityScoreT(col("text"), col("_toks")).as("quality"))
     },
     "text_fingerprint" -> { (s, dir) =>
       Tables(s, dir, "documents")
@@ -206,9 +208,10 @@ object TextQueries {
     // any partitioning and the oracle compares exactly.
     "corpus_stats" -> { (s, dir) =>
       val d = Tables.wide(s, dir, "documents")
-      d.select(col("lang"), col("source"),
-          size(tokens(col("text"))).as("n_toks"),
-          floor(qualityScore(col("text")) * 10000 + 0.5).cast("long").as("qmicro"))
+      d.select(col("lang"), col("source"), col("text"), tokens(col("text")).as("_toks"))
+        .select(col("lang"), col("source"),
+          size(col("_toks")).as("n_toks"),
+          floor(qualityScoreT(col("text"), col("_toks")) * 10000 + 0.5).cast("long").as("qmicro"))
         .groupBy("lang", "source")
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_toks").cast("long")).as("n_tokens"),
@@ -300,9 +303,10 @@ object TextQueries {
     // quantizes to fixed point before every aggregate (integer
     // quantile interpolation is IEEE-exact).
     "docs_source_quality" -> { (s, dir) =>
-      import graft.text.TextFunctions.qualityScore
-      val qfp = floor(qualityScore(col("text")) * 10000 + 0.5).cast("long")
+      import graft.text.TextFunctions.qualityScoreT
+      val qfp = floor(qualityScoreT(col("text"), col("_toks")) * 10000 + 0.5).cast("long")
       Tables.wide(s, dir, "documents")
+        .select(col("source"), col("text"), tokens(col("text")).as("_toks"))
         .select(col("source"), qfp.as("qfp"))
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs"),
@@ -339,9 +343,10 @@ object TextQueries {
     // IEEE-exact, the RFM argument), thresholds come from the
     // dimension-sized doc rollup and broadcast back. Exact oracle.
     "sample_curriculum" -> { (s, dir) =>
-      import graft.text.TextFunctions.qualityScore
-      val qfp = floor(qualityScore(col("text")) * 10000 + 0.5).cast("long")
+      import graft.text.TextFunctions.qualityScoreT
+      val qfp = floor(qualityScoreT(col("text"), col("_toks")) * 10000 + 0.5).cast("long")
       val d = Tables.wide(s, dir, "documents")
+        .select(col("doc_id"), col("text"), tokens(col("text")).as("_toks"))
         .select(col("doc_id"), qfp.as("qfp"))
       val th = d.agg(expr("percentile(qfp, array(0.25D, 0.5D, 0.75D))").as("q"))
       val h = md5(concat(lit("cur:"), col("doc_id").cast("string")))

@@ -259,7 +259,11 @@ object Streaming {
       // report its drop rate is unoperable at 100 TB; a second counting
       // pass over 100 TB is unaffordable.
       .observe("curation_in", count(lit(1)).as("n_in"))
-      .withColumn("quality", qualityScore(col("text")))
+      // tokens bound once per row; qualityScore on a raw text column
+      // re-splits per component read (~6 regex splits/row)
+      .withColumn("_toks", graft.text.TextFunctions.tokens(col("text")))
+      .withColumn("quality", graft.text.TextFunctions.qualityScoreT(col("text"), col("_toks")))
+      .drop("_toks")
       .where(col("quality") >= minQuality)
       .withColumn("fp", md5(col("text")))
       .dropDuplicatesWithinWatermark("fp")

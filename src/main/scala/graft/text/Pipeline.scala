@@ -139,11 +139,17 @@ object Pipeline {
   def contamination(
       docs: DataFrame, idCol: String, textCol: String,
       evalPred: org.apache.spark.sql.Column, shingleSize: Int): DataFrame = {
-    val sh = graft.search.Knn.widen(docs).select(
-      col(idCol).as("id"), evalPred.as("_is_eval"),
-      transform(
-        TextFunctions.shingles(TextFunctions.tokens(col(textCol)), shingleSize),
-        s => xxhash64(s)).as("sh"))
+    // one compiled kernel call per row (ShingleHashesXx) instead of the
+    // zip_with tree: predicate pushdown re-substitutes projection
+    // aliases into scan Filters unconditionally, and the declarative
+    // chain re-ran the regex split per reference when that happened —
+    // the kernel references its token input exactly once, so even a
+    // duplicated eval stays one split + one pass
+    val sh = graft.search.Knn.widen(docs)
+      .select(col(idCol).as("id"), evalPred.as("_is_eval"),
+        TextFunctions.tokens(col(textCol)).as("_t"))
+      .select(col("id"), col("_is_eval"),
+        TextFunctions.shingleHashesXx(col("_t"), shingleSize).as("sh"))
     val evalShingles = sh.where(col("_is_eval"))
       .select(explode(col("sh")).as("s")).distinct()
     val trainShingles = sh.where(!col("_is_eval"))
@@ -175,11 +181,12 @@ object Pipeline {
       docs: DataFrame, idCol: String, textCol: String,
       evalPred: org.apache.spark.sql.Column, shingleSize: Int,
       fpp: Double = 0.001): DataFrame = {
-    def shingled(df: DataFrame): DataFrame = df.select(
-      col(idCol).as("id"),
-      transform(
-        TextFunctions.shingles(TextFunctions.tokens(col(textCol)), shingleSize),
-        s => xxhash64(s)).as("sh"))
+    // one kernel call per row, token input referenced once — immune to
+    // the pushdown alias re-substitution trap (see contamination())
+    def shingled(df: DataFrame): DataFrame = df
+      .select(col(idCol).as("id"), TextFunctions.tokens(col(textCol)).as("_t"))
+      .select(col("id"),
+        TextFunctions.shingleHashesXx(col("_t"), shingleSize).as("sh"))
     // the eval side is small by contract (it's a benchmark suite):
     // ONE tiny job (no widen shuffle) collects its distinct shingle
     // hashes, the Bloom is built driver-side, and the exact verify set
@@ -194,6 +201,22 @@ object Pipeline {
       throw new IllegalStateException(
         s"eval set exceeds $maxEval distinct shingles; use contamination() — its " +
           "shuffle join handles an unbounded eval side")
+    // Small eval set (the overwhelmingly common case — it's a benchmark
+    // suite): ship the distinct hashes as ONE sorted array and count
+    // hits in a scan-stage projection. Zero joins, zero shuffles, zero
+    // explode — the exact semantics of explode+join+count against a
+    // DISTINCT eval side, one binary search per shingle (the streaming
+    // contamination path's kernel, reused for batch). Above the array
+    // bound, fall back to Bloom screen + broadcast exact-verify join:
+    // the Bloom is ~5x smaller than the sorted array, which matters for
+    // a task closure at the 4M cap.
+    val maxSorted = 1 << 20 // 8 MB closure
+    if (evalRows.length <= maxSorted) {
+      val sorted = evalRows.map(_.getLong(0)).sorted
+      return shingled(graft.search.Knn.widen(docs.where(!evalPred)))
+        .select(col("id"),
+          graft.functions.hashes.sortedSetHitCount(col("sh"), sorted).as("n_overlap"))
+    }
     val bloom = org.apache.spark.util.sketch.BloomFilter
       .create(math.max(evalRows.length.toLong, 1L), fpp)
     evalRows.foreach(r => bloom.putLong(r.getLong(0)))
@@ -203,10 +226,17 @@ object Pipeline {
       org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("s",
           org.apache.spark.sql.types.LongType, nullable = false))))
-    val candidates = shingled(graft.search.Knn.widen(docs.where(!evalPred)))
-      .where(graft.functions.hashes.bloomHitCount(col("sh"), bloom) > 0)
-    val overlap = candidates
+    // Bloom screen per SHINGLE, above the explode: a condition on the
+    // generated column cannot be pushed below the Generate, so the
+    // shingle projection runs exactly once per document. The earlier
+    // array-level bloomHitCount filter was pushed into the scan and
+    // re-substituted per conjunct — four evaluations of the whole
+    // shingle chain per document at the 100x rung. Join input volume
+    // is identical (blooms have no false negatives; non-hit shingles
+    // die before the broadcast verify join either way).
+    val overlap = shingled(graft.search.Knn.widen(docs.where(!evalPred)))
       .select(col("id"), explode(col("sh")).as("s"))
+      .where(graft.functions.hashes.bloomMightContain(col("s"), bloom))
       .join(broadcast(evalDf), Seq("s")) // exact verify over survivors only
       .groupBy("id")
       .agg(count(lit(1)).as("n_overlap"))

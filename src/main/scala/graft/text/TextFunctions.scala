@@ -92,6 +92,14 @@ object TextFunctions {
     GraftBridge.column(graft.functions.ShingleHashes15(GraftBridge.expression(toks), k))
   }
 
+  /** distinct xxhash64 k-gram hashes in one compiled pass — the native
+    * twin of `transform(shingles(toks, k), s => xxhash64(s))` (see
+    * [[graft.functions.ShingleHashesXx]]) */
+  def shingleHashesXx(toks: Column, k: Int): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(graft.functions.ShingleHashesXx(GraftBridge.expression(toks), k))
+  }
+
   /**
    * Winnowing fingerprint selection (Schleimer/Wilkerson/Aiken '03,
    * the MOSS local fingerprinting scheme): slide a w-hash window over

@@ -23,6 +23,9 @@ object Profile {
     if (name == "curate-breakdown") { curateBreakdown(spark, sfDir); spark.stop(); return }
     if (name == "saveload-breakdown") { saveLoadBreakdown(spark, sfDir); spark.stop(); return }
     if (name == "pqbig-breakdown") { pqBigBreakdown(spark, sfDir); spark.stop(); return }
+    if (name == "pretrain-breakdown") { pretrainBreakdown(spark, sfDir); spark.stop(); return }
+    if (name == "bloomwide-explain") { bloomWideExplain(spark, sfDir); spark.stop(); return }
+    if (name == "shingle-micro") { shingleMicro(spark, sfDir); spark.stop(); return }
     val fn = graft.SparkEntry.queries(name)
     val warmDir = {
       val w = "/root/testdata/sf0.001"
@@ -97,6 +100,121 @@ object Profile {
   }
 
   /** stage-level timing of the knn_ivfpq_big lifecycle */
+  /** micro-timing of the shingle expression chain at a given sf dir */
+  private def shingleMicro(spark: SparkSession, dir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    import graft.text.TextFunctions
+    val d = graft.queries.Tables.wide(spark, dir, "documents")
+    for (round <- 1 to 2) {
+      System.err.println(s"[profile] -- round $round --")
+      t("tokens size sum") {
+        d.select(TextFunctions.tokens(col("text")).as("_t"))
+          .select(size(col("_t")).as("n")).agg(sum(col("n"))).collect()
+      }
+      t("shingles size sum (bound toks)") {
+        d.select(TextFunctions.tokens(col("text")).as("_t"))
+          .select(size(TextFunctions.shingles(col("_t"), 3)).as("n"))
+          .agg(sum(col("n"))).collect()
+      }
+      t("shingles+xxhash size sum") {
+        d.select(TextFunctions.tokens(col("text")).as("_t"))
+          .select(size(transform(TextFunctions.shingles(col("_t"), 3),
+            s => xxhash64(s))).as("n"))
+          .agg(sum(col("n"))).collect()
+      }
+      t("bigram md5 (feats-style) size sum") {
+        val toks = col("_t")
+        d.select(TextFunctions.tokens(col("text")).as("_t"))
+          .select(size(when(size(toks) >= 2,
+            transform(sequence(lit(1), size(toks) - 1),
+              i => conv(substring(md5(concat(
+                  element_at(toks, i), lit(" "), element_at(toks, i + 1))), 1, 4), 16, 10)
+                .cast("long") % 4096L))
+            .otherwise(array().cast("array<long>"))).as("n"))
+          .agg(sum(col("n"))).collect()
+      }
+    }
+  }
+
+  /** plan diff: contaminationBloom over a widened vs raw input */
+  private def bloomWideExplain(spark: SparkSession, dir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    val raw = graft.queries.Tables(spark, dir, "documents")
+    val wide = graft.queries.Tables.wide(spark, dir, "documents")
+    for (round <- 1 to 2; (label, src) <- Seq("raw" -> raw, "wide" -> wide)) {
+      val q = t(s"$label construct (eval collect) r$round") {
+        graft.text.Pipeline.contaminationBloom(src, "doc_id", "text",
+          col("doc_id") < 20L, 3).where(col("n_overlap") === 0L)
+      }
+      if (round == 1 && label == "raw")
+        System.err.println(q.queryExecution.explainString(
+          org.apache.spark.sql.execution.SimpleMode))
+      t(s"$label execute r$round") { q.count() }
+    }
+  }
+
+  /** stage-level decomposition of the pipeline_pretrain chain */
+  private def pretrainBreakdown(spark: SparkSession, dir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    import graft.text.TextFunctions
+    (1 to 2).foreach { round =>
+      System.err.println(s"[profile] -- round $round --")
+      val d = graft.queries.Tables.wide(spark, dir, "documents")
+      t("scan.count") { d.count() }
+      val gated = d.where(TextFunctions.qualityScore(col("text")) >= 0.6)
+      t("quality gate") { gated.count() }
+      t("dedup groupBy(text)") {
+        gated.groupBy(col("text"))
+          .agg(min(struct(col("doc_id"), col("lang"))).as("c")).count()
+      }
+      t("dedup groupBy(md5)") {
+        gated.groupBy(md5(col("text")).as("_h"))
+          .agg(min(struct(col("doc_id"), col("lang"))).as("c")).count()
+      }
+      t("gate qualityScoreT bound") {
+        d.select(col("doc_id"), col("lang"), col("text"),
+            TextFunctions.tokens(col("text")).as("_toks"))
+          .where(TextFunctions.qualityScoreT(col("text"), col("_toks")) >= 0.6)
+          .count()
+      }
+      t("contamination clean-ids") {
+        graft.text.Pipeline.contamination(d, "doc_id", "text",
+            col("doc_id") < 20L, 3)
+          .where(col("n_overlap") === 0L).count()
+      }
+      t("contaminationBloom clean-ids") {
+        graft.text.Pipeline.contaminationBloom(d, "doc_id", "text",
+            col("doc_id") < 20L, 3)
+          .where(col("n_overlap") === 0L).count()
+      }
+      t("contaminationBloom bench-form (no wide)") {
+        graft.text.Pipeline.contaminationBloom(
+            graft.queries.Tables(spark, dir, "documents"), "doc_id", "text",
+            col("doc_id") < 20L, 3)
+          .select(col("id").as("doc_id"), col("n_overlap")).count()
+      }
+      val toks = col("toks")
+      val feats = d
+        .select(col("doc_id"), col("lang"), TextFunctions.tokens(col("text")).as("toks"))
+        .select(col("doc_id"), col("lang"),
+          explode(
+            when(size(toks) >= 2,
+              transform(sequence(lit(1), size(toks) - 1),
+                i => conv(substring(md5(concat(
+                    element_at(toks, i), lit(" "), element_at(toks, i + 1))), 1, 4), 16, 10)
+                  .cast("long") % 4096L))
+              .otherwise(array().cast("array<long>"))).as("b"))
+      t("bigram md5 explode (all docs)") { feats.count() }
+      t("ppm agg") {
+        feats.groupBy("b").agg(count(lit(1)).as("c_raw"),
+          count(when(col("lang") === "en", 1)).as("c_tgt")).count()
+      }
+      t("full pipeline_pretrain") {
+        graft.SparkEntry.queries("pipeline_pretrain")(spark, dir).count()
+      }
+    }
+  }
+
   private def pqBigBreakdown(spark: SparkSession, dir: String): Unit = {
     import org.apache.spark.sql.functions._
     import graft.functions.vec

@@ -303,14 +303,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(planned === 1L, s"rewrite planned $planned searches, expected 1")
   }
 
-  test("contamination_bloom: Bloom screen in the scan stage, no keyed shuffle of text") {
+  test("contamination_bloom: sorted-set screen in the scan stage, no joins or keyed shuffles") {
     val plan = physical("contamination_bloom")
-    assert(plan.contains("bloom_hit_count"), plan.take(2000))
-    // training text may ride the round-robin widen, never a keyed shuffle
-    assert(!plan.split("Exchange hashpartitioning").drop(1).exists(_.take(400).contains("text#")),
-      plan.take(4000))
-    // the exact verify set is a broadcast local relation
-    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    // small eval set -> the distinct hashes ride the closure as ONE
+    // sorted array and the screen is a scan-stage projection: one
+    // compiled shingle kernel + binary searches, NO join, NO keyed
+    // shuffle, NO explode (the Bloom + broadcast-verify-join fallback
+    // only engages past the sorted-array closure bound)
+    assert(plan.contains("sorted_set_hit_count"), plan.take(2000))
+    assert(plan.contains("shingle_hashes_xx"), plan.take(2000))
+    assert(!plan.contains("Exchange hashpartitioning"), plan.take(4000))
+    assert(!plan.contains("BroadcastHashJoin"), plan.take(3000))
   }
 
   test("text_heavy_hitters: partial sketches merge, no keyed term shuffle") {
