@@ -104,9 +104,11 @@ object Dedup {
     graft.search.Knn.widen(docs)
       .select(col(idCol).cast("long").as(idOut),
         TextFunctions.tokens(col(textCol)).as("_toks"))
+      // one compiled kernel pass (distinct xxhash64 grams, identical
+      // bytes/hashes to the transform(shingles, xxhash64) chain) — and
+      // immune to pushdown alias re-substitution re-running the split
       .select(col(idOut),
-        array_sort(transform(
-          TextFunctions.shingles(col("_toks"), shingleSize), s => xxhash64(s))).as(shOut))
+        array_sort(TextFunctions.shingleHashesXx(col("_toks"), shingleSize)).as(shOut))
 
   def minhashCandidates(
       docs: DataFrame, idCol: String, textCol: String,

@@ -292,8 +292,7 @@ object Streaming {
       shingleSize: Int = 3): DataFrame = {
     import graft.text.TextFunctions
     def hashed(c: org.apache.spark.sql.Column) =
-      transform(TextFunctions.shingles(TextFunctions.tokens(c), shingleSize),
-        s => xxhash64(s))
+      TextFunctions.shingleHashesXx(TextFunctions.tokens(c), shingleSize)
     val maxEval = 4 << 20
     val evalRows = evalDocs
       .select(explode(hashed(col(textCol))).as("s")).distinct()
