@@ -1321,21 +1321,71 @@ object IndexCatalog {
       centroids: Option[Array[Array[Float]]])
       extends BuiltIndex {
 
+    @transient private var packedCache: DataFrame = _
+    private def packedItems: DataFrame = synchronized {
+      if (packedCache == null) packedCache = packCoded(data)
+      packedCache
+    }
+
     def search(queries: DataFrame, k: Int, params: Map[String, String]): DataFrame =
-      searchRestricted(queries, k, params, identity)
+      doSearch(queries, k, params, identity, unrestricted = true)
 
     /** ADC + re-rank over the restricted rows only: the selector joins
       * the candidate source (probed lists or full coded scan), keeping
       * compression + pruning instead of a flat fallback scan. */
     override def searchRestricted(
         queries: DataFrame, k: Int, params: Map[String, String],
-        restrict: DataFrame => DataFrame): DataFrame = {
+        restrict: DataFrame => DataFrame): DataFrame =
+      doSearch(queries, k, params, restrict, unrestricted = false)
+
+    private def doSearch(
+        queries: DataFrame, k: Int, params: Map[String, String],
+        restrict: DataFrame => DataFrame, unrestricted: Boolean): DataFrame = {
       val qArr = collectQueryBatch(queries)
       val luts = qArr.map { case (qid, qv) => qid -> Pq.lutFor(qv, codebooks) }.toMap
       val adc = GraftBridge.column(PqAdcDistance(
         GraftBridge.expression(col("code")), GraftBridge.expression(col("qid")), luts))
-      codedSearch(restrict(data), data, queries, qArr, k, params, centroids, adc)
+      // packed scan only for unrestricted searches: a row selector needs
+      // the row layout (chunks can't apply per-row predicates)
+      val packed =
+        if (unrestricted && packedScanEnabled(data.sparkSession))
+          Some((packedItems, PqLutScorer(luts): CodedScorer))
+        else None
+      codedSearch(restrict(data), data, queries, qArr, k, params, centroids, adc, packed)
     }
+
+    override def close(): Unit = {
+      data.unpersist()
+      synchronized { if (packedCache != null) { packedCache.unpersist(); packedCache = null } }
+    }
+  }
+
+  /** packed chunks per IVF list for the coded scan (bounds packed-row
+    * size while keeping enough rows for parallelism) */
+  private[graft] val CodedPackChunksConf = "spark.graft.index.codedPackChunks"
+
+  /** escape hatch: disable the packed coded scan (row-join plan) —
+    * parity between the two plans is spec-pinned */
+  private[graft] val PackedCodedScanConf = "spark.graft.index.packedCodedScan"
+
+  private def packedScanEnabled(spark: SparkSession): Boolean =
+    spark.conf.getOption(PackedCodedScanConf).forall(_.toBoolean)
+
+  /** pack a coded layout into (list_id, items array<struct<label,code>>)
+    * chunk rows: one shuffle of the 16-byte (label, code) pairs, cached
+    * on the built index — every subsequent search scans chunks instead
+    * of joining code rows. Chunking is deterministic (label hash), so
+    * the layout is stable across runs. */
+  private def packCoded(coded: DataFrame): DataFrame = {
+    val spark = coded.sparkSession
+    val chunks = spark.conf.getOption(CodedPackChunksConf).map(_.toInt).getOrElse(64)
+    coded
+      .where(col("code").isNotNull) // row path skips null codes in nullSafeEval
+      .groupBy(col("list_id"),
+        pmod(xxhash64(col("label")), lit(chunks.toLong)).cast("int").as("_chunk"))
+      .agg(collect_list(struct(col("label"), col("code"))).as("items"))
+      .select(col("list_id"), col("items"))
+      .cache()
   }
 
   /** largest query batch the catalog serving path will collect: the
@@ -1384,11 +1434,22 @@ object IndexCatalog {
     * -> exact L2 re-rank on original vectors. PQ and SQ differ only in
     * the code-distance expression (mirrors codedLayout on the build
     * side). `base` is the (possibly selector-restricted) coded data;
-    * re-rank vectors come from the full layout by candidate label. */
+    * re-rank vectors come from the full layout by candidate label.
+    *
+    * When `packed` is given (unrestricted searches only), the candidate
+    * stage scans PACKED chunk rows with [[CodedTopKScan]] instead of
+    * joining probed codes against the query batch: the row path pays
+    * join/aggregate overhead per (code, query) PAIR (~35 s of the 100x
+    * rung's 42 s IVF-PQ search at 100 queries x 25M probed codes),
+    * while the packed path's plan cardinality is chunk x query and the
+    * pair loop runs at memory speed. Distances and (distance, label)
+    * tie-breaks are bit-identical (same static kernels, same heap), so
+    * the exhaustive exact gates hold through either plan. */
   private def codedSearch(
       base: DataFrame, fullData: DataFrame, queries: DataFrame,
       qArr: Array[(Long, Array[Float])], k: Int, params: Map[String, String],
-      centroids: Option[Array[Array[Float]]], codeDist: Column): DataFrame = {
+      centroids: Option[Array[Array[Float]]], codeDist: Column,
+      packed: Option[(DataFrame, CodedScorer)] = None): DataFrame = {
     val spark = fullData.sparkSession
     import spark.implicits._
     val refine = params.get("refine").map(_.toInt).getOrElse(4)
@@ -1397,27 +1458,49 @@ object IndexCatalog {
     // a list-partitioned saved layout, same as IvfBuilt's probe path) and
     // on the re-rank vector lookup (candidate labels can only come from
     // probed lists, so unprobed lists never need their raw vectors read)
-    val (candSource, probedLists) = centroids match {
+    val (probePairs, probedLists) = centroids match {
       case Some(cents) =>
         val nprobe = params.get("nprobe").map(_.toInt).getOrElse(math.max(1, cents.length / 8))
         // coarse probing is L2 by FAISS convention (assignment uses L2SQ too)
-        val probePairs = qArr.toSeq.flatMap { case (qid, qv) =>
+        val pairs = qArr.toSeq.flatMap { case (qid, qv) =>
           NearestCentroids.nearestIds(qv, cents, nprobe, VectorMath.L2SQ).map(l => (qid, l))
         }
-        val probes = probePairs.toDF("qid", "list_id")
-        val lists = probePairs.map(_._2).distinct
-        val pruned =
-          if (lists.size < cents.length) base.where(col("list_id").isInCollection(lists))
-          else base
-        (pruned.join(broadcast(probes), "list_id"), Some(lists).filter(_.size < cents.length))
-      case None =>
-        (base.crossJoin(broadcast(qArr.map(_._1).toSeq.toDF("qid"))), None)
+        val lists = pairs.map(_._2).distinct
+        (Some(pairs), Some(lists).filter(_.size < cents.length))
+      case None => (None, None)
     }
-    val cands = candSource
-      .select(col("qid"), col("label"), codeDist.as("_code_dist"))
-      .groupBy(col("qid"))
-      .agg(vec.topk(k * refine, col("_code_dist"), col("label"), ascending = true).as("nn"))
-      .select(col("qid"), explode(col("nn.label")).as("label"))
+    val cands = packed match {
+      case Some((packedDf, scorer)) =>
+        // probes for the non-IVF case hit the single packed list 0
+        val probes = probePairs.map(_.toDF("qid", "list_id"))
+          .getOrElse(qArr.map(q => (q._1, 0)).toSeq.toDF("qid", "list_id"))
+        val kk = k * refine
+        packedDf.join(broadcast(probes), "list_id")
+          .select(col("qid"), explode(GraftBridge.column(CodedTopKScan(
+            GraftBridge.expression(col("items")),
+            GraftBridge.expression(col("qid")), kk, scorer))).as("c"))
+          .select(col("qid"), col("c.label").as("label"), col("c.distance").as("_cd"))
+          .groupBy(col("qid"))
+          .agg(vec.topk(kk, col("_cd"), col("label"), ascending = true).as("nn"))
+          .select(col("qid"), explode(col("nn.label")).as("label"))
+      case None =>
+        val candSource = (probePairs, centroids) match {
+          case (Some(pairs), Some(cents)) =>
+            val probes = pairs.toDF("qid", "list_id")
+            val lists = pairs.map(_._2).distinct
+            val pruned =
+              if (lists.size < cents.length) base.where(col("list_id").isInCollection(lists))
+              else base
+            pruned.join(broadcast(probes), "list_id")
+          case _ =>
+            base.crossJoin(broadcast(qArr.map(_._1).toSeq.toDF("qid")))
+        }
+        candSource
+          .select(col("qid"), col("label"), codeDist.as("_code_dist"))
+          .groupBy(col("qid"))
+          .agg(vec.topk(k * refine, col("_code_dist"), col("label"), ascending = true).as("nn"))
+          .select(col("qid"), explode(col("nn.label")).as("label"))
+    }
     // exact re-rank on original vectors: lookup restricted to probed
     // lists, and the bounded candidate set (<= |q| x k x refine rows)
     // broadcast so the corpus-side vectors never shuffle
@@ -1492,19 +1575,40 @@ object IndexCatalog {
       centroids: Option[Array[Array[Float]]])
       extends BuiltIndex {
 
+    @transient private var packedCache: DataFrame = _
+    private def packedItems: DataFrame = synchronized {
+      if (packedCache == null) packedCache = packCoded(data)
+      packedCache
+    }
+
     def search(queries: DataFrame, k: Int, params: Map[String, String]): DataFrame =
-      searchRestricted(queries, k, params, identity)
+      doSearch(queries, k, params, identity, unrestricted = true)
 
     /** same selector-inside-index shape as PqBuilt: restriction joins
       * the coded candidate source, decode + re-rank unchanged */
     override def searchRestricted(
         queries: DataFrame, k: Int, params: Map[String, String],
-        restrict: DataFrame => DataFrame): DataFrame = {
+        restrict: DataFrame => DataFrame): DataFrame =
+      doSearch(queries, k, params, restrict, unrestricted = false)
+
+    private def doSearch(
+        queries: DataFrame, k: Int, params: Map[String, String],
+        restrict: DataFrame => DataFrame, unrestricted: Boolean): DataFrame = {
       val qArr = collectQueryBatch(queries)
+      val variant = Sq.variantOf(meta.factory)
       val sqd = GraftBridge.column(SqL2Distance(
         GraftBridge.expression(col("code")), GraftBridge.expression(col("qid")),
-        qArr.toMap, vmin, vdiff, Sq.variantOf(meta.factory)))
-      codedSearch(restrict(data), data, queries, qArr, k, params, centroids, sqd)
+        qArr.toMap, vmin, vdiff, variant))
+      val packed =
+        if (unrestricted && packedScanEnabled(data.sparkSession))
+          Some((packedItems, SqScorer(qArr.toMap, vmin, vdiff, variant): CodedScorer))
+        else None
+      codedSearch(restrict(data), data, queries, qArr, k, params, centroids, sqd, packed)
+    }
+
+    override def close(): Unit = {
+      data.unpersist()
+      synchronized { if (packedCache != null) { packedCache.unpersist(); packedCache = null } }
     }
   }
 

@@ -112,16 +112,26 @@ object Pq {
   def encodeOne(v: ArrayData, codebooks: Array[Array[Array[Float]]]): Array[Byte] = {
     val m = codebooks.length
     val dsub = codebooks(0)(0).length
+    // materialize once: the argmin loop reads each element 256 times,
+    // and per-read ArrayData dispatch dominated the 100M-vector encode
+    val vf = new Array[Float](m * dsub)
+    var vi = 0
+    while (vi < vf.length) { vf(vi) = v.getFloat(vi); vi += 1 }
     val out = new Array[Byte](m)
     var sub = 0
     while (sub < m) {
       val book = codebooks(sub)
+      val base = sub * dsub
       var best = 0; var bestD = Double.MaxValue
       var c = 0
       while (c < book.length) {
         val cen = book(c)
         var d = 0.0; var i = 0
-        while (i < dsub) { val t = v.getFloat(sub * dsub + i).toDouble - cen(i); d += t * t; i += 1 }
+        // early abandon: d only grows, so bailing past the current best
+        // cannot change the argmin (identical codes, ~2x fewer flops)
+        while (i < dsub && d < bestD) {
+          val t = vf(base + i).toDouble - cen(i); d += t * t; i += 1
+        }
         if (d < bestD) { bestD = d; best = c }
         c += 1
       }
@@ -167,11 +177,16 @@ object Pq {
     lut
   }
 
-  def adcDistance(code: Array[Byte], lut: Array[Float]): Double = {
+  def adcDistance(code: Array[Byte], lut: Array[Float]): Double =
+    adcDistanceAt(code, 0, code.length, lut)
+
+  /** [[adcDistance]] over a slice of a packed code buffer — identical
+    * accumulation order, so distances are bit-equal to the row path */
+  def adcDistanceAt(code: Array[Byte], off: Int, width: Int, lut: Array[Float]): Double = {
     var d = 0.0
     var sub = 0
-    while (sub < code.length) {
-      d += lut(sub * 256 + (code(sub) & 0xff))
+    while (sub < width) {
+      d += lut(sub * 256 + (code(off + sub) & 0xff))
       sub += 1
     }
     d

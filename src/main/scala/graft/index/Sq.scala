@@ -170,13 +170,21 @@ object Sq {
   /** asymmetric L2^2: query float vs decoded code, fused loop */
   def l2Distance(
       code: Array[Byte], q: Array[Float], vmin: Array[Float], vdiff: Array[Float],
-      variant: Variant = V8): Double = {
+      variant: Variant = V8): Double =
+    l2DistanceAt(code, 0, code.length, q, vmin, vdiff, variant)
+
+  /** [[l2Distance]] over a slice of a packed code buffer — the packed
+    * coded-list scan reads codes at (offset, width) of one big byte
+    * array; identical accumulation order, so distances are bit-equal */
+  def l2DistanceAt(
+      code: Array[Byte], off: Int, width: Int, q: Array[Float],
+      vmin: Array[Float], vdiff: Array[Float], variant: Variant): Double = {
     var d = 0.0
     var i = 0
     variant match {
       case V8 =>
-        while (i < code.length) {
-          val decoded = vmin(i) + (code(i) & 0xff).toFloat / 255f * vdiff(i)
+        while (i < width) {
+          val decoded = vmin(i) + (code(off + i) & 0xff).toFloat / 255f * vdiff(i)
           val t = q(i).toDouble - decoded
           d += t * t
           i += 1
@@ -184,7 +192,7 @@ object Sq {
       case V4 =>
         val dim = q.length
         while (i < dim) {
-          val nib = if ((i & 1) == 0) code(i >> 1) & 0x0f else (code(i >> 1) >> 4) & 0x0f
+          val nib = if ((i & 1) == 0) code(off + (i >> 1)) & 0x0f else (code(off + (i >> 1)) >> 4) & 0x0f
           val decoded = vmin(i) + nib.toFloat / 15f * vdiff(i)
           val t = q(i).toDouble - decoded
           d += t * t
@@ -193,7 +201,7 @@ object Sq {
       case Fp16 =>
         val dim = q.length
         while (i < dim) {
-          val h = ((code(2 * i) & 0xff) | ((code(2 * i + 1) & 0xff) << 8)).toShort
+          val h = ((code(off + 2 * i) & 0xff) | ((code(off + 2 * i + 1) & 0xff) << 8)).toShort
           val t = q(i).toDouble - halfToFloat(h)
           d += t * t
           i += 1

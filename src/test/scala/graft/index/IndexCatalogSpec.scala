@@ -835,4 +835,37 @@ class IndexCatalogSpec extends SparkSpec {
       assert(IndexCatalog.search("t_batchcap", 2, qs).count() === 4)
     } finally spark.conf.unset(IndexCatalog.MaxQueryBatchConf)
   }
+
+  test("packed coded scan is bit-equal to the row-join plan (IVF-PQ, PQ, SQ variants)") {
+    // same index searched with the packed chunk scan (default) and with
+    // the row-join plan (escape hatch) must produce IDENTICAL rows --
+    // same kernels, same (distance, label) heap order, different plan
+    import spark.implicits._
+    val data = (for (i <- 0 until 400) yield {
+      val r = new scala.util.Random(i)
+      (i.toLong, Array.fill(8)(r.nextFloat() * 4f))
+    }).toDF("label", "vec")
+    val queries = (for (q <- 0 until 7) yield {
+      val r = new scala.util.Random(1000 + q)
+      (q.toLong, Array.fill(8)(r.nextFloat() * 4f))
+    }).toDF("qid", "qvec")
+    val cases = Seq(
+      ("t_pk_ivfpq", "IDMap,IVF8,PQ4", Map("nprobe" -> "3", "refine" -> "8")),
+      ("t_pk_pq", "IDMap,PQ4", Map("refine" -> "8")),
+      ("t_pk_sq8", "IDMap,SQ8", Map("refine" -> "4")),
+      ("t_pk_ivfsq", "IDMap,IVF8,SQfp16", Map("nprobe" -> "8")))
+    for ((name, factory, params) <- cases) {
+      IndexCatalog.create(name, 8, factory, "l2sq", params)
+      IndexCatalog.add(data, name)
+      def rows() = IndexCatalog.search(name, 5, queries)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).sorted.toSeq
+      val packed = rows()
+      spark.conf.set(IndexCatalog.PackedCodedScanConf, "false")
+      val rowPlan = try rows() finally spark.conf.unset(IndexCatalog.PackedCodedScanConf)
+      assert(packed === rowPlan, s"$factory: packed vs row plan diverged")
+      assert(packed.nonEmpty)
+      IndexCatalog.destroy(name)
+    }
+  }
+
 }
