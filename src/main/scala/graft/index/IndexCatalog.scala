@@ -133,6 +133,11 @@ object IndexCatalog {
     def meta: IndexMeta
     def search(queries: DataFrame, k: Int, params: Map[String, String]): DataFrame
 
+    /** (label, vec) view of the indexed rows for exact flat scans —
+      * the built layout itself for raw-vector indexes; coded indexes
+      * (codes-only layout) override with the base-table plan */
+    def flatData: DataFrame = data
+
     /**
      * Selector-inside-index search: only rows surviving `restrict`
      * participate, composed WITH the index structure where one exists
@@ -148,7 +153,7 @@ object IndexCatalog {
         queries: DataFrame, k: Int, params: Map[String, String],
         restrict: DataFrame => DataFrame): DataFrame =
       Knn.searchFlat(
-        restrict(data).select(col("label"), col("vec")), queries, k, meta.metric,
+        restrict(flatData).select(col("label"), col("vec")), queries, k, meta.metric,
         padToK = params.get("pad").exists(_.toBoolean))
 
     /**
@@ -168,7 +173,7 @@ object IndexCatalog {
       val cmp =
         if (VectorMath.smallerIsCloser(VectorMath.metricId(meta.metric))) d < lit(radius)
         else d > lit(radius)
-      Knn.widen(restrict(data)).crossJoin(broadcast(cleanQ))
+      Knn.widen(restrict(flatData)).crossJoin(broadcast(cleanQ))
         .where(cmp)
         .select(col("qid"), col("label"), d.as("distance"))
     }
@@ -894,17 +899,17 @@ object IndexCatalog {
     val b = build(name)
     val merged = e.meta.params ++ normalizeParams(params)
     val cutoff = merged.get("adaptiveCutoff").map(_.toDouble).getOrElse(0.1)
-    val total = math.max(b.data.count(), 1L)
-    val matching = b.data.where(filter).count()
+    val total = math.max(b.flatData.count(), 1L)
+    val matching = b.flatData.where(filter).count()
     val q = guardDim(queries, e.meta.dim, name)
     if (matching <= math.max(1L, (cutoff * total).toLong)) {
-      Knn.searchFlat(b.data.where(filter), q, k, e.meta.metric,
+      Knn.searchFlat(b.flatData.where(filter), q, k, e.meta.metric,
           padToK = merged.get("pad").exists(_.toBoolean))
         .withColumn("strategy", lit("prefilter_scan"))
     } else {
       val sel = matching.toDouble / total
       val kBoost = math.min(total, math.ceil(2.0 * k / sel).toLong).toInt
-      val allowed = b.data.where(filter).select("label")
+      val allowed = b.flatData.where(filter).select("label")
       val metricId = VectorMath.metricId(e.meta.metric)
       val hits = b.search(q, kBoost, merged - "pad")
         .join(allowed, Seq("label"), "left_semi")
@@ -973,6 +978,12 @@ object IndexCatalog {
         // the transform re-applies deterministically on load
         e.pending.get.select(col("label"), vec.vector(col("vec")).as("vec"))
           .write.mode("overwrite").option("compression", "zstd").parquet(s"$path/data")
+      case pq: PqBuilt =>
+        // coded layouts hold codes only; the canonical (label, vec)
+        // rows rebuild deterministically on load from the base plan
+        pq.vecData.write.mode("overwrite").option("compression", "zstd").parquet(s"$path/data")
+      case sq: SqBuilt =>
+        sq.vecData.write.mode("overwrite").option("compression", "zstd").parquet(s"$path/data")
       case other =>
         // canonical (label, vec) layout rebuilds deterministically on load
         other.data.select(col("label"), col("vec"))
@@ -1315,11 +1326,17 @@ object IndexCatalog {
    * in the base table and join back by label — kept inline here.
    */
   final class PqBuilt(
-      val data: DataFrame, // (list_id int, label bigint, code binary, vec array<float>)
+      val data: DataFrame, // (list_id int, label bigint, code binary) — codes only
+      private[index] val raw: DataFrame, // the base (label, vec) plan, NOT cached here
       val meta: IndexMeta,
       private[index] val codebooks: Array[Array[Array[Float]]],
       centroids: Option[Array[Array[Float]]])
       extends BuiltIndex {
+
+    /** base-table (label, vec) view for exact flat scans and save() */
+    private[index] def vecData: DataFrame =
+      raw.select(col("label").cast("long").as("label"), vec.vector(col("vec")).as("vec"))
+    override def flatData: DataFrame = vecData
 
     @transient private var packedCache: DataFrame = _
     private def packedItems: DataFrame = synchronized {
@@ -1351,7 +1368,7 @@ object IndexCatalog {
         if (unrestricted && packedScanEnabled(data.sparkSession))
           Some((packedItems, PqLutScorer(luts): CodedScorer))
         else None
-      codedSearch(restrict(data), data, queries, qArr, k, params, centroids, adc, packed)
+      codedSearch(restrict(data), raw, queries, qArr, k, params, centroids, adc, packed)
     }
 
     override def close(): Unit = {
@@ -1360,9 +1377,9 @@ object IndexCatalog {
     }
   }
 
-  /** packed chunks per IVF list for the coded scan (bounds packed-row
-    * size while keeping enough rows for parallelism) */
-  private[graft] val CodedPackChunksConf = "spark.graft.index.codedPackChunks"
+  /** max codes per packed chunk row (bounds packed-row size; smaller
+    * corpora just emit fewer/smaller chunks) */
+  private[graft] val CodedPackRowSizeConf = "spark.graft.index.codedPackRowSize"
 
   /** escape hatch: disable the packed coded scan (row-join plan) —
     * parity between the two plans is spec-pinned */
@@ -1371,20 +1388,59 @@ object IndexCatalog {
   private def packedScanEnabled(spark: SparkSession): Boolean =
     spark.conf.getOption(PackedCodedScanConf).forall(_.toBoolean)
 
-  /** pack a coded layout into (list_id, items array<struct<label,code>>)
-    * chunk rows: one shuffle of the 16-byte (label, code) pairs, cached
-    * on the built index — every subsequent search scans chunks instead
-    * of joining code rows. Chunking is deterministic (label hash), so
-    * the layout is stable across runs. */
+  /** Pack a coded layout into (list_id, items array<struct<label,code>>)
+    * chunk rows, cached on the built index — every subsequent search
+    * scans chunks instead of joining code rows. NO shuffle and NO
+    * aggregation buffers: the coded layout is already partitioned by
+    * list_id, so each partition streams its rows into per-list primitive
+    * buffers and emits a packed row whenever one reaches the chunk
+    * bound (a collect_list groupBy held every (label, code) pair in
+    * boxed agg buffers simultaneously — an OOM at the 100M-vector rung).
+    * Chunk boundaries are partition-iteration-order dependent, which is
+    * fine: the per-chunk top-k merge is chunking-invariant (same global
+    * (distance, label) order regardless of how lists split). */
   private def packCoded(coded: DataFrame): DataFrame = {
     val spark = coded.sparkSession
-    val chunks = spark.conf.getOption(CodedPackChunksConf).map(_.toInt).getOrElse(64)
+    import spark.implicits._
+    val maxRow = spark.conf.getOption(CodedPackRowSizeConf).map(_.toInt).getOrElse(65536)
     coded
       .where(col("code").isNotNull) // row path skips null codes in nullSafeEval
-      .groupBy(col("list_id"),
-        pmod(xxhash64(col("label")), lit(chunks.toLong)).cast("int").as("_chunk"))
-      .agg(collect_list(struct(col("label"), col("code"))).as("items"))
-      .select(col("list_id"), col("items"))
+      .select(col("list_id"), col("label"), col("code"))
+      // lists are contiguous after the in-partition sort (spill-safe
+      // UnsafeExternalSorter), so the packer holds ONE open buffer at a
+      // time — peak heap is one chunk, not the partition
+      .sortWithinPartitions("list_id")
+      .as[(Int, Long, Array[Byte])]
+      .mapPartitions { it =>
+        new Iterator[(Int, Seq[(Long, Array[Byte])])] {
+          private val buf = new scala.collection.mutable.ArrayBuffer[(Long, Array[Byte])](256)
+          private var bufList = Int.MinValue
+          private var pending: (Int, Seq[(Long, Array[Byte])]) = _
+          private def fill(): Unit = {
+            while (pending == null && it.hasNext) {
+              val (list, label, code) = it.next()
+              if (list != bufList && buf.nonEmpty) {
+                pending = (bufList, buf.toSeq); buf.clear()
+              }
+              bufList = list
+              buf += ((label, code))
+              if (pending == null && buf.length >= maxRow) {
+                pending = (bufList, buf.toSeq); buf.clear()
+              }
+            }
+            if (pending == null && buf.nonEmpty) {
+              pending = (bufList, buf.toSeq); buf.clear()
+            }
+          }
+          override def hasNext: Boolean = { fill(); pending != null }
+          override def next(): (Int, Seq[(Long, Array[Byte])]) = {
+            fill()
+            val r = pending; pending = null
+            r
+          }
+        }
+      }
+      .toDF("list_id", "items")
       .cache()
   }
 
@@ -1446,28 +1502,22 @@ object IndexCatalog {
     * tie-breaks are bit-identical (same static kernels, same heap), so
     * the exhaustive exact gates hold through either plan. */
   private def codedSearch(
-      base: DataFrame, fullData: DataFrame, queries: DataFrame,
+      base: DataFrame, rerankData: DataFrame, queries: DataFrame,
       qArr: Array[(Long, Array[Float])], k: Int, params: Map[String, String],
       centroids: Option[Array[Array[Float]]], codeDist: Column,
       packed: Option[(DataFrame, CodedScorer)] = None): DataFrame = {
-    val spark = fullData.sparkSession
+    val spark = rerankData.sparkSession
     import spark.implicits._
     val refine = params.get("refine").map(_.toInt).getOrElse(4)
-    // the union of probed lists across the query batch; used twice: as a
-    // static IN filter on the coded scan (guaranteed partition pruning on
-    // a list-partitioned saved layout, same as IvfBuilt's probe path) and
-    // on the re-rank vector lookup (candidate labels can only come from
-    // probed lists, so unprobed lists never need their raw vectors read)
-    val (probePairs, probedLists) = centroids match {
-      case Some(cents) =>
-        val nprobe = params.get("nprobe").map(_.toInt).getOrElse(math.max(1, cents.length / 8))
-        // coarse probing is L2 by FAISS convention (assignment uses L2SQ too)
-        val pairs = qArr.toSeq.flatMap { case (qid, qv) =>
-          NearestCentroids.nearestIds(qv, cents, nprobe, VectorMath.L2SQ).map(l => (qid, l))
-        }
-        val lists = pairs.map(_._2).distinct
-        (Some(pairs), Some(lists).filter(_.size < cents.length))
-      case None => (None, None)
+    // the union of probed lists across the query batch, a static IN
+    // filter on the coded scan (guaranteed partition pruning on a
+    // list-partitioned saved layout, same as IvfBuilt's probe path)
+    val probePairs = centroids.map { cents =>
+      val nprobe = params.get("nprobe").map(_.toInt).getOrElse(math.max(1, cents.length / 8))
+      // coarse probing is L2 by FAISS convention (assignment uses L2SQ too)
+      qArr.toSeq.flatMap { case (qid, qv) =>
+        NearestCentroids.nearestIds(qv, cents, nprobe, VectorMath.L2SQ).map(l => (qid, l))
+      }
     }
     val cands = packed match {
       case Some((packedDf, scorer)) =>
@@ -1504,10 +1554,14 @@ object IndexCatalog {
     // exact re-rank on original vectors: lookup restricted to probed
     // lists, and the bounded candidate set (<= |q| x k x refine rows)
     // broadcast so the corpus-side vectors never shuffle
-    val rerankSrc = probedLists
-      .map(ls => fullData.where(col("list_id").isInCollection(ls)))
-      .getOrElse(fullData)
-      .select(col("label"), col("vec"))
+    // exact re-rank joins the BASE-TABLE vectors by label: the coded
+    // layout caches codes only, so the raw `vec` never rides the list
+    // shuffle or the cache. The candidate set is <= |q| x k x refine
+    // rows and broadcasts; the vector side is one pruned-column pass
+    // of the (uncached) base plan — the 100 TB shape, where re-rank
+    // vectors live in the base table, not the index.
+    val rerankSrc = rerankData.select(col("label").cast("long").as("label"),
+      vec.vector(col("vec")).as("vec"))
     val qdf = queries.select(col("qid").cast("long").as("qid"), vec.vector(col("qvec")).as("qvec"))
     Knn.rankResults(
       rerankSrc
@@ -1522,6 +1576,12 @@ object IndexCatalog {
     * repartition by list. PQ and SQ differ only in the encode column. */
   private def codedLayout(
       data: DataFrame, encode: Column, cents: Option[Array[Array[Float]]]): DataFrame = {
+    // codes ONLY — no raw vectors. The re-rank stage joins the base
+    // table by label instead (codedSearch), so the cached layout is
+    // m-byte codes (FAISS IVFPQ stores codes, not vectors): at the
+    // 100x rung this cut the per-index cache from ~28 GB to ~3 GB,
+    // which was the difference between fitting and thrashing when
+    // several indexes coexist in one session
     val wide = Knn.widen(data)
     cents match {
       case Some(cs) =>
@@ -1529,10 +1589,10 @@ object IndexCatalog {
           GraftBridge.expression(col("vec")), cs, 1, VectorMath.L2SQ))
         wide.select(
             when(size(assign) > 0, element_at(assign, 1)).otherwise(lit(-1)).as("list_id"),
-            col("label"), encode.as("code"), col("vec"))
+            col("label"), encode.as("code"))
           .repartition(col("list_id"))
       case None =>
-        wide.select(lit(0).as("list_id"), col("label"), encode.as("code"), col("vec"))
+        wide.select(lit(0).as("list_id"), col("label"), encode.as("code"))
     }
   }
 
@@ -1552,7 +1612,7 @@ object IndexCatalog {
           else None)
       }
       val encode = GraftBridge.column(PqEncode(GraftBridge.expression(col("vec")), codebooks))
-      new PqBuilt(codedLayout(data, encode, cents).cache(), meta, codebooks, cents)
+      new PqBuilt(codedLayout(data, encode, cents).cache(), data, meta, codebooks, cents)
     }
   }
 
@@ -1568,12 +1628,18 @@ object IndexCatalog {
    * auto-train persistence are variant-agnostic.
    */
   final class SqBuilt(
-      val data: DataFrame, // (list_id int, label bigint, code binary, vec array<float>)
+      val data: DataFrame, // (list_id int, label bigint, code binary) — codes only
+      private[index] val raw: DataFrame, // the base (label, vec) plan, NOT cached here
       val meta: IndexMeta,
       val vmin: Array[Float],
       val vdiff: Array[Float],
       centroids: Option[Array[Array[Float]]])
       extends BuiltIndex {
+
+    /** base-table (label, vec) view for exact flat scans and save() */
+    private[index] def vecData: DataFrame =
+      raw.select(col("label").cast("long").as("label"), vec.vector(col("vec")).as("vec"))
+    override def flatData: DataFrame = vecData
 
     @transient private var packedCache: DataFrame = _
     private def packedItems: DataFrame = synchronized {
@@ -1603,7 +1669,7 @@ object IndexCatalog {
         if (unrestricted && packedScanEnabled(data.sparkSession))
           Some((packedItems, SqScorer(qArr.toMap, vmin, vdiff, variant): CodedScorer))
         else None
-      codedSearch(restrict(data), data, queries, qArr, k, params, centroids, sqd, packed)
+      codedSearch(restrict(data), raw, queries, qArr, k, params, centroids, sqd, packed)
     }
 
     override def close(): Unit = {
@@ -1629,7 +1695,7 @@ object IndexCatalog {
       }
       val encode = GraftBridge.column(SqEncode(
         GraftBridge.expression(col("vec")), vmin, vdiff, Sq.variantOf(meta.factory)))
-      new SqBuilt(codedLayout(data, encode, cents).cache(), meta, vmin, vdiff, cents)
+      new SqBuilt(codedLayout(data, encode, cents).cache(), data, meta, vmin, vdiff, cents)
     }
   }
 
