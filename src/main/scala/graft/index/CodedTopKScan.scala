@@ -48,7 +48,7 @@ final case class SqScorer(
  * Why: the row-per-candidate coded search joins probed codes against
  * the query batch and pays join/aggregate operator overhead per
  * (code, query) PAIR — ~0.4 us each, which at the 100x rung (100
- * queries x 25M probed codes) was ~35 s of the 42 s search. This
+ * queries x 2.5M probed codes) was ~35 s of the 42 s search. This
  * expression is evaluated once per (chunk, query) row, so the plan's
  * cardinality is probe-count while the pair loop runs at memory speed
  * over a contiguous code buffer.

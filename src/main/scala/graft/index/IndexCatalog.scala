@@ -1395,7 +1395,7 @@ object IndexCatalog {
     * list_id, so each partition streams its rows into per-list primitive
     * buffers and emits a packed row whenever one reaches the chunk
     * bound (a collect_list groupBy held every (label, code) pair in
-    * boxed agg buffers simultaneously — an OOM at the 100M-vector rung).
+    * boxed agg buffers simultaneously — an OOM at the 10M-vector rung).
     * Chunk boundaries are partition-iteration-order dependent, which is
     * fine: the per-chunk top-k merge is chunking-invariant (same global
     * (distance, label) order regardless of how lists split). */
@@ -1496,7 +1496,7 @@ object IndexCatalog {
     * stage scans PACKED chunk rows with [[CodedTopKScan]] instead of
     * joining probed codes against the query batch: the row path pays
     * join/aggregate overhead per (code, query) PAIR (~35 s of the 100x
-    * rung's 42 s IVF-PQ search at 100 queries x 25M probed codes),
+    * rung's 42 s IVF-PQ search at 100 queries x 2.5M probed codes),
     * while the packed path's plan cardinality is chunk x query and the
     * pair loop runs at memory speed. Distances and (distance, label)
     * tie-breaks are bit-identical (same static kernels, same heap), so
@@ -1579,7 +1579,7 @@ object IndexCatalog {
     // codes ONLY — no raw vectors. The re-rank stage joins the base
     // table by label instead (codedSearch), so the cached layout is
     // m-byte codes (FAISS IVFPQ stores codes, not vectors): at the
-    // 100x rung this cut the per-index cache from ~28 GB to ~3 GB,
+    // 100x rung (10M-row bigData) this cut the per-index cache ~8x,
     // which was the difference between fitting and thrashing when
     // several indexes coexist in one session
     val wide = Knn.widen(data)
