@@ -84,7 +84,16 @@ object Bench {
     System.err.println(
       passes.zipWithIndex.map { case (p, i) => f"pass${i + 1}=${p.values.sum}%.1f" }
         .mkString("[bench] ", " ", f" min-total=$total%.1f"))
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val jsonLine =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(jsonLine)
+    // Also persist the full per-query map to a file: the driver captures
+    // only a truncated stdout tail (BENCH_r09.json lost the first ~170
+    // query timings), so the artifact of record is this file in cwd.
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH_QUERIES.json"),
+      (jsonLine + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable => System.err.println(s"[bench] file dump skipped: $e") }
     spark.stop()
   }
 }

@@ -93,7 +93,7 @@ object AnnJoin {
     val metricId = VectorMath.metricId(metric)
     val asc = VectorMath.smallerIsCloser(metricId)
     val s = listedSides(left, right, nlist, nprobe, metric, seed, trainSample, maxListRows)
-    if (s.pin) {
+    if (s.packed) {
       // large fan-out: do NOT join row-per-candidate-pair. Spark's join
       // operators cost ~0.4-0.9 us per output row (measured: an 8e8-pair
       // SortMergeJoin burned 2000+ core-seconds at the 100x rung), so the
@@ -156,7 +156,7 @@ object AnnJoin {
   /** keyed sides of the list-co-partitioned join: probes exploded to
     * their nprobe (list_id[, salt]) keys, corpus rows assigned to one
     * key each, hot lists salted, parallelism pinned for big fan-outs */
-  private case class Sides(left: DataFrame, right: DataFrame, keys: Seq[String], pin: Boolean)
+  private case class Sides(left: DataFrame, right: DataFrame, keys: Seq[String], packed: Boolean)
 
   /** row-per-candidate-pair stream from the keyed sides (the radius
     * join's shape, and the small-scale top-k path) */
@@ -341,9 +341,25 @@ object AnnJoin {
     // co-partitioning (no extra exchange) and every task scans ~equal
     // candidate volume. Below the threshold the planner stays free to
     // broadcast, which is the right plan at gate scale.
-    val estPairs = math.max(1, nprobe).toDouble * totalRows * (totalRows.toDouble / nlistEff)
-    val pinParallelism = estPairs >= spark.conf
+    val pinThreshold = spark.conf
       .getOption(AnnJoin.PinPairsThresholdConf).map(_.toDouble).getOrElse(3.2e7)
+    // probe count = LEFT rows, not right: the old self-join assumption
+    // (right totalRows as the probe count) over-estimated pairs by
+    // orders of magnitude for an asymmetric join with a small query
+    // side, force-pinning parallelism and over-salting hot lists. A
+    // bounded limit+count measures the left exactly far enough to
+    // decide: at `leftCap` observed rows the estimate already crosses
+    // the pin threshold, so the scan never needs to go further (for
+    // the dominant self-join shape leftCap is a few thousand rows —
+    // one LocalLimit job over the first input split).
+    val perProbePairs = math.max(1, nprobe).toDouble * (totalRows.toDouble / math.max(1, nlistEff))
+    val leftCap: Long =
+      if (perProbePairs <= 0) 1L
+      else math.max(1L, math.min(1L << 40, math.ceil(pinThreshold / perProbePairs).toLong))
+    val leftObserved = Knn.widen(left).limit(
+      math.min(leftCap, Int.MaxValue.toLong - 1).toInt).count()
+    val estPairs = leftObserved.toDouble * perProbePairs
+    val pinParallelism = leftObserved >= leftCap || estPairs >= pinThreshold
     val np = spark.sessionState.conf.numShufflePartitions
 
     // estimated hot-list split factors from the SAME spread stats: each
@@ -408,9 +424,15 @@ object AnnJoin {
     }
     def pinned(df: DataFrame, keys: Seq[String]): DataFrame =
       if (pinParallelism) df.repartition(np, keys.map(col): _*) else df
+    // packed-scan eligibility: with the salt guard DISABLED
+    // (maxListRows=Long.MaxValue) a degenerate mega-list would
+    // collect_list into ONE unbounded row on the packed path and OOM an
+    // executor, where the row-per-pair path degrades gracefully — so an
+    // unguarded join keeps the pair path even when pinned
+    val packedOk = pinParallelism && maxListRowsEff != Long.MaxValue
     if (splitRows.isEmpty)
       Sides(pinned(leftProbed, Seq("list_id")), pinned(rightListed, Seq("list_id")),
-        Seq("list_id"), pinParallelism)
+        Seq("list_id"), packedOk)
     else {
       // lists not in splitsDf keep salt 0 on both sides (coalesce),
       // so cold lists join on the single (list_id, 0) key unchanged
@@ -422,7 +444,7 @@ object AnnJoin {
         .withColumn("salt", explode(sequence(lit(0), coalesce(col("splits"), lit(1)) - 1)))
       Sides(pinned(leftSalted, Seq("list_id", "salt")),
         pinned(rightSalted, Seq("list_id", "salt")),
-        Seq("list_id", "salt"), pinParallelism)
+        Seq("list_id", "salt"), packedOk)
     }
   }
 }

@@ -128,7 +128,9 @@ case class ListTopKScan(
         if (!arr.isNullAt(i)) {
           val row = arr.getStruct(i, 2)
           val lbl = row.getLong(0)
-          if (!(excludeSelf && lbl == qidV)) {
+          // mirror the cached branch's null-vec guard (AnnJoin's
+          // collect_list never emits one, but other callers might)
+          if (!(excludeSelf && lbl == qidV) && !row.isNullAt(1)) {
             val vec = row.getArray(1)
             heap.insert(VectorMath.dist(metric, vec, q, 3.0), lbl)
           }

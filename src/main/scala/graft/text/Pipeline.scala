@@ -213,9 +213,14 @@ object Pipeline {
     val maxSorted = 1 << 20 // 8 MB closure
     if (evalRows.length <= maxSorted) {
       val sorted = evalRows.map(_.getLong(0)).sorted
+      // coalesce: NULL text -> null shingle array -> null hit count on
+      // this path, but contamination() and the Bloom fallback emit 0 via
+      // left-join+coalesce; without it pipeline_pretrain's
+      // where(n_overlap === 0) would drop NULL-text docs only here
       return shingled(graft.search.Knn.widen(docs.where(!evalPred)))
         .select(col("id"),
-          graft.functions.hashes.sortedSetHitCount(col("sh"), sorted).as("n_overlap"))
+          coalesce(graft.functions.hashes.sortedSetHitCount(col("sh"), sorted), lit(0L))
+            .as("n_overlap"))
     }
     val bloom = org.apache.spark.util.sketch.BloomFilter
       .create(math.max(evalRows.length.toLong, 1L), fpp)
