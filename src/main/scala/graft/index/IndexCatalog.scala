@@ -50,8 +50,13 @@ object IndexCatalog {
     * layout and probing are IVF-identical — only assignment changes. */
   case class IvfHnswKind(nlist: Int, m: Int) extends Kind
   case class LshKind(bits: Int) extends Kind
-  case class PqKind(m: Int, nlist: Int) extends Kind
-  case class SqKind(nlist: Int) extends Kind
+  /** coarseM > 0 = the coarse quantizer is an HNSW graph over the
+    * centroids (FAISS `IVF<n>_HNSW<m>,PQ<k>` / `,SQ8`): the 100 TB
+    * serving shape — nlist ≳ 1e5 needs the graph coarse AND byte codes
+    * need PQ/SQ storage. Training/codes are coarse-agnostic; only
+    * assignment and probing walk the graph. */
+  case class PqKind(m: Int, nlist: Int, coarseM: Int = 0) extends Kind
+  case class SqKind(nlist: Int, coarseM: Int = 0) extends Kind
   case class HnswKind(m: Int) extends Kind
   /** pre-transform wrapper, e.g. "PCA16,IVF64,Flat" */
   case class PcaKind(outDim: Int, inner: Kind) extends Kind
@@ -86,14 +91,14 @@ object IndexCatalog {
     }
     parts.headOption.getOrElse("Flat") match {
       case s if s.startsWith("IVF") && s.contains("_HNSW") =>
-        // FAISS grammar IVF<n>_HNSW<m>[,Flat]: HNSW-coarse storage is
-        // Flat only here (PQ/SQ fine-quantizer composition under a graph
-        // coarse stays a loud error, not a silent behavior change)
-        if (pqPart.isDefined || sqPart.isDefined)
-          throw new UnsupportedOperationException(
-            s"'$s': IVF with an HNSW coarse quantizer supports only Flat storage")
+        // FAISS grammar IVF<n>_HNSW<m>[,Flat|,PQ<k>|,SQ8]: the graph
+        // coarse composes with Flat, PQ, or SQ fine storage exactly as
+        // faiss::index_factory does (reference faiss_extension.cpp:155)
         val Array(nl, hm) = s.stripPrefix("IVF").split("_HNSW", 2)
-        IvfHnswKind(nl.toInt, if (hm.isEmpty) 32 else hm.toInt)
+        val cm = if (hm.isEmpty) 32 else hm.toInt
+        if (pqPart.isDefined) PqKind(pqPart.get, nl.toInt, cm)
+        else if (sqPart.isDefined) SqKind(nl.toInt, cm)
+        else IvfHnswKind(nl.toInt, cm)
       case s if s.startsWith("IVF") && pqPart.isDefined =>
         PqKind(pqPart.get, s.stripPrefix("IVF").toInt)
       case s if s.startsWith("IVF") && sqPart.isDefined =>
@@ -199,8 +204,9 @@ object IndexCatalog {
           if !Nsw.supportsMetric(mid) =>
         throw new IllegalArgumentException(
           s"HNSW supports metrics l2sq/l2/ip/cosine, got '$metric'")
-      case PqKind(_, _) | SqKind(_) | PcaKind(_, PqKind(_, _)) | PcaKind(_, SqKind(_)) |
-          OpqKind(_, PqKind(_, _)) | OpqKind(_, SqKind(_)) if !isL2 =>
+      case PqKind(_, _, _) | SqKind(_, _) | PcaKind(_, PqKind(_, _, _)) |
+          PcaKind(_, SqKind(_, _)) | OpqKind(_, PqKind(_, _, _)) |
+          OpqKind(_, SqKind(_, _)) if !isL2 =>
         throw new IllegalArgumentException(
           s"PQ/SQ quantized search implements the FAISS L2 convention (ADC + L2 re-rank); got '$metric'")
       case _ => ()
@@ -355,10 +361,16 @@ object IndexCatalog {
     e.pending = Some(e.pending.map(_.unionByName(normalized)).getOrElse(normalized))
     // a built top-level IVF with pinned centroids extends INCREMENTALLY:
     // only the new batch is assigned (O(batch) per micro-batch — the
-    // real-time ingest path); every other built kind rebuilds lazily
+    // real-time ingest path). Coded indexes (PQ/SQ, flat or graph
+    // coarse) extend the same way: codebooks/bounds/centroids are
+    // pinned in the Entry by the first build, so encoding + assigning
+    // just the batch is identical to a rebuild. Other kinds (graphs,
+    // LSH buckets) rebuild lazily.
     e.built = e.built match {
       case Some(ivf: IvfBuilt) if ivf.centroids.nonEmpty =>
         Some(ivf.appended(normalized))
+      case Some(pq: PqBuilt) => Some(pq.appended(normalized, e.pending.get))
+      case Some(sq: SqBuilt) => Some(sq.appended(normalized, e.pending.get))
       case other =>
         other.foreach(_.close())
         None
@@ -454,6 +466,27 @@ object IndexCatalog {
           e.built = Some(new IvfBuilt(
             folded, ivf.meta, ivf.centroids, VectorMath.metricId(e.meta.metric),
             coarseGraph = ivf.coarseGraph))
+        case Some(pq: PqBuilt) if pq.hasAppends =>
+          // coded fold: codes and raw vectors live in SEPARATE plans, so
+          // both checkpoint — codes re-co-partitioned by list, the raw
+          // side flattened so pending drops its per-add union tree
+          val foldedCodes = pq.data.repartition(col("list_id")).localCheckpoint(true)
+          val foldedRaw = pq.vecData.localCheckpoint(true)
+          e.pending = Some(foldedRaw.select(col("label"), col("vec")))
+          e.cachedBatches.foreach(_.unpersist(blocking = false))
+          e.cachedBatches.clear()
+          pq.close()
+          e.built = Some(new PqBuilt(
+            foldedCodes, foldedRaw, pq.meta, pq.codebooks, pq.centroids, pq.coarse))
+        case Some(sq: SqBuilt) if sq.hasAppends =>
+          val foldedCodes = sq.data.repartition(col("list_id")).localCheckpoint(true)
+          val foldedRaw = sq.vecData.localCheckpoint(true)
+          e.pending = Some(foldedRaw.select(col("label"), col("vec")))
+          e.cachedBatches.foreach(_.unpersist(blocking = false))
+          e.cachedBatches.clear()
+          sq.close()
+          e.built = Some(new SqBuilt(
+            foldedCodes, foldedRaw, sq.meta, sq.vmin, sq.vdiff, sq.centroids, sq.coarse))
         case _ => ()
       }
     }
@@ -552,10 +585,10 @@ object IndexCatalog {
         // an empty sample trains nothing — leave untrained so build()
         // auto-trains from the real data (Some(empty) would block it)
         e.trained = if (cents.isEmpty) None else Some(cents)
-      case PqKind(m, nlist) =>
-        trainPointsKind(e, PqKind(m, nlist), samplePoints(sample), seed)
-      case SqKind(nlist) =>
-        trainPointsKind(e, SqKind(nlist), samplePoints(sample), seed)
+      case k @ PqKind(_, _, _) =>
+        trainPointsKind(e, k, samplePoints(sample), seed)
+      case k @ SqKind(_, _) =>
+        trainPointsKind(e, k, samplePoints(sample), seed)
       case PcaKind(outDim, inner) =>
         // train the transform, then train the inner kind in the
         // PROJECTED space (that's where it will see data and queries).
@@ -621,13 +654,13 @@ object IndexCatalog {
           e.meta.params.get("maxIter").map(_.toInt).getOrElse(10)))
       case IvfHnswKind(nlist, _) =>
         trainPointsKind(e, IvfKind(nlist), pts, seed) // same centroids; graph derives at build
-      case PqKind(m, nlist) =>
+      case PqKind(m, nlist, _) =>
         val codebooks = Pq.train(pts, m, seed)
         val cents =
           if (nlist > 1) Some(Pq.localKMeans(pts, math.min(nlist, pts.length), seed + 999, 10))
           else None
         e.trainedPq = Some((codebooks, cents))
-      case SqKind(nlist) =>
+      case SqKind(nlist, _) =>
         val (vmin, vdiff) = Sq.train(pts)
         val cents =
           if (nlist > 1) Some(Pq.localKMeans(pts, math.min(nlist, pts.length), seed + 999, 10))
@@ -670,6 +703,11 @@ object IndexCatalog {
   private[graft] def coarseMetricId(metricId: Int): Int =
     if (metricId == VectorMath.IP) VectorMath.IP else VectorMath.L2SQ
 
+  /** beam width for graph-coarse assignment/probing (shared by IvfBuilt
+    * and the coded layouts) */
+  private def coarseEfOf(meta: IndexMeta): Int =
+    meta.params.get("coarseEfSearch").map(_.toInt).getOrElse(64)
+
   /** driver-built HNSW over the (bounded) centroid table — deterministic
     * in (centroids, m, efConstruction) via Nsw's label-hash levels, so
     * save/load rebuilds the identical graph from the saved centroids */
@@ -684,15 +722,22 @@ object IndexCatalog {
     kind match {
       case FlatKind => new FlatBuilt(Knn.widen(data).cache(), e.meta) // widen once, before the cache
       case LshKind(bits) => LshBuilt.build(data, e.meta, bits)
-      case PqKind(m, nlist) =>
+      case k @ PqKind(m, nlist, cm) =>
         // auto-train through the Entry (mirrors the IVF path) so save()
         // persists the codebooks and load() never retrains from a
         // partition-order-dependent sample
-        if (e.trainedPq.isEmpty) trainPointsKind(e, PqKind(m, nlist), boundedSample(data), seed(e))
-        PqBuilt.build(data, e.meta, m, nlist, e.trainedPq)
-      case SqKind(nlist) =>
-        if (e.trainedSq.isEmpty) trainPointsKind(e, SqKind(nlist), boundedSample(data), seed(e))
-        SqBuilt.build(data, e.meta, nlist, e.trainedSq)
+        if (e.trainedPq.isEmpty) trainPointsKind(e, k, boundedSample(data), seed(e))
+        // graph coarse (IVF<n>_HNSW<m>,PQ<k>): a deterministic function
+        // of the trained coarse centroids, exactly as for IVF_HNSW,Flat —
+        // rebuilt (never persisted) on load
+        val g = if (cm > 0) e.trainedPq.flatMap(_._2).filter(_.length > 1)
+          .map(cs => coarseGraph(e, cs, cm, metricId)) else None
+        PqBuilt.build(data, e.meta, m, nlist, e.trainedPq, g, coarseEfOf(e.meta))
+      case k @ SqKind(nlist, cm) =>
+        if (e.trainedSq.isEmpty) trainPointsKind(e, k, boundedSample(data), seed(e))
+        val g = if (cm > 0) e.trainedSq.flatMap(_._3).filter(_.length > 1)
+          .map(cs => coarseGraph(e, cs, cm, metricId)) else None
+        SqBuilt.build(data, e.meta, nlist, e.trainedSq, g, coarseEfOf(e.meta))
       case HnswKind(m) => HnswBuilt.build(data, e.meta, m)
       case IvfKind(nlist) =>
         val centroids = e.trained.getOrElse {
@@ -1330,7 +1375,10 @@ object IndexCatalog {
       private[index] val raw: DataFrame, // the base (label, vec) plan, NOT cached here
       val meta: IndexMeta,
       private[index] val codebooks: Array[Array[Array[Float]]],
-      centroids: Option[Array[Array[Float]]])
+      private[index] val centroids: Option[Array[Array[Float]]],
+      private[index] val coarse: Option[(Nsw.Graph, Int)] = None, // HNSW coarse (graph, ef)
+      cachedParts: Seq[DataFrame] = Nil, // union components to release on close
+      private[index] val hasAppends: Boolean = false)
       extends BuiltIndex {
 
     /** base-table (label, vec) view for exact flat scans and save() */
@@ -1342,6 +1390,24 @@ object IndexCatalog {
     private def packedItems: DataFrame = synchronized {
       if (packedCache == null) packedCache = packCoded(data)
       packedCache
+    }
+
+    /** Incremental append, coded flavor (same contract as
+      * IvfBuilt.appended): encode + assign ONLY the new rows with the
+      * already-trained codebooks/centroids (graph coarse included) and
+      * union with the cached coded layout — O(batch) per micro-batch,
+      * identical to a rebuild because encode/assign are pure functions
+      * of the pinned trained state. `newRaw` is the full raw plan (old
+      * + batch) so exact re-rank sees appended vectors too. The packed
+      * chunk cache covers pre-append rows only, so it is dropped here
+      * and lazily rebuilt over the union on next search. */
+    private[index] def appended(newRows: DataFrame, newRaw: DataFrame): PqBuilt = {
+      val encode = GraftBridge.column(PqEncode(GraftBridge.expression(col("vec")), codebooks))
+      val newCoded = codedLayout(newRows, encode, centroids,
+        coarse.map(_._1), coarse.map(_._2).getOrElse(64), repartitionLists = false)
+      synchronized { if (packedCache != null) { packedCache.unpersist(); packedCache = null } }
+      new PqBuilt(data.unionByName(newCoded), newRaw, meta, codebooks, centroids, coarse,
+        if (cachedParts.isEmpty) Seq(data) else cachedParts, hasAppends = true)
     }
 
     def search(queries: DataFrame, k: Int, params: Map[String, String]): DataFrame =
@@ -1368,11 +1434,13 @@ object IndexCatalog {
         if (unrestricted && packedScanEnabled(data.sparkSession))
           Some((packedItems, PqLutScorer(luts): CodedScorer))
         else None
-      codedSearch(restrict(data), raw, queries, qArr, k, params, centroids, adc, packed)
+      codedSearch(restrictCoded(data, vecData, restrict), raw, queries, qArr, k, params,
+        centroids, adc, packed, coarse)
     }
 
     override def close(): Unit = {
       data.unpersist()
+      cachedParts.foreach(_.unpersist())
       synchronized { if (packedCache != null) { packedCache.unpersist(); packedCache = null } }
     }
   }
@@ -1501,11 +1569,29 @@ object IndexCatalog {
     * pair loop runs at memory speed. Distances and (distance, label)
     * tie-breaks are bit-identical (same static kernels, same heap), so
     * the exhaustive exact gates hold through either plan. */
+  /** Apply a selector to a codes-only layout. The coded layout carries
+    * (list_id, label, code); a predicate referencing `vec` (which
+    * resolved when PQ/SQ layouts stored raw vectors inline, pre
+    * codes-only) would fail analysis against it. Try the cheap
+    * label-side restrict first; on an unresolved column, join the
+    * base-table vec back by label, filter, and drop it — the extra
+    * join is paid only by vec-referencing predicates. */
+  private def restrictCoded(
+      coded: DataFrame, vecView: DataFrame,
+      restrict: DataFrame => DataFrame): DataFrame =
+    try restrict(coded)
+    catch {
+      case _: org.apache.spark.sql.AnalysisException =>
+        restrict(coded.join(vecView, Seq("label")))
+          .select(coded.columns.map(col): _*)
+    }
+
   private def codedSearch(
       base: DataFrame, rerankData: DataFrame, queries: DataFrame,
       qArr: Array[(Long, Array[Float])], k: Int, params: Map[String, String],
       centroids: Option[Array[Array[Float]]], codeDist: Column,
-      packed: Option[(DataFrame, CodedScorer)] = None): DataFrame = {
+      packed: Option[(DataFrame, CodedScorer)] = None,
+      coarse: Option[(Nsw.Graph, Int)] = None): DataFrame = {
     val spark = rerankData.sparkSession
     import spark.implicits._
     val refine = params.get("refine").map(_.toInt).getOrElse(4)
@@ -1514,10 +1600,20 @@ object IndexCatalog {
     // list-partitioned saved layout, same as IvfBuilt's probe path)
     val probePairs = centroids.map { cents =>
       val nprobe = params.get("nprobe").map(_.toInt).getOrElse(math.max(1, cents.length / 8))
-      // coarse probing is L2 by FAISS convention (assignment uses L2SQ too)
-      qArr.toSeq.flatMap { case (qid, qv) =>
-        NearestCentroids.nearestIds(qv, cents, nprobe, VectorMath.L2SQ).map(l => (qid, l))
+      // coarse probing is L2 by FAISS convention (assignment uses L2SQ
+      // too). Graph coarse: walk the centroid HNSW — EXCEPT at
+      // exhaustive probe, where all lists are returned outright so a
+      // disconnected graph can't break the nprobe=nlist exactness
+      // contract (same rule as IvfBuilt.probedCandidates)
+      val probeOne: Array[Float] => Seq[Int] = coarse match {
+        case Some((g, ef)) if nprobe < cents.length =>
+          qv => Nsw.search(g, qv, nprobe, math.max(ef, nprobe), VectorMath.L2SQ)
+            .map(_._2.toInt).toSeq
+        case Some(_) => _ => cents.indices
+        case None =>
+          qv => NearestCentroids.nearestIds(qv, cents, nprobe, VectorMath.L2SQ)
       }
+      qArr.toSeq.flatMap { case (qid, qv) => probeOne(qv).map(l => (qid, l)) }
     }
     val cands = packed match {
       case Some((packedDf, scorer)) =>
@@ -1575,7 +1671,9 @@ object IndexCatalog {
     * assignment with NaN rows parked in never-probed list -1 ->
     * repartition by list. PQ and SQ differ only in the encode column. */
   private def codedLayout(
-      data: DataFrame, encode: Column, cents: Option[Array[Array[Float]]]): DataFrame = {
+      data: DataFrame, encode: Column, cents: Option[Array[Array[Float]]],
+      coarseGraph: Option[Nsw.Graph] = None, coarseEf: Int = 64,
+      repartitionLists: Boolean = true): DataFrame = {
     // codes ONLY — no raw vectors. The re-rank stage joins the base
     // table by label instead (codedSearch), so the cached layout is
     // m-byte codes (FAISS IVFPQ stores codes, not vectors): at the
@@ -1585,12 +1683,16 @@ object IndexCatalog {
     val wide = Knn.widen(data)
     cents match {
       case Some(cs) =>
-        val assign = GraftBridge.column(NearestCentroids(
-          GraftBridge.expression(col("vec")), cs, 1, VectorMath.L2SQ))
-        wide.select(
+        // flat argmin, or (IVF_HNSW,PQ/SQ) the graph walk — the same
+        // shared assignment column IVF uses, L2 per FAISS PQ convention
+        val assign = IvfBuilt.assignCol(cs, coarseGraph, VectorMath.L2SQ, coarseEf)
+        val assigned = wide.select(
             when(size(assign) > 0, element_at(assign, 1)).otherwise(lit(-1)).as("list_id"),
             col("label"), encode.as("code"))
-          .repartition(col("list_id"))
+        // append micro-batches skip the list shuffle (IvfBuilt.appended
+        // parity): the batch is small and uncached, a per-search
+        // repartition would only add an exchange
+        if (repartitionLists) assigned.repartition(col("list_id")) else assigned
       case None =>
         wide.select(lit(0).as("list_id"), col("label"), encode.as("code"))
     }
@@ -1599,7 +1701,9 @@ object IndexCatalog {
   object PqBuilt {
     def build(
         data: DataFrame, meta: IndexMeta, m: Int, nlist: Int,
-        pretrained: Option[(Array[Array[Array[Float]]], Option[Array[Array[Float]]])] = None): PqBuilt = {
+        pretrained: Option[(Array[Array[Array[Float]]], Option[Array[Array[Float]]])] = None,
+        coarseGraph: Option[Nsw.Graph] = None,
+        coarseEf: Int = 64): PqBuilt = {
       val seed = meta.params.get("seed").map(_.toLong).getOrElse(42L)
       val (codebooks, cents) = pretrained.getOrElse {
         // bounded auto-train sample, matching boundedSample: ~64 points
@@ -1612,7 +1716,8 @@ object IndexCatalog {
           else None)
       }
       val encode = GraftBridge.column(PqEncode(GraftBridge.expression(col("vec")), codebooks))
-      new PqBuilt(codedLayout(data, encode, cents).cache(), data, meta, codebooks, cents)
+      new PqBuilt(codedLayout(data, encode, cents, coarseGraph, coarseEf).cache(),
+        data, meta, codebooks, cents, coarseGraph.map(g => (g, coarseEf)))
     }
   }
 
@@ -1633,7 +1738,10 @@ object IndexCatalog {
       val meta: IndexMeta,
       val vmin: Array[Float],
       val vdiff: Array[Float],
-      centroids: Option[Array[Array[Float]]])
+      private[index] val centroids: Option[Array[Array[Float]]],
+      private[index] val coarse: Option[(Nsw.Graph, Int)] = None, // HNSW coarse (graph, ef)
+      cachedParts: Seq[DataFrame] = Nil, // union components to release on close
+      private[index] val hasAppends: Boolean = false)
       extends BuiltIndex {
 
     /** base-table (label, vec) view for exact flat scans and save() */
@@ -1645,6 +1753,17 @@ object IndexCatalog {
     private def packedItems: DataFrame = synchronized {
       if (packedCache == null) packedCache = packCoded(data)
       packedCache
+    }
+
+    /** coded incremental append — see [[PqBuilt.appended]] */
+    private[index] def appended(newRows: DataFrame, newRaw: DataFrame): SqBuilt = {
+      val encode = GraftBridge.column(SqEncode(
+        GraftBridge.expression(col("vec")), vmin, vdiff, Sq.variantOf(meta.factory)))
+      val newCoded = codedLayout(newRows, encode, centroids,
+        coarse.map(_._1), coarse.map(_._2).getOrElse(64), repartitionLists = false)
+      synchronized { if (packedCache != null) { packedCache.unpersist(); packedCache = null } }
+      new SqBuilt(data.unionByName(newCoded), newRaw, meta, vmin, vdiff, centroids, coarse,
+        if (cachedParts.isEmpty) Seq(data) else cachedParts, hasAppends = true)
     }
 
     def search(queries: DataFrame, k: Int, params: Map[String, String]): DataFrame =
@@ -1669,11 +1788,13 @@ object IndexCatalog {
         if (unrestricted && packedScanEnabled(data.sparkSession))
           Some((packedItems, SqScorer(qArr.toMap, vmin, vdiff, variant): CodedScorer))
         else None
-      codedSearch(restrict(data), raw, queries, qArr, k, params, centroids, sqd, packed)
+      codedSearch(restrictCoded(data, vecData, restrict), raw, queries, qArr, k, params,
+        centroids, sqd, packed, coarse)
     }
 
     override def close(): Unit = {
       data.unpersist()
+      cachedParts.foreach(_.unpersist())
       synchronized { if (packedCache != null) { packedCache.unpersist(); packedCache = null } }
     }
   }
@@ -1681,7 +1802,9 @@ object IndexCatalog {
   object SqBuilt {
     def build(
         data: DataFrame, meta: IndexMeta, nlist: Int,
-        pretrained: Option[(Array[Float], Array[Float], Option[Array[Array[Float]]])] = None): SqBuilt = {
+        pretrained: Option[(Array[Float], Array[Float], Option[Array[Array[Float]]])] = None,
+        coarseGraph: Option[Nsw.Graph] = None,
+        coarseEf: Int = 64): SqBuilt = {
       val seed = meta.params.get("seed").map(_.toLong).getOrElse(42L)
       val (vmin, vdiff, cents) = pretrained.getOrElse {
         // bounded auto-train sample (see PqBuilt.build): per-dim [min,max]
@@ -1695,7 +1818,8 @@ object IndexCatalog {
       }
       val encode = GraftBridge.column(SqEncode(
         GraftBridge.expression(col("vec")), vmin, vdiff, Sq.variantOf(meta.factory)))
-      new SqBuilt(codedLayout(data, encode, cents).cache(), data, meta, vmin, vdiff, cents)
+      new SqBuilt(codedLayout(data, encode, cents, coarseGraph, coarseEf).cache(),
+        data, meta, vmin, vdiff, cents, coarseGraph.map(g => (g, coarseEf)))
     }
   }
 

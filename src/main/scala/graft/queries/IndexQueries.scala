@@ -202,6 +202,28 @@ object IndexQueries {
       IndexCatalog.add(embData(s, dir), name)
       quantized(IndexCatalog.search(name, 5, embQueries(s, dir)))
     },
+    // PQ codes UNDER the graph coarse (FAISS "IVF<n>_HNSW<m>,PQ<k>",
+    // factory delegation at faiss_extension.cpp:155): THE 100 TB
+    // serving memory shape — nlist ≳ 1e5 needs the graph coarse, byte
+    // codes need PQ storage; round 10 composes the two halves that were
+    // previously a loud UnsupportedOperationException. Approximate →
+    // rows-only; recall + save/load + append spec-asserted, _exh twin
+    // driver-hash exact.
+    "knn_ivf_hnsw_pq" -> { (s, dir) =>
+      val name = fresh("q_ivf_hnsw_pq")
+      IndexCatalog.create(name, 64, "IDMap,IVF16_HNSW8,PQ8", "l2sq",
+        Map("nprobe" -> "4", "refine" -> "24", "coarseEfSearch" -> "32"))
+      IndexCatalog.add(embData(s, dir), name)
+      quantized(IndexCatalog.search(name, 5, embQueries(s, dir)))
+    },
+    // SQ8 storage under the same graph coarse ("IVF<n>_HNSW<m>,SQ8")
+    "knn_ivf_hnsw_sq" -> { (s, dir) =>
+      val name = fresh("q_ivf_hnsw_sq")
+      IndexCatalog.create(name, 64, "IDMap,IVF16_HNSW8,SQ8", "l2sq",
+        Map("nprobe" -> "4", "refine" -> "8", "coarseEfSearch" -> "32"))
+      IndexCatalog.add(embData(s, dir), name)
+      quantized(IndexCatalog.search(name, 5, embQueries(s, dir)))
+    },
     // the composed FAISS "IVF16,SQ8" factory through the gate: list
     // pruning (nprobe=4) over scalar-quantized codes with exact
     // re-rank — the memory shape a 100 TB corpus actually serves from
@@ -333,6 +355,26 @@ object IndexQueries {
       val name = fresh("q_pq_exh")
       val d = embData(s, dir)
       IndexCatalog.create(name, 64, "IDMap,PQ8", "l2sq", Map("refine" -> exhRefine(d, 5)))
+      IndexCatalog.add(d, name)
+      quantized(IndexCatalog.search(name, 5, embQueries(s, dir)))
+    },
+    // graph-coarse + PQ codes at BOTH exact ends (nprobe = nlist scans
+    // every list regardless of graph assignment; refine covers the
+    // corpus so the re-rank is brute force): the composed structure
+    // gates against the flat oracle
+    "knn_ivf_hnsw_pq_exh" -> { (s, dir) =>
+      val name = fresh("q_ivf_hnsw_pq_exh")
+      val d = embData(s, dir)
+      IndexCatalog.create(name, 64, "IDMap,IVF16_HNSW8,PQ8", "l2sq",
+        Map("nprobe" -> "16", "refine" -> exhRefine(d, 5)))
+      IndexCatalog.add(d, name)
+      quantized(IndexCatalog.search(name, 5, embQueries(s, dir)))
+    },
+    "knn_ivf_hnsw_sq_exh" -> { (s, dir) =>
+      val name = fresh("q_ivf_hnsw_sq_exh")
+      val d = embData(s, dir)
+      IndexCatalog.create(name, 64, "IDMap,IVF16_HNSW8,SQ8", "l2sq",
+        Map("nprobe" -> "16", "refine" -> exhRefine(d, 5)))
       IndexCatalog.add(d, name)
       quantized(IndexCatalog.search(name, 5, embQueries(s, dir)))
     },
@@ -679,6 +721,8 @@ object IndexQueries {
          |FROM sz""".stripMargin,
     "knn_hnsw_exh" -> VectorQueries.oracles("knn_flat_l2"),
     "knn_pq_exh" -> VectorQueries.oracles("knn_flat_l2"),
+    "knn_ivf_hnsw_pq_exh" -> VectorQueries.oracles("knn_flat_l2"),
+    "knn_ivf_hnsw_sq_exh" -> VectorQueries.oracles("knn_flat_l2"),
     "knn_sq8_exh" -> VectorQueries.oracles("knn_flat_l2"),
     "knn_sq4_exh" -> VectorQueries.oracles("knn_flat_l2"),
     "knn_sqfp16_exh" -> VectorQueries.oracles("knn_flat_l2"),

@@ -172,14 +172,72 @@ class IndexCatalogSpec extends SparkSpec {
     assert(labelsOf(IndexCatalog.search("t_ivfh_l", 4, qs)) === before)
   }
 
-  test("IVF_HNSW factory grammar: PQ/SQ storage under a graph coarse fails loudly") {
-    intercept[UnsupportedOperationException](
-      IndexCatalog.parseFactory("IVF64_HNSW8,PQ8"))
-    intercept[UnsupportedOperationException](
-      IndexCatalog.parseFactory("IVF64_HNSW8,SQ8"))
+  test("IVF_HNSW factory grammar: Flat, PQ, and SQ storage all compose with the graph coarse") {
+    assert(IndexCatalog.parseFactory("IVF64_HNSW8,PQ8") === IndexCatalog.PqKind(8, 64, 8))
+    assert(IndexCatalog.parseFactory("IVF64_HNSW8,SQ8") === IndexCatalog.SqKind(64, 8))
     assert(IndexCatalog.parseFactory("IVF64_HNSW8,Flat") === IndexCatalog.IvfHnswKind(64, 8))
     assert(IndexCatalog.parseFactory("IVF64_HNSW") === IndexCatalog.IvfHnswKind(64, 32))
   }
+
+  test("IVF_HNSW,PQ / ,SQ8: exhaustive probe + corpus refine exact; partial probe high recall") {
+    val want = labelsOf(Knn.searchFlat(grid, qs, 4, "l2sq"))
+    for ((nm, fac) <- Seq(("t_ivfhpq", "IDMap,IVF8_HNSW4,PQ2"), ("t_ivfhsq", "IDMap,IVF8_HNSW4,SQ8"))) {
+      // both knobs at their exact end: nprobe = nlist scans every list
+      // regardless of graph assignment, refine covers the whole corpus
+      IndexCatalog.create(nm, 2, fac, "l2sq", Map("nprobe" -> "8", "refine" -> "64"))
+      IndexCatalog.add(grid, nm)
+      assert(labelsOf(IndexCatalog.search(nm, 4, qs)) === want, nm)
+      // partial probe through the graph walk keeps useful recall
+      IndexCatalog.create(nm + "_p", 2, fac, "l2sq",
+        Map("nprobe" -> "3", "refine" -> "16", "coarseEfSearch" -> "16"))
+      IndexCatalog.add(grid, nm + "_p")
+      val got = labelsOf(IndexCatalog.search(nm + "_p", 4, qs))
+      val recall = qs.collect().map(_.getLong(0)).map { q =>
+        got(q).toSet.intersect(want(q).toSet).size.toDouble / want(q).size
+      }.sum / 2
+      assert(recall >= 0.75, s"$nm recall $recall")
+    }
+  }
+
+  test("IVF_HNSW,PQ save/load round-trips (codebooks + coarse centroids persist, graph rebuilds)") {
+    val dir = Files.createTempDirectory("graft_ivfhpq").toString
+    IndexCatalog.create("t_ivfhpq_s", 2, "IDMap,IVF8_HNSW4,PQ2", "l2sq",
+      Map("nprobe" -> "3", "refine" -> "16"))
+    IndexCatalog.add(grid, "t_ivfhpq_s")
+    val before = labelsOf(IndexCatalog.search("t_ivfhpq_s", 4, qs))
+    IndexCatalog.save("t_ivfhpq_s", dir)
+    IndexCatalog.destroy("t_ivfhpq_s")
+    IndexCatalog.load("t_ivfhpq_l", dir, spark)
+    assert(labelsOf(IndexCatalog.search("t_ivfhpq_l", 4, qs)) === before)
+  }
+
+  test("coded incremental append: add-after-build keeps built state, appended rows searchable (incl. graph coarse)") {
+    import spark.implicits._
+    for ((nm, fac) <- Seq(("t_pq_incr", "IDMap,IVF4,PQ2"), ("t_ivfhpq_incr", "IDMap,IVF8_HNSW4,PQ2"),
+                          ("t_sq_incr", "IDMap,IVF4,SQ8"))) {
+      IndexCatalog.create(nm, 2, fac, "l2sq", Map("nprobe" -> "8", "refine" -> "64"))
+      IndexCatalog.add(grid, nm)
+      IndexCatalog.search(nm, 1, qs).count() // force build
+      assert(IndexCatalog.isBuilt(nm))
+      IndexCatalog.add(Seq((999L, Array(3.2f, 3.1f))).toDF("label", "vec"), nm)
+      assert(IndexCatalog.isBuilt(nm),
+        s"$nm: coded add must extend the built index incrementally, not invalidate it")
+      // the appended exact-match vector wins top-1 at distance 0 — it was
+      // encoded + assigned with the pinned trained state and re-ranked
+      // against the updated raw plan
+      val top = IndexCatalog.search(nm, 1, qs).collect()
+        .map(r => (r.getLong(0), r.getLong(2))).toMap
+      assert(top(0L) === 999L, s"$nm: appended row must win the top-1 immediately")
+      // compact() folds the append, results unchanged
+      val before = resultSetOf(nm)
+      IndexCatalog.compact(nm)
+      assert(resultSetOf(nm) === before, s"$nm: compact changed results")
+    }
+  }
+
+  private def resultSetOf(name: String) =
+    IndexCatalog.search(name, 4, qs).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
 
   test("radius search: flat equals brute-force filter; IVF exhaustive equals flat; partial probe is a subset") {
     val r = 9.0 // l2sq radius on the 16x16 grid
@@ -291,6 +349,25 @@ class IndexCatalogSpec extends SparkSpec {
     // exact re-rank must reproduce brute force over the restriction
     val want = labelsOf(Knn.searchFlat(grid.where(col("label") % 4 === 0), qs, 4, "l2sq"))
     assert(labelsOf(res) === want)
+  }
+
+  test("search_filter referencing vec resolves on codes-only PQ/SQ layouts") {
+    // the coded layout carries (list_id, label, code); a predicate over
+    // the raw vector must transparently join the base-table vec back
+    // (restrictCoded) instead of failing with an unresolved column
+    for ((nm, fac) <- Seq(("t_filt_vec_pq", "IDMap,IVF4,PQ2"), ("t_filt_vec_sq", "IDMap,IVF4,SQ8"))) {
+      IndexCatalog.create(nm, 2, fac, "l2sq", Map("nprobe" -> "4", "refine" -> "256"))
+      IndexCatalog.add(grid, nm)
+      val pred = element_at(col("vec"), 1) < 8.0f // x-coordinate slice
+      val res = IndexCatalog.searchFilter(nm, 4, qs, pred)
+      val want = labelsOf(Knn.searchFlat(grid.where(pred), qs, 4, "l2sq"))
+      // exhaustive probe + corpus-wide refine -> exact over the restriction
+      assert(labelsOf(res) === want, nm)
+      // label-only predicates keep the cheap no-join path (same answer)
+      val lblPred = col("label") % 2 === 0
+      val res2 = IndexCatalog.searchFilter(nm, 4, qs, lblPred)
+      assert(labelsOf(res2) === labelsOf(Knn.searchFlat(grid.where(lblPred), qs, 4, "l2sq")), nm)
+    }
   }
 
   test("search_filter on LSH probes buckets and emits no duplicate labels") {
