@@ -399,7 +399,15 @@ object VectorQueries {
     // map-side-combined moment rollup — the projected coordinate's
     // corpus variance IS the eigenvalue estimate, computed
     // distributively instead of trusted from the driver-side solve.
-    // Custom eigenbasis → rows-only; spectrum monotonicity is spec'd.
+    // EXACT since round 10 (was rows-only): the eigensolve stays
+    // driver-side (libm is fine — the basis is INJECTED), but the whole
+    // distributed rollup replays in SQL. The trained (mean, eigenbasis)
+    // is memoized so Verify — which dumps oracle_sql.json AFTER running
+    // the queries — can embed it verbatim in the oracle, the
+    // manualTrainCentroids move applied to a pretransform. Moments go
+    // through a 1e4 fixed-point grid so the corpus sums are INTEGER
+    // (partition-order-invariant), and the share ratio is pure integer
+    // division through DECIMAL/HUGEINT on both engines.
     "embed_pca_variance" -> { (s, dir) =>
       import org.apache.spark.sql.GraftBridge
       import graft.index.{Pca, PcaProject}
@@ -408,19 +416,27 @@ object VectorQueries {
         .select(vec.vector(col("embedding"))).collect()
         .map(_.getSeq[Float](0).toArray)
       val (mean, comps) = Pca.train(sample, 16)
+      pcaVarianceBasis = Some((mean, comps))
       val proj = e.select(GraftBridge.column(PcaProject(
         GraftBridge.expression(vec.vector(col("embedding"))), mean, comps)).as("p"))
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
       val mom = proj.select(posexplode(col("p")).as(Seq("dim", "x")))
-        .select(col("dim"), col("x").cast("double").as("x"))
-        .groupBy("dim")
-        .agg(count(lit(1)).as("n"), sum("x").as("s"), sum(col("x") * col("x")).as("ss"))
         .select(col("dim"),
-          ((col("ss") / col("n")) - (col("s") / col("n")) * (col("s") / col("n")))
-            .as("variance"))
-      mom.withColumn("share_bp",
-          floor(col("variance") * 10000.0 /
-            sum(col("variance")).over(
-              org.apache.spark.sql.expressions.Window.partitionBy())).cast("long"))
+          floor(col("x").cast("double") * 10000.0 + 0.5).cast("long").as("qx"))
+        .groupBy("dim")
+        .agg(count(lit(1)).as("n"), sum("qx").as("s"), sum(col("qx") * col("qx")).as("ss"))
+      // variance from the exact integer moments via ONE replayable IEEE
+      // chain; the share skips IEEE entirely: num = n·Σq² − (Σq)² is an
+      // exact integer (≥ 0 by Cauchy-Schwarz), share_bp = ⌊1e4·num/Σnum⌋
+      val a = col("ss").cast("double") / col("n").cast("double")
+      val b = col("s").cast("double") / col("n").cast("double")
+      mom
+        .withColumn("variance", (a - b * b) / 1e8)
+        .withColumn("num",
+          col("n").cast(dec) * col("ss").cast(dec) - col("s").cast(dec) * col("s").cast(dec))
+        .withColumn("total", sum(col("num")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy()))
+        .withColumn("share_bp", expr("CAST((num * 10000) div total AS LONG)"))
         .select(col("dim"), Tables.quant4(col("variance")).as("variance"), col("share_bp"))
         .orderBy("dim")
     },
@@ -931,5 +947,56 @@ object VectorQueries {
          |      FOR i IN range(1, len(pa)+1) ]) AS DECIMAL(18,4)) AS DOUBLE) AS d_js,
          |  CAST(CAST(1.0 - list_sum([ least(pa[i], pb[i]) FOR i IN range(1, len(pa)+1) ])
          |    / list_sum([ greatest(pa[i], pb[i]) FOR i IN range(1, len(pa)+1) ]) AS DECIMAL(18,4)) AS DOUBLE) AS d_jaccard
-         |FROM m""".stripMargin)
+         |FROM m""".stripMargin
+  ) ++ pcaVarianceBasis.map(b => "embed_pca_variance" -> pcaVarianceOracle(b._1, b._2))
+
+  /** Trained eigenbasis of the last embed_pca_variance run: Verify
+    * dumps oracle_sql.json AFTER executing the queries, so the
+    * injected-basis oracle reads the memo here (the
+    * manualTrainCentroids move applied to a pretransform — the
+    * eigensolve's libm is irrelevant because its OUTPUT is injected
+    * verbatim into both engines). If a filtered run skipped the query
+    * the key is simply absent and the gate degrades to rows-only. */
+  @volatile private[queries] var pcaVarianceBasis
+      : Option[(Array[Float], Array[Array[Float]])] = None
+
+  /** DuckDB replay of embed_pca_variance with the basis as literals.
+    * Precision contract, mirroring Pca.projectArr exactly: per term the
+    * float subtraction and float multiplication each round to REAL
+    * (both exactly representable in the DOUBLE DuckDB computes in, so
+    * the cast IS the float rounding), the 64-term accumulation runs in
+    * DOUBLE in index order (list_sum), and the result rounds to REAL
+    * (`out(j) = s.toFloat`). From there everything is integer: 1e4
+    * fixed-point moments, HUGEINT num = n·Σq² − (Σq)², integer-division
+    * share — no IEEE left except the one variance chain, replayed
+    * op-for-op. */
+  private def pcaVarianceOracle(mean: Array[Float], comps: Array[Array[Float]]): String = {
+    def fl(x: Float): String = "%1.9e".format(x) // 10 sig digits round-trips any float
+    val meanLit = mean.map(fl).mkString("[", ", ", "]")
+    val compRows = comps.zipWithIndex
+      .map { case (c, j) => s"($j, ${c.map(fl).mkString("[", ", ", "]")})" }
+      .mkString(",\n  ")
+    val d = mean.length
+    s"""WITH comps(dim, cv) AS (VALUES
+       |  $compRows),
+       |mn(mv) AS (VALUES ($meanLit)),
+       |p AS (
+       |  SELECT comps.dim,
+       |    CAST(list_sum([
+       |      CAST(CAST(CAST(cv[i] AS REAL) * CAST(CAST(e.embedding[i] AS REAL) - CAST(mv[i] AS REAL) AS REAL) AS REAL) AS DOUBLE)
+       |      FOR i IN range(1, ${d + 1})]) AS REAL) AS pf
+       |  FROM embeddings e CROSS JOIN comps CROSS JOIN mn
+       |),
+       |q AS (SELECT dim, CAST(floor(CAST(pf AS DOUBLE) * 10000 + 0.5) AS BIGINT) AS qx FROM p),
+       |m AS (SELECT dim, count(*) AS n, CAST(sum(qx) AS BIGINT) AS s,
+       |        CAST(sum(qx * qx) AS BIGINT) AS ss FROM q GROUP BY dim),
+       |v AS (SELECT dim,
+       |  (CAST(ss AS DOUBLE) / CAST(n AS DOUBLE)
+       |     - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))) / 1e8 AS variance,
+       |  CAST(n AS HUGEINT) * CAST(ss AS HUGEINT) - CAST(s AS HUGEINT) * CAST(s AS HUGEINT) AS num
+       |  FROM m)
+       |SELECT dim, ${Tables.quant4Sql("variance")} AS variance,
+       |  CAST((num * 10000) // (SELECT sum(num) FROM v) AS BIGINT) AS share_bp
+       |FROM v ORDER BY dim""".stripMargin
+  }
 }
