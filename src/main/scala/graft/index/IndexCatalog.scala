@@ -1002,10 +1002,78 @@ object IndexCatalog {
 
   // ---- persistence ----
 
+  /**
+   * Multi-writer-safe save: parts are written to a UNIQUE versioned
+   * directory under `path` (`v<N>-<token>/…`), then published by
+   * atomically creating the manifest entry `_manifest/<N>`
+   * (FileSystem.create with overwrite=false — atomic on HDFS and
+   * object stores with conditional create; best-effort on the local
+   * FS). Two drivers racing a save of version N stage independently
+   * and exactly ONE claims the manifest entry; the loser gets a loud
+   * ConcurrentModificationException and its staging directory is
+   * removed — no interleaved half-written layout is ever loadable,
+   * because a version directory is complete BEFORE it is claimed and
+   * readers resolve only claimed versions (highest wins). Old versions
+   * are retained (a concurrent reader may still be scanning one);
+   * prune with a retention sweep, not in the save path.
+   */
   def save(name: String, path: String): Unit = {
     val e = entry(name)
     val b = build(name)
     val spark = b.data.sparkSession
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val base = new org.apache.hadoop.fs.Path(path)
+    val fs = base.getFileSystem(hconf)
+    val next = currentVersion(fs, base).map(_._1).getOrElse(0L) + 1
+    val token = java.util.UUID.randomUUID().toString.take(8)
+    val dirName = s"v$next-$token"
+    val root = s"$path/$dirName"
+    saveParts(e, b, spark, root)
+    saveRaceHook(path) // test seam: lets a spec commit a competing version in the race window
+    // atomic claim of version `next`: create(overwrite = false) — the
+    // losing writer throws loudly and cleans up its complete-but-
+    // unclaimed staging directory
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$path/_manifest"))
+    val entryPath = new org.apache.hadoop.fs.Path(s"$path/_manifest/$next")
+    val out =
+      try fs.create(entryPath, false)
+      catch {
+        case ex: Throwable =>
+          try fs.delete(new org.apache.hadoop.fs.Path(root), true)
+          catch { case _: Throwable => () }
+          throw new java.util.ConcurrentModificationException(
+            s"index save to '$path' lost the version-$next race to another writer " +
+              s"(manifest entry already exists); this save was discarded — reload and retry",
+            )
+      }
+    try out.write(dirName.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** test seam for the save race window (between staging and the
+    * manifest claim): a spec swaps in a competing writer's commit to
+    * deterministically exercise the loser path. No-op in production. */
+  @volatile private[index] var saveRaceHook: String => Unit = _ => ()
+
+  /** (version, partsDirName) of the newest CLAIMED save under `path`,
+    * if any — versioned layouts only */
+  private def currentVersion(
+      fs: org.apache.hadoop.fs.FileSystem,
+      base: org.apache.hadoop.fs.Path): Option[(Long, String)] = {
+    val mdir = new org.apache.hadoop.fs.Path(base, "_manifest")
+    if (!fs.exists(mdir)) return None
+    val entries = fs.listStatus(mdir).toSeq
+      .flatMap(st => scala.util.Try(st.getPath.getName.toLong).toOption.map(v => (v, st.getPath)))
+    if (entries.isEmpty) None
+    else {
+      val (v, p) = entries.maxBy(_._1)
+      val in = fs.open(p)
+      val dir = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim finally in.close()
+      Some((v, dir))
+    }
+  }
+
+  private def saveParts(
+      e: Entry, b: BuiltIndex, spark: SparkSession, path: String): Unit = {
     b match {
       case ivf: IvfBuilt =>
         ivf.data.write.mode("overwrite").option("compression", "zstd").partitionBy("list_id").parquet(s"$path/data")
@@ -1087,7 +1155,13 @@ object IndexCatalog {
     hp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(hp)
   }
 
-  def load(name: String, path: String, spark: SparkSession): Unit = {
+  def load(name: String, savePath: String, spark: SparkSession): Unit = {
+    val base = new org.apache.hadoop.fs.Path(savePath)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // versioned layout (round 10): resolve the newest CLAIMED version's
+    // parts directory; pre-manifest flat layouts load unchanged
+    val path = currentVersion(fs, base)
+      .map { case (_, d) => s"$savePath/$d" }.getOrElse(savePath)
     val m = spark.read.parquet(s"$path/meta").collect()(0)
     def unesc(s: String): String = java.net.URLDecoder.decode(s, "UTF-8")
     val params = m.getString(4).split(";").filter(_.nonEmpty)

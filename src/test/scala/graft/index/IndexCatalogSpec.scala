@@ -239,6 +239,40 @@ class IndexCatalogSpec extends SparkSpec {
     IndexCatalog.search(name, 4, qs).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
 
+  test("two interleaved saves: loser fails loudly, survivor loads clean (version manifest)") {
+    val dir = Files.createTempDirectory("graft_mw").toString
+    IndexCatalog.create("t_mw_a", 2, "IDMap,IVF4,Flat", "l2sq", Map("nprobe" -> "4"))
+    IndexCatalog.add(grid, "t_mw_a")
+    val wantA = labelsOf(IndexCatalog.search("t_mw_a", 4, qs))
+    IndexCatalog.save("t_mw_a", dir) // v1, claimed cleanly
+    // writer B: a second index racing a save of version 2. The test
+    // seam commits a competing version-2 manifest entry INSIDE B's race
+    // window (after B staged, before B claims) — pointing at v1's valid
+    // parts directory, as a real winning writer's entry would point at
+    // its own complete staging
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v1dir = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .map(_.getPath.getName).find(_.startsWith("v1-")).get
+    IndexCatalog.saveRaceHook = { p =>
+      val out = fs.create(new org.apache.hadoop.fs.Path(s"$p/_manifest/2"), false)
+      try out.write(v1dir.getBytes("UTF-8")) finally out.close()
+    }
+    try {
+      IndexCatalog.create("t_mw_b", 2, "IDMap,Flat")
+      IndexCatalog.add(grid.where(col("label") < 8), "t_mw_b")
+      intercept[java.util.ConcurrentModificationException](
+        IndexCatalog.save("t_mw_b", dir))
+    } finally IndexCatalog.saveRaceHook = _ => ()
+    // the loser's complete-but-unclaimed staging was removed: only v1's
+    // parts remain next to the manifest
+    val children = fs.listStatus(new org.apache.hadoop.fs.Path(dir)).map(_.getPath.getName).toSet
+    assert(children === Set(v1dir, "_manifest"), s"leftover staging: $children")
+    // survivor resolves through the manifest and loads clean
+    IndexCatalog.load("t_mw_l", dir, spark)
+    assert(labelsOf(IndexCatalog.search("t_mw_l", 4, qs)) === wantA)
+  }
+
   test("radius search: flat equals brute-force filter; IVF exhaustive equals flat; partial probe is a subset") {
     val r = 9.0 // l2sq radius on the 16x16 grid
     IndexCatalog.create("t_rad_flat", 2, "IDMap,Flat")
@@ -670,13 +704,20 @@ class IndexCatalogSpec extends SparkSpec {
     assert(voidRes.forall(_.getSeq[org.apache.spark.sql.Row](1).isEmpty))
   }
 
+  /** newest versioned parts dir of a save path (v<N>-<token> layout) */
+  private def partsDirOf(dir: String): java.nio.file.Path = {
+    val vs = new java.io.File(dir).listFiles().filter(_.getName.startsWith("v"))
+    java.nio.file.Paths.get(vs.maxBy(_.getName.split("-")(0).drop(1).toLong).getPath)
+  }
+
   test("auto-trained SQ and PQ persist quantizer state on save (no retrain on load)") {
     val dirSq = Files.createTempDirectory("graft_sq_auto").toString
     IndexCatalog.create("t_sq_auto", 2, "IDMap,SQ8", "l2sq", Map("refine" -> "8"))
     IndexCatalog.add(grid, "t_sq_auto")
     val beforeSq = labelsOf(IndexCatalog.search("t_sq_auto", 4, qs))
     IndexCatalog.save("t_sq_auto", dirSq)
-    assert(new java.io.File(s"$dirSq/sq_bounds").exists, "auto-trained SQ bounds not persisted")
+    assert(partsDirOf(dirSq).resolve("sq_bounds").toFile.exists,
+      "auto-trained SQ bounds not persisted")
     IndexCatalog.destroy("t_sq_auto")
     IndexCatalog.load("t_sq_auto_l", dirSq, spark)
     assert(labelsOf(IndexCatalog.search("t_sq_auto_l", 4, qs)) === beforeSq)
@@ -686,7 +727,8 @@ class IndexCatalogSpec extends SparkSpec {
     IndexCatalog.add(grid, "t_pq_auto")
     val beforePq = labelsOf(IndexCatalog.search("t_pq_auto", 4, qs))
     IndexCatalog.save("t_pq_auto", dirPq)
-    assert(new java.io.File(s"$dirPq/pq_codebooks").exists, "auto-trained PQ codebooks not persisted")
+    assert(partsDirOf(dirPq).resolve("pq_codebooks").toFile.exists,
+      "auto-trained PQ codebooks not persisted")
     IndexCatalog.destroy("t_pq_auto")
     IndexCatalog.load("t_pq_auto_l", dirPq, spark)
     assert(labelsOf(IndexCatalog.search("t_pq_auto_l", 4, qs)) === beforePq)
