@@ -65,6 +65,10 @@ final case class SqScorer(
  * identical to the row path's vec_topk aggregate, so per-chunk top-k
  * merged by a second vec_topk equals the single-aggregate top-k
  * bit-for-bit.
+ *
+ * CodegenFallback is deliberate and measured: companion columns in
+ * the same projection evaluate once per CHUNK row — the tax is within
+ * run noise (tools/PackedScanProfile), see ListTopKScan's doc.
  */
 case class CodedTopKScan(
     items: Expression, // array<struct<label bigint, code binary>>

@@ -24,7 +24,12 @@ import graft.functions.{TopKHeap, VectorMath}
  * amortizes the expression-dispatch overhead over the whole list, so
  * interpreted eval (CodegenFallback) is fine — the inner loop IS the
  * work, and it runs on UnsafeArrayData views with the devirtualized
- * distance kernels from [[VectorMath]].
+ * distance kernels from [[VectorMath]]. The interpreted-companion tax
+ * (other columns in this projection also losing codegen) was MEASURED
+ * at chunk granularity (tools/PackedScanProfile, 80M-pair probe stage
+ * with an extra arithmetic column in the same projection): within the
+ * ±15% run noise across repeats — companions evaluate once per chunk,
+ * not per candidate, so no doGenCode is warranted.
  *
  * Heap semantics are [[TopKHeap]]'s (distance, label) deterministic
  * ordering — identical to the vec_topk aggregate, so exhaustive-probe
