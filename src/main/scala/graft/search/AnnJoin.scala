@@ -356,7 +356,11 @@ object AnnJoin {
     val leftCap: Long =
       if (perProbePairs <= 0) 1L
       else math.max(1L, math.min(1L << 40, math.ceil(pinThreshold / perProbePairs).toLong))
-    val leftObserved = Knn.widen(left).limit(
+    // limit the RAW left plan, not a widened one: widen() repartitions,
+    // and a limit above a shuffle still runs the full map side — a
+    // whole pass over the query side. LocalLimit on the source plan
+    // short-circuits after leftCap rows of the first input split(s).
+    val leftObserved = left.limit(
       math.min(leftCap, Int.MaxValue.toLong - 1).toInt).count()
     val estPairs = leftObserved.toDouble * perProbePairs
     val pinParallelism = leftObserved >= leftCap || estPairs >= pinThreshold

@@ -19,6 +19,7 @@ object Profile {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if (name == "flatbig-breakdown") { flatBigBreakdown(spark, sfDir); spark.stop(); return }
     if (name == "ivfbig-breakdown") { ivfBigBreakdown(spark, sfDir); spark.stop(); return }
     if (name == "curate-breakdown") { curateBreakdown(spark, sfDir); spark.stop(); return }
     if (name == "saveload-breakdown") { saveLoadBreakdown(spark, sfDir); spark.stop(); return }
@@ -241,6 +242,35 @@ object Profile {
   }
 
   /** stage-level timing of the knn_ivf_big lifecycle */
+  /** phase split of the exact big scan: corpus generation alone vs
+    * generation + distance (no top-k) vs the full search — attributes
+    * the 1000x rung's superlinear factor to a phase */
+  private def flatBigBreakdown(spark: SparkSession, dir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    import graft.functions.vec
+    (1 to 2).foreach { round =>
+      System.err.println(s"[profile] -- round $round --")
+      val copies = spark.range(0, 50).select(col("id").as("copy"))
+      val data = copies
+        .join(broadcast(graft.queries.Tables(spark, dir, "embeddings")))
+        .select((col("vec_id") + col("copy") * 1000000L).as("label"),
+          vec.vector(col("embedding")).as("vec"))
+      val qs = graft.queries.Tables(spark, dir, "embeddings").where(col("vec_id") < 100)
+        .select(col("vec_id").as("qid"), vec.vector(col("embedding")).as("qvec"))
+      t("generate only") { // sum defeats count-pushdown; one full pass
+        data.agg(sum(element_at(col("vec"), 1))).collect()
+      }
+      t("generate + dist, no topk") {
+        data.crossJoin(broadcast(qs))
+          .select(vec.l2sq(col("vec"), col("qvec")).as("d"))
+          .agg(sum(col("d"))).collect()
+      }
+      t("full searchFlat") {
+        graft.search.Knn.searchFlat(data, qs, 5, "l2sq").count()
+      }
+    }
+  }
+
   private def ivfBigBreakdown(spark: SparkSession, dir: String): Unit = {
     import org.apache.spark.sql.functions._
     import graft.functions.vec
