@@ -1,6 +1,6 @@
 package graft.search
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, GraftBridge}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{vec, VectorMath}
@@ -19,6 +19,17 @@ import graft.functions.{vec, VectorMath}
  * No driver-side collect; each data row is touched exactly once.
  */
 object Knn {
+
+  /** Corpus-size threshold (bytes, from optimizer plan stats) above
+    * which [[searchFlat]] delegates to the partition-local-heap kernel
+    * ([[searchFlatFast]]) instead of the row-per-(row, query)
+    * broadcast join. Results are bit-identical (spec-pinned); this is
+    * purely a plan-cost switch, like the packed coded scan — but note
+    * the fast kernel collects the query batch (loud maxQueryBatch
+    * cap). 0 disables; set to 1 to force (specs). Default 1 GiB: below
+    * that the row join's overhead is bounded and declarative planning
+    * (pushdown, AQE) is worth keeping. */
+  private[graft] val FastFlatThresholdConf = "spark.graft.knn.fastFlatThresholdBytes"
 
   /** widen CPU-bound narrow scans to the session parallelism (no-op on
     * real multi-split inputs) — shared by the search paths and the
@@ -67,17 +78,43 @@ object Knn {
       padToK: Boolean = false): DataFrame = {
     val mid = VectorMath.metricId(metric)
     val asc = VectorMath.smallerIsCloser(mid)
-    val d = vec.dist(metric, col(vecCol), col(qvecCol))
     // null query rows carry no meaningful identity or vector; both search
     // paths drop them (keeps fast/declarative outputs identical)
     val cleanQueries = queries.where(col(qidCol).isNotNull && col(qvecCol).isNotNull)
-    val joined = widen(data).crossJoin(broadcast(cleanQueries))
-    val filtered = if (excludeSelf) joined.where(col(labelCol) =!= col(qidCol)) else joined
-    // distance materializes in a codegen'd projection (fused loop inside
-    // WholeStageCodegen); the aggregate then only reads plain columns
-    val shaped = rankResults(
-      filtered.select(col(qidCol).as("qid"), col(labelCol).as("label"), d.as("_dist")),
-      k, asc, padToK)
+    val spark = data.sparkSession
+    val packThresh = spark.conf.getOption(Knn.FastFlatThresholdConf)
+      .map(_.toLong).getOrElse(1L << 30)
+    val sizeEst = data.queryExecution.optimizedPlan.stats.sizeInBytes
+    val shaped = if (packThresh > 0 && sizeEst >= packThresh) {
+      // big-corpus path: delegate to the partition-local-heap kernel.
+      // Measured at the 1000x rung (1e10 pairs, knn_flat_big): the
+      // row-per-pair broadcast join pays ~0.46 us/output-row of join
+      // plumbing (145 s) plus as much again in the per-pair aggregate
+      // (412 s total); a chunk-packed ListTopKScan variant was tried
+      // and REJECTED by measurement — materializing array<struct>
+      // chunk rows re-serializes the whole corpus through UnsafeRow
+      // writers at the RDD-scan boundary (215 s for the pack pass
+      // alone; a Dataset-encoder pack was 368 s). The per-partition
+      // heap kernel touches each corpus row once with zero
+      // materialization beyond partitions x Q x k heap entries.
+      // Same distance kernels, same TopKHeap order -> bit-identical
+      // (parity spec + the long-standing fast==declarative spec).
+      // NOTE this path collects the query batch (loud maxQueryBatch
+      // cap) when the plan executes.
+      searchFlatFast(
+        data.select(col(labelCol).as("label"), col(vecCol).as("vec")),
+        cleanQueries.select(col(qidCol).as("qid"), col(qvecCol).as("qvec")),
+        k, metric, excludeSelf = excludeSelf, padToK = padToK)
+    } else {
+      val d = vec.dist(metric, col(vecCol), col(qvecCol))
+      val joined = widen(data).crossJoin(broadcast(cleanQueries))
+      val filtered = if (excludeSelf) joined.where(col(labelCol) =!= col(qidCol)) else joined
+      // distance materializes in a codegen'd projection (fused loop inside
+      // WholeStageCodegen); the aggregate then only reads plain columns
+      rankResults(
+        filtered.select(col(qidCol).as("qid"), col(labelCol).as("label"), d.as("_dist")),
+        k, asc, padToK)
+    }
     if (qidCol == "qid") shaped else shaped.withColumnRenamed("qid", qidCol)
   }
 
@@ -211,7 +248,8 @@ object Knn {
       queries: DataFrame,
       k: Int,
       metric: String,
-      excludeSelf: Boolean = false): DataFrame = {
+      excludeSelf: Boolean = false,
+      padToK: Boolean = false): DataFrame = {
     val spark = data.sparkSession
     import spark.implicits._
     val mid = VectorMath.metricId(metric)
@@ -234,32 +272,35 @@ object Knn {
     val qArr: Array[(Long, Array[Float])] =
       rows.map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
     val qB = spark.sparkContext.broadcast(qArr)
-    val perPartition = widen(data)
-      .select(col("label").cast("long"), col("vec"))
-      .rdd
-      .mapPartitions { it =>
-        val qs = qB.value
-        val heaps = Array.fill(qs.length)(new graft.functions.TopKHeap(k, asc))
-        it.foreach { row =>
-          if (!row.isNullAt(0) && !row.isNullAt(1)) {
-            val label = row.getLong(0)
-            val v: Array[Float] = row.getSeq[Float](1).toArray
-            var qi = 0
-            while (qi < qs.length) {
-              val (qid, qv) = qs(qi)
-              if (!(excludeSelf && label == qid)) {
-                heaps(qi).insert(VectorMath.distArr(mid, v, qv, 3.0), label)
-              }
-              qi += 1
+    // InternalRow scan, not .rdd: the external-Row conversion decodes
+    // every vector into boxed Seq[Float] ONCE PER CORPUS ROW — at the
+    // 1000x rung (1e8 rows) that decode tax is minutes;
+    // UnsafeArrayData.toFloatArray is a single primitive copy.
+    val scan = widen(data)
+      .select(col("label").cast("long").as("label"), vec.vector(col("vec")).as("vec"))
+    val perPartitionRdd = scan.queryExecution.toRdd.mapPartitions { it =>
+      val qs = qB.value
+      val heaps = Array.fill(qs.length)(new graft.functions.TopKHeap(k, asc))
+      it.foreach { row =>
+        if (!row.isNullAt(0) && !row.isNullAt(1)) {
+          val label = row.getLong(0)
+          val v: Array[Float] = row.getArray(1).toFloatArray()
+          var qi = 0
+          while (qi < qs.length) {
+            val (qid, qv) = qs(qi)
+            if (!(excludeSelf && label == qid)) {
+              heaps(qi).insert(VectorMath.distArr(mid, v, qv, 3.0), label)
             }
+            qi += 1
           }
         }
-        heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
-          val qid = qs(qi)._1
-          h.sorted.iterator.map { case (d, l) => (qid, l, d) }
-        }
       }
-      .toDF("qid", "label", "_dist")
-    rankResults(perPartition, k, asc)
+      heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
+        val qid = qs(qi)._1
+        h.sorted.iterator.map { case (d, l) => (qid, l, d) }
+      }
+    }
+    val perPartition = spark.createDataFrame(perPartitionRdd).toDF("qid", "label", "_dist")
+    rankResults(perPartition, k, asc, padToK)
   }
 }

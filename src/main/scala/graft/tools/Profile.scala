@@ -257,16 +257,54 @@ object Profile {
           vec.vector(col("embedding")).as("vec"))
       val qs = graft.queries.Tables(spark, dir, "embeddings").where(col("vec_id") < 100)
         .select(col("vec_id").as("qid"), vec.vector(col("embedding")).as("qvec"))
+      System.err.println(s"[profile] bigData stats.sizeInBytes = " +
+        data.queryExecution.optimizedPlan.stats.sizeInBytes)
       t("generate only") { // sum defeats count-pushdown; one full pass
         data.agg(sum(element_at(col("vec"), 1))).collect()
       }
-      t("generate + dist, no topk") {
-        data.crossJoin(broadcast(qs))
-          .select(vec.l2sq(col("vec"), col("qvec")).as("d"))
-          .agg(sum(col("d"))).collect()
+      val packedChunks = {
+        val normalized = data.select(col("label").cast("long").as("label"), col("vec"))
+        val chunkSchema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("items",
+            org.apache.spark.sql.types.ArrayType(normalized.schema))))
+        val rdd = normalized.queryExecution.toRdd.mapPartitions { it =>
+          it.map(_.copy()).grouped(65536).map { rows =>
+            new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+              Array[Any](new org.apache.spark.sql.catalyst.util.GenericArrayData(
+                rows.toArray[Any]))): org.apache.spark.sql.catalyst.InternalRow
+          }
+        }
+        org.apache.spark.sql.GraftBridge.internalCreateDataFrame(spark, rdd, chunkSchema)
       }
-      t("full searchFlat") {
-        graft.search.Knn.searchFlat(data, qs, 5, "l2sq").count()
+      val _ = packedChunks // binary-pack phase measured round 1: 215 s (kept for reference)
+      t("fast kernel (partition heaps)") {
+        graft.search.Knn.searchFlatFast(data, qs, 5, "l2sq").count()
+      }
+      // pure-JVM reference for the same pair loop: what the hardware
+      // can do with zero Spark in the way
+      t("raw distArr loop, 1e9 pairs, 1 core") {
+        val rnd = new java.util.Random(42)
+        val corpus = Array.fill(10000)(Array.fill(64)(rnd.nextFloat()))
+        val queries = Array.fill(100)(Array.fill(64)(rnd.nextFloat()))
+        val heaps = Array.fill(100)(new graft.functions.TopKHeap(5, true))
+        var acc = 0.0
+        var i = 0
+        while (i < 1000) { // 1000 x 10000 x 100 = 1e9 pairs
+          var c = 0
+          while (c < 10000) {
+            var q = 0
+            while (q < 100) {
+              heaps(q).insert(
+                graft.functions.VectorMath.distArr(
+                  graft.functions.VectorMath.L2SQ, corpus(c), queries(q), 3.0), c.toLong)
+              q += 1
+            }
+            c += 1
+          }
+          i += 1
+        }
+        acc += heaps(0).sorted.head._1
+        System.err.println(s"[profile]    (acc=$acc)")
       }
     }
   }

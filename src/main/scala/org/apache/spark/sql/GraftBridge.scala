@@ -29,6 +29,15 @@ object GraftBridge {
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 
+  /** DataFrame from an InternalRow RDD without encoder round-trips
+    * (SparkSession.internalCreateDataFrame is private[sql]) — for
+    * kernels that repack rows at the binary level */
+  def internalCreateDataFrame(
+      spark: SparkSession,
+      rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.asInstanceOf[classic.SparkSession].internalCreateDataFrame(rdd, schema)
+
   /** register a table-valued function (FROM-clause) on a live session */
   def registerTableFunction(
       spark: SparkSession,

@@ -22,6 +22,30 @@ class KnnSpec extends SparkSpec {
     assert(math.abs(res(0).getDouble(3) - 0.04) < 1e-6)
   }
 
+  test("big-corpus fast-kernel delegation is bit-equal to the row-join plan (metrics, excludeSelf, pad)") {
+    import spark.implicits._
+    val queries = Seq(
+      (0L, Array(0.2f, 0.0f)), (7L, Array(9.6f, 4.4f)), (55L, Array(5.0f, 5.0f)))
+      .toDF("qid", "qvec")
+    def run(threshold: String, metric: String, exSelf: Boolean, pad: Boolean) = {
+      spark.conf.set(Knn.FastFlatThresholdConf, threshold)
+      try Knn.searchFlat(data.repartition(7), queries, 4, metric,
+          excludeSelf = exSelf, padToK = pad)
+        .collect().map(_.toString).sorted.toSeq
+      finally spark.conf.unset(Knn.FastFlatThresholdConf)
+    }
+    for (metric <- Seq("l2sq", "ip", "cosine", "l1"); exSelf <- Seq(false, true)) {
+      val row = run("0", metric, exSelf, pad = false) // packed disabled
+      val packed = run("1", metric, exSelf, pad = false) // packed forced
+      assert(packed === row, s"metric=$metric excludeSelf=$exSelf")
+      assert(row.nonEmpty)
+    }
+    // k > matching rows with padding: both plans pad to exactly k
+    val rowPad = run("0", "l2sq", false, pad = true)
+    val packedPad = run("1", "l2sq", false, pad = true)
+    assert(packedPad === rowPad)
+  }
+
   test("grouped knn join: neighbors never cross the group boundary") {
     import spark.implicits._
     // two tenants; the globally-nearest neighbor of each query sits in
