@@ -30,6 +30,15 @@ final case class PqLutScorer(luts: Map[Long, Array[Float]]) extends CodedScorer 
     Pq.adcDistanceAt(codes, off, width, ctx.asInstanceOf[Array[Float]])
 }
 
+/** additive decode-inside-the-loop L2 (FAISS residual quantizer) */
+final case class RqScorer(
+    queries: Map[Long, Array[Float]],
+    books: Array[Array[Array[Float]]]) extends CodedScorer {
+  override def forQuery(qid: Long): AnyRef = queries(qid)
+  override def score(ctx: AnyRef, codes: Array[Byte], off: Int, width: Int): Double =
+    Rq.l2DistanceAt(codes, off, width, ctx.asInstanceOf[Array[Float]], books)
+}
+
 /** asymmetric decode-inside-the-loop L2 (FAISS ScalarQuantizer) */
 final case class SqScorer(
     queries: Map[Long, Array[Float]], vmin: Array[Float], vdiff: Array[Float],

@@ -57,6 +57,10 @@ object IndexCatalog {
     * assignment and probing walk the graph. */
   case class PqKind(m: Int, nlist: Int, coarseM: Int = 0) extends Kind
   case class SqKind(nlist: Int, coarseM: Int = 0) extends Kind
+  /** residual quantizer (FAISS `RQ<m>[x8]`): m full-dim additive
+    * codebooks; same m-byte coded layout and search plumbing as PQ,
+    * different train/encode/distance kernels (Rq.scala) */
+  case class RqKind(m: Int, nlist: Int, coarseM: Int = 0) extends Kind
   case class HnswKind(m: Int) extends Kind
   /** pre-transform wrapper, e.g. "PCA16,IVF64,Flat" */
   case class PcaKind(outDim: Int, inner: Kind) extends Kind
@@ -64,7 +68,8 @@ object IndexCatalog {
   case class OpqKind(m: Int, inner: Kind) extends Kind
 
   def parseFactory(factory: String): Kind =
-    parseParts(factory.split(",").map(_.trim).filter(_ != "IDMap"))
+    parseParts(factory.split(",").map(_.trim)
+      .filter(p => p != "IDMap" && p != "IDMap2"))
 
   private def parseParts(parts: Array[String]): Kind = {
     // FAISS-style pretransform prefix: strip and recurse on the rest
@@ -85,6 +90,17 @@ object IndexCatalog {
     }
     val pqPart = parts.find(_.startsWith("PQ")).map(_.stripPrefix("PQ").toInt)
     val sqPart = parts.find(_.startsWith("SQ")).map(_.stripPrefix("SQ"))
+    // FAISS grammar RQ<m>x<b>: only 8-bit stages (byte codes) here —
+    // a different width would silently build a different structure
+    val rqPart = parts.find(_.startsWith("RQ")).map { p =>
+      val spec = p.stripPrefix("RQ")
+      spec.split("x", 2) match {
+        case Array(m) => m.toInt
+        case Array(m, b) =>
+          require(b == "8", s"only RQ<m>x8 (byte stages) is supported, got $p")
+          m.toInt
+      }
+    }
     sqPart.foreach { b =>
       require(b == "8" || b == "4" || b == "fp16",
         s"only SQ8/SQ4/SQfp16 scalar quantization is supported, got SQ$b")
@@ -98,13 +114,17 @@ object IndexCatalog {
         val cm = if (hm.isEmpty) 32 else hm.toInt
         if (pqPart.isDefined) PqKind(pqPart.get, nl.toInt, cm)
         else if (sqPart.isDefined) SqKind(nl.toInt, cm)
+        else if (rqPart.isDefined) RqKind(rqPart.get, nl.toInt, cm)
         else IvfHnswKind(nl.toInt, cm)
       case s if s.startsWith("IVF") && pqPart.isDefined =>
         PqKind(pqPart.get, s.stripPrefix("IVF").toInt)
       case s if s.startsWith("IVF") && sqPart.isDefined =>
         SqKind(s.stripPrefix("IVF").toInt)
+      case s if s.startsWith("IVF") && rqPart.isDefined =>
+        RqKind(rqPart.get, s.stripPrefix("IVF").toInt)
       case s if s.startsWith("PQ") => PqKind(pqPart.get, 1)
       case s if s.startsWith("SQ") => SqKind(1)
+      case s if s.startsWith("RQ") => RqKind(rqPart.get, 1)
       case "Flat" => FlatKind
       case s if s.startsWith("IVF") => IvfKind(s.stripPrefix("IVF").toInt)
       case s if s.startsWith("LSH") =>
@@ -115,9 +135,14 @@ object IndexCatalog {
     }
   }
 
-  /** IDMap prefix gates explicit-id adds, as in FAISS (test/sql/faiss4.test) */
-  def hasIdMap(factory: String): Boolean =
-    factory.split(",").map(_.trim).contains("IDMap")
+  /** IDMap prefix gates explicit-id adds, as in FAISS (test/sql/faiss4.test).
+    * IDMap2 (FAISS: IDMap + reconstruct-by-id) is accepted as a synonym:
+    * graft's layout always reconstructs by label (the base table IS the
+    * direct map), so the "2" is free — parity is reconstruct()'s contract. */
+  def hasIdMap(factory: String): Boolean = {
+    val parts = factory.split(",").map(_.trim)
+    parts.contains("IDMap") || parts.contains("IDMap2")
+  }
 
   final class Entry(val meta: IndexMeta) {
     val kind: Kind = parseFactory(meta.factory)
@@ -204,8 +229,9 @@ object IndexCatalog {
           if !Nsw.supportsMetric(mid) =>
         throw new IllegalArgumentException(
           s"HNSW supports metrics l2sq/l2/ip/cosine, got '$metric'")
-      case PqKind(_, _, _) | SqKind(_, _) | PcaKind(_, PqKind(_, _, _)) |
-          PcaKind(_, SqKind(_, _)) | OpqKind(_, PqKind(_, _, _)) |
+      case PqKind(_, _, _) | SqKind(_, _) | RqKind(_, _, _) |
+          PcaKind(_, PqKind(_, _, _)) | PcaKind(_, SqKind(_, _)) |
+          PcaKind(_, RqKind(_, _, _)) | OpqKind(_, PqKind(_, _, _)) |
           OpqKind(_, SqKind(_, _)) if !isL2 =>
         throw new IllegalArgumentException(
           s"PQ/SQ quantized search implements the FAISS L2 convention (ADC + L2 re-rank); got '$metric'")
@@ -371,6 +397,7 @@ object IndexCatalog {
         Some(ivf.appended(normalized))
       case Some(pq: PqBuilt) => Some(pq.appended(normalized, e.pending.get))
       case Some(sq: SqBuilt) => Some(sq.appended(normalized, e.pending.get))
+      case Some(rq: RqBuilt) => Some(rq.appended(normalized, e.pending.get))
       case other =>
         other.foreach(_.close())
         None
@@ -413,11 +440,13 @@ object IndexCatalog {
       case ivf: IvfBuilt => ivf.data.where(col("list_id") >= 0)
       case pq: PqBuilt => pq.data.where(col("list_id") >= 0)
       case sq: SqBuilt => sq.data.where(col("list_id") >= 0)
+      case rq: RqBuilt => rq.data.where(col("list_id") >= 0)
       case other => other.data.select(lit(0).as("list_id"), col("label"))
     }).groupBy(col("list_id")).agg(count(lit(1)).as("sz"))
     val nlist = b match {
       case ivf: IvfBuilt => math.max(ivf.centroids.length, 1)
-      case _: PqBuilt => e.synchronized(e.trainedPq.flatMap(_._2).map(_.length).getOrElse(1))
+      case _: PqBuilt | _: RqBuilt =>
+        e.synchronized(e.trainedPq.flatMap(_._2).map(_.length).getOrElse(1))
       case _: SqBuilt => e.synchronized(e.trainedSq.flatMap(_._3).map(_.length).getOrElse(1))
       case _ => 1
     }
@@ -487,6 +516,15 @@ object IndexCatalog {
           sq.close()
           e.built = Some(new SqBuilt(
             foldedCodes, foldedRaw, sq.meta, sq.vmin, sq.vdiff, sq.centroids, sq.coarse))
+        case Some(rq: RqBuilt) if rq.hasAppends =>
+          val foldedCodes = rq.data.repartition(col("list_id")).localCheckpoint(true)
+          val foldedRaw = rq.vecData.localCheckpoint(true)
+          e.pending = Some(foldedRaw.select(col("label"), col("vec")))
+          e.cachedBatches.foreach(_.unpersist(blocking = false))
+          e.cachedBatches.clear()
+          rq.close()
+          e.built = Some(new RqBuilt(
+            foldedCodes, foldedRaw, rq.meta, rq.books, rq.centroids, rq.coarse))
         case _ => ()
       }
     }
@@ -585,9 +623,7 @@ object IndexCatalog {
         // an empty sample trains nothing — leave untrained so build()
         // auto-trains from the real data (Some(empty) would block it)
         e.trained = if (cents.isEmpty) None else Some(cents)
-      case k @ PqKind(_, _, _) =>
-        trainPointsKind(e, k, samplePoints(sample), seed)
-      case k @ SqKind(_, _) =>
+      case k @ (PqKind(_, _, _) | SqKind(_, _) | RqKind(_, _, _)) =>
         trainPointsKind(e, k, samplePoints(sample), seed)
       case PcaKind(outDim, inner) =>
         // train the transform, then train the inner kind in the
@@ -666,6 +702,16 @@ object IndexCatalog {
           if (nlist > 1) Some(Pq.localKMeans(pts, math.min(nlist, pts.length), seed + 999, 10))
           else None
         e.trainedSq = Some((vmin, vdiff, cents))
+      case RqKind(m, nlist, _) =>
+        // RQ shares trainedPq's (codebooks, coarse) shape — full-dim
+        // stage codebooks instead of subspace ones; save/load persist
+        // them through the same pq_codebooks/pq_coarse parquet, and the
+        // factory string disambiguates on rebuild
+        val books = Rq.train(pts, m, seed)
+        val cents =
+          if (nlist > 1) Some(Pq.localKMeans(pts, math.min(nlist, pts.length), seed + 999, 10))
+          else None
+        e.trainedPq = Some((books, cents))
       case PcaKind(_, _) | OpqKind(_, _) =>
         throw new IllegalArgumentException("nested pretransforms are not supported")
       case _ => // Flat/LSH/HNSW need no training
@@ -738,6 +784,11 @@ object IndexCatalog {
         val g = if (cm > 0) e.trainedSq.flatMap(_._3).filter(_.length > 1)
           .map(cs => coarseGraph(e, cs, cm, metricId)) else None
         SqBuilt.build(data, e.meta, nlist, e.trainedSq, g, coarseEfOf(e.meta))
+      case k @ RqKind(m, nlist, cm) =>
+        if (e.trainedPq.isEmpty) trainPointsKind(e, k, boundedSample(data), seed(e))
+        val g = if (cm > 0) e.trainedPq.flatMap(_._2).filter(_.length > 1)
+          .map(cs => coarseGraph(e, cs, cm, metricId)) else None
+        RqBuilt.build(data, e.meta, m, nlist, e.trainedPq, g, coarseEfOf(e.meta))
       case HnswKind(m) => HnswBuilt.build(data, e.meta, m)
       case IvfKind(nlist) =>
         val centroids = e.trained.getOrElse {
@@ -988,6 +1039,9 @@ object IndexCatalog {
       case pq: PqBuilt =>
         rows.select(col("label"), GraftBridge.column(PqDecode(
           GraftBridge.expression(col("code")), pq.codebooks)).as("vec"))
+      case rq: RqBuilt =>
+        rows.select(col("label"), GraftBridge.column(RqDecode(
+          GraftBridge.expression(col("code")), rq.books)).as("vec"))
       case _: PcaBuilt =>
         throw new UnsupportedOperationException(
           "reconstruct through a PCA/OPQ pretransform is not supported " +
@@ -1097,6 +1151,8 @@ object IndexCatalog {
         pq.vecData.write.mode("overwrite").option("compression", "zstd").parquet(s"$path/data")
       case sq: SqBuilt =>
         sq.vecData.write.mode("overwrite").option("compression", "zstd").parquet(s"$path/data")
+      case rq: RqBuilt =>
+        rq.vecData.write.mode("overwrite").option("compression", "zstd").parquet(s"$path/data")
       case other =>
         // canonical (label, vec) layout rebuilds deterministically on load
         other.data.select(col("label"), col("vec"))
@@ -1792,6 +1848,94 @@ object IndexCatalog {
       val encode = GraftBridge.column(PqEncode(GraftBridge.expression(col("vec")), codebooks))
       new PqBuilt(codedLayout(data, encode, cents, coarseGraph, coarseEf).cache(),
         data, meta, codebooks, cents, coarseGraph.map(g => (g, coarseEf)))
+    }
+  }
+
+  /**
+   * RQ / IVF-RQ (FAISS `RQ<m>x8` residual quantizer): same m-byte
+   * coded layout, probing, packed scan, save/load and incremental
+   * append as PqBuilt — only the train/encode/distance kernels differ
+   * (additive full-dim stages, decode-in-loop asymmetric L2; Rq.scala).
+   */
+  final class RqBuilt(
+      val data: DataFrame, // (list_id int, label bigint, code binary) — codes only
+      private[index] val raw: DataFrame, // the base (label, vec) plan, NOT cached here
+      val meta: IndexMeta,
+      private[index] val books: Array[Array[Array[Float]]],
+      private[index] val centroids: Option[Array[Array[Float]]],
+      private[index] val coarse: Option[(Nsw.Graph, Int)] = None,
+      cachedParts: Seq[DataFrame] = Nil,
+      private[index] val hasAppends: Boolean = false)
+      extends BuiltIndex {
+
+    /** base-table (label, vec) view for exact flat scans and save() */
+    private[index] def vecData: DataFrame =
+      raw.select(col("label").cast("long").as("label"), vec.vector(col("vec")).as("vec"))
+    override def flatData: DataFrame = vecData
+
+    @transient private var packedCache: DataFrame = _
+    private def packedItems: DataFrame = synchronized {
+      if (packedCache == null) packedCache = packCoded(data)
+      packedCache
+    }
+
+    /** coded incremental append — see [[PqBuilt.appended]] */
+    private[index] def appended(newRows: DataFrame, newRaw: DataFrame): RqBuilt = {
+      val encode = GraftBridge.column(RqEncode(GraftBridge.expression(col("vec")), books))
+      val newCoded = codedLayout(newRows, encode, centroids,
+        coarse.map(_._1), coarse.map(_._2).getOrElse(64), repartitionLists = false)
+      synchronized { if (packedCache != null) { packedCache.unpersist(); packedCache = null } }
+      new RqBuilt(data.unionByName(newCoded), newRaw, meta, books, centroids, coarse,
+        if (cachedParts.isEmpty) Seq(data) else cachedParts, hasAppends = true)
+    }
+
+    def search(queries: DataFrame, k: Int, params: Map[String, String]): DataFrame =
+      doSearch(queries, k, params, identity, unrestricted = true)
+
+    override def searchRestricted(
+        queries: DataFrame, k: Int, params: Map[String, String],
+        restrict: DataFrame => DataFrame): DataFrame =
+      doSearch(queries, k, params, restrict, unrestricted = false)
+
+    private def doSearch(
+        queries: DataFrame, k: Int, params: Map[String, String],
+        restrict: DataFrame => DataFrame, unrestricted: Boolean): DataFrame = {
+      val qArr = collectQueryBatch(queries)
+      val rqd = GraftBridge.column(RqL2Distance(
+        GraftBridge.expression(col("code")), GraftBridge.expression(col("qid")),
+        qArr.toMap, books))
+      val packed =
+        if (unrestricted && packedScanEnabled(data.sparkSession))
+          Some((packedItems, RqScorer(qArr.toMap, books): CodedScorer))
+        else None
+      codedSearch(restrictCoded(data, vecData, restrict), raw, queries, qArr, k, params,
+        centroids, rqd, packed, coarse)
+    }
+
+    override def close(): Unit = {
+      data.unpersist()
+      cachedParts.foreach(_.unpersist())
+      synchronized { if (packedCache != null) { packedCache.unpersist(); packedCache = null } }
+    }
+  }
+
+  object RqBuilt {
+    def build(
+        data: DataFrame, meta: IndexMeta, m: Int, nlist: Int,
+        pretrained: Option[(Array[Array[Array[Float]]], Option[Array[Array[Float]]])] = None,
+        coarseGraph: Option[Nsw.Graph] = None,
+        coarseEf: Int = 64): RqBuilt = {
+      val seed = meta.params.get("seed").map(_.toLong).getOrElse(42L)
+      val (books, cents) = pretrained.getOrElse {
+        val sample = data.select(col("vec")).limit(16384).collect()
+          .map(_.getSeq[Float](0).toArray)
+        (Rq.train(sample, m, seed),
+          if (nlist > 1) Some(Pq.localKMeans(sample, math.min(nlist, sample.length), seed + 999, 10))
+          else None)
+      }
+      val encode = GraftBridge.column(RqEncode(GraftBridge.expression(col("vec")), books))
+      new RqBuilt(codedLayout(data, encode, cents, coarseGraph, coarseEf).cache(),
+        data, meta, books, cents, coarseGraph.map(g => (g, coarseEf)))
     }
   }
 

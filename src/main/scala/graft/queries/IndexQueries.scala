@@ -299,6 +299,18 @@ object IndexQueries {
       IndexCatalog.add(embData(s, dir), name)
       quantized(IndexCatalog.search(name, 5, embQueries(s, dir)))
     },
+    // residual quantizer (FAISS "RQ8x8" / "IVF16,RQ8"): m additive
+    // full-dim stages instead of PQ's subspace slices — same 8-byte
+    // codes, better fidelity on correlated dims; decode-in-loop
+    // asymmetric L2 + exact re-rank (rows-only; exactness/save-load/
+    // append spec-asserted, _exh twin driver-hash exact)
+    "knn_rq" -> { (s, dir) =>
+      val name = fresh("q_rq")
+      IndexCatalog.create(name, 64, "IDMap,IVF8,RQ8", "l2sq",
+        Map("nprobe" -> "4", "refine" -> "24"))
+      IndexCatalog.add(embData(s, dir), name)
+      quantized(IndexCatalog.search(name, 5, embQueries(s, dir)))
+    },
     // IVF-PQ: 64 floats -> 8 bytes, ADC + exact re-rank (approximate ->
     // rows-only here; recall vs exact search is spec-asserted)
     "knn_pq" -> { (s, dir) =>
@@ -375,6 +387,17 @@ object IndexQueries {
       val d = embData(s, dir)
       IndexCatalog.create(name, 64, "IDMap,IVF16_HNSW8,SQ8", "l2sq",
         Map("nprobe" -> "16", "refine" -> exhRefine(d, 5)))
+      IndexCatalog.add(d, name)
+      quantized(IndexCatalog.search(name, 5, embQueries(s, dir)))
+    },
+    // residual quantizer at both exact ends (all lists probed, refine
+    // covering the corpus): gates the additive-code structure against
+    // the flat oracle
+    "knn_rq_exh" -> { (s, dir) =>
+      val name = fresh("q_rq_exh")
+      val d = embData(s, dir)
+      IndexCatalog.create(name, 64, "IDMap,IVF8,RQ8", "l2sq",
+        Map("nprobe" -> "8", "refine" -> exhRefine(d, 5)))
       IndexCatalog.add(d, name)
       quantized(IndexCatalog.search(name, 5, embQueries(s, dir)))
     },
@@ -723,6 +746,7 @@ object IndexQueries {
     "knn_pq_exh" -> VectorQueries.oracles("knn_flat_l2"),
     "knn_ivf_hnsw_pq_exh" -> VectorQueries.oracles("knn_flat_l2"),
     "knn_ivf_hnsw_sq_exh" -> VectorQueries.oracles("knn_flat_l2"),
+    "knn_rq_exh" -> VectorQueries.oracles("knn_flat_l2"),
     "knn_sq8_exh" -> VectorQueries.oracles("knn_flat_l2"),
     "knn_sq4_exh" -> VectorQueries.oracles("knn_flat_l2"),
     "knn_sqfp16_exh" -> VectorQueries.oracles("knn_flat_l2"),

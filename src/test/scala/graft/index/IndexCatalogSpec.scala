@@ -239,6 +239,68 @@ class IndexCatalogSpec extends SparkSpec {
     IndexCatalog.search(name, 4, qs).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
 
+  test("RQ residual quantizer: exhaustive refine exact, IVF-RQ prunes, save/load + append + reconstruct") {
+    // corpus-covering refine -> the exact re-rank reproduces brute force
+    IndexCatalog.create("t_rq", 2, "IDMap,RQ2", "l2sq", Map("refine" -> "64"))
+    IndexCatalog.add(grid, "t_rq")
+    val want = labelsOf(Knn.searchFlat(grid, qs, 4, "l2sq"))
+    assert(labelsOf(IndexCatalog.search("t_rq", 4, qs)) === want)
+    // IVF-RQ at exhaustive probe + corpus refine is exact too
+    IndexCatalog.create("t_ivfrq", 2, "IDMap,IVF4,RQ2x8", "l2sq",
+      Map("nprobe" -> "4", "refine" -> "64"))
+    IndexCatalog.add(grid, "t_ivfrq")
+    assert(labelsOf(IndexCatalog.search("t_ivfrq", 4, qs)) === want)
+    // partial probe + modest refine keeps useful recall
+    IndexCatalog.create("t_ivfrq_p", 2, "IDMap,IVF4,RQ2", "l2sq",
+      Map("nprobe" -> "2", "refine" -> "8"))
+    IndexCatalog.add(grid, "t_ivfrq_p")
+    val got = labelsOf(IndexCatalog.search("t_ivfrq_p", 4, qs))
+    val recall = qs.collect().map(_.getLong(0)).map { q =>
+      got(q).toSet.intersect(want(q).toSet).size.toDouble / want(q).size
+    }.sum / 2
+    assert(recall >= 0.75, s"recall $recall")
+    // save/load: stage codebooks persist (through the pq_codebooks
+    // layout), results identical across the round-trip
+    val dir = Files.createTempDirectory("graft_rq").toString
+    val before = labelsOf(IndexCatalog.search("t_ivfrq_p", 4, qs))
+    IndexCatalog.save("t_ivfrq_p", dir)
+    IndexCatalog.destroy("t_ivfrq_p")
+    IndexCatalog.load("t_ivfrq_l", dir, spark)
+    assert(labelsOf(IndexCatalog.search("t_ivfrq_l", 4, qs)) === before)
+    // incremental append: exact-match vector wins top-1 immediately
+    import spark.implicits._
+    IndexCatalog.add(Seq((999L, Array(3.2f, 3.1f))).toDF("label", "vec"), "t_rq")
+    assert(IndexCatalog.isBuilt("t_rq"), "coded add must extend incrementally")
+    val top = IndexCatalog.search("t_rq", 1, qs).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(top(0L) === 999L)
+    // reconstruct = additive decode of the m stage centroids
+    val rec = IndexCatalog.reconstruct("t_rq", Seq(17L).toDF("id")).collect()
+    assert(rec.length === 1 && rec(0).getSeq[Float](1).length === 2)
+    // the approximation should be close on a trained grid (2 stages x
+    // 256 centroids over 256 points can represent the grid well)
+    val v = rec(0).getSeq[Float](1)
+    assert(math.abs(v(0) - 1.0f) < 1.5 && math.abs(v(1) - 1.0f) < 1.5, v)
+  }
+
+  test("IDMap2 factory: explicit-id adds allowed, reconstruct-by-id round-trips, search exact") {
+    // FAISS IDMap2 = IDMap + a direct map for reconstruct(id); graft's
+    // base table IS the direct map, so IDMap2 parses as a synonym and
+    // the reconstruct contract is what distinguishes it
+    IndexCatalog.create("t_idmap2", 2, "IDMap2,IVF4,Flat", "l2sq", Map("nprobe" -> "4"))
+    IndexCatalog.add(grid, "t_idmap2") // explicit ids: would throw without the IDMap gate
+    assert(labelsOf(IndexCatalog.search("t_idmap2", 4, qs))
+      === labelsOf(Knn.searchFlat(grid, qs, 4, "l2sq")))
+    import spark.implicits._
+    val got = IndexCatalog.reconstruct("t_idmap2", Seq(17L, 200L).toDF("id"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toSeq).toMap
+    assert(got === Map(
+      17L -> Seq(1.0f, 1.0f), // label 17 = y*16+x = (1,1)
+      200L -> Seq(8.0f, 12.0f))) // 200 = 12*16+8
+    assert(IndexCatalog.parseFactory("IDMap2,Flat") === IndexCatalog.FlatKind)
+    assert(IndexCatalog.hasIdMap("IDMap2,Flat"))
+  }
+
   test("two interleaved saves: loser fails loudly, survivor loads clean (version manifest)") {
     val dir = Files.createTempDirectory("graft_mw").toString
     IndexCatalog.create("t_mw_a", 2, "IDMap,IVF4,Flat", "l2sq", Map("nprobe" -> "4"))
