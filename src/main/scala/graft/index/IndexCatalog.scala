@@ -766,7 +766,7 @@ object IndexCatalog {
 
   private def buildKind(e: Entry, kind: Kind, data: DataFrame, metricId: Int): BuiltIndex =
     kind match {
-      case FlatKind => new FlatBuilt(Knn.widen(data).cache(), e.meta) // widen once, before the cache
+      case FlatKind => new FlatBuilt(cachedLayout(Knn.widen(data)), e.meta) // widen once, before the cache
       case LshKind(bits) => LshBuilt.build(data, e.meta, bits)
       case k @ PqKind(m, nlist, cm) =>
         // auto-train through the Entry (mirrors the IVF path) so save()
@@ -1488,8 +1488,7 @@ object IndexCatalog {
           when(size(assign) > 0, element_at(assign, 1)).otherwise(lit(-1)).as("list_id"),
           col("label"), col("vec"))
         .repartition(col("list_id"))
-        .cache()
-      new IvfBuilt(assigned, meta, centroids, metricId, coarseGraph = coarseGraph)
+      new IvfBuilt(cachedLayout(assigned), meta, centroids, metricId, coarseGraph = coarseGraph)
     }
   }
 
@@ -1672,6 +1671,24 @@ object IndexCatalog {
     rows.map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
   }
 
+  /** Storage level for BUILT index layouts (the corpus-scale caches).
+    * Default MEMORY_AND_DISK (deserialized — fastest scans). When
+    * several corpus-scale indexes must coexist in one JVM,
+    * MEMORY_AND_DISK_SER cuts the vector-row footprint ~3-4x — at the
+    * 1000x rung three ~30 GB deserialized layouts in one session
+    * overwhelmed spill space and killed the JVM (SURVEY §21.9); the
+    * serialized level is the deployment knob for that shape. Accepts
+    * any StorageLevel name (MEMORY_ONLY, DISK_ONLY, ...). Read at
+    * build time; rebuild to change. */
+  private[graft] val CacheLevelConf = "spark.graft.index.cacheStorageLevel"
+
+  private[index] def cachedLayout(df: DataFrame): DataFrame = {
+    val lvl = df.sparkSession.conf.getOption(CacheLevelConf)
+      .map(org.apache.spark.storage.StorageLevel.fromString)
+      .getOrElse(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    df.persist(lvl)
+  }
+
   /** parse the query-batch cap, naming the config key on a bad value
     * instead of surfacing a bare NumberFormatException. Shared with the
     * programmatic `Knn` flat path (same contract, same error shape). */
@@ -1846,7 +1863,7 @@ object IndexCatalog {
           else None)
       }
       val encode = GraftBridge.column(PqEncode(GraftBridge.expression(col("vec")), codebooks))
-      new PqBuilt(codedLayout(data, encode, cents, coarseGraph, coarseEf).cache(),
+      new PqBuilt(cachedLayout(codedLayout(data, encode, cents, coarseGraph, coarseEf)),
         data, meta, codebooks, cents, coarseGraph.map(g => (g, coarseEf)))
     }
   }
@@ -1934,7 +1951,7 @@ object IndexCatalog {
           else None)
       }
       val encode = GraftBridge.column(RqEncode(GraftBridge.expression(col("vec")), books))
-      new RqBuilt(codedLayout(data, encode, cents, coarseGraph, coarseEf).cache(),
+      new RqBuilt(cachedLayout(codedLayout(data, encode, cents, coarseGraph, coarseEf)),
         data, meta, books, cents, coarseGraph.map(g => (g, coarseEf)))
     }
   }
@@ -2036,7 +2053,7 @@ object IndexCatalog {
       }
       val encode = GraftBridge.column(SqEncode(
         GraftBridge.expression(col("vec")), vmin, vdiff, Sq.variantOf(meta.factory)))
-      new SqBuilt(codedLayout(data, encode, cents, coarseGraph, coarseEf).cache(),
+      new SqBuilt(cachedLayout(codedLayout(data, encode, cents, coarseGraph, coarseEf)),
         data, meta, vmin, vdiff, cents, coarseGraph.map(g => (g, coarseEf)))
     }
   }
@@ -2145,7 +2162,7 @@ object IndexCatalog {
       // one graph per shard: widen narrow inputs so graph build and search
       // both use the full executor parallelism (Knn.widen, not a raw
       // .rdd probe — shared AQE-safety and drift-free partitioning)
-      val cached = Knn.widen(data).select(col("label"), col("vec")).cache()
+      val cached = cachedLayout(Knn.widen(data).select(col("label"), col("vec")))
       val graphs = cached
         .select(col("label"), col("vec"))
         .rdd

@@ -239,6 +239,19 @@ class IndexCatalogSpec extends SparkSpec {
     IndexCatalog.search(name, 4, qs).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
 
+  test("index layout cache honors spark.graft.index.cacheStorageLevel") {
+    spark.conf.set("spark.graft.index.cacheStorageLevel", "MEMORY_AND_DISK_SER")
+    try {
+      IndexCatalog.create("t_lvl", 2, "IDMap,IVF4,Flat", "l2sq", Map("nprobe" -> "4"))
+      IndexCatalog.add(grid, "t_lvl")
+      val b = IndexCatalog.build("t_lvl")
+      assert(b.data.storageLevel === org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      // results unaffected by the storage level
+      assert(labelsOf(IndexCatalog.search("t_lvl", 4, qs))
+        === labelsOf(Knn.searchFlat(grid, qs, 4, "l2sq")))
+    } finally spark.conf.unset("spark.graft.index.cacheStorageLevel")
+  }
+
   test("RQ residual quantizer: exhaustive refine exact, IVF-RQ prunes, save/load + append + reconstruct") {
     // corpus-covering refine -> the exact re-rank reproduces brute force
     IndexCatalog.create("t_rq", 2, "IDMap,RQ2", "l2sq", Map("refine" -> "64"))
