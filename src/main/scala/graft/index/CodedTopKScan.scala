@@ -34,9 +34,15 @@ final case class PqLutScorer(luts: Map[Long, Array[Float]]) extends CodedScorer 
 final case class RqScorer(
     queries: Map[Long, Array[Float]],
     books: Array[Array[Array[Float]]]) extends CodedScorer {
+  // task-local scratch for the additive decode (expression instances —
+  // and thus their scorers — are deserialized per task): avoids a
+  // dim-length float allocation PER CANDIDATE in the packed-scan loop
+  @transient private var scratch: Array[Float] = _
   override def forQuery(qid: Long): AnyRef = queries(qid)
-  override def score(ctx: AnyRef, codes: Array[Byte], off: Int, width: Int): Double =
-    Rq.l2DistanceAt(codes, off, width, ctx.asInstanceOf[Array[Float]], books)
+  override def score(ctx: AnyRef, codes: Array[Byte], off: Int, width: Int): Double = {
+    if (scratch == null) scratch = new Array[Float](books(0)(0).length)
+    Rq.l2DistanceAt(codes, off, width, ctx.asInstanceOf[Array[Float]], books, scratch)
+  }
 }
 
 /** asymmetric decode-inside-the-loop L2 (FAISS ScalarQuantizer) */

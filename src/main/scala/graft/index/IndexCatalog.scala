@@ -1078,7 +1078,11 @@ object IndexCatalog {
     val hconf = spark.sparkContext.hadoopConfiguration
     val base = new org.apache.hadoop.fs.Path(path)
     val fs = base.getFileSystem(hconf)
-    val next = currentVersion(fs, base).map(_._1).getOrElse(0L) + 1
+    // next version counts every CLAIMED entry, valid or not — a writer
+    // that crashed between claiming `_manifest/<N>` and writing its
+    // content burns version N (readers skip it), but the next save must
+    // not try to re-claim it and spin on a phantom "race" forever
+    val next = maxClaimedVersion(fs, base).getOrElse(0L) + 1
     val token = java.util.UUID.randomUUID().toString.take(8)
     val dirName = s"v$next-$token"
     val root = s"$path/$dirName"
@@ -1086,19 +1090,26 @@ object IndexCatalog {
     saveRaceHook(path) // test seam: lets a spec commit a competing version in the race window
     // atomic claim of version `next`: create(overwrite = false) — the
     // losing writer throws loudly and cleans up its complete-but-
-    // unclaimed staging directory
+    // unclaimed staging directory. Only a genuine already-exists loss
+    // becomes ConcurrentModificationException; any other IO failure
+    // (permissions, quota, transient) is rethrown as itself.
     fs.mkdirs(new org.apache.hadoop.fs.Path(s"$path/_manifest"))
     val entryPath = new org.apache.hadoop.fs.Path(s"$path/_manifest/$next")
     val out =
       try fs.create(entryPath, false)
       catch {
-        case ex: Throwable =>
+        case ex: java.io.IOException
+            if ex.isInstanceOf[org.apache.hadoop.fs.FileAlreadyExistsException] ||
+              ex.isInstanceOf[java.nio.file.FileAlreadyExistsException] ||
+              fs.exists(entryPath) =>
           try fs.delete(new org.apache.hadoop.fs.Path(root), true)
-          catch { case _: Throwable => () }
-          throw new java.util.ConcurrentModificationException(
+          catch { case _: java.io.IOException => () }
+          val cme = new java.util.ConcurrentModificationException(
             s"index save to '$path' lost the version-$next race to another writer " +
               s"(manifest entry already exists); this save was discarded — reload and retry",
             )
+          cme.initCause(ex)
+          throw cme
       }
     try out.write(dirName.getBytes("UTF-8")) finally out.close()
   }
@@ -1108,8 +1119,28 @@ object IndexCatalog {
     * deterministically exercise the loser path. No-op in production. */
   @volatile private[index] var saveRaceHook: String => Unit = _ => ()
 
-  /** (version, partsDirName) of the newest CLAIMED save under `path`,
-    * if any — versioned layouts only */
+  /** highest claimed version number under `path`'s manifest, valid or
+    * not — save's version allocator (readers use currentVersion, which
+    * validates) */
+  private def maxClaimedVersion(
+      fs: org.apache.hadoop.fs.FileSystem,
+      base: org.apache.hadoop.fs.Path): Option[Long] = {
+    val mdir = new org.apache.hadoop.fs.Path(base, "_manifest")
+    if (!fs.exists(mdir)) return None
+    val vs = fs.listStatus(mdir).toSeq
+      .flatMap(st => scala.util.Try(st.getPath.getName.toLong).toOption)
+    if (vs.isEmpty) None else Some(vs.max)
+  }
+
+  /** (version, partsDirName) of the newest VALID claimed save under
+    * `path`, if any — versioned layouts only. An entry is valid when
+    * its content names a non-empty parts dir whose `meta` exists: a
+    * writer that crashed between the manifest claim and the content
+    * write leaves an empty entry, and resolving it would read
+    * '`path`//meta' (or, worse, silently fall back to a stale
+    * pre-manifest flat layout). Invalid entries are skipped and the
+    * next-lower version wins.
+    */
   private def currentVersion(
       fs: org.apache.hadoop.fs.FileSystem,
       base: org.apache.hadoop.fs.Path): Option[(Long, String)] = {
@@ -1117,13 +1148,16 @@ object IndexCatalog {
     if (!fs.exists(mdir)) return None
     val entries = fs.listStatus(mdir).toSeq
       .flatMap(st => scala.util.Try(st.getPath.getName.toLong).toOption.map(v => (v, st.getPath)))
-    if (entries.isEmpty) None
-    else {
-      val (v, p) = entries.maxBy(_._1)
-      val in = fs.open(p)
-      val dir = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim finally in.close()
-      Some((v, dir))
-    }
+      .sortBy(-_._1)
+    entries.iterator.flatMap { case (v, p) =>
+      val dir = scala.util.Try {
+        val in = fs.open(p)
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim finally in.close()
+      }.getOrElse("")
+      if (dir.nonEmpty && fs.exists(new org.apache.hadoop.fs.Path(base, s"$dir/meta")))
+        Some((v, dir))
+      else None
+    }.nextOption()
   }
 
   private def saveParts(

@@ -121,11 +121,32 @@ object Rq {
     * the row and packed plans */
   def l2DistanceAt(
       code: Array[Byte], off: Int, width: Int, q: Array[Float],
-      books: Array[Array[Array[Float]]]): Double = {
-    val dec = decodeAt(code, off, width, books)
+      books: Array[Array[Array[Float]]]): Double =
+    l2DistanceAt(code, off, width, q, books, new Array[Float](books(0)(0).length))
+
+  /** [[l2DistanceAt]] decoding into a caller-owned scratch buffer
+    * (length >= dim) — the hot packed-scan path scores millions of
+    * candidates per task and a fresh dim-length float array per
+    * candidate is pure GC pressure; expression eval is single-threaded
+    * per task, so a per-scorer scratch is safe. The additive decode
+    * runs stage-by-stage into the scratch in EXACTLY the order of the
+    * allocating overload (float accumulation, stage order, then the
+    * double L2 pass), so distances stay bit-equal across all plans. */
+  def l2DistanceAt(
+      code: Array[Byte], off: Int, width: Int, q: Array[Float],
+      books: Array[Array[Array[Float]]], scratch: Array[Float]): Double = {
+    val dim = books(0)(0).length
+    java.util.Arrays.fill(scratch, 0, dim, 0.0f)
+    var stage = 0
+    while (stage < width) {
+      val cen = books(stage)(code(off + stage) & 0xff)
+      var i = 0
+      while (i < dim) { scratch(i) += cen(i); i += 1 }
+      stage += 1
+    }
     var d = 0.0
     var i = 0
-    while (i < dec.length) { val t = q(i).toDouble - dec(i); d += t * t; i += 1 }
+    while (i < dim) { val t = q(i).toDouble - scratch(i); d += t * t; i += 1 }
     d
   }
 }
@@ -166,8 +187,16 @@ case class RqL2Distance(
         s"rq_l2_distance needs (binary, bigint), got (${l.catalogString}, ${r.catalogString})")
     }
 
-  override protected def nullSafeEval(code: Any, qid: Any): Any =
-    Rq.l2Distance(code.asInstanceOf[Array[Byte]], queries(qid.asInstanceOf[Long]), books)
+  // task-local decode scratch — same per-candidate-allocation argument
+  // as RqScorer (expressions are deserialized per task, eval is
+  // single-threaded within one)
+  @transient private var scratch: Array[Float] = _
+
+  override protected def nullSafeEval(code: Any, qid: Any): Any = {
+    if (scratch == null) scratch = new Array[Float](books(0)(0).length)
+    val c = code.asInstanceOf[Array[Byte]]
+    Rq.l2DistanceAt(c, 0, c.length, queries(qid.asInstanceOf[Long]), books, scratch)
+  }
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)

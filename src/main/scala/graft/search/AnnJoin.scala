@@ -353,17 +353,26 @@ object AnnJoin {
     // the dominant self-join shape leftCap is a few thousand rows —
     // one LocalLimit job over the first input split).
     val perProbePairs = math.max(1, nprobe).toDouble * (totalRows.toDouble / math.max(1, nlistEff))
-    val leftCap: Long =
-      if (perProbePairs <= 0) 1L
-      else math.max(1L, math.min(1L << 40, math.ceil(pinThreshold / perProbePairs).toLong))
-    // limit the RAW left plan, not a widened one: widen() repartitions,
-    // and a limit above a shuffle still runs the full map side — a
-    // whole pass over the query side. LocalLimit on the source plan
-    // short-circuits after leftCap rows of the first input split(s).
-    val leftObserved = left.limit(
-      math.min(leftCap, Int.MaxValue.toLong - 1).toInt).count()
-    val estPairs = leftObserved.toDouble * perProbePairs
-    val pinParallelism = leftObserved >= leftCap || estPairs >= pinThreshold
+    // the count job only runs when the pin decision is actually in
+    // doubt: with an empty or near-empty right side (perProbePairs < 1
+    // — under one candidate per probe) the join emits ~leftRows pairs
+    // at most and the planner's broadcast of the tiny listed side is
+    // the right plan, so pinning (a full repartition of both sides)
+    // would only burn a shuffle — skip both the pin and its probe job.
+    val (estPairs, pinParallelism) =
+      if (perProbePairs < 1.0) (0.0, false)
+      else {
+        val leftCap: Long =
+          math.max(1L, math.min(1L << 40, math.ceil(pinThreshold / perProbePairs).toLong))
+        // limit the RAW left plan, not a widened one: widen() repartitions,
+        // and a limit above a shuffle still runs the full map side — a
+        // whole pass over the query side. LocalLimit on the source plan
+        // short-circuits after leftCap rows of the first input split(s).
+        val leftObserved = left.limit(
+          math.min(leftCap, Int.MaxValue.toLong - 1).toInt).count()
+        val est = leftObserved.toDouble * perProbePairs
+        (est, leftObserved >= leftCap || est >= pinThreshold)
+      }
     val np = spark.sessionState.conf.numShufflePartitions
 
     // estimated hot-list split factors from the SAME spread stats: each

@@ -85,7 +85,12 @@ object Knn {
     val packThresh = spark.conf.getOption(Knn.FastFlatThresholdConf)
       .map(_.toLong).getOrElse(1L << 30)
     val sizeEst = data.queryExecution.optimizedPlan.stats.sizeInBytes
-    val shaped = if (packThresh > 0 && sizeEst >= packThresh) {
+    // plans with no stats (e.g. LogicalRDD from createDataFrame(rdd))
+    // report spark.sql.defaultSizeInBytes = Long.MaxValue — treat that
+    // as UNKNOWN, not huge, or tiny RDD-backed corpora would route to
+    // the eager fast path and its maxQueryBatch driver-collect cap
+    val sizeKnown = sizeEst != BigInt(spark.sessionState.conf.defaultSizeInBytes)
+    val shaped = if (packThresh > 0 && sizeKnown && sizeEst >= packThresh) {
       // big-corpus path: delegate to the partition-local-heap kernel.
       // Measured at the 1000x rung (1e10 pairs, knn_flat_big): the
       // row-per-pair broadcast join pays ~0.46 us/output-row of join

@@ -348,6 +348,35 @@ class IndexCatalogSpec extends SparkSpec {
     assert(labelsOf(IndexCatalog.search("t_mw_l", 4, qs)) === wantA)
   }
 
+  test("crashed-claim manifest entries (empty / dangling) are skipped by readers, not resolved") {
+    val dir = Files.createTempDirectory("graft_mwcrash").toString
+    IndexCatalog.create("t_mc_a", 2, "IDMap,IVF4,Flat", "l2sq", Map("nprobe" -> "4"))
+    IndexCatalog.add(grid, "t_mc_a")
+    val wantA = labelsOf(IndexCatalog.search("t_mc_a", 4, qs))
+    IndexCatalog.save("t_mc_a", dir) // v1, valid
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // simulate a writer that died between the version-2 claim and the
+    // content write: an EMPTY manifest entry
+    fs.create(new org.apache.hadoop.fs.Path(s"$dir/_manifest/2"), false).close()
+    // and one that wrote content naming a parts dir that never landed
+    val out3 = fs.create(new org.apache.hadoop.fs.Path(s"$dir/_manifest/3"), false)
+    try out3.write("v3-deadbeef".getBytes("UTF-8")) finally out3.close()
+    // readers fall back to the newest VALID version (v1) instead of
+    // reading '<dir>//meta' or a nonexistent parts dir
+    IndexCatalog.load("t_mc_l", dir, spark)
+    assert(labelsOf(IndexCatalog.search("t_mc_l", 4, qs)) === wantA)
+    // and the next save does NOT try to re-claim burned versions 2/3
+    // (which would spin on a phantom "race"): it claims 4
+    IndexCatalog.create("t_mc_b", 2, "IDMap,Flat")
+    IndexCatalog.add(grid.where(col("label") < 8), "t_mc_b")
+    IndexCatalog.save("t_mc_b", dir)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/_manifest/4")))
+    IndexCatalog.load("t_mc_l2", dir, spark)
+    assert(labelsOf(IndexCatalog.search("t_mc_l2", 4, qs))
+      === labelsOf(Knn.searchFlat(grid.where(col("label") < 8), qs, 4, "l2sq")))
+  }
+
   test("radius search: flat equals brute-force filter; IVF exhaustive equals flat; partial probe is a subset") {
     val r = 9.0 // l2sq radius on the 16x16 grid
     IndexCatalog.create("t_rad_flat", 2, "IDMap,Flat")

@@ -46,6 +46,31 @@ class KnnSpec extends SparkSpec {
     assert(packedPad === rowPad)
   }
 
+  test("stats-less (RDD-backed) corpus routes to the broadcast-join plan, not the eager fast kernel") {
+    import spark.implicits._
+    // createDataFrame(rdd) yields a LogicalRDD whose sizeInBytes is the
+    // defaultSizeInBytes sentinel (Long.MaxValue) — that means UNKNOWN,
+    // not huge: even with the fast-path threshold forced to 1 byte the
+    // router must keep the lazy broadcast-join plan, which handles query
+    // batches above maxQueryBatch that the fast kernel refuses
+    val rdd = spark.sparkContext.parallelize(
+      (0L until 16L).map(i => (i, Array(i.toFloat, 0f))), 2)
+    val rddData = spark.createDataFrame(rdd).toDF("label", "vec")
+    assert(rddData.queryExecution.optimizedPlan.stats.sizeInBytes ===
+      BigInt(spark.sessionState.conf.defaultSizeInBytes)) // precondition of the scenario
+    val queries = Seq((0L, Array(3.2f, 0f)), (1L, Array(12.9f, 0f))).toDF("qid", "qvec")
+    spark.conf.set(Knn.FastFlatThresholdConf, "1")
+    spark.conf.set(graft.index.IndexCatalog.MaxQueryBatchConf, "1") // fast kernel would throw
+    try {
+      val res = Knn.searchFlat(rddData, queries, 2, "l2sq")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      assert(res.toSet === Set((0L, 0, 3L), (0L, 1, 4L), (1L, 0, 13L), (1L, 1, 12L)))
+    } finally {
+      spark.conf.unset(Knn.FastFlatThresholdConf)
+      spark.conf.unset(graft.index.IndexCatalog.MaxQueryBatchConf)
+    }
+  }
+
   test("grouped knn join: neighbors never cross the group boundary") {
     import spark.implicits._
     // two tenants; the globally-nearest neighbor of each query sits in
