@@ -8,6 +8,15 @@ import org.apache.spark.sql.SparkSession
  * loads codegen/MLlib classes so per-query numbers reflect steady
  * state, not JVM first-touch.
  */
+/** calibration constants shared by Bench and the floor tooling */
+object BenchEnv {
+  /** quiet-box reference for the pure-JVM pair loop (ns/pair): the
+    * box state under which BENCH_FLOOR.json floors were recorded
+    * (SURVEY §21.10 measured 64 ns/pair on the quiet box; §21.11's
+    * degraded sessions ran the identical loop at 99+). */
+  final val RefPairNs = 64.0
+}
+
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -43,6 +52,44 @@ object Bench {
       try fn(spark, warmDir).count() catch { case _: Throwable => () }
     }
 
+    // environment calibration (VERDICT r10 "what's wrong" #1): floors
+    // were recorded on a quiet box whose pure-JVM pair loop ran ~64
+    // ns/pair; this shared VM drifts 1.6-3x between rounds, which
+    // blinded the r10 floor gate. Measure the SAME loop now and
+    // normalize the floor comparison by the ratio — the loop is pure
+    // JVM (TopKHeap + distArr, zero Spark), so it moves with CPU
+    // steal/frequency exactly like the per-query compute does.
+    val envFactor = {
+      def pairLoopNs(outer: Int): Double = {
+        val rnd = new java.util.Random(42)
+        val corpus = Array.fill(10000)(Array.fill(64)(rnd.nextFloat()))
+        val queries = Array.fill(100)(Array.fill(64)(rnd.nextFloat()))
+        val heaps = Array.fill(100)(new graft.functions.TopKHeap(5, true))
+        val t0 = System.nanoTime()
+        var i = 0
+        while (i < outer) { // outer x 10000 x 100 pairs
+          var c = 0
+          while (c < 10000) {
+            var q = 0
+            while (q < 100) {
+              heaps(q).insert(graft.functions.VectorMath.distArr(
+                graft.functions.VectorMath.L2SQ, corpus(c), queries(q), 3.0), c.toLong)
+              q += 1
+            }
+            c += 1
+          }
+          i += 1
+        }
+        (System.nanoTime() - t0).toDouble / (outer.toDouble * 1e6)
+      }
+      pairLoopNs(5) // JIT warmup
+      val best = math.min(pairLoopNs(30), pairLoopNs(30)) // ~2x ~2s; min defeats steal spikes
+      val f = best / BenchEnv.RefPairNs
+      System.err.println(f"[bench] env_factor=$f%.3f (pair loop $best%.1f ns/pair vs " +
+        f"${BenchEnv.RefPairNs}%.1f quiet-box reference)")
+      f
+    }
+
     // timed passes, keep the per-query min: run-to-run noise on a
     // shared box is +-30%, and the faster pass is the truer cost of the
     // plan (the first pass also still pays JIT warmup at full sf)
@@ -59,6 +106,10 @@ object Bench {
     // perf-regression guard: flag any query >2x its committed floor
     // (BENCH_FLOOR.json, the best per-query time of prior rounds) so a
     // regression like round 2's text_repetition 8.3x can't land silently.
+    // Times are normalized by env_factor first (but never DOWN past the
+    // raw measurement when the box is slower than reference — a genuine
+    // regression shouldn't hide behind a degraded box... it can't: a
+    // slow box inflates both numerator and calibration equally).
     // stderr only — the driver parses stdout's single JSON line.
     try {
       val floorFile = new java.io.File("BENCH_FLOOR.json")
@@ -68,14 +119,17 @@ object Bench {
         val floors = entry.findAllMatchIn(txt)
           .map(m => m.group(1) -> m.group(2).toDouble)
           .filter { case (k, _) => k != "round" && k != "sf" }.toMap
+        val norm = math.max(envFactor, 0.25) // sanity clamp on a wild calibration
         val regressed = results.filter { case (name, t) =>
-          floors.get(name).exists(f => t > 2.0 * f && t - f > 0.25)
+          floors.get(name).exists(f => t / norm > 2.0 * f && t / norm - f > 0.25)
         }
         regressed.foreach { case (name, t) =>
           System.err.println(
-            f"[bench] REGRESSION $name: $t%.2fs vs floor ${floors(name)}%.2fs (${t / floors(name)}%.1fx)")
+            f"[bench] REGRESSION $name: $t%.2fs (norm ${t / norm}%.2fs) vs floor " +
+              f"${floors(name)}%.2fs (${t / norm / floors(name)}%.1fx normalized)")
         }
-        if (regressed.isEmpty) System.err.println("[bench] no regressions vs BENCH_FLOOR.json")
+        if (regressed.isEmpty)
+          System.err.println(f"[bench] no regressions vs BENCH_FLOOR.json (env-normalized /$norm%.2f)")
       } else System.err.println("[bench] no BENCH_FLOOR.json in cwd, floor check SKIPPED")
     } catch { case e: Throwable => System.err.println(s"[bench] floor check skipped: $e") }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
@@ -85,7 +139,8 @@ object Bench {
       passes.zipWithIndex.map { case (p, i) => f"pass${i + 1}=${p.values.sum}%.1f" }
         .mkString("[bench] ", " ", f" min-total=$total%.1f"))
     val jsonLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec",""" +
+        s""""env_factor":${f"$envFactor%.4f"},"queries":$qs,"sf":"$sfDir"}"""
     println(jsonLine)
     // Also persist the full per-query map to a file: the driver captures
     // only a truncated stdout tail (BENCH_r09.json lost the first ~170

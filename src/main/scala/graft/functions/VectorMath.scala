@@ -212,28 +212,60 @@ object VectorMath {
       s
   }
 
+  /**
+   * Opt-in SIMD (Panama, jdk.incubator.vector) gate for the primitive
+   * hot kernels. OFF by default: the SIMD sums are lane-reassociated
+   * (~1e-15 relative drift vs the sequential scalar sum), and the
+   * oracle gates hash RAW distance doubles against a sequential-sum
+   * DuckDB replay — so the canonical path stays scalar and production
+   * deployments flip this on per JVM. Enable with BOTH:
+   *   -Dgraft.simd.enabled=true  (driver AND executor JVM options)
+   *   --add-modules=jdk.incubator.vector
+   * If the module is absent the kernels fail to classload and
+   * `available` latches false — scalar fallback, never an error.
+   */
+  object Simd {
+    final val EnabledProp = "graft.simd.enabled"
+    @volatile var enabled: Boolean = java.lang.Boolean.getBoolean(EnabledProp)
+    lazy val available: Boolean =
+      try { SimdKernels.l2sq(new Array[Float](4), new Array[Float](4)); true }
+      catch { case _: Throwable => false } // NoClassDefFoundError without --add-modules
+    @inline def active: Boolean = enabled && available
+  }
+
   /** same metrics over primitive float arrays (partition-local search
     * path); loop order matches dist() exactly so results are bit-equal.
-    * Hot metrics get dedicated primitive loops; the rest wrap (cold). */
+    * Hot metrics get dedicated primitive loops — and, when [[Simd]] is
+    * opted in, Panama vector kernels (term-exact, sum-reassociated) —
+    * the rest wrap (cold). */
   def distArr(metric: Int, a: Array[Float], b: Array[Float], p: Double): Double = {
     val n = a.length
     require(b.length == n, s"vector dims differ: $n vs ${b.length}")
     metric match {
       case L2SQ =>
-        var s = 0.0; var i = 0
-        while (i < n) { val d = a(i).toDouble - b(i).toDouble; s += d * d; i += 1 }
-        s
-      case IP =>
-        var s = 0.0; var i = 0
-        while (i < n) { s += a(i).toDouble * b(i).toDouble; i += 1 }
-        s
-      case COSINE =>
-        var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-        while (i < n) {
-          val x = a(i).toDouble; val y = b(i).toDouble
-          dot += x * y; na += x * x; nb += y * y; i += 1
+        if (Simd.active) SimdKernels.l2sq(a, b)
+        else {
+          var s = 0.0; var i = 0
+          while (i < n) { val d = a(i).toDouble - b(i).toDouble; s += d * d; i += 1 }
+          s
         }
-        if (na == 0.0 || nb == 0.0) 1.0 else 1.0 - dot / math.sqrt(na * nb)
+      case IP =>
+        if (Simd.active) SimdKernels.ip(a, b)
+        else {
+          var s = 0.0; var i = 0
+          while (i < n) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+          s
+        }
+      case COSINE =>
+        if (Simd.active) SimdKernels.cosine(a, b)
+        else {
+          var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+          while (i < n) {
+            val x = a(i).toDouble; val y = b(i).toDouble
+            dot += x * y; na += x * x; nb += y * y; i += 1
+          }
+          if (na == 0.0 || nb == 0.0) 1.0 else 1.0 - dot / math.sqrt(na * nb)
+        }
       case _ =>
         dist(metric, new GenericArrayData(a), new GenericArrayData(b), p)
     }

@@ -19,6 +19,7 @@ object Profile {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if (name == "simd-ab") { simdAb(spark, sfDir); spark.stop(); return }
     if (name == "flatbig-breakdown") { flatBigBreakdown(spark, sfDir); spark.stop(); return }
     if (name == "ivfbig-breakdown") { ivfBigBreakdown(spark, sfDir); spark.stop(); return }
     if (name == "curate-breakdown") { curateBreakdown(spark, sfDir); spark.stop(); return }
@@ -245,6 +246,60 @@ object Profile {
   /** phase split of the exact big scan: corpus generation alone vs
     * generation + distance (no top-k) vs the full search — attributes
     * the 1000x rung's superlinear factor to a phase */
+  /** A/B of the opt-in Panama SIMD kernels (VERDICT r10 #1): the
+    * pure-JVM 1e9-pair loop (kernel-level ceiling, one core) and the
+    * Spark-level fast flat scan at the replicated rung, each with the
+    * gate off vs on. local-mode executors share the JVM, so flipping
+    * the volatile flips every task's kernel. */
+  private def simdAb(spark: SparkSession, dir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    import graft.functions.{VectorMath, vec}
+    System.err.println(s"[profile] simd available=${VectorMath.Simd.available}" +
+      (if (VectorMath.Simd.available) s" species=${graft.functions.SimdKernels.species()}" else ""))
+    def rawLoop(metric: Int): Double = {
+      val rnd = new java.util.Random(42)
+      val corpus = Array.fill(10000)(Array.fill(64)(rnd.nextFloat()))
+      val queries = Array.fill(100)(Array.fill(64)(rnd.nextFloat()))
+      val heaps = Array.fill(100)(new graft.functions.TopKHeap(5, true))
+      var i = 0
+      while (i < 1000) { // 1000 x 10000 x 100 = 1e9 pairs
+        var c = 0
+        while (c < 10000) {
+          var q = 0
+          while (q < 100) {
+            heaps(q).insert(VectorMath.distArr(metric, corpus(c), queries(q), 3.0), c.toLong)
+            q += 1
+          }
+          c += 1
+        }
+        i += 1
+      }
+      heaps(0).sorted.head._1
+    }
+    for (round <- 1 to 2; on <- Seq(false, true); metric <- Seq(VectorMath.L2SQ, VectorMath.IP)) {
+      VectorMath.Simd.enabled = on
+      val mname = if (metric == VectorMath.L2SQ) "l2sq" else "ip"
+      t(s"raw 1e9-pair loop round$round $mname ${if (on) "SIMD" else "scalar"}") {
+        System.err.println(s"[profile]    (acc=${rawLoop(metric)})")
+      }
+    }
+    // Spark level: the fast flat kernel over a 50x-replicated corpus
+    val copies = spark.range(0, 50).select(col("id").as("copy"))
+    val data = copies
+      .join(broadcast(graft.queries.Tables(spark, dir, "embeddings")))
+      .select((col("vec_id") + col("copy") * 1000000L).as("label"),
+        vec.vector(col("embedding")).as("vec"))
+    val qs = graft.queries.Tables(spark, dir, "embeddings").where(col("vec_id") < 100)
+      .select(col("vec_id").as("qid"), vec.vector(col("embedding")).as("qvec"))
+    for (round <- 1 to 2; on <- Seq(false, true)) {
+      VectorMath.Simd.enabled = on
+      t(s"searchFlatFast round$round ${if (on) "SIMD" else "scalar"}") {
+        graft.search.Knn.searchFlatFast(data, qs, 5, "l2sq").count()
+      }
+    }
+    VectorMath.Simd.enabled = false
+  }
+
   private def flatBigBreakdown(spark: SparkSession, dir: String): Unit = {
     import org.apache.spark.sql.functions._
     import graft.functions.vec

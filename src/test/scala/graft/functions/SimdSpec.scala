@@ -1,0 +1,93 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * Parity spec for the opt-in Panama SIMD kernels: per-dimension terms
+ * are exact-in-double by construction (see SimdKernels' numeric
+ * contract), so the ONLY allowed divergence from the scalar path is
+ * the sum's association order — bounded here at 1e-12 relative, and
+ * measured ~1e-15 in practice. Also pins the routing: the Simd gate is
+ * OFF by default (oracle gates hash raw sequential-sum doubles) and
+ * toggling it swaps distArr's implementation without changing top-k
+ * membership on tie-free data.
+ */
+class SimdSpec extends AnyFunSuite {
+
+  private val rnd = new scala.util.Random(20260815L)
+  private def vec(n: Int): Array[Float] = Array.fill(n)(rnd.nextFloat() * 10f - 5f)
+
+  private def scalar(metric: Int, a: Array[Float], b: Array[Float]): Double = {
+    val was = VectorMath.Simd.enabled
+    VectorMath.Simd.enabled = false
+    try VectorMath.distArr(metric, a, b, 3.0) finally VectorMath.Simd.enabled = was
+  }
+
+  test("SIMD kernels are available in this JVM (build ships --add-modules)") {
+    assert(VectorMath.Simd.available, "jdk.incubator.vector missing from the forked test JVM")
+    assert(SimdKernels.species().startsWith("Species[float"))
+  }
+
+  test("default is OFF: the canonical oracle-gated path stays scalar") {
+    assert(!java.lang.Boolean.getBoolean(VectorMath.Simd.EnabledProp))
+  }
+
+  test("l2sq/ip/cosine: SIMD within 1e-12 relative of scalar across dims straddling lane widths") {
+    // dims cover: below one lane, exactly 1/2/4 lanes (512-bit = 16
+    // floats), the unrolled 2x stride, odd tails, and large
+    for (dim <- Seq(1, 3, 7, 15, 16, 17, 31, 32, 33, 48, 64, 65, 96, 127, 128, 300, 768)) {
+      for (_ <- 1 to 20) {
+        val a = vec(dim); val b = vec(dim)
+        val pairs = Seq(
+          VectorMath.L2SQ -> SimdKernels.l2sq(a, b),
+          VectorMath.IP -> SimdKernels.ip(a, b),
+          VectorMath.COSINE -> SimdKernels.cosine(a, b))
+        for ((metric, simd) <- pairs) {
+          val sc = scalar(metric, a, b)
+          val tol = 1e-12 * math.max(1.0, math.abs(sc))
+          assert(math.abs(simd - sc) <= tol,
+            s"metric=$metric dim=$dim simd=$simd scalar=$sc")
+        }
+      }
+    }
+  }
+
+  test("cosine zero-vector convention matches scalar (1.0)") {
+    val z = new Array[Float](64)
+    val v = vec(64)
+    assert(SimdKernels.cosine(z, v) === 1.0)
+    assert(SimdKernels.cosine(v, z) === 1.0)
+    assert(SimdKernels.cosine(z, z) === 1.0)
+  }
+
+  test("toggling the gate swaps distArr's implementation; top-k membership is unchanged") {
+    val corpus = Array.tabulate(2000)(i => i.toLong -> vec(64))
+    val q = vec(64)
+    def topk(enabled: Boolean): Seq[(Double, Long)] = {
+      val was = VectorMath.Simd.enabled
+      VectorMath.Simd.enabled = enabled
+      try {
+        val h = new TopKHeap(10, ascending = true)
+        corpus.foreach { case (l, v) => h.insert(VectorMath.distArr(VectorMath.L2SQ, v, q, 3.0), l) }
+        h.sorted.toSeq
+      } finally VectorMath.Simd.enabled = was
+    }
+    val off = topk(false)
+    val on = topk(true)
+    assert(on.map(_._2) === off.map(_._2)) // same labels, same order (random data: tie-free)
+    on.zip(off).foreach { case ((dOn, _), (dOff, _)) =>
+      assert(math.abs(dOn - dOff) <= 1e-12 * math.max(1.0, dOff))
+    }
+  }
+
+  test("exactness of terms: lane-pure inputs give BIT-equal sums (power-of-two values)") {
+    // values whose squares/products and partial sums are all exact in
+    // double: any summation order yields the identical bit pattern, so
+    // this catches a kernel that mangles terms (e.g. rounds the
+    // subtraction through float) rather than merely reassociating
+    val a = Array.tabulate(64)(i => math.pow(2.0, (i % 8) - 4).toFloat)
+    val b = Array.tabulate(64)(i => math.pow(2.0, ((i + 3) % 8) - 4).toFloat)
+    assert(SimdKernels.l2sq(a, b) === scalar(VectorMath.L2SQ, a, b))
+    assert(SimdKernels.ip(a, b) === scalar(VectorMath.IP, a, b))
+  }
+}
