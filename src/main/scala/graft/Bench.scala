@@ -138,9 +138,19 @@ object Bench {
     System.err.println(
       passes.zipWithIndex.map { case (p, i) => f"pass${i + 1}=${p.values.sum}%.1f" }
         .mkString("[bench] ", " ", f" min-total=$total%.1f"))
+    // per-phase splits recorded by the scale-family queries (build vs
+    // search; last pass wins — informative, not part of the min-total)
+    val phases = graft.queries.PhaseTimer.snapshot
+    phases.toSeq.sorted.foreach { case (k, v) =>
+      System.err.println(f"[bench] phase $k = $v%.2f s")
+    }
+    val phasesJson =
+      if (phases.isEmpty) ""
+      else phases.toSeq.sorted.map { case (k, v) => "\"" + k + "\":" + v }
+        .mkString(""","phases":{""", ",", "}")
     val jsonLine =
       s"""{"metric":"total","value":$total,"unit":"sec",""" +
-        s""""env_factor":${f"$envFactor%.4f"},"queries":$qs,"sf":"$sfDir"}"""
+        s""""env_factor":${f"$envFactor%.4f"}$phasesJson,"queries":$qs,"sf":"$sfDir"}"""
     println(jsonLine)
     // Also persist the full per-query map to a file: the driver captures
     // only a truncated stdout tail (BENCH_r09.json lost the first ~170

@@ -236,6 +236,20 @@ object IndexQueries {
       IndexCatalog.add(embData(s, dir), name)
       quantized(IndexCatalog.search(name, 5, embQueries(s, dir)))
     },
+    // inverted multi-index coarse (FAISS "IMI2x<n>", factory delegation
+    // at faiss_extension.cpp:155; Babenko & Lempitsky 2012): the coarse
+    // space is the PRODUCT of two half-dim codebooks — nlist = 2^(2n)
+    // cells at 2·2^n assignment cost, the other standard route to huge
+    // nlist besides IVF<n>_HNSW<m>. Multi-sequence probing enumerates
+    // cells in exact ascending d1+d2 order. Approximate (partial probe
+    // over k-means cells) → rows-only; the _exh twin is driver-hash
+    // exact and save/load + append are spec-asserted.
+    "knn_imi" -> { (s, dir) =>
+      val name = fresh("q_imi")
+      IndexCatalog.create(name, 64, "IDMap,IMI2x2,Flat", "l2sq", Map("nprobe" -> "4"))
+      IndexCatalog.add(embData(s, dir), name)
+      quantized(IndexCatalog.search(name, 5, embQueries(s, dir)))
+    },
     // LSH-bucketed cosine search — recall asserted in specs
     "knn_lsh" -> { (s, dir) =>
       val name = fresh("q_lsh")
@@ -388,6 +402,15 @@ object IndexQueries {
       IndexCatalog.create(name, 64, "IDMap,IVF16_HNSW8,SQ8", "l2sq",
         Map("nprobe" -> "16", "refine" -> exhRefine(d, 5)))
       IndexCatalog.add(d, name)
+      quantized(IndexCatalog.search(name, 5, embQueries(s, dir)))
+    },
+    // multi-index coarse at nprobe = nlist: every product cell scanned,
+    // so neither the half-codebook training nor the multi-sequence
+    // order can cost recall — exact by construction
+    "knn_imi_exh" -> { (s, dir) =>
+      val name = fresh("q_imi_exh")
+      IndexCatalog.create(name, 64, "IDMap,IMI2x2,Flat", "l2sq", Map("nprobe" -> "16"))
+      IndexCatalog.add(embData(s, dir), name)
       quantized(IndexCatalog.search(name, 5, embQueries(s, dir)))
     },
     // residual quantizer at both exact ends (all lists probed, refine
@@ -657,11 +680,17 @@ object IndexQueries {
       graft.search.Knn.searchFlatFast(bigData(s, dir), bigQueries(s, dir), 5, "l2sq")
         .select(col("qid"), col("rank"), col("label"))
     },
-    // IVF probes 4/64 lists: same answer quality target, ~6% of the scan
+    // IVF probes 4/64 lists: same answer quality target, ~6% of the scan.
+    // Build (train + assign + list shuffle + cache fill) is forced and
+    // timed SEPARATELY from the probe (PhaseTimer -> BENCH_QUERIES
+    // "phases"): at the 1000x rung the one-time build dominated the
+    // gate wall-time and masked the serving number a deployment
+    // amortizes it against.
     "knn_ivf_big" -> { (s, dir) =>
       val name = fresh("q_ivf_big")
       IndexCatalog.create(name, 64, "IDMap,IVF64,Flat", "l2sq", Map("nprobe" -> "4"))
       IndexCatalog.add(bigData(s, dir), name)
+      PhaseTimer.time("knn_ivf_big", "build") { IndexCatalog.build(name).data.count() }
       IndexCatalog.search(name, 5, bigQueries(s, dir))
         .select(col("qid"), col("rank"), col("label"))
     },
@@ -675,6 +704,8 @@ object IndexQueries {
       IndexCatalog.create(name, 64, "IDMap,IVF16,PQ8", "l2sq",
         Map("nprobe" -> "4", "refine" -> "16"))
       IndexCatalog.add(bigData(s, dir), name)
+      // build timed separately from the ADC probe (see knn_ivf_big)
+      PhaseTimer.time("knn_ivfpq_big", "build") { IndexCatalog.build(name).data.count() }
       IndexCatalog.search(name, 5, bigQueries(s, dir))
         .select(col("qid"), col("rank"), col("label"))
     })
@@ -747,6 +778,7 @@ object IndexQueries {
     "knn_ivf_hnsw_pq_exh" -> VectorQueries.oracles("knn_flat_l2"),
     "knn_ivf_hnsw_sq_exh" -> VectorQueries.oracles("knn_flat_l2"),
     "knn_rq_exh" -> VectorQueries.oracles("knn_flat_l2"),
+    "knn_imi_exh" -> VectorQueries.oracles("knn_flat_l2"),
     "knn_sq8_exh" -> VectorQueries.oracles("knn_flat_l2"),
     "knn_sq4_exh" -> VectorQueries.oracles("knn_flat_l2"),
     "knn_sqfp16_exh" -> VectorQueries.oracles("knn_flat_l2"),

@@ -98,6 +98,27 @@ object CoarseProfile {
       }
       acc
     }
+
+    // save/load A/B at the motivating nlist (round 11, VERDICT #4):
+    // load with the persisted adjacency vs load forced to rebuild the
+    // graph (coarse_graph_meta removed → key miss → Nsw.build)
+    if (sys.env.get("GRAFT_CP_SAVELOAD").contains("1")) {
+      val cat = graft.index.IndexCatalog
+      val dir = java.nio.file.Files.createTempDirectory("graft_cp_saveload").toString
+      val small = corpus.limit(100000)
+      cat.create("cp_sl", DIM, s"IDMap,IVF${NLIST}_HNSW32,Flat", "l2sq", Map("nprobe" -> "16"))
+      cat.manualTrainCentroids(cents, "cp_sl")
+      cat.add(small, "cp_sl")
+      timeIt("save (100k rows, graph persisted)") { cat.save("cp_sl", dir) }
+      timeIt("load WITH persisted graph") { cat.load("cp_sl_a", dir, spark) }
+      // drop the key layout: load must rebuild the 65k-node graph
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val v1 = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+        .map(_.getPath.getName).find(_.startsWith("v1-")).get
+      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/$v1/coarse_graph_meta"), true)
+      timeIt("load WITHOUT (rebuild Nsw.build)") { cat.load("cp_sl_b", dir, spark) }
+    }
     spark.stop()
   }
 }

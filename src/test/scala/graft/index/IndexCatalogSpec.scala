@@ -172,6 +172,92 @@ class IndexCatalogSpec extends SparkSpec {
     assert(labelsOf(IndexCatalog.search("t_ivfh_l", 4, qs)) === before)
   }
 
+  test("coarse graph persists on save; loaded-graph search equals rebuilt-graph search; key mismatch rebuilds") {
+    val dir = Files.createTempDirectory("graft_cgpersist").toString
+    IndexCatalog.create("t_cg_s", 2, "IDMap,IVF8_HNSW4,Flat", "l2sq", Map("nprobe" -> "3"))
+    IndexCatalog.add(grid, "t_cg_s")
+    val before = labelsOf(IndexCatalog.search("t_cg_s", 4, qs))
+    IndexCatalog.save("t_cg_s", dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v1 = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .map(_.getPath.getName).find(_.startsWith("v1-")).get
+    // the adjacency layout landed next to data/centroids
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/$v1/coarse_graph")))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/$v1/coarse_graph_meta")))
+    // loaded graph serves identically to the rebuilt one (the graph is
+    // a pure function of centroids+params, so this is an equality, not
+    // a recall bound)
+    IndexCatalog.load("t_cg_l", dir, spark)
+    assert(labelsOf(IndexCatalog.search("t_cg_l", 4, qs)) === before)
+    // tamper the persisted KEY: load must fall back to a rebuild (same
+    // results) instead of trusting a mismatched adjacency
+    import spark.implicits._
+    Seq((0L, -1, -1)).toDF("key", "entry", "max_level")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/$v1/coarse_graph_meta")
+    IndexCatalog.load("t_cg_l2", dir, spark)
+    assert(labelsOf(IndexCatalog.search("t_cg_l2", 4, qs)) === before)
+    // coded composition (IVF_HNSW,SQ8) persists and round-trips too
+    val dir2 = Files.createTempDirectory("graft_cgpersist2").toString
+    IndexCatalog.create("t_cg_sq", 2, "IDMap,IVF8_HNSW4,SQ8", "l2sq",
+      Map("nprobe" -> "8", "refine" -> "64"))
+    IndexCatalog.add(grid, "t_cg_sq")
+    val beforeSq = labelsOf(IndexCatalog.search("t_cg_sq", 4, qs))
+    IndexCatalog.save("t_cg_sq", dir2)
+    val v1sq = fs.listStatus(new org.apache.hadoop.fs.Path(dir2))
+      .map(_.getPath.getName).find(_.startsWith("v1-")).get
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$dir2/$v1sq/coarse_graph")))
+    IndexCatalog.load("t_cg_sql", dir2, spark)
+    assert(labelsOf(IndexCatalog.search("t_cg_sql", 4, qs)) === beforeSq)
+  }
+
+  test("IMI2x: exhaustive probe exact, partial probe useful recall, grammar + guards") {
+    // grammar
+    assert(IndexCatalog.parseFactory("IMI2x4,Flat") === IndexCatalog.ImiKind(4))
+    assert(IndexCatalog.parseFactory("IDMap,IMI2x8") === IndexCatalog.ImiKind(8))
+    intercept[IllegalArgumentException](IndexCatalog.parseFactory("IMI2x9,Flat")) // > 2x8
+    intercept[IllegalArgumentException](IndexCatalog.parseFactory("IMI2x4,PQ4")) // coded storage
+    // guards: IP metric and odd dim fail at create, not mid-search
+    intercept[IllegalArgumentException](
+      IndexCatalog.create("t_imi_ip", 2, "IDMap,IMI2x2,Flat", "ip"))
+    intercept[IllegalArgumentException](
+      IndexCatalog.create("t_imi_odd", 3, "IDMap,IMI2x2,Flat", "l2sq"))
+    // exhaustive probe (nprobe = nlist = 16): every product cell is
+    // scanned, so the k-means cells cannot cost recall — exact
+    IndexCatalog.create("t_imi_x", 2, "IDMap,IMI2x2,Flat", "l2sq", Map("nprobe" -> "16"))
+    IndexCatalog.add(grid, "t_imi_x")
+    assert(labelsOf(IndexCatalog.search("t_imi_x", 4, qs))
+      === labelsOf(Knn.searchFlat(grid, qs, 4, "l2sq")))
+    // partial probe through the multi-sequence keeps useful recall
+    IndexCatalog.create("t_imi_p", 2, "IDMap,IMI2x2,Flat", "l2sq", Map("nprobe" -> "4"))
+    IndexCatalog.add(grid, "t_imi_p")
+    val want = labelsOf(Knn.searchFlat(grid, qs, 4, "l2sq"))
+    val got = labelsOf(IndexCatalog.search("t_imi_p", 4, qs))
+    val recall = qs.collect().map(_.getLong(0)).map { q =>
+      got(q).toSet.intersect(want(q).toSet).size.toDouble / want(q).size
+    }.sum / 2
+    assert(recall >= 0.75, s"IMI partial-probe recall $recall")
+  }
+
+  test("IMI2x save/load round-trips (half books persist); appended adds assign via the books") {
+    val dir = Files.createTempDirectory("graft_imi").toString
+    IndexCatalog.create("t_imi_s", 2, "IDMap,IMI2x2,Flat", "l2sq", Map("nprobe" -> "16"))
+    IndexCatalog.add(grid.where(col("label") < 200), "t_imi_s")
+    IndexCatalog.search("t_imi_s", 4, qs) // force the build pre-save
+    IndexCatalog.save("t_imi_s", dir)
+    IndexCatalog.destroy("t_imi_s")
+    IndexCatalog.load("t_imi_l", dir, spark)
+    // loaded index serves exactly (exhaustive probe = flat over the subset)
+    assert(labelsOf(IndexCatalog.search("t_imi_l", 4, qs))
+      === labelsOf(Knn.searchFlat(grid.where(col("label") < 200), qs, 4, "l2sq")))
+    // incremental add AFTER load: assignment must run through the
+    // restored half books (the appended() path), staying exact at
+    // exhaustive probe over the full corpus
+    IndexCatalog.add(grid.where(col("label") >= 200), "t_imi_l")
+    assert(labelsOf(IndexCatalog.search("t_imi_l", 4, qs))
+      === labelsOf(Knn.searchFlat(grid, qs, 4, "l2sq")))
+  }
+
   test("IVF_HNSW factory grammar: Flat, PQ, and SQ storage all compose with the graph coarse") {
     assert(IndexCatalog.parseFactory("IVF64_HNSW8,PQ8") === IndexCatalog.PqKind(8, 64, 8))
     assert(IndexCatalog.parseFactory("IVF64_HNSW8,SQ8") === IndexCatalog.SqKind(64, 8))
