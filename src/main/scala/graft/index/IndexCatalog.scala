@@ -349,6 +349,14 @@ object IndexCatalog {
 
   def exists(name: String): Boolean = entries.containsKey(name)
 
+  /** trained PCA/OPQ transform of a pretransform index — (mean,
+    * components), rows = output dims. The FAISS analog is reading the
+    * PCAMatrix off the IndexPreTransform chain; exposed so callers can
+    * replay the projection (and so the knn_pca gate can inject the
+    * basis into its oracle, the manualTrainCentroids move). */
+  def trainedPcaOf(name: String): Option[(Array[Float], Array[Array[Float]])] =
+    entry(name).trainedPca.map { case (m, c) => (m.clone(), c.map(_.clone())) }
+
   /** catalog introspection: metadata of every registered index */
   def list(): Seq[IndexMeta] =
     entries.values().asScala.map(_.meta).toSeq.sortBy(_.name)

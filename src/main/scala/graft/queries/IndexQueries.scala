@@ -269,11 +269,19 @@ object IndexQueries {
     // PCA pretransform: 64 dims -> 16 principal dims, IVF in the
     // projected space (FAISS factory "PCA16,IVF8,Flat"; approximate ->
     // rows-only, exactness/save-load spec-asserted on full-rank PCA)
+    // PCA16 pretransform over IVF at nprobe = nlist: the probe is
+    // exhaustive, so the result is EXACT in the projected space — and
+    // the projection itself is a driver-trained bounded basis, so the
+    // oracle replays it verbatim (basis injected as literals after the
+    // run, the embed_pca_variance move; EXACT since round 11, was
+    // rows-only behind the eigensolve the oracle couldn't reproduce)
     "knn_pca" -> { (s, dir) =>
       val name = fresh("q_pca")
       IndexCatalog.create(name, 64, "IDMap,PCA16,IVF8,Flat", "l2sq", Map("nprobe" -> "8"))
       IndexCatalog.add(embData(s, dir), name)
-      quantized(IndexCatalog.search(name, 5, embQueries(s, dir)))
+      val res = quantized(IndexCatalog.search(name, 5, embQueries(s, dir)))
+      knnPcaBasis = IndexCatalog.trainedPcaOf(name) // memo for the injected oracle
+      res
     },
     // SQ8: 64 floats -> 64 uint8 codes against trained per-dim bounds,
     // asymmetric decode-in-loop distance + exact re-rank (approximate ->
@@ -805,5 +813,57 @@ object IndexQueries {
         |    CAST(row_number() OVER (PARTITION BY qid ORDER BY dist, label) - 1 AS INTEGER) AS rank
         |  FROM d
         |)
-        |SELECT qid, rank, label FROM r WHERE rank < 5""".stripMargin)
+        |SELECT qid, rank, label FROM r WHERE rank < 5""".stripMargin
+  ) ++ knnPcaBasis.map(b => "knn_pca" -> knnPcaOracle(b._1, b._2))
+
+  /** Trained PCA basis of the last knn_pca run (Verify dumps
+    * oracle_sql.json AFTER executing the queries) — the
+    * manualTrainCentroids/embed_pca_variance move: the eigensolve's
+    * output is injected verbatim into both engines, so its libm is
+    * irrelevant. Absent on filtered runs → rows-only degradation. */
+  @volatile private[queries] var knnPcaBasis
+      : Option[(Array[Float], Array[Array[Float]])] = None
+
+  /** DuckDB replay of knn_pca: project corpus + queries through the
+    * injected basis with Pca.projectArr's EXACT rounding chain (float
+    * subtract, float multiply, double accumulation in index order,
+    * result rounds to REAL — the embed_pca_variance precision contract,
+    * already hash-verified there), then brute-force L2² in the
+    * 16-dim projected space with the standard knn oracle shape. The
+    * probe is exhaustive (nprobe = nlist), so projected-space brute
+    * force IS the query's semantics — including the emitted distance,
+    * which for a truncated transform is the projected one. */
+  private def knnPcaOracle(mean: Array[Float], comps: Array[Array[Float]]): String = {
+    def fl(x: Float): String = "%1.9e".format(x)
+    val meanLit = mean.map(fl).mkString("[", ", ", "]")
+    val compRows = comps.zipWithIndex
+      .map { case (c, j) => s"($j, ${c.map(fl).mkString("[", ", ", "]")})" }
+      .mkString(",\n  ")
+    val d = mean.length
+    val outDim = comps.length
+    s"""WITH comps(dim, cv) AS (VALUES
+       |  $compRows),
+       |mn(mv) AS (VALUES ($meanLit)),
+       |p AS (
+       |  SELECT e.vec_id, comps.dim,
+       |    CAST(list_sum([
+       |      CAST(CAST(CAST(cv[i] AS REAL) * CAST(CAST(e.embedding[i] AS REAL) - CAST(mv[i] AS REAL) AS REAL) AS REAL) AS DOUBLE)
+       |      FOR i IN range(1, ${d + 1})]) AS REAL) AS pf
+       |  FROM embeddings e CROSS JOIN comps CROSS JOIN mn
+       |),
+       |pv AS (SELECT vec_id, list(pf ORDER BY dim) AS v FROM p GROUP BY vec_id),
+       |q AS (SELECT vec_id AS qid, v AS a FROM pv WHERE vec_id < 10),
+       |dd AS (
+       |  SELECT q.qid, e.vec_id AS label,
+       |    list_sum([ (CAST(a[i] AS DOUBLE) - CAST(b[i] AS DOUBLE)) * (CAST(a[i] AS DOUBLE) - CAST(b[i] AS DOUBLE)) FOR i IN range(1, ${outDim + 1}) ]) AS dist
+       |  FROM q CROSS JOIN (SELECT vec_id, v AS b FROM pv) e
+       |),
+       |r AS (
+       |  SELECT qid, label, dist,
+       |    CAST(row_number() OVER (PARTITION BY qid ORDER BY dist ASC, label) - 1 AS INTEGER) AS rank
+       |  FROM dd
+       |)
+       |SELECT qid, rank, label, CAST(CAST(dist AS DECIMAL(18,4)) AS DOUBLE) AS distance
+       |FROM r WHERE rank < 5""".stripMargin
+  }
 }

@@ -20,6 +20,7 @@ object Profile {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     if (name == "simd-ab") { simdAb(spark, sfDir); spark.stop(); return }
+    if (name == "colloc-breakdown") { collocBreakdown(spark, sfDir); spark.stop(); return }
     if (name == "flatbig-breakdown") { flatBigBreakdown(spark, sfDir); spark.stop(); return }
     if (name == "ivfbig-breakdown") { ivfBigBreakdown(spark, sfDir); spark.stop(); return }
     if (name == "curate-breakdown") { curateBreakdown(spark, sfDir); spark.stop(); return }
@@ -34,7 +35,8 @@ object Profile {
       if (new java.io.File(w).isDirectory) w else sfDir
     }
     fn(spark, warmDir).count() // warmup
-    (1 to 3).foreach { i =>
+    val passes = sys.env.getOrElse("SPARK_GRAFT_PROFILE_PASSES", "3").toInt
+    (1 to passes).foreach { i =>
       val t0 = System.nanoTime()
       val n = fn(spark, sfDir).count()
       System.err.println(f"[profile] $name run$i: ${(System.nanoTime() - t0) / 1e9}%.3f s ($n rows)")
@@ -298,6 +300,30 @@ object Profile {
       }
     }
     VectorMath.Simd.enabled = false
+  }
+
+  /** stage-level breakdown of text_collocations at a rung (round 11:
+    * 10M docs read 4.5x the 5M wall — which pass is superlinear?) */
+  private def collocBreakdown(spark: SparkSession, dir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    val d = graft.queries.Tables.wide(spark, dir, "documents")
+    val toks = col("toks")
+    def pairs = d.select(graft.text.TextFunctions.tokens(col("text")).as("toks")).select(explode(
+        when(size(toks) >= 2,
+          transform(sequence(lit(1), size(toks) - 1),
+            i => struct(element_at(toks, i).as("x"), element_at(toks, i + 1).as("y"))))
+          .otherwise(array().cast("array<struct<x:string,y:string>>"))).as("p"))
+      .select(col("p.x").as("x"), col("p.y").as("y"))
+    (1 to 2).foreach { round =>
+      System.err.println(s"[profile] -- round $round --")
+      t("docs scan only") { d.agg(sum(length(col("text")))).collect() }
+      t("tokenize+pairs, count only") { System.err.println(s"[profile]    pairs=${pairs.count()}") }
+      t("cxy groupBy") { pairs.groupBy("x", "y").agg(count(lit(1))).count() }
+      t("cx groupBy") { pairs.groupBy("x").agg(count(lit(1))).count() }
+      t("full query") {
+        graft.SparkEntry.queries("text_collocations")(spark, dir).count()
+      }
+    }
   }
 
   private def flatBigBreakdown(spark: SparkSession, dir: String): Unit = {
