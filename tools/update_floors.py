@@ -1,17 +1,26 @@
 #!/usr/bin/env python3
 """Re-arm BENCH_FLOOR.json from a bench run (round 11, VERDICT #2/#7).
 
-Reads BENCH_QUERIES.json (written by graft.Bench, carries env_factor),
-normalizes every per-query time by the run's env_factor, and folds the
-result into BENCH_FLOOR.json:
-  - existing query: floor = min(old_floor, t / env_factor)
-  - new query (no floor yet): floor = t / env_factor
-The floors therefore always express quiet-box-equivalent seconds, and
-Bench's regression check compares env-normalized times against them.
+Reads BENCH_QUERIES.json (written by graft.Bench) and folds the run's
+per-query times into BENCH_FLOOR.json in quiet-box-equivalent seconds.
+
+Normalization uses the COHORT MEDIAN of t/floor over queries that
+already have floors (the robust estimator for Spark-overhead drift —
+round 11 measured the pure-JVM pair loop at reference speed while 30+
+untouched queries ran uniformly 2.2x their floors), falling back to
+the pair-loop env_factor when no floored cohort exists:
+  - existing query: floor = min(old_floor, RAW t) — a raw time below
+    the floor is provably achievable, so lowering by it is always
+    sound; normalized lowering could undercut a query's true quiet
+    cost when the cohort mixes drift populations (overhead-bound vs
+    compute-bound) and arm false regressions
+  - new query (no floor yet): floor = t / norm (best available
+    quiet-box estimate)
 
 Usage: python3 tools/update_floors.py [bench_json] [floor_json] [round]
 """
 import json
+import statistics
 import sys
 
 bench_path = sys.argv[1] if len(sys.argv) > 1 else "BENCH_QUERIES.json"
@@ -19,28 +28,35 @@ floor_path = sys.argv[2] if len(sys.argv) > 2 else "BENCH_FLOOR.json"
 rnd = sys.argv[3] if len(sys.argv) > 3 else None
 
 bench = json.load(open(bench_path))
-env = float(bench.get("env_factor", 1.0))
-if not (0.25 <= env <= 10.0):
-    print(f"env_factor {env} outside sanity range; refusing", file=sys.stderr)
-    sys.exit(1)
-
 floors = json.load(open(floor_path))
 q = floors["queries"]
+
+ratios = sorted(t / q[name] for name, t in bench["queries"].items()
+                if name in q and q[name] > 0)
+if ratios:
+    norm = min(4.0, max(0.5, statistics.median(ratios)))
+else:
+    norm = float(bench.get("env_factor", 1.0))
+if not (0.25 <= norm <= 10.0):
+    print(f"normalization factor {norm} outside sanity range; refusing", file=sys.stderr)
+    sys.exit(1)
+
 lowered, added = [], []
 for name, t in sorted(bench["queries"].items()):
-    norm = round(t / env, 3)
     if name not in q:
-        q[name] = norm
-        added.append((name, norm))
-    elif norm < q[name]:
-        lowered.append((name, q[name], norm))
-        q[name] = norm
+        v = round(t / norm, 3)
+        q[name] = v
+        added.append((name, v))
+    elif round(t, 3) < q[name]:
+        lowered.append((name, q[name], round(t, 3)))
+        q[name] = round(t, 3)
 if rnd:
     floors["round"] = rnd
-floors["env_factor_of_run"] = round(env, 4)
+floors["norm_of_last_update"] = round(norm, 4)
 json.dump(floors, open(floor_path, "w"), indent=1, sort_keys=True)
-print(f"env_factor={env:.3f}  lowered={len(lowered)}  added={len(added)}")
-for name, norm in added:
-    print(f"  + {name}: {norm}")
-for name, old, new in lowered[:20]:
+print(f"norm={norm:.3f} (median of {len(ratios)} floored ratios)  "
+      f"lowered={len(lowered)}  added={len(added)}")
+for name, v in added:
+    print(f"  + {name}: {v}")
+for name, old, new in lowered[:25]:
     print(f"  v {name}: {old} -> {new}")
