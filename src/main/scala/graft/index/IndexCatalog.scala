@@ -61,6 +61,11 @@ object IndexCatalog {
     * codebooks; same m-byte coded layout and search plumbing as PQ,
     * different train/encode/distance kernels (Rq.scala) */
   case class RqKind(m: Int, nlist: Int, coarseM: Int = 0) extends Kind
+  /** local-search additive quantizer (FAISS `LSQ<m>x8`): RQ's additive
+    * model with ICM encoding + least-squares codebook refit (Martinez
+    * et al. 2016); identical coded layout/search/save plumbing to RQ —
+    * only train/encode differ (Lsq.scala) */
+  case class LsqKind(m: Int, nlist: Int, coarseM: Int = 0) extends Kind
   /** inverted multi-index coarse quantizer (FAISS `IMI2x<n>`): the
     * coarse space is the product of two half-dim codebooks of 2^n
     * centroids → nlist = 2^(2n) cells at assignment cost 2·2^n·(d/2);
@@ -108,6 +113,16 @@ object IndexCatalog {
           m.toInt
       }
     }
+    // FAISS grammar LSQ<m>x<b>: byte stages only, like RQ
+    val lsqPart = parts.find(_.startsWith("LSQ")).map { p =>
+      val spec = p.stripPrefix("LSQ")
+      spec.split("x", 2) match {
+        case Array(m) => m.toInt
+        case Array(m, b) =>
+          require(b == "8", s"only LSQ<m>x8 (byte stages) is supported, got $p")
+          m.toInt
+      }
+    }
     sqPart.foreach { b =>
       require(b == "8" || b == "4" || b == "fp16",
         s"only SQ8/SQ4/SQfp16 scalar quantization is supported, got SQ$b")
@@ -121,6 +136,7 @@ object IndexCatalog {
         val cm = if (hm.isEmpty) 32 else hm.toInt
         if (pqPart.isDefined) PqKind(pqPart.get, nl.toInt, cm)
         else if (sqPart.isDefined) SqKind(nl.toInt, cm)
+        else if (lsqPart.isDefined) LsqKind(lsqPart.get, nl.toInt, cm)
         else if (rqPart.isDefined) RqKind(rqPart.get, nl.toInt, cm)
         else IvfHnswKind(nl.toInt, cm)
       case s if s.startsWith("IMI2x") =>
@@ -140,9 +156,12 @@ object IndexCatalog {
         PqKind(pqPart.get, s.stripPrefix("IVF").toInt)
       case s if s.startsWith("IVF") && sqPart.isDefined =>
         SqKind(s.stripPrefix("IVF").toInt)
+      case s if s.startsWith("IVF") && lsqPart.isDefined =>
+        LsqKind(lsqPart.get, s.stripPrefix("IVF").toInt)
       case s if s.startsWith("IVF") && rqPart.isDefined =>
         RqKind(rqPart.get, s.stripPrefix("IVF").toInt)
       case s if s.startsWith("PQ") => PqKind(pqPart.get, 1)
+      case s if s.startsWith("LSQ") => LsqKind(lsqPart.get, 1)
       case s if s.startsWith("SQ") => SqKind(1)
       case s if s.startsWith("RQ") => RqKind(rqPart.get, 1)
       case "Flat" => FlatKind
@@ -254,9 +273,10 @@ object IndexCatalog {
           if !Nsw.supportsMetric(mid) =>
         throw new IllegalArgumentException(
           s"HNSW supports metrics l2sq/l2/ip/cosine, got '$metric'")
-      case PqKind(_, _, _) | SqKind(_, _) | RqKind(_, _, _) |
+      case PqKind(_, _, _) | SqKind(_, _) | RqKind(_, _, _) | LsqKind(_, _, _) |
           PcaKind(_, PqKind(_, _, _)) | PcaKind(_, SqKind(_, _)) |
-          PcaKind(_, RqKind(_, _, _)) | OpqKind(_, PqKind(_, _, _)) |
+          PcaKind(_, RqKind(_, _, _)) | PcaKind(_, LsqKind(_, _, _)) |
+          OpqKind(_, PqKind(_, _, _)) |
           OpqKind(_, SqKind(_, _)) if !isL2 =>
         throw new IllegalArgumentException(
           s"PQ/SQ quantized search implements the FAISS L2 convention (ADC + L2 re-rank); got '$metric'")
@@ -566,7 +586,8 @@ object IndexCatalog {
           e.cachedBatches.clear()
           rq.close()
           e.built = Some(new RqBuilt(
-            foldedCodes, foldedRaw, rq.meta, rq.books, rq.centroids, rq.coarse))
+            foldedCodes, foldedRaw, rq.meta, rq.books, rq.centroids, rq.coarse,
+            lsqEnc = rq.lsqEnc))
         case _ => ()
       }
     }
@@ -665,7 +686,8 @@ object IndexCatalog {
         // an empty sample trains nothing — leave untrained so build()
         // auto-trains from the real data (Some(empty) would block it)
         e.trained = if (cents.isEmpty) None else Some(cents)
-      case k @ (PqKind(_, _, _) | SqKind(_, _) | RqKind(_, _, _) | ImiKind(_)) =>
+      case k @ (PqKind(_, _, _) | SqKind(_, _) | RqKind(_, _, _) | LsqKind(_, _, _) |
+          ImiKind(_)) =>
         trainPointsKind(e, k, samplePoints(sample), seed)
       case PcaKind(outDim, inner) =>
         // train the transform, then train the inner kind in the
@@ -756,6 +778,14 @@ object IndexCatalog {
         // them through the same pq_codebooks/pq_coarse parquet, and the
         // factory string disambiguates on rebuild
         val books = Rq.train(pts, m, seed)
+        val cents =
+          if (nlist > 1) Some(Pq.localKMeans(pts, math.min(nlist, pts.length), seed + 999, 10))
+          else None
+        e.trainedPq = Some((books, cents))
+      case LsqKind(m, nlist, _) =>
+        // same trainedPq shape / persistence as RQ; only the trainer
+        // (ICM + least-squares refit) differs
+        val books = Lsq.train(pts, m, seed)
         val cents =
           if (nlist > 1) Some(Pq.localKMeans(pts, math.min(nlist, pts.length), seed + 999, 10))
           else None
@@ -866,6 +896,12 @@ object IndexCatalog {
         val g = if (cm > 0) e.trainedPq.flatMap(_._2).filter(_.length > 1)
           .map(cs => coarseGraph(e, cs, cm, metricId)) else None
         RqBuilt.build(data, e.meta, m, nlist, e.trainedPq, g, coarseEfOf(e.meta))
+      case k @ LsqKind(m, nlist, cm) =>
+        if (e.trainedPq.isEmpty) trainPointsKind(e, k, boundedSample(data), seed(e))
+        val g = if (cm > 0) e.trainedPq.flatMap(_._2).filter(_.length > 1)
+          .map(cs => coarseGraph(e, cs, cm, metricId)) else None
+        RqBuilt.build(data, e.meta, m, nlist, e.trainedPq, g, coarseEfOf(e.meta),
+          lsqEnc = true)
       case HnswKind(m) => HnswBuilt.build(data, e.meta, m)
       case IvfKind(nlist) =>
         val centroids = e.trained.getOrElse {
@@ -1297,6 +1333,7 @@ object IndexCatalog {
       case rq: RqBuilt =>
         (e.kind, rq.coarse, rq.centroids) match {
           case (RqKind(_, _, cm), Some((g, _)), Some(cs)) if cm > 0 => Some((cs, cm, g))
+          case (LsqKind(_, _, cm), Some((g, _)), Some(cs)) if cm > 0 => Some((cs, cm, g))
           case _ => None
         }
       case sq: SqBuilt =>
@@ -2088,7 +2125,9 @@ object IndexCatalog {
       private[index] val centroids: Option[Array[Array[Float]]],
       private[index] val coarse: Option[(Nsw.Graph, Int)] = None,
       cachedParts: Seq[DataFrame] = Nil,
-      private[index] val hasAppends: Boolean = false)
+      private[index] val hasAppends: Boolean = false,
+      // LSQ<m>: same additive layout/search, ICM encoder (Lsq.scala)
+      private[index] val lsqEnc: Boolean = false)
       extends BuiltIndex {
 
     /** base-table (label, vec) view for exact flat scans and save() */
@@ -2104,12 +2143,15 @@ object IndexCatalog {
 
     /** coded incremental append — see [[PqBuilt.appended]] */
     private[index] def appended(newRows: DataFrame, newRaw: DataFrame): RqBuilt = {
-      val encode = GraftBridge.column(RqEncode(GraftBridge.expression(col("vec")), books))
+      val encode = GraftBridge.column(
+        if (lsqEnc) LsqEncode(GraftBridge.expression(col("vec")), books)
+        else RqEncode(GraftBridge.expression(col("vec")), books))
       val newCoded = codedLayout(newRows, encode, centroids,
         coarse.map(_._1), coarse.map(_._2).getOrElse(64), repartitionLists = false)
       synchronized { if (packedCache != null) { packedCache.unpersist(); packedCache = null } }
       new RqBuilt(data.unionByName(newCoded), newRaw, meta, books, centroids, coarse,
-        if (cachedParts.isEmpty) Seq(data) else cachedParts, hasAppends = true)
+        if (cachedParts.isEmpty) Seq(data) else cachedParts, hasAppends = true,
+        lsqEnc = lsqEnc)
     }
 
     def search(queries: DataFrame, k: Int, params: Map[String, String]): DataFrame =
@@ -2147,18 +2189,21 @@ object IndexCatalog {
         data: DataFrame, meta: IndexMeta, m: Int, nlist: Int,
         pretrained: Option[(Array[Array[Array[Float]]], Option[Array[Array[Float]]])] = None,
         coarseGraph: Option[Nsw.Graph] = None,
-        coarseEf: Int = 64): RqBuilt = {
+        coarseEf: Int = 64,
+        lsqEnc: Boolean = false): RqBuilt = {
       val seed = meta.params.get("seed").map(_.toLong).getOrElse(42L)
       val (books, cents) = pretrained.getOrElse {
         val sample = data.select(col("vec")).limit(16384).collect()
           .map(_.getSeq[Float](0).toArray)
-        (Rq.train(sample, m, seed),
+        (if (lsqEnc) Lsq.train(sample, m, seed) else Rq.train(sample, m, seed),
           if (nlist > 1) Some(Pq.localKMeans(sample, math.min(nlist, sample.length), seed + 999, 10))
           else None)
       }
-      val encode = GraftBridge.column(RqEncode(GraftBridge.expression(col("vec")), books))
+      val encode = GraftBridge.column(
+        if (lsqEnc) LsqEncode(GraftBridge.expression(col("vec")), books)
+        else RqEncode(GraftBridge.expression(col("vec")), books))
       new RqBuilt(cachedLayout(codedLayout(data, encode, cents, coarseGraph, coarseEf)),
-        data, meta, books, cents, coarseGraph.map(g => (g, coarseEf)))
+        data, meta, books, cents, coarseGraph.map(g => (g, coarseEf)), lsqEnc = lsqEnc)
     }
   }
 

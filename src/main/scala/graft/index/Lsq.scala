@@ -1,0 +1,270 @@
+package graft.index
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/**
+ * Local-search additive quantizer — the FAISS `LSQ<m>x8` factory
+ * family (Martinez, Clement, Hoos & Little 2016, "Revisiting additive
+ * quantization"; the reference accepts the factory string verbatim by
+ * delegating to faiss::index_factory, src/faiss_extension.cpp:155
+ * region). Same additive model as RQ — m FULL-dimension codebooks
+ * whose SUM approximates the vector, same m-byte codes, same
+ * decode-in-loop asymmetric L2 search — but both halves of training
+ * are globally optimized instead of greedy:
+ *
+ * - ENCODING is iterated conditional modes (ICM): start from the
+ *   greedy RQ assignment, then cycle the stages, re-picking each
+ *   stage's code against the residual of ALL OTHER stages until a
+ *   fixpoint (bounded rounds). Each ICM move strictly decreases
+ *   reconstruction error, so LSQ codes are never worse than RQ codes
+ *   under the same books (spec-pinned).
+ * - CODEBOOKS are refit by regularized least squares over the encoded
+ *   sample: with B the one-hot stage-assignment matrix, solve
+ *   (BᵀB + λI) W = BᵀX by an in-place Cholesky (mK ≤ 2048 unknowns at
+ *   m=8 — a bounded driver-side solve, like every trainer here), then
+ *   alternate encode/refit a few outer iterations.
+ *
+ * Deterministic in (sample, m, seed): greedy init is Rq.train, ICM
+ * visits stages in fixed order with ties to the lowest code, and the
+ * LS solve is a fixed-order Cholesky. Search-side plumbing (coded
+ * layout, packed scan, save/load via pq_codebooks, incremental
+ * append) is RqBuilt's, shared verbatim — only train/encode differ.
+ */
+object Lsq {
+
+  /** ICM rounds per encode (fixpoint usually hits in 2-3) */
+  final val IcmRounds = 4
+  /** outer encode/refit alternations */
+  final val OuterIters = 3
+  /** ridge term for the normal equations (PD even with unused codes) */
+  final val Ridge = 1e-3
+
+  def train(samples: Array[Array[Float]], m: Int, seed: Long): Array[Array[Array[Float]]] = {
+    require(samples.nonEmpty, "LSQ training needs a non-empty sample")
+    val dim = samples(0).length
+    var books = Rq.train(samples, m, seed) // greedy additive init
+    // objective-guarded alternation (the LSQ++ discipline): the normal
+    // equations are near-singular whenever the sample is small relative
+    // to m·K unknowns (ridge keeps the solve finite, but an overfit or
+    // ill-conditioned refit can still RAISE the ICM-encoded training
+    // MSE) — accept a refit only if it lowers the objective, else stop.
+    // Guarantees train's output is never worse than its greedy init.
+    var bestMse = reconstructionMse(samples, books)
+    var iter = 0
+    var improving = true
+    while (iter < OuterIters && improving) {
+      val codes = samples.map(encodeArr(_, books))
+      val cand = leastSquaresUpdate(samples, codes, books, dim)
+      val finite = cand.forall(_.forall(_.forall(f => !f.isNaN && !f.isInfinite)))
+      val mse = if (finite) reconstructionMse(samples, cand) else Double.MaxValue
+      if (mse < bestMse) { books = cand; bestMse = mse } else improving = false
+      iter += 1
+    }
+    books
+  }
+
+  /** mean squared reconstruction error of `books` over `samples`
+    * under ICM encoding — the training objective, exposed for specs */
+  def reconstructionMse(samples: Array[Array[Float]], books: Array[Array[Array[Float]]]): Double = {
+    var s = 0.0
+    samples.foreach { v =>
+      val dec = Rq.decodeOne(encodeArr(v, books), books)
+      var i = 0
+      while (i < v.length) { val t = v(i).toDouble - dec(i); s += t * t; i += 1 }
+    }
+    s / samples.length
+  }
+
+  /** ICM encode over a primitive array (training + spec path) */
+  def encodeArr(v: Array[Float], books: Array[Array[Array[Float]]]): Array[Byte] = {
+    val dim = books(0)(0).length
+    val m = books.length
+    // greedy init (identical rule to Rq.encodeOne)
+    val code = new Array[Int](m)
+    val approx = new Array[Float](dim)
+    run(v, books, code, approx, dim, m)
+    code.map(_.toByte)
+  }
+
+  private def run(
+      v: Array[Float], books: Array[Array[Array[Float]]],
+      code: Array[Int], approx: Array[Float], dim: Int, m: Int): Unit = {
+    // greedy pass: stage j picks the centroid nearest the running residual
+    val r = new Array[Float](dim)
+    System.arraycopy(v, 0, r, 0, dim)
+    var stage = 0
+    while (stage < m) {
+      val best = nearestTo(r, books(stage))
+      code(stage) = best
+      val cen = books(stage)(best)
+      var i = 0
+      while (i < dim) { r(i) -= cen(i); approx(i) += cen(i); i += 1 }
+      stage += 1
+    }
+    // ICM: re-pick each stage against the residual of all OTHER stages
+    var round = 0
+    var changed = true
+    while (round < IcmRounds && changed) {
+      changed = false
+      var j = 0
+      while (j < m) {
+        val cur = books(j)(code(j))
+        // residual without stage j: v - (approx - cur)
+        var best = -1
+        var bestD = Double.MaxValue
+        val book = books(j)
+        var c = 0
+        while (c < book.length) {
+          val cen = book(c)
+          var d = 0.0
+          var i = 0
+          while (i < dim && d < bestD) {
+            val t = (v(i).toDouble - (approx(i).toDouble - cur(i).toDouble)) - cen(i)
+            d += t * t
+            i += 1
+          }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        if (best != code(j)) {
+          val nb = book(best)
+          var i = 0
+          while (i < dim) { approx(i) += nb(i) - cur(i); i += 1 }
+          code(j) = best
+          changed = true
+        }
+        j += 1
+      }
+      round += 1
+    }
+  }
+
+  private def nearestTo(v: Array[Float], book: Array[Array[Float]]): Int = {
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < book.length) {
+      val cen = book(c)
+      var d = 0.0
+      var i = 0
+      while (i < v.length && d < bestD) { val t = v(i).toDouble - cen(i); d += t * t; i += 1 }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** regularized LS refit of all codebooks given fixed codes: solve
+    * (BᵀB + λI) W = BᵀX with one dense Cholesky (mK ≤ 2048) */
+  private def leastSquaresUpdate(
+      samples: Array[Array[Float]], codes: Array[Array[Byte]],
+      books: Array[Array[Array[Float]]], dim: Int): Array[Array[Array[Float]]] = {
+    val m = books.length
+    val sizes = books.map(_.length)
+    val offs = sizes.scanLeft(0)(_ + _)
+    val n = offs(m) // total unknowns
+    val ata = Array.ofDim[Double](n, n)
+    val atx = Array.ofDim[Double](n, dim)
+    var s = 0
+    while (s < samples.length) {
+      val x = samples(s)
+      val cd = codes(s)
+      var j = 0
+      while (j < m) {
+        val rj = offs(j) + (cd(j) & 0xff)
+        var k = 0
+        while (k < m) {
+          ata(rj)(offs(k) + (cd(k) & 0xff)) += 1.0
+          k += 1
+        }
+        val row = atx(rj)
+        var i = 0
+        while (i < dim) { row(i) += x(i); i += 1 }
+        j += 1
+      }
+      s += 1
+    }
+    // ridge scaled to the mean usage count: the absolute constant is
+    // vanishing against big samples and meaningless against small ones;
+    // proportional damping keeps the solve conditioned in both regimes
+    var trace = 0.0
+    var d = 0
+    while (d < n) { trace += ata(d)(d); d += 1 }
+    val lambda = math.max(Ridge, 1e-2 * trace / n)
+    d = 0
+    while (d < n) { ata(d)(d) += lambda; d += 1 }
+    // in-place Cholesky LLᵀ (fixed order — deterministic)
+    val L = ata
+    var i = 0
+    while (i < n) {
+      var j = 0
+      while (j <= i) {
+        var sum = L(i)(j)
+        var k = 0
+        while (k < j) { sum -= L(i)(k) * L(j)(k); k += 1 }
+        if (i == j) L(i)(i) = math.sqrt(sum)
+        else L(i)(j) = sum / L(j)(j)
+        j += 1
+      }
+      i += 1
+    }
+    // forward/back substitution per output dim
+    val w = Array.ofDim[Double](n)
+    val out = Array.tabulate(m)(j => Array.ofDim[Float](sizes(j), dim))
+    var c = 0
+    while (c < dim) {
+      i = 0
+      while (i < n) {
+        var sum = atx(i)(c)
+        var k = 0
+        while (k < i) { sum -= L(i)(k) * w(k); k += 1 }
+        w(i) = sum / L(i)(i)
+        i += 1
+      }
+      i = n - 1
+      while (i >= 0) {
+        var sum = w(i)
+        var k = i + 1
+        while (k < n) { sum -= L(k)(i) * w(k); k += 1 }
+        w(i) = sum / L(i)(i)
+        var j = 0
+        while (j < m) {
+          if (i >= offs(j) && i < offs(j + 1)) out(j)(i - offs(j))(c) = w(i).toFloat
+          j += 1
+        }
+        i -= 1
+      }
+      c += 1
+    }
+    out
+  }
+}
+
+/** ICM encode of an array<float> vector to its m-byte LSQ code —
+  * RqEncode's shape with the local-search encoder */
+case class LsqEncode(child: Expression, books: Array[Array[Array[Float]]])
+    extends UnaryExpression
+    with CodegenFallback {
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "lsq_encode"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"lsq_encode needs array<float>, got ${t.catalogString}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    val v = new Array[Float](a.numElements())
+    var i = 0
+    while (i < v.length) { v(i) = a.getFloat(i); i += 1 }
+    Lsq.encodeArr(v, books)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -333,6 +333,18 @@ object IndexQueries {
       IndexCatalog.add(embData(s, dir), name)
       quantized(IndexCatalog.search(name, 5, embQueries(s, dir)))
     },
+    // local-search additive quantizer (FAISS "LSQ8x8" / "IVF8,LSQ8",
+    // Martinez et al. 2016): RQ's additive model with ICM encoding +
+    // least-squares codebook refit — better codes at the same 8-byte
+    // budget; identical decode-in-loop search plumbing (rows-only;
+    // _exh twin driver-hash exact, icm<=greedy error spec-pinned)
+    "knn_lsq" -> { (s, dir) =>
+      val name = fresh("q_lsq")
+      IndexCatalog.create(name, 64, "IDMap,IVF8,LSQ8", "l2sq",
+        Map("nprobe" -> "4", "refine" -> "24"))
+      IndexCatalog.add(embData(s, dir), name)
+      quantized(IndexCatalog.search(name, 5, embQueries(s, dir)))
+    },
     // IVF-PQ: 64 floats -> 8 bytes, ADC + exact re-rank (approximate ->
     // rows-only here; recall vs exact search is spec-asserted)
     "knn_pq" -> { (s, dir) =>
@@ -419,6 +431,16 @@ object IndexQueries {
       val name = fresh("q_imi_exh")
       IndexCatalog.create(name, 64, "IDMap,IMI2x2,Flat", "l2sq", Map("nprobe" -> "16"))
       IndexCatalog.add(embData(s, dir), name)
+      quantized(IndexCatalog.search(name, 5, embQueries(s, dir)))
+    },
+    // local-search additive quantizer at both exact ends: ICM codes +
+    // corpus-covering refine -> brute force on raw vectors, exact
+    "knn_lsq_exh" -> { (s, dir) =>
+      val name = fresh("q_lsq_exh")
+      val d = embData(s, dir)
+      IndexCatalog.create(name, 64, "IDMap,IVF8,LSQ8", "l2sq",
+        Map("nprobe" -> "8", "refine" -> exhRefine(d, 5)))
+      IndexCatalog.add(d, name)
       quantized(IndexCatalog.search(name, 5, embQueries(s, dir)))
     },
     // residual quantizer at both exact ends (all lists probed, refine
@@ -787,6 +809,7 @@ object IndexQueries {
     "knn_ivf_hnsw_sq_exh" -> VectorQueries.oracles("knn_flat_l2"),
     "knn_rq_exh" -> VectorQueries.oracles("knn_flat_l2"),
     "knn_imi_exh" -> VectorQueries.oracles("knn_flat_l2"),
+    "knn_lsq_exh" -> VectorQueries.oracles("knn_flat_l2"),
     "knn_sq8_exh" -> VectorQueries.oracles("knn_flat_l2"),
     "knn_sq4_exh" -> VectorQueries.oracles("knn_flat_l2"),
     "knn_sqfp16_exh" -> VectorQueries.oracles("knn_flat_l2"),
