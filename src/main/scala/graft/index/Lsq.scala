@@ -49,22 +49,46 @@ object Lsq {
     var books = Rq.train(samples, m, seed) // greedy additive init
     // objective-guarded alternation (the LSQ++ discipline): the normal
     // equations are near-singular whenever the sample is small relative
-    // to m·K unknowns (ridge keeps the solve finite, but an overfit or
-    // ill-conditioned refit can still RAISE the ICM-encoded training
-    // MSE) — accept a refit only if it lowers the objective, else stop.
-    // Guarantees train's output is never worse than its greedy init.
-    var bestMse = reconstructionMse(samples, books)
+    // to m·K unknowns (ridge keeps the solve finite, but an overfit
+    // refit can still RAISE the objective) — and the objective that
+    // matters is the FRESH-ENCODE MSE, because index-build encodes
+    // from scratch (ICM re-inits from greedy under the new books, so
+    // "re-encode only improves" does NOT hold across a refit). Accept
+    // a candidate only if its fresh-encode MSE beats the incumbent's;
+    // the guard's encode pass doubles as the next refit's codes, so
+    // each outer iteration still costs exactly one ICM pass. Output is
+    // therefore never worse than the greedy init, by construction.
+    var codes = samples.map(encodeArr(_, books))
+    var mse = fixedCodesMse(samples, codes, books) // == fresh-encode MSE of `books`
     var iter = 0
     var improving = true
     while (iter < OuterIters && improving) {
-      val codes = samples.map(encodeArr(_, books))
       val cand = leastSquaresUpdate(samples, codes, books, dim)
       val finite = cand.forall(_.forall(_.forall(f => !f.isNaN && !f.isInfinite)))
-      val mse = if (finite) reconstructionMse(samples, cand) else Double.MaxValue
-      if (mse < bestMse) { books = cand; bestMse = mse } else improving = false
+      if (finite) {
+        val candCodes = samples.map(encodeArr(_, cand))
+        val candMse = fixedCodesMse(samples, candCodes, cand)
+        if (candMse < mse) { books = cand; codes = candCodes; mse = candMse }
+        else improving = false
+      } else improving = false
       iter += 1
     }
     books
+  }
+
+  private def fixedCodesMse(
+      samples: Array[Array[Float]], codes: Array[Array[Byte]],
+      books: Array[Array[Array[Float]]]): Double = {
+    var s = 0.0
+    var p = 0
+    while (p < samples.length) {
+      val v = samples(p)
+      val dec = Rq.decodeOne(codes(p), books)
+      var i = 0
+      while (i < v.length) { val t = v(i).toDouble - dec(i); s += t * t; i += 1 }
+      p += 1
+    }
+    s / samples.length
   }
 
   /** mean squared reconstruction error of `books` over `samples`

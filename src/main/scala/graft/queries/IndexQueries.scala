@@ -340,7 +340,7 @@ object IndexQueries {
     // _exh twin driver-hash exact, icm<=greedy error spec-pinned)
     "knn_lsq" -> { (s, dir) =>
       val name = fresh("q_lsq")
-      IndexCatalog.create(name, 64, "IDMap,IVF8,LSQ8", "l2sq",
+      IndexCatalog.create(name, 64, "IDMap,IVF8,LSQ4", "l2sq",
         Map("nprobe" -> "4", "refine" -> "24"))
       IndexCatalog.add(embData(s, dir), name)
       quantized(IndexCatalog.search(name, 5, embQueries(s, dir)))
@@ -438,7 +438,7 @@ object IndexQueries {
     "knn_lsq_exh" -> { (s, dir) =>
       val name = fresh("q_lsq_exh")
       val d = embData(s, dir)
-      IndexCatalog.create(name, 64, "IDMap,IVF8,LSQ8", "l2sq",
+      IndexCatalog.create(name, 64, "IDMap,IVF8,LSQ4", "l2sq",
         Map("nprobe" -> "8", "refine" -> exhRefine(d, 5)))
       IndexCatalog.add(d, name)
       quantized(IndexCatalog.search(name, 5, embQueries(s, dir)))
