@@ -1,7 +1,9 @@
 package graft.functions;
 
+import jdk.incubator.vector.ByteVector;
 import jdk.incubator.vector.DoubleVector;
 import jdk.incubator.vector.FloatVector;
+import jdk.incubator.vector.IntVector;
 import jdk.incubator.vector.VectorOperators;
 import jdk.incubator.vector.VectorSpecies;
 
@@ -38,6 +40,11 @@ import jdk.incubator.vector.VectorSpecies;
 public final class SimdKernels {
   private static final VectorSpecies<Float> FS = FloatVector.SPECIES_PREFERRED;
   private static final VectorSpecies<Double> DS = DoubleVector.SPECIES_PREFERRED;
+  // same SHAPE (register width) as FS: int lanes match FS's lane count
+  // (both 32-bit), byte lanes are 4x — one byte load expands to 4 float
+  // vectors via part-indexed convertShape
+  private static final VectorSpecies<Integer> IS = IntVector.SPECIES_PREFERRED;
+  private static final VectorSpecies<Byte> BS = ByteVector.SPECIES_PREFERRED;
 
   private SimdKernels() {}
 
@@ -146,5 +153,96 @@ public final class SimdKernels {
     }
     if (na == 0.0 || nb == 0.0) return 1.0;
     return 1.0 - dot / Math.sqrt(na * nb);
+  }
+
+  /**
+   * SQ8 asymmetric L2^2: uint8 codes decoded against trained per-dim
+   * [vmin, vmin+vdiff] bounds, squared distance to the float query —
+   * the SIMD twin of {@code Sq.l2DistanceAt}'s V8 branch (the packed
+   * coded-list scan's scorer, the serving hot loop of SQ8/IVF-SQ8).
+   *
+   * Numeric contract, extended from the float kernels to DECODED
+   * values: each lane replays the scalar decode's exact float op
+   * sequence (int→float convert is exact for 0..255, then div 255f,
+   * mul vdiff, add vmin — same three roundings in the same order), so
+   * the per-dim decoded value is BIT-equal to the scalar path and the
+   * per-dim (q - decoded)^2 term is exact-in-double. Only the final
+   * sum is lane-reassociated, exactly as l2sq.
+   */
+  public static double sqL2u8(
+      byte[] code, int off, int width, float[] q, float[] vmin, float[] vdiff) {
+    int L = FS.length();
+    int BL = BS.length(); // = 4 * L (same shape, byte lanes)
+    int upper = width - (width % BL);
+    DoubleVector acc0 = DoubleVector.zero(DS), acc1 = DoubleVector.zero(DS);
+    int i = 0;
+    for (; i < upper; i += BL) {
+      ByteVector bv = ByteVector.fromArray(BS, code, off + i);
+      for (int p = 0; p < 4; p++) {
+        int base = i + p * L;
+        IntVector iv = (IntVector) bv.convertShape(VectorOperators.B2I, IS, p);
+        FloatVector dec = ((FloatVector) iv.and(0xff).convert(VectorOperators.I2F, 0))
+            .div(255f)
+            .mul(FloatVector.fromArray(FS, vdiff, base))
+            .add(FloatVector.fromArray(FS, vmin, base));
+        FloatVector qv = FloatVector.fromArray(FS, q, base);
+        DoubleVector d0 = ((DoubleVector) qv.convert(VectorOperators.F2D, 0))
+            .sub((DoubleVector) dec.convert(VectorOperators.F2D, 0));
+        DoubleVector d1 = ((DoubleVector) qv.convert(VectorOperators.F2D, 1))
+            .sub((DoubleVector) dec.convert(VectorOperators.F2D, 1));
+        acc0 = d0.fma(d0, acc0);
+        acc1 = d1.fma(d1, acc1);
+      }
+    }
+    double s = acc0.add(acc1).reduceLanes(VectorOperators.ADD);
+    for (; i < width; i++) { // tail: the scalar kernel verbatim
+      float dec = vmin[i] + (float) (code[off + i] & 0xff) / 255f * vdiff[i];
+      double t = (double) q[i] - (double) dec;
+      s += t * t;
+    }
+    return s;
+  }
+
+  /**
+   * Residual/additive-quantizer asymmetric L2^2: the stored value is
+   * the float SUM of {@code width} full-dim codebook centroids (stage
+   * order), distance is exact double L2 to the query — the SIMD twin
+   * of {@code Rq.l2DistanceAt} (shared by the RQ and LSQ scorers).
+   *
+   * The decode accumulates per-dim in float IN STAGE ORDER within each
+   * lane — the identical op sequence to the scalar scratch loop, so
+   * decoded values are BIT-equal (lanes are independent; reassociation
+   * only ever touches the final distance sum). Registers replace the
+   * scratch buffer entirely: the decoded block never touches memory.
+   */
+  public static double rqL2(
+      byte[] code, int off, int width, float[] q, float[][][] books) {
+    int dim = books[0][0].length;
+    int L = FS.length();
+    int upper = dim - (dim % L);
+    DoubleVector acc0 = DoubleVector.zero(DS), acc1 = DoubleVector.zero(DS);
+    for (int base = 0; base < upper; base += L) {
+      FloatVector dec = FloatVector.zero(FS);
+      for (int st = 0; st < width; st++) {
+        dec = dec.add(FloatVector.fromArray(FS, books[st][code[off + st] & 0xff], base));
+      }
+      FloatVector qv = FloatVector.fromArray(FS, q, base);
+      DoubleVector d0 = ((DoubleVector) qv.convert(VectorOperators.F2D, 0))
+          .sub((DoubleVector) dec.convert(VectorOperators.F2D, 0));
+      DoubleVector d1 = ((DoubleVector) qv.convert(VectorOperators.F2D, 1))
+          .sub((DoubleVector) dec.convert(VectorOperators.F2D, 1));
+      acc0 = d0.fma(d0, acc0);
+      acc1 = d1.fma(d1, acc1);
+    }
+    double s = acc0.add(acc1).reduceLanes(VectorOperators.ADD);
+    for (int i = upper; i < dim; i++) { // tail: scalar decode + term
+      float dec = 0f;
+      for (int st = 0; st < width; st++) {
+        dec += books[st][code[off + st] & 0xff][i];
+      }
+      double t = (double) q[i] - (double) dec;
+      s += t * t;
+    }
+    return s;
   }
 }

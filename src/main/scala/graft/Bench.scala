@@ -176,8 +176,13 @@ object Bench {
     // Also persist the full per-query map to a file: the driver captures
     // only a truncated stdout tail (BENCH_r09.json lost the first ~170
     // query timings), so the artifact of record is this file in cwd.
+    // A filtered local run (SPARK_GRAFT_BENCH_ONLY) is NOT the artifact
+    // of record — it goes to a scratch name so it can't clobber the
+    // full map (which it did once, leaving a 16-query artifact in git).
+    val dumpName =
+      if (only.isEmpty) "BENCH_QUERIES.json" else "BENCH_QUERIES_partial.json"
     try java.nio.file.Files.write(
-      java.nio.file.Paths.get("BENCH_QUERIES.json"),
+      java.nio.file.Paths.get(dumpName),
       (jsonLine + "\n").getBytes("UTF-8"))
     catch { case e: Throwable => System.err.println(s"[bench] file dump skipped: $e") }
     spark.stop()

@@ -135,6 +135,13 @@ object Rq {
   def l2DistanceAt(
       code: Array[Byte], off: Int, width: Int, q: Array[Float],
       books: Array[Array[Array[Float]]], scratch: Array[Float]): Double = {
+    // opt-in SIMD twin (graft.functions.SimdKernels.rqL2, shared by the
+    // LSQ scorers since LSQ rides RqBuilt): the additive decode runs
+    // per-lane in stage order — decoded values BIT-equal to this scratch
+    // loop — and only the distance sum is lane-reassociated; registers
+    // replace the scratch entirely. OFF by default, same gate as distArr.
+    if (graft.functions.VectorMath.Simd.active)
+      return graft.functions.SimdKernels.rqL2(code, off, width, q, books)
     val dim = books(0)(0).length
     java.util.Arrays.fill(scratch, 0, dim, 0.0f)
     var stage = 0

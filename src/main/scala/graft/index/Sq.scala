@@ -183,6 +183,12 @@ object Sq {
     var i = 0
     variant match {
       case V8 =>
+        // opt-in SIMD twin (graft.functions.SimdKernels.sqL2u8): decoded
+        // values are BIT-equal per dim (identical float op sequence per
+        // lane), only the distance sum is lane-reassociated — the same
+        // contract as VectorMath.distArr's gate, OFF by default
+        if (graft.functions.VectorMath.Simd.active)
+          return graft.functions.SimdKernels.sqL2u8(code, off, width, q, vmin, vdiff)
         while (i < width) {
           val decoded = vmin(i) + (code(off + i) & 0xff).toFloat / 255f * vdiff(i)
           val t = q(i).toDouble - decoded

@@ -20,6 +20,7 @@ object Profile {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     if (name == "simd-ab") { simdAb(spark, sfDir); spark.stop(); return }
+    if (name == "coded-simd-ab") { codedSimdAb(); spark.stop(); return }
     if (name == "colloc-breakdown") { collocBreakdown(spark, sfDir); spark.stop(); return }
     if (name == "flatbig-breakdown") { flatBigBreakdown(spark, sfDir); spark.stop(); return }
     if (name == "ivfbig-breakdown") { ivfBigBreakdown(spark, sfDir); spark.stop(); return }
@@ -253,6 +254,74 @@ object Profile {
     * Spark-level fast flat scan at the replicated rung, each with the
     * gate off vs on. local-mode executors share the JVM, so flipping
     * the volatile flips every task's kernel. */
+  /** A/B the coded-scan SIMD kernels (SQ8 decode-distance, RQ/LSQ
+    * additive decode-distance) against their scalar twins in a raw
+    * packed-buffer loop — the exact shape CodedTopKScan scores per
+    * chunk: contiguous codes, one query context, a bounded heap. */
+  private def codedSimdAb(): Unit = {
+    import graft.functions.VectorMath
+    import graft.index.{Rq, Sq}
+    val dim = 64; val nCodes = 100000; val nQ = 100; val reps = 20 // 2e8 pairs
+    val rnd = new java.util.Random(42)
+    def fvec() = Array.fill(dim)(rnd.nextFloat())
+    System.err.println(s"[profile] simd available=${VectorMath.Simd.available}" +
+      (if (VectorMath.Simd.available) s" species=${graft.functions.SimdKernels.species()}" else ""))
+    // SQ8: packed nCodes x dim byte buffer
+    val vmin = fvec(); val vdiff = Array.fill(dim)(rnd.nextFloat() * 2f)
+    val sqCodes = new Array[Byte](nCodes * dim); rnd.nextBytes(sqCodes)
+    // RQ: m=8 stages of 256 x dim codebooks, packed nCodes x m codes
+    val m = 8
+    val books = Array.fill(m)(Array.fill(256)(fvec()))
+    val rqCodes = new Array[Byte](nCodes * m); rnd.nextBytes(rqCodes)
+    val queries = Array.fill(nQ)(fvec())
+    def sqLoop(): Double = {
+      var acc = 0.0; var r = 0
+      while (r < reps / 10) { // SQ at 2e7 pairs x 10 below via outer mult
+        var q = 0
+        while (q < nQ) {
+          val heap = new graft.functions.TopKHeap(5, true)
+          val qv = queries(q); var c = 0
+          while (c < nCodes) {
+            heap.insert(Sq.l2DistanceAt(sqCodes, c * dim, dim, qv, vmin, vdiff, Sq.V8), c.toLong)
+            c += 1
+          }
+          acc += heap.sorted.head._1; q += 1
+        }
+        r += 1
+      }
+      acc
+    }
+    def rqLoop(): Double = {
+      val scratch = new Array[Float](dim)
+      var acc = 0.0; var r = 0
+      while (r < reps / 10) {
+        var q = 0
+        while (q < nQ) {
+          val heap = new graft.functions.TopKHeap(5, true)
+          val qv = queries(q); var c = 0
+          while (c < nCodes) {
+            heap.insert(Rq.l2DistanceAt(rqCodes, c * m, m, qv, books, scratch), c.toLong)
+            c += 1
+          }
+          acc += heap.sorted.head._1; q += 1
+        }
+        r += 1
+      }
+      acc
+    }
+    for (round <- 1 to 2; on <- Seq(false, true)) {
+      VectorMath.Simd.enabled = on
+      val tag = if (on) "SIMD" else "scalar"
+      t(s"sq8 2e7-pair packed loop round$round $tag") {
+        System.err.println(s"[profile]    (acc=${sqLoop()})")
+      }
+      t(s"rq8x${m} 2e7-pair packed loop round$round $tag") {
+        System.err.println(s"[profile]    (acc=${rqLoop()})")
+      }
+    }
+    VectorMath.Simd.enabled = false
+  }
+
   private def simdAb(spark: SparkSession, dir: String): Unit = {
     import org.apache.spark.sql.functions._
     import graft.functions.{VectorMath, vec}

@@ -80,6 +80,77 @@ class SimdSpec extends AnyFunSuite {
     }
   }
 
+  private def gated[A](enabled: Boolean)(body: => A): A = {
+    val was = VectorMath.Simd.enabled
+    VectorMath.Simd.enabled = enabled
+    try body finally VectorMath.Simd.enabled = was
+  }
+
+  test("sqL2u8: SIMD within 1e-12 of the scalar SQ8 decode-distance across dims straddling the byte-block width") {
+    import graft.index.Sq
+    // 512-bit species processes 64 codes per block: cover sub-block
+    // (pure scalar tail), exact blocks, and odd tails past 1-2 blocks
+    for (dim <- Seq(1, 7, 16, 33, 63, 64, 65, 127, 128, 130, 300)) {
+      for (_ <- 1 to 10) {
+        val vmin = vec(dim)
+        val vdiff = Array.fill(dim)(rnd.nextFloat() * 4f)
+        val q = vec(dim)
+        val pad = rnd.nextInt(4) // exercise non-zero packed-buffer offsets
+        val code = Array.fill(pad + dim)(rnd.nextInt(256).toByte)
+        val sc = gated(false)(Sq.l2DistanceAt(code, pad, dim, q, vmin, vdiff, Sq.V8))
+        val simd = SimdKernels.sqL2u8(code, pad, dim, q, vmin, vdiff)
+        val tol = 1e-12 * math.max(1.0, math.abs(sc))
+        assert(math.abs(simd - sc) <= tol, s"dim=$dim pad=$pad simd=$simd scalar=$sc")
+        // and the Scala entry point routes through it when gated on
+        assert(gated(true)(Sq.l2DistanceAt(code, pad, dim, q, vmin, vdiff, Sq.V8)) === simd)
+      }
+    }
+  }
+
+  test("sqL2u8: degenerate dims (vdiff=0) decode exactly to vmin — BIT-equal sums") {
+    import graft.index.Sq
+    // with vdiff=0 the decode is exact in both paths (x*0f=0f, vmin+0f=vmin
+    // for vmin!=-0) and power-of-two vmin/q make every term and partial sum
+    // exact in double: any association order yields identical bits
+    val dim = 128
+    val vmin = Array.tabulate(dim)(i => math.pow(2.0, (i % 6) - 3).toFloat)
+    val vdiff = new Array[Float](dim)
+    val q = Array.tabulate(dim)(i => math.pow(2.0, ((i + 2) % 6) - 3).toFloat)
+    val code = Array.tabulate(dim)(i => (i * 37 % 256).toByte)
+    val sc = gated(false)(Sq.l2DistanceAt(code, 0, dim, q, vmin, vdiff, Sq.V8))
+    assert(SimdKernels.sqL2u8(code, 0, dim, q, vmin, vdiff) === sc)
+  }
+
+  test("rqL2: SIMD within 1e-12 of the scalar additive decode-distance across dims and stage counts") {
+    import graft.index.Rq
+    for (dim <- Seq(1, 7, 16, 31, 64, 65, 130); m <- Seq(1, 4, 8)) {
+      val books = Array.fill(m)(Array.fill(256)(vec(dim)))
+      for (_ <- 1 to 5) {
+        val q = vec(dim)
+        val pad = rnd.nextInt(3)
+        val code = Array.fill(pad + m)(rnd.nextInt(256).toByte)
+        val sc = gated(false)(Rq.l2DistanceAt(code, pad, m, q, books))
+        val simd = SimdKernels.rqL2(code, pad, m, q, books)
+        val tol = 1e-12 * math.max(1.0, math.abs(sc))
+        assert(math.abs(simd - sc) <= tol, s"dim=$dim m=$m simd=$simd scalar=$sc")
+        assert(gated(true)(Rq.l2DistanceAt(code, pad, m, q, books)) === simd)
+      }
+    }
+  }
+
+  test("rqL2: dyadic codebooks give BIT-equal sums (decode and terms exact in both paths)") {
+    import graft.index.Rq
+    // centroid values in {0.25..4}: any sum of 8 such terms is exact in
+    // float, diffs/squares exact in double — association-order-proof
+    val dim = 96; val m = 8
+    val books = Array.fill(m)(Array.tabulate(256)(c =>
+      Array.tabulate(dim)(i => math.pow(2.0, ((c + i) % 5) - 2).toFloat)))
+    val q = Array.tabulate(dim)(i => math.pow(2.0, (i % 5) - 2).toFloat)
+    val code = Array.tabulate(m)(i => (i * 53 % 256).toByte)
+    val sc = gated(false)(Rq.l2DistanceAt(code, 0, m, q, books))
+    assert(SimdKernels.rqL2(code, 0, m, q, books) === sc)
+  }
+
   test("exactness of terms: lane-pure inputs give BIT-equal sums (power-of-two values)") {
     // values whose squares/products and partial sums are all exact in
     // double: any summation order yields the identical bit pattern, so
