@@ -204,6 +204,29 @@ public final class SimdKernels {
   }
 
   /**
+   * argmin_c l2sq(v, book[c]) with the scalar first-minimum-wins tie
+   * rule — the codebook-assignment inner loop of RQ/LSQ encode (per
+   * corpus row x stage at build time, THE additive-family build cost
+   * at scale). Distances are the lane-reassociated l2sq sums, so an
+   * argmin can flip vs the scalar early-abandon loop only on a
+   * sub-1e-15-relative near-tie — the same declared contract as the
+   * search kernels (and the scalar path remains canonical/default).
+   * NaN distances lose every comparison, matching the scalar loop.
+   */
+  public static int nearestL2(float[][] book, float[] v) {
+    int best = 0;
+    double bestD = Double.MAX_VALUE;
+    for (int c = 0; c < book.length; c++) {
+      double d = l2sq(v, book[c]);
+      if (d < bestD) {
+        bestD = d;
+        best = c;
+      }
+    }
+    return best;
+  }
+
+  /**
    * Residual/additive-quantizer asymmetric L2^2: the stored value is
    * the float SUM of {@code width} full-dim codebook centroids (stage
    * order), distance is exact double L2 to the query — the SIMD twin

@@ -168,6 +168,11 @@ object Lsq {
   }
 
   private def nearestTo(v: Array[Float], book: Array[Array[Float]]): Int = {
+    // same opt-in SIMD argmin as Rq.nearestIn (greedy init shares the
+    // rule); the ICM loop below stays scalar — its residual term mixes
+    // four arrays in double and is not a shared-kernel shape
+    if (graft.functions.VectorMath.Simd.active)
+      return graft.functions.SimdKernels.nearestL2(book, v)
     var best = 0
     var bestD = Double.MaxValue
     var c = 0

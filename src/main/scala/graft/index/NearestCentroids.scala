@@ -110,6 +110,13 @@ object NearestCentroids {
   }
 
   @inline private def distTo(v: Array[Float], cen: Array[Float], metric: Int): Double = {
+    // IVF assignment/probing is per-corpus-row at build time (the
+    // measured dominant term of the 100x ANN-join rung pre-packing):
+    // opt into the SIMD kernels when gated on; the scalar loops below
+    // stay the canonical default (identical order to distArr's)
+    if (VectorMath.Simd.active)
+      return if (metric == VectorMath.IP) graft.functions.SimdKernels.ip(v, cen)
+             else graft.functions.SimdKernels.l2sq(v, cen)
     var d = 0.0
     var i = 0
     if (metric == VectorMath.IP) {

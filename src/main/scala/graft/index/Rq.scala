@@ -56,6 +56,11 @@ object Rq {
   }
 
   private def nearestIn(book: Array[Array[Float]], v: Array[Float]): Int = {
+    // opt-in SIMD (encode is per-corpus-row at build time — the
+    // additive family's scale cost); argmin flips only on sub-1e-15
+    // near-ties, the declared contract, and the default stays scalar
+    if (graft.functions.VectorMath.Simd.active)
+      return graft.functions.SimdKernels.nearestL2(book, v)
     var best = 0; var bestD = Double.MaxValue
     var c = 0
     while (c < book.length) {

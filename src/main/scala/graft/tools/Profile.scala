@@ -19,6 +19,14 @@ object Profile {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // GRAFT_PROFILE_SIMD=1 flips the opt-in SIMD gate for per-query
+    // profiling (local mode: executors share the JVM, the static flag
+    // applies) — the gate-scale A/B instrument for the Panama kernels
+    if (sys.env.get("GRAFT_PROFILE_SIMD").contains("1")) {
+      graft.functions.VectorMath.Simd.enabled = true
+      System.err.println(
+        s"[profile] SIMD gate ON (available=${graft.functions.VectorMath.Simd.available})")
+    }
     if (name == "simd-ab") { simdAb(spark, sfDir); spark.stop(); return }
     if (name == "coded-simd-ab") { codedSimdAb(); spark.stop(); return }
     if (name == "colloc-breakdown") { collocBreakdown(spark, sfDir); spark.stop(); return }
@@ -309,6 +317,25 @@ object Profile {
       }
       acc
     }
+    // build-side loops: RQ encode (per-corpus-row at scale) and IVF
+    // coarse assignment (the 100x rung's pre-packing dominant term)
+    val encVecs = Array.fill(10000)(
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(fvec()))
+    def encLoop(): Int = {
+      var acc = 0; var i = 0
+      while (i < encVecs.length) { acc += Rq.encodeOne(encVecs(i), books)(m - 1); i += 1 }
+      acc
+    }
+    val cents = Array.fill(4096)(fvec())
+    def assignLoop(): Long = {
+      var acc = 0L; var i = 0
+      while (i < 5000) {
+        acc += graft.index.NearestCentroids
+          .nearest(encVecs(i), cents, 1, VectorMath.L2SQ).getInt(0)
+        i += 1
+      }
+      acc
+    }
     for (round <- 1 to 2; on <- Seq(false, true)) {
       VectorMath.Simd.enabled = on
       val tag = if (on) "SIMD" else "scalar"
@@ -317,6 +344,12 @@ object Profile {
       }
       t(s"rq8x${m} 2e7-pair packed loop round$round $tag") {
         System.err.println(s"[profile]    (acc=${rqLoop()})")
+      }
+      t(s"rq8x$m encode 10k vectors round$round $tag") {
+        System.err.println(s"[profile]    (acc=${encLoop()})")
+      }
+      t(s"ivf assign 5k x 4096 cents round$round $tag") {
+        System.err.println(s"[profile]    (acc=${assignLoop()})")
       }
     }
     VectorMath.Simd.enabled = false

@@ -151,6 +151,36 @@ class SimdSpec extends AnyFunSuite {
     assert(SimdKernels.rqL2(code, 0, m, q, books) === sc)
   }
 
+  test("nearestL2 argmin matches the scalar early-abandon argmin (random data is tie-free)") {
+    for (dim <- Seq(7, 16, 64, 130); _ <- 1 to 10) {
+      val book = Array.fill(256)(vec(dim))
+      val v = vec(dim)
+      var best = 0; var bestD = Double.MaxValue
+      for (c <- book.indices) { // the scalar rule, abandon-free reference
+        val d = scalar(VectorMath.L2SQ, v, book(c))
+        if (d < bestD) { bestD = d; best = c }
+      }
+      assert(SimdKernels.nearestL2(book, v) === best, s"dim=$dim")
+    }
+  }
+
+  test("gated RQ encode and IVF assignment produce identical results on random data") {
+    import graft.index.{NearestCentroids, Rq}
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val dim = 64
+    val books = Array.fill(4)(Array.fill(256)(vec(dim)))
+    val cents = Array.fill(512)(vec(dim))
+    for (_ <- 1 to 20) {
+      val v = new GenericArrayData(vec(dim))
+      val codesOff = gated(false)(Rq.encodeOne(v, books)).toSeq
+      val codesOn = gated(true)(Rq.encodeOne(v, books)).toSeq
+      assert(codesOn === codesOff)
+      val aOff = gated(false)(NearestCentroids.nearest(v, cents, 1, VectorMath.L2SQ)).getInt(0)
+      val aOn = gated(true)(NearestCentroids.nearest(v, cents, 1, VectorMath.L2SQ)).getInt(0)
+      assert(aOn === aOff)
+    }
+  }
+
   test("exactness of terms: lane-pure inputs give BIT-equal sums (power-of-two values)") {
     // values whose squares/products and partial sums are all exact in
     // double: any summation order yields the identical bit pattern, so
