@@ -226,6 +226,49 @@ public final class SimdKernels {
     return best;
   }
 
+  /** l2sq of a double residual against a float centroid — the LSQ ICM
+   *  re-pick inner loop after the candidate-invariant residual hoist.
+   *  Per-term ops (widen, sub, square) replay the scalar double
+   *  sequence per lane; sum lane-reassociated as everywhere. */
+  public static double l2sqDF(double[] a, float[] b) {
+    int n = a.length;
+    int L = FS.length();
+    int DL = DS.length(); // = L / 2 (same register width)
+    int upper = n - (n % L);
+    DoubleVector acc0 = DoubleVector.zero(DS), acc1 = DoubleVector.zero(DS);
+    int i = 0;
+    for (; i < upper; i += L) {
+      FloatVector fb = FloatVector.fromArray(FS, b, i);
+      DoubleVector d0 = DoubleVector.fromArray(DS, a, i)
+          .sub((DoubleVector) fb.convert(VectorOperators.F2D, 0));
+      DoubleVector d1 = DoubleVector.fromArray(DS, a, i + DL)
+          .sub((DoubleVector) fb.convert(VectorOperators.F2D, 1));
+      acc0 = d0.fma(d0, acc0);
+      acc1 = d1.fma(d1, acc1);
+    }
+    double s = acc0.add(acc1).reduceLanes(VectorOperators.ADD);
+    for (; i < n; i++) {
+      double t = a[i] - (double) b[i];
+      s += t * t;
+    }
+    return s;
+  }
+
+  /** argmin_c l2sqDF(u, book[c]) — {@link #nearestL2}'s twin for the
+   *  hoisted-double-residual shape (LSQ ICM re-pick). */
+  public static int nearestL2D(float[][] book, double[] u) {
+    int best = 0;
+    double bestD = Double.MAX_VALUE;
+    for (int c = 0; c < book.length; c++) {
+      double d = l2sqDF(u, book[c]);
+      if (d < bestD) {
+        bestD = d;
+        best = c;
+      }
+    }
+    return best;
+  }
+
   /**
    * Residual/additive-quantizer asymmetric L2^2: the stored value is
    * the float SUM of {@code width} full-dim codebook centroids (stage

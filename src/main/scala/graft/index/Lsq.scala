@@ -132,27 +132,43 @@ object Lsq {
     // ICM: re-pick each stage against the residual of all OTHER stages
     var round = 0
     var changed = true
+    val u = new Array[Double](dim) // hoisted residual-without-stage-j
     while (round < IcmRounds && changed) {
       changed = false
       var j = 0
       while (j < m) {
         val cur = books(j)(code(j))
-        // residual without stage j: v - (approx - cur)
+        // residual without stage j: u = v - (approx - cur). The term is
+        // candidate-INVARIANT, so hoisting it out of the 256-candidate
+        // loop is bit-exact ((a-(b-c))-d evaluates u first either way)
+        // and removes 2 of the 3 inner-loop subtractions
+        var i = 0
+        while (i < dim) {
+          u(i) = v(i).toDouble - (approx(i).toDouble - cur(i).toDouble)
+          i += 1
+        }
         var best = -1
         var bestD = Double.MaxValue
         val book = books(j)
-        var c = 0
-        while (c < book.length) {
-          val cen = book(c)
-          var d = 0.0
-          var i = 0
-          while (i < dim && d < bestD) {
-            val t = (v(i).toDouble - (approx(i).toDouble - cur(i).toDouble)) - cen(i)
-            d += t * t
-            i += 1
+        if (graft.functions.VectorMath.Simd.active) {
+          // gated SIMD argmin (per-term double ops replayed per lane,
+          // sum lane-reassociated — the declared near-tie contract)
+          best = graft.functions.SimdKernels.nearestL2D(book, u)
+          bestD = 0.0 // unused past selection
+        } else {
+          var c = 0
+          while (c < book.length) {
+            val cen = book(c)
+            var d = 0.0
+            i = 0
+            while (i < dim && d < bestD) {
+              val t = u(i) - cen(i)
+              d += t * t
+              i += 1
+            }
+            if (d < bestD) { bestD = d; best = c }
+            c += 1
           }
-          if (d < bestD) { bestD = d; best = c }
-          c += 1
         }
         if (best != code(j)) {
           val nb = book(best)

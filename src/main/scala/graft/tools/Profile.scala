@@ -326,6 +326,14 @@ object Profile {
       while (i < encVecs.length) { acc += Rq.encodeOne(encVecs(i), books)(m - 1); i += 1 }
       acc
     }
+    val rawVecs = Array.fill(2000)(fvec())
+    def lsqEncLoop(): Int = {
+      var acc = 0; var i = 0
+      while (i < rawVecs.length) {
+        acc += graft.index.Lsq.encodeArr(rawVecs(i), books)(m - 1); i += 1
+      }
+      acc
+    }
     val cents = Array.fill(4096)(fvec())
     def assignLoop(): Long = {
       var acc = 0L; var i = 0
@@ -350,6 +358,9 @@ object Profile {
       }
       t(s"ivf assign 5k x 4096 cents round$round $tag") {
         System.err.println(s"[profile]    (acc=${assignLoop()})")
+      }
+      t(s"lsq8x$m icm-encode 2k vectors round$round $tag") {
+        System.err.println(s"[profile]    (acc=${lsqEncLoop()})")
       }
     }
     VectorMath.Simd.enabled = false
