@@ -34,6 +34,11 @@ object PackedScanProfile {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if (sys.env.get("GRAFT_PROFILE_SIMD").contains("1")) {
+      graft.functions.VectorMath.Simd.enabled = true
+      System.err.println(
+        s"[psp] SIMD gate ON (available=${graft.functions.VectorMath.Simd.available})")
+    }
     import spark.implicits._
 
     val R = sys.env.getOrElse("GRAFT_PSP_ROWS", "2000000").toLong
