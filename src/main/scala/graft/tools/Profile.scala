@@ -29,6 +29,7 @@ object Profile {
     }
     if (name == "simd-ab") { simdAb(spark, sfDir); spark.stop(); return }
     if (name == "coded-simd-ab") { codedSimdAb(); spark.stop(); return }
+    if (name == "flatbig-simd-ab") { flatBigSimdAb(spark, sfDir); spark.stop(); return }
     if (name == "colloc-breakdown") { collocBreakdown(spark, sfDir); spark.stop(); return }
     if (name == "flatbig-breakdown") { flatBigBreakdown(spark, sfDir); spark.stop(); return }
     if (name == "ivfbig-breakdown") { ivfBigBreakdown(spark, sfDir); spark.stop(); return }
@@ -361,6 +362,23 @@ object Profile {
       }
       t(s"lsq8x$m icm-encode 2k vectors round$round $tag") {
         System.err.println(s"[profile]    (acc=${lsqEncLoop()})")
+      }
+    }
+    VectorMath.Simd.enabled = false
+  }
+
+  /** interleaved in-process scalar/SIMD A/B of the knn_flat_big plan
+    * at a rung dir — alternation cancels the shared-VM steal drift
+    * that makes separate-process A/Bs at this scale 2-5x noisy.
+    * Needs SPARK_DRIVER_MEM=64g at the 1e10-pair rung. */
+  private def flatBigSimdAb(spark: SparkSession, dir: String): Unit = {
+    import graft.functions.VectorMath
+    val q = graft.SparkEntry.queries("knn_flat_big")
+    q(spark, dir).count() // warm: codegen + page cache for both arms
+    for (round <- 1 to 3; on <- Seq(false, true)) {
+      VectorMath.Simd.enabled = on
+      t(s"knn_flat_big round$round ${if (on) "SIMD" else "scalar"}") {
+        q(spark, dir).count()
       }
     }
     VectorMath.Simd.enabled = false
