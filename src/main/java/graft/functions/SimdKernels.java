@@ -226,6 +226,76 @@ public final class SimdKernels {
     return best;
   }
 
+  /** l2sq of a query SLICE [qoff, qoff+cen.length) against a
+   *  half-dim centroid — the IMI product-quantized coarse assignment
+   *  (per corpus row at build). Terms exact-in-double as l2sq. */
+  public static double l2sqOff(float[] q, int qoff, float[] cen) {
+    int n = cen.length;
+    int L = FS.length();
+    int upper = n - (n % L);
+    DoubleVector acc0 = DoubleVector.zero(DS), acc1 = DoubleVector.zero(DS);
+    int i = 0;
+    for (; i < upper; i += L) {
+      FloatVector va = FloatVector.fromArray(FS, q, qoff + i);
+      FloatVector vb = FloatVector.fromArray(FS, cen, i);
+      DoubleVector d0 = ((DoubleVector) va.convert(VectorOperators.F2D, 0))
+          .sub((DoubleVector) vb.convert(VectorOperators.F2D, 0));
+      DoubleVector d1 = ((DoubleVector) va.convert(VectorOperators.F2D, 1))
+          .sub((DoubleVector) vb.convert(VectorOperators.F2D, 1));
+      acc0 = d0.fma(d0, acc0);
+      acc1 = d1.fma(d1, acc1);
+    }
+    double s = acc0.add(acc1).reduceLanes(VectorOperators.ADD);
+    for (; i < n; i++) {
+      double t = (double) q[qoff + i] - (double) cen[i];
+      s += t * t;
+    }
+    return s;
+  }
+
+  /**
+   * l2sq with FLOAT-rounded terms — the k-means assignment loop's
+   * arithmetic (`val t = v(i) - cen(i); d += t * t` with float t):
+   * per-lane float sub and mul replay the scalar roundings exactly,
+   * the product widens to double for accumulation, and as everywhere
+   * only the sum's association order differs from scalar.
+   */
+  public static double l2sqF(float[] a, float[] b) {
+    int n = a.length;
+    int L = FS.length();
+    int upper = n - (n % L);
+    DoubleVector acc0 = DoubleVector.zero(DS), acc1 = DoubleVector.zero(DS);
+    int i = 0;
+    for (; i < upper; i += L) {
+      FloatVector t = FloatVector.fromArray(FS, a, i)
+          .sub(FloatVector.fromArray(FS, b, i));
+      FloatVector tt = t.mul(t);
+      acc0 = acc0.add((DoubleVector) tt.convert(VectorOperators.F2D, 0));
+      acc1 = acc1.add((DoubleVector) tt.convert(VectorOperators.F2D, 1));
+    }
+    double s = acc0.add(acc1).reduceLanes(VectorOperators.ADD);
+    for (; i < n; i++) {
+      float t = a[i] - b[i];
+      s += (double) (t * t);
+    }
+    return s;
+  }
+
+  /** argmin_c l2sqF(v, centers[c]) over the first k centers — the
+   *  k-means assignment step (first-minimum-wins, as the scalar). */
+  public static int nearestF(float[][] centers, int k, float[] v) {
+    int best = 0;
+    double bestD = Double.MAX_VALUE;
+    for (int c = 0; c < k; c++) {
+      double d = l2sqF(v, centers[c]);
+      if (d < bestD) {
+        bestD = d;
+        best = c;
+      }
+    }
+    return best;
+  }
+
   /** l2sq of a double residual against a float centroid — the LSQ ICM
    *  re-pick inner loop after the candidate-invariant residual hoist.
    *  Per-term ops (widen, sub, square) replay the scalar double

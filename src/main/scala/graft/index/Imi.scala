@@ -61,13 +61,17 @@ object Imi {
 
   private def halfDists(q: Array[Float], book: Array[Array[Float]], off: Int): Array[Double] = {
     val out = new Array[Double](book.length)
+    val simd = graft.functions.VectorMath.Simd.active // opt-in, reassociated sums
     var c = 0
     while (c < book.length) {
       val cen = book(c)
-      var d = 0.0
-      var i = 0
-      while (i < cen.length) { val t = q(off + i).toDouble - cen(i); d += t * t; i += 1 }
-      out(c) = d
+      if (simd) out(c) = graft.functions.SimdKernels.l2sqOff(q, off, cen)
+      else {
+        var d = 0.0
+        var i = 0
+        while (i < cen.length) { val t = q(off + i).toDouble - cen(i); d += t * t; i += 1 }
+        out(c) = d
+      }
       c += 1
     }
     out
@@ -79,12 +83,17 @@ object Imi {
   def assignCell(q: Array[Float], books: Array[Array[Array[Float]]]): Int = {
     val Array(b1, b2) = books
     val half = b1(0).length
+    val simd = graft.functions.VectorMath.Simd.active // IMI assignment is per corpus row
     var best1 = -1; var bd1 = Double.MaxValue
     var c = 0
     while (c < b1.length) {
       val cen = b1(c)
-      var d = 0.0; var i = 0
-      while (i < half) { val t = q(i).toDouble - cen(i); d += t * t; i += 1 }
+      var d = 0.0
+      if (simd) d = graft.functions.SimdKernels.l2sqOff(q, 0, cen)
+      else {
+        var i = 0
+        while (i < half) { val t = q(i).toDouble - cen(i); d += t * t; i += 1 }
+      }
       if (!java.lang.Double.isNaN(d) && d < bd1) { bd1 = d; best1 = c }
       c += 1
     }
@@ -92,8 +101,12 @@ object Imi {
     c = 0
     while (c < b2.length) {
       val cen = b2(c)
-      var d = 0.0; var i = 0
-      while (i < cen.length) { val t = q(half + i).toDouble - cen(i); d += t * t; i += 1 }
+      var d = 0.0
+      if (simd) d = graft.functions.SimdKernels.l2sqOff(q, half, cen)
+      else {
+        var i = 0
+        while (i < cen.length) { val t = q(half + i).toDouble - cen(i); d += t * t; i += 1 }
+      }
       if (!java.lang.Double.isNaN(d) && d < bd2) { bd2 = d; best2 = c }
       c += 1
     }

@@ -39,17 +39,14 @@ object Nsw {
       // collapsed at the 1M baseline rung), expanded back at emit
       dups: Array[Array[Long]])
 
-  @inline private def l2sq(a: Array[Float], b: Array[Float]): Double = {
-    var d = 0.0; var i = 0
-    while (i < a.length) { val t = a(i).toDouble - b(i).toDouble; d += t * t; i += 1 }
-    d
-  }
+  // loops identical to VectorMath.distArr's scalar hot paths, so
+  // delegating costs nothing and picks up the opt-in SIMD gate for
+  // graph build + traversal (same declared reassociation contract)
+  @inline private def l2sq(a: Array[Float], b: Array[Float]): Double =
+    graft.functions.VectorMath.distArr(graft.functions.VectorMath.L2SQ, a, b, 0.0)
 
-  @inline private def ip(a: Array[Float], b: Array[Float]): Double = {
-    var d = 0.0; var i = 0
-    while (i < a.length) { d += a(i).toDouble * b(i).toDouble; i += 1 }
-    d
-  }
+  @inline private def ip(a: Array[Float], b: Array[Float]): Double =
+    graft.functions.VectorMath.distArr(graft.functions.VectorMath.IP, a, b, 0.0)
 
   /** metrics the graph supports (FAISS HNSW: L2/IP; cosine and true
     * euclidean are monotone friends); validated at index create */

@@ -66,17 +66,21 @@ object Pq {
         var c0 = 0
         while (c0 < k) { java.util.Arrays.fill(sums(c0), 0.0); counts(c0) = 0; c0 += 1 }
         var anyMoved = false
+        val simd = graft.functions.VectorMath.Simd.active // training is driver-bounded but pays k x dim per point x iter
         var p = lo
         while (p < hi) {
           val v = pts(p)
           var best = 0; var bestD = Double.MaxValue
-          var c = 0
-          while (c < k) {
-            val cen = centers(c)
-            var d = 0.0; var i = 0
-            while (i < dim) { val t = v(i) - cen(i); d += t * t; i += 1 }
-            if (d < bestD) { bestD = d; best = c }
-            c += 1
+          if (simd) best = graft.functions.SimdKernels.nearestF(centers, k, v)
+          else {
+            var c = 0
+            while (c < k) {
+              val cen = centers(c)
+              var d = 0.0; var i = 0
+              while (i < dim) { val t = v(i) - cen(i); d += t * t; i += 1 }
+              if (d < bestD) { bestD = d; best = c }
+              c += 1
+            }
           }
           if (assign(p) != best) { assign(p) = best; anyMoved = true }
           counts(best) += 1

@@ -336,6 +336,8 @@ object Profile {
       acc
     }
     val cents = Array.fill(4096)(fvec())
+    val rawKm = Array.fill(5000)(fvec())
+    val imiBooks = Array.fill(2)(Array.fill(256)(Array.fill(dim / 2)(rnd.nextFloat())))
     def assignLoop(): Long = {
       var acc = 0L; var i = 0
       while (i < 5000) {
@@ -362,6 +364,16 @@ object Profile {
       }
       t(s"lsq8x$m icm-encode 2k vectors round$round $tag") {
         System.err.println(s"[profile]    (acc=${lsqEncLoop()})")
+      }
+      t(s"kmeans-train 5k x 256 x 8it round$round $tag") {
+        System.err.println(s"[profile]    (acc=${graft.index.Rq.train(rawKm.map(_.clone()), 1, 7L, 8)(0)(0)(0)})")
+      }
+      t(s"imi assign 100k x 2x256 halves round$round $tag") {
+        var acc = 0L; var i = 0
+        while (i < 100000) {
+          acc += graft.index.Imi.assignCell(rawVecs(i % rawVecs.length), imiBooks); i += 1
+        }
+        System.err.println(s"[profile]    (acc=$acc)")
       }
     }
     VectorMath.Simd.enabled = false

@@ -181,6 +181,51 @@ class SimdSpec extends AnyFunSuite {
     }
   }
 
+  test("l2sqOff: offset-slice kernel within 1e-12 of the scalar slice loop (IMI halves)") {
+    for (half <- Seq(3, 8, 16, 32, 33, 65); _ <- 1 to 10) {
+      val q = vec(2 * half)
+      val cen = vec(half)
+      for (off <- Seq(0, half)) {
+        var sc = 0.0
+        for (i <- 0 until half) { val t = q(off + i).toDouble - cen(i); sc += t * t }
+        val simd = SimdKernels.l2sqOff(q, off, cen)
+        assert(math.abs(simd - sc) <= 1e-12 * math.max(1.0, sc), s"half=$half off=$off")
+      }
+    }
+  }
+
+  test("l2sqF: float-rounded-term kernel matches the k-means scalar arithmetic within 1e-12") {
+    for (dim <- Seq(5, 16, 31, 64, 130); _ <- 1 to 10) {
+      val a = vec(dim); val b = vec(dim)
+      var sc = 0.0
+      for (i <- 0 until dim) { val t = a(i) - b(i); sc += (t * t).toDouble }
+      val simd = SimdKernels.l2sqF(a, b)
+      assert(math.abs(simd - sc) <= 1e-12 * math.max(1.0, sc), s"dim=$dim")
+      // dyadic inputs: terms exact, any association order bit-equal
+      val da = Array.tabulate(dim)(i => math.pow(2.0, (i % 5) - 2).toFloat)
+      val db = Array.tabulate(dim)(i => math.pow(2.0, ((i + 1) % 5) - 2).toFloat)
+      var dsc = 0.0
+      for (i <- 0 until dim) { val t = da(i) - db(i); dsc += (t * t).toDouble }
+      assert(SimdKernels.l2sqF(da, db) === dsc)
+    }
+  }
+
+  test("gated IMI assignment and RQ training (k-means + argmin) are identical on random data") {
+    import graft.index.{Imi, Rq}
+    val dim = 32
+    val books = Array.fill(2)(Array.fill(64)(vec(dim / 2)))
+    for (_ <- 1 to 20) {
+      val q = vec(dim)
+      assert(gated(true)(Imi.assignCell(q, books)) === gated(false)(Imi.assignCell(q, books)))
+    }
+    // Rq.train runs localKMeans per stage + nearestIn residual subtraction:
+    // identical codebooks on tie-free data pins the whole gated train path
+    val pts = Array.fill(2000)(vec(16))
+    val off = gated(false)(Rq.train(pts.map(_.clone()), 2, 42L, 4))
+    val on = gated(true)(Rq.train(pts.map(_.clone()), 2, 42L, 4))
+    assert(on.map(_.map(_.toSeq).toSeq).toSeq === off.map(_.map(_.toSeq).toSeq).toSeq)
+  }
+
   test("exactness of terms: lane-pure inputs give BIT-equal sums (power-of-two values)") {
     // values whose squares/products and partial sums are all exact in
     // double: any summation order yields the identical bit pattern, so
