@@ -96,14 +96,7 @@ object NearestCentroids {
     val heap = new TopKHeap(math.min(nprobe, centroids.length), asc)
     var c = 0
     while (c < centroids.length) {
-      var d = 0.0
-      var i = 0
-      if (metric == VectorMath.IP) {
-        while (i < q.length) { d += q(i).toDouble * centroids(c)(i); i += 1 }
-      } else {
-        while (i < q.length) { val t = q(i).toDouble - centroids(c)(i); d += t * t; i += 1 }
-      }
-      heap.insert(d, c.toLong)
+      heap.insert(distTo(q, centroids(c), metric), c.toLong) // same loops, same SIMD gate
       c += 1
     }
     heap.sorted.map(_._2.toInt).toSeq

@@ -23,6 +23,10 @@ object CoarseProfile {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if (sys.env.get("GRAFT_PROFILE_SIMD").contains("1")) {
+      VectorMath.Simd.enabled = true
+      System.err.println(s"[coarse] SIMD gate ON (available=${VectorMath.Simd.available})")
+    }
 
     val N = sys.env.getOrElse("GRAFT_CP_ROWS", "1000000").toLong
     val NLIST = sys.env.getOrElse("GRAFT_CP_NLIST", "65536").toInt
