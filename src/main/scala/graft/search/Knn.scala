@@ -31,6 +31,29 @@ object Knn {
     * (pushdown, AQE) is worth keeping. */
   private[graft] val FastFlatThresholdConf = "spark.graft.knn.fastFlatThresholdBytes"
 
+  /** Corpus-size ceiling (bytes, from optimizer plan stats) BELOW which
+    * [[searchFlat]] serves the whole batch DRIVER-LOCALLY: the corpus is
+    * materialized once per DataFrame instance (same contract as
+    * `.cache()` — a new DataFrame re-collects) and every subsequent
+    * batch is answered with the same TopKHeap + distArr kernels in
+    * driver memory, skipping Spark's ~0.2 s per-job plan/schedule/
+    * collect cost entirely. This is the serving shape the reference
+    * gets for free from an in-process FAISS index — at N = 2k the
+    * distributed scan pays 100x its compute in fixed job overhead.
+    * Results are bit-identical to the distributed plans (same kernels,
+    * same deterministic (distance, label) heap order; parity-spec'd).
+    * Default 0 = OFF: the distributed plan is the 100 TB default and
+    * the gates exercise it; serving deployments with small/replica
+    * indexes opt in. Row cap `localServeMaxRows` (default 1M) bounds
+    * driver memory LOUDLY — above it the distributed plan runs. */
+  private[graft] val LocalServeThresholdConf = "spark.graft.knn.localServeThresholdBytes"
+  private[graft] val LocalServeMaxRowsConf = "spark.graft.knn.localServeMaxRows"
+
+  // driver-resident corpora keyed by analyzed-plan object identity:
+  // entries live exactly as long as the serving DataFrame does
+  private val localCorpora = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[AnyRef, (Array[Long], Array[Array[Float]])]())
+
   /** widen CPU-bound narrow scans to the session parallelism (no-op on
     * real multi-split inputs) — shared by the search paths and the
     * index builds so their partitioning behavior can't drift.
@@ -90,6 +113,18 @@ object Knn {
     // as UNKNOWN, not huge, or tiny RDD-backed corpora would route to
     // the eager fast path and its maxQueryBatch driver-collect cap
     val sizeKnown = sizeEst != BigInt(spark.sessionState.conf.defaultSizeInBytes)
+    val localThresh = spark.conf.getOption(LocalServeThresholdConf)
+      .map(_.toLong).getOrElse(0L)
+    val localServed: Option[DataFrame] =
+      if (localThresh > 0 && sizeKnown && sizeEst <= localThresh)
+        searchFlatLocal(data, cleanQueries, k, metric,
+          labelCol, vecCol, qidCol, qvecCol, excludeSelf, padToK)
+      else None
+    localServed match {
+      case Some(local) =>
+        return if (qidCol == "qid") local else local.withColumnRenamed("qid", qidCol)
+      case None => ()
+    }
     val shaped = if (packThresh > 0 && sizeKnown && sizeEst >= packThresh) {
       // big-corpus path: delegate to the partition-local-heap kernel.
       // Measured at the 1000x rung (1e10 pairs, knn_flat_big): the
@@ -121,6 +156,72 @@ object Knn {
         k, asc, padToK)
     }
     if (qidCol == "qid") shaped else shaped.withColumnRenamed("qid", qidCol)
+  }
+
+  /**
+   * Driver-local flat serve (see [[LocalServeThresholdConf]]): answer
+   * the query batch from a one-time driver copy of a SMALL corpus with
+   * the exact kernels and heap order of the distributed plans. Returns
+   * None (caller falls through to the distributed plan, loudly) when
+   * the corpus exceeds the row cap — the stats estimate that routed us
+   * here was wrong, and driver memory is a hard boundary.
+   */
+  private def searchFlatLocal(
+      data: DataFrame, cleanQueries: DataFrame, k: Int, metric: String,
+      labelCol: String, vecCol: String, qidCol: String, qvecCol: String,
+      excludeSelf: Boolean, padToK: Boolean): Option[DataFrame] = {
+    val spark = data.sparkSession
+    import spark.implicits._
+    val mid = VectorMath.metricId(metric)
+    val asc = VectorMath.smallerIsCloser(mid)
+    val key = data.queryExecution.analyzed
+    var corpus = localCorpora.get(key)
+    if (corpus == null) {
+      val cap = spark.conf.getOption(LocalServeMaxRowsConf).map(_.toInt).getOrElse(1 << 20)
+      val rows = data
+        .where(col(labelCol).isNotNull && col(vecCol).isNotNull) // fast path skips null rows
+        .select(col(labelCol).cast("long"), vec.vector(col(vecCol)))
+        .limit(cap + 1)
+        .collect()
+      if (rows.length > cap) {
+        System.err.println(
+          s"[graft] local-serve corpus exceeds $LocalServeMaxRowsConf=$cap rows; " +
+            "falling back to the distributed plan")
+        return None
+      }
+      corpus = (rows.map(_.getLong(0)), rows.map(_.getSeq[Float](1).toArray))
+      localCorpora.put(key, corpus)
+    }
+    val (labels, vecs) = corpus
+    val maxBatch = graft.index.IndexCatalog.maxQueryBatch(spark)
+    val qRows = cleanQueries
+      .select(col(qidCol).cast("long"), col(qvecCol))
+      .limit(maxBatch + 1)
+      .collect()
+    if (qRows.length > maxBatch)
+      throw new IllegalStateException(
+        s"knn query batch exceeds $maxBatch rows (${graft.index.IndexCatalog.MaxQueryBatchConf}); " +
+          "local serve collects the query side — use the distributed plan for unbounded batches")
+    val out = Seq.newBuilder[(Long, Int, Long, Double)]
+    val padDist = if (asc) Double.MaxValue else Double.MinValue
+    qRows.foreach { r =>
+      val qid = r.getLong(0)
+      val qv = r.getSeq[Float](1).toArray
+      val h = new graft.functions.TopKHeap(k, asc)
+      var i = 0
+      while (i < labels.length) {
+        if (!(excludeSelf && labels(i) == qid))
+          h.insert(VectorMath.distArr(mid, vecs(i), qv, 3.0), labels(i))
+        i += 1
+      }
+      val sorted = h.sorted
+      var rank = 0
+      while (rank < sorted.length) {
+        out += ((qid, rank, sorted(rank)._2, sorted(rank)._1)); rank += 1
+      }
+      while (padToK && rank < k) { out += ((qid, rank, -1L, padDist)); rank += 1 }
+    }
+    Some(out.result().toDF("qid", "rank", "label", "distance"))
   }
 
   /**

@@ -103,6 +103,15 @@ object AnnBaseline {
       run("flat_scan", () =>
         graft.search.Knn.searchFlatFast(corpus, queries, K, "l2sq"))
 
+      // driver-local serving tier: the in-process shape the reference
+      // gets from FAISS — one driver copy of a SMALL corpus, then
+      // pure-JVM batches with the identical kernels (bit-equal,
+      // spec-pinned). This is what removes Spark's ~0.2 s fixed job
+      // cost at the honest N=2k rung; the 1M-row cap bounds it.
+      spark.conf.set(graft.search.Knn.LocalServeThresholdConf, Long.MaxValue.toString)
+      try run("flat_local", () => graft.search.Knn.searchFlat(corpus, queries, K, "l2sq"))
+      finally spark.conf.unset(graft.search.Knn.LocalServeThresholdConf)
+
       val ivf = s"bb_ivf_$corpusName"
       if (IndexCatalog.exists(ivf)) IndexCatalog.destroy(ivf)
       IndexCatalog.create(ivf, 64, "IDMap,IVF64,Flat", "l2sq", Map("nprobe" -> "8"))

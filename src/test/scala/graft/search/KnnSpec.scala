@@ -46,6 +46,53 @@ class KnnSpec extends SparkSpec {
     assert(packedPad === rowPad)
   }
 
+  test("driver-local serve is bit-equal to the distributed plan (metrics, excludeSelf, pad) and caches per DataFrame") {
+    import spark.implicits._
+    val queries = Seq(
+      (0L, Array(0.2f, 0.0f)), (7L, Array(9.6f, 4.4f)), (55L, Array(5.0f, 5.0f)))
+      .toDF("qid", "qvec")
+    def run(local: Boolean, metric: String, exSelf: Boolean, pad: Boolean) = {
+      if (local) spark.conf.set(Knn.LocalServeThresholdConf, Long.MaxValue.toString)
+      try Knn.searchFlat(data, queries, 4, metric, excludeSelf = exSelf, padToK = pad)
+        .collect().map(_.toString).sorted.toSeq
+      finally spark.conf.unset(Knn.LocalServeThresholdConf)
+    }
+    for (metric <- Seq("l2sq", "ip", "cosine", "l1"); exSelf <- Seq(false, true)) {
+      assert(run(local = true, metric, exSelf, pad = false) ===
+        run(local = false, metric, exSelf, pad = false), s"metric=$metric excludeSelf=$exSelf")
+    }
+    assert(run(local = true, "l2sq", exSelf = false, pad = true) ===
+      run(local = false, "l2sq", exSelf = false, pad = true))
+    // local plan is a LocalRelation (no distributed scan in the plan)
+    spark.conf.set(Knn.LocalServeThresholdConf, Long.MaxValue.toString)
+    try {
+      val plan = Knn.searchFlat(data, queries, 3, "l2sq")
+        .queryExecution.optimizedPlan.toString
+      assert(plan.contains("LocalRelation"), plan.take(300))
+    } finally spark.conf.unset(Knn.LocalServeThresholdConf)
+  }
+
+  test("driver-local serve: over-cap corpus falls back to the distributed plan; oversized batch fails loudly") {
+    import spark.implicits._
+    val queries = Seq((0L, Array(0.2f, 0.0f))).toDF("qid", "qvec")
+    spark.conf.set(Knn.LocalServeThresholdConf, Long.MaxValue.toString)
+    spark.conf.set(Knn.LocalServeMaxRowsConf, "5") // 100-row corpus exceeds it
+    try {
+      val res = Knn.searchFlat(data, queries, 3, "l2sq").orderBy("rank").collect()
+      assert(res.map(_.getLong(2)).toSeq === Seq(0L, 1L, 10L)) // distributed fallback answered
+      spark.conf.unset(Knn.LocalServeMaxRowsConf)
+      spark.conf.set(graft.index.IndexCatalog.MaxQueryBatchConf, "0")
+      val ex = intercept[IllegalStateException] {
+        Knn.searchFlat(data, queries, 3, "l2sq").collect()
+      }
+      assert(ex.getMessage.contains("query batch exceeds"))
+    } finally {
+      spark.conf.unset(Knn.LocalServeThresholdConf)
+      spark.conf.unset(Knn.LocalServeMaxRowsConf)
+      spark.conf.unset(graft.index.IndexCatalog.MaxQueryBatchConf)
+    }
+  }
+
   test("stats-less (RDD-backed) corpus routes to the broadcast-join plan, not the eager fast kernel") {
     import spark.implicits._
     // createDataFrame(rdd) yields a LogicalRDD whose sizeInBytes is the
