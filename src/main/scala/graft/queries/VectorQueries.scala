@@ -42,6 +42,14 @@ object VectorQueries {
         Tables.quant4(col("distance")).as("distance"))
   }
 
+  /** knn_flat_l2 through the DRIVER-LOCAL serving tier (bit-equal by
+    * design; this gate proves it against the same DuckDB oracle) */
+  private def knnLocalQuery(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set(graft.search.Knn.LocalServeThresholdConf, Long.MaxValue.toString)
+    try knnQuery("l2sq")(s, dir)
+    finally s.conf.unset(graft.search.Knn.LocalServeThresholdConf)
+  }
+
   /** binary IVF (FAISS IndexBinaryIVF shape): sign-bit codes, Hamming
     * coarse quantizer, nprobe-list search. Centroid codes are the sign
     * bits of float k-means centroids (bit i set ⇔ dim i >= 0 — the
@@ -138,6 +146,7 @@ object VectorQueries {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "knn_flat_l2" -> (knnQuery("l2sq") _),
+    "knn_flat_local" -> (knnLocalQuery _),
     "knn_flat_ip" -> (knnQuery("ip") _),
     "knn_flat_cosine" -> (knnQuery("cosine") _),
     "knn_flat_l1" -> (knnQuery("l1") _),
@@ -714,6 +723,7 @@ object VectorQueries {
          |SELECT qid, rank, label, CAST(CAST(dist AS DECIMAL(18,4)) AS DOUBLE) AS distance
          |FROM r WHERE rank < 3""".stripMargin,
     "knn_flat_l2" -> knnOracle(l2sqSql, "ASC", ""),
+    "knn_flat_local" -> knnOracle(l2sqSql, "ASC", ""),
     "knn_flat_l1" -> knnOracle(
       "list_sum([ abs(CAST(a[i] AS DOUBLE) - CAST(b[i] AS DOUBLE)) FOR i IN range(1, len(a)+1) ])",
       "ASC", ""),
