@@ -296,6 +296,33 @@ public final class SimdKernels {
     return best;
   }
 
+  /**
+   * One output dimension of the PCA/OPQ pre-transform:
+   * sum_i c[i] * (v[i] - mean[i]) — float sub and mul replayed per
+   * lane exactly as the scalar loop rounds them (the precision
+   * contract the PCA oracle replays), product widened to double for
+   * accumulation; only the sum's association order differs.
+   */
+  public static double pcaTerm(float[] c, float[] v, float[] mean) {
+    int n = mean.length;
+    int L = FS.length();
+    int upper = n - (n % L);
+    DoubleVector acc0 = DoubleVector.zero(DS), acc1 = DoubleVector.zero(DS);
+    int i = 0;
+    for (; i < upper; i += L) {
+      FloatVector t = FloatVector.fromArray(FS, v, i)
+          .sub(FloatVector.fromArray(FS, mean, i))
+          .mul(FloatVector.fromArray(FS, c, i));
+      acc0 = acc0.add((DoubleVector) t.convert(VectorOperators.F2D, 0));
+      acc1 = acc1.add((DoubleVector) t.convert(VectorOperators.F2D, 1));
+    }
+    double s = acc0.add(acc1).reduceLanes(VectorOperators.ADD);
+    for (; i < n; i++) {
+      s += c[i] * (v[i] - mean[i]);
+    }
+    return s;
+  }
+
   /** l2sq of a double residual against a float centroid — the LSQ ICM
    *  re-pick inner loop after the candidate-invariant residual hoist.
    *  Per-term ops (widen, sub, square) replay the scalar double

@@ -62,12 +62,21 @@ object Pca {
   /** driver-side twin of [[project]] for already-materialized samples */
   def projectArr(v: Array[Float], mean: Array[Float], comps: Array[Array[Float]]): Array[Float] = {
     val out = new Array[Float](comps.length)
+    // opt-in SIMD (the PCA/OPQ pre-transform runs per corpus row at
+    // encode and per query at search): per-term float roundings are
+    // replayed per lane, only the dot's association order differs —
+    // the usual declared contract; scalar stays the oracle-replayed
+    // canonical path
+    val simd = graft.functions.VectorMath.Simd.active
     var j = 0
     while (j < comps.length) {
       val c = comps(j)
       var s = 0.0
-      var i = 0
-      while (i < mean.length) { s += c(i) * (v(i) - mean(i)); i += 1 }
+      if (simd) s = graft.functions.SimdKernels.pcaTerm(c, v, mean)
+      else {
+        var i = 0
+        while (i < mean.length) { s += c(i) * (v(i) - mean(i)); i += 1 }
+      }
       out(j) = s.toFloat
       j += 1
     }
@@ -75,6 +84,10 @@ object Pca {
   }
 
   def project(v: ArrayData, mean: Array[Float], comps: Array[Array[Float]]): ArrayData = {
+    // gated path: one primitive copy per row (also replaces dim x
+    // comps virtual getFloat calls), then the SIMD matvec
+    if (graft.functions.VectorMath.Simd.active)
+      return new GenericArrayData(projectArr(v.toFloatArray(), mean, comps))
     val dim = mean.length
     val out = new Array[Float](comps.length)
     var j = 0

@@ -338,6 +338,8 @@ object Profile {
     val cents = Array.fill(4096)(fvec())
     val rawKm = Array.fill(5000)(fvec())
     val imiBooks = Array.fill(2)(Array.fill(256)(Array.fill(dim / 2)(rnd.nextFloat())))
+    val pcaMean = fvec()
+    val pcaComps = Array.fill(dim)(fvec())
     def assignLoop(): Long = {
       var acc = 0L; var i = 0
       while (i < 5000) {
@@ -372,6 +374,14 @@ object Profile {
         var acc = 0L; var i = 0
         while (i < 100000) {
           acc += graft.index.Imi.assignCell(rawVecs(i % rawVecs.length), imiBooks); i += 1
+        }
+        System.err.println(s"[profile]    (acc=$acc)")
+      }
+      t(s"pca/opq project 100k x ${dim}x$dim round$round $tag") {
+        var acc = 0.0; var i = 0
+        while (i < 100000) {
+          acc += graft.index.Pca.projectArr(rawVecs(i % rawVecs.length), pcaMean, pcaComps)(0)
+          i += 1
         }
         System.err.println(s"[profile]    (acc=$acc)")
       }

@@ -226,6 +226,41 @@ class SimdSpec extends AnyFunSuite {
     assert(on.map(_.map(_.toSeq).toSeq).toSeq === off.map(_.map(_.toSeq).toSeq).toSeq)
   }
 
+  test("pcaTerm: SIMD within 1e-12 of the scalar PCA/OPQ transform term; dyadic inputs BIT-equal") {
+    for (dim <- Seq(3, 16, 31, 64, 130); _ <- 1 to 10) {
+      val c = vec(dim); val v = vec(dim); val mean = vec(dim)
+      var sc = 0.0
+      for (i <- 0 until dim) sc += c(i) * (v(i) - mean(i))
+      val simd = SimdKernels.pcaTerm(c, v, mean)
+      assert(math.abs(simd - sc) <= 1e-12 * math.max(1.0, math.abs(sc)), s"dim=$dim")
+    }
+    val dim = 96
+    val dc = Array.tabulate(dim)(i => math.pow(2.0, (i % 5) - 2).toFloat)
+    val dv = Array.tabulate(dim)(i => math.pow(2.0, ((i + 1) % 5) - 2).toFloat)
+    val dm = Array.tabulate(dim)(i => math.pow(2.0, ((i + 2) % 5) - 2).toFloat)
+    var dsc = 0.0
+    for (i <- 0 until dim) dsc += dc(i) * (dv(i) - dm(i))
+    assert(SimdKernels.pcaTerm(dc, dv, dm) === dsc)
+  }
+
+  test("gated PCA projection agrees with scalar within one float ULP per output dim") {
+    import graft.index.Pca
+    val dim = 64
+    val mean = vec(dim)
+    val comps = Array.fill(16)(vec(dim))
+    for (_ <- 1 to 20) {
+      val v = vec(dim)
+      val off = gated(false)(Pca.projectArr(v, mean, comps))
+      val on = gated(true)(Pca.projectArr(v, mean, comps))
+      off.zip(on).foreach { case (a, b) =>
+        // the double dot differs only in association order (~1e-15
+        // relative); after toFloat that is at most one ULP on a
+        // rounding-boundary hit
+        assert(math.abs(a - b) <= math.ulp(a), s"$a vs $b")
+      }
+    }
+  }
+
   test("exactness of terms: lane-pure inputs give BIT-equal sums (power-of-two values)") {
     // values whose squares/products and partial sums are all exact in
     // double: any summation order yields the identical bit pattern, so
