@@ -352,9 +352,11 @@ public final class SimdKernels {
   }
 
   /** argmin_c l2sqDF(u, book[c]) — {@link #nearestL2}'s twin for the
-   *  hoisted-double-residual shape (LSQ ICM re-pick). */
+   *  hoisted-double-residual shape (LSQ ICM re-pick). Mirrors the
+   *  scalar ICM loop's init: -1 when every distance is NaN (the caller
+   *  skips the re-pick), not a silent re-pick of centroid 0. */
   public static int nearestL2D(float[][] book, double[] u) {
-    int best = 0;
+    int best = -1;
     double bestD = Double.MAX_VALUE;
     for (int c = 0; c < book.length; c++) {
       double d = l2sqDF(u, book[c]);

@@ -170,7 +170,10 @@ object Lsq {
             c += 1
           }
         }
-        if (best != code(j)) {
+        // best = -1 (all-NaN distances: NaN residual or codebook) keeps
+        // the current assignment on BOTH paths — the scalar loop and
+        // nearestL2D share the -1 init, so there is no NaN divergence
+        if (best >= 0 && best != code(j)) {
           val nb = book(best)
           var i = 0
           while (i < dim) { approx(i) += nb(i) - cur(i); i += 1 }
@@ -185,8 +188,8 @@ object Lsq {
 
   private def nearestTo(v: Array[Float], book: Array[Array[Float]]): Int = {
     // same opt-in SIMD argmin as Rq.nearestIn (greedy init shares the
-    // rule); the ICM loop below stays scalar — its residual term mixes
-    // four arrays in double and is not a shared-kernel shape
+    // rule); the ICM re-pick above has its own gated twin (nearestL2D,
+    // the hoisted-double-residual shape)
     if (graft.functions.VectorMath.Simd.active)
       return graft.functions.SimdKernels.nearestL2(book, v)
     var best = 0

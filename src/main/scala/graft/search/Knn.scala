@@ -49,10 +49,16 @@ object Knn {
   private[graft] val LocalServeThresholdConf = "spark.graft.knn.localServeThresholdBytes"
   private[graft] val LocalServeMaxRowsConf = "spark.graft.knn.localServeMaxRows"
 
-  // driver-resident corpora keyed by analyzed-plan object identity:
-  // entries live exactly as long as the serving DataFrame does
+  // driver-resident corpora keyed by the DataFrame's QueryExecution —
+  // which does NOT override equals, so WeakHashMap's equals/hashCode
+  // lookup degenerates to reference identity (a structurally-equal but
+  // distinct DataFrame re-collects; no deep plan hashing per lookup)
+  // and the entry lives exactly as long as the serving DataFrame does.
+  // The value carries the (labelCol, vecCol) the corpus was extracted
+  // with: a second call on the same DataFrame with different columns
+  // re-collects instead of silently serving the first call's columns.
   private val localCorpora = java.util.Collections.synchronizedMap(
-    new java.util.WeakHashMap[AnyRef, (Array[Long], Array[Array[Float]])]())
+    new java.util.WeakHashMap[AnyRef, ((String, String), Array[Long], Array[Array[Float]])]())
 
   /** widen CPU-bound narrow scans to the session parallelism (no-op on
     * real multi-split inputs) — shared by the search paths and the
@@ -174,10 +180,13 @@ object Knn {
     import spark.implicits._
     val mid = VectorMath.metricId(metric)
     val asc = VectorMath.smallerIsCloser(mid)
-    val key = data.queryExecution.analyzed
+    val key = data.queryExecution
+    val cols = (labelCol, vecCol)
     var corpus = localCorpora.get(key)
-    if (corpus == null) {
-      val cap = spark.conf.getOption(LocalServeMaxRowsConf).map(_.toInt).getOrElse(1 << 20)
+    if (corpus == null || corpus._1 != cols) {
+      val cap = math.min(
+        spark.conf.getOption(LocalServeMaxRowsConf).map(_.toInt).getOrElse(1 << 20),
+        Int.MaxValue - 1) // clamp so the +1 below can't overflow to a negative limit
       val rows = data
         .where(col(labelCol).isNotNull && col(vecCol).isNotNull) // fast path skips null rows
         .select(col(labelCol).cast("long"), vec.vector(col(vecCol)))
@@ -189,11 +198,12 @@ object Knn {
             "falling back to the distributed plan")
         return None
       }
-      corpus = (rows.map(_.getLong(0)), rows.map(_.getSeq[Float](1).toArray))
+      corpus = (cols, rows.map(_.getLong(0)), rows.map(_.getSeq[Float](1).toArray))
       localCorpora.put(key, corpus)
     }
-    val (labels, vecs) = corpus
-    val maxBatch = graft.index.IndexCatalog.maxQueryBatch(spark)
+    val (_, labels, vecs) = corpus
+    val maxBatch =
+      math.min(graft.index.IndexCatalog.maxQueryBatch(spark), Int.MaxValue - 1)
     val qRows = cleanQueries
       .select(col(qidCol).cast("long"), col(qvecCol))
       .limit(maxBatch + 1)

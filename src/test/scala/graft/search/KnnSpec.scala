@@ -72,6 +72,31 @@ class KnnSpec extends SparkSpec {
     } finally spark.conf.unset(Knn.LocalServeThresholdConf)
   }
 
+  test("driver-local serve re-collects when the same DataFrame is searched with different label/vec columns") {
+    import spark.implicits._
+    // one DataFrame, TWO (label, vec) column pairs: the cached corpus is
+    // keyed per QueryExecution, so the second call must not silently
+    // serve the first call's extraction (the r11 ADVICE hazard)
+    val dual = Seq(
+      (1L, Array(0f, 0f), 101L, Array(9f, 9f)),
+      (2L, Array(5f, 5f), 102L, Array(1f, 1f)))
+      .toDF("la", "va", "lb", "vb")
+    val queries = Seq((0L, Array(0f, 0f))).toDF("qid", "qvec")
+    spark.conf.set(Knn.LocalServeThresholdConf, Long.MaxValue.toString)
+    try {
+      val a = Knn.searchFlat(dual, queries, 1, "l2sq", labelCol = "la", vecCol = "va")
+        .collect().head
+      assert(a.getLong(2) === 1L) // va's (0,0) is the 0-distance hit
+      val b = Knn.searchFlat(dual, queries, 1, "l2sq", labelCol = "lb", vecCol = "vb")
+        .collect().head
+      assert(b.getLong(2) === 102L) // vb's (1,1), not a stale va corpus
+      // and back: the re-collect didn't poison the first extraction
+      val a2 = Knn.searchFlat(dual, queries, 1, "l2sq", labelCol = "la", vecCol = "va")
+        .collect().head
+      assert(a2.getLong(2) === 1L)
+    } finally spark.conf.unset(Knn.LocalServeThresholdConf)
+  }
+
   test("driver-local serve: over-cap corpus falls back to the distributed plan; oversized batch fails loudly") {
     import spark.implicits._
     val queries = Seq((0L, Array(0.2f, 0.0f))).toDF("qid", "qvec")
