@@ -377,6 +377,23 @@ object IndexCatalog {
   def trainedPcaOf(name: String): Option[(Array[Float], Array[Array[Float]])] =
     entry(name).trainedPca.map { case (m, c) => (m.clone(), c.map(_.clone())) }
 
+  /** trained coarse-quantizer centroids of an IVF-family index — the
+    * FAISS analog of reading `quantizer->reconstruct_n`. Exposed for
+    * the same reason as [[trainedPcaOf]]: a gate can inject the trained
+    * state into its DuckDB oracle and replay assignment + probing
+    * verbatim, turning a partial-probe rows-only gate into an exact
+    * one (VERDICT r11 #1). */
+  def trainedCentroidsOf(name: String): Option[Array[Array[Float]]] =
+    entry(name).trained.map(_.map(_.clone()))
+
+  /** trained scalar-quantizer state — (vmin, vdiff, coarse centroids):
+    * the FAISS analog of reading `sq.trained` off an IndexScalarQuantizer.
+    * Same injection purpose as [[trainedCentroidsOf]]. */
+  def trainedSqOf(name: String)
+      : Option[(Array[Float], Array[Float], Option[Array[Array[Float]]])] =
+    entry(name).trainedSq.map { case (mn, df, cs) =>
+      (mn.clone(), df.clone(), cs.map(_.map(_.clone()))) }
+
   /** catalog introspection: metadata of every registered index */
   def list(): Seq[IndexMeta] =
     entries.values().asScala.map(_.meta).toSeq.sortBy(_.name)
@@ -1897,7 +1914,9 @@ object IndexCatalog {
     * an oversized batch throws with a pointer at the unbounded-join
     * operator instead of collecting to death. */
   private def collectQueryBatch(queries: DataFrame): Array[(Long, Array[Float])] = {
-    val maxBatch = maxQueryBatch(queries.sparkSession)
+    // clamped so the +1 below can't overflow to a negative limit when
+    // the conf is set to Int.MaxValue (same guard as Knn's local serve)
+    val maxBatch = math.min(maxQueryBatch(queries.sparkSession), Int.MaxValue - 1)
     // null rows are dropped BEFORE the limit so they never count toward
     // the cap — the bound is on rows actually collected
     val rows = queries
