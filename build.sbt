@@ -38,3 +38,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// opt-in extra flags for forked runs without editing the build — e.g.
+// SPARK_GRAFT_JAVA_OPTS="-Dgraft.simd.enabled=true" for the SIMD-on
+// suite artifact (BENCH_SIMD.json / the simd_ab comparison)
+javaOptions ++= sys.env.get("SPARK_GRAFT_JAVA_OPTS").toSeq
+  .flatMap(_.trim.split("\\s+").toSeq.filter(_.nonEmpty))

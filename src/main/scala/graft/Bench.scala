@@ -172,19 +172,47 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec",""" +
         s""""env_factor":${f"$envFactor%.4f"},"env_median_ratio":${f"$medianRatio%.4f"}""" +
         s"""$phasesJson,"queries":$qs,"sf":"$sfDir"}"""
-    println(jsonLine)
-    // Also persist the full per-query map to a file: the driver captures
-    // only a truncated stdout tail (BENCH_r09.json lost the first ~170
-    // query timings), so the artifact of record is this file in cwd.
-    // A filtered local run (SPARK_GRAFT_BENCH_ONLY) is NOT the artifact
-    // of record — it goes to a scratch name so it can't clobber the
-    // full map (which it did once, leaving a 16-query artifact in git).
+    // Persist the FULL per-query map (all queries, full precision) to a
+    // file: the driver captures only a ~2000-char stdout tail as
+    // BENCH_rN.json ("tail" + "parsed"), which truncated the ~7.5 KB
+    // full line mid-object every round since r9 — "parsed" came back
+    // null and only the alphabetic tail of the map was visible. The
+    // file is committed by the driver with each round's artifacts, so
+    // it IS per-round. A filtered local run (SPARK_GRAFT_BENCH_ONLY) is
+    // NOT the artifact of record — it goes to a scratch name so it
+    // can't clobber the full map (which it did once, leaving a
+    // 16-query artifact in git).
     val dumpName =
-      if (only.isEmpty) "BENCH_QUERIES.json" else "BENCH_QUERIES_partial.json"
+      if (graft.functions.VectorMath.Simd.active) "BENCH_SIMD.json" // the SIMD-on A/B artifact
+      else if (only.isEmpty) "BENCH_QUERIES.json"
+      else "BENCH_QUERIES_partial.json"
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(dumpName),
       (jsonLine + "\n").getBytes("UTF-8"))
     catch { case e: Throwable => System.err.println(s"[bench] file dump skipped: $e") }
+    // The STDOUT line is built to FIT the driver's tail so BENCH_rN's
+    // "parsed" is never null again: same summary fields, then as many
+    // per-query entries as the byte budget allows, SLOWEST FIRST (the
+    // informative end of the distribution — sub-second queries are
+    // floor-gated in this JVM already, see stderr), plus explicit
+    // shown/total counts and a pointer to the full committed map.
+    val tailBudget = 1900 // chars; driver keeps ~2000
+    // phases ride along only while small; past that they'd eat the
+    // per-query budget (they are always in the full file line)
+    val phasesShort = if (phasesJson.length <= 400) phasesJson else ""
+    val fixed =
+      s"""{"metric":"total","value":$total,"unit":"sec",""" +
+        s""""env_factor":${f"$envFactor%.4f"},"env_median_ratio":${f"$medianRatio%.4f"}""" +
+        s"""$phasesShort,"queries_count":${results.size},""" +
+        s""""queries_file":"$dumpName","sf":"$sfDir","queries":"""
+    val closing = "}"
+    var used = fixed.length + 2 + closing.length // "{" + "}" of the queries map
+    val shown = scala.collection.mutable.ArrayBuffer.empty[String]
+    results.sortBy(-_._2).foreach { case (k, v) =>
+      val e = "\"" + k + "\":" + f"$v%.3f"
+      if (used + e.length + 1 <= tailBudget) { shown += e; used += e.length + 1 }
+    }
+    println(fixed + shown.mkString("{", ",", "}") + closing)
     spark.stop()
   }
 }
