@@ -86,24 +86,70 @@ object Multimodal {
         (length(col(textCol)) * 10L).as("duration_ms")).as("meta"))
 
   /**
+   * ==================== REAL CODEC (opt-in) ====================
+   * JDK-only image decode (javax.imageio — PNG/JPEG/GIF/BMP readers
+   * ship with the JRE; no new dependencies): proves the mapPartitions
+   * plumbing carries a REAL pixel decode unchanged. Feature layout
+   * (dim 8): [width, height, meanR, meanG, meanB, meanLuma(Rec.601),
+   * pixel_count, aspect_ratio] — channel means accumulate in double
+   * over the row-major pixel walk, deterministic for a given decoder.
+   * An undecodable payload yields a NULL feature (a corrupt image in a
+   * 100 TB manifest must not kill the job; count them downstream with
+   * feature IS NULL). Audio/video have no JDK codec — they stay on the
+   * stub in real mode too, keeping the swap boundary per-modality.
+   */
+  object ImageIoCodec {
+    val featureDim = 8
+    def decode(payload: Array[Byte], modality: String): Array[Float] = {
+      if (modality != "image") return StubCodec.decode(payload, modality)
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+        catch { case _: java.io.IOException => null }
+      if (img == null) return null // not a decodable image
+      val (w, h) = (img.getWidth, img.getHeight)
+      var (r, g, b) = (0.0, 0.0, 0.0)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val p = img.getRGB(x, y) // sRGB regardless of source model
+          r += (p >> 16) & 0xff; g += (p >> 8) & 0xff; b += p & 0xff
+          x += 1
+        }
+        y += 1
+      }
+      val n = math.max(1, w * h).toDouble
+      val (mr, mg, mb) = (r / n / 255.0, g / n / 255.0, b / n / 255.0)
+      Array(w.toFloat, h.toFloat, mr.toFloat, mg.toFloat, mb.toFloat,
+        (0.299 * mr + 0.587 * mg + 0.114 * mb).toFloat,
+        (w * h).toFloat, (w.toDouble / math.max(1, h)).toFloat)
+    }
+  }
+
+  /**
    * Batched decode over partitions: each task walks its partition once,
    * decoding payloads in-place — no shuffle, no driver involvement;
    * scale-out is purely by partition count. (mapPartitions is the
    * right tool here: imperative per-batch codec work, cf. pandas-UDF
-   * batching in the PySpark world.)
+   * batching in the PySpark world.) `real = true` swaps the stub for
+   * the javax.imageio pixel decode (images only) with NOTHING else
+   * changing — schema, partitioning, and batch shape are shared, which
+   * is the production-shaped claim the stub gates stand in for.
    */
-  def decodeFeatures(manifest: DataFrame): DataFrame = {
+  def decodeFeatures(manifest: DataFrame, real: Boolean = false): DataFrame = {
     val enc = RowEncoder.encoderFor(featureSchema)
     manifest.mapPartitions { rows =>
       rows.map { r =>
         val payload = r.getAs[Array[Byte]]("payload")
         val modality = r.getAs[String]("modality")
         val meta = r.getAs[Row]("meta")
+        val bytes = if (payload == null) Array.emptyByteArray else payload
         Row(
           r.getAs[Long]("asset_id"),
           modality,
-          if (payload == null) 0 else payload.length,
-          StubCodec.decode(if (payload == null) Array.emptyByteArray else payload, modality),
+          bytes.length,
+          if (real) ImageIoCodec.decode(bytes, modality)
+          else StubCodec.decode(bytes, modality),
           StubCodec.frameCount(meta))
       }
     }(enc)

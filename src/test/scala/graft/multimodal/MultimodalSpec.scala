@@ -29,6 +29,46 @@ class MultimodalSpec extends SparkSpec {
       docs.collect().map(r => r.getLong(0) -> r.getString(1).getBytes("UTF-8").length).toMap)
   }
 
+  test("real javax.imageio decode rides the same plumbing: known PNG pixels, corrupt payloads null out, stub untouched") {
+    import spark.implicits._
+    // PNG bytes synthesized with the SAME public JDK API that decodes
+    // them (deterministic, no binaries checked in): a 2x2 pure-red and
+    // a 4x1 half-white/half-black image with exactly known channel means
+    def png(w: Int, h: Int, rgb: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb(x, y))
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, "png", bos))
+      bos.toByteArray
+    }
+    val red = png(2, 2, (_, _) => 0xff0000)
+    val bw = png(4, 1, (x, _) => if (x < 2) 0xffffff else 0x000000)
+    val manifest = Seq(
+      (10L, "image", red), (11L, "image", bw),
+      (12L, "image", "not a png at all".getBytes("UTF-8")), // corrupt
+      (13L, "audio", "audio payload".getBytes("UTF-8"))) // no JDK codec -> stub
+      .toDF("asset_id", "modality", "payload")
+      .withColumn("meta", lit(null).cast(Multimodal.metaSchema))
+    val out = Multimodal.decodeFeatures(manifest.repartition(3), real = true)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val fRed = out(10L).getSeq[Float](3)
+    assert(fRed(0) === 2f && fRed(1) === 2f) // width, height from PIXELS, not meta
+    assert(fRed(2) === 1f && fRed(3) === 0f && fRed(4) === 0f) // mean RGB
+    assert(math.abs(fRed(5) - 0.299f) < 1e-6) // Rec.601 luma of pure red
+    val fBw = out(11L).getSeq[Float](3)
+    assert(fBw(0) === 4f && fBw(2) === 0.5f && fBw(3) === 0.5f && fBw(4) === 0.5f)
+    assert(fBw(7) === 4f) // aspect 4:1
+    assert(out(12L).isNullAt(3)) // corrupt image -> NULL feature, no crash
+    // audio passes through the stub even in real mode (per-modality boundary)
+    assert(out(13L).getSeq[Float](3) ===
+      Multimodal.StubCodec.decode("audio payload".getBytes("UTF-8"), "audio").toSeq)
+    // and the default path is STILL the replayable stub (gates unchanged)
+    val stub = Multimodal.decodeFeatures(manifest).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](3)).toMap
+    assert(stub(10L) === Multimodal.StubCodec.decode(red, "image").toSeq)
+  }
+
   test("planResize: within-bounds is identity, oversize fits the box preserving aspect") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
