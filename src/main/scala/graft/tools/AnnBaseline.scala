@@ -61,12 +61,39 @@ object AnnBaseline {
         .select((col("vec_id") + col("copy") * 1000000L).as("label"),
           vec.vector(col("embedding")).as("vec"))
 
+    // DISTINCT-vector rung (VERDICT r11 #5): per-copy deterministic
+    // jitter makes every one of the ~1M vectors unique, so recall@5
+    // against the exact scan carries information at the rung where
+    // pruning matters — on the pure replicas each query's true
+    // neighbors exist in 500 copies that all land in the same IVF list
+    // and recall is trivially 1.0 (BASELINE.md's * caveat). Jitter is
+    // uniform in [-0.2, 0.2] per dim from a hash of (label, dim):
+    // copies stay CLUSTERED around their original (the adversarial
+    // shape for a partial probe: a query's true top-5 are 5 specific
+    // jittered copies, and a missed list loses them) but are never
+    // equal. copy 0 keeps the exact original so queries have an
+    // in-corpus anchor.
+    def jittered(times: Int): DataFrame =
+      spark.range(0, times).select(col("id").as("copy"))
+        .join(broadcast(Tables(spark, sfDir, "embeddings")))
+        .select(
+          (col("vec_id") + col("copy") * 1000000L).as("label"),
+          vec.vector(when(col("copy") === 0, col("embedding")).otherwise(
+            transform(col("embedding"), (x, i) =>
+              (x + (pmod(xxhash64(col("vec_id") + col("copy") * 1000000L, i),
+                lit(400001L)).cast("double") / 1000000.0 - 0.2).cast("float"))
+                .cast("float")))).as("vec"))
+
     val corpora = Seq(
       "raw" -> emb,
       "x50" -> replicated(50),
-      "x500" -> replicated(500)) // ~1M vectors: where pruning must win
+      "x500" -> replicated(500), // ~1M vectors: where pruning must win
+      "x500_distinct" -> jittered(500)) // ~1M DISTINCT vectors: honest recall
 
-    for ((corpusName, corpus) <- corpora) {
+    // optional corpus filter for single-rung runs (SPARK_GRAFT_BB_ONLY=x500_distinct)
+    val corpusFilter = sys.env.get("SPARK_GRAFT_BB_ONLY").map(_.split(",").toSet)
+
+    for ((corpusName, corpus) <- corpora if corpusFilter.forall(_.contains(corpusName))) {
       val n = corpus.count()
       // exact truth for recall, computed once per corpus
       val truth = graft.search.Knn.searchFlatFast(corpus, queries, K, "l2sq")
