@@ -102,8 +102,10 @@ object AnnBaseline {
 
       // on replicated corpora recall@5 against the flat scan is an
       // ARTIFACT (duplicate vectors make many equally-correct answer
-      // sets) — flag it in the JSON so consumers can discount it
-      val replicatedCorpus = corpusName != "raw"
+      // sets) — flag it in the JSON so consumers can discount it. The
+      // jittered corpus is distinct-by-construction: its recall is
+      // honest and the flag stays false.
+      val replicatedCorpus = corpusName != "raw" && !corpusName.endsWith("_distinct")
       def run(tier: String, search: () => DataFrame): Unit = {
         search().count() // warm: builds/caches the index layout + JIT
         var best = Double.MaxValue

@@ -81,7 +81,13 @@ object StreamStateProfile {
       // custom FMGWS funnel state per user (the hand-rolled state path)
       ("funnel_fmgws", "append", df => Streaming.funnelFMGWS(
         df.select(col("user_id"), col("event_type"), col("ts")).as[Streaming.TypedEv],
-        watermark = "10 seconds", idleCloseMs = 15000L).toDF)
+        watermark = "10 seconds", idleCloseMs = 15000L).toDF),
+      // streaming exact dedup: one state row PER EVENT ID inside the
+      // watermark — the unbounded-key shape (state grows with input
+      // rate x watermark, not with a fixed key space)
+      ("dedup", "append", df =>
+        df.withWatermark("ts", "10 seconds")
+          .dropDuplicates("event_id", "ts"))
     )
 
     for ((name, mode, xform) <- ops if opsFilter.forall(_.contains(name))) {
@@ -117,6 +123,11 @@ object StreamStateProfile {
         println(
           s"""{"bench":"stream_state_final","op":"$name","provider":"$provider","keys":$keys,""" +
             s""""final_state_rows":$lastRows,"ran_sec":${(System.nanoTime() - t0) / 1e9}}""")
+        // settle before touching the checkpoint: RocksDB's JNI logger
+        // callback can SIGSEGV if its directory is deleted (or the JVM
+        // exits) while the store's native side is still flushing — the
+        // stores unload asynchronously after stop()
+        if (provider == "rocksdb") Thread.sleep(3000)
         // checkpoint dirs are disposable scratch
         try {
           import scala.reflect.io.Directory
