@@ -394,6 +394,16 @@ object IndexCatalog {
     entry(name).trainedSq.map { case (mn, df, cs) =>
       (mn.clone(), df.clone(), cs.map(_.map(_.clone()))) }
 
+  /** trained product/additive-quantizer state — (codebooks, coarse
+    * centroids): the FAISS analog of reading `pq.centroids` off an
+    * IndexPQ/IndexRQ. Shape: codebooks(sub)(code)(dim-within-sub) for
+    * PQ, codebooks(stage)(code)(full-dim) for RQ/LSQ/IMI halves.
+    * Same injection purpose as [[trainedCentroidsOf]]. */
+  def trainedPqOf(name: String)
+      : Option[(Array[Array[Array[Float]]], Option[Array[Array[Float]]])] =
+    entry(name).trainedPq.map { case (books, cs) =>
+      (books.map(_.map(_.clone())), cs.map(_.map(_.clone()))) }
+
   /** catalog introspection: metadata of every registered index */
   def list(): Seq[IndexMeta] =
     entries.values().asScala.map(_.meta).toSeq.sortBy(_.name)

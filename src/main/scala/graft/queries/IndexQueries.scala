@@ -232,8 +232,8 @@ object IndexQueries {
     // the composed FAISS "IVF16,SQ8" factory through the gate: list
     // pruning (nprobe=4) over scalar-quantized codes with exact
     // re-rank — the memory shape a 100 TB corpus actually serves from
-    // (8 bytes/dim → 1, lists cut the scan 4x further). Approximate →
-    // rows-only; IndexCatalogSpec pins the combined recall.
+    // (8 bytes/dim → 1, lists cut the scan 4x further). EXACT via
+    // bounds + centroid injection; IndexCatalogSpec pins the recall.
     "knn_ivfsq" -> { (s, dir) =>
       val name = fresh("q_ivfsq")
       IndexCatalog.create(name, 64, "IDMap,IVF16,SQ8", "l2sq",
@@ -249,16 +249,22 @@ object IndexQueries {
     // space is the PRODUCT of two half-dim codebooks — nlist = 2^(2n)
     // cells at 2·2^n assignment cost, the other standard route to huge
     // nlist besides IVF<n>_HNSW<m>. Multi-sequence probing enumerates
-    // cells in exact ascending d1+d2 order. Approximate (partial probe
-    // over k-means cells) → rows-only; the _exh twin is driver-hash
-    // exact and save/load + append are spec-asserted.
+    // cells in exact ascending d1+d2 order. EXACT via half-book
+    // injection (the probe order replays as a (d1+d2, rank1, rank2)
+    // sort); the _exh twin stays driver-hash exact on the flat oracle.
     "knn_imi" -> { (s, dir) =>
       val name = fresh("q_imi")
       IndexCatalog.create(name, 64, "IDMap,IMI2x2,Flat", "l2sq", Map("nprobe" -> "4"))
       IndexCatalog.add(embData(s, dir), name)
-      quantized(IndexCatalog.search(name, 5, embQueries(s, dir)))
+      val res = quantized(IndexCatalog.search(name, 5, embQueries(s, dir)))
+      knnImiBooks = IndexCatalog.trainedPqOf(name).map(_._1) // the two half books
+      res
     },
-    // LSH-bucketed cosine search — recall asserted in specs
+    // LSH-bucketed cosine search — EXACT via weight replay: the
+    // hyperplanes are pseudo-random Rademacher signs derived from
+    // (seed, band, bit, dim) with no stored model, so the oracle
+    // regenerates the identical +-1 matrix and replays bucketing,
+    // candidate union, and the cosine re-rank deterministically
     "knn_lsh" -> { (s, dir) =>
       val name = fresh("q_lsh")
       IndexCatalog.create(name, 64, "IDMap,LSH12", "cosine", Map("bands" -> "24"))
@@ -326,46 +332,71 @@ object IndexQueries {
     },
     // OPQ: learned-rotation pretransform ahead of PQ (FAISS factory
     // "OPQ8,PQ8") — the rotation decorrelates subspaces so PQ codes
-    // waste less of their budget; rows-only (approximate), error-
-    // improvement + isometry + save/load are spec-asserted (OpqSpec)
+    // waste less of their budget. EXACT via rotation + codebook
+    // injection (the knn_pca projection replay feeding the knn_pq ADC
+    // replay); error-improvement/isometry/save-load spec'd (OpqSpec)
     "knn_opq" -> { (s, dir) =>
       val name = fresh("q_opq")
       IndexCatalog.create(name, 64, "IDMap,OPQ8,PQ8", "l2sq", Map("refine" -> "24"))
       IndexCatalog.add(embData(s, dir), name)
-      quantized(IndexCatalog.search(name, 5, embQueries(s, dir)))
+      val res = quantized(IndexCatalog.search(name, 5, embQueries(s, dir)))
+      // rotation + rotated-space codebooks: with both injected the
+      // whole cascade (project, encode, ADC, rotated-space re-rank)
+      // is a deterministic replay -> EXACT
+      knnOpqState = for {
+        p <- IndexCatalog.trainedPcaOf(name)
+        b <- IndexCatalog.trainedPqOf(name)
+      } yield (p._1, p._2, b._1)
+      res
     },
     // residual quantizer (FAISS "RQ8x8" / "IVF16,RQ8"): m additive
     // full-dim stages instead of PQ's subspace slices — same 8-byte
     // codes, better fidelity on correlated dims; decode-in-loop
-    // asymmetric L2 + exact re-rank (rows-only; exactness/save-load/
-    // append spec-asserted, _exh twin driver-hash exact)
+    // asymmetric L2 + exact re-rank. EXACT via codebook + centroid
+    // injection: the oracle replays the chained greedy encode
+    // (argmin + float residual update per stage), the additive decode,
+    // the probed coded heap, and the re-rank
     "knn_rq" -> { (s, dir) =>
       val name = fresh("q_rq")
       IndexCatalog.create(name, 64, "IDMap,IVF8,RQ8", "l2sq",
         Map("nprobe" -> "4", "refine" -> "24"))
       IndexCatalog.add(embData(s, dir), name)
-      quantized(IndexCatalog.search(name, 5, embQueries(s, dir)))
+      val res = quantized(IndexCatalog.search(name, 5, embQueries(s, dir)))
+      knnRqState = IndexCatalog.trainedPqOf(name).collect {
+        case (books, Some(cs)) => (books, cs) } // memo for the injected oracle
+      res
     },
     // local-search additive quantizer (FAISS "LSQ8x8" / "IVF8,LSQ8",
     // Martinez et al. 2016): RQ's additive model with ICM encoding +
     // least-squares codebook refit — better codes at the same 8-byte
-    // budget; identical decode-in-loop search plumbing (rows-only;
-    // _exh twin driver-hash exact, icm<=greedy error spec-pinned)
+    // budget; identical decode-in-loop search plumbing. EXACT via
+    // codebook + centroid injection: the oracle unrolls the greedy
+    // init AND all IcmRounds re-pick rounds (idempotent past the
+    // engine's early exit) with every float rounding replayed
     "knn_lsq" -> { (s, dir) =>
       val name = fresh("q_lsq")
       IndexCatalog.create(name, 64, "IDMap,IVF8,LSQ4", "l2sq",
         Map("nprobe" -> "4", "refine" -> "24"))
       IndexCatalog.add(embData(s, dir), name)
-      quantized(IndexCatalog.search(name, 5, embQueries(s, dir)))
+      val res = quantized(IndexCatalog.search(name, 5, embQueries(s, dir)))
+      knnLsqState = IndexCatalog.trainedPqOf(name).collect {
+        case (books, Some(cs)) => (books, cs) } // memo for the injected oracle
+      res
     },
-    // IVF-PQ: 64 floats -> 8 bytes, ADC + exact re-rank (approximate ->
-    // rows-only here; recall vs exact search is spec-asserted)
+    // IVF-PQ: 64 floats -> 8 bytes, ADC + exact re-rank. The gate's
+    // probe is exhaustive (nprobe = nlist = 8), so the ONLY
+    // approximation is the k x refine ADC candidate cut — and the
+    // codebooks are bounded trained state, so the oracle replays the
+    // whole thing (encode argmin, float-rounded LUT, stage-ordered ADC
+    // sum, candidate heap, exact re-rank): EXACT via codebook injection
     "knn_pq" -> { (s, dir) =>
       val name = fresh("q_ivfpq")
       IndexCatalog.create(name, 64, "IDMap,IVF8,PQ8", "l2sq",
         Map("nprobe" -> "8", "refine" -> "24"))
       IndexCatalog.add(embData(s, dir), name)
-      quantized(IndexCatalog.search(name, 5, embQueries(s, dir)))
+      val res = quantized(IndexCatalog.search(name, 5, embQueries(s, dir)))
+      knnPqBooks = IndexCatalog.trainedPqOf(name).map(_._1)
+      res
     },
     // the id-SET filtered search (faiss_search_filter_set: allowed ids
     // as a relation, LEFT SEMI into the pruned scan — the "only these
@@ -555,15 +586,15 @@ object IndexQueries {
     // union of the per-nprobe searches left-joins the exact result
     // once, then a tiny rollup; every per-nprobe search still prunes
     // its own probed lists off the shared cached assignment.
-    // Deterministic (seeded training, integer hit counts / fixed
-    // denominator) but structurally oracle-less (custom index) ->
-    // rows-only at the gate; monotonicity + exhaustive-probe-equals-
-    // exact are spec-asserted.
+    // EXACT via centroid injection (recallEvalOracle replays every
+    // swept tier + the truth + the recall division); monotonicity +
+    // exhaustive-probe-equals-exact stay spec-asserted.
     "vs_recall_eval" -> { (s, dir) =>
       import s.implicits._
       val name = fresh("q_recall_eval")
       IndexCatalog.create(name, 64, "IDMap,IVF16,Flat", "l2sq")
       IndexCatalog.add(embData(s, dir), name)
+      recallEvalCents = None // set AFTER the run below (search builds the index)
       val qs = embQueries(s, dir)
       // truth rows replicated per swept nprobe (tiny broadcast) so the
       // rollup's count(*) IS the recall denominator — the expensive
@@ -575,12 +606,16 @@ object IndexQueries {
         IndexCatalog.search(name, 5, qs, Map("nprobe" -> np.toString))
           .select(lit(np).as("nprobe"), col("qid"), col("label"), lit(1L).as("hit"))
       }.reduce(_ unionByName _)
-      truth
+      val res = truth
         .join(tagged, Seq("nprobe", "qid", "label"), "left")
         .groupBy("nprobe")
         .agg((sum(coalesce(col("hit"), lit(0L))).cast("double") /
           count(lit(1)).cast("double")).as("recall_at_5"))
         .orderBy("nprobe")
+      // IndexCatalog.search above built the index at plan construction,
+      // so the trained centroids already exist — no forced execution
+      recallEvalCents = IndexCatalog.trainedCentroidsOf(name)
+      res
     },
     // the GRAPH recall knob: efSearch (beam width) sweep on one built
     // HNSW — vs_recall_eval's shape for the graph family, the sweep a
@@ -653,14 +688,15 @@ object IndexQueries {
     // deployment runs to size the re-rank budget of knn_ivfpq_big's
     // plan — recall rises with refine while the re-rank stays k*refine
     // rows per query, the memory-bounded tradeoff at 100 TB.
-    // Deterministic (seeded PQ training) but code distances are custom
-    // -> rows-only; monotonicity is spec-asserted.
+    // EXACT via codebook injection (refineEvalOracle — the knn_pq
+    // replay per swept budget); monotonicity is spec-asserted.
     "vs_refine_eval" -> { (s, dir) =>
       import s.implicits._
       val name = fresh("q_refine_eval")
       IndexCatalog.create(name, 64, "IDMap,IVF16,PQ8", "l2sq",
         Map("nprobe" -> "16"))
       IndexCatalog.add(embData(s, dir), name)
+      refineEvalBooks = None // set after the sweep below builds the index
       val qs = embQueries(s, dir)
       val truth = graft.search.Knn.searchFlat(embData(s, dir), qs, 5, "l2sq")
         .select(col("qid"), col("label"))
@@ -669,23 +705,24 @@ object IndexQueries {
         IndexCatalog.search(name, 5, qs, Map("refine" -> rf.toString))
           .select(lit(rf).as("refine"), col("qid"), col("label"), lit(1L).as("hit"))
       }.reduce(_ unionByName _)
-      truth
+      val res = truth
         .join(tagged, Seq("refine", "qid", "label"), "left")
         .groupBy("refine")
         .agg((sum(coalesce(col("hit"), lit(0L))).cast("double") /
           count(lit(1)).cast("double")).as("recall_at_5"))
         .orderBy("refine")
+      refineEvalBooks = IndexCatalog.trainedPqOf(name).map(_._1)
+      res
     },
-    // the eval sweeps' DETERMINISTIC rows under the driver hash: every
-    // recall-eval family member (IVF probe sweep, HNSW beam sweep, PQ
-    // refine sweep, codec dashboard) is run ONLY at its exhaustive
-    // setting, where recall@5 is exactly 1.0 by construction — so the
-    // whole eval pipeline (tier searches → truth join → hit count →
-    // recall division) is exercised end-to-end against a static oracle.
-    // If the truth join dropped rows, the hit coalesce miscounted, or
-    // the denominator arithmetic drifted, the hash breaks. The
-    // partial-setting rows of the sweeps stay rows-only (custom index
-    // structure), with monotonicity spec-asserted as before.
+    // the eval sweeps' exhaustive-setting rows under the driver hash:
+    // every family member (IVF probe sweep, HNSW beam sweep, PQ refine
+    // sweep, codec dashboard) run ONLY at its exhaustive setting, where
+    // recall@5 is exactly 1.0 by construction — the static end-to-end
+    // pin of the eval pipeline (truth join, hit coalesce, denominator).
+    // Since driver round 12 the recall/refine/rerank sweeps are ALSO
+    // exact at their partial settings via injection; the graph beam
+    // sweep (vs_ef_eval) and the fp16-bearing codec dashboard remain
+    // rows-only with monotonicity spec-asserted.
     "vs_eval_exact_rows" -> { (s, dir) =>
       import s.implicits._
       val d = embData(s, dir)
@@ -751,8 +788,11 @@ object IndexQueries {
       IndexCatalog.add(bigData(s, dir), name)
       // build timed separately from the ADC probe (see knn_ivf_big)
       PhaseTimer.time("knn_ivfpq_big", "build") { IndexCatalog.build(name).data.count() }
-      IndexCatalog.search(name, 5, bigQueries(s, dir))
+      val res = IndexCatalog.search(name, 5, bigQueries(s, dir))
         .select(col("qid"), col("rank"), col("label"))
+      knnIvfPqBigState = IndexCatalog.trainedPqOf(name).collect {
+        case (books, Some(cs)) => (books, cs) } // memo for the injected oracle
+      res
     })
 
   def oracles: Map[String, String] = Map(
@@ -858,7 +898,19 @@ object IndexQueries {
     knnSq8State.map(b => "knn_sq8" -> knnSqOracle(b._1, b._2, levels = 255, kk = 40, ivf = None)) ++
     knnSq4State.map(b => "knn_sq4" -> knnSqOracle(b._1, b._2, levels = 15, kk = 40, ivf = None)) ++
     knnIvfsqState.map(t =>
-      "knn_ivfsq" -> knnSqOracle(t._1, t._2, levels = 255, kk = 40, ivf = Some((t._3, 4))))
+      "knn_ivfsq" -> knnSqOracle(t._1, t._2, levels = 255, kk = 40, ivf = Some((t._3, 4)))) ++
+    knnPqBooks.map(b => "knn_pq" -> knnPqOracle(b, kk = 120)) ++
+    knnOpqState.map(t =>
+      "knn_opq" -> knnPqOracle(t._3, kk = 120, proj = Some((t._1, t._2)))) ++
+    Map("knn_lsh" -> knnLshOracle(bands = 24, bitsPerBand = 12, dim = 64, seed = 42L)) ++
+    knnIvfPqBigState.map(t =>
+      "knn_ivfpq_big" -> knnIvfPqBigOracle(t._1, t._2, nprobe = 4, kk = 80)) ++
+    knnImiBooks.map(b => "knn_imi" -> knnImiOracle(b, nprobe = 4)) ++
+    knnRqState.map(t => "knn_rq" -> knnRqOracle(t._1, t._2, nprobe = 4, kk = 120)) ++
+    recallEvalCents.map(cs => "vs_recall_eval" -> recallEvalOracle(cs, RecallNprobes)) ++
+    refineEvalBooks.map(b => "vs_refine_eval" -> refineEvalOracle(b, RefineFactors)) ++
+    knnLsqState.map(t => "knn_lsq" -> knnLsqOracle(t._1, t._2, nprobe = 4, kk = 120,
+      icmRounds = graft.index.Lsq.IcmRounds))
 
   /** Trained PCA basis of the last knn_pca run (Verify dumps
     * oracle_sql.json AFTER executing the queries) — the
@@ -880,6 +932,18 @@ object IndexQueries {
   @volatile private[queries] var knnSq4State: Option[(Array[Float], Array[Float])] = None
   @volatile private[queries] var knnIvfsqState
       : Option[(Array[Float], Array[Float], Array[Array[Float]])] = None
+  @volatile private[queries] var knnPqBooks: Option[Array[Array[Array[Float]]]] = None
+  @volatile private[queries] var knnOpqState
+      : Option[(Array[Float], Array[Array[Float]], Array[Array[Array[Float]]])] = None
+  @volatile private[queries] var knnIvfPqBigState
+      : Option[(Array[Array[Array[Float]]], Array[Array[Float]])] = None
+  @volatile private[queries] var knnImiBooks: Option[Array[Array[Array[Float]]]] = None
+  @volatile private[queries] var knnRqState
+      : Option[(Array[Array[Array[Float]]], Array[Array[Float]])] = None
+  @volatile private[queries] var recallEvalCents: Option[Array[Array[Float]]] = None
+  @volatile private[queries] var refineEvalBooks: Option[Array[Array[Array[Float]]]] = None
+  @volatile private[queries] var knnLsqState
+      : Option[(Array[Array[Array[Float]]], Array[Array[Float]])] = None
 
   /** 10 significant digits round-trips any float through a decimal
     * literal: CAST(lit AS REAL) in DuckDB recovers the exact bits */
@@ -976,6 +1040,625 @@ object IndexQueries {
        |  FROM dx
        |)
        |SELECT qid, rank, label FROM r WHERE rank < 5""".stripMargin
+  }
+
+  /** DuckDB replay of the product-quantized search with INJECTED
+    * codebooks (cf. FAISS IndexPQ/IVFPQ ADC, reference factory
+    * "IVF<n>,PQ<m>"): the gate's probe is exhaustive, so the replay is
+    * (1) encode — per (vector, subspace) argmin over the 256
+    * sub-centroids on the subspace SLICE, double accumulation, ties to
+    * the lowest code (the strict-< early-abandon loop preserves
+    * first-wins exactly); (2) the per-query LUT — the same slice
+    * distance rounded to FLOAT (lut stores floats); (3) ADC — the
+    * SUB-ORDERED sequential double sum of the looked-up floats
+    * (list(… ORDER BY sub) -> list_sum, NOT a plain SUM, whose
+    * accumulation order DuckDB doesn't define); (4) the k x refine
+    * candidate heap on ((adc, label)); (5) exact raw re-rank. */
+  private def knnPqOracle(
+      books: Array[Array[Array[Float]]], kk: Int,
+      proj: Option[(Array[Float], Array[Array[Float]])] = None): String = {
+    val m = books.length
+    val dsub = books(0)(0).length
+    val bookRows = (for {
+      sub <- books.indices
+      c <- books(sub).indices
+    } yield s"($sub, $c, ${flList(books(sub)(c))})").mkString(",\n  ")
+    def sliceL2(v: String): String =
+      s"list_sum([ (CAST($v[b.sub * $dsub + i] AS DOUBLE) - CAST(CAST(b.cv[i] AS REAL) AS DOUBLE)) * " +
+        s"(CAST($v[b.sub * $dsub + i] AS DOUBLE) - CAST(CAST(b.cv[i] AS REAL) AS DOUBLE)) FOR i IN range(1, ${dsub + 1}) ])"
+    // OPQ<m>,PQ<k>: everything — encode, LUT, ADC, and the re-rank —
+    // runs in the ROTATED space (PcaBuilt projects corpus and queries
+    // before the inner index sees them, and the inner re-rank joins the
+    // PROJECTED base table), so the oracle replays the projection with
+    // Pca.projectArr's exact rounding chain (the hash-proven knn_pca
+    // move) and swaps the source view.
+    val projCtes = proj.map { case (mean, comps) =>
+      val inDim = mean.length
+      val compRows = comps.zipWithIndex
+        .map { case (c, j) => s"($j, ${flList(c)})" }.mkString(",\n  ")
+      s"""comps(pdim, pcv) AS (VALUES
+         |  $compRows),
+         |pmn(pmv) AS (VALUES (${flList(mean)})),
+         |pp AS (
+         |  SELECT e.vec_id, comps.pdim,
+         |    CAST(list_sum([
+         |      CAST(CAST(CAST(pcv[i] AS REAL) * CAST(CAST(e.embedding[i] AS REAL) - CAST(pmv[i] AS REAL) AS REAL) AS REAL) AS DOUBLE)
+         |      FOR i IN range(1, ${inDim + 1})]) AS REAL) AS pf
+         |  FROM embeddings e CROSS JOIN comps CROSS JOIN pmn
+         |),
+         |src AS (SELECT vec_id, list(pf ORDER BY pdim) AS embedding FROM pp GROUP BY vec_id),
+         |""".stripMargin
+    }.getOrElse("src AS (SELECT vec_id, embedding FROM embeddings),\n")
+    s"""WITH ${projCtes}books(sub, c, cv) AS (VALUES
+       |  $bookRows),
+       |enc AS (
+       |  SELECT e.vec_id, b.sub, b.c, ${sliceL2("e.embedding")} AS dist
+       |  FROM src e CROSS JOIN books b
+       |),
+       |codes AS (
+       |  SELECT vec_id, sub, c FROM (
+       |    SELECT vec_id, sub, c,
+       |      row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, c) AS rn
+       |    FROM enc) WHERE rn = 1
+       |),
+       |lut AS (
+       |  SELECT q.vec_id AS qid, b.sub, b.c, CAST(${sliceL2("q.embedding")} AS REAL) AS lv
+       |  FROM src q CROSS JOIN books b WHERE q.vec_id < 10
+       |),
+       |cdist AS (
+       |  SELECT qid, vec_id AS label, list_sum(lvs) AS cd FROM (
+       |    SELECT l.qid, cd.vec_id, list(CAST(l.lv AS DOUBLE) ORDER BY l.sub) AS lvs
+       |    FROM codes cd JOIN lut l ON l.sub = cd.sub AND l.c = cd.c
+       |    GROUP BY l.qid, cd.vec_id)
+       |),
+       |cand AS (
+       |  SELECT qid, label FROM (
+       |    SELECT qid, label, row_number() OVER (PARTITION BY qid ORDER BY cd, label) AS rn
+       |    FROM cdist) WHERE rn <= $kk
+       |),
+       |rr AS (
+       |  SELECT c.qid, c.label, ${l2RawSql("qe.embedding", "ce.embedding", m * dsub)} AS dist
+       |  FROM cand c
+       |  JOIN src qe ON qe.vec_id = c.qid
+       |  JOIN src ce ON ce.vec_id = c.label
+       |),
+       |r AS (
+       |  SELECT qid, label, dist,
+       |    CAST(row_number() OVER (PARTITION BY qid ORDER BY dist, label) - 1 AS INTEGER) AS rank
+       |  FROM rr
+       |)
+       |SELECT qid, rank, label, CAST(CAST(dist AS DECIMAL(18,4)) AS DOUBLE) AS distance
+       |FROM r WHERE rank < 5""".stripMargin
+  }
+
+  /** DuckDB replay of knn_ivfpq_big — the full 100 TB serving
+    * composition (IVF pruning + PQ codes + exact re-rank) over the
+    * 50x-replicated corpus, with BOTH trained states injected
+    * (coarse centroids + codebooks). Assignment, encode, and ADC run
+    * once per DISTINCT vector (copies share them); the candidate heap
+    * and re-rank run over the expanded copy labels ((cd, label) and
+    * (dist, label) orders — the lowest-copy labels win code-distance
+    * ties exactly as the engine's heap does). */
+  private def knnIvfPqBigOracle(
+      books: Array[Array[Array[Float]]], cents: Array[Array[Float]],
+      nprobe: Int, kk: Int): String = {
+    val m = books.length
+    val dsub = books(0)(0).length
+    val dim = cents(0).length
+    val bookRows = (for {
+      sub <- books.indices
+      c <- books(sub).indices
+    } yield s"($sub, $c, ${flList(books(sub)(c))})").mkString(",\n  ")
+    def sliceL2(v: String): String =
+      s"list_sum([ (CAST($v[b.sub * $dsub + i] AS DOUBLE) - CAST(CAST(b.bv[i] AS REAL) AS DOUBLE)) * " +
+        s"(CAST($v[b.sub * $dsub + i] AS DOUBLE) - CAST(CAST(b.bv[i] AS REAL) AS DOUBLE)) FOR i IN range(1, ${dsub + 1}) ])"
+    s"""WITH ${ivfProbeCtes(cents, nprobe, "vec_id < 100")},
+       |books(sub, c, bv) AS (VALUES
+       |  $bookRows),
+       |codes AS (
+       |  SELECT vec_id, sub, c FROM (
+       |    SELECT e.vec_id, b.sub, b.c,
+       |      row_number() OVER (PARTITION BY e.vec_id, b.sub
+       |                         ORDER BY ${sliceL2("e.embedding")}, b.c) AS rn
+       |    FROM embeddings e CROSS JOIN books b) WHERE rn = 1
+       |),
+       |lut AS (
+       |  SELECT q.vec_id AS qid, b.sub, b.c, CAST(${sliceL2("q.embedding")} AS REAL) AS lv
+       |  FROM embeddings q CROSS JOIN books b WHERE q.vec_id < 100
+       |),
+       |adc AS (
+       |  SELECT qid, vec_id, list_sum(lvs) AS cd FROM (
+       |    SELECT l.qid, cd.vec_id, list(CAST(l.lv AS DOUBLE) ORDER BY l.sub) AS lvs
+       |    FROM probes p
+       |    JOIN asg a ON a.cid = p.cid
+       |    JOIN codes cd ON cd.vec_id = a.vec_id
+       |    JOIN lut l ON l.qid = p.qid AND l.sub = cd.sub AND l.c = cd.c
+       |    GROUP BY l.qid, cd.vec_id)
+       |),
+       |dx AS (
+       |  SELECT qid, vec_id + cp.c * 1000000 AS label, vec_id, cd
+       |  FROM adc CROSS JOIN (SELECT unnest(range(0, 50)) AS c) cp
+       |),
+       |cand AS (
+       |  SELECT qid, label, vec_id FROM (
+       |    SELECT qid, label, vec_id, row_number() OVER (PARTITION BY qid ORDER BY cd, label) AS rn
+       |    FROM dx) WHERE rn <= $kk
+       |),
+       |rr AS (
+       |  SELECT c.qid, c.label, ${l2RawSql("qe.embedding", "ce.embedding", dim)} AS dist
+       |  FROM cand c
+       |  JOIN embeddings qe ON qe.vec_id = c.qid
+       |  JOIN embeddings ce ON ce.vec_id = c.vec_id
+       |),
+       |r AS (
+       |  SELECT qid, label, dist,
+       |    CAST(row_number() OVER (PARTITION BY qid ORDER BY dist, label) - 1 AS INTEGER) AS rank
+       |  FROM rr
+       |)
+       |SELECT qid, rank, label FROM r WHERE rank < 5""".stripMargin
+  }
+
+  /** DuckDB replay of the local-search-quantizer search with INJECTED
+    * stage codebooks + coarse centroids (cf. FAISS "IVF<n>,LSQ<m>";
+    * Martinez et al. 2016): the ICM encoder is a bounded fixed-point
+    * loop — greedy init (exactly the RQ chain: argmin + float residual
+    * update per stage, approximation accumulated in float stage
+    * order), then IcmRounds unrolled rounds of per-stage re-picks. A
+    * round that changes nothing is idempotent (the argmin re-finds the
+    * current code and the update is skipped), so unrolling the maximum
+    * round count replays the engine's early-exit loop exactly. Each
+    * re-pick: u = v - (approx - cur) in double, argmin over the stage
+    * book (strict <, ties to lowest code), approx += nb - cur with
+    * both float roundings. The scorer then decodes FRESH from the
+    * final codes (stage-order float adds — NOT the approx buffer,
+    * whose delta accumulation rounds differently), takes the
+    * sequential double L2 to the query, cuts k x refine candidates
+    * ((cd, label)), and re-ranks exactly. */
+  private def knnLsqOracle(
+      books: Array[Array[Array[Float]]], cents: Array[Array[Float]],
+      nprobe: Int, kk: Int, icmRounds: Int): String = {
+    val m = books.length
+    val dim = books(0)(0).length
+    val bookRows = (for {
+      stage <- books.indices
+      c <- books(stage).indices
+    } yield s"($stage, $c, ${flList(books(stage)(c))})").mkString(",\n  ")
+    val codeCols = (0 until m).map(j => s"c$j")
+    // ---- greedy init: the RQ encode chain + the approx accumulation
+    val greedy = (0 until m).map { t =>
+      val argmin =
+        s"""cg$t AS MATERIALIZED (SELECT vec_id, c FROM (
+           |  SELECT r.vec_id, b.c,
+           |    row_number() OVER (PARTITION BY r.vec_id ORDER BY
+           |      list_sum([ (CAST(r.r[i] AS DOUBLE) - CAST(CAST(b.bv[i] AS REAL) AS DOUBLE)) *
+           |                 (CAST(r.r[i] AS DOUBLE) - CAST(CAST(b.bv[i] AS REAL) AS DOUBLE)) FOR i IN range(1, ${dim + 1}) ]), b.c) AS rn
+           |  FROM gres$t r CROSS JOIN (SELECT c, bv FROM rqb WHERE stage = $t) b) WHERE rn = 1)""".stripMargin
+      val residual = if (t == m - 1) "" else
+        s""",
+           |gres${t + 1} AS MATERIALIZED (
+           |  SELECT r.vec_id,
+           |    [CAST(CAST(r.r[i] AS REAL) - CAST(b.bv[i] AS REAL) AS REAL) FOR i IN range(1, ${dim + 1})] AS r
+           |  FROM gres$t r JOIN cg$t ON cg$t.vec_id = r.vec_id
+           |  JOIN rqb b ON b.stage = $t AND b.c = cg$t.c)""".stripMargin
+      val acc =
+        if (t == 0)
+          s""",
+             |ga0 AS MATERIALIZED (
+             |  SELECT cg0.vec_id, [CAST(b.bv[i] AS REAL) FOR i IN range(1, ${dim + 1})] AS v
+             |  FROM cg0 JOIN rqb b ON b.stage = 0 AND b.c = cg0.c)""".stripMargin
+        else
+          s""",
+             |ga$t AS MATERIALIZED (
+             |  SELECT a.vec_id,
+             |    [CAST(a.v[i] + CAST(b.bv[i] AS REAL) AS REAL) FOR i IN range(1, ${dim + 1})] AS v
+             |  FROM ga${t - 1} a JOIN cg$t ON cg$t.vec_id = a.vec_id
+             |  JOIN rqb b ON b.stage = $t AND b.c = cg$t.c)""".stripMargin
+      argmin + residual + acc
+    }.mkString(",\n")
+    val s0 =
+      s"""s0 AS MATERIALIZED (
+         |  SELECT e.vec_id, e.embedding AS v,
+         |    ${(0 until m).map(j => s"cg$j.c AS c$j").mkString(", ")}, ga${m - 1}.v AS approx
+         |  FROM embeddings e ${(0 until m).map(j => s"JOIN cg$j ON cg$j.vec_id = e.vec_id").mkString(" ")}
+         |  JOIN ga${m - 1} ON ga${m - 1}.vec_id = e.vec_id)""".stripMargin
+    // ---- unrolled ICM rounds: one CTE per (round, stage) re-pick
+    val icmSteps = (for {
+      round <- 0 until icmRounds
+      j <- 0 until m
+    } yield (round * m + j, j)).map { case (n, j) =>
+      val uTerm =
+        s"CAST(s2.v[i] AS DOUBLE) - (CAST(s2.approx[i] AS DOUBLE) - CAST(CAST(cur2.bv[i] AS REAL) AS DOUBLE))"
+      val carry = codeCols.map(c => if (c == s"c$j") s"nb.c AS c$j" else s"s.$c").mkString(", ")
+      s"""s${n + 1} AS MATERIALIZED (
+         |  SELECT s.vec_id, s.v, $carry,
+         |    CASE WHEN nb.c = s.c$j THEN s.approx
+         |      ELSE [CAST(s.approx[i] + CAST(CAST(nb2.bv[i] AS REAL) - CAST(cur.bv[i] AS REAL) AS REAL) AS REAL) FOR i IN range(1, ${dim + 1})]
+         |    END AS approx
+         |  FROM s$n s
+         |  JOIN rqb cur ON cur.stage = $j AND cur.c = s.c$j
+         |  JOIN (
+         |    SELECT vec_id, c FROM (
+         |      SELECT s2.vec_id, b.c,
+         |        row_number() OVER (PARTITION BY s2.vec_id ORDER BY
+         |          list_sum([ (($uTerm) - CAST(CAST(b.bv[i] AS REAL) AS DOUBLE)) *
+         |                     (($uTerm) - CAST(CAST(b.bv[i] AS REAL) AS DOUBLE)) FOR i IN range(1, ${dim + 1}) ]), b.c) AS rn
+         |      FROM s$n s2 JOIN rqb cur2 ON cur2.stage = $j AND cur2.c = s2.c$j
+         |      CROSS JOIN (SELECT c, bv FROM rqb WHERE stage = $j) b) WHERE rn = 1
+         |  ) nb ON nb.vec_id = s.vec_id
+         |  JOIN rqb nb2 ON nb2.stage = $j AND nb2.c = nb.c)""".stripMargin
+    }.mkString(",\n")
+    val sFinal = s"s${icmRounds * m}"
+    // ---- fresh decode from the final codes (the scorer's scratch chain)
+    val fdec = (0 until m).map { t =>
+      if (t == 0)
+        s"""fdec0 AS MATERIALIZED (
+           |  SELECT s.vec_id, [CAST(b.bv[i] AS REAL) FOR i IN range(1, ${dim + 1})] AS v
+           |  FROM $sFinal s JOIN rqb b ON b.stage = 0 AND b.c = s.c0)""".stripMargin
+      else
+        s"""fdec$t AS MATERIALIZED (
+           |  SELECT d.vec_id,
+           |    [CAST(d.v[i] + CAST(b.bv[i] AS REAL) AS REAL) FOR i IN range(1, ${dim + 1})] AS v
+           |  FROM fdec${t - 1} d JOIN $sFinal s ON s.vec_id = d.vec_id
+           |  JOIN rqb b ON b.stage = $t AND b.c = s.c$t)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${ivfProbeCtes(cents, nprobe, "vec_id < 10")},
+       |rqb(stage, c, bv) AS (VALUES
+       |  $bookRows),
+       |gres0 AS MATERIALIZED (SELECT vec_id, embedding AS r FROM embeddings),
+       |$greedy,
+       |$s0,
+       |$icmSteps,
+       |$fdec,
+       |cdist AS (
+       |  SELECT p.qid, d.vec_id AS label,
+       |    ${l2RawSql("qe.embedding", "d.v", dim)} AS cd
+       |  FROM probes p
+       |  JOIN asg a ON a.cid = p.cid
+       |  JOIN fdec${m - 1} d ON d.vec_id = a.vec_id
+       |  JOIN embeddings qe ON qe.vec_id = p.qid
+       |),
+       |cand AS (
+       |  SELECT qid, label FROM (
+       |    SELECT qid, label, row_number() OVER (PARTITION BY qid ORDER BY cd, label) AS rn
+       |    FROM cdist) WHERE rn <= $kk
+       |),
+       |rr AS (
+       |  SELECT c.qid, c.label, ${l2RawSql("qe.embedding", "ce.embedding", dim)} AS dist
+       |  FROM cand c
+       |  JOIN embeddings qe ON qe.vec_id = c.qid
+       |  JOIN embeddings ce ON ce.vec_id = c.label
+       |),
+       |r AS (
+       |  SELECT qid, label, dist,
+       |    CAST(row_number() OVER (PARTITION BY qid ORDER BY dist, label) - 1 AS INTEGER) AS rank
+       |  FROM rr
+       |)
+       |SELECT qid, rank, label, CAST(CAST(dist AS DECIMAL(18,4)) AS DOUBLE) AS distance
+       |FROM r WHERE rank < 5""".stripMargin
+  }
+
+  /** DuckDB replay of the vs_recall_eval nprobe sweep with INJECTED
+    * centroids: the exact truth top-5 is the flat brute force, each
+    * swept tier's top-5 replays assignment + that tier's probe set +
+    * probed-list brute force (all (dist, tie) orders as in
+    * knnIvfOracle), and recall is the IEEE division of the exact hit
+    * count by the truth count — every number in the output is a
+    * deterministic function of the injected centroids. */
+  private def recallEvalOracle(cents: Array[Array[Float]], nprobes: Seq[Int]): String = {
+    val dim = cents(0).length
+    val npRows = nprobes.map(n => s"($n)").mkString(", ")
+    s"""WITH cents(cid, cv) AS (VALUES
+       |  ${centRows(cents)}),
+       |cd AS (
+       |  SELECT e.vec_id, cents.cid, ${l2CentSql("e.embedding", "cv", dim)} AS dist
+       |  FROM embeddings e CROSS JOIN cents
+       |),
+       |asg AS MATERIALIZED (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+       |    FROM cd) WHERE rn = 1
+       |),
+       |qprobes AS MATERIALIZED (
+       |  SELECT vec_id AS qid, cid,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rnp
+       |  FROM cd WHERE vec_id < 10
+       |),
+       |d_all AS MATERIALIZED (
+       |  SELECT q.vec_id AS qid, e.vec_id AS label,
+       |    ${l2RawSql("q.embedding", "e.embedding", dim)} AS dist
+       |  FROM embeddings q CROSS JOIN embeddings e WHERE q.vec_id < 10
+       |),
+       |truth AS (
+       |  SELECT qid, label FROM (
+       |    SELECT qid, label, row_number() OVER (PARTITION BY qid ORDER BY dist, label) AS rn
+       |    FROM d_all) WHERE rn <= 5
+       |),
+       |nps(np) AS (VALUES $npRows),
+       |tier AS (
+       |  SELECT np, qid, label FROM (
+       |    SELECT n.np, p.qid, a.vec_id AS label,
+       |      row_number() OVER (PARTITION BY n.np, p.qid ORDER BY d.dist, a.vec_id) AS rn
+       |    FROM nps n
+       |    JOIN qprobes p ON p.rnp <= n.np
+       |    JOIN asg a ON a.cid = p.cid
+       |    JOIN d_all d ON d.qid = p.qid AND d.label = a.vec_id
+       |  ) WHERE rn <= 5
+       |)
+       |SELECT n.np AS nprobe,
+       |  CAST(SUM(CASE WHEN t2.label IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) /
+       |    CAST(COUNT(*) AS DOUBLE) AS recall_at_5
+       |FROM nps n
+       |JOIN truth t ON true
+       |LEFT JOIN tier t2 ON t2.np = n.np AND t2.qid = t.qid AND t2.label = t.label
+       |GROUP BY n.np ORDER BY n.np""".stripMargin
+  }
+
+  /** DuckDB replay of the vs_refine_eval sweep with INJECTED PQ
+    * codebooks: the probe is exhaustive (nprobe = nlist), so each
+    * swept tier is the knn_pq replay at candidate budget k*refine —
+    * encode, float-rounded LUT, sub-ordered ADC, per-factor candidate
+    * cut, exact re-rank — and recall divides exact hit counts. */
+  private def refineEvalOracle(
+      books: Array[Array[Array[Float]]], factors: Seq[Int]): String = {
+    val m = books.length
+    val dsub = books(0)(0).length
+    val bookRows = (for {
+      sub <- books.indices
+      c <- books(sub).indices
+    } yield s"($sub, $c, ${flList(books(sub)(c))})").mkString(",\n  ")
+    def sliceL2(v: String): String =
+      s"list_sum([ (CAST($v[b.sub * $dsub + i] AS DOUBLE) - CAST(CAST(b.cv[i] AS REAL) AS DOUBLE)) * " +
+        s"(CAST($v[b.sub * $dsub + i] AS DOUBLE) - CAST(CAST(b.cv[i] AS REAL) AS DOUBLE)) FOR i IN range(1, ${dsub + 1}) ])"
+    val factorRows = factors.map(f => s"($f)").mkString(", ")
+    s"""WITH books(sub, c, cv) AS (VALUES
+       |  $bookRows),
+       |codes AS MATERIALIZED (
+       |  SELECT vec_id, sub, c FROM (
+       |    SELECT e.vec_id, b.sub, b.c,
+       |      row_number() OVER (PARTITION BY e.vec_id, b.sub
+       |                         ORDER BY ${sliceL2("e.embedding")}, b.c) AS rn
+       |    FROM embeddings e CROSS JOIN books b) WHERE rn = 1
+       |),
+       |lut AS MATERIALIZED (
+       |  SELECT q.vec_id AS qid, b.sub, b.c, CAST(${sliceL2("q.embedding")} AS REAL) AS lv
+       |  FROM embeddings q CROSS JOIN books b WHERE q.vec_id < 10
+       |),
+       |cdist AS (
+       |  SELECT qid, vec_id AS label, list_sum(lvs) AS cd FROM (
+       |    SELECT l.qid, cd.vec_id, list(CAST(l.lv AS DOUBLE) ORDER BY l.sub) AS lvs
+       |    FROM codes cd JOIN lut l ON l.sub = cd.sub AND l.c = cd.c
+       |    GROUP BY l.qid, cd.vec_id)
+       |),
+       |acr AS MATERIALIZED (
+       |  SELECT qid, label, row_number() OVER (PARTITION BY qid ORDER BY cd, label) AS crn
+       |  FROM cdist
+       |),
+       |d_all AS MATERIALIZED (
+       |  SELECT q.vec_id AS qid, e.vec_id AS label,
+       |    ${l2RawSql("q.embedding", "e.embedding", m * dsub)} AS dist
+       |  FROM embeddings q CROSS JOIN embeddings e WHERE q.vec_id < 10
+       |),
+       |truth AS (
+       |  SELECT qid, label FROM (
+       |    SELECT qid, label, row_number() OVER (PARTITION BY qid ORDER BY dist, label) AS rn
+       |    FROM d_all) WHERE rn <= 5
+       |),
+       |fs(refine) AS (VALUES $factorRows),
+       |tier AS (
+       |  SELECT refine, qid, label FROM (
+       |    SELECT f.refine, a.qid, a.label,
+       |      row_number() OVER (PARTITION BY f.refine, a.qid ORDER BY d.dist, a.label) AS rn
+       |    FROM fs f
+       |    JOIN acr a ON a.crn <= 5 * f.refine
+       |    JOIN d_all d ON d.qid = a.qid AND d.label = a.label
+       |  ) WHERE rn <= 5
+       |)
+       |SELECT f.refine,
+       |  CAST(SUM(CASE WHEN t2.label IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) /
+       |    CAST(COUNT(*) AS DOUBLE) AS recall_at_5
+       |FROM fs f
+       |JOIN truth t ON true
+       |LEFT JOIN tier t2 ON t2.refine = f.refine AND t2.qid = t.qid AND t2.label = t.label
+       |GROUP BY f.refine ORDER BY f.refine""".stripMargin
+  }
+
+  /** DuckDB replay of the residual-quantizer search with INJECTED
+    * stage codebooks + coarse centroids (cf. FAISS "IVF<n>,RQ<m>";
+    * Chen, Guan & Wang 2010): the greedy encode is m chained
+    * (argmin, float-residual-update) stages — argmin on the double
+    * accumulation with ties to the lowest code (strict <, abandon-
+    * safe), residual update r[i] -= cen[i] rounded to REAL per stage
+    * exactly like the float loop; the additive decode accumulates the
+    * chosen centroids in stage order (float adds, scratch starts at
+    * 0f so stage 0 is exact); the coded distance is the sequential
+    * double L2 of query vs decoded; candidate heap ((cd, label)) over
+    * the probed lists, then the exact raw re-rank. */
+  private def knnRqOracle(
+      books: Array[Array[Array[Float]]], cents: Array[Array[Float]],
+      nprobe: Int, kk: Int): String = {
+    val m = books.length
+    val dim = books(0)(0).length
+    val bookRows = (for {
+      stage <- books.indices
+      c <- books(stage).indices
+    } yield s"($stage, $c, ${flList(books(stage)(c))})").mkString(",\n  ")
+    // chained greedy stages: cN picks stage N's code per vector from
+    // residual rN; resN+1 subtracts the chosen centroid (REAL-rounded);
+    // decN accumulates the decoded approximation (REAL-rounded adds)
+    val stages = (0 until m).map { t =>
+      val argmin =
+        s"""c$t AS MATERIALIZED (SELECT vec_id, c FROM (
+           |  SELECT r.vec_id, b.c,
+           |    row_number() OVER (PARTITION BY r.vec_id ORDER BY
+           |      list_sum([ (CAST(r.r[i] AS DOUBLE) - CAST(CAST(b.bv[i] AS REAL) AS DOUBLE)) *
+           |                 (CAST(r.r[i] AS DOUBLE) - CAST(CAST(b.bv[i] AS REAL) AS DOUBLE)) FOR i IN range(1, ${dim + 1}) ]), b.c) AS rn
+           |  FROM res$t r CROSS JOIN (SELECT c, bv FROM rqb WHERE stage = $t) b) WHERE rn = 1)""".stripMargin
+      val residual = if (t == m - 1) "" else
+        s""",
+           |res${t + 1} AS MATERIALIZED (
+           |  SELECT r.vec_id,
+           |    [CAST(CAST(r.r[i] AS REAL) - CAST(b.bv[i] AS REAL) AS REAL) FOR i IN range(1, ${dim + 1})] AS r
+           |  FROM res$t r JOIN c$t ON c$t.vec_id = r.vec_id
+           |  JOIN rqb b ON b.stage = $t AND b.c = c$t.c)""".stripMargin
+      val dec =
+        if (t == 0)
+          s""",
+             |dec0 AS MATERIALIZED (
+             |  SELECT c0.vec_id, [CAST(b.bv[i] AS REAL) FOR i IN range(1, ${dim + 1})] AS v
+             |  FROM c0 JOIN rqb b ON b.stage = 0 AND b.c = c0.c)""".stripMargin
+        else
+          s""",
+             |dec$t AS MATERIALIZED (
+             |  SELECT d.vec_id,
+             |    [CAST(d.v[i] + CAST(b.bv[i] AS REAL) AS REAL) FOR i IN range(1, ${dim + 1})] AS v
+             |  FROM dec${t - 1} d JOIN c$t ON c$t.vec_id = d.vec_id
+             |  JOIN rqb b ON b.stage = $t AND b.c = c$t.c)""".stripMargin
+      argmin + residual + dec
+    }.mkString(",\n")
+    s"""WITH ${ivfProbeCtes(cents, nprobe, "vec_id < 10")},
+       |rqb(stage, c, bv) AS (VALUES
+       |  $bookRows),
+       |res0 AS MATERIALIZED (SELECT vec_id, embedding AS r FROM embeddings),
+       |$stages,
+       |cdist AS (
+       |  SELECT p.qid, d.vec_id AS label,
+       |    ${l2RawSql("qe.embedding", "d.v", dim)} AS cd
+       |  FROM probes p
+       |  JOIN asg a ON a.cid = p.cid
+       |  JOIN dec${m - 1} d ON d.vec_id = a.vec_id
+       |  JOIN embeddings qe ON qe.vec_id = p.qid
+       |),
+       |cand AS (
+       |  SELECT qid, label FROM (
+       |    SELECT qid, label, row_number() OVER (PARTITION BY qid ORDER BY cd, label) AS rn
+       |    FROM cdist) WHERE rn <= $kk
+       |),
+       |rr AS (
+       |  SELECT c.qid, c.label, ${l2RawSql("qe.embedding", "ce.embedding", dim)} AS dist
+       |  FROM cand c
+       |  JOIN embeddings qe ON qe.vec_id = c.qid
+       |  JOIN embeddings ce ON ce.vec_id = c.label
+       |),
+       |r AS (
+       |  SELECT qid, label, dist,
+       |    CAST(row_number() OVER (PARTITION BY qid ORDER BY dist, label) - 1 AS INTEGER) AS rank
+       |  FROM rr
+       |)
+       |SELECT qid, rank, label, CAST(CAST(dist AS DECIMAL(18,4)) AS DOUBLE) AS distance
+       |FROM r WHERE rank < 5""".stripMargin
+  }
+
+  /** DuckDB replay of the inverted multi-index search with INJECTED
+    * half-space codebooks (cf. FAISS IMI2x<n>; Babenko & Lempitsky
+    * 2012): assignment = per-half argmin (ties to lowest centroid,
+    * strict <) composed as cell i*K + j; the multi-sequence probe
+    * order is replayed as a SORT — the frontier enumeration emits
+    * exactly ascending (d1+d2, rank1, rank2), where rank is the
+    * half's stable (d, c) sort position, so the probed SET equals the
+    * top-nprobe of that global ordering (the §3.1 ascending property
+    * plus the lexicographic tie rule the heap comparator pins). The
+    * probed-cell scan then re-ranks on raw vectors. */
+  private def knnImiOracle(books: Array[Array[Array[Float]]], nprobe: Int): String = {
+    val Array(b1, b2) = books
+    val half = b1(0).length
+    val k2 = b2.length
+    def bookRows(b: Array[Array[Float]]): String =
+      b.zipWithIndex.map { case (c, i) => s"($i, ${flList(c)})" }.mkString(",\n  ")
+    def halfL2(v: String, off: Int): String =
+      s"list_sum([ (CAST($v[$off + i] AS DOUBLE) - CAST(CAST(cv[i] AS REAL) AS DOUBLE)) * " +
+        s"(CAST($v[$off + i] AS DOUBLE) - CAST(CAST(cv[i] AS REAL) AS DOUBLE)) FOR i IN range(1, ${half + 1}) ])"
+    s"""WITH b1(c, cv) AS (VALUES
+       |  ${bookRows(b1)}),
+       |b2(c, cv) AS (VALUES
+       |  ${bookRows(b2)}),
+       |hd1 AS (SELECT e.vec_id, b1.c, ${halfL2("e.embedding", 0)} AS d FROM embeddings e CROSS JOIN b1),
+       |hd2 AS (SELECT e.vec_id, b2.c, ${halfL2("e.embedding", half)} AS d FROM embeddings e CROSS JOIN b2),
+       |a1 AS (SELECT vec_id, c FROM (
+       |  SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn FROM hd1) WHERE rn = 1),
+       |a2 AS (SELECT vec_id, c FROM (
+       |  SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn FROM hd2) WHERE rn = 1),
+       |asg AS (SELECT a1.vec_id, a1.c * $k2 + a2.c AS cell FROM a1 JOIN a2 ON a2.vec_id = a1.vec_id),
+       |r1 AS (SELECT vec_id, c, d, row_number() OVER (PARTITION BY vec_id ORDER BY d, c) AS rk
+       |       FROM hd1 WHERE vec_id < 10),
+       |r2 AS (SELECT vec_id, c, d, row_number() OVER (PARTITION BY vec_id ORDER BY d, c) AS rk
+       |       FROM hd2 WHERE vec_id < 10),
+       |cells AS (
+       |  SELECT q1.vec_id AS qid, q1.c * $k2 + q2.c AS cell, q1.d + q2.d AS sd, q1.rk AS rk1, q2.rk AS rk2
+       |  FROM r1 q1 JOIN r2 q2 ON q2.vec_id = q1.vec_id
+       |),
+       |probes AS (SELECT qid, cell FROM (
+       |  SELECT qid, cell, row_number() OVER (PARTITION BY qid ORDER BY sd, rk1, rk2) AS rn
+       |  FROM cells) WHERE rn <= $nprobe),
+       |cand AS (SELECT p.qid, a.vec_id AS label FROM probes p JOIN asg a ON a.cell = p.cell),
+       |d AS (
+       |  SELECT c.qid, c.label, ${l2RawSql("qe.embedding", "ce.embedding", 2 * half)} AS dist
+       |  FROM cand c
+       |  JOIN embeddings qe ON qe.vec_id = c.qid
+       |  JOIN embeddings ce ON ce.vec_id = c.label
+       |),
+       |r AS (
+       |  SELECT qid, label, dist,
+       |    CAST(row_number() OVER (PARTITION BY qid ORDER BY dist, label) - 1 AS INTEGER) AS rank
+       |  FROM d
+       |)
+       |SELECT qid, rank, label, CAST(CAST(dist AS DECIMAL(18,4)) AS DOUBLE) AS distance
+       |FROM r WHERE rank < 5""".stripMargin
+  }
+
+  /** DuckDB replay of the random-hyperplane LSH search — NO injection
+    * needed: HyperplaneBuckets derives its Rademacher signs from
+    * (seed, band, bit, dim) via the public splitmix64 mix, so the
+    * builder regenerates the identical +-1 matrix. The replay:
+    * per-(vector, band, bit) dot = sequential double sum of
+    * +-(double)v[d] (each term exact, same association order), bit set
+    * iff dot >= 0, band tag at bit 48; candidates = DISTINCT
+    * (qid, label) sharing any bucket; cosine re-rank ((dist, label)
+    * order) — the same list_cosine_similarity chain knn_flat_cosine
+    * hash-proves. */
+  private def knnLshOracle(
+      bands: Int, bitsPerBand: Int, dim: Int, seed: Long): String = {
+    import graft.functions.Hash64
+    val wRows = (for {
+      band <- 0 until bands
+      bit <- 0 until bitsPerBand
+    } yield {
+      val signs = (0 until dim).map { d =>
+        if ((Hash64.mix(seed ^ (band.toLong << 40) ^ (bit.toLong << 20) ^ d) & 1L) == 0L) 1 else -1
+      }
+      s"($band, $bit, ${signs.mkString("[", ", ", "]")})"
+    }).mkString(",\n  ")
+    val cosDist =
+      "1.0 - list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]), CAST(ce.embedding AS DOUBLE[]))"
+    s"""WITH w(band, bit, wv) AS (VALUES
+       |  $wRows),
+       |dots AS (
+       |  SELECT e.vec_id, w.band, w.bit,
+       |    list_sum([ CAST(wv[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE) FOR i IN range(1, ${dim + 1}) ]) AS dot
+       |  FROM embeddings e CROSS JOIN w
+       |),
+       |bks AS (
+       |  SELECT vec_id, band,
+       |    SUM(CASE WHEN dot >= 0 THEN CAST(1 AS BIGINT) << bit ELSE CAST(0 AS BIGINT) END)
+       |      + (CAST(band AS BIGINT) << 48) AS bucket
+       |  FROM dots GROUP BY vec_id, band
+       |),
+       |qb AS (SELECT vec_id AS qid, bucket FROM bks WHERE vec_id < 10),
+       |cand AS (
+       |  SELECT DISTINCT q.qid, b.vec_id AS label FROM qb q JOIN bks b ON b.bucket = q.bucket
+       |),
+       |d AS (
+       |  SELECT c.qid, c.label, $cosDist AS dist
+       |  FROM cand c
+       |  JOIN embeddings qe ON qe.vec_id = c.qid
+       |  JOIN embeddings ce ON ce.vec_id = c.label
+       |),
+       |r AS (
+       |  SELECT qid, label, dist,
+       |    CAST(row_number() OVER (PARTITION BY qid ORDER BY dist, label) - 1 AS INTEGER) AS rank
+       |  FROM d
+       |)
+       |SELECT qid, rank, label, CAST(CAST(dist AS DECIMAL(18,4)) AS DOUBLE) AS distance
+       |FROM r WHERE rank < 5""".stripMargin
   }
 
   /** DuckDB replay of the scalar-quantized search with injected

@@ -68,6 +68,11 @@ object VectorQueries {
       while (i < n) { if (c(i) >= 0f) bits |= (1L << i); i += 1 }
       bits
     }
+    // memo the REDUCED trained state for the injected oracle: the whole
+    // search depends on the centroids only through these sign words
+    // (both gate configs train identically — seed 42, same data — so
+    // whichever ran last memoized the same values)
+    binaryIvfCentBits = Some(centBits)
     val cents = typedLit(centBits)
     val code = vec.signBits(vec.vector(col("embedding")))
     // per-row argmin over the literal centroid array: first occurrence
@@ -257,8 +262,9 @@ object VectorQueries {
     // sign bits (the only corpus-wide scan — 8 bytes/vector), then
     // exact L2 re-rank of the 50 survivors on raw floats. At 100 TB
     // the packed column is ~3 TB and cacheable; floats are fetched for
-    // k×10 rows per query only. Approximate (sign bits ≠ L2 order), so
-    // rows-only at the gate; recall is spec-asserted.
+    // k×10 rows per query only. EXACT: both stages are deterministic
+    // in the data, so the whole cascade replays in SQL
+    // (binaryRerankOracleSql); recall is additionally spec-asserted.
     "knn_binary_rerank" -> { (s, dir) =>
       val e = Tables(s, dir, "embeddings")
       val d = e.select(col("vec_id").as("label"),
@@ -321,8 +327,9 @@ object VectorQueries {
     // the binary cascade's budget sweep (vs_refine_eval's shape for
     // the 1-bit tier): recall@5 of Hamming-coarse → exact-rerank as a
     // function of the rerank factor — the table that sizes
-    // knn_binary_rerank's k×factor float fetches. Sign-bit ordering is
-    // engine-custom → rows-only; monotone recall is spec-asserted.
+    // knn_binary_rerank's k×factor float fetches. EXACT: both stages
+    // are deterministic in the data (no trained state), so every swept
+    // recall value replays in SQL (rerankEvalOracleSql).
     "vs_rerank_eval" -> { (s, dir) =>
       import s.implicits._
       val e = Tables(s, dir, "embeddings")
@@ -365,8 +372,9 @@ object VectorQueries {
     // argmin — no shuffle, no join), and a query scans only its nprobe
     // nearest lists. At 100 TB the corpus is an 8-byte code column
     // read at nprobe/nlist selectivity; the probe table is a broadcast.
-    // Approximate at partial probe → rows-only gate; the spec pins
-    // exhaustive probe == brute-force Hamming and recall at nprobe=4.
+    // EXACT via sign-word injection (the search depends on the trained
+    // centroids only through their 64-bit sign patterns); the spec
+    // still pins exhaustive probe == brute-force Hamming.
     "knn_binary_ivf" -> { (s, dir) =>
       binaryIvf(s, dir, nlist = 16, nprobe = 4)
     },
@@ -655,6 +663,126 @@ object VectorQueries {
        |  FROM d
        |)
        |SELECT qid, rank, label, ham AS hamming FROM r WHERE rank < $K""".stripMargin
+
+  /** sign words of the binary-IVF coarse centroids, memoized by
+    * [[binaryIvf]] for the injected oracle (the trained-state-injection
+    * contract of IndexQueries.knnIvfCents) */
+  @volatile private[queries] var binaryIvfCentBits: Option[Seq[Long]] = None
+
+  /** sign-disagreement Hamming between two float lists — vec.signBits'
+    * exact semantics (first 64 dims, NaN counts as sign 0), the
+    * hammingOracleSql chain shared by the binary-family replays */
+  private def hamSql(a: String, b: String): String =
+    s"""CAST(len([i FOR i IN range(1, least(len($a), 64)+1)
+       |              IF (NOT isnan($a[i]) AND $a[i] >= 0) <> (NOT isnan($b[i]) AND $b[i] >= 0)]) AS BIGINT)""".stripMargin
+
+  /** DuckDB replay of the binary rerank cascade: Hamming coarse top-50
+    * ((ham, label) order), exact float re-rank of the survivors. No
+    * trained state at all — the cascade is a pure function of the data,
+    * so the oracle is static. */
+  private val binaryRerankOracleSql: String =
+    s"""WITH q AS (SELECT vec_id AS qid, embedding AS a FROM embeddings WHERE vec_id < 10),
+       |hd AS (
+       |  SELECT q.qid, e.vec_id AS label, q.a, e.embedding AS b,
+       |    ${hamSql("q.a", "e.embedding")} AS ham
+       |  FROM q CROSS JOIN embeddings e
+       |),
+       |coarse AS (
+       |  SELECT qid, label, a, b FROM (
+       |    SELECT qid, label, a, b,
+       |      row_number() OVER (PARTITION BY qid ORDER BY ham, label) AS rn
+       |    FROM hd) WHERE rn <= ${K * 10}
+       |),
+       |rd AS (SELECT qid, label, $l2sqSql AS dist FROM (SELECT qid, label, a, b FROM coarse)),
+       |r AS (
+       |  SELECT qid, label, dist,
+       |    CAST(row_number() OVER (PARTITION BY qid ORDER BY dist, label) - 1 AS INTEGER) AS rank
+       |  FROM rd
+       |)
+       |SELECT qid, rank, label, CAST(CAST(dist AS DECIMAL(18,4)) AS DOUBLE) AS distance
+       |FROM r WHERE rank < $K""".stripMargin
+
+  /** DuckDB replay of the binary IVF with INJECTED centroid sign words
+    * (the search depends on the trained centroids only through their
+    * 64-bit sign patterns): assignment argmin (ties to lowest cid —
+    * array_position picks the first min), per-query nprobe list
+    * selection ((ham, cid) struct sort), Hamming scan of probed lists
+    * ((ham, label) top-k). Bit i of a word is read with an arithmetic
+    * shift, which agrees with the engine's 1L<<i packing for all 64
+    * bits including the sign bit. */
+  private def binaryIvfOracle(centBits: Seq[Long], nprobe: Int): String = {
+    val centRows = centBits.zipWithIndex
+      .map { case (b, i) => s"($i, CAST($b AS BIGINT))" }.mkString(",\n  ")
+    def hamWord(v: String): String =
+      s"""CAST(len([i FOR i IN range(1, least(len($v), 64)+1)
+         |              IF (((cb >> (i-1)) & 1) = 1) <> (NOT isnan($v[i]) AND $v[i] >= 0)]) AS BIGINT)""".stripMargin
+    s"""WITH cents(cid, cb) AS (VALUES
+       |  $centRows),
+       |bits AS (
+       |  SELECT e.vec_id, cents.cid, ${hamWord("e.embedding")} AS ham
+       |  FROM embeddings e CROSS JOIN cents
+       |),
+       |asg AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY ham, cid) AS rn
+       |    FROM bits) WHERE rn = 1
+       |),
+       |probes AS (
+       |  SELECT vec_id AS qid, cid FROM (
+       |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY ham, cid) AS rn
+       |    FROM bits WHERE vec_id < 10) WHERE rn <= $nprobe
+       |),
+       |cand AS (SELECT p.qid, a.vec_id AS label FROM probes p JOIN asg a ON a.cid = p.cid),
+       |hd AS (
+       |  SELECT c.qid, c.label, ${hamSql("qe.embedding", "ce.embedding")} AS ham
+       |  FROM cand c
+       |  JOIN embeddings qe ON qe.vec_id = c.qid
+       |  JOIN embeddings ce ON ce.vec_id = c.label
+       |),
+       |r AS (
+       |  SELECT qid, label, ham,
+       |    CAST(row_number() OVER (PARTITION BY qid ORDER BY ham, label) - 1 AS INTEGER) AS rank
+       |  FROM hd
+       |)
+       |SELECT qid, rank, label, ham AS hamming FROM r WHERE rank < $K""".stripMargin
+  }
+
+  /** DuckDB replay of the vs_rerank_eval factor sweep — static like
+    * [[binaryRerankOracleSql]] (no trained state): per factor f, the
+    * Hamming coarse keeps top K*f ((ham, label) order), the float
+    * re-rank keeps top K ((dist, label)), and recall is the exact hit
+    * count over the brute-force truth divided by the truth count. */
+  private val rerankEvalOracleSql: String = {
+    val factorRows = RerankFactors.map(f => s"($f)").mkString(", ")
+    s"""WITH q AS (SELECT vec_id AS qid, embedding AS a FROM embeddings WHERE vec_id < 10),
+       |hd AS MATERIALIZED (
+       |  SELECT q.qid, e.vec_id AS label, ${hamSql("q.a", "e.b")} AS ham,
+       |    $l2sqSql AS dist
+       |  FROM q CROSS JOIN (SELECT vec_id, embedding AS b FROM embeddings) e
+       |),
+       |truth AS (
+       |  SELECT qid, label FROM (
+       |    SELECT qid, label, row_number() OVER (PARTITION BY qid ORDER BY dist, label) AS rn
+       |    FROM hd) WHERE rn <= $K
+       |),
+       |hr AS (SELECT qid, label, dist,
+       |         row_number() OVER (PARTITION BY qid ORDER BY ham, label) AS hrn FROM hd),
+       |fs(factor) AS (VALUES $factorRows),
+       |tier AS (
+       |  SELECT factor, qid, label FROM (
+       |    SELECT f.factor, h.qid, h.label,
+       |      row_number() OVER (PARTITION BY f.factor, h.qid ORDER BY h.dist, h.label) AS rn
+       |    FROM fs f JOIN hr h ON h.hrn <= $K * f.factor
+       |  ) WHERE rn <= $K
+       |)
+       |SELECT f.factor,
+       |  CAST(SUM(CASE WHEN t2.label IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) /
+       |    CAST(COUNT(*) AS DOUBLE) AS recall_at_5
+       |FROM fs f
+       |JOIN truth t ON true
+       |LEFT JOIN tier t2 ON t2.factor = f.factor AND t2.qid = t.qid AND t2.label = t.label
+       |GROUP BY f.factor ORDER BY f.factor""".stripMargin
+  }
 
   def oracles: Map[String, String] = Map(
     // replay BOTH stages: coarse rank over prefix-16 distance (ties by
@@ -958,7 +1086,10 @@ object VectorQueries {
          |  CAST(CAST(1.0 - list_sum([ least(pa[i], pb[i]) FOR i IN range(1, len(pa)+1) ])
          |    / list_sum([ greatest(pa[i], pb[i]) FOR i IN range(1, len(pa)+1) ]) AS DECIMAL(18,4)) AS DOUBLE) AS d_jaccard
          |FROM m""".stripMargin
-  ) ++ pcaVarianceBasis.map(b => "embed_pca_variance" -> pcaVarianceOracle(b._1, b._2))
+  ) ++ pcaVarianceBasis.map(b => "embed_pca_variance" -> pcaVarianceOracle(b._1, b._2)) ++
+    Map("knn_binary_rerank" -> binaryRerankOracleSql,
+        "vs_rerank_eval" -> rerankEvalOracleSql) ++
+    binaryIvfCentBits.map(cb => "knn_binary_ivf" -> binaryIvfOracle(cb, nprobe = 4))
 
   /** Trained eigenbasis of the last embed_pca_variance run: Verify
     * dumps oracle_sql.json AFTER executing the queries, so the
