@@ -257,7 +257,7 @@ object DedupQueries {
     // missed) -> rows-only; containment + recall spec-asserted.
     "dedup_embedding_ann" -> { (s, dir) =>
       val e = embs(s, dir)
-      graft.search.AnnJoin.ivfRadiusJoin(
+      val res = graft.search.AnnJoin.ivfRadiusJoin(
           left = e.select(col("vec_id").as("qid"), col("embedding").as("qvec")),
           right = e.select(col("vec_id").as("label"), col("embedding").as("vec")),
           radius = 0.65, nlist = 16, nprobe = 4, metric = "cosine",
@@ -270,6 +270,10 @@ object DedupQueries {
           greatest(col("qid"), col("label")).as("b_id"),
           Tables.quant4(col("distance")).as("cosine_dist"))
         .dropDuplicates("a_id", "b_id")
+      // EXACT via the AnnJoin centroid hook (the knn_join_ann move):
+      // the radius predicate + canonicalization replay in SQL
+      dedupAnnCents = graft.search.AnnJoin.lastTrainedCentroids
+      res
     },
     // SemDeDup (Abbas et al. '23): cluster the corpus by centroid
     // assignment, then prune near-duplicate pairs ONLY within a cluster
@@ -901,5 +905,48 @@ object DedupQueries {
          |nd AS (SELECT cid, count(*) AS n_pruned FROM dup GROUP BY cid)
          |SELECT nm.cid AS cluster_id, nm.n_members,
          |  coalesce(nd.n_pruned, CAST(0 AS BIGINT)) AS n_pruned
-         |FROM nm LEFT JOIN nd ON nm.cid = nd.cid""".stripMargin)
+         |FROM nm LEFT JOIN nd ON nm.cid = nd.cid""".stripMargin) ++
+    dedupAnnCents.map(cs => "dedup_embedding_ann" -> dedupAnnOracle(cs, nprobe = 4))
+
+  /** AnnJoin quantizer of the last dedup_embedding_ann run (the
+    * lastTrainedCentroids hook), for the injected oracle */
+  @volatile private[queries] var dedupAnnCents: Option[Array[Array[Float]]] = None
+
+  /** DuckDB replay of the ANN radius self-join dedup: injected
+    * centroids -> assignment (L2 coarse, the cosine metric's non-IP
+    * branch) + per-row nprobe probing, candidate pairs from probed
+    * lists (self excluded), STRICT radius predicate on the raw cosine
+    * distance, then the least/greatest canonicalization + distinct the
+    * gate applies (symmetric metric -> both orientations carry the
+    * same quantized distance). */
+  private def dedupAnnOracle(cents: Array[Array[Float]], nprobe: Int): String = {
+    val dim = cents(0).length
+    s"""WITH cents(cid, cv) AS (VALUES
+       |  ${IndexQueries.centRows(cents)}),
+       |cd AS MATERIALIZED (
+       |  SELECT e.vec_id, cents.cid, ${IndexQueries.l2CentSql("e.embedding", "cv", dim)} AS dist
+       |  FROM embeddings e CROSS JOIN cents
+       |),
+       |asg AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+       |    FROM cd) WHERE rn = 1
+       |),
+       |probes AS (
+       |  SELECT vec_id AS qid, cid FROM (
+       |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+       |    FROM cd) WHERE rn <= $nprobe
+       |),
+       |hits AS (
+       |  SELECT p.qid, a.vec_id AS label,
+       |    1.0 - list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]), CAST(ce.embedding AS DOUBLE[])) AS dist
+       |  FROM probes p
+       |  JOIN asg a ON a.cid = p.cid AND a.vec_id <> p.qid
+       |  JOIN embeddings qe ON qe.vec_id = p.qid
+       |  JOIN embeddings ce ON ce.vec_id = a.vec_id
+       |)
+       |SELECT DISTINCT least(qid, label) AS a_id, greatest(qid, label) AS b_id,
+       |  CAST(CAST(dist AS DECIMAL(18,4)) AS DOUBLE) AS cosine_dist
+       |FROM hits WHERE dist < 0.65""".stripMargin
+  }
 }

@@ -656,6 +656,7 @@ object IndexQueries {
       import s.implicits._
       val d = embData(s, dir)
       val qs = embQueries(s, dir)
+      compEvalState = None // set after the tier builds below
       val truth = graft.search.Knn.searchFlat(d, qs, 5, "l2sq")
         .select(col("qid"), col("label"))
       val tiers = Seq( // (tier, factory, bytes per 64-dim vector)
@@ -673,13 +674,19 @@ object IndexQueries {
           .select(lit(tier).as("tier"), lit(bytes).as("bytes_per_vec"),
             col("qid"), col("label"), lit(1L).as("hit"))
       }.reduce(_ unionByName _)
-      truth
+      val res = truth
         .crossJoin(broadcast(tiers.map(t => (t._1, t._3)).toDF("tier", "bytes_per_vec")))
         .join(tagged, Seq("tier", "bytes_per_vec", "qid", "label"), "left")
         .groupBy("tier", "bytes_per_vec")
         .agg((sum(coalesce(col("hit"), lit(0L))).cast("double") /
           count(lit(1)).cast("double")).as("recall_at_5"))
         .orderBy(col("bytes_per_vec").desc, col("tier"))
+      compEvalState = for {
+        s8 <- IndexCatalog.trainedSqOf("q_comp_sq8")
+        s4 <- IndexCatalog.trainedSqOf("q_comp_sq4")
+        pb <- IndexCatalog.trainedPqOf("q_comp_pq8")
+      } yield ((s8._1, s8._2), (s4._1, s4._2), pb._1)
+      res
     },
     // the OTHER recall knob, for the coded (PQ) path: refine = how many
     // code-distance candidates per result slot get the exact re-rank.
@@ -902,7 +909,8 @@ object IndexQueries {
     knnPqBooks.map(b => "knn_pq" -> knnPqOracle(b, kk = 120)) ++
     knnOpqState.map(t =>
       "knn_opq" -> knnPqOracle(t._3, kk = 120, proj = Some((t._1, t._2)))) ++
-    Map("knn_lsh" -> knnLshOracle(bands = 24, bitsPerBand = 12, dim = 64, seed = 42L)) ++
+    Map("knn_lsh" -> knnLshOracle(bands = 24, bitsPerBand = 12, dim = 64, seed = 42L),
+        "knn_sqfp16" -> knnSqfp16Oracle(kk = 40, dim = 64)) ++
     knnIvfPqBigState.map(t =>
       "knn_ivfpq_big" -> knnIvfPqBigOracle(t._1, t._2, nprobe = 4, kk = 80)) ++
     knnImiBooks.map(b => "knn_imi" -> knnImiOracle(b, nprobe = 4)) ++
@@ -910,7 +918,8 @@ object IndexQueries {
     recallEvalCents.map(cs => "vs_recall_eval" -> recallEvalOracle(cs, RecallNprobes)) ++
     refineEvalBooks.map(b => "vs_refine_eval" -> refineEvalOracle(b, RefineFactors)) ++
     knnLsqState.map(t => "knn_lsq" -> knnLsqOracle(t._1, t._2, nprobe = 4, kk = 120,
-      icmRounds = graft.index.Lsq.IcmRounds))
+      icmRounds = graft.index.Lsq.IcmRounds)) ++
+    compEvalState.map(t => "vs_compression_eval" -> compEvalOracle(t._1, t._2, t._3))
 
   /** Trained PCA basis of the last knn_pca run (Verify dumps
     * oracle_sql.json AFTER executing the queries) — the
@@ -944,12 +953,15 @@ object IndexQueries {
   @volatile private[queries] var refineEvalBooks: Option[Array[Array[Array[Float]]]] = None
   @volatile private[queries] var knnLsqState
       : Option[(Array[Array[Array[Float]]], Array[Array[Float]])] = None
+  @volatile private[queries] var compEvalState: Option[(
+      (Array[Float], Array[Float]), (Array[Float], Array[Float]),
+      Array[Array[Array[Float]]])] = None
 
   /** 10 significant digits round-trips any float through a decimal
     * literal: CAST(lit AS REAL) in DuckDB recovers the exact bits */
-  private def fl(x: Float): String = "%1.9e".format(x)
-  private def flList(a: Array[Float]): String = a.map(fl).mkString("[", ", ", "]")
-  private def centRows(cents: Array[Array[Float]]): String =
+  private[queries] def fl(x: Float): String = "%1.9e".format(x)
+  private[queries] def flList(a: Array[Float]): String = a.map(fl).mkString("[", ", ", "]")
+  private[queries] def centRows(cents: Array[Array[Float]]): String =
     cents.zipWithIndex.map { case (c, i) => s"($i, ${flList(c)})" }.mkString(",\n  ")
 
   /** L2² between a raw float column and an injected centroid list: both
@@ -957,12 +969,12 @@ object IndexQueries {
     * round-trips through REAL to recover the exact float) and the sum
     * is sequential in index order, exactly the NearestCentroids loop —
     * the replay vs_index_stats already hash-proves. */
-  private def l2CentSql(v: String, c: String, dim: Int): String =
+  private[queries] def l2CentSql(v: String, c: String, dim: Int): String =
     s"list_sum([ (CAST($v[i] AS DOUBLE) - CAST(CAST($c[i] AS REAL) AS DOUBLE)) * " +
       s"(CAST($v[i] AS DOUBLE) - CAST(CAST($c[i] AS REAL) AS DOUBLE)) FOR i IN range(1, ${dim + 1}) ])"
 
   /** raw-vs-raw L2² (both sides parquet floats), fixed dim */
-  private def l2RawSql(a: String, b: String, dim: Int): String =
+  private[queries] def l2RawSql(a: String, b: String, dim: Int): String =
     s"list_sum([ (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)) * " +
       s"(CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)) FOR i IN range(1, ${dim + 1}) ])"
 
@@ -971,7 +983,7 @@ object IndexQueries {
     * first-wins loop of NearestCentroids at nprobe=1), `probes` the
     * per-query nprobe nearest lists (the TopKHeap's (dist, cid) order,
     * identical tie-break). */
-  private def ivfProbeCtes(
+  private[queries] def ivfProbeCtes(
       cents: Array[Array[Float]], nprobe: Int, queryWhere: String): String = {
     val dim = cents(0).length
     s"""cents(cid, cv) AS (VALUES
@@ -1316,6 +1328,246 @@ object IndexQueries {
        |  JOIN asg a ON a.cid = p.cid
        |  JOIN fdec${m - 1} d ON d.vec_id = a.vec_id
        |  JOIN embeddings qe ON qe.vec_id = p.qid
+       |),
+       |cand AS (
+       |  SELECT qid, label FROM (
+       |    SELECT qid, label, row_number() OVER (PARTITION BY qid ORDER BY cd, label) AS rn
+       |    FROM cdist) WHERE rn <= $kk
+       |),
+       |rr AS (
+       |  SELECT c.qid, c.label, ${l2RawSql("qe.embedding", "ce.embedding", dim)} AS dist
+       |  FROM cand c
+       |  JOIN embeddings qe ON qe.vec_id = c.qid
+       |  JOIN embeddings ce ON ce.vec_id = c.label
+       |),
+       |r AS (
+       |  SELECT qid, label, dist,
+       |    CAST(row_number() OVER (PARTITION BY qid ORDER BY dist, label) - 1 AS INTEGER) AS rank
+       |  FROM rr
+       |)
+       |SELECT qid, rank, label, CAST(CAST(dist AS DECIMAL(18,4)) AS DOUBLE) AS distance
+       |FROM r WHERE rank < 5""".stripMargin
+  }
+
+  /** DuckDB replay of the six-tier codec dashboard
+    * (vs_compression_eval) — the composition of every per-tier replay
+    * this file already proves: flat (= the truth), fp16 (static half
+    * round-trip), SQ8/SQ4 (injected bounds, 255/15-level grids), PQ8
+    * (injected codebooks, ADC), LSH16 (regenerated Rademacher
+    * hyperplanes, L2 re-rank of bucket-mates), each cut at the gate's
+    * k x refine = 40 budget and re-ranked on raw vectors, then the
+    * recall rollup (exact hit counts / truth count) per tier. */
+  private def compEvalOracle(
+      sq8: (Array[Float], Array[Float]), sq4: (Array[Float], Array[Float]),
+      pqBooks: Array[Array[Array[Float]]]): String = {
+    val dim = sq8._1.length
+    val kk = 40 // k * refine(8), every coded tier in the dashboard
+    def rerank(p: String, cand: String): String =
+      s"""${p}top AS (SELECT qid, label FROM (
+         |  SELECT c.qid, c.label, row_number() OVER (PARTITION BY c.qid ORDER BY da.dist, c.label) AS rn
+         |  FROM $cand c JOIN d_all da ON da.qid = c.qid AND da.label = c.label) WHERE rn <= 5)""".stripMargin
+    def codedCut(p: String, cdSrc: String): String =
+      s"""${p}cand AS (SELECT qid, label FROM (
+         |  SELECT qid, label, row_number() OVER (PARTITION BY qid ORDER BY cd, label) AS rn
+         |  FROM $cdSrc) WHERE rn <= $kk)""".stripMargin
+    def sqTier(p: String, mn: Array[Float], df: Array[Float], levels: Int): String =
+      s"""${p}b(mv, dv) AS (VALUES (${flList(mn)}, ${flList(df)})),
+         |${p}enc AS (
+         |  SELECT e.vec_id, dm.i, CAST(mv[dm.i] AS REAL) AS mnv, CAST(dv[dm.i] AS REAL) AS dfv,
+         |    CASE WHEN CAST(dv[dm.i] AS REAL) <= 0 THEN CAST(0 AS REAL) ELSE
+         |      CAST(CAST(CAST(CAST(CAST(e.embedding[dm.i] AS REAL) - CAST(mv[dm.i] AS REAL) AS REAL) /
+         |        CAST(dv[dm.i] AS REAL) AS REAL) * CAST($levels AS REAL) AS REAL) + CAST(0.5 AS REAL) AS REAL) END AS t
+         |  FROM embeddings e CROSS JOIN ${p}b CROSS JOIN dims dm
+         |),
+         |${p}decv AS (SELECT vec_id, list(dval ORDER BY i) AS v FROM (
+         |  SELECT vec_id, i,
+         |    CAST(mnv + CAST(CAST(CAST(
+         |      CASE WHEN t <= 0 THEN 0 WHEN t >= $levels THEN $levels ELSE CAST(trunc(t) AS INTEGER) END
+         |      AS REAL) / CAST($levels AS REAL) AS REAL) * dfv AS REAL) AS REAL) AS dval
+         |  FROM ${p}enc) GROUP BY vec_id),
+         |${p}cdist AS (
+         |  SELECT q.vec_id AS qid, dv.vec_id AS label,
+         |    list_sum([ (CAST(q.embedding[i] AS DOUBLE) - CAST(dv.v[i] AS DOUBLE)) *
+         |               (CAST(q.embedding[i] AS DOUBLE) - CAST(dv.v[i] AS DOUBLE)) FOR i IN range(1, ${dim + 1}) ]) AS cd
+         |  FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10) q CROSS JOIN ${p}decv dv
+         |),
+         |${codedCut(p, s"${p}cdist")},
+         |${rerank(p, s"${p}cand")}""".stripMargin
+    // fp16 tier — the knnSqfp16Oracle chain, prefixed
+    val fp16 =
+      s"""f16decv AS (SELECT vec_id, list(dval ORDER BY i) AS v FROM (
+         |  SELECT vec_id, i, CASE
+         |      WHEN a >= 65520 THEN sgn * CAST('inf' AS DOUBLE)
+         |      WHEN a < 6.103515625e-05 THEN sgn * round(a * 16777216.0) / 16777216.0
+         |      ELSE sgn * round(a * pow(2, 10 - ex)) * pow(2, ex - 10)
+         |    END AS dval
+         |  FROM (
+         |    SELECT vec_id, i, a, sgn,
+         |      CASE WHEN pow(2, e0) > a THEN e0 - 1
+         |           WHEN pow(2, e0 + 1) <= a THEN e0 + 1
+         |           ELSE e0 END AS ex
+         |    FROM (
+         |      SELECT e.vec_id, dm.i, abs(CAST(e.embedding[dm.i] AS DOUBLE)) AS a,
+         |        CASE WHEN signbit(CAST(e.embedding[dm.i] AS DOUBLE)) THEN -1.0 ELSE 1.0 END AS sgn,
+         |        CAST(floor(log2(CASE WHEN abs(CAST(e.embedding[dm.i] AS DOUBLE)) > 0
+         |          THEN abs(CAST(e.embedding[dm.i] AS DOUBLE)) ELSE 1 END)) AS INTEGER) AS e0
+         |      FROM embeddings e CROSS JOIN dims dm))) GROUP BY vec_id),
+         |f16cdist AS (
+         |  SELECT q.vec_id AS qid, dv.vec_id AS label,
+         |    list_sum([ (CAST(q.embedding[i] AS DOUBLE) - dv.v[i]) *
+         |               (CAST(q.embedding[i] AS DOUBLE) - dv.v[i]) FOR i IN range(1, ${dim + 1}) ]) AS cd
+         |  FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10) q CROSS JOIN f16decv dv
+         |),
+         |${codedCut("f16", "f16cdist")},
+         |${rerank("f16", "f16cand")}""".stripMargin
+    // pq8 tier — the knnPqOracle chain, prefixed
+    val m = pqBooks.length
+    val dsub = pqBooks(0)(0).length
+    val pqRows = (for {
+      sub <- pqBooks.indices
+      c <- pqBooks(sub).indices
+    } yield s"($sub, $c, ${flList(pqBooks(sub)(c))})").mkString(",\n  ")
+    def pqSliceL2(v: String): String =
+      s"list_sum([ (CAST($v[b.sub * $dsub + i] AS DOUBLE) - CAST(CAST(b.cv[i] AS REAL) AS DOUBLE)) * " +
+        s"(CAST($v[b.sub * $dsub + i] AS DOUBLE) - CAST(CAST(b.cv[i] AS REAL) AS DOUBLE)) FOR i IN range(1, ${dsub + 1}) ])"
+    val pq8 =
+      s"""pqb(sub, c, cv) AS (VALUES
+         |  $pqRows),
+         |pqcodes AS MATERIALIZED (
+         |  SELECT vec_id, sub, c FROM (
+         |    SELECT e.vec_id, b.sub, b.c,
+         |      row_number() OVER (PARTITION BY e.vec_id, b.sub
+         |                         ORDER BY ${pqSliceL2("e.embedding")}, b.c) AS rn
+         |    FROM embeddings e CROSS JOIN pqb b) WHERE rn = 1
+         |),
+         |pqlut AS MATERIALIZED (
+         |  SELECT q.vec_id AS qid, b.sub, b.c, CAST(${pqSliceL2("q.embedding")} AS REAL) AS lv
+         |  FROM embeddings q CROSS JOIN pqb b WHERE q.vec_id < 10
+         |),
+         |pqcdist AS (
+         |  SELECT qid, vec_id AS label, list_sum(lvs) AS cd FROM (
+         |    SELECT l.qid, cd.vec_id, list(CAST(l.lv AS DOUBLE) ORDER BY l.sub) AS lvs
+         |    FROM pqcodes cd JOIN pqlut l ON l.sub = cd.sub AND l.c = cd.c
+         |    GROUP BY l.qid, cd.vec_id)
+         |),
+         |${codedCut("pq", "pqcdist")},
+         |${rerank("pq", "pqcand")}""".stripMargin
+    // lsh tier — regenerated hyperplanes (bands 16, bits 16, seed 42),
+    // L2 re-rank of DISTINCT bucket-mates, direct top-5 (no refine cut)
+    val (bands, bits, seed) = (16, 16, 42L)
+    val wRows = (for {
+      band <- 0 until bands
+      bit <- 0 until bits
+    } yield {
+      val signs = (0 until dim).map { dd =>
+        if ((graft.functions.Hash64.mix(
+          seed ^ (band.toLong << 40) ^ (bit.toLong << 20) ^ dd) & 1L) == 0L) 1 else -1
+      }
+      s"($band, $bit, ${signs.mkString("[", ", ", "]")})"
+    }).mkString(",\n  ")
+    val lsh =
+      s"""lw(band, bit, wv) AS (VALUES
+         |  $wRows),
+         |ldots AS (
+         |  SELECT e.vec_id, lw.band, lw.bit,
+         |    list_sum([ CAST(wv[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE) FOR i IN range(1, ${dim + 1}) ]) AS dot
+         |  FROM embeddings e CROSS JOIN lw
+         |),
+         |lbks AS MATERIALIZED (
+         |  SELECT vec_id, band,
+         |    SUM(CASE WHEN dot >= 0 THEN CAST(1 AS BIGINT) << bit ELSE CAST(0 AS BIGINT) END)
+         |      + (CAST(band AS BIGINT) << 48) AS bucket
+         |  FROM ldots GROUP BY vec_id, band
+         |),
+         |lcand AS (
+         |  SELECT DISTINCT q.vec_id AS qid, b.vec_id AS label
+         |  FROM (SELECT vec_id, bucket FROM lbks WHERE vec_id < 10) q
+         |  JOIN lbks b ON b.bucket = q.bucket
+         |),
+         |${rerank("lsh", "lcand")}""".stripMargin
+    s"""WITH dims AS (SELECT CAST(unnest(range(1, ${dim + 1})) AS INTEGER) AS i),
+       |d_all AS MATERIALIZED (
+       |  SELECT q.vec_id AS qid, e.vec_id AS label,
+       |    ${l2RawSql("q.embedding", "e.embedding", dim)} AS dist
+       |  FROM embeddings q CROSS JOIN embeddings e WHERE q.vec_id < 10
+       |),
+       |truth AS (
+       |  SELECT qid, label FROM (
+       |    SELECT qid, label, row_number() OVER (PARTITION BY qid ORDER BY dist, label) AS rn
+       |    FROM d_all) WHERE rn <= 5
+       |),
+       |$fp16,
+       |${sqTier("s8", sq8._1, sq8._2, 255)},
+       |${sqTier("s4", sq4._1, sq4._2, 15)},
+       |$pq8,
+       |$lsh,
+       |alltiers AS (
+       |  SELECT 'flat' AS tier, 256 AS bpv, qid, label FROM truth
+       |  UNION ALL SELECT 'fp16', 128, qid, label FROM f16top
+       |  UNION ALL SELECT 'sq8', 64, qid, label FROM s8top
+       |  UNION ALL SELECT 'sq4', 32, qid, label FROM s4top
+       |  UNION ALL SELECT 'pq8', 8, qid, label FROM pqtop
+       |  UNION ALL SELECT 'lsh', 32, qid, label FROM lshtop
+       |),
+       |tb(tier, bpv) AS (VALUES ('flat', 256), ('fp16', 128), ('sq8', 64),
+       |                         ('sq4', 32), ('pq8', 8), ('lsh', 32))
+       |SELECT t.tier, CAST(t.bpv AS BIGINT) AS bytes_per_vec,
+       |  CAST(SUM(CASE WHEN a.label IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) /
+       |    CAST(COUNT(*) AS DOUBLE) AS recall_at_5
+       |FROM tb t
+       |JOIN truth tr ON true
+       |LEFT JOIN alltiers a ON a.tier = t.tier AND a.qid = tr.qid AND a.label = tr.label
+       |GROUP BY t.tier, t.bpv
+       |ORDER BY bytes_per_vec DESC, t.tier""".stripMargin
+  }
+
+  /** DuckDB replay of the fp16 scalar-quantized search — STATIC (the
+    * half codec has no trained state; bounds are unused): the decoded
+    * value halfToFloat(floatToHalf(x)) is reproduced with EXACT
+    * power-of-two arithmetic. For normal halves, decoded =
+    * sign * round(a * 2^(10-e)) * 2^(e-10) where e = floor(log2(a))
+    * (log2 corrected by exact pow comparisons, so a 1-ulp libm error
+    * cannot shift the exponent); a float value times a power of two is
+    * exact in double, and round() (half away from zero on positives)
+    * equals Math.round's floor(x+0.5) on positive ties. q = 2048
+    * (mantissa overflow to the next exponent) needs no special case —
+    * 2048 * 2^(e-10) IS the bumped-exponent value. Subnormals decode
+    * as round(a * 2^24) / 2^24; the >= 65520 band saturates to
+    * infinity exactly like the encoder's early check. The rest is the
+    * SQ candidate pipeline: sequential double L2 of query vs decoded,
+    * k x refine heap ((cd, label)), exact re-rank. */
+  private def knnSqfp16Oracle(kk: Int, dim: Int): String = {
+    val dec =
+      """CASE
+        |      WHEN a >= 65520 THEN sgn * CAST('inf' AS DOUBLE)
+        |      WHEN a < 6.103515625e-05 THEN sgn * round(a * 16777216.0) / 16777216.0
+        |      ELSE sgn * round(a * pow(2, 10 - ex)) * pow(2, ex - 10)
+        |    END""".stripMargin
+    s"""WITH dims AS (SELECT CAST(unnest(range(1, ${dim + 1})) AS INTEGER) AS i),
+       |raw AS (
+       |  SELECT e.vec_id, d.i, CAST(e.embedding[d.i] AS DOUBLE) AS x
+       |  FROM embeddings e CROSS JOIN dims d
+       |),
+       |ex0 AS (
+       |  SELECT vec_id, i, x, abs(x) AS a,
+       |    CASE WHEN signbit(x) THEN -1.0 ELSE 1.0 END AS sgn,
+       |    CAST(floor(log2(CASE WHEN abs(x) > 0 THEN abs(x) ELSE 1 END)) AS INTEGER) AS e0
+       |  FROM raw
+       |),
+       |ex1 AS (
+       |  SELECT vec_id, i, a, sgn,
+       |    CASE WHEN pow(2, e0) > a THEN e0 - 1
+       |         WHEN pow(2, e0 + 1) <= a THEN e0 + 1
+       |         ELSE e0 END AS ex
+       |  FROM ex0
+       |),
+       |dec AS (SELECT vec_id, i, $dec AS dval FROM ex1),
+       |decv AS (SELECT vec_id, list(dval ORDER BY i) AS v FROM dec GROUP BY vec_id),
+       |cdist AS (
+       |  SELECT q.vec_id AS qid, dv.vec_id AS label,
+       |    list_sum([ (CAST(q.embedding[i] AS DOUBLE) - dv.v[i]) *
+       |               (CAST(q.embedding[i] AS DOUBLE) - dv.v[i]) FOR i IN range(1, ${dim + 1}) ]) AS cd
+       |  FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10) q CROSS JOIN decv dv
        |),
        |cand AS (
        |  SELECT qid, label FROM (

@@ -164,12 +164,16 @@ object VectorQueries {
       val e = Tables(s, dir, "embeddings")
       // nlist = 0: auto-sized from the measured corpus (~2k rows/list),
       // so this gate stays linear at every scale rung — fixed nlist=16
-      // cost 479 s at the 100x rung (12.5k-row lists, quadratic)
-      graft.search.AnnJoin.ivfJoin(
+      // cost 479 s at the 100x rung (12.5k-row lists, quadratic).
+      // EXACT via centroid injection (AnnJoin.lastTrainedCentroids —
+      // salting/packing never change the candidate pair set)
+      val res = graft.search.AnnJoin.ivfJoin(
           left = e.select(col("vec_id").as("qid"), col("embedding").as("qvec")),
           right = e.select(col("vec_id").as("label"), col("embedding").as("vec")),
           k = 3, nlist = 0, nprobe = 4, excludeSelf = true)
         .select(col("qid"), col("rank"), col("label"))
+      joinAnnCents = graft.search.AnnJoin.lastTrainedCentroids
+      res
     },
     // exhaustive twin of the unbounded ANN join: every list probed ->
     // each (query, corpus) pair is scored exactly once with the same
@@ -669,6 +673,51 @@ object VectorQueries {
     * contract of IndexQueries.knnIvfCents) */
   @volatile private[queries] var binaryIvfCentBits: Option[Seq[Long]] = None
 
+  /** AnnJoin quantizer of the last knn_join_ann run (the
+    * lastTrainedCentroids hook), for the injected oracle */
+  @volatile private[queries] var joinAnnCents: Option[Array[Array[Float]]] = None
+
+  /** DuckDB replay of the unbounded ANN self-join with injected
+    * centroids: EVERY row probes its nprobe nearest lists, candidates
+    * are probed-list co-members (self excluded), top-k by
+    * ((dist, label)) — assignment/probe/tie rules identical to the
+    * knn_ivf replay, just with the full corpus as the query side. */
+  private def joinAnnOracle(cents: Array[Array[Float]], nprobe: Int, k: Int): String = {
+    val dim = cents(0).length
+    s"""WITH cents(cid, cv) AS (VALUES
+       |  ${IndexQueries.centRows(cents)}),
+       |cd AS MATERIALIZED (
+       |  SELECT e.vec_id, cents.cid, ${IndexQueries.l2CentSql("e.embedding", "cv", dim)} AS dist
+       |  FROM embeddings e CROSS JOIN cents
+       |),
+       |asg AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+       |    FROM cd) WHERE rn = 1
+       |),
+       |probes AS (
+       |  SELECT vec_id AS qid, cid FROM (
+       |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+       |    FROM cd) WHERE rn <= $nprobe
+       |),
+       |cand AS (
+       |  SELECT p.qid, a.vec_id AS label FROM probes p JOIN asg a ON a.cid = p.cid
+       |  WHERE a.vec_id <> p.qid
+       |),
+       |d AS (
+       |  SELECT c.qid, c.label, ${IndexQueries.l2RawSql("qe.embedding", "ce.embedding", dim)} AS dist
+       |  FROM cand c
+       |  JOIN embeddings qe ON qe.vec_id = c.qid
+       |  JOIN embeddings ce ON ce.vec_id = c.label
+       |),
+       |r AS (
+       |  SELECT qid, label, dist,
+       |    CAST(row_number() OVER (PARTITION BY qid ORDER BY dist, label) - 1 AS INTEGER) AS rank
+       |  FROM d
+       |)
+       |SELECT qid, rank, label FROM r WHERE rank < $k""".stripMargin
+  }
+
   /** sign-disagreement Hamming between two float lists — vec.signBits'
     * exact semantics (first 64 dims, NaN counts as sign 0), the
     * hammingOracleSql chain shared by the binary-family replays */
@@ -1089,7 +1138,8 @@ object VectorQueries {
   ) ++ pcaVarianceBasis.map(b => "embed_pca_variance" -> pcaVarianceOracle(b._1, b._2)) ++
     Map("knn_binary_rerank" -> binaryRerankOracleSql,
         "vs_rerank_eval" -> rerankEvalOracleSql) ++
-    binaryIvfCentBits.map(cb => "knn_binary_ivf" -> binaryIvfOracle(cb, nprobe = 4))
+    binaryIvfCentBits.map(cb => "knn_binary_ivf" -> binaryIvfOracle(cb, nprobe = 4)) ++
+    joinAnnCents.map(cs => "knn_join_ann" -> joinAnnOracle(cs, nprobe = 4, k = 3))
 
   /** Trained eigenbasis of the last embed_pca_variance run: Verify
     * dumps oracle_sql.json AFTER executing the queries, so the

@@ -22,6 +22,13 @@ import graft.index.{KMeansTrainer, NearestCentroids}
  */
 object AnnJoin {
 
+  /** trained quantizer of the most recent ivfJoin/ivfRadiusJoin on this
+    * JVM — the [[graft.index.IndexCatalog.trainedCentroidsOf]] analog
+    * for the catalog-less join path, consumed by the injected oracles
+    * (set at the end of listedSides; dev/verification surface, not a
+    * serving API) */
+  @volatile var lastTrainedCentroids: Option[Array[Array[Float]]] = None
+
   /** auto-nlist target list size: lists stay near this many rows so
     * per-query candidate work is constant in corpus size. 1024 (not
     * 2048) so nlist crosses [[GraphCoarseThreshold]] by the 100x rung
@@ -435,6 +442,13 @@ object AnnJoin {
       System.err.println(s"[annjoin] estPairs=$estPairs pin=$pinParallelism " +
         s"splitLists=${splitRows.size} sumSplits=${splitRows.map(_._2).sum}")
     }
+    // replay hook (the IndexCatalog.trainedCentroidsOf analog for the
+    // catalog-less join path): the quantizer this join just trained,
+    // exposed so a correctness gate can inject it into its oracle and
+    // replay assignment + probing verbatim. Salting/packing change only
+    // partitioning, never the candidate pair set, so the centroids are
+    // the COMPLETE approximation state of the join.
+    AnnJoin.lastTrainedCentroids = Some(centroids.map(_.clone()))
     def pinned(df: DataFrame, keys: Seq[String]): DataFrame =
       if (pinParallelism) df.repartition(np, keys.map(col): _*) else df
     // packed-scan eligibility: with the salt guard DISABLED
