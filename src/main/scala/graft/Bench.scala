@@ -150,6 +150,13 @@ object Bench {
         if (regressed.isEmpty)
           System.err.println(
             f"[bench] no regressions vs BENCH_FLOOR.json (median-normalized /$medianRatio%.2f)")
+        // cohort guard (VERDICT r12 #5): a ratio past 1.25 means the box
+        // is hot/contended relative to the committed floors — stamp the
+        // artifact so tools/update_floors.py refuses to fold from it
+        if (medianRatio > 1.25)
+          System.err.println(
+            f"[bench] HOT-BOX: cohort ratio $medianRatio%.2f > 1.25 — artifact is " +
+              "non-comparable for floor folding (update_floors.py will refuse it)")
       } else System.err.println("[bench] no BENCH_FLOOR.json in cwd, floor check SKIPPED")
     } catch { case e: Throwable => System.err.println(s"[bench] floor check skipped: $e") }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

@@ -33,6 +33,16 @@ import graft.search.Knn
  */
 object IndexCatalog {
 
+  /** seed used when an index's params carry no explicit "seed" — ONE
+    * definition so injected replay oracles that regenerate seeded state
+    * (LSH hyperplanes, reservoir samples) cannot silently desynchronize
+    * from the engine default */
+  val DefaultSeed = 42L
+
+  /** params("seed") with the catalog default */
+  def seedOf(params: Map[String, String]): Long =
+    params.get("seed").map(_.toLong).getOrElse(DefaultSeed)
+
   case class IndexMeta(
       name: String,
       dim: Int,
@@ -404,6 +414,17 @@ object IndexCatalog {
     entry(name).trainedPq.map { case (books, cs) =>
       (books.map(_.map(_.clone())), cs.map(_.map(_.clone()))) }
 
+  /** observed max effective ICM rounds of an LSQ index's encode — valid
+    * once the coded layout has materialized (a search ran); None before
+    * that or for non-LSQ indexes. The replay oracle unrolls exactly this
+    * many rounds instead of the [[Lsq.IcmRounds]] worst case (rounds
+    * past a vector's fixpoint are idempotent re-picks, so the shorter
+    * unroll is hash-identical by construction). */
+  def observedLsqRoundsOf(name: String): Option[Int] =
+    entry(name).built.collect {
+      case rq: RqBuilt if rq.lsqEnc => rq.icmRoundsAcc.map(_.value.toInt)
+    }.flatten.filter(_ > 0)
+
   /** catalog introspection: metadata of every registered index */
   def list(): Seq[IndexMeta] =
     entries.values().asScala.map(_.meta).toSeq.sortBy(_.name)
@@ -614,7 +635,7 @@ object IndexCatalog {
           rq.close()
           e.built = Some(new RqBuilt(
             foldedCodes, foldedRaw, rq.meta, rq.books, rq.centroids, rq.coarse,
-            lsqEnc = rq.lsqEnc))
+            lsqEnc = rq.lsqEnc, icmRoundsAcc = rq.icmRoundsAcc))
         case _ => ()
       }
     }
@@ -698,7 +719,7 @@ object IndexCatalog {
     val e = entry(name)
     e.synchronized {
     if (e.destroyed) throw new NoSuchElementException(s"no index named '$name'")
-    val seed = e.meta.params.get("seed").map(_.toLong).getOrElse(42L)
+    val seed = IndexCatalog.seedOf(e.meta.params)
     e.kind match {
       case IvfKind(_) | IvfHnswKind(_, _) =>
         val nlist = e.kind match {
@@ -842,7 +863,7 @@ object IndexCatalog {
   }
 
   private def seed(e: Entry): Long =
-    e.meta.params.get("seed").map(_.toLong).getOrElse(42L)
+    IndexCatalog.seedOf(e.meta.params)
 
   /** bounded driver-side sample for auto-training coarse quantizers */
   private def boundedSample(data: DataFrame): Array[Array[Float]] =
@@ -2123,7 +2144,7 @@ object IndexCatalog {
         pretrained: Option[(Array[Array[Array[Float]]], Option[Array[Array[Float]]])] = None,
         coarseGraph: Option[Nsw.Graph] = None,
         coarseEf: Int = 64): PqBuilt = {
-      val seed = meta.params.get("seed").map(_.toLong).getOrElse(42L)
+      val seed = IndexCatalog.seedOf(meta.params)
       val (codebooks, cents) = pretrained.getOrElse {
         // bounded auto-train sample, matching boundedSample: ~64 points
         // per k=256 sub-centroid is plenty for a quantizer (FAISS's own
@@ -2156,7 +2177,10 @@ object IndexCatalog {
       cachedParts: Seq[DataFrame] = Nil,
       private[index] val hasAppends: Boolean = false,
       // LSQ<m>: same additive layout/search, ICM encoder (Lsq.scala)
-      private[index] val lsqEnc: Boolean = false)
+      private[index] val lsqEnc: Boolean = false,
+      // observed max effective ICM rounds over every encoded vector
+      // (fills when the coded layout materializes; replay-oracle input)
+      private[index] val icmRoundsAcc: Option[MaxAccumulator] = None)
       extends BuiltIndex {
 
     /** base-table (label, vec) view for exact flat scans and save() */
@@ -2173,14 +2197,14 @@ object IndexCatalog {
     /** coded incremental append — see [[PqBuilt.appended]] */
     private[index] def appended(newRows: DataFrame, newRaw: DataFrame): RqBuilt = {
       val encode = GraftBridge.column(
-        if (lsqEnc) LsqEncode(GraftBridge.expression(col("vec")), books)
+        if (lsqEnc) LsqEncode(GraftBridge.expression(col("vec")), books, icmRoundsAcc.orNull)
         else RqEncode(GraftBridge.expression(col("vec")), books))
       val newCoded = codedLayout(newRows, encode, centroids,
         coarse.map(_._1), coarse.map(_._2).getOrElse(64), repartitionLists = false)
       synchronized { if (packedCache != null) { packedCache.unpersist(); packedCache = null } }
       new RqBuilt(data.unionByName(newCoded), newRaw, meta, books, centroids, coarse,
         if (cachedParts.isEmpty) Seq(data) else cachedParts, hasAppends = true,
-        lsqEnc = lsqEnc)
+        lsqEnc = lsqEnc, icmRoundsAcc = icmRoundsAcc)
     }
 
     def search(queries: DataFrame, k: Int, params: Map[String, String]): DataFrame =
@@ -2220,7 +2244,7 @@ object IndexCatalog {
         coarseGraph: Option[Nsw.Graph] = None,
         coarseEf: Int = 64,
         lsqEnc: Boolean = false): RqBuilt = {
-      val seed = meta.params.get("seed").map(_.toLong).getOrElse(42L)
+      val seed = IndexCatalog.seedOf(meta.params)
       val (books, cents) = pretrained.getOrElse {
         val sample = data.select(col("vec")).limit(16384).collect()
           .map(_.getSeq[Float](0).toArray)
@@ -2228,11 +2252,18 @@ object IndexCatalog {
           if (nlist > 1) Some(Pq.localKMeans(sample, math.min(nlist, sample.length), seed + 999, 10))
           else None)
       }
+      val roundsAcc =
+        if (lsqEnc) {
+          val a = new MaxAccumulator
+          data.sparkSession.sparkContext.register(a, s"lsq_icm_rounds_${meta.name}")
+          Some(a)
+        } else None
       val encode = GraftBridge.column(
-        if (lsqEnc) LsqEncode(GraftBridge.expression(col("vec")), books)
+        if (lsqEnc) LsqEncode(GraftBridge.expression(col("vec")), books, roundsAcc.orNull)
         else RqEncode(GraftBridge.expression(col("vec")), books))
       new RqBuilt(cachedLayout(codedLayout(data, encode, cents, coarseGraph, coarseEf)),
-        data, meta, books, cents, coarseGraph.map(g => (g, coarseEf)), lsqEnc = lsqEnc)
+        data, meta, books, cents, coarseGraph.map(g => (g, coarseEf)), lsqEnc = lsqEnc,
+        icmRoundsAcc = roundsAcc)
     }
   }
 
@@ -2320,7 +2351,7 @@ object IndexCatalog {
         pretrained: Option[(Array[Float], Array[Float], Option[Array[Array[Float]]])] = None,
         coarseGraph: Option[Nsw.Graph] = None,
         coarseEf: Int = 64): SqBuilt = {
-      val seed = meta.params.get("seed").map(_.toLong).getOrElse(42L)
+      val seed = IndexCatalog.seedOf(meta.params)
       val (vmin, vdiff, cents) = pretrained.getOrElse {
         // bounded auto-train sample (see PqBuilt.build): per-dim [min,max]
         // bounds and a small coarse quantizer don't need more
@@ -2485,9 +2516,12 @@ object IndexCatalog {
   }
 
   object LshBuilt {
+    /** bands when params carry no explicit "bands" — referenced by the
+      * replay oracles, same single-definition rule as [[DefaultSeed]] */
+    val DefaultBands = 16
     def build(data: DataFrame, meta: IndexMeta, bitsPerBand: Int): LshBuilt = {
-      val bands = meta.params.get("bands").map(_.toInt).getOrElse(16)
-      val seed = meta.params.get("seed").map(_.toLong).getOrElse(42L)
+      val bands = meta.params.get("bands").map(_.toInt).getOrElse(DefaultBands)
+      val seed = IndexCatalog.seedOf(meta.params)
       // widen before hashing: bucket computation is the map stage of the
       // bucket shuffle and must not run on a single narrow partition
       val bucketed = Knn.widen(data)

@@ -104,19 +104,28 @@ object Lsq {
   }
 
   /** ICM encode over a primitive array (training + spec path) */
-  def encodeArr(v: Array[Float], books: Array[Array[Array[Float]]]): Array[Byte] = {
+  def encodeArr(v: Array[Float], books: Array[Array[Array[Float]]]): Array[Byte] =
+    encodeArrRounds(v, books)._1
+
+  /** encode + the number of EFFECTIVE ICM rounds (rounds that changed
+    * at least one stage — the fixpoint observation the replay oracle
+    * unrolls to, instead of the [[IcmRounds]] worst case; rounds past a
+    * vector's fixpoint re-pick identical codes, so replaying only the
+    * observed max over a corpus is hash-identical by construction) */
+  def encodeArrRounds(
+      v: Array[Float], books: Array[Array[Array[Float]]]): (Array[Byte], Int) = {
     val dim = books(0)(0).length
     val m = books.length
     // greedy init (identical rule to Rq.encodeOne)
     val code = new Array[Int](m)
     val approx = new Array[Float](dim)
-    run(v, books, code, approx, dim, m)
-    code.map(_.toByte)
+    val rounds = run(v, books, code, approx, dim, m)
+    (code.map(_.toByte), rounds)
   }
 
   private def run(
       v: Array[Float], books: Array[Array[Array[Float]]],
-      code: Array[Int], approx: Array[Float], dim: Int, m: Int): Unit = {
+      code: Array[Int], approx: Array[Float], dim: Int, m: Int): Int = {
     // greedy pass: stage j picks the centroid nearest the running residual
     val r = new Array[Float](dim)
     System.arraycopy(v, 0, r, 0, dim)
@@ -132,6 +141,7 @@ object Lsq {
     // ICM: re-pick each stage against the residual of all OTHER stages
     var round = 0
     var changed = true
+    var lastChange = -1 // last round index that moved any stage
     val u = new Array[Double](dim) // hoisted residual-without-stage-j
     while (round < IcmRounds && changed) {
       changed = false
@@ -182,8 +192,10 @@ object Lsq {
         }
         j += 1
       }
+      if (changed) lastChange = round
       round += 1
     }
+    lastChange + 1 // effective rounds: 0 when the greedy init was already a fixpoint
   }
 
   private def nearestTo(v: Array[Float], book: Array[Array[Float]]): Int = {
@@ -292,9 +304,30 @@ object Lsq {
   }
 }
 
+/** Distributed max over task-side observations (AccumulatorV2): records
+  * the LARGEST effective-ICM-round count seen across every vector an
+  * encode touched. Task retries/speculation can only re-observe the same
+  * values, so max is retry-safe; the replay oracle unrolls exactly this
+  * many rounds (extra rounds past a vector's fixpoint are idempotent). */
+class MaxAccumulator extends org.apache.spark.util.AccumulatorV2[Long, Long] {
+  private val cur = new java.util.concurrent.atomic.AtomicLong(0L)
+  override def isZero: Boolean = cur.get == 0L
+  override def copy(): MaxAccumulator = {
+    val a = new MaxAccumulator; a.cur.set(cur.get); a
+  }
+  override def reset(): Unit = cur.set(0L)
+  override def add(v: Long): Unit = cur.getAndAccumulate(v, math.max(_, _))
+  override def merge(other: org.apache.spark.util.AccumulatorV2[Long, Long]): Unit =
+    add(other.value)
+  override def value: Long = cur.get
+}
+
 /** ICM encode of an array<float> vector to its m-byte LSQ code —
-  * RqEncode's shape with the local-search encoder */
-case class LsqEncode(child: Expression, books: Array[Array[Array[Float]]])
+  * RqEncode's shape with the local-search encoder. `roundsAcc` (nullable)
+  * observes the max effective ICM rounds for the replay oracle. */
+case class LsqEncode(
+    child: Expression, books: Array[Array[Array[Float]]],
+    roundsAcc: MaxAccumulator = null)
     extends UnaryExpression
     with CodegenFallback {
   override def dataType: DataType = BinaryType
@@ -310,7 +343,9 @@ case class LsqEncode(child: Expression, books: Array[Array[Array[Float]]])
     val v = new Array[Float](a.numElements())
     var i = 0
     while (i < v.length) { v(i) = a.getFloat(i); i += 1 }
-    Lsq.encodeArr(v, books)
+    val (code, rounds) = Lsq.encodeArrRounds(v, books)
+    if (roundsAcc != null) roundsAcc.add(rounds.toLong)
+    code
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

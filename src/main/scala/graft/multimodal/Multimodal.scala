@@ -102,27 +102,34 @@ object Multimodal {
     val featureDim = 8
     def decode(payload: Array[Byte], modality: String): Array[Float] = {
       if (modality != "image") return StubCodec.decode(payload, modality)
+      // NonFatal, not just IOException: javax.imageio readers throw
+      // RuntimeExceptions (ArrayIndexOutOfBounds, IllegalArgument,
+      // NegativeArraySize) on malformed/truncated payloads, and the
+      // contract is that a corrupt image yields NULL, never a dead task
       val img =
         try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
-        catch { case _: java.io.IOException => null }
+        catch { case scala.util.control.NonFatal(_) => null }
       if (img == null) return null // not a decodable image
       val (w, h) = (img.getWidth, img.getHeight)
       var (r, g, b) = (0.0, 0.0, 0.0)
       var y = 0
-      while (y < h) {
-        var x = 0
-        while (x < w) {
-          val p = img.getRGB(x, y) // sRGB regardless of source model
-          r += (p >> 16) & 0xff; g += (p >> 8) & 0xff; b += p & 0xff
-          x += 1
+      try {
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val p = img.getRGB(x, y) // sRGB regardless of source model
+            r += (p >> 16) & 0xff; g += (p >> 8) & 0xff; b += p & 0xff
+            x += 1
+          }
+          y += 1
         }
-        y += 1
-      }
-      val n = math.max(1, w * h).toDouble
+      } catch { case scala.util.control.NonFatal(_) => return null }
+      val pixels = w.toLong * h // Int w*h overflows past 46341x46341
+      val n = math.max(1L, pixels).toDouble
       val (mr, mg, mb) = (r / n / 255.0, g / n / 255.0, b / n / 255.0)
       Array(w.toFloat, h.toFloat, mr.toFloat, mg.toFloat, mb.toFloat,
         (0.299 * mr + 0.587 * mg + 0.114 * mb).toFloat,
-        (w * h).toFloat, (w.toDouble / math.max(1, h)).toFloat)
+        pixels.toFloat, (w.toDouble / math.max(1, h)).toFloat)
     }
   }
 

@@ -261,7 +261,8 @@ object DedupQueries {
           left = e.select(col("vec_id").as("qid"), col("embedding").as("qvec")),
           right = e.select(col("vec_id").as("label"), col("embedding").as("vec")),
           radius = 0.65, nlist = 16, nprobe = 4, metric = "cosine",
-          excludeSelf = true)
+          excludeSelf = true,
+          onTrained = cs => dedupAnnCents = Some(cs))
         // canonicalize orientation with least/greatest + distinct rather
         // than filtering qid < label: probing is asymmetric (b may sit in
         // a's probed lists but not vice versa), so a filter would drop
@@ -270,9 +271,9 @@ object DedupQueries {
           greatest(col("qid"), col("label")).as("b_id"),
           Tables.quant4(col("distance")).as("cosine_dist"))
         .dropDuplicates("a_id", "b_id")
-      // EXACT via the AnnJoin centroid hook (the knn_join_ann move):
-      // the radius predicate + canonicalization replay in SQL
-      dedupAnnCents = graft.search.AnnJoin.lastTrainedCentroids
+      // EXACT via the AnnJoin per-call onTrained callback (the
+      // knn_join_ann move): the radius predicate + canonicalization
+      // replay in SQL against THIS call's quantizer
       res
     },
     // SemDeDup (Abbas et al. '23): cluster the corpus by centroid
@@ -908,8 +909,8 @@ object DedupQueries {
          |FROM nm LEFT JOIN nd ON nm.cid = nd.cid""".stripMargin) ++
     dedupAnnCents.map(cs => "dedup_embedding_ann" -> dedupAnnOracle(cs, nprobe = 4))
 
-  /** AnnJoin quantizer of the last dedup_embedding_ann run (the
-    * lastTrainedCentroids hook), for the injected oracle */
+  /** AnnJoin quantizer of the last dedup_embedding_ann run (captured
+    * per-call via the onTrained callback), for the injected oracle */
   @volatile private[queries] var dedupAnnCents: Option[Array[Array[Float]]] = None
 
   /** DuckDB replay of the ANN radius self-join dedup: injected

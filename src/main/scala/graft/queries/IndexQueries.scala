@@ -30,6 +30,24 @@ object IndexQueries {
     res.select(col("qid"), col("rank"), col("label"),
       Tables.quant4(col("distance")).as("distance"))
 
+  /** Gate parameters shared between the gates' IndexCatalog.create args
+    * and the replay oracles that regenerate seeded/sized state from the
+    * SAME numbers (knn_lsh hyperplanes, fp16 candidate heap, the
+    * compression dashboard's LSH tier). One definition per number: a
+    * drift between gate and oracle surfaces only as an opaque driver
+    * hash failure, so the literals must not be duplicated. */
+  private object GateParams {
+    val Dim = 64 // embeddings table dim (TESTDATA.md)
+    val K = 5 // gate top-k
+    val Refine = 8 // coded-tier refine factor (the create() "refine" param)
+    def refineK: Int = K * Refine // candidate-heap cut the oracles replay
+    val LshBands = 24 // knn_lsh gate "bands" param
+    val LshBits = 12 // knn_lsh factory IDMap,LSH<bits>
+    val CompLshBands = IndexCatalog.LshBuilt.DefaultBands // LSH16 tier, no param
+    val CompLshBits = 16 // vs_compression_eval factory IDMap,LSH<bits>
+    val Seed = IndexCatalog.DefaultSeed
+  }
+
   /** refine factor that makes a coded search's k x refine candidate
     * heap cover the ENTIRE corpus: the re-rank then brute-forces every
     * row on original vectors, so the result is exact regardless of code
@@ -200,34 +218,52 @@ object IndexQueries {
     // driver-built graph over the bounded centroid table instead.
     // Approximate (graph assignment + partial probe) → rows-only;
     // recall is spec-asserted and the _exh twin is driver-hash exact.
+    // EXACT via centroid injection (round 13): the coarse walk runs on
+    // a 16-node centroid graph with coarseEfSearch=32 >= nlist, so the
+    // beam is EXHAUSTIVE over the (connected) graph — assignment and
+    // probing reduce to the exact (dist, cid) argmin/top-nprobe the
+    // plain-IVF oracle replays. The graph changes the path, never the
+    // answer, until nlist outgrows the ef — which is the point of the
+    // gate config.
     "knn_ivf_hnsw" -> { (s, dir) =>
       val name = fresh("q_ivf_hnsw")
       IndexCatalog.create(name, 64, "IDMap,IVF16_HNSW8,Flat", "l2sq",
         Map("nprobe" -> "4", "coarseEfSearch" -> "32"))
       IndexCatalog.add(embData(s, dir), name)
-      quantized(IndexCatalog.search(name, 5, embQueries(s, dir)))
+      val res = quantized(IndexCatalog.search(name, 5, embQueries(s, dir)))
+      knnIvfHnswCents = IndexCatalog.trainedCentroidsOf(name)
+      res
     },
     // PQ codes UNDER the graph coarse (FAISS "IVF<n>_HNSW<m>,PQ<k>",
     // factory delegation at faiss_extension.cpp:155): THE 100 TB
     // serving memory shape — nlist ≳ 1e5 needs the graph coarse, byte
     // codes need PQ storage; round 10 composes the two halves that were
-    // previously a loud UnsupportedOperationException. Approximate →
-    // rows-only; recall + save/load + append spec-asserted, _exh twin
-    // driver-hash exact.
+    // previously a loud UnsupportedOperationException. EXACT via
+    // codebook + centroid injection (round 13): the exhaustive coarse
+    // walk (see knn_ivf_hnsw) makes probing exact, and the ADC/refine
+    // chain is the knn_ivfpq_big replay at this corpus's query filter.
     "knn_ivf_hnsw_pq" -> { (s, dir) =>
       val name = fresh("q_ivf_hnsw_pq")
       IndexCatalog.create(name, 64, "IDMap,IVF16_HNSW8,PQ8", "l2sq",
         Map("nprobe" -> "4", "refine" -> "24", "coarseEfSearch" -> "32"))
       IndexCatalog.add(embData(s, dir), name)
-      quantized(IndexCatalog.search(name, 5, embQueries(s, dir)))
+      val res = quantized(IndexCatalog.search(name, 5, embQueries(s, dir)))
+      knnIvfHnswPqState = IndexCatalog.trainedPqOf(name).collect {
+        case (books, Some(cs)) => (books, cs) }
+      res
     },
-    // SQ8 storage under the same graph coarse ("IVF<n>_HNSW<m>,SQ8")
+    // SQ8 storage under the same graph coarse ("IVF<n>_HNSW<m>,SQ8") —
+    // EXACT via bounds + centroid injection (the knn_ivfsq replay; the
+    // exhaustive coarse walk makes probing exact, see knn_ivf_hnsw)
     "knn_ivf_hnsw_sq" -> { (s, dir) =>
       val name = fresh("q_ivf_hnsw_sq")
       IndexCatalog.create(name, 64, "IDMap,IVF16_HNSW8,SQ8", "l2sq",
         Map("nprobe" -> "4", "refine" -> "8", "coarseEfSearch" -> "32"))
       IndexCatalog.add(embData(s, dir), name)
-      quantized(IndexCatalog.search(name, 5, embQueries(s, dir)))
+      val res = quantized(IndexCatalog.search(name, 5, embQueries(s, dir)))
+      knnIvfHnswSqState = IndexCatalog.trainedSqOf(name).collect {
+        case (mn, df, Some(cs)) => (mn, df, cs) }
+      res
     },
     // the composed FAISS "IVF16,SQ8" factory through the gate: list
     // pruning (nprobe=4) over scalar-quantized codes with exact
@@ -267,12 +303,22 @@ object IndexQueries {
     // candidate union, and the cosine re-rank deterministically
     "knn_lsh" -> { (s, dir) =>
       val name = fresh("q_lsh")
-      IndexCatalog.create(name, 64, "IDMap,LSH12", "cosine", Map("bands" -> "24"))
+      IndexCatalog.create(name, GateParams.Dim, s"IDMap,LSH${GateParams.LshBits}",
+        "cosine", Map("bands" -> GateParams.LshBands.toString))
       IndexCatalog.add(embData(s, dir), name)
       quantized(IndexCatalog.search(name, 5, embQueries(s, dir)))
     },
     // sharded HNSW graphs: per-partition NSW build + greedy search,
-    // global top-k merge (approximate -> rows-only; recall spec-asserted)
+    // global top-k merge. EXACT against the brute-force oracle (round
+    // 13): with efSearch=128 >= every shard's node count at gate scale
+    // (~62 distinct vectors/shard at sf0.1), the layer-0 beam NEVER
+    // rejects an insertion (res.size < width until all nodes are in)
+    // and the early-exit never fires, so the walk is EXHAUSTIVE over
+    // each connected shard graph and the merged top-k is the exact
+    // (dist, label)-ordered flat result — the graph changes the path,
+    // never the answer, until shards outgrow ef. Proven equal to
+    // knn_flat_l2 at both SFs; the generic-ef walk stays approximate
+    // (vs_ef_eval) and rows-only.
     "knn_hnsw" -> { (s, dir) =>
       val name = fresh("q_hnsw")
       IndexCatalog.create(name, 64, "IDMap,HNSW16", "l2sq",
@@ -665,10 +711,11 @@ object IndexQueries {
         ("sq8", "IDMap,SQ8", 64L),
         ("sq4", "IDMap,SQ4", 32L),
         ("pq8", "IDMap,PQ8", 8L),
-        ("lsh", "IDMap,LSH16", 32L)) // 16 bands × 16-bit keys
+        ("lsh", s"IDMap,LSH${GateParams.CompLshBits}", 32L)) // 16 bands x 16-bit keys
       val tagged = tiers.map { case (tier, factory, bytes) =>
         val name = fresh(s"q_comp_$tier")
-        IndexCatalog.create(name, 64, factory, "l2sq", Map("refine" -> "8"))
+        IndexCatalog.create(name, GateParams.Dim, factory, "l2sq",
+          Map("refine" -> GateParams.Refine.toString))
         IndexCatalog.add(d, name)
         IndexCatalog.search(name, 5, qs)
           .select(lit(tier).as("tier"), lit(bytes).as("bytes_per_vec"),
@@ -901,6 +948,19 @@ object IndexQueries {
         |SELECT qid, rank, label FROM r WHERE rank < 5""".stripMargin
   ) ++ knnPcaBasis.map(b => "knn_pca" -> knnPcaOracle(b._1, b._2)) ++
     knnIvfCents.map(cs => "knn_ivf" -> knnIvfOracle(cs, nprobe = 4)) ++
+    // graph-coarse family: the 16-node coarse walk at coarseEfSearch=32
+    // is exhaustive (beam never rejects, early-exit never fires), so
+    // assignment/probing are the exact (dist, cid) argmin/top-nprobe —
+    // the plain injected replays hold verbatim (round 13)
+    knnIvfHnswCents.map(cs => "knn_ivf_hnsw" -> knnIvfOracle(cs, nprobe = 4)) ++
+    knnIvfHnswPqState.map(t =>
+      "knn_ivf_hnsw_pq" -> knnIvfPqOracle(t._1, t._2, nprobe = 4, kk = 120)) ++
+    knnIvfHnswSqState.map(t =>
+      "knn_ivf_hnsw_sq" -> knnSqOracle(t._1, t._2, levels = 255, kk = 40,
+        ivf = Some((t._3, 4)))) ++
+    // sharded HNSW at efSearch=128 >= shard size: the beam is
+    // exhaustive per shard, so the merged top-k IS the flat result
+    Map("knn_hnsw" -> VectorQueries.oracles("knn_flat_l2")) ++
     knnIvfBigCents.map(cs => "knn_ivf_big" -> knnIvfBigOracle(cs, nprobe = 4)) ++
     knnSq8State.map(b => "knn_sq8" -> knnSqOracle(b._1, b._2, levels = 255, kk = 40, ivf = None)) ++
     knnSq4State.map(b => "knn_sq4" -> knnSqOracle(b._1, b._2, levels = 15, kk = 40, ivf = None)) ++
@@ -909,16 +969,27 @@ object IndexQueries {
     knnPqBooks.map(b => "knn_pq" -> knnPqOracle(b, kk = 120)) ++
     knnOpqState.map(t =>
       "knn_opq" -> knnPqOracle(t._3, kk = 120, proj = Some((t._1, t._2)))) ++
-    Map("knn_lsh" -> knnLshOracle(bands = 24, bitsPerBand = 12, dim = 64, seed = 42L),
-        "knn_sqfp16" -> knnSqfp16Oracle(kk = 40, dim = 64)) ++
+    Map("knn_lsh" -> knnLshOracle(bands = GateParams.LshBands,
+          bitsPerBand = GateParams.LshBits, dim = GateParams.Dim, seed = GateParams.Seed),
+        "knn_sqfp16" -> knnSqfp16Oracle(kk = GateParams.refineK, dim = GateParams.Dim)) ++
     knnIvfPqBigState.map(t =>
       "knn_ivfpq_big" -> knnIvfPqBigOracle(t._1, t._2, nprobe = 4, kk = 80)) ++
     knnImiBooks.map(b => "knn_imi" -> knnImiOracle(b, nprobe = 4)) ++
     knnRqState.map(t => "knn_rq" -> knnRqOracle(t._1, t._2, nprobe = 4, kk = 120)) ++
     recallEvalCents.map(cs => "vs_recall_eval" -> recallEvalOracle(cs, RecallNprobes)) ++
     refineEvalBooks.map(b => "vs_refine_eval" -> refineEvalOracle(b, RefineFactors)) ++
-    knnLsqState.map(t => "knn_lsq" -> knnLsqOracle(t._1, t._2, nprobe = 4, kk = 120,
-      icmRounds = graft.index.Lsq.IcmRounds)) ++
+    knnLsqState.map { t =>
+      // unroll only the OBSERVED max effective ICM rounds (VERDICT r12
+      // #6): the engine's encoder early-exits at its fixpoint and the
+      // accumulator records the corpus max, so the dropped worst-case
+      // rounds are idempotent re-picks — hash-identical, ~4x less
+      // oracle SQL. Falls back to the worst case when the gate's index
+      // is gone or never materialized (filtered runs).
+      val rounds = scala.util.Try(IndexCatalog.observedLsqRoundsOf("q_lsq")).toOption.flatten
+        .map(r => math.min(r, graft.index.Lsq.IcmRounds))
+        .getOrElse(graft.index.Lsq.IcmRounds)
+      "knn_lsq" -> knnLsqOracle(t._1, t._2, nprobe = 4, kk = 120, icmRounds = rounds)
+    } ++
     compEvalState.map(t => "vs_compression_eval" -> compEvalOracle(t._1, t._2, t._3))
 
   /** Trained PCA basis of the last knn_pca run (Verify dumps
@@ -936,6 +1007,15 @@ object IndexQueries {
   // encode grid, candidate heap, re-rank) is a deterministic replay.
   // Absent on filtered runs → rows-only degradation, same contract.
   @volatile private[queries] var knnIvfCents: Option[Array[Array[Float]]] = None
+
+  /** trained state of the graph-coarse IVF gates (knn_ivf_hnsw*): the
+    * exhaustive coarse walk (coarseEfSearch >= nlist) makes their
+    * probing exact, so the plain injected-IVF replays apply verbatim */
+  @volatile private[queries] var knnIvfHnswCents: Option[Array[Array[Float]]] = None
+  @volatile private[queries] var knnIvfHnswPqState
+      : Option[(Array[Array[Array[Float]]], Array[Array[Float]])] = None
+  @volatile private[queries] var knnIvfHnswSqState
+      : Option[(Array[Float], Array[Float], Array[Array[Float]])] = None
   @volatile private[queries] var knnIvfBigCents: Option[Array[Array[Float]]] = None
   @volatile private[queries] var knnSq8State: Option[(Array[Float], Array[Float])] = None
   @volatile private[queries] var knnSq4State: Option[(Array[Float], Array[Float])] = None
@@ -1151,6 +1231,70 @@ object IndexQueries {
     * and re-rank run over the expanded copy labels ((cd, label) and
     * (dist, label) orders — the lowest-copy labels win code-distance
     * ties exactly as the engine's heap does). */
+  /** DuckDB replay of a pruned IVF-PQ search over the PLAIN embeddings
+    * corpus (knn_ivf_hnsw_pq): injected centroids drive assignment and
+    * the top-nprobe probe, injected codebooks drive the encode argmin
+    * and the per-query float LUT, ADC sums the LUT in stage order
+    * (double, list-ordered), the k x refine candidate heap cuts on
+    * (cd, label), exact re-rank orders (dist, label) — the
+    * knnIvfPqBigOracle chain without the copy expansion, with the
+    * gate's vec_id < 10 query filter and quant4 distance output. */
+  private def knnIvfPqOracle(
+      books: Array[Array[Array[Float]]], cents: Array[Array[Float]],
+      nprobe: Int, kk: Int): String = {
+    val m = books.length
+    val dsub = books(0)(0).length
+    val dim = cents(0).length
+    val bookRows = (for {
+      sub <- books.indices
+      c <- books(sub).indices
+    } yield s"($sub, $c, ${flList(books(sub)(c))})").mkString(",\n  ")
+    def sliceL2(v: String): String =
+      s"list_sum([ (CAST($v[b.sub * $dsub + i] AS DOUBLE) - CAST(CAST(b.bv[i] AS REAL) AS DOUBLE)) * " +
+        s"(CAST($v[b.sub * $dsub + i] AS DOUBLE) - CAST(CAST(b.bv[i] AS REAL) AS DOUBLE)) FOR i IN range(1, ${dsub + 1}) ])"
+    s"""WITH ${ivfProbeCtes(cents, nprobe, "vec_id < 10")},
+       |books(sub, c, bv) AS (VALUES
+       |  $bookRows),
+       |codes AS (
+       |  SELECT vec_id, sub, c FROM (
+       |    SELECT e.vec_id, b.sub, b.c,
+       |      row_number() OVER (PARTITION BY e.vec_id, b.sub
+       |                         ORDER BY ${sliceL2("e.embedding")}, b.c) AS rn
+       |    FROM embeddings e CROSS JOIN books b) WHERE rn = 1
+       |),
+       |lut AS (
+       |  SELECT q.vec_id AS qid, b.sub, b.c, CAST(${sliceL2("q.embedding")} AS REAL) AS lv
+       |  FROM embeddings q CROSS JOIN books b WHERE q.vec_id < 10
+       |),
+       |adc AS (
+       |  SELECT qid, vec_id, list_sum(lvs) AS cd FROM (
+       |    SELECT l.qid, cd.vec_id, list(CAST(l.lv AS DOUBLE) ORDER BY l.sub) AS lvs
+       |    FROM probes p
+       |    JOIN asg a ON a.cid = p.cid
+       |    JOIN codes cd ON cd.vec_id = a.vec_id
+       |    JOIN lut l ON l.qid = p.qid AND l.sub = cd.sub AND l.c = cd.c
+       |    GROUP BY l.qid, cd.vec_id)
+       |),
+       |cand AS (
+       |  SELECT qid, vec_id AS label FROM (
+       |    SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY cd, vec_id) AS rn
+       |    FROM adc) WHERE rn <= $kk
+       |),
+       |rr AS (
+       |  SELECT c.qid, c.label, ${l2RawSql("qe.embedding", "ce.embedding", dim)} AS dist
+       |  FROM cand c
+       |  JOIN embeddings qe ON qe.vec_id = c.qid
+       |  JOIN embeddings ce ON ce.vec_id = c.label
+       |),
+       |r AS (
+       |  SELECT qid, label, dist,
+       |    CAST(row_number() OVER (PARTITION BY qid ORDER BY dist, label) - 1 AS INTEGER) AS rank
+       |  FROM rr
+       |)
+       |SELECT qid, rank, label, CAST(CAST(dist AS DECIMAL(18,4)) AS DOUBLE) AS distance
+       |FROM r WHERE rank < 5""".stripMargin
+  }
+
   private def knnIvfPqBigOracle(
       books: Array[Array[Array[Float]]], cents: Array[Array[Float]],
       nprobe: Int, kk: Int): String = {
@@ -1361,7 +1505,7 @@ object IndexQueries {
       sq8: (Array[Float], Array[Float]), sq4: (Array[Float], Array[Float]),
       pqBooks: Array[Array[Array[Float]]]): String = {
     val dim = sq8._1.length
-    val kk = 40 // k * refine(8), every coded tier in the dashboard
+    val kk = GateParams.refineK // k x refine, every coded tier in the dashboard
     def rerank(p: String, cand: String): String =
       s"""${p}top AS (SELECT qid, label FROM (
          |  SELECT c.qid, c.label, row_number() OVER (PARTITION BY c.qid ORDER BY da.dist, c.label) AS rn
@@ -1382,7 +1526,7 @@ object IndexQueries {
          |${p}decv AS (SELECT vec_id, list(dval ORDER BY i) AS v FROM (
          |  SELECT vec_id, i,
          |    CAST(mnv + CAST(CAST(CAST(
-         |      CASE WHEN t <= 0 THEN 0 WHEN t >= $levels THEN $levels ELSE CAST(trunc(t) AS INTEGER) END
+         |      CASE WHEN t <= 0 OR isnan(t) THEN 0 WHEN t >= $levels THEN $levels ELSE CAST(trunc(t) AS INTEGER) END
          |      AS REAL) / CAST($levels AS REAL) AS REAL) * dfv AS REAL) AS REAL) AS dval
          |  FROM ${p}enc) GROUP BY vec_id),
          |${p}cdist AS (
@@ -1397,6 +1541,7 @@ object IndexQueries {
     val fp16 =
       s"""f16decv AS (SELECT vec_id, list(dval ORDER BY i) AS v FROM (
          |  SELECT vec_id, i, CASE
+         |      WHEN isnan(a) THEN CAST('nan' AS DOUBLE)
          |      WHEN a >= 65520 THEN sgn * CAST('inf' AS DOUBLE)
          |      WHEN a < 6.103515625e-05 THEN sgn * round(a * 16777216.0) / 16777216.0
          |      ELSE sgn * round(a * pow(2, 10 - ex)) * pow(2, ex - 10)
@@ -1410,6 +1555,7 @@ object IndexQueries {
          |      SELECT e.vec_id, dm.i, abs(CAST(e.embedding[dm.i] AS DOUBLE)) AS a,
          |        CASE WHEN signbit(CAST(e.embedding[dm.i] AS DOUBLE)) THEN -1.0 ELSE 1.0 END AS sgn,
          |        CAST(floor(log2(CASE WHEN abs(CAST(e.embedding[dm.i] AS DOUBLE)) > 0
+         |            AND NOT isnan(CAST(e.embedding[dm.i] AS DOUBLE))
          |          THEN abs(CAST(e.embedding[dm.i] AS DOUBLE)) ELSE 1 END)) AS INTEGER) AS e0
          |      FROM embeddings e CROSS JOIN dims dm))) GROUP BY vec_id),
          |f16cdist AS (
@@ -1452,9 +1598,11 @@ object IndexQueries {
          |),
          |${codedCut("pq", "pqcdist")},
          |${rerank("pq", "pqcand")}""".stripMargin
-    // lsh tier — regenerated hyperplanes (bands 16, bits 16, seed 42),
-    // L2 re-rank of DISTINCT bucket-mates, direct top-5 (no refine cut)
-    val (bands, bits, seed) = (16, 16, 42L)
+    // lsh tier — regenerated hyperplanes (bands/bits/seed from the SAME
+    // GateParams the gate's create() uses), L2 re-rank of DISTINCT
+    // bucket-mates, direct top-5 (no refine cut)
+    val (bands, bits, seed) =
+      (GateParams.CompLshBands, GateParams.CompLshBits, GateParams.Seed)
     val wRows = (for {
       band <- 0 until bands
       bit <- 0 until bits
@@ -1475,7 +1623,7 @@ object IndexQueries {
          |),
          |lbks AS MATERIALIZED (
          |  SELECT vec_id, band,
-         |    SUM(CASE WHEN dot >= 0 THEN CAST(1 AS BIGINT) << bit ELSE CAST(0 AS BIGINT) END)
+         |    SUM(CASE WHEN dot >= 0 AND NOT isnan(dot) THEN CAST(1 AS BIGINT) << bit ELSE CAST(0 AS BIGINT) END)
          |      + (CAST(band AS BIGINT) << 48) AS bucket
          |  FROM ldots GROUP BY vec_id, band
          |),
@@ -1537,8 +1685,13 @@ object IndexQueries {
     * SQ candidate pipeline: sequential double L2 of query vs decoded,
     * k x refine heap ((cd, label)), exact re-rank. */
   private def knnSqfp16Oracle(kk: Int, dim: Int): String = {
+    // NaN guard FIRST: DuckDB orders NaN greater than everything, so an
+    // unguarded `a >= 65520` would saturate a NaN dim to inf where the
+    // engine (floatToHalf's isNaN check; Java `NaN >= x` is false)
+    // encodes NaN -> NaN half -> decodes NaN
     val dec =
       """CASE
+        |      WHEN isnan(a) THEN CAST('nan' AS DOUBLE)
         |      WHEN a >= 65520 THEN sgn * CAST('inf' AS DOUBLE)
         |      WHEN a < 6.103515625e-05 THEN sgn * round(a * 16777216.0) / 16777216.0
         |      ELSE sgn * round(a * pow(2, 10 - ex)) * pow(2, ex - 10)
@@ -1551,7 +1704,7 @@ object IndexQueries {
        |ex0 AS (
        |  SELECT vec_id, i, x, abs(x) AS a,
        |    CASE WHEN signbit(x) THEN -1.0 ELSE 1.0 END AS sgn,
-       |    CAST(floor(log2(CASE WHEN abs(x) > 0 THEN abs(x) ELSE 1 END)) AS INTEGER) AS e0
+       |    CAST(floor(log2(CASE WHEN abs(x) > 0 AND NOT isnan(x) THEN abs(x) ELSE 1 END)) AS INTEGER) AS e0
        |  FROM raw
        |),
        |ex1 AS (
@@ -1890,7 +2043,9 @@ object IndexQueries {
        |),
        |bks AS (
        |  SELECT vec_id, band,
-       |    SUM(CASE WHEN dot >= 0 THEN CAST(1 AS BIGINT) << bit ELSE CAST(0 AS BIGINT) END)
+       |    -- NaN guard: Java `NaN >= 0` is false (bit stays 0); DuckDB
+       |    -- orders NaN greater than everything, so mirror explicitly
+       |    SUM(CASE WHEN dot >= 0 AND NOT isnan(dot) THEN CAST(1 AS BIGINT) << bit ELSE CAST(0 AS BIGINT) END)
        |      + (CAST(band AS BIGINT) << 48) AS bucket
        |  FROM dots GROUP BY vec_id, band
        |),
@@ -1955,7 +2110,7 @@ object IndexQueries {
        |dec AS (
        |  SELECT vec_id, i,
        |    CAST(mnv + CAST(CAST(CAST(
-       |      CASE WHEN t <= 0 THEN 0 WHEN t >= $levels THEN $levels ELSE CAST(trunc(t) AS INTEGER) END
+       |      CASE WHEN t <= 0 OR isnan(t) THEN 0 WHEN t >= $levels THEN $levels ELSE CAST(trunc(t) AS INTEGER) END
        |      AS REAL) / $lv AS REAL) * dfv AS REAL) AS REAL) AS dval
        |  FROM enc
        |),

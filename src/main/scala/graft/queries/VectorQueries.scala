@@ -165,15 +165,14 @@ object VectorQueries {
       // nlist = 0: auto-sized from the measured corpus (~2k rows/list),
       // so this gate stays linear at every scale rung — fixed nlist=16
       // cost 479 s at the 100x rung (12.5k-row lists, quadratic).
-      // EXACT via centroid injection (AnnJoin.lastTrainedCentroids —
-      // salting/packing never change the candidate pair set)
-      val res = graft.search.AnnJoin.ivfJoin(
+      // EXACT via centroid injection (AnnJoin's per-call onTrained
+      // callback — salting/packing never change the candidate pair set)
+      graft.search.AnnJoin.ivfJoin(
           left = e.select(col("vec_id").as("qid"), col("embedding").as("qvec")),
           right = e.select(col("vec_id").as("label"), col("embedding").as("vec")),
-          k = 3, nlist = 0, nprobe = 4, excludeSelf = true)
+          k = 3, nlist = 0, nprobe = 4, excludeSelf = true,
+          onTrained = cs => joinAnnCents = Some(cs))
         .select(col("qid"), col("rank"), col("label"))
-      joinAnnCents = graft.search.AnnJoin.lastTrainedCentroids
-      res
     },
     // exhaustive twin of the unbounded ANN join: every list probed ->
     // each (query, corpus) pair is scored exactly once with the same
@@ -673,8 +672,8 @@ object VectorQueries {
     * contract of IndexQueries.knnIvfCents) */
   @volatile private[queries] var binaryIvfCentBits: Option[Seq[Long]] = None
 
-  /** AnnJoin quantizer of the last knn_join_ann run (the
-    * lastTrainedCentroids hook), for the injected oracle */
+  /** AnnJoin quantizer of the last knn_join_ann run (captured per-call
+    * via the onTrained callback), for the injected oracle */
   @volatile private[queries] var joinAnnCents: Option[Array[Array[Float]]] = None
 
   /** DuckDB replay of the unbounded ANN self-join with injected

@@ -22,12 +22,10 @@ import graft.index.{KMeansTrainer, NearestCentroids}
  */
 object AnnJoin {
 
-  /** trained quantizer of the most recent ivfJoin/ivfRadiusJoin on this
-    * JVM — the [[graft.index.IndexCatalog.trainedCentroidsOf]] analog
-    * for the catalog-less join path, consumed by the injected oracles
-    * (set at the end of listedSides; dev/verification surface, not a
-    * serving API) */
-  @volatile var lastTrainedCentroids: Option[Array[Array[Float]]] = None
+  // (the trained quantizer used to leak through a process-global
+  // `lastTrainedCentroids` var; interleaved joins could attach the wrong
+  // quantizer to an injected oracle — it is now returned per-call via
+  // the `onTrained` callback parameter instead)
 
   /** auto-nlist target list size: lists stay near this many rows so
     * per-query candidate work is constant in corpus size. 1024 (not
@@ -96,10 +94,12 @@ object AnnJoin {
       seed: Long = 42L,
       trainSample: Int = 16384,
       excludeSelf: Boolean = false,
-      maxListRows: Long = 0L): DataFrame = {
+      maxListRows: Long = 0L,
+      onTrained: Array[Array[Float]] => Unit = null): DataFrame = {
     val metricId = VectorMath.metricId(metric)
     val asc = VectorMath.smallerIsCloser(metricId)
-    val s = listedSides(left, right, nlist, nprobe, metric, seed, trainSample, maxListRows)
+    val s =
+      listedSides(left, right, nlist, nprobe, metric, seed, trainSample, maxListRows, onTrained)
     if (s.packed) {
       // large fan-out: do NOT join row-per-candidate-pair. Spark's join
       // operators cost ~0.4-0.9 us per output row (measured: an 8e8-pair
@@ -147,9 +147,10 @@ object AnnJoin {
       seed: Long = 42L,
       trainSample: Int = 16384,
       excludeSelf: Boolean = false,
-      maxListRows: Long = 0L): DataFrame = {
+      maxListRows: Long = 0L,
+      onTrained: Array[Array[Float]] => Unit = null): DataFrame = {
     val cands = pairsFrom(
-      listedSides(left, right, nlist, nprobe, metric, seed, trainSample, maxListRows),
+      listedSides(left, right, nlist, nprobe, metric, seed, trainSample, maxListRows, onTrained),
       metric, excludeSelf)
     val cmp =
       if (VectorMath.smallerIsCloser(VectorMath.metricId(metric))) col("_dist") < lit(radius)
@@ -182,7 +183,8 @@ object AnnJoin {
       metric: String,
       seed: Long,
       trainSample: Int,
-      maxListRows: Long): Sides = {
+      maxListRows: Long,
+      onTrained: Array[Array[Float]] => Unit): Sides = {
     val metricId = VectorMath.metricId(metric)
     val spark = right.sparkSession
     import spark.implicits._
@@ -444,11 +446,13 @@ object AnnJoin {
     }
     // replay hook (the IndexCatalog.trainedCentroidsOf analog for the
     // catalog-less join path): the quantizer this join just trained,
-    // exposed so a correctness gate can inject it into its oracle and
-    // replay assignment + probing verbatim. Salting/packing change only
-    // partitioning, never the candidate pair set, so the centroids are
-    // the COMPLETE approximation state of the join.
-    AnnJoin.lastTrainedCentroids = Some(centroids.map(_.clone()))
+    // handed to the caller so a correctness gate can inject it into its
+    // oracle and replay assignment + probing verbatim. Salting/packing
+    // change only partitioning, never the candidate pair set, so the
+    // centroids are the COMPLETE approximation state of the join.
+    // Per-call callback, not a process-global var: interleaved joins
+    // must each see their OWN quantizer.
+    if (onTrained != null) onTrained(centroids.map(_.clone()))
     def pinned(df: DataFrame, keys: Seq[String]): DataFrame =
       if (pinParallelism) df.repartition(np, keys.map(col): _*) else df
     // packed-scan eligibility: with the salt guard DISABLED

@@ -57,8 +57,13 @@ object Knn {
   // The value carries the (labelCol, vecCol) the corpus was extracted
   // with: a second call on the same DataFrame with different columns
   // re-collects instead of silently serving the first call's columns.
+  // keyed by QueryExecution, then by (labelCol, vecCol) INSIDE the
+  // value: one slot per column pair, so alternating extractions over
+  // the same DataFrame both stay resident (a single overwritten slot
+  // re-collected on every call — a silent cliff on the serving path)
   private val localCorpora = java.util.Collections.synchronizedMap(
-    new java.util.WeakHashMap[AnyRef, ((String, String), Array[Long], Array[Array[Float]])]())
+    new java.util.WeakHashMap[
+      AnyRef, Map[(String, String), (Array[Long], Array[Array[Float]])]]())
 
   /** widen CPU-bound narrow scans to the session parallelism (no-op on
     * real multi-split inputs) — shared by the search paths and the
@@ -182,8 +187,9 @@ object Knn {
     val asc = VectorMath.smallerIsCloser(mid)
     val key = data.queryExecution
     val cols = (labelCol, vecCol)
-    var corpus = localCorpora.get(key)
-    if (corpus == null || corpus._1 != cols) {
+    val cached = localCorpora.get(key)
+    var corpus = if (cached == null) null else cached.getOrElse(cols, null)
+    if (corpus == null) {
       val cap = math.min(
         spark.conf.getOption(LocalServeMaxRowsConf).map(_.toInt).getOrElse(1 << 20),
         Int.MaxValue - 1) // clamp so the +1 below can't overflow to a negative limit
@@ -198,10 +204,11 @@ object Knn {
             "falling back to the distributed plan")
         return None
       }
-      corpus = (cols, rows.map(_.getLong(0)), rows.map(_.getSeq[Float](1).toArray))
-      localCorpora.put(key, corpus)
+      corpus = (rows.map(_.getLong(0)), rows.map(_.getSeq[Float](1).toArray))
+      val base = if (cached == null) Map.empty[(String, String), (Array[Long], Array[Array[Float]])] else cached
+      localCorpora.put(key, base + (cols -> corpus))
     }
-    val (_, labels, vecs) = corpus
+    val (labels, vecs) = corpus
     val maxBatch =
       math.min(graft.index.IndexCatalog.maxQueryBatch(spark), Int.MaxValue - 1)
     val qRows = cleanQueries

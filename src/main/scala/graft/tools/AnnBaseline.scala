@@ -160,6 +160,34 @@ object AnnBaseline {
         Map("nprobe" -> "8", "refine" -> "16"))
       IndexCatalog.add(corpus, ivfpq)
       run("ivfpq_np8_rf16", () => IndexCatalog.search(ivfpq, K, queries))
+
+      // refine/nprobe recovery sweep (VERDICT r12 #1) — only on the
+      // distinct-vector rung, where recall carries information: at that
+      // jitter scale PQ8's quantization error sits above the intra-
+      // cluster distance differences, so rf16's re-rank pool misses
+      // true neighbors (0.606 @ r12). refine and nprobe are SEARCH-TIME
+      // params (vs_refine_eval / vs_recall_eval are the sf-scale gates
+      // predicting this), so the sweep reuses the one built index:
+      // refine recovers PQ error up to the nprobe probe ceiling
+      // (ivf64_np8's own recall), past which only more probes help.
+      if (corpusName.endsWith("_distinct")) {
+        Seq(64, 128, 256).foreach { rf =>
+          run(s"ivfpq_np8_rf$rf", () =>
+            IndexCatalog.search(ivfpq, K, queries, Map("refine" -> rf.toString)))
+        }
+        run("ivfpq_np16_rf128", () => IndexCatalog.search(ivfpq, K, queries,
+          Map("nprobe" -> "16", "refine" -> "128")))
+        // finer codes at the same list layout: PQ16 halves the per-sub
+        // quantization error for 2x the code bytes (16 vs 8 per vector)
+        val ivfpq16 = s"bb_ivfpq16_$corpusName"
+        if (IndexCatalog.exists(ivfpq16)) IndexCatalog.destroy(ivfpq16)
+        IndexCatalog.create(ivfpq16, 64, "IDMap,IVF64,PQ16", "l2sq",
+          Map("nprobe" -> "8", "refine" -> "16"))
+        IndexCatalog.add(corpus, ivfpq16)
+        run("ivfpq16_np8_rf16", () => IndexCatalog.search(ivfpq16, K, queries))
+        run("ivfpq16_np8_rf64", () => IndexCatalog.search(ivfpq16, K, queries,
+          Map("refine" -> "64")))
+      }
     }
     spark.stop()
   }

@@ -1,0 +1,135 @@
+package graft.tools
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.vec
+import graft.index.IndexCatalog
+import graft.queries.Tables
+
+/**
+ * Partition-pruning PROOF on the saved IVF layout (VERDICT r12 #4):
+ * the 100 TB claim rests on the list-partitioned parquet written by
+ * `IndexCatalog.save` plus the static probed-list IN filter pruning
+ * whole `list_id=` directories at the scan — assert it with MEASURED
+ * input metrics, not plans. Reference behavior being matched: FAISS
+ * inverted-list probing (duckdb-faiss-ext `faiss_extension.cpp` search
+ * path scans only the probed lists' codes).
+ *
+ * Method: build IVF<nlist> over a replicated ~1M-vector corpus, save,
+ * DESTROY, load (the loaded index is deliberately file-backed, not
+ * cached), then run the same query batch at several nprobe settings
+ * with a SparkListener summing executor InputMetrics (bytesRead /
+ * recordsRead) per search. If pruning works, data-scan bytes scale
+ * ~ nprobe/nlist; if it is broken, every search reads the full layout.
+ *
+ * Usage: SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
+ *   sbt "runMain graft.tools.IvfPruneProfile"
+ * Emits one JSON line per nprobe setting.
+ */
+object IvfPruneProfile {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val times = sys.env.getOrElse("SPARK_GRAFT_PRUNE_COPIES", "500").toInt
+    val nlist = sys.env.getOrElse("SPARK_GRAFT_PRUNE_NLIST", "64").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // the AnnBaseline x500 corpus shape: ~1M rows from the sf table
+    def replicated(t: Int): DataFrame =
+      spark.range(0, t).select(col("id").as("copy"))
+        .join(broadcast(Tables(spark, sfDir, "embeddings")))
+        .select((col("vec_id") + col("copy") * 1000000L).as("label"),
+          vec.vector(col("embedding")).as("vec"))
+
+    // input-metrics instrument: sums bytes/records read by every task
+    // between reset() marks — the number partition pruning changes
+    val bytesRead = new java.util.concurrent.atomic.AtomicLong(0L)
+    val recordsRead = new java.util.concurrent.atomic.AtomicLong(0L)
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
+        val im = te.taskMetrics
+        if (im != null) {
+          bytesRead.addAndGet(im.inputMetrics.bytesRead)
+          recordsRead.addAndGet(im.inputMetrics.recordsRead)
+        }
+      }
+    })
+    def measured[T](body: => T): (T, Long, Long) = {
+      // listener events are async (posted on the listener bus after the
+      // action returns) — settle before resetting and before reading
+      Thread.sleep(500)
+      bytesRead.set(0L); recordsRead.set(0L)
+      val r = body
+      Thread.sleep(500)
+      (r, bytesRead.get, recordsRead.get)
+    }
+
+    val name = "prune_ivf"
+    val saveDir = java.nio.file.Files.createTempDirectory("graft_prune_ivf").toString
+    try {
+      val corpus = replicated(times)
+      val n = corpus.count()
+      if (IndexCatalog.exists(name)) IndexCatalog.destroy(name)
+      IndexCatalog.create(name, 64, s"IDMap,IVF$nlist,Flat", "l2sq",
+        Map("nprobe" -> "8"))
+      IndexCatalog.add(corpus, name)
+      IndexCatalog.save(name, saveDir)
+      IndexCatalog.destroy(name)
+      IndexCatalog.load(name, saveDir, spark)
+
+      // query batch collected ONCE so the measured jobs scan only the
+      // saved index layout (queries otherwise re-read the sf parquet
+      // inside every search, polluting the data-dir ratio)
+      val queries = Tables(spark, sfDir, "embeddings").where(col("vec_id") < 100)
+        .select(col("vec_id").as("qid"), vec.vector(col("embedding")).as("qvec"))
+        .cache()
+      queries.count()
+
+      val layoutBytes = {
+        val root = java.nio.file.Paths.get(saveDir)
+        val s = java.nio.file.Files.walk(root)
+        try s.filter(p => java.nio.file.Files.isRegularFile(p) &&
+            p.toString.contains("/data/"))
+          .mapToLong(p => java.nio.file.Files.size(p)).sum()
+        finally s.close()
+      }
+
+      // nprobe sweep, full probe last (the denominator where pruning
+      // cannot help). Two measured reps each; keep the min (first touch
+      // pays FS cache warmup, irrelevant to the pruning question).
+      for (np <- Seq(4, 16, nlist)) {
+        var minBytes = Long.MaxValue
+        var minRecs = Long.MaxValue
+        var sec = 0.0
+        (1 to 2).foreach { _ =>
+          val t0 = System.nanoTime()
+          val (_, b, r) = measured {
+            IndexCatalog.search(name, 5, queries, Map("nprobe" -> np.toString)).collect()
+          }
+          val dt = (System.nanoTime() - t0) / 1e9
+          if (b < minBytes) { minBytes = b; minRecs = r; sec = dt }
+        }
+        println(
+          s"""{"bench":"ivf_prune","nlist":$nlist,"nprobe":$np,"corpus_rows":$n,""" +
+            s""""layout_data_bytes":$layoutBytes,"scan_bytes":$minBytes,""" +
+            s""""scan_records":$minRecs,""" +
+            s""""bytes_frac_of_layout":${minBytes.toDouble / layoutBytes},""" +
+            s""""probe_frac":${np.toDouble / nlist},"search_sec":$sec}""")
+      }
+    } finally {
+      try {
+        import scala.reflect.io.Directory
+        new Directory(new java.io.File(saveDir)).deleteRecursively()
+      } catch { case _: Throwable => () }
+    }
+    spark.stop()
+  }
+}

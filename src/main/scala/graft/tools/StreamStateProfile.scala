@@ -42,9 +42,31 @@ object StreamStateProfile {
     // executor heap can't hold (ships with Spark 4, no extra deps).
     // HDFSBacked (default) keeps every key's state in the JVM heap —
     // fine to ~1e7 small values, the wall past that.
-    if (provider == "rocksdb")
+    val tuned = sys.env.get("SPARK_GRAFT_SS_TUNED").contains("1")
+    if (provider == "rocksdb") {
       builder.config("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      // tuned profile (VERDICT r12 #2): the untuned r12 run paid the
+      // session-window cliff (1.83 -> 0.43 M rows/s vs HDFSBacked).
+      // Changelog checkpointing is the structural fix — commit uploads
+      // the per-batch delta instead of snapshotting the full store;
+      // bigger memtables/block cache keep the merge-heavy session scans
+      // off disk. trackTotalNumberOfRows=false drops the per-commit full
+      // count scan (numRowsTotal then reads -1 — a metrics price, which
+      // is why it's a separate opt-in).
+      if (tuned) {
+        builder
+          .config("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
+          .config("spark.sql.streaming.stateStore.rocksdb.writeBufferSizeMB",
+            sys.env.getOrElse("SPARK_GRAFT_SS_WBUF_MB", "128"))
+          .config("spark.sql.streaming.stateStore.rocksdb.maxWriteBufferNumber", "4")
+          .config("spark.sql.streaming.stateStore.rocksdb.blockCacheSizeMB",
+            sys.env.getOrElse("SPARK_GRAFT_SS_BLOCKCACHE_MB", "512"))
+        if (sys.env.get("SPARK_GRAFT_SS_NOTRACK").contains("1"))
+          builder.config(
+            "spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows", "false")
+      }
+    }
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
@@ -90,17 +112,38 @@ object StreamStateProfile {
           .dropDuplicates("event_id", "ts"))
     )
 
+    // recovery measurement (VERDICT r12 #8): a 100 TB pipeline restarts —
+    // after the timed run, restart the SAME query from its checkpoint
+    // and record wall until the first post-restart batch commits (state
+    // reload + source replay), the number nothing had measured yet.
+    val recover = sys.env.get("SPARK_GRAFT_SS_RECOVER").contains("1")
+
+    def dirBytes(path: String): Long = {
+      val root = java.nio.file.Paths.get(path)
+      if (!java.nio.file.Files.exists(root)) return 0L
+      val s = java.nio.file.Files.walk(root)
+      try s.filter(java.nio.file.Files.isRegularFile(_))
+        .mapToLong(p => try java.nio.file.Files.size(p) catch { case _: Throwable => 0L })
+        .sum()
+      finally s.close()
+    }
+    def median(xs: Seq[Double]): Double =
+      if (xs.isEmpty) -1.0 else xs.sorted.apply(xs.size / 2)
+
     for ((name, mode, xform) <- ops if opsFilter.forall(_.contains(name))) {
       val ckpt = java.nio.file.Files
         .createTempDirectory(s"graft_ss_$name").toString
-      val q = xform(rate())
+      def start() = xform(rate())
         .writeStream.format("noop") // sink cost excluded: state is the subject
         .outputMode(mode)
         .option("checkpointLocation", ckpt)
         .trigger(Trigger.ProcessingTime("5 seconds"))
         .start()
+      val q = start()
       val t0 = System.nanoTime()
       var lastRows = 0L
+      val thrs = scala.collection.mutable.ArrayBuffer.empty[Double]
+      val batchMs = scala.collection.mutable.ArrayBuffer.empty[Double]
       try {
         while ((System.nanoTime() - t0) / 1e9 < secs) {
           Thread.sleep(5000)
@@ -110,6 +153,8 @@ object StreamStateProfile {
             val stateRows = if (so != null) so.numRowsTotal else -1L
             val stateMem = if (so != null) so.memoryUsedBytes else -1L
             lastRows = stateRows
+            thrs += p.processedRowsPerSecond
+            batchMs += p.durationMs.getOrDefault("triggerExecution", -1L).toDouble
             println(
               s"""{"bench":"stream_state","op":"$name","provider":"$provider","keys":$keys,""" +
                 s""""batch_id":${p.batchId},"input_rows":${p.numInputRows},""" +
@@ -120,14 +165,35 @@ object StreamStateProfile {
         }
       } finally {
         q.stop()
-        println(
-          s"""{"bench":"stream_state_final","op":"$name","provider":"$provider","keys":$keys,""" +
-            s""""final_state_rows":$lastRows,"ran_sec":${(System.nanoTime() - t0) / 1e9}}""")
         // settle before touching the checkpoint: RocksDB's JNI logger
         // callback can SIGSEGV if its directory is deleted (or the JVM
         // exits) while the store's native side is still flushing — the
         // stores unload asynchronously after stop()
         if (provider == "rocksdb") Thread.sleep(3000)
+        val stateDisk = dirBytes(s"$ckpt/state")
+        var recoverySec = -1.0
+        if (recover) {
+          // restart from the checkpoint: wall from start() to the first
+          // committed batch (includes store reload + replay of the
+          // rate-source offsets the stopped trigger had reserved)
+          val tR = System.nanoTime()
+          val q2 = start()
+          try {
+            while (q2.lastProgress == null && (System.nanoTime() - tR) / 1e9 < 300)
+              Thread.sleep(200)
+            if (q2.lastProgress != null)
+              recoverySec = (System.nanoTime() - tR) / 1e9
+          } finally {
+            q2.stop()
+            if (provider == "rocksdb") Thread.sleep(3000)
+          }
+        }
+        println(
+          s"""{"bench":"stream_state_final","op":"$name","provider":"$provider","keys":$keys,""" +
+            s""""tuned":$tuned,"final_state_rows":$lastRows,""" +
+            s""""median_thr":${median(thrs.toSeq)},"median_batch_ms":${median(batchMs.toSeq)},""" +
+            s""""state_disk_bytes":$stateDisk,"recovery_sec":$recoverySec,""" +
+            s""""ran_sec":${(System.nanoTime() - t0) / 1e9}}""")
         // checkpoint dirs are disposable scratch
         try {
           import scala.reflect.io.Directory

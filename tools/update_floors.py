@@ -31,6 +31,21 @@ bench = json.load(open(bench_path))
 floors = json.load(open(floor_path))
 q = floors["queries"]
 
+# Cohort guard (round 13, VERDICT #5): a run whose floored cohort sits
+# >1.25x over the committed floors was taken on a hot/contended box —
+# folding from it can only add inflated floors for NEW queries and
+# mis-normalize. Refuse outright; the artifact stays usable for the
+# regression gate (which normalizes), just not for floor updates.
+# Override with UPDATE_FLOORS_FORCE=1 only for a deliberate re-baseline.
+import os
+cohort = bench.get("env_median_ratio")
+if cohort is not None and float(cohort) > 1.25 \
+        and os.environ.get("UPDATE_FLOORS_FORCE") != "1":
+    print(f"bench artifact is hot-box (env_median_ratio={cohort} > 1.25): "
+          "non-comparable, refusing to fold floors "
+          "(set UPDATE_FLOORS_FORCE=1 to override)", file=sys.stderr)
+    sys.exit(1)
+
 ratios = sorted(t / q[name] for name, t in bench["queries"].items()
                 if name in q and q[name] > 0)
 if ratios:
