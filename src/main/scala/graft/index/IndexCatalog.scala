@@ -414,6 +414,14 @@ object IndexCatalog {
     entry(name).trainedPq.map { case (books, cs) =>
       (books.map(_.map(_.clone())), cs.map(_.map(_.clone()))) }
 
+  /** the BUILT per-shard HNSW graphs (labels, levels, adjacency, entry,
+    * dups), collected to the driver for injected replay oracles — the
+    * graph analog of [[trainedCentroidsOf]]. Bounded: None when the
+    * index holds more than `maxNodes` total graph nodes (the cap keeps
+    * this a gate-scale verification surface, never a serving path). */
+  def builtHnswGraphsOf(name: String, maxNodes: Int = 100000): Option[Seq[Nsw.Graph]] =
+    entry(name).built.collect { case h: HnswBuilt => h.graphsSnapshot(maxNodes) }.flatten
+
   /** observed max effective ICM rounds of an LSQ index's encode — valid
     * once the coded layout has materialized (a search ran); None before
     * that or for non-LSQ indexes. The replay oracle unrolls exactly this
@@ -2457,6 +2465,14 @@ object IndexCatalog {
         Knn.rankResults(perShard, k, ascending = VectorMath.smallerIsCloser(metricId),
           padToK = params.get("pad").exists(_.toBoolean))
       }
+    }
+
+    /** driver snapshot of the per-shard graphs for injected replay
+      * oracles — None past `maxNodes` total (gate-scale verification
+      * surface; the serving path never collects graphs) */
+    private[index] def graphsSnapshot(maxNodes: Int): Option[Seq[Nsw.Graph]] = {
+      val gs = graphs.collect().toSeq
+      if (gs.iterator.map(_.labels.length.toLong).sum <= maxNodes) Some(gs) else None
     }
 
     override def close(): Unit = {

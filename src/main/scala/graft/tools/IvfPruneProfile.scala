@@ -42,12 +42,19 @@ object IvfPruneProfile {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // the AnnBaseline x500 corpus shape: ~1M rows from the sf table
-    def replicated(t: Int): DataFrame =
+    // the AnnBaseline x500_distinct corpus shape: ~1M DISTINCT rows (the
+    // per-copy jitter keeps the parquet columns incompressible, so bytes
+    // read measure real vector data, not a dictionary of 2k repeats)
+    def jittered(t: Int): DataFrame =
       spark.range(0, t).select(col("id").as("copy"))
         .join(broadcast(Tables(spark, sfDir, "embeddings")))
-        .select((col("vec_id") + col("copy") * 1000000L).as("label"),
-          vec.vector(col("embedding")).as("vec"))
+        .select(
+          (col("vec_id") + col("copy") * 1000000L).as("label"),
+          vec.vector(when(col("copy") === 0, col("embedding")).otherwise(
+            transform(col("embedding"), (x, i) =>
+              (x + (pmod(xxhash64(col("vec_id") + col("copy") * 1000000L, i),
+                lit(400001L)).cast("double") / 1000000.0 - 0.2).cast("float"))
+                .cast("float")))).as("vec"))
 
     // input-metrics instrument: sums bytes/records read by every task
     // between reset() marks — the number partition pruning changes
@@ -72,10 +79,17 @@ object IvfPruneProfile {
       (r, bytesRead.get, recordsRead.get)
     }
 
+    // FEW queries: the scan filter is the UNION of probed lists across
+    // the batch, so a large batch probes every list and nothing prunes —
+    // the per-query pruning claim needs a batch whose union stays small
+    // (5 queries x nprobe 4 <= 20 of 64 lists). The batch-union behavior
+    // itself is the 100 TB serving contract: pruning scales with
+    // distinct probed lists, not batch size.
+    val nQ = sys.env.getOrElse("SPARK_GRAFT_PRUNE_QUERIES", "5").toInt
     val name = "prune_ivf"
     val saveDir = java.nio.file.Files.createTempDirectory("graft_prune_ivf").toString
     try {
-      val corpus = replicated(times)
+      val corpus = jittered(times)
       val n = corpus.count()
       if (IndexCatalog.exists(name)) IndexCatalog.destroy(name)
       IndexCatalog.create(name, 64, s"IDMap,IVF$nlist,Flat", "l2sq",
@@ -88,7 +102,7 @@ object IvfPruneProfile {
       // query batch collected ONCE so the measured jobs scan only the
       // saved index layout (queries otherwise re-read the sf parquet
       // inside every search, polluting the data-dir ratio)
-      val queries = Tables(spark, sfDir, "embeddings").where(col("vec_id") < 100)
+      val queries = Tables(spark, sfDir, "embeddings").where(col("vec_id") < nQ)
         .select(col("vec_id").as("qid"), vec.vector(col("embedding")).as("qvec"))
         .cache()
       queries.count()
