@@ -431,7 +431,7 @@ object IndexCatalog {
   def observedLsqRoundsOf(name: String): Option[Int] =
     entry(name).built.collect {
       case rq: RqBuilt if rq.lsqEnc => rq.icmRoundsAcc.map(_.value.toInt)
-    }.flatten.filter(_ > 0)
+    }.flatten.filter(_ > 0).map(_ - 1) // encode stores rounds+1; 0 = never ran
 
   /** catalog introspection: metadata of every registered index */
   def list(): Seq[IndexMeta] =

@@ -344,7 +344,9 @@ case class LsqEncode(
     var i = 0
     while (i < v.length) { v(i) = a.getFloat(i); i += 1 }
     val (code, rounds) = Lsq.encodeArrRounds(v, books)
-    if (roundsAcc != null) roundsAcc.add(rounds.toLong)
+    // +1 so the accumulator's zero-state distinguishes "never ran" from
+    // a legitimate all-zero-rounds corpus (greedy init at the fixpoint)
+    if (roundsAcc != null) roundsAcc.add(rounds.toLong + 1L)
     code
   }
 

@@ -1004,8 +1004,11 @@ object IndexQueries {
       // rounds are idempotent re-picks — hash-identical, ~4x less
       // oracle SQL. Falls back to the worst case when the gate's index
       // is gone or never materialized (filtered runs).
+      // max(1, _): 0 observed rounds means the greedy init was already a
+      // fixpoint corpus-wide; one idempotent round keeps the CTE chain
+      // non-degenerate and is hash-identical by construction
       val rounds = scala.util.Try(IndexCatalog.observedLsqRoundsOf("q_lsq")).toOption.flatten
-        .map(r => math.min(r, graft.index.Lsq.IcmRounds))
+        .map(r => math.max(1, math.min(r, graft.index.Lsq.IcmRounds)))
         .getOrElse(graft.index.Lsq.IcmRounds)
       "knn_lsq" -> knnLsqOracle(t._1, t._2, nprobe = 4, kk = 120, icmRounds = rounds)
     } ++
