@@ -477,6 +477,91 @@ object DedupQueries {
   private def signedSql(v: String): String =
     s"CAST(CASE WHEN $v >= 9223372036854775808::HUGEINT THEN $v - $M64 ELSE $v END AS BIGINT)"
 
+  // ---- XXH64 (seed 42) over the UTF8 bytes of string column `g`,
+  // spelled as exact HUGEINT-wraparound SQL (round 16): the full
+  // algorithm — 4-lane 32-byte stripes via a list_reduce whose
+  // accumulator is a 4-element HUGEINT list, the <=3 trailing 8-byte
+  // words, the 4-byte word, the <=3 trailing bytes, and the avalanche —
+  // validated bit-exact against Spark's xxhash64 on 60 adversarial
+  // vectors (empty, every tail length, 1..2-stripe strings). ASCII
+  // input assumed (ord(substring) reads codepoints; the documents
+  // corpus is pure ASCII at both SFs, asserted before promotion).
+  // This retires the "xxhash64 has no oracle-engine twin" adjudication.
+  private val XxP1 = "11400714785074694791::HUGEINT"
+  private val XxP2 = "14029467366897019727::HUGEINT"
+  private val XxP3 = "1609587929392839161::HUGEINT"
+  private val XxP4 = "9650029242287828579::HUGEINT"
+  private val XxP5 = "2870177450012600261::HUGEINT"
+  private def rotlSql(u: String, r: Int): String =
+    s"(((($u) * ${1L << r}::HUGEINT) % $M64) + (($u) >> ${64 - r}))"
+  private def xxWord(off: String, nBytes: Int): String =
+    (1 to nBytes).map { k =>
+      val mult = java.math.BigInteger.valueOf(256L).pow(k - 1)
+      s"bs[($off) + $k] * $mult::HUGEINT"
+    }.mkString(" + ")
+  private def xxRound(v: String, w: String): String =
+    wmul(rotlSql(s"((($v) + ${wmul(w, XxP2)}) % $M64)", 31), XxP1)
+  private def xxRound0(w: String): String = wmul(rotlSql(wmul(w, XxP2), 31), XxP1)
+  private def xxMerge(acc: String, v: String): String =
+    s"(${wmul(s"xor(($acc), ${xxRound0(v)})", XxP1)} + $XxP4) % $M64"
+  private def xxStepWord(h: String, w: String): String =
+    s"(${wmul(rotlSql(s"xor(($h), ${xxRound0(w)})", 27), XxP1)} + $XxP4) % $M64"
+
+  /** CTE chain `$prev($keys, g)` -> `xh($keys, g, h)` with h = the
+    * unsigned XXH64(seed 42) of g's ASCII bytes. Lane inits and the
+    * short-input constant are precomputed for seed 42. */
+  private def xxh64Ctes(prev: String, keys: String): String = {
+    val seed = BigInt(42)
+    val m = BigInt(1) << 64
+    val p1 = BigInt("11400714785074694791"); val p2 = BigInt("14029467366897019727")
+    val p5 = BigInt("2870177450012600261")
+    val iv1 = (seed + p1 + p2) mod m
+    val iv2 = (seed + p2) mod m
+    val iv3 = seed
+    val iv4 = (seed - p1) mod m
+    val h0Short = (seed + p5) mod m
+    val k = keys
+    s"""xb AS (SELECT $k, g, [ord(substring(g, i, 1))::HUGEINT FOR i IN range(1, len(g)+1)] AS bs,
+       |  len(g)::HUGEINT AS L FROM $prev),
+       |xs AS (SELECT $k, g, bs, L,
+       |  CASE WHEN L >= 32 THEN list_reduce(
+       |    list_prepend([$iv1::HUGEINT, $iv2::HUGEINT, $iv3::HUGEINT, $iv4::HUGEINT],
+       |      [[(s*32)::HUGEINT] FOR s IN range(0, CAST(L // 32 AS BIGINT))]),
+       |    (acc, st) -> [
+       |      ${xxRound("acc[1]", xxWord("CAST(st[1] AS BIGINT)", 8))},
+       |      ${xxRound("acc[2]", xxWord("CAST(st[1] AS BIGINT) + 8", 8))},
+       |      ${xxRound("acc[3]", xxWord("CAST(st[1] AS BIGINT) + 16", 8))},
+       |      ${xxRound("acc[4]", xxWord("CAST(st[1] AS BIGINT) + 24", 8))}])
+       |  ELSE NULL END AS vv FROM xb),
+       |xm0 AS (SELECT $k, g, bs, L, CAST((L // 32) * 32 AS BIGINT) AS o,
+       |  CASE WHEN L >= 32 THEN
+       |    (${rotlSql("vv[1]", 1)} + ${rotlSql("vv[2]", 7)} + ${rotlSql("vv[3]", 12)} + ${rotlSql("vv[4]", 18)}) % $M64
+       |  ELSE $h0Short::HUGEINT END AS h, vv FROM xs),
+       |xm1 AS (SELECT $k, g, bs, L, o, CASE WHEN L >= 32 THEN ${xxMerge("h", "vv[1]")} ELSE h END AS h, vv FROM xm0),
+       |xm2 AS (SELECT $k, g, bs, L, o, CASE WHEN L >= 32 THEN ${xxMerge("h", "vv[2]")} ELSE h END AS h, vv FROM xm1),
+       |xm3 AS (SELECT $k, g, bs, L, o, CASE WHEN L >= 32 THEN ${xxMerge("h", "vv[3]")} ELSE h END AS h, vv FROM xm2),
+       |xm4 AS (SELECT $k, g, bs, L, o, (CASE WHEN L >= 32 THEN ${xxMerge("h", "vv[4]")} ELSE h END + L) % $M64 AS h FROM xm3),
+       |xw1 AS (SELECT $k, g, bs, L, CASE WHEN o + 8 <= L THEN o + 8 ELSE o END AS o,
+       |  CASE WHEN o + 8 <= L THEN ${xxStepWord("h", xxWord("o", 8))} ELSE h END AS h FROM xm4),
+       |xw2 AS (SELECT $k, g, bs, L, CASE WHEN o + 8 <= L THEN o + 8 ELSE o END AS o,
+       |  CASE WHEN o + 8 <= L THEN ${xxStepWord("h", xxWord("o", 8))} ELSE h END AS h FROM xw1),
+       |xw3 AS (SELECT $k, g, bs, L, CASE WHEN o + 8 <= L THEN o + 8 ELSE o END AS o,
+       |  CASE WHEN o + 8 <= L THEN ${xxStepWord("h", xxWord("o", 8))} ELSE h END AS h FROM xw2),
+       |x4 AS (SELECT $k, g, bs, L, CASE WHEN o + 4 <= L THEN o + 4 ELSE o END AS o,
+       |  CASE WHEN o + 4 <= L THEN
+       |    (${wmul(rotlSql(s"xor(h, ${wmul(xxWord("o", 4), XxP1)})", 23), XxP2)} + $XxP3) % $M64
+       |  ELSE h END AS h FROM xw3),
+       |xt1 AS (SELECT $k, g, bs, L, CASE WHEN o + 1 <= L THEN o + 1 ELSE o END AS o,
+       |  CASE WHEN o + 1 <= L THEN ${wmul(rotlSql(s"xor(h, ${wmul("bs[o + 1]", XxP5)})", 11), XxP1)} ELSE h END AS h FROM x4),
+       |xt2 AS (SELECT $k, g, bs, L, CASE WHEN o + 1 <= L THEN o + 1 ELSE o END AS o,
+       |  CASE WHEN o + 1 <= L THEN ${wmul(rotlSql(s"xor(h, ${wmul("bs[o + 1]", XxP5)})", 11), XxP1)} ELSE h END AS h FROM xt1),
+       |xt3 AS (SELECT $k, g, bs, L, CASE WHEN o + 1 <= L THEN o + 1 ELSE o END AS o,
+       |  CASE WHEN o + 1 <= L THEN ${wmul(rotlSql(s"xor(h, ${wmul("bs[o + 1]", XxP5)})", 11), XxP1)} ELSE h END AS h FROM xt2),
+       |xa1 AS (SELECT $k, g, ${wmul("xor(h, h >> 33)", XxP2)} AS h FROM xt3),
+       |xa2 AS (SELECT $k, g, ${wmul("xor(h, h >> 29)", XxP3)} AS h FROM xa1),
+       |xh AS (SELECT $k, g, xor(h, h >> 32) AS h FROM xa2)""".stripMargin
+  }
+
   /** shared MinHash chain CTEs (through the per-(doc, lane) SIGNED
     * minimum `sigl(doc_id, lane, sv)`): docs -> distinct 3-shingles ->
     * FNV bases -> lane xor/mix -> signed min. Tails differ per oracle. */
@@ -520,7 +605,83 @@ object DedupQueries {
        |  FROM capped a JOIN capped b
        |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)""".stripMargin
 
+  /** DuckDB replay of the incremental MinHash-LSH near-dup screen
+    * (round 16 — retires the LAST hash-family adjudication): both
+    * sides' 3-shingle grams -> XXH64(seed 42) via [[xxh64Ctes]] ->
+    * distinct signed hash sets -> 128 minhash lanes (xor with
+    * seed + GOLDEN*lane, splitmix, SIGNED min — the proven
+    * dedup_minhash_sig chain) -> rotl7-xor band buckets (32 x 4) ->
+    * hot-bucket cap on the CORPUS side only (count <= 1000) ->
+    * distinct (batch, corpus) bucket-join candidates -> exact jaccard
+    * over the full hash sets (the engine's size-ratio prefilter is a
+    * pure optimization: j <= min/max, so the >= threshold filter
+    * subsumes it) -> quant4 + threshold. */
+  private def incrementalNearOracle: String = {
+    val (nLanes, bands, rows, cap, minJ) = (128, 32, 4, 1000, 0.7)
+    s"""WITH both0 AS (
+       |  SELECT 0 AS side, doc_id, $toksSql AS toks FROM documents WHERE doc_id < 250
+       |  UNION ALL
+       |  SELECT 1, doc_id, $toksSql FROM documents WHERE doc_id >= 250
+       |  UNION ALL
+       |  SELECT 1, doc_id + 1000000,
+       |    string_split_regex(lower(trim(text || ' near dup tail')), '\\s+')
+       |  FROM documents WHERE doc_id < 30),
+       |shg AS (
+       |  SELECT side, doc_id, unnest(list_distinct(CASE WHEN len(toks) >= 3
+       |    THEN [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] FOR i IN range(1, len(toks)-1)]
+       |    ELSE [] END)) AS g
+       |  FROM both0),
+       |${xxh64Ctes("shg", "side, doc_id")},
+       |hs AS (SELECT DISTINCT side, doc_id, h FROM xh),
+       |ns AS (SELECT side, doc_id, count(*) AS n FROM hs GROUP BY side, doc_id),
+       |lanes AS (SELECT CAST(unnest(range(0, $nLanes)) AS BIGINT) AS lane),
+       |z0 AS (
+       |  SELECT side, doc_id, lane,
+       |    xor(h, (42::HUGEINT + ${wmul("lane::HUGEINT", "11400714819323198485::HUGEINT")}) % $M64) AS z
+       |  FROM hs CROSS JOIN lanes),
+       |${mixCtes("z0", "side, doc_id, lane")},
+       |sigl AS (SELECT side, doc_id, lane, min(${signedSql("h")}) AS sv FROM mx GROUP BY side, doc_id, lane),
+       |sigu AS (
+       |  SELECT side, doc_id, lane,
+       |    CASE WHEN sv < 0 THEN sv::HUGEINT + $M64 ELSE sv::HUGEINT END AS u
+       |  FROM sigl),
+       |sigarr AS (SELECT side, doc_id, list(u ORDER BY lane) AS sig FROM sigu GROUP BY side, doc_id),
+       |bb AS (
+       |  SELECT side, doc_id, band,
+       |    list_reduce(
+       |      list_prepend(11400714819323198485::HUGEINT, sig[band*$rows+1 : band*$rows+$rows]),
+       |      (acc, x) -> xor(((acc << 7) % $M64) + (acc >> 57), x)) AS bucket
+       |  FROM sigarr CROSS JOIN (SELECT CAST(unnest(range(0, $bands)) AS INTEGER) AS band)),
+       |capped_c AS (
+       |  SELECT doc_id, band, bucket FROM (
+       |    SELECT doc_id, band, bucket, count(*) OVER (PARTITION BY band, bucket) AS n
+       |    FROM bb WHERE side = 0)
+       |  WHERE n <= $cap),
+       |cand AS (
+       |  SELECT DISTINCT b.doc_id AS batch_id, c.doc_id AS corpus_id
+       |  FROM (SELECT doc_id, band, bucket FROM bb WHERE side = 1) b
+       |  JOIN capped_c c ON b.band = c.band AND b.bucket = c.bucket),
+       |inter AS (
+       |  SELECT cand.batch_id, cand.corpus_id, count(*) AS i
+       |  FROM cand
+       |  JOIN hs a ON a.side = 1 AND a.doc_id = cand.batch_id
+       |  JOIN hs b ON b.side = 0 AND b.doc_id = cand.corpus_id AND b.h = a.h
+       |  GROUP BY cand.batch_id, cand.corpus_id),
+       |j AS (
+       |  SELECT c.batch_id, c.corpus_id,
+       |    CAST(COALESCE(i.i, 0) AS DOUBLE)
+       |      / CAST(na.n + nb.n - COALESCE(i.i, 0) AS DOUBLE) AS jac
+       |  FROM cand c
+       |  LEFT JOIN inter i ON i.batch_id = c.batch_id AND i.corpus_id = c.corpus_id
+       |  JOIN ns na ON na.side = 1 AND na.doc_id = c.batch_id
+       |  JOIN ns nb ON nb.side = 0 AND nb.doc_id = c.corpus_id)
+       |SELECT batch_id, corpus_id, ${Tables.quant4Sql("jac")} AS jaccard
+       |FROM j WHERE jac >= $minJ
+       |ORDER BY batch_id, corpus_id""".stripMargin
+  }
+
   def oracles: Map[String, String] = Map(
+    "dedup_incremental_near" -> incrementalNearOracle,
     // lane-exact MinHash signature replay (doc_id < 50, 16 lanes):
     // distinct 3-shingles -> FNV-1a base -> xor with the lane constant
     // (seed + GOLDEN*j mod 2^64) -> splitmix -> per-lane min; shingle-
