@@ -122,6 +122,11 @@ object Bench {
     // median-normalized ratios; a regression that touched every query
     // at once would be caught by the pair-loop factor or the total.
     var medianRatio = 1.0
+    // whether medianRatio came from a genuinely measured floored cohort
+    // (ADVICE r13): absent floors / an exception / zero floored queries
+    // must stamp env_median_ratio as null so update_floors.py treats the
+    // artifact as unvetted instead of as a clean 1.00 cohort
+    var medianMeasured = false
     try {
       val floorFile = new java.io.File("BENCH_FLOOR.json")
       if (floorFile.isFile) {
@@ -136,6 +141,7 @@ object Bench {
         medianRatio =
           if (ratios.isEmpty) math.max(envFactor, 0.25)
           else math.min(4.0, math.max(0.5, ratios(ratios.size / 2)))
+        medianMeasured = ratios.nonEmpty
         System.err.println(
           f"[bench] floor-cohort median ratio = $medianRatio%.2f over ${ratios.size} floored queries " +
             f"(pair-loop env_factor $envFactor%.2f)")
@@ -175,9 +181,10 @@ object Bench {
       if (phases.isEmpty) ""
       else phases.toSeq.sorted.map { case (k, v) => "\"" + k + "\":" + v }
         .mkString(""","phases":{""", ",", "}")
+    val medianJson = if (medianMeasured) f"$medianRatio%.4f" else "null"
     val jsonLine =
       s"""{"metric":"total","value":$total,"unit":"sec",""" +
-        s""""env_factor":${f"$envFactor%.4f"},"env_median_ratio":${f"$medianRatio%.4f"}""" +
+        s""""env_factor":${f"$envFactor%.4f"},"env_median_ratio":$medianJson""" +
         s"""$phasesJson,"queries":$qs,"sf":"$sfDir"}"""
     // Persist the FULL per-query map (all queries, full precision) to a
     // file: the driver captures only a ~2000-char stdout tail as
@@ -209,7 +216,7 @@ object Bench {
     val phasesShort = if (phasesJson.length <= 400) phasesJson else ""
     val fixed =
       s"""{"metric":"total","value":$total,"unit":"sec",""" +
-        s""""env_factor":${f"$envFactor%.4f"},"env_median_ratio":${f"$medianRatio%.4f"}""" +
+        s""""env_factor":${f"$envFactor%.4f"},"env_median_ratio":$medianJson""" +
         s"""$phasesShort,"queries_count":${results.size},""" +
         s""""queries_file":"$dumpName","sf":"$sfDir","queries":"""
     val closing = "}"

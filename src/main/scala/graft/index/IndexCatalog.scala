@@ -429,9 +429,21 @@ object IndexCatalog {
     * past a vector's fixpoint are idempotent re-picks, so the shorter
     * unroll is hash-identical by construction). */
   def observedLsqRoundsOf(name: String): Option[Int] =
+    lsqRoundsReaderOf(name).flatMap(_.apply())
+
+  /** a rounds reader bound to the CURRENT build's accumulator (ADVICE
+    * r13 — the AnnJoin.lastTrainedCentroids interleaving shape): the
+    * gate captures this right after its search, so the oracle's
+    * observed-rounds lookup reads the SAME build whose codebooks it
+    * injected even if the name is destroyed/rebuilt in between. The
+    * read stays lazy (the accumulator fills when the coded layout
+    * materializes), only the binding is pinned at gate time. */
+  def lsqRoundsReaderOf(name: String): Option[() => Option[Int]] =
     entry(name).built.collect {
-      case rq: RqBuilt if rq.lsqEnc => rq.icmRoundsAcc.map(_.value.toInt)
-    }.flatten.filter(_ > 0).map(_ - 1) // encode stores rounds+1; 0 = never ran
+      case rq: RqBuilt if rq.lsqEnc => () =>
+        rq.icmRoundsAcc.map(_.value.toInt)
+          .filter(_ > 0).map(_ - 1) // encode stores rounds+1; 0 = never ran
+    }
 
   /** catalog introspection: metadata of every registered index */
   def list(): Seq[IndexMeta] =
@@ -2469,10 +2481,15 @@ object IndexCatalog {
 
     /** driver snapshot of the per-shard graphs for injected replay
       * oracles — None past `maxNodes` total (gate-scale verification
-      * surface; the serving path never collects graphs) */
+      * surface; the serving path never collects graphs). The cap is
+      * enforced by a DISTRIBUTED count BEFORE anything is collected,
+      * and vectors are stripped executor-side: an over-cap corpus
+      * never reaches the driver, and an under-cap snapshot carries
+      * only labels + adjacency (every replay oracle reads distances
+      * from the source table, never from the snapshot). */
     private[index] def graphsSnapshot(maxNodes: Int): Option[Seq[Nsw.Graph]] = {
-      val gs = graphs.collect().toSeq
-      if (gs.iterator.map(_.labels.length.toLong).sum <= maxNodes) Some(gs) else None
+      if (graphs.map(_.labels.length.toLong).sum() > maxNodes) None
+      else Some(graphs.map(_.copy(vecs = Array.empty)).collect().toSeq)
     }
 
     override def close(): Unit = {

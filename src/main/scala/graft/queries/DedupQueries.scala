@@ -86,6 +86,13 @@ object DedupQueries {
     // behavior spec-asserted (DedupSpec).
     "dedup_incremental_near" -> { (s, dir) =>
       val d = docs(s, dir)
+      // ASCII precondition of the XXH64 oracle, MEASURED not assumed
+      // (ADVICE r13): the SQL replay hashes codepoints (ord) while the
+      // engine hashes UTF-8 bytes — identical only when every byte is
+      // single-byte. One cheap scan; a non-ASCII corpus withholds the
+      // oracle (rows-only, loud) instead of an opaque hash mismatch.
+      incNearAsciiOk =
+        d.where(octet_length(col("text")) =!= length(col("text"))).isEmpty
       val corpus = d.where(col("doc_id") < 250).select(col("doc_id"), col("text"))
       val batch = d.where(col("doc_id") >= 250).select(col("doc_id"), col("text"))
         .unionByName(d.where(col("doc_id") < 30)
@@ -680,8 +687,20 @@ object DedupQueries {
        |ORDER BY batch_id, corpus_id""".stripMargin
   }
 
-  def oracles: Map[String, String] = Map(
-    "dedup_incremental_near" -> incrementalNearOracle,
+  /** whether the gate-run documents corpus is pure ASCII (measured in
+    * the dedup_incremental_near gate — the XXH64 oracle's byte-level
+    * precondition); false until the gate runs → oracle withheld */
+  @volatile private[queries] var incNearAsciiOk: Boolean = false
+
+  def oracles: Map[String, String] = {
+    if (!incNearAsciiOk) System.err.println(
+      "[graft] dedup_incremental_near oracle withheld: corpus text not " +
+        "verified pure ASCII this run — degrading to rows-only")
+    (if (incNearAsciiOk) Map("dedup_incremental_near" -> incrementalNearOracle)
+     else Map.empty[String, String]) ++ staticOracles
+  }
+
+  private def staticOracles: Map[String, String] = Map(
     // lane-exact MinHash signature replay (doc_id < 50, 16 lanes):
     // distinct 3-shingles -> FNV-1a base -> xor with the lane constant
     // (seed + GOLDEN*j mod 2^64) -> splitmix -> per-lane min; shingle-

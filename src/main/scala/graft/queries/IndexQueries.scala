@@ -434,6 +434,10 @@ object IndexQueries {
       val res = quantized(IndexCatalog.search(name, 5, embQueries(s, dir)))
       knnLsqState = IndexCatalog.trainedPqOf(name).collect {
         case (books, Some(cs)) => (books, cs) } // memo for the injected oracle
+      // pin the rounds accumulator of THIS build alongside the books
+      // (ADVICE r13): a same-JVM rebuild under the name can no longer
+      // pair stale codebooks with a fresher rounds observation
+      knnLsqRounds = IndexCatalog.lsqRoundsReaderOf(name)
       res
     },
     // IVF-PQ: 64 floats -> 8 bytes, ADC + exact re-rank. The gate's
@@ -1006,8 +1010,11 @@ object IndexQueries {
       // is gone or never materialized (filtered runs).
       // max(1, _): 0 observed rounds means the greedy init was already a
       // fixpoint corpus-wide; one idempotent round keeps the CTE chain
-      // non-degenerate and is hash-identical by construction
-      val rounds = scala.util.Try(IndexCatalog.observedLsqRoundsOf("q_lsq")).toOption.flatten
+      // non-degenerate and is hash-identical by construction. The
+      // reader was pinned to the gate's own build (no by-name lookup
+      // that a same-JVM rebuild could redirect — ADVICE r13).
+      val rounds = knnLsqRounds
+        .flatMap(rd => scala.util.Try(rd()).toOption.flatten)
         .map(r => math.max(1, math.min(r, graft.index.Lsq.IcmRounds)))
         .getOrElse(graft.index.Lsq.IcmRounds)
       "knn_lsq" -> knnLsqOracle(t._1, t._2, nprobe = 4, kk = 120, icmRounds = rounds)
@@ -1063,6 +1070,9 @@ object IndexQueries {
       : Option[(Array[Array[Array[Float]]], Array[Array[Float]])] = None
   @volatile private[queries] var recallEvalCents: Option[Array[Array[Float]]] = None
   @volatile private[queries] var refineEvalBooks: Option[Array[Array[Array[Float]]]] = None
+  /** rounds reader pinned to the knn_lsq gate's OWN build (captured
+    * with [[knnLsqState]]; lazy value, fixed binding — ADVICE r13) */
+  @volatile private[queries] var knnLsqRounds: Option[() => Option[Int]] = None
   @volatile private[queries] var knnLsqState
       : Option[(Array[Array[Array[Float]]], Array[Array[Float]])] = None
   @volatile private[queries] var compEvalState: Option[(

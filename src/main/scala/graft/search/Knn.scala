@@ -205,8 +205,16 @@ object Knn {
         return None
       }
       corpus = (rows.map(_.getLong(0)), rows.map(_.getSeq[Float](1).toArray))
-      val base = if (cached == null) Map.empty[(String, String), (Array[Long], Array[Array[Float]])] else cached
-      localCorpora.put(key, base + (cols -> corpus))
+      // merge under the map's monitor (ADVICE r13): the get-then-put
+      // compound would let two threads collecting DIFFERENT column
+      // pairs of one QueryExecution lose an entry (base read before
+      // the other's put) — the collect stays outside the lock, only
+      // the read-modify-write is atomic
+      localCorpora.synchronized {
+        val base = Option(localCorpora.get(key))
+          .getOrElse(Map.empty[(String, String), (Array[Long], Array[Array[Float]])])
+        localCorpora.put(key, base + (cols -> corpus))
+      }
     }
     val (labels, vecs) = corpus
     val maxBatch =

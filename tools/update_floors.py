@@ -39,6 +39,15 @@ q = floors["queries"]
 # Override with UPDATE_FLOORS_FORCE=1 only for a deliberate re-baseline.
 import os
 cohort = bench.get("env_median_ratio")
+if cohort is None and os.environ.get("UPDATE_FLOORS_FORCE") != "1":
+    # ADVICE r13: a missing/null cohort ratio means the run had no
+    # floored cohort to measure against (no BENCH_FLOOR.json in cwd, or
+    # the check failed) — absence is NOT cleanliness; refuse rather
+    # than silently passing an unvetted artifact through the guard.
+    print("bench artifact carries no env_median_ratio (no floored cohort "
+          "was measured): unvetted, refusing to fold floors "
+          "(set UPDATE_FLOORS_FORCE=1 to override)", file=sys.stderr)
+    sys.exit(1)
 if cohort is not None and float(cohort) > 1.25 \
         and os.environ.get("UPDATE_FLOORS_FORCE") != "1":
     print(f"bench artifact is hot-box (env_median_ratio={cohort} > 1.25): "
