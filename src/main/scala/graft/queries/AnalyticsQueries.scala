@@ -287,6 +287,66 @@ object AnalyticsQueries {
           hll_sketch_estimate(hll_union_agg(col("sk"))).cast("long").as("est_users"))
         .orderBy("event_type")
     },
+    // the HLL rollup's EXACT-TIER twin (VERDICT r13 #3a): the same
+    // sketch pipeline — per-(type, day) Datasketches HLL, per-type
+    // sketch UNION — on a slice bounded so every union sketch provably
+    // stays in coupon (LIST/SET) mode, where the estimate is linear
+    // counting over 2^26 slots: est = c + c^2/2^27 + ... for c observed
+    // coupons, so the long cast truncates to the exact distinct count
+    // (measured boundary: the union gadget promotes to dense HLL near
+    // 384 coupons at lgK=12; user_id < 300 keeps every per-type slice
+    // at <= 300 distinct at both SFs). The gate MEASURES the mode on
+    // the union sketch bytes (the knn_hnsw precondition-guard pattern)
+    // and withholds the exact oracle when any sketch went dense —
+    // loudly rows-only, never false-exact.
+    "events_hll_exact" -> { (s, dir) =>
+      val daily = Tables.events(s, dir)
+        .where(col("user_id") < 300)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"))
+      val rolled = daily.groupBy("event_type")
+        .agg(count(lit(1)).as("n_days"), hll_union_agg(col("sk")).as("usk"))
+      // Datasketches HLL preamble: byte 2 = family id (7 = HLL), byte 7
+      // low 2 bits = curMode (0 LIST / 1 SET / 2 HLL) — assert every
+      // per-type union sketch stayed in a coupon mode
+      hllExactCoupon = rolled.select("usk").collect().forall { row =>
+        val b = row.getAs[Array[Byte]](0)
+        b.length > 7 && b(2) == 7 && (b(7) & 3) != 2
+      }
+      rolled.select(col("event_type"), col("n_days"),
+        hll_sketch_estimate(col("usk")).cast("long").as("est_users"))
+        .orderBy("event_type")
+    },
+    // the KLL rollup's EXACT-TIER twin (VERDICT r13 #3b): same sketch
+    // pipeline — per-(type, day) KLL, per-type sketch MERGE — on a
+    // slice bounded so no sketch (daily or merged) ever compacts:
+    // below the first randomized compaction a KLL sketch retains the
+    // full value multiset and INCLUSIVE quantiles are the order
+    // statistics sorted[max(1, ceil(q*n))] (verified against
+    // KllDoublesSketch on n in 1..200, incl. ties and q=0/1). The gate
+    // MEASURES getN == getNumRetained on every merged sketch —
+    // compaction observed -> oracle withheld, rows-only, loud.
+    // user_id < 12 keeps per-type totals at 150-180 rows (< k=200) at
+    // both SFs.
+    "events_kll_exact" -> { (s, dir) =>
+      import graft.functions.kll
+      val daily = Tables.events(s, dir)
+        .where(col("user_id") < 12)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(kll.sketchAgg(col("value")).as("sk"))
+      val merged = daily.groupBy("event_type")
+        .agg(count(lit(1)).as("n_days"), kll.mergeAgg(col("sk")).as("msk"))
+      kllExactAllRetained = merged.select("msk").collect().forall { row =>
+        val sk = org.apache.datasketches.kll.KllDoublesSketch.heapify(
+          org.apache.datasketches.memory.Memory.wrap(row.getAs[Array[Byte]](0)))
+        sk.getN == sk.getNumRetained
+      }
+      merged.select(col("event_type"), col("n_days"),
+        kll.quantiles(col("msk"), Seq(0.5, 0.95, 0.99)).as("q"))
+        .select(col("event_type"), col("n_days"),
+          col("q")(0).as("p50"), col("q")(1).as("p95"), col("q")(2).as("p99"))
+        .orderBy("event_type")
+    },
     // percentile ROLLUP from persisted sketches: per-(type, day) KLL
     // value sketches at the fine grain, per-type p50/p95/p99 by sketch
     // MERGE — raw values cross one shuffle once; weekly/all-time/
@@ -1129,7 +1189,57 @@ object AnalyticsQueries {
           moneySum(col("l_extendedprice")).as("sum_price"))
     })
 
-  def oracles: Map[String, String] = Map(
+  /** whether every events_hll_exact union sketch stayed in coupon mode
+    * this run (measured on the sketch bytes in-gate); false until the
+    * gate runs → exact oracle withheld, rows-only */
+  @volatile private[queries] var hllExactCoupon: Boolean = false
+
+  /** whether every events_kll_exact merged sketch retained ALL values
+    * this run (getN == getNumRetained — no randomized compaction);
+    * false until the gate runs → exact oracle withheld, rows-only */
+  @volatile private[queries] var kllExactAllRetained: Boolean = false
+
+  /** exact-distinct twin of the bounded-slice HLL rollup: in coupon
+    * mode the truncated estimate IS the distinct count (see the gate) */
+  private val hllExactOracle: String =
+    """WITH e AS (
+      |  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, user_id
+      |  FROM events WHERE user_id < 300)
+      |SELECT event_type, count(DISTINCT day) AS n_days,
+      |  count(DISTINCT user_id) AS est_users
+      |FROM e GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** exact order-statistics twin of the bounded-slice KLL rollup: an
+    * uncompacted sketch's INCLUSIVE quantile is sorted[max(1,ceil(q*n))] */
+  private val kllExactOracle: String =
+    """WITH e AS (
+      |  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, "value" AS v
+      |  FROM events WHERE user_id < 12),
+      |n AS (SELECT event_type, count(DISTINCT day) AS n_days, count(*) AS n
+      |      FROM e GROUP BY 1),
+      |r AS (SELECT event_type, v,
+      |        row_number() OVER (PARTITION BY event_type ORDER BY v) AS rn
+      |      FROM e)
+      |SELECT n.event_type, n.n_days,
+      |  max(CASE WHEN r.rn = GREATEST(1, CAST(ceil(0.50 * n.n) AS BIGINT)) THEN r.v END) AS p50,
+      |  max(CASE WHEN r.rn = GREATEST(1, CAST(ceil(0.95 * n.n) AS BIGINT)) THEN r.v END) AS p95,
+      |  max(CASE WHEN r.rn = GREATEST(1, CAST(ceil(0.99 * n.n) AS BIGINT)) THEN r.v END) AS p99
+      |FROM n JOIN r USING (event_type)
+      |GROUP BY n.event_type, n.n_days ORDER BY event_type""".stripMargin
+
+  def oracles: Map[String, String] = {
+    if (!hllExactCoupon) System.err.println(
+      "[graft] events_hll_exact oracle withheld: a union sketch left " +
+        "coupon mode this run (or the gate did not run) — rows-only")
+    if (!kllExactAllRetained) System.err.println(
+      "[graft] events_kll_exact oracle withheld: a merged sketch " +
+        "compacted this run (or the gate did not run) — rows-only")
+    staticOracles ++
+      (if (hllExactCoupon) Map("events_hll_exact" -> hllExactOracle) else Map.empty) ++
+      (if (kllExactAllRetained) Map("events_kll_exact" -> kllExactOracle) else Map.empty)
+  }
+
+  private def staticOracles: Map[String, String] = Map(
     // identical 2x2 fold + the chi-square as one HUGEINT-exact division
     "events_ab_test" ->
       """WITH pc AS (

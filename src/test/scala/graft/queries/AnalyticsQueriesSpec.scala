@@ -130,6 +130,52 @@ class AnalyticsQueriesSpec extends SparkSpec {
     }
   }
 
+  test("events_hll_exact: coupon-mode guard fires and the estimate is the exact count") {
+    val rows = run("events_hll_exact").collect()
+    assert(rows.nonEmpty)
+    assert(AnalyticsQueries.hllExactCoupon,
+      "gate-scale union sketches must stay in coupon mode")
+    val exact = Tables.events(spark, dir).where(col("user_id") < 300)
+      .groupBy("event_type").agg(countDistinct("user_id").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach(r => assert(r.getLong(2) === exact(r.getString(0)),
+      s"${r.getString(0)}: coupon-mode estimate must truncate exact"))
+    // the guard's byte check REJECTS a dense sketch: drive one past the
+    // ~384-coupon union boundary and read its mode bits
+    import spark.implicits._
+    val dense = (0L until 5000L).toDF("id")
+      .agg(hll_sketch_agg(col("id"), lit(12)).as("sk"))
+      .select(hll_union_agg(col("sk")).as("usk"))
+      .collect()(0).getAs[Array[Byte]](0)
+    assert(dense.length > 7 && dense(2) == 7 && (dense(7) & 3) == 2,
+      "a 5000-distinct union sketch must read as dense HLL mode")
+  }
+
+  test("events_kll_exact: all-retained guard fires and quantiles are order statistics") {
+    val rows = run("events_kll_exact").collect()
+    assert(rows.nonEmpty)
+    assert(AnalyticsQueries.kllExactAllRetained,
+      "gate-scale merged sketches must never compact")
+    val byType = Tables.events(spark, dir)
+      .where(col("user_id") < 12)
+      .select(col("event_type"), col("value"))
+      .collect().groupBy(_.getString(0)).view.mapValues(_.map(_.getDouble(1)).sorted).toMap
+    rows.foreach { r =>
+      val vals = byType(r.getString(0))
+      for ((q, idx) <- Seq(0.5 -> 2, 0.95 -> 3, 0.99 -> 4)) {
+        val want = vals(math.max(1, math.ceil(q * vals.length).toInt) - 1)
+        assert(r.getDouble(idx) === want,
+          s"${r.getString(0)} p$q: uncompacted quantile must be sorted[ceil(q*n)]")
+      }
+    }
+    // the guard DETECTS compaction: overflow a k=200 sketch and observe
+    // retained < N (the condition under which the oracle is withheld)
+    val sk = org.apache.datasketches.kll.KllDoublesSketch.newHeapInstance(200)
+    (0 until 1000).foreach(i => sk.update(i.toDouble))
+    assert(sk.getN > sk.getNumRetained,
+      "a 1000-item k=200 sketch must have compacted")
+  }
+
   test("events_theta_churn: exact-mode sketch algebra equals set arithmetic") {
     val rows = run("events_theta_churn").collect()
     assert(rows.nonEmpty)

@@ -5,7 +5,7 @@ against DuckDB oracles on the same parquet tables, compare row sets.
 Usage: python3 tools/check.py /root/testdata/sf0.01 /tmp/verify_out
 (Expects graft.Verify to have been run first with the same args.)
 """
-import sys, os, json, glob
+import sys, os, json, glob, time
 import duckdb
 import pyarrow.parquet as pq
 
@@ -29,6 +29,8 @@ def main(sf_dir, out_dir):
             con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     results = {}
+    costs = {}  # per-oracle DuckDB wall seconds (VERDICT r13 #5: make
+    # oracle-suite cost creep visible without a full-suite rerun)
     for name, sql in sorted(oracle.items()):
         pdir = f"{out_dir}/{name}"
         if not os.path.isdir(pdir):
@@ -37,9 +39,11 @@ def main(sf_dir, out_dir):
         files = glob.glob(f"{pdir}/*.parquet")
         spark_tbl = pq.read_table(files[0]) if files else None
         try:
+            t0 = time.monotonic()
             duck = con.sql(sql)
             dcols = duck.columns
             drows = duck.fetchall()
+            costs[name] = round(time.monotonic() - t0, 3)
         except Exception as e:
             results[name] = f"ORACLE_ERROR: {e}"
             continue
@@ -79,6 +83,15 @@ def main(sf_dir, out_dir):
             bad += 1
         print(f"{flag:4} {name}: {r}")
     print(f"\n{len(results) - bad}/{len(results)} pass")
+    if costs:
+        cost_file = f"{out_dir}/oracle_costs.json"
+        json.dump({"sf_dir": sf_dir, "total_sec": round(sum(costs.values()), 1),
+                   "oracles": costs},
+                  open(cost_file, "w"), indent=1, sort_keys=True)
+        top = sorted(costs.items(), key=lambda kv: -kv[1])[:10]
+        print(f"oracle cost: {sum(costs.values()):.1f}s over {len(costs)} oracles "
+              f"-> {cost_file}; top: "
+              + ", ".join(f"{n}={t:.1f}s" for n, t in top[:3]))
     return bad
 
 if __name__ == "__main__":
