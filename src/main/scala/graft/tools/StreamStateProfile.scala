@@ -67,20 +67,57 @@ object StreamStateProfile {
             "spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows", "false")
       }
     }
+    // snapshot-cadence sweep (VERDICT r13 #1): with changelog
+    // checkpointing, recovery replays every changelog since the last
+    // uploaded snapshot, so cadence is the direct recovery knob —
+    // minDeltasForSnapshot bounds how many deltas accumulate before the
+    // maintenance task consolidates, and the maintenance interval is
+    // how often it gets the chance. Both surfaced as env knobs so the
+    // recovery-vs-throughput price is measurable per setting.
+    val minDeltas = sys.env.get("SPARK_GRAFT_SS_MINDELTAS")
+    minDeltas.foreach(d =>
+      builder.config("spark.sql.streaming.stateStore.minDeltasForSnapshot", d))
+    val maintSec = sys.env.get("SPARK_GRAFT_SS_MAINT_SEC")
+    maintSec.foreach(s =>
+      builder.config("spark.sql.streaming.stateStore.maintenanceInterval", s + "s"))
+    val recoverCap = sys.env.getOrElse("SPARK_GRAFT_SS_RECOVER_CAP", "300").toInt
+    // key-distribution pair (VERDICT r13 #6): "seq" sprays pmod(value,
+    // keys) — the rate clock walks the key space in contiguous runs —
+    // "hash" scrambles the same cardinality to uniform-random order, so
+    // the pair isolates per-key SST locality at fixed key count.
+    val keyDist = sys.env.getOrElse("SPARK_GRAFT_SS_KEYDIST", "seq")
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
+    // bounded-admission variant (VERDICT r13 #1, instrument fix): the
+    // plain rate source hands the NEXT batch every row accrued while
+    // the last one ran, so at an offered rate above the single-JVM
+    // floor batches grow without bound (8M -> 60M -> ...) and a 180 s
+    // window measures batch-boundary luck, not state-store behavior. A
+    // real deployment bounds admission (maxOffsetsPerTrigger & co);
+    // rate-micro-batch is that bound here — fixed rows per batch,
+    // event time advancing a fixed step per batch so watermarks close
+    // sessions on schedule.
+    val rowsPerBatch = sys.env.get("SPARK_GRAFT_SS_ROWS_PER_BATCH").map(_.toLong)
     def rate(): org.apache.spark.sql.DataFrame =
-      spark.readStream.format("rate")
-        .option("rowsPerSecond", rps)
-        .option("numPartitions", cpus)
-        .load()
+      (rowsPerBatch match {
+        case Some(n) =>
+          spark.readStream.format("rate-micro-batch")
+            .option("rowsPerBatch", n)
+            .option("advanceMillisPerBatch", 5000)
+            .option("numPartitions", cpus)
+        case None =>
+          spark.readStream.format("rate")
+            .option("rowsPerSecond", rps)
+            .option("numPartitions", cpus)
+      }).load()
         // uniform key spray over the full space; event time advances
         // with the rate clock so watermarks progress realistically
         .select(
           col("timestamp").as("ts"),
-          pmod(col("value"), lit(keys)).as("user_id"),
+          (if (keyDist == "hash") pmod(xxhash64(col("value")), lit(keys))
+           else pmod(col("value"), lit(keys))).as("user_id"),
           element_at(array(lit("view"), lit("click"), lit("purchase"), lit("scroll")),
             (pmod(col("value"), lit(4)) + 1).cast("int")).as("event_type"),
           col("value").as("event_id"))
@@ -179,7 +216,7 @@ object StreamStateProfile {
           val tR = System.nanoTime()
           val q2 = start()
           try {
-            while (q2.lastProgress == null && (System.nanoTime() - tR) / 1e9 < 300)
+            while (q2.lastProgress == null && (System.nanoTime() - tR) / 1e9 < recoverCap)
               Thread.sleep(200)
             if (q2.lastProgress != null)
               recoverySec = (System.nanoTime() - tR) / 1e9
@@ -190,7 +227,11 @@ object StreamStateProfile {
         }
         println(
           s"""{"bench":"stream_state_final","op":"$name","provider":"$provider","keys":$keys,""" +
-            s""""tuned":$tuned,"final_state_rows":$lastRows,""" +
+            s""""tuned":$tuned,"key_dist":"$keyDist",""" +
+            s""""rows_per_batch":${rowsPerBatch.getOrElse("null")},""" +
+            s""""min_deltas":${minDeltas.getOrElse("null")},""" +
+            s""""maint_sec":${maintSec.getOrElse("null")},""" +
+            s""""recover_cap":$recoverCap,"final_state_rows":$lastRows,""" +
             s""""median_thr":${median(thrs.toSeq)},"median_batch_ms":${median(batchMs.toSeq)},""" +
             s""""state_disk_bytes":$stateDisk,"recovery_sec":$recoverySec,""" +
             s""""ran_sec":${(System.nanoTime() - t0) / 1e9}}""")

@@ -91,6 +91,26 @@ class IndexCatalogSpec extends SparkSpec {
     assert(recall >= 0.75, s"recall $recall")
   }
 
+  test("maxListsPerJob sub-batching returns the identical result set at any cap") {
+    IndexCatalog.create("t_ivf_sb", 2, "IDMap,IVF8,Flat", "l2sq", Map("nprobe" -> "3"))
+    IndexCatalog.add(grid, "t_ivf_sb")
+    val base = IndexCatalog.search("t_ivf_sb", 4, qs)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted
+    // caps from "one sub-batch per query signature" up to "no split":
+    // routing must never change WHAT is probed, only how scans group
+    for (cap <- Seq(1, 3, 4, 8)) {
+      val got = IndexCatalog.search("t_ivf_sb", 4, qs,
+        Map("maxListsPerJob" -> cap.toString))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted
+      assert(got === base, s"cap=$cap diverged from the single-scan plan")
+    }
+    // exhaustive probe through the router stays exact
+    val exh = labelsOf(IndexCatalog.search("t_ivf_sb", 4, qs,
+      Map("nprobe" -> "8", "maxListsPerJob" -> "2")))
+    val want = labelsOf(Knn.searchFlat(grid, qs, 4, "l2sq"))
+    assert(exh === want)
+  }
+
   test("concurrent add/search/retrain race: per-entry locking keeps the catalog consistent") {
     // the reference's Go harness shape (main_test.go): writers append,
     // readers search, a maintainer retrains — all racing on ONE index.
