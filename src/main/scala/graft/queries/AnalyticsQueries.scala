@@ -278,13 +278,38 @@ object AnalyticsQueries {
     // cross-type) is a sketch union, not a rescan. Estimates are
     // sketch-specific -> rows-only; merge-vs-direct agreement is
     // spec-asserted (AnalyticsSpec).
+    // PROMOTED to a regime-measured exact oracle (driver r14): the gate
+    // reads each per-type union sketch's bytes and classifies the run —
+    // DENSE (mode HLL + out-of-order flag): the estimate is the
+    // composite estimator, a pure function of the register array, and
+    // the oracle REPLAYS the whole chain (murmur3 → registers → kxq →
+    // cubic interpolation → bitmap crossover) in SQL, [[HllReplay]];
+    // COUPON (all unions still LIST/SET): the estimate truncates to the
+    // coupon count, which equals the exact distinct count iff no 26-bit
+    // coupon collides — measured with the driver-side murmur replica —
+    // so the oracle is count(DISTINCT). Any other state (mixed regimes,
+    // collision observed) withholds the oracle: rows-only, loud.
     "events_hll_rollup" -> { (s, dir) =>
-      val daily = Tables.events(s, dir)
+      val e = Tables.events(s, dir)
+      val daily = e
         .groupBy(col("event_type"), to_date(col("ts")).as("day"))
         .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"))
-      daily.groupBy("event_type")
-        .agg(count(lit(1)).as("n_days"),
-          hll_sketch_estimate(hll_union_agg(col("sk"))).cast("long").as("est_users"))
+      val rolled = daily.groupBy("event_type")
+        .agg(count(lit(1)).as("n_days"), hll_union_agg(col("sk")).as("usk"))
+      val sketches = rolled.select("usk").collect().map(_.getAs[Array[Byte]](0))
+      val famOk = sketches.nonEmpty && sketches.forall(b => b.length > 7 && b(2) == 7)
+      hllRollupRegime =
+        if (famOk && sketches.forall(b => (b(7) & 3) == 2 && (b(5) & 16) != 0)) "dense"
+        else if (famOk && sketches.forall(b => (b(7) & 3) != 2)) {
+          val ids = e.select(col("event_type"), col("user_id")).distinct().collect()
+          val collisionFree = ids.groupBy(_.getString(0)).values.forall { rows =>
+            val us = rows.map(_.getLong(1)).distinct
+            us.map(HllReplay.coupon).distinct.length == us.length
+          }
+          if (collisionFree) "coupon" else "unverified"
+        } else "unverified"
+      rolled.select(col("event_type"), col("n_days"),
+        hll_sketch_estimate(col("usk")).cast("long").as("est_users"))
         .orderBy("event_type")
     },
     // the HLL rollup's EXACT-TIER twin (VERDICT r13 #3a): the same
@@ -1227,6 +1252,29 @@ object AnalyticsQueries {
       |FROM n JOIN r USING (event_type)
       |GROUP BY n.event_type, n.n_days ORDER BY event_type""".stripMargin
 
+  /** measured estimate regime of the last events_hll_rollup run:
+    * "dense" (all unions composite-path), "coupon" (all unions in
+    * coupon mode AND collision-free), or "unverified" (mixed / gate
+    * not run / collision) → oracle withheld */
+  @volatile private[queries] var hllRollupRegime: String = "unverified"
+
+  private def hllRollupOracle: Map[String, String] = hllRollupRegime match {
+    case "dense" => Map("events_hll_rollup" -> HllReplay.denseOracleSql(
+      "SELECT event_type, user_id FROM events",
+      "SELECT event_type, count(DISTINCT CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS n_days " +
+        "FROM events GROUP BY 1"))
+    case "coupon" => Map("events_hll_rollup" ->
+      """SELECT event_type,
+        |  count(DISTINCT CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS n_days,
+        |  count(DISTINCT user_id) AS est_users
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)
+    case _ =>
+      System.err.println(
+        "[graft] events_hll_rollup oracle withheld: union sketches in a " +
+          "mixed/unverified estimate regime this run — rows-only")
+      Map.empty
+  }
+
   def oracles: Map[String, String] = {
     if (!hllExactCoupon) System.err.println(
       "[graft] events_hll_exact oracle withheld: a union sketch left " +
@@ -1234,7 +1282,7 @@ object AnalyticsQueries {
     if (!kllExactAllRetained) System.err.println(
       "[graft] events_kll_exact oracle withheld: a merged sketch " +
         "compacted this run (or the gate did not run) — rows-only")
-    staticOracles ++
+    staticOracles ++ hllRollupOracle ++
       (if (hllExactCoupon) Map("events_hll_exact" -> hllExactOracle) else Map.empty) ++
       (if (kllExactAllRetained) Map("events_kll_exact" -> kllExactOracle) else Map.empty)
   }

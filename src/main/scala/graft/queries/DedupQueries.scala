@@ -464,8 +464,8 @@ object DedupQueries {
   // in HUGEINT via a 32-bit split (hi*b mod 2^32 shifted + lo*b, all
   // mod 2^64 — no intermediate exceeds INT128), xors/shifts operate on
   // the non-negative HUGEINT representation directly.
-  private val M64 = "18446744073709551616::HUGEINT"
-  private def wmul(a: String, b: String): String =
+  private[queries] val M64 = "18446744073709551616::HUGEINT"
+  private[queries] def wmul(a: String, b: String): String =
     s"((((($a) >> 32) * ($b)) % 4294967296::HUGEINT) * 4294967296::HUGEINT" +
       s" + ((($a) % 4294967296::HUGEINT) * ($b))) % $M64"
   /** FNV-1a over the (ASCII) chars of string expression `g` */
@@ -499,7 +499,7 @@ object DedupQueries {
   private val XxP3 = "1609587929392839161::HUGEINT"
   private val XxP4 = "9650029242287828579::HUGEINT"
   private val XxP5 = "2870177450012600261::HUGEINT"
-  private def rotlSql(u: String, r: Int): String =
+  private[queries] def rotlSql(u: String, r: Int): String =
     s"(((($u) * ${1L << r}::HUGEINT) % $M64) + (($u) >> ${64 - r}))"
   private def xxWord(off: String, nBytes: Int): String =
     (1 to nBytes).map { k =>

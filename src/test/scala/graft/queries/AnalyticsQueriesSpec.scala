@@ -151,6 +151,40 @@ class AnalyticsQueriesSpec extends SparkSpec {
       "a 5000-distinct union sketch must read as dense HLL mode")
   }
 
+  test("events_hll_rollup: regime measured in-gate; dense replica matches the library bit-exact") {
+    val rows = run("events_hll_rollup").collect()
+    assert(rows.nonEmpty)
+    // sf0.001: 15 users/type — every union sketch stays in coupon mode
+    // and the collision scan runs; the regime must never be unverified
+    // at gate scale
+    assert(AnalyticsQueries.hllRollupRegime !== "unverified")
+    // dense path: the driver replica (murmur -> registers -> kxq ->
+    // composite/bitmap) is DOUBLE-BIT-identical to the library on
+    // 30-daily dense unions — the same algorithm the SQL oracle spells
+    import org.apache.datasketches.hll.{HllSketch, TgtHllType, Union}
+    val rnd = new scala.util.Random(7)
+    for (n <- Seq(1200, 1500, 2000)) {
+      val ids = Array.fill(n)(rnd.nextLong())
+      val un = new Union(12)
+      (0 until 30).foreach { _ =>
+        val sk = new HllSketch(12, TgtHllType.HLL_8)
+        ids.foreach(v => if (rnd.nextInt(3) != 0) sk.update(v))
+        un.update(sk)
+      }
+      val out = un.getResult(TgtHllType.HLL_8)
+      val b = out.toCompactByteArray()
+      assert((b(7) & 3) == 2 && (b(5) & 16) != 0,
+        "probe unions must land in the dense out-of-order regime")
+      assert(java.lang.Double.doubleToLongBits(out.getEstimate) ===
+        java.lang.Double.doubleToLongBits(HllReplay.replicaEstimate(ids.toSeq)),
+        s"n=$n: replica must match the composite estimate bit-exact")
+    }
+    // the coupon-regime precondition instrument: full-coupon
+    // distinctness over a gate-scale key set
+    val ids2 = (0L until 1500L).map(HllReplay.coupon)
+    assert(ids2.distinct.length === 1500)
+  }
+
   test("events_kll_exact: all-retained guard fires and quantiles are order statistics") {
     val rows = run("events_kll_exact").collect()
     assert(rows.nonEmpty)
