@@ -376,18 +376,44 @@ object AnalyticsQueries {
     // value sketches at the fine grain, per-type p50/p95/p99 by sketch
     // MERGE — raw values cross one shuffle once; weekly/all-time/
     // cross-tenant percentiles are KB-sized merges, never rescans.
-    // KLL compaction is randomized -> rows-only; rank-error bound vs
-    // exact percentiles is spec-asserted (AnalyticsQueriesSpec).
+    // PROMOTED to an exact pinned-replay oracle (driver r14): the
+    // randomized compaction made scalar-vs-scalar comparison
+    // RUN-nondeterministic, so — the builtHnswGraphsOf pattern — the
+    // gate now runs the distributed rollup ONCE, pins each merged
+    // sketch's sorted view, derives the emitted quantiles from that
+    // same pinned state, and the oracle replays the INCLUSIVE
+    // extraction from the injected (item, cumWeight) pairs while
+    // independently re-deriving n, n_days, and item-membership from
+    // the parquet (see KllReplay). Compaction still randomizes WHICH
+    // values are retained; it can no longer diverge the two sides.
     "events_kll_rollup" -> { (s, dir) =>
       import graft.functions.kll
+      import org.apache.datasketches.kll.KllDoublesSketch
+      import org.apache.datasketches.memory.Memory
+      import org.apache.datasketches.quantilescommon.QuantileSearchCriteria
       val daily = Tables.events(s, dir)
         .groupBy(col("event_type"), to_date(col("ts")).as("day"))
         .agg(kll.sketchAgg(col("value")).as("sk"))
-      daily.groupBy("event_type")
-        .agg(count(lit(1)).as("n_days"),
-          kll.quantiles(kll.mergeAgg(col("sk")), Seq(0.5, 0.95, 0.99)).as("q"))
-        .select(col("event_type"), col("n_days"),
-          col("q")(0).as("p50"), col("q")(1).as("p95"), col("q")(2).as("p99"))
+      val rolled = daily.groupBy("event_type")
+        .agg(count(lit(1)).as("n_days"), kll.mergeAgg(col("sk")).as("msk"))
+        .collect() // one action; ≤ #event_types rows of KB-sized sketches
+      val pins = rolled.map { r =>
+        val sk = KllDoublesSketch.heapify(Memory.wrap(r.getAs[Array[Byte]](2)))
+        val sv = sk.getSortedView
+        KllReplay.Pin(r.getString(0), r.getLong(1), sk.getN,
+          sv.getQuantiles, sv.getCumulativeWeights,
+          KllReplay.Ranks.map(q =>
+            sk.getQuantile(q, QuantileSearchCriteria.INCLUSIVE)))
+      }.sortBy(_.eventType).toSeq
+      kllRollupPins =
+        if (pins.nonEmpty && pins.forall(p =>
+          p.n > 0 && p.cumWeights.nonEmpty && p.cumWeights.last == p.n))
+          Some(pins)
+        else None
+      import s.implicits._
+      pins.map(p => (p.eventType, p.nDays, p.quantiles(0), p.quantiles(1),
+          p.quantiles(2)))
+        .toDF("event_type", "n_days", "p50", "p95", "p99")
         .orderBy("event_type")
     },
     // theta-sketch set ALGEBRA (union/intersection/difference — the
@@ -1224,6 +1250,12 @@ object AnalyticsQueries {
     * false until the gate runs → exact oracle withheld, rows-only */
   @volatile private[queries] var kllExactAllRetained: Boolean = false
 
+  /** pinned sorted views of the last events_kll_rollup run (one action
+    * built them; the emitted quantiles derive from the same pins) —
+    * None until the gate runs, or when a pin failed its own weight
+    * invariant → replay oracle withheld, rows-only */
+  @volatile private[queries] var kllRollupPins: Option[Seq[KllReplay.Pin]] = None
+
   /** exact-distinct twin of the bounded-slice HLL rollup: in coupon
     * mode the truncated estimate IS the distinct count (see the gate) */
   private val hllExactOracle: String =
@@ -1282,9 +1314,15 @@ object AnalyticsQueries {
     if (!kllExactAllRetained) System.err.println(
       "[graft] events_kll_exact oracle withheld: a merged sketch " +
         "compacted this run (or the gate did not run) — rows-only")
+    if (kllRollupPins.isEmpty) System.err.println(
+      "[graft] events_kll_rollup oracle withheld: no pinned sorted " +
+        "views this run (gate not run, or a pin broke its weight " +
+        "invariant) — rows-only")
     staticOracles ++ hllRollupOracle ++
       (if (hllExactCoupon) Map("events_hll_exact" -> hllExactOracle) else Map.empty) ++
-      (if (kllExactAllRetained) Map("events_kll_exact" -> kllExactOracle) else Map.empty)
+      (if (kllExactAllRetained) Map("events_kll_exact" -> kllExactOracle) else Map.empty) ++
+      kllRollupPins.map(p =>
+        Map("events_kll_rollup" -> KllReplay.rollupOracleSql(p))).getOrElse(Map.empty)
   }
 
   private def staticOracles: Map[String, String] = Map(

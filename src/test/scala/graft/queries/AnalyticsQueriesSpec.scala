@@ -128,6 +128,79 @@ class AnalyticsQueriesSpec extends SparkSpec {
           s"${r.getString(0)} p$target: est=$est rank=${rankOf(vals, est)}")
       }
     }
+    // pinned-replay invariants (driver r14 promotion): the gate pinned
+    // the sorted views it emitted from, and every oracle-side check
+    // holds — emitted quantiles ARE the pinned INCLUSIVE extraction,
+    // pinned weights sum to the true per-type row count, and every
+    // pinned item occurs in the source slice
+    assert(AnalyticsQueries.kllRollupPins.nonEmpty,
+      "the rollup gate must pin its sorted views")
+    val pins = AnalyticsQueries.kllRollupPins.get
+    assert(pins.map(_.eventType).sorted === rows.map(_.getString(0)).sorted.toSeq)
+    rows.foreach { r =>
+      val p = pins.find(_.eventType == r.getString(0)).get
+      for ((q, idx) <- KllReplay.Ranks.zip(Seq(2, 3, 4)))
+        assert(java.lang.Double.doubleToLongBits(r.getDouble(idx)) ===
+          java.lang.Double.doubleToLongBits(
+            KllReplay.inclusiveQuantile(p.items, p.cumWeights, p.n, q)),
+          s"${p.eventType} q=$q: emitted quantile must equal the pinned replay")
+    }
+    pins.foreach { p =>
+      val vals = byType(p.eventType)
+      assert(p.cumWeights.last === vals.length.toLong,
+        s"${p.eventType}: pinned total weight must equal the true row count")
+      val set = vals.toSet
+      assert(p.items.forall(set.contains),
+        s"${p.eventType}: every pinned item must occur in the source")
+    }
+  }
+
+  test("KllReplay: INCLUSIVE extraction rule matches datasketches bit-exact across merge shapes") {
+    import org.apache.datasketches.kll.KllDoublesSketch
+    import org.apache.datasketches.memory.Memory
+    import org.apache.datasketches.quantilescommon.QuantileSearchCriteria
+    // the natural rank must TAIL-ROUND to 7 decimals before ceil — a
+    // plain ceil(q*N) mis-ranks 0.561*20000 = 11220.000000000002
+    assert(KllReplay.naturalRank(0.561, 20000) === 11220L)
+    val testQs = (0 to 2000).map(_ / 2000.0) ++ Seq(1e-12, 1 - 1e-12) ++ KllReplay.Ranks
+    def check(sk: KllDoublesSketch): Unit = {
+      val sv = sk.getSortedView
+      val (items, cw) = (sv.getQuantiles, sv.getCumulativeWeights)
+      testQs.foreach { q =>
+        assert(java.lang.Double.doubleToLongBits(
+            sk.getQuantile(q, QuantileSearchCriteria.INCLUSIVE)) ===
+          java.lang.Double.doubleToLongBits(
+            KllReplay.inclusiveQuantile(items, cw, sk.getN, q)),
+          s"q=$q n=${sk.getN}")
+      }
+    }
+    for (seed <- 1 to 4) {
+      val rng = new java.util.Random(seed)
+      val n = 1000 + rng.nextInt(30000)
+      // the gate shape: ~30 daily partial sketches merged via bytes
+      val merged = KllDoublesSketch.newHeapInstance(200)
+      var part = KllDoublesSketch.newHeapInstance(200)
+      val perDay = n / 30 + 1
+      var c = 0
+      (0 until n).foreach { _ =>
+        val v = if (rng.nextBoolean()) math.floor(rng.nextDouble() * 1000) / 4.0
+                else rng.nextDouble() * 500
+        part.update(v); c += 1
+        if (c == perDay) {
+          merged.merge(KllDoublesSketch.heapify(Memory.wrap(part.toByteArray)))
+          part = KllDoublesSketch.newHeapInstance(200); c = 0
+        }
+      }
+      if (c > 0) merged.merge(KllDoublesSketch.heapify(Memory.wrap(part.toByteArray)))
+      assert(merged.getN > merged.getNumRetained, "probe sketches must have compacted")
+      check(merged)
+    }
+    // tie-heavy small-n edges around the k=200 compaction boundary
+    for (n <- Seq(1, 2, 3, 199, 200, 201)) {
+      val sk = KllDoublesSketch.newHeapInstance(200)
+      (0 until n).foreach(i => sk.update((i % 3).toDouble))
+      check(sk)
+    }
   }
 
   test("events_hll_exact: coupon-mode guard fires and the estimate is the exact count") {
