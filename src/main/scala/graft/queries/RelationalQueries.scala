@@ -161,28 +161,76 @@ object RelationalQueries {
           col("w.start").as("bucket"), col("event_type"), col("n_events"),
           col("n_users"), col("sum_value"))
     },
-    // scale path: HyperLogLog distinct users — no exact-compare oracle
-    // (sketch estimates are engine-specific), rows-only check
+    // scale path: HyperLogLog distinct users. PROMOTED to an exact
+    // replay oracle (driver r14): Spark's HLL++ is a deterministic,
+    // order-independent pure function of the key set, and in the
+    // linear-counting regime (every hourly bucket here: ≤166 distinct
+    // users vs the ~11.5k p=12 threshold) the estimate is
+    // round(m·ln(m/V)) with V = empty registers — replayable from raw
+    // parquet with no pinning (HllppReplay). The gate MEASURES the
+    // regime distributed (V per bucket via countDistinct of the slot,
+    // never a raw collect) and asserts the replica equals the actual
+    // estimates bit-for-bit before the oracle is emitted.
     "events_window_approx" -> { (s, dir) =>
-      Tables.events(s, dir)
+      val base = Tables.events(s, dir)
         .groupBy(window(col("ts"), "1 hour").as("w"))
         .agg(approx_count_distinct("user_id", 0.02).as("approx_users"))
         .select(col("w.start").as("bucket"), col("approx_users"))
+      val actual = base.collect()
+        .map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
+      val occ = Tables.events(s, dir)
+        .groupBy(window(col("ts"), "1 hour").getField("start").as("bucket"))
+        .agg(countDistinct(shiftrightunsigned(
+          xxhash64(col("user_id")), 64 - HllppReplay.P)).as("nslots"))
+        .collect().map(r => (r.getTimestamp(0), r.getLong(1).toInt))
+      windowApproxLinear = occ.nonEmpty && actual.size == occ.length &&
+        occ.forall { case (b, nslots) =>
+          val vZeros = HllppReplay.M - nslots
+          HllppReplay.linearRegime(vZeros) &&
+            actual.get(b).contains(HllppReplay.linearEstimate(vZeros))
+        }
+      base
     },
-    // exact interpolated percentiles per event type (sort-based; for the
-    // 100 TB path swap in approx_percentile's t-digest — kept exact here
-    // so the DuckDB quantile_cont oracle can gate it)
-    // the 100 TB twin of events_percentiles: bounded-memory t-digest
-    // sketch instead of a sort (estimates are engine-specific -> rows-only)
+    // the 100 TB twin of events_percentiles: bounded-memory GK quantile
+    // summary instead of a sort. PROMOTED to an exact pinned-replay
+    // oracle (driver r14): the GK digest is approx_percentile's own
+    // (functions.GkStateAgg wraps PercentileDigest, identical on one
+    // partition — spec-pinned), but merge ORDER is run-nondeterministic,
+    // so the gate aggregates ONCE, pins the compressed summary state
+    // per type, derives the emitted percentiles from that state with
+    // the library's own query(), and the oracle replays the decompiled
+    // query walk from the injected state while re-deriving counts and
+    // item membership from the parquet (see GkReplay).
     "events_percentiles_approx" -> { (s, dir) =>
-      Tables.events(s, dir)
+      import graft.functions.gk
+      import org.apache.spark.sql.catalyst.util.QuantileSummaries
+      val rows = Tables.events(s, dir)
         .groupBy("event_type")
-        .agg(expr("approx_percentile(value, array(0.5, 0.95), 1000)").as("p"),
+        .agg(gk.stateAgg(col("value"), GkReplay.Accuracy).as("st"),
           count(lit(1)).as("n"))
-        .select(col("event_type"),
-          element_at(col("p"), 1).as("p50_approx"),
-          element_at(col("p"), 2).as("p95_approx"),
-          col("n"))
+        .collect() // one action; ≤ #event_types rows of summary state
+      val pins = rows.map { r =>
+        val st = r.getStruct(1)
+        GkReplay.Pin(r.getString(0), r.getLong(2), st.getLong(0),
+          st.getSeq[Double](1).toArray, st.getSeq[Long](2).toArray,
+          st.getSeq[Long](3).toArray)
+      }.sortBy(_.eventType).toSeq
+      gkApproxPins =
+        if (pins.nonEmpty && pins.forall(p =>
+          p.values.nonEmpty && p.gs.sum == p.digestN && p.digestN == p.n))
+          Some(pins)
+        else None
+      import s.implicits._
+      pins.map { p =>
+        val stats = p.values.indices.map(i =>
+          QuantileSummaries.Stats(p.values(i), p.gs(i), p.deltas(i))).toArray
+        val qs = new QuantileSummaries(
+          QuantileSummaries.defaultCompressThreshold, GkReplay.RelativeError,
+          stats, p.digestN, true)
+        val est = qs.query(GkReplay.Ranks).get
+        (p.eventType, est(0), est(1), p.n)
+      }.toDF("event_type", "p50_approx", "p95_approx", "n")
+        .orderBy("event_type")
     },
     "events_percentiles" -> { (s, dir) =>
       Tables.events(s, dir)
@@ -366,7 +414,40 @@ object RelationalQueries {
           max("ts").as("session_end"))
     })
 
-  def oracles: Map[String, String] = Map(
+  /** whether every events_window_approx bucket sat in the HLL++
+    * linear-counting regime AND the driver replica matched Spark's
+    * actual estimates bit-for-bit this run; false until the gate
+    * runs → replay oracle withheld, rows-only */
+  @volatile private[queries] var windowApproxLinear: Boolean = false
+
+  /** pinned GK summary state of the last events_percentiles_approx
+    * run — None until the gate runs, or when a pin failed the
+    * Σg == digest count == emitted n invariant → oracle withheld */
+  @volatile private[queries] var gkApproxPins: Option[Seq[GkReplay.Pin]] = None
+
+  private def gkApproxOracle: Map[String, String] =
+    gkApproxPins match {
+      case Some(p) => Map("events_percentiles_approx" -> GkReplay.oracleSql(p))
+      case None =>
+        System.err.println(
+          "[graft] events_percentiles_approx oracle withheld: no pinned " +
+            "GK state this run (gate not run, or a pin broke its weight " +
+            "invariant) — rows-only")
+        Map.empty
+    }
+
+  private def windowApproxOracle: Map[String, String] =
+    if (windowApproxLinear)
+      Map("events_window_approx" -> HllppReplay.windowApproxOracleSql)
+    else {
+      System.err.println(
+        "[graft] events_window_approx oracle withheld: a bucket left " +
+          "the linear-counting regime or the replica mismatched (or " +
+          "the gate did not run) — rows-only")
+      Map.empty
+    }
+
+  def oracles: Map[String, String] = windowApproxOracle ++ gkApproxOracle ++ Map(
     "q1_agg" ->
       s"""SELECT l_returnflag, l_linestatus,
          |  sum(l_quantity) AS sum_qty,
@@ -610,5 +691,6 @@ object RelationalQueries {
         |SELECT user_id, session_seq, count(*) AS n_events,
         |  min(ts) AS session_start, max(ts) AS session_end
         |FROM sess GROUP BY user_id, session_seq""".stripMargin)
-  // events_window_agg: approx_count_distinct is engine-specific -> rows-only check
+  // events_window_approx: oracle emitted conditionally above — the
+  // HLL++ linear-counting replay, gated on the measured regime
 }

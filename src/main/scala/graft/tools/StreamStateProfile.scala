@@ -33,9 +33,14 @@ object StreamStateProfile {
     val secs = sys.env.getOrElse("SPARK_GRAFT_SS_SECONDS", "60").toInt
     val provider = sys.env.getOrElse("SPARK_GRAFT_SS_PROVIDER", "hdfs")
     val opsFilter = sys.env.get("SPARK_GRAFT_SS_ONLY").map(_.split(",").toSet)
+    // sharding knob (§25.7 follow-up): state partitions independent of
+    // cores — more partitions = fewer keys per RocksDB instance at the
+    // same total state, the "per-executor key width" lever the 1e8
+    // working-set attribution named
+    val partitions = sys.env.getOrElse("SPARK_GRAFT_SS_PARTITIONS", cpus)
     val builder = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", partitions)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
     // RocksDB state store: the disk-backed provider for key counts the
