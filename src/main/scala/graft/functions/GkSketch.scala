@@ -27,7 +27,11 @@ import org.apache.spark.sql.types._
  * (graft.queries.GkReplay) — the builtHnswGraphsOf pattern.
  *
  * On a single partition (no merge) the resulting digest is identical
- * to approx_percentile's — spec-asserted (GkSketchSpec).
+ * to approx_percentile's — spec-asserted (RelationalQueriesSpec).
+ *
+ * Reference shape: the reference's host engine ships approx_quantile
+ * (t-digest); graft's bounded-memory percentile tier is the GK
+ * summary Spark standardizes on, here with its state made auditable.
  */
 case class GkStateAgg(
     child: Expression,

@@ -38,6 +38,11 @@ package graft.queries
  * per-bucket estimates bit-for-bit; any bucket out of the linear
  * regime, or any replica mismatch (e.g. a future xxhash64 seed/flag
  * change), withholds the oracle — rows-only, loud.
+ *
+ * Reference shape: the reference's host engine ships approx distinct
+ * sketches too (duckdb approx_count_distinct); parity here is
+ * host-engine parity — graft's windowed approximate-distinct tier
+ * provably computes the published HLL++ algorithm.
  */
 private[queries] object HllppReplay {
 

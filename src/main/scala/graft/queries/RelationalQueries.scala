@@ -172,24 +172,28 @@ object RelationalQueries {
     // never a raw collect) and asserts the replica equals the actual
     // estimates bit-for-bit before the oracle is emitted.
     "events_window_approx" -> { (s, dir) =>
-      val base = Tables.events(s, dir)
-        .groupBy(window(col("ts"), "1 hour").as("w"))
-        .agg(approx_count_distinct("user_id", 0.02).as("approx_users"))
-        .select(col("w.start").as("bucket"), col("approx_users"))
-      val actual = base.collect()
-        .map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
-      val occ = Tables.events(s, dir)
+      // ONE aggregation computes both the estimate and the regime
+      // instrument (slot occupancy — collect_set, NOT countDistinct:
+      // sets are capped at m=4096 per bucket and a single hash-agg
+      // pass beats the Expand plan a distinct aggregate forces); the
+      // returned frame is built from the collected rows so neither
+      // verify-write nor bench re-runs the aggregation
+      val rows = Tables.events(s, dir)
         .groupBy(window(col("ts"), "1 hour").getField("start").as("bucket"))
-        .agg(countDistinct(shiftrightunsigned(
-          xxhash64(col("user_id")), 64 - HllppReplay.P)).as("nslots"))
-        .collect().map(r => (r.getTimestamp(0), r.getLong(1).toInt))
-      windowApproxLinear = occ.nonEmpty && actual.size == occ.length &&
-        occ.forall { case (b, nslots) =>
-          val vZeros = HllppReplay.M - nslots
-          HllppReplay.linearRegime(vZeros) &&
-            actual.get(b).contains(HllppReplay.linearEstimate(vZeros))
-        }
-      base
+        .agg(approx_count_distinct("user_id", 0.02).as("approx_users"),
+          size(collect_set(shiftrightunsigned(
+            xxhash64(col("user_id")), 64 - HllppReplay.P))).as("nslots"))
+        .collect()
+        .map(r => (r.getTimestamp(0), r.getLong(1), r.getInt(2)))
+        .sortBy(_._1.getTime)
+      windowApproxLinear = rows.nonEmpty && rows.forall { case (_, actual, nslots) =>
+        val vZeros = HllppReplay.M - nslots
+        HllppReplay.linearRegime(vZeros) &&
+          HllppReplay.linearEstimate(vZeros) == actual
+      }
+      import s.implicits._
+      rows.toSeq.map { case (b, est, _) => (b, est) }
+        .toDF("bucket", "approx_users")
     },
     // the 100 TB twin of events_percentiles: bounded-memory GK quantile
     // summary instead of a sort. PROMOTED to an exact pinned-replay
