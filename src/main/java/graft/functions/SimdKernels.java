@@ -25,11 +25,13 @@ import jdk.incubator.vector.VectorSpecies;
  * reduce instead of left-to-right). Measured max relative drift vs
  * scalar is ~1e-15 over random data; top-k ORDER is unaffected except
  * for genuine distance ties, which the deterministic (distance, label)
- * heap ordering already breaks by label. Because the oracle gates hash
- * raw distance doubles against a sequential-sum oracle, this path is
- * OFF by default and opt-in via -Dgraft.simd.enabled=true (see
- * {@link VectorMath.Simd}); flipping it on changes low bits of
- * reported distances, never result membership/ranks beyond ties.
+ * heap ordering already breaks by label. ON by default since the r14
+ * optimization round (disable with -Dgraft.simd.enabled=false, see
+ * {@link VectorMath.Simd}): the full gate suite was A/B-measured
+ * row-set bit-equal scalar-vs-SIMD (tools/simd_ab.py) and re-verified
+ * against the DuckDB oracle with SIMD on before the flip — quant4
+ * rounding and deterministic tie-breaks absorb the ~1e-15 sum drift,
+ * and trained-state oracles inject the engine's own state.
  *
  * All incubator types stay INSIDE method bodies: callers compiled by
  * scalac only see primitive signatures, and a JVM launched without

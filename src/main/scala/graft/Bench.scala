@@ -60,6 +60,12 @@ object Bench {
     // JVM (TopKHeap + distArr, zero Spark), so it moves with CPU
     // steal/frequency exactly like the per-query compute does.
     val envFactor = {
+      // calibration is a BOX-STATE instrument: RefPairNs was recorded
+      // scalar, so the loop runs scalar regardless of the engine's
+      // SIMD default (flipped on in r14) — otherwise a SIMD run would
+      // read env_factor ~0.46 and mis-normalize the floor cohort
+      val simdWas = graft.functions.VectorMath.Simd.enabled
+      graft.functions.VectorMath.Simd.enabled = false
       def pairLoopNs(outer: Int): Double = {
         val rnd = new java.util.Random(42)
         val corpus = Array.fill(10000)(Array.fill(64)(rnd.nextFloat()))
@@ -84,8 +90,9 @@ object Bench {
       }
       pairLoopNs(5) // JIT warmup
       val best = math.min(pairLoopNs(30), pairLoopNs(30)) // ~2x ~2s; min defeats steal spikes
+      graft.functions.VectorMath.Simd.enabled = simdWas
       val f = best / BenchEnv.RefPairNs
-      System.err.println(f"[bench] env_factor=$f%.3f (pair loop $best%.1f ns/pair vs " +
+      System.err.println(f"[bench] env_factor=$f%.3f (scalar pair loop $best%.1f ns/pair vs " +
         f"${BenchEnv.RefPairNs}%.1f quiet-box reference)")
       f
     }
@@ -197,9 +204,13 @@ object Bench {
     // can't clobber the full map (which it did once, leaving a
     // 16-query artifact in git).
     val dumpName =
-      if (graft.functions.VectorMath.Simd.active) "BENCH_SIMD.json" // the SIMD-on A/B artifact
-      else if (only.isEmpty) "BENCH_QUERIES.json"
-      else "BENCH_QUERIES_partial.json"
+      if (only.nonEmpty) "BENCH_QUERIES_partial.json"
+      // SIMD is the engine default since r14, so the default-mode full
+      // map goes to BENCH_QUERIES.json; an explicit scalar A/B run
+      // (-Dgraft.simd.enabled=false) gets its own scratch artifact
+      // (BENCH_SIMD.json remains the historical r12 SIMD-on A/B)
+      else if (graft.functions.VectorMath.Simd.active) "BENCH_QUERIES.json"
+      else "BENCH_SCALAR.json"
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(dumpName),
       (jsonLine + "\n").getBytes("UTF-8"))

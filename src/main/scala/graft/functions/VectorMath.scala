@@ -213,20 +213,27 @@ object VectorMath {
   }
 
   /**
-   * Opt-in SIMD (Panama, jdk.incubator.vector) gate for the primitive
-   * hot kernels. OFF by default: the SIMD sums are lane-reassociated
-   * (~1e-15 relative drift vs the sequential scalar sum), and the
-   * oracle gates hash RAW distance doubles against a sequential-sum
-   * DuckDB replay — so the canonical path stays scalar and production
-   * deployments flip this on per JVM. Enable with BOTH:
-   *   -Dgraft.simd.enabled=true  (driver AND executor JVM options)
-   *   --add-modules=jdk.incubator.vector
-   * If the module is absent the kernels fail to classload and
-   * `available` latches false — scalar fallback, never an error.
+   * SIMD (Panama, jdk.incubator.vector) gate for the primitive hot
+   * kernels. ON by default since the r14 optimization round: the SIMD
+   * sums are lane-reassociated (~1e-15 relative drift vs the
+   * sequential scalar sum), but the full 249-query gate suite was
+   * A/B-measured ROW-SET BIT-EQUAL scalar-vs-SIMD (tools/simd_ab.py,
+   * SURVEY §23.5 — quant4 rounding and deterministic tie-breaks absorb
+   * the drift; the one historical diff, events_kll_rollup, was
+   * run-order KLL randomness since pinned by its sorted-view replay),
+   * and re-verified 251/251 PASS at sf0.001 + sf0.01 with SIMD on
+   * before the default flip. Trained-state oracles (PQ/RQ/LSQ/SQ/IVF
+   * injection) follow the engine's own state, so mode cannot desync
+   * them. Disable per JVM with -Dgraft.simd.enabled=false; the module
+   * (--add-modules=jdk.incubator.vector) is supplied by build.sbt for
+   * every forked run. If the module is absent the kernels fail to
+   * classload and `available` latches false — scalar fallback, never
+   * an error.
    */
   object Simd {
     final val EnabledProp = "graft.simd.enabled"
-    @volatile var enabled: Boolean = java.lang.Boolean.getBoolean(EnabledProp)
+    @volatile var enabled: Boolean =
+      sys.props.get(EnabledProp).forall(_.trim.equalsIgnoreCase("true"))
     lazy val available: Boolean =
       try { SimdKernels.l2sq(new Array[Float](4), new Array[Float](4)); true }
       catch { case _: Throwable => false } // NoClassDefFoundError without --add-modules

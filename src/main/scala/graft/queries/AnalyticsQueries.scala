@@ -644,8 +644,17 @@ object AnalyticsQueries {
           min("gap_us").as("min_gap_us"),
           max("gap_us").as("max_gap_us"))
         .select(col("event_type"), col("n_gaps"),
-          quant4(col("sg").cast("double") / col("n_gaps").cast("double"))
-            .as("mean_gap_us"),
+          // floor-on-double fixed point, NOT quant4: the mean sits at
+          // ~4e10 (15 significant digits at 4 decimals), where Spark's
+          // double→DECIMAL(18,4) (shortest-string, HALF_UP) and
+          // DuckDB's (binary scale-and-round) can disagree on an exact
+          // half-grid value — sf0.001's click mean x.59135 landed
+          // .5914 vs .5913 (found in r14's green-tree audit; latent,
+          // the driver-gated SFs never hit a boundary before). floor
+          // of the identical double chain is bit-equal on any engine
+          // (the dedup_best_copy precedent).
+          (floor(col("sg").cast("double") / col("n_gaps").cast("double") * 10000 + 0.5)
+            .cast("double") / 10000.0).as("mean_gap_us"),
           col("min_gap_us"), col("max_gap_us"))
     },
     // cart abandonment: clicks with NO purchase by the same user within
@@ -1638,7 +1647,8 @@ object AnalyticsQueries {
          |  FROM e
          |)
          |SELECT event_type, count(*) AS n_gaps,
-         |  ${quant4Sql("CAST(sum(gap_us) AS DOUBLE) / CAST(count(*) AS DOUBLE)")} AS mean_gap_us,
+         |  CAST(floor(CAST(sum(gap_us) AS DOUBLE) / CAST(count(*) AS DOUBLE) * 10000 + 0.5)
+         |       AS DOUBLE) / 10000.0 AS mean_gap_us,
          |  CAST(min(gap_us) AS BIGINT) AS min_gap_us,
          |  CAST(max(gap_us) AS BIGINT) AS max_gap_us
          |FROM g WHERE gap_us IS NOT NULL
