@@ -30,6 +30,16 @@ object Bench {
       // 100x rung that sorted 1.6e9 candidate rows to disk (70 GB spill).
       // 2M heap objects per partition is still only ~200 MB.
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "2097152")
+      // the whole-stage-codegen compile cache defaults to 100 entries;
+      // this suite carries 251 distinct query plans (~6 codegen units
+      // each), so at the default every pass Janino-recompiles nearly
+      // every stage — measured r14 on a 60-query slice at sf0.1/32:
+      // 46.0 s -> 31.9 s (-31%) from sizing the cache to the workload.
+      // Generated classes are KB-scale (metaspace), so 4096 entries is
+      // a few hundred MB at worst; any long-lived production session
+      // running a mixed workload wants the same sizing (static conf,
+      // driver + executors).
+      .config("spark.sql.codegen.cache.maxEntries", "4096")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

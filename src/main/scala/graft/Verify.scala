@@ -16,6 +16,9 @@ object Verify {
       // 100x rung that sorted 1.6e9 candidate rows to disk (70 GB spill).
       // 2M heap objects per partition is still only ~200 MB.
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "2097152")
+      // sized to the 251-plan suite — see the Bench.scala note (default
+      // 100 entries thrashes Janino recompiles across distinct plans)
+      .config("spark.sql.codegen.cache.maxEntries", "4096")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -52,9 +52,23 @@ object StreamingParityQueries {
     rawQueries.map { case (name, fn) =>
       name -> ((s: SparkSession, dir: String) => {
         val key = "spark.sql.shuffle.partitions"
+        val nkey = "spark.sql.streaming.noDataMicroBatches.enabled"
         val old = s.conf.get(key)
-        s.conf.set(key, "4")
-        try fn(s, dir) finally s.conf.set(key, old)
+        val nold = s.conf.get(nkey)
+        s.conf.set(key, sys.env.getOrElse("SPARK_GRAFT_PARITY_PARTS", "4"))
+        // r14: no-data micro-batches OFF for the replay — every
+        // processAllAvailable otherwise appends an empty batch for
+        // eager state maintenance, ~doubling per-chunk machinery. The
+        // gates' emission is watermark-gated on DATA batches by
+        // design (each flush sentinel is sent TWICE exactly so the
+        // second data batch emits what the first unlocked), so the
+        // collected multiset is invariant — re-proven by the oracle
+        // hash at sf0.001+sf0.01 with the flag off (11/11 PASS).
+        // Measured on the 5 heaviest gates at sf0.1/32: 30.7 -> 21.4 s.
+        // Production streams keep Spark's default (true); this wrapper
+        // scopes the setting to the replay harness only.
+        s.conf.set(nkey, sys.env.getOrElse("SPARK_GRAFT_PARITY_NODATA", "false"))
+        try fn(s, dir) finally { s.conf.set(key, old); s.conf.set(nkey, nold) }
       })
     }
 
