@@ -79,10 +79,19 @@ object Dedup {
       numHashes: Int, bands: Int, shingleSize: Int, seed: Long): DataFrame = {
     val rows = numHashes / bands
     require(rows * bands == numHashes, "bands must divide numHashes")
-    minhashSignatures(docs, idCol, textCol, numHashes, shingleSize, seed)
+    bucketsFromSignatures(
+      minhashSignatures(docs, idCol, textCol, numHashes, shingleSize, seed), bands, rows)
+  }
+
+  /** band-bucket registrations from an ALREADY-COMPUTED (id, sig) frame
+    * — lets a caller that also needs the signatures themselves (e.g.
+    * dedup_minhash_eval's lane-agreement estimate) compute the
+    * tokenize+shingle+minhash scan ONCE instead of once per consumer */
+  private[graft] def bucketsFromSignatures(
+      sig: DataFrame, bands: Int, rows: Int): DataFrame =
+    sig
       .where(col("sig")(0) =!= Long.MaxValue)
       .select(col("id"), posexplode(bandBuckets(col("sig"), bands, rows)).as(Seq("band", "bucket")))
-  }
 
   /** hot-bucket cap: a degenerate bucket (boilerplate that hashes a large
     * fraction of the corpus together) would make the bucket join quadratic
@@ -114,10 +123,19 @@ object Dedup {
       docs: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 128, bands: Int = 32,
       shingleSize: Int = 3, seed: Long = 42L,
+      maxBucketSize: Int = 1000): DataFrame =
+    candidatesFromSignatures(
+      minhashSignatures(docs, idCol, textCol, numHashes, shingleSize, seed),
+      numHashes, bands, maxBucketSize)
+
+  /** [[minhashCandidates]] from a precomputed (id, sig) frame — same
+    * banding, capping and pairing, zero additional corpus scans */
+  def candidatesFromSignatures(
+      sig: DataFrame, numHashes: Int = 128, bands: Int = 32,
       maxBucketSize: Int = 1000): DataFrame = {
-    val capped = capBuckets(
-      bucketedSignatures(docs, idCol, textCol, numHashes, bands, shingleSize, seed),
-      maxBucketSize)
+    val rows = numHashes / bands
+    require(rows * bands == numHashes, "bands must divide numHashes")
+    val capped = capBuckets(bucketsFromSignatures(sig, bands, rows), maxBucketSize)
     val a = capped.as("a")
     val b = capped.as("b")
     a.join(b,

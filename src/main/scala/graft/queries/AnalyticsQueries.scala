@@ -490,15 +490,30 @@ object AnalyticsQueries {
     // is a distributed TakeOrdered. Exact oracle: identical supports,
     // one IEEE lift chain, (lift, pa, pb) total tie order.
     "basket_pairs" -> { (s, dir) =>
-      val li = Tables(s, dir, "lineitem")
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
-      val pairs = li.as("a").join(li.as("b"),
-          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-        .select(col("a.pk").as("pa"), col("b.pk").as("pb"))
+      // r14 single-consumption shape (guide §2.4): the old
+      // distinct-self-join spelled the SAME basket quadratic as four
+      // independent consumers of a distinct (order, part) view — the
+      // executed plan scanned lineitem 5x and re-ran the distinct 4x
+      // (7 Exchanges; plans/r14/basket_pairs_before.txt). One
+      // collect_set basket rollup (per-order distinct == the old
+      // DISTINCT, map-side combined) now feeds pairs, per-part
+      // supports, AND the basket count: 1 scan + 3 Exchanges, with
+      // the upper-triangle pair explode in the reduce stage (the
+      // dedup_winnow shape). Pair multiset, supports, lift chain and
+      // tie order are unchanged — the oracle is untouched.
+      val baskets = Tables(s, dir, "lineitem")
+        .groupBy(col("l_orderkey").as("ok"))
+        .agg(array_sort(collect_set(col("l_partkey"))).as("parts"))
+      val pairs = baskets
+        .select(explode(flatten(transform(col("parts"), (x, i) =>
+          transform(slice(col("parts"), i + lit(2), size(col("parts"))),
+            y => struct(x.as("pa"), y.as("pb")))))).as("p"))
+        .select(col("p.pa"), col("p.pb"))
       val cab = pairs.groupBy("pa", "pb").agg(count(lit(1)).as("c_ab"))
         .where(col("c_ab") >= 3)
-      val cnt = li.groupBy("pk").agg(count(lit(1)).as("c"))
-      val n = li.select("ok").distinct().agg(count(lit(1)).as("n_orders"))
+      val cnt = baskets.select(explode(col("parts")).as("pk"))
+        .groupBy("pk").agg(count(lit(1)).as("c"))
+      val n = baskets.agg(count(lit(1)).as("n_orders"))
       cab
         .join(cnt.select(col("pk").as("pa"), col("c").as("c_a")), "pa")
         .join(cnt.select(col("pk").as("pb"), col("c").as("c_b")), "pb")

@@ -155,9 +155,18 @@ object DedupQueries {
     // spec-asserted.
     "dedup_minhash_eval" -> { (s, dir) =>
       val d = docs(s, dir)
-      val pairs = Dedup.minhashCandidates(d, "doc_id", "text")
+      // r14 (guide §2.4): this gate consumed the corpus-scan kernel
+      // FOUR ways (candidate banding, est's two signature joins, the
+      // truth verify) and fed `pairs` to two consumers — the finalized
+      // adaptive plan ran 10 document scans with 18 minhash kernel
+      // instances (plans/r14/dedup_minhash_eval_before.txt). Compute
+      // the signatures ONCE and pin them (eager localCheckpoint: ~128 B
+      // per doc, computed inside the timed query, never across runs);
+      // derive candidates from the pinned frame and pin the bounded
+      // pair list so est and truth stop re-running the LSH self-join.
       val sig = Dedup.minhashSignatures(d, "doc_id", "text",
-        numHashes = 128, shingleSize = 3, seed = 42L)
+        numHashes = 128, shingleSize = 3, seed = 42L).localCheckpoint()
+      val pairs = Dedup.candidatesFromSignatures(sig).localCheckpoint()
       val est = pairs
         .join(sig.select(col("id").as("a_id"), col("sig").as("sa")), "a_id")
         .join(sig.select(col("id").as("b_id"), col("sig").as("sb")), "b_id")

@@ -30,7 +30,11 @@ object PlanSnap {
     names.split(",").map(_.trim).filter(_.nonEmpty).foreach { name =>
       val df = graft.SparkEntry.queries(name)(spark, sfDir)
       val formatted = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
-      df.count() // execute so AQE finalizes
+      // execute THIS df's own QueryExecution so its AdaptiveSparkPlan
+      // finalizes (df.count()/noop-write plan a SEPARATE execution and
+      // leave this one isFinalPlan=false); toRdd.count() drives the
+      // adaptive stages without collecting rows to the driver
+      df.queryExecution.toRdd.count()
       val executed = df.queryExecution.executedPlan.toString
       Files.writeString(Paths.get(s"$outDir/${name}_$suffix.txt"),
         s"=== explain formatted ===\n$formatted\n=== executed (post-AQE) ===\n$executed\n")
