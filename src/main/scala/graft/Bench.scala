@@ -38,8 +38,10 @@ object Bench {
       // Generated classes are KB-scale (metaspace), so 4096 entries is
       // a few hundred MB at worst; any long-lived production session
       // running a mixed workload wants the same sizing (static conf,
-      // driver + executors).
-      .config("spark.sql.codegen.cache.maxEntries", "4096")
+      // driver + executors). Env-overridable for A/B legs (a -D system
+      // property alone would lose to this builder .config).
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "4096"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
