@@ -27,11 +27,28 @@ import graft.streaming.Streaming
  */
 object StreamingParityQueries {
 
+  /** r15 (guide §1.2 — remove fixed machinery): replay in 2 data
+    * chunks, not 4. Each micro-batch pays ~85 ms of offset/commit-log
+    * writes plus ~25-50 ms incremental planning REGARDLESS of size
+    * (measured, tools/ParityProfile — and checkpoint-on-tmpfs proved
+    * it is metadata-log machinery, not disk), so halving the chunk
+    * count removes ~2 batches x ~120 ms of pure overhead per gate and
+    * amortizes addBatch over larger batches. Coverage is preserved in
+    * kind: >= 2 data micro-batches, each still internally shuffled by
+    * the splitmix reorder (genuine out-of-order arrival inside every
+    * batch), chunks still contiguous time slices (nothing arrives
+    * behind the watermark), and the double flush sentinels are
+    * untouched — the emitted multiset is chunk-count-invariant, which
+    * the oracle hash re-proves at both gated SFs. The old schedule
+    * stays one env var away (SPARK_GRAFT_PARITY_CHUNKS=4). */
+  private val DefaultChunks =
+    sys.env.get("SPARK_GRAFT_PARITY_CHUNKS").map(_.toInt).getOrElse(2)
+
   /** deterministic replay schedule: rows sorted by event time, cut
     * into `nChunks` contiguous slices (so no row ever arrives behind
     * the watermark), each slice reordered by a splitmix of its sort
     * key — out-of-order inside every micro-batch. */
-  private def chunked[T](rows: Array[T], key: T => Long, nChunks: Int = 4): Seq[Array[T]] = {
+  private def chunked[T](rows: Array[T], key: T => Long, nChunks: Int = DefaultChunks): Seq[Array[T]] = {
     val per = math.max(1, (rows.length + nChunks - 1) / nChunks)
     rows.grouped(per).map(_.sortBy(r => {
       var z = key(r) + 0x9E3779B97F4A7C15L
@@ -55,14 +72,17 @@ object StreamingParityQueries {
         val nkey = "spark.sql.streaming.noDataMicroBatches.enabled"
         val old = s.conf.get(key)
         val nold = s.conf.get(nkey)
-        // stream-STREAM join state pays TWO state stores per partition
-        // per micro-batch (one each side), so the interval gate alone
-        // prefers a single state partition (r14 A/B at sf0.1/32,
-        // noData off: 8.3 -> 6.2 s; the single-store gates measured
-        // best at 4: family sweep 48.3 s @4 vs 48.5 s @1). Output is
-        // partition-count-invariant (the driver hash gate proves it).
-        val defParts = if (name == "streaming_parity_interval") "1" else "4"
-        s.conf.set(key, sys.env.getOrElse("SPARK_GRAFT_PARITY_PARTS", defParts))
+        // r14 ran the stream-stream interval gate at ONE state partition
+        // (two state stores per partition per micro-batch made 4 a
+        // loss at 4-chunk replay: 8.3 -> 6.2 s). The r15 2-chunk
+        // schedule doubles rows per batch, and the per-row join/state
+        // work now outweighs the per-store overhead — re-swept at
+        // sf0.1/32: 1 part 4.8 s, 2 parts 5.3 s, 4 parts 4.3 s,
+        // 8 parts 7.1 s — so every gate runs the family default of 4
+        // again. Output is partition-count-invariant (the driver hash
+        // gate proves it); production streams size their own
+        // partitioning.
+        s.conf.set(key, sys.env.getOrElse("SPARK_GRAFT_PARITY_PARTS", "4"))
         // r14: no-data micro-batches OFF for the replay — every
         // processAllAvailable otherwise appends an empty batch for
         // eager state maintenance, ~doubling per-chunk machinery. The
@@ -101,14 +121,11 @@ object StreamingParityQueries {
           mem.addData(chunk.map(r => (r._1, r._2, r._3, r._4)).toSeq)
           q.processAllAvailable()
         }
-        val out = s.table("parity_hourly").collect()
-        s.createDataFrame(
-          java.util.Arrays.asList(out: _*),
-          StructType(Seq(
-            StructField("bucket", TimestampType),
-            StructField("event_type", StringType),
-            StructField("n_events", LongType),
-            StructField("sum_value", DoubleType))))
+        // r15: return the memory sink directly (same columns/types) —
+        // the old collect + createDataFrame rewrap re-serialized every
+        // output row through the driver for nothing; the sink's rows
+        // survive q.stop() and the next start() rebinds the name fresh
+        s.table("parity_hourly")
       } finally q.stop()
     },
     // native session windows, streamed in APPEND mode: sessions only
@@ -142,14 +159,8 @@ object StreamingParityQueries {
         q.processAllAvailable()
         mem.addData((-1L, -2L, new Timestamp(maxTs + 60L * 86400 * 1000)))
         q.processAllAvailable()
-        val out = s.table("parity_session").where(col("user_id") >= 0).collect()
-        s.createDataFrame(
-          java.util.Arrays.asList(out: _*),
-          StructType(Seq(
-            StructField("user_id", LongType),
-            StructField("session_start", TimestampType),
-            StructField("session_end", TimestampType),
-            StructField("n_events", LongType))))
+        // r15: sink returned directly (see streaming_parity)
+        s.table("parity_session").where(col("user_id") >= 0)
       } finally q.stop()
     },
     // the CUSTOM-state sessionizer (flatMapGroupsWithState, hand-rolled
@@ -182,14 +193,8 @@ object StreamingParityQueries {
         q.processAllAvailable()
         mem.addData((-1L, -2L, new Timestamp(maxTs + 60L * 86400 * 1000)))
         q.processAllAvailable()
-        val out = s.table("parity_fmgws").where(col("user_id") >= 0).collect()
-        s.createDataFrame(
-          java.util.Arrays.asList(out: _*),
-          StructType(Seq(
-            StructField("user_id", LongType),
-            StructField("session_start", TimestampType),
-            StructField("session_end", TimestampType),
-            StructField("n_events", LongType))))
+        // r15: sink returned directly (see streaming_parity)
+        s.table("parity_fmgws").where(col("user_id") >= 0)
       } finally q.stop()
     },
     // per-user transition emission (the streaming markov feeder):
@@ -232,15 +237,9 @@ object StreamingParityQueries {
         mem.addData(users.map(u =>
           (u, -2L, "__flush__", new Timestamp(maxTs + 60L * 86400 * 1000))).toSeq)
         q.processAllAvailable()
-        val out = s.table("parity_markov")
+        // r15: sink returned directly (see streaming_parity)
+        s.table("parity_markov")
           .where(col("from_type") =!= "__flush__" && col("to_type") =!= "__flush__")
-          .collect()
-        s.createDataFrame(
-          java.util.Arrays.asList(out: _*),
-          StructType(Seq(
-            StructField("user_id", LongType),
-            StructField("from_type", StringType),
-            StructField("to_type", StringType))))
       } finally q.stop()
     },
     // funnel depth per user (funnelFMGWS): emission happens ONLY via
@@ -276,12 +275,8 @@ object StreamingParityQueries {
         q.processAllAvailable()
         mem.addData((-1L, "view", new Timestamp(maxTs + 120L * 86400 * 1000)))
         q.processAllAvailable()
-        val out = s.table("parity_funnel").where(col("user_id") >= 0).collect()
-        s.createDataFrame(
-          java.util.Arrays.asList(out: _*),
-          StructType(Seq(
-            StructField("user_id", LongType),
-            StructField("funnel_depth", IntegerType))))
+        // r15: sink returned directly (see streaming_parity)
+        s.table("parity_funnel").where(col("user_id") >= 0)
       } finally q.stop()
     },
     // real-time ANN serving (serveAnn: a stream of query vectors
@@ -345,14 +340,8 @@ object StreamingParityQueries {
           mem.addData(chunk.toSeq)
           q.processAllAvailable()
         }
-        val out = s.table("parity_topk").collect()
-        s.createDataFrame(
-          java.util.Arrays.asList(out: _*),
-          StructType(Seq(
-            StructField("bucket", TimestampType),
-            StructField("rank", IntegerType),
-            StructField("event_id", LongType),
-            StructField("value", DoubleType))))
+        // r15: sink returned directly (see streaming_parity)
+        s.table("parity_topk")
       } finally q.stop()
     },
     // the COMPOSED at-ingest curation gate (quality filter + fp dedup +
@@ -384,15 +373,9 @@ object StreamingParityQueries {
             (id, t, new Timestamp(base + k * 3600 * 1000L)) }.toSeq)
           q.processAllAvailable()
         }
-        val out = s.table("parity_curation")
+        // r15: sink returned directly (see streaming_parity)
+        s.table("parity_curation")
           .select(col("doc_id"), col("quality"), md5(col("text")).as("scrubbed_md5"))
-          .collect()
-        s.createDataFrame(
-          java.util.Arrays.asList(out: _*),
-          StructType(Seq(
-            StructField("doc_id", LongType),
-            StructField("quality", DoubleType),
-            StructField("scrubbed_md5", StringType))))
       } finally q.stop()
     },
     // stream-STREAM interval join (intervalJoin): orders and events
@@ -448,17 +431,14 @@ object StreamingParityQueries {
             if (ec.nonEmpty) memE.addData(ec.toSeq)
             q.processAllAvailable()
           }
-        val out = s.table("parity_interval").collect()
+        // r15: sink returned directly (see streaming_parity); the
+        // vacuous-gate guard stays, as a limit-1 probe instead of a
+        // full collect
+        val out = s.table("parity_interval")
         // the round-8 gate passed on a 0-row hash (vacuous); never again
-        require(out.nonEmpty,
+        require(!out.isEmpty,
           "streaming_parity_interval emitted 0 rows — vacuous gate")
-        s.createDataFrame(
-          java.util.Arrays.asList(out: _*),
-          StructType(Seq(
-            StructField("o_orderkey", LongType),
-            StructField("event_id", LongType),
-            StructField("ts", TimestampType),
-            StructField("value", DoubleType))))
+        out
       } finally q.stop()
     },
     // streaming exact dedup (dropDuplicatesWithinWatermark): the corpus
@@ -493,12 +473,8 @@ object StreamingParityQueries {
             (id, t, new Timestamp(base + k * 3600 * 1000L)) }.toSeq)
           q.processAllAvailable()
         }
-        val out = s.table("parity_dedup").collect()
-        s.createDataFrame(
-          java.util.Arrays.asList(out: _*),
-          StructType(Seq(
-            StructField("doc_id", LongType),
-            StructField("text_hash", StringType))))
+        // r15: sink returned directly (see streaming_parity)
+        s.table("parity_dedup")
       } finally q.stop()
     },
     // last-touch attribution (attributionFMGWS): purchases emit with
@@ -536,14 +512,12 @@ object StreamingParityQueries {
         mem.addData(users.map(u =>
           (u, -2L, "__flush__", 0.0, new Timestamp(maxTs + 60L * 86400 * 1000))).toSeq)
         q.processAllAvailable()
-        val out = s.table("parity_attribution").where(col("user_id") >= 0).collect()
-        s.createDataFrame(
-          java.util.Arrays.asList(out: _*),
-          StructType(Seq(
-            StructField("user_id", LongType),
-            StructField("purchase_id", LongType),
-            StructField("channel", StringType),
-            StructField("value", DoubleType))))
+        // r15: sink returned directly (see streaming_parity); AttrOut's
+        // event_id field carries the purchase id — renamed here exactly
+        // as the old rewrap did
+        s.table("parity_attribution").where(col("user_id") >= 0)
+          .select(col("user_id"), col("event_id").as("purchase_id"),
+            col("channel"), col("value"))
       } finally q.stop()
     })
 
