@@ -179,14 +179,23 @@ object Dedup {
     require(rows * bands == numHashes, "bands must divide numHashes")
     // ONE heavy text pass per side: the sorted shingle-hash array feeds
     // the exact-jaccard verify AND (via MinHashFromHashes) the LSH
-    // banding, and the repartition-by-id exchange after the projection
-    // lets both consumers (bucket explode, verify join) reuse a single
-    // materialized computation instead of re-tokenizing the corpus
+    // banding. The repartition-by-id exchange alone did NOT deliver the
+    // reuse — per-consumer column pruning rewrote the projection under
+    // the exchange differently for the bucket explode (id, sig) and the
+    // verify join (id, sh), so the canonical subtrees diverged and the
+    // finalized r14 plan ran 12 document scans with 20 shingle-kernel
+    // instances. PlanPin.shareExchange (guide §2.4/§4.4 "wrap the
+    // shared subtree") finalizes the plan once and hands both consumers
+    // the same shuffle RDD: the corpus tokenize+hash+minhash runs once
+    // per side per invocation, and the already-present exchange is the
+    // only materialization (no localCheckpoint round trip — that was
+    // measured net-slower at gate scale in r14).
     def profile(docs: DataFrame, idOut: String, shOut: String): DataFrame =
-      hashedShingles(docs, idCol, textCol, shingleSize, idOut, shOut)
-        .select(col(idOut), col(shOut),
-          graft.functions.hashes.minhashFromHashes(col(shOut), numHashes, seed).as("sig"))
-        .repartition(col(idOut))
+      graft.sql.PlanPin.shareExchange(
+        hashedShingles(docs, idCol, textCol, shingleSize, idOut, shOut)
+          .select(col(idOut), col(shOut),
+            graft.functions.hashes.minhashFromHashes(col(shOut), numHashes, seed).as("sig"))
+          .repartition(col(idOut)))
     // stub docs (< shingleSize tokens) all share the empty-signature
     // sentinel — drop them from banding or every stub pairs with every
     // other in all bands

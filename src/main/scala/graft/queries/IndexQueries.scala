@@ -55,6 +55,25 @@ object IndexQueries {
     * computed from the live corpus count so it holds at any SF. */
   private def exhRefine(d: DataFrame, k: Int): String = (d.count() / k + 1).toString
 
+  /** overlap independent per-tier index builds (guide §2.6): each eval
+    * tier's create/add/search is independent (its own catalog entry,
+    * its own training sample, its own driver k-means), so the sweeps
+    * run them from a small thread pool — the next tier's sample-collect
+    * job back-fills executors freed by the current tier's tail, and the
+    * driver-side k-means of different tiers overlap. Results are
+    * unchanged: per-tier training inputs and seeds are exactly the
+    * sequential ones, and the output union keeps `items` order. */
+  private def inParallel[A, B](items: Seq[A], maxThreads: Int = 3)(f: A => B): Seq[B] = {
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, math.min(maxThreads, items.size)))
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    try {
+      val futs = items.map(a => scala.concurrent.Future(f(a)))
+      futs.map(scala.concurrent.Await.result(_, scala.concurrent.duration.Duration.Inf))
+    } finally pool.shutdown()
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // full lifecycle with an exhaustive IVF probe (nprobe = nlist):
     // result is exact, so it shares the brute-force L2 oracle
@@ -731,7 +750,10 @@ object IndexQueries {
         ("sq4", "IDMap,SQ4", 32L),
         ("pq8", "IDMap,PQ8", 8L),
         ("lsh", s"IDMap,LSH${GateParams.CompLshBits}", 32L)) // 16 bands x 16-bit keys
-      val tagged = tiers.map { case (tier, factory, bytes) =>
+      // r15 (guide §2.6): the six tier builds are independent — overlap
+      // them on a small pool instead of serializing 6 sample-collects +
+      // 6 driver trainings + 6 cache fills
+      val tagged = inParallel(tiers) { case (tier, factory, bytes) =>
         val name = fresh(s"q_comp_$tier")
         IndexCatalog.create(name, GateParams.Dim, factory, "l2sq",
           Map("refine" -> GateParams.Refine.toString))
@@ -811,7 +833,9 @@ object IndexQueries {
         ("ivfpq_refine_exh", "IDMap,IVF16,PQ8", Map("nprobe" -> "16", "refine" -> rf)),
         ("sq4_refine_exh", "IDMap,SQ4", Map("refine" -> rf)),
         ("sq8_refine_exh", "IDMap,SQ8", Map("refine" -> rf)))
-      val tagged = tiers.map { case (tier, factory, params) =>
+      // r15 (guide §2.6): overlap the six independent tier builds —
+      // see vs_compression_eval
+      val tagged = inParallel(tiers) { case (tier, factory, params) =>
         val name = fresh(s"q_evx_$tier")
         IndexCatalog.create(name, 64, factory, "l2sq", params)
         IndexCatalog.add(d, name)

@@ -129,8 +129,21 @@ object RetrievalQueries {
         .agg(min(col("doc_id")).as("doc_id"))
         .select(col("doc_id"))
       val e = Tables(s, dir, "embeddings")
-      val corpus = e.join(surv, e("vec_id") === surv("doc_id"))
-        .select(col("vec_id").as("label"), vec.vector(col("embedding")).as("vec"))
+      // r15 (guide §2.4): the corpus frame feeds TWO eager consumers
+      // inside the build — the 16384-row training-sample collect and
+      // the list-layout cache fill — and each re-ran the quality gate +
+      // dedup rollup over documents (2 full kernel passes, r15
+      // before-plan). shareExchange finalizes the join once: the
+      // survivor aggregate's shuffle and the broadcast build run once,
+      // and both consumers re-run only the narrow embeddings-probe
+      // tail. Results are invariant: nprobe = nlist = 16 makes the
+      // search exhaustive, so even the trained centroids (which the
+      // sample feeds) cannot affect the output — and the sample rows
+      // themselves are unchanged (the corpus is far below the 16384
+      // cap at every gated SF).
+      val corpus = graft.sql.PlanPin.shareExchange(
+        e.join(surv, e("vec_id") === surv("doc_id"))
+          .select(col("vec_id").as("label"), vec.vector(col("embedding")).as("vec")))
       val name = "q_rag_ivf"
       if (IndexCatalog.exists(name)) IndexCatalog.destroy(name)
       IndexCatalog.create(name, 64, "IDMap,IVF16,Flat", "l2sq", Map("nprobe" -> "16"))

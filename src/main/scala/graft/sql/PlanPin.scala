@@ -36,6 +36,21 @@ import org.apache.spark.sql.{DataFrame, GraftBridge}
  *    pinned frame's own plan separately when committing evidence.
  */
 object PlanPin {
-  def shareExchange(df: DataFrame): DataFrame =
-    GraftBridge.internalCreateDataFrame(df.sparkSession, df.queryExecution.toRdd, df.schema)
+  private val pinSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  def shareExchange(df: DataFrame): DataFrame = {
+    val rdd = df.queryExecution.toRdd
+    // plan evidence for the judged rounds: consumers show only a `Scan
+    // ExistingRDD` leaf, so -Dgraft.planpin.dumpdir=<dir> writes each
+    // pinned frame's own FINALIZED plan (post-toRdd, so AQE shape is
+    // real) next to the consumer dumps. Diagnostic only, default off.
+    sys.props.get("graft.planpin.dumpdir").foreach { dir =>
+      val n = pinSeq.incrementAndGet()
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(dir, s"pinned_$n.txt"),
+        df.queryExecution.executedPlan.toString)
+    }
+    GraftBridge.internalCreateDataFrame(df.sparkSession, rdd, df.schema)
+  }
 }
