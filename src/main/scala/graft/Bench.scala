@@ -53,15 +53,34 @@ object Bench {
     def selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
 
+    // r15 (guide §1.4): the timed action is the NOOP SINK by default —
+    // it computes every column of every row and discards it, where
+    // `.count()` let the optimizer prune columns (and sometimes whole
+    // subtrees), undercounting the real query. Declared loudly, not
+    // switched silently: the one-round dual artifact (BENCH_COUNT.json
+    // from SPARK_GRAFT_TIMED_ACTION=count alongside the default
+    // BENCH_QUERIES.json) quantifies the methodology delta per query,
+    // BENCH_FLOOR.json is re-based on noop numbers, and both JSON
+    // artifacts self-describe via the "timed_action" field.
+    val timedActionName = sys.env.getOrElse("SPARK_GRAFT_TIMED_ACTION", "noop")
+    val timedAction: org.apache.spark.sql.DataFrame => Unit = timedActionName match {
+      case "count" => df => { df.count(); () }
+      case "noop" => df => df.write.format("noop").mode("overwrite").save()
+      case other => throw new IllegalArgumentException(
+        s"SPARK_GRAFT_TIMED_ACTION must be 'noop' or 'count', got '$other'")
+    }
+
     // warmup: run every query once at the smallest scale factor so the
     // timed pass measures steady-state execution, not first-touch
-    // codegen/classloading (what a long-lived cluster session sees)
+    // codegen/classloading (what a long-lived cluster session sees) —
+    // through the SAME action the timed passes use, so the noop-write
+    // machinery is warm too
     val warmDir = {
       val w = "/root/testdata/sf0.001"
       if (new java.io.File(w).isDirectory) w else sfDir
     }
     selected.foreach { case (_, fn) =>
-      try fn(spark, warmDir).count() catch { case _: Throwable => () }
+      try timedAction(fn(spark, warmDir)) catch { case _: Throwable => () }
     }
 
     // environment calibration (VERDICT r10 "what's wrong" #1): floors
@@ -76,8 +95,11 @@ object Bench {
       // scalar, so the loop runs scalar regardless of the engine's
       // SIMD default (flipped on in r14) — otherwise a SIMD run would
       // read env_factor ~0.46 and mis-normalize the floor cohort
+      // try/finally (ADVICE r14): an exception in the loop must not
+      // leave the engine scalar while the artifact says SIMD
       val simdWas = graft.functions.VectorMath.Simd.enabled
       graft.functions.VectorMath.Simd.enabled = false
+      try {
       def pairLoopNs(outer: Int): Double = {
         val rnd = new java.util.Random(42)
         val corpus = Array.fill(10000)(Array.fill(64)(rnd.nextFloat()))
@@ -102,11 +124,11 @@ object Bench {
       }
       pairLoopNs(5) // JIT warmup
       val best = math.min(pairLoopNs(30), pairLoopNs(30)) // ~2x ~2s; min defeats steal spikes
-      graft.functions.VectorMath.Simd.enabled = simdWas
       val f = best / BenchEnv.RefPairNs
       System.err.println(f"[bench] env_factor=$f%.3f (scalar pair loop $best%.1f ns/pair vs " +
         f"${BenchEnv.RefPairNs}%.1f quiet-box reference)")
       f
+      } finally graft.functions.VectorMath.Simd.enabled = simdWas
     }
 
     // timed passes, keep the per-query min: run-to-run noise on a
@@ -115,7 +137,7 @@ object Bench {
     def timedPass(): Map[String, Double] =
       selected.map { case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try { timedAction(fn(spark, sfDir)) } catch { case _: Throwable => () }
         name -> (System.nanoTime() - t0) / 1e9
       }.toMap
     val nPasses = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
@@ -203,7 +225,8 @@ object Bench {
     val medianJson = if (medianMeasured) f"$medianRatio%.4f" else "null"
     val jsonLine =
       s"""{"metric":"total","value":$total,"unit":"sec",""" +
-        s""""env_factor":${f"$envFactor%.4f"},"env_median_ratio":$medianJson""" +
+        s""""env_factor":${f"$envFactor%.4f"},"env_median_ratio":$medianJson,""" +
+        s""""timed_action":"$timedActionName"""" +
         s"""$phasesJson,"queries":$qs,"sf":"$sfDir"}"""
     // Persist the FULL per-query map (all queries, full precision) to a
     // file: the driver captures only a ~2000-char stdout tail as
@@ -217,12 +240,22 @@ object Bench {
     // 16-query artifact in git).
     val dumpName =
       if (only.nonEmpty) "BENCH_QUERIES_partial.json"
+      // the legacy count-action run (one-round dual artifact of the r15
+      // noop migration) must never clobber the artifact of record
+      else if (timedActionName == "count") "BENCH_COUNT.json"
       // SIMD is the engine default since r14, so the default-mode full
       // map goes to BENCH_QUERIES.json; an explicit scalar A/B run
       // (-Dgraft.simd.enabled=false) gets its own scratch artifact
       // (BENCH_SIMD.json remains the historical r12 SIMD-on A/B)
       else if (graft.functions.VectorMath.Simd.active) "BENCH_QUERIES.json"
       else "BENCH_SCALAR.json"
+    // ADVICE r14: a silently-scalar run (jdk.incubator.vector failed to
+    // classload) would stale the artifact of record with no warning —
+    // say which mode ran and where the map went, every run
+    System.err.println(
+      s"[bench] simd enabled=${graft.functions.VectorMath.Simd.enabled} " +
+        s"active=${graft.functions.VectorMath.Simd.active} " +
+        s"timed_action=$timedActionName dump=$dumpName")
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(dumpName),
       (jsonLine + "\n").getBytes("UTF-8"))
@@ -239,7 +272,8 @@ object Bench {
     val phasesShort = if (phasesJson.length <= 400) phasesJson else ""
     val fixed =
       s"""{"metric":"total","value":$total,"unit":"sec",""" +
-        s""""env_factor":${f"$envFactor%.4f"},"env_median_ratio":$medianJson""" +
+        s""""env_factor":${f"$envFactor%.4f"},"env_median_ratio":$medianJson,""" +
+        s""""timed_action":"$timedActionName"""" +
         s"""$phasesShort,"queries_count":${results.size},""" +
         s""""queries_file":"$dumpName","sf":"$sfDir","queries":"""
     val closing = "}"

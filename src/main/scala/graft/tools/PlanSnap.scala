@@ -16,7 +16,18 @@ import org.apache.spark.sql.execution.ExplainMode
  */
 object PlanSnap {
   def main(args: Array[String]): Unit = {
+    // ADVICE r14: fail with usage, not an opaque MatchError / NSEE
+    if (args.length < 4) {
+      System.err.println("usage: PlanSnap <sfDir> <outDir> <suffix> <q1,q2,...>")
+      sys.exit(2)
+    }
     val Array(sfDir, outDir, suffix, names) = args.take(4)
+    val unknown = names.split(",").map(_.trim).filter(_.nonEmpty)
+      .filterNot(graft.SparkEntry.queries.contains)
+    if (unknown.nonEmpty) {
+      System.err.println(s"unknown queries: ${unknown.mkString(",")}")
+      sys.exit(2)
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -18,14 +18,23 @@ the pair-loop env_factor when no floored cohort exists:
     quiet-box estimate)
 
 Usage: python3 tools/update_floors.py [bench_json] [floor_json] [round]
+
+--rebase (r15, guide §1.4 noop migration): REPLACE every floor with
+this run's time normalized to quiet-box units by the run's own cohort
+ratio against the OLD floors. Used once when the timed action changed
+from .count() to the noop sink — the old floors measure a strictly
+smaller computation, so min-folding against them would permanently
+undercount post-migration runs. The refusal guards still apply.
 """
 import json
 import statistics
 import sys
 
-bench_path = sys.argv[1] if len(sys.argv) > 1 else "BENCH_QUERIES.json"
-floor_path = sys.argv[2] if len(sys.argv) > 2 else "BENCH_FLOOR.json"
-rnd = sys.argv[3] if len(sys.argv) > 3 else None
+args = [a for a in sys.argv[1:] if a != "--rebase"]
+rebase = "--rebase" in sys.argv[1:]
+bench_path = args[0] if len(args) > 0 else "BENCH_QUERIES.json"
+floor_path = args[1] if len(args) > 1 else "BENCH_FLOOR.json"
+rnd = args[2] if len(args) > 2 else None
 
 bench = json.load(open(bench_path))
 floors = json.load(open(floor_path))
@@ -66,14 +75,27 @@ if not (0.25 <= norm <= 10.0):
     sys.exit(1)
 
 lowered, added = [], []
-for name, t in sorted(bench["queries"].items()):
-    if name not in q:
-        v = round(t / norm, 3)
-        q[name] = v
-        added.append((name, v))
-    elif round(t, 3) < q[name]:
-        lowered.append((name, q[name], round(t, 3)))
-        q[name] = round(t, 3)
+if rebase:
+    old = dict(q)
+    q.clear()
+    for name, t in sorted(bench["queries"].items()):
+        q[name] = round(t / norm, 3)
+        if name not in old:
+            added.append((name, q[name]))
+        elif q[name] < old[name]:
+            lowered.append((name, old[name], q[name]))
+    raised = sum(1 for n in q if n in old and q[n] > old[n])
+    print(f"REBASE: {len(q)} floors replaced at norm={norm:.3f} "
+          f"({raised} raised, {len(lowered)} lowered, {len(added)} new)")
+else:
+    for name, t in sorted(bench["queries"].items()):
+        if name not in q:
+            v = round(t / norm, 3)
+            q[name] = v
+            added.append((name, v))
+        elif round(t, 3) < q[name]:
+            lowered.append((name, q[name], round(t, 3)))
+            q[name] = round(t, 3)
 if rnd:
     floors["round"] = rnd
 floors["norm_of_last_update"] = round(norm, 4)
