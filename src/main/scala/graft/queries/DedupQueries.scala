@@ -164,6 +164,11 @@ object DedupQueries {
       // per doc, computed inside the timed query, never across runs);
       // derive candidates from the pinned frame and pin the bounded
       // pair list so est and truth stop re-running the LSH self-join.
+      // NOTE (ADVICE r14): the two pinned frames are released by the
+      // ContextCleaner when the DataFrames become unreachable after the
+      // pass — ~128 B/doc each, bounded at every committed SF; a larger
+      // SF rung that re-runs this gate many passes per JVM should
+      // explicitly unpersist them after materializing the result
       val sig = Dedup.minhashSignatures(d, "doc_id", "text",
         numHashes = 128, shingleSize = 3, seed = 42L).localCheckpoint()
       val pairs = Dedup.candidatesFromSignatures(sig).localCheckpoint()
@@ -338,8 +343,11 @@ object DedupQueries {
     "dedup_minhash" -> { (s, dir) =>
       val d = docs(s, dir)
       val cands = Dedup.minhashCandidates(d, "doc_id", "text")
-      val degree = cands.select(col("a_id").as("doc_id"))
-        .union(cands.select(col("b_id").as("doc_id")))
+      // r15: explode both endpoints from ONE pass over the candidate
+      // subtree — the old union of two projections duplicated the whole
+      // LSH pipeline (signatures + banding self-join) into each branch
+      val degree = cands
+        .select(explode(array(col("a_id"), col("b_id"))).as("doc_id"))
         .groupBy("doc_id").agg(count(lit(1)).as("n_dup_candidates"))
       d.select(col("doc_id"))
         .join(degree, Seq("doc_id"), "left")
@@ -375,8 +383,9 @@ object DedupQueries {
     "dedup_simhash" -> { (s, dir) =>
       val d = docs(s, dir)
       val cands = Dedup.simhashCandidates(d, "doc_id", "text", maxHamming = 3)
-      val degree = cands.select(col("a_id").as("doc_id"))
-        .union(cands.select(col("b_id").as("doc_id")))
+      // r15: one pass over the candidate subtree (see dedup_minhash)
+      val degree = cands
+        .select(explode(array(col("a_id"), col("b_id"))).as("doc_id"))
         .groupBy("doc_id").agg(count(lit(1)).as("n_near_dups"))
       d.select(col("doc_id"))
         .join(degree, Seq("doc_id"), "left")
@@ -402,18 +411,30 @@ object DedupQueries {
             transform(sequence(lit(1), size(toks) - (n - 1)),
               i => concat_ws(" ", slice(toks, i, lit(n)))))
           .otherwise(array().cast("array<string>"))).as("spans"))
-      val ex = sh.select(col("doc_id"), explode(col("spans")).as("s"))
-      // (doc_id, s) pairs are distinct, so df = docs containing the span
-      val dupSpans = ex.groupBy("s").agg(count(lit(1)).as("df"))
-        .where(col("df") >= 2).select(col("s"))
-      val perDoc = ex.join(dupSpans, Seq("s"))
-        .groupBy("doc_id").agg(count(lit(1)).as("n_dup_spans"))
-      sh.select(col("doc_id"), size(col("spans")).cast("long").as("n_spans"))
-        .join(perDoc, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("n_spans"),
-          coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+      // r15 (guide §2.4, found by the noop-sink migration — .count()
+      // pruned this query to a bare scan): the span kernel
+      // (tokenize -> 4-gram transform -> array_distinct) previously fed
+      // THREE subtrees (the explode for df, the explode again for the
+      // per-doc join, and the final n_spans projection), and the
+      // df-filter join re-shuffled the exploded pairs a second time.
+      // Single pass instead: carry n_spans through one explode_outer
+      // (so spanless docs keep their row), count each span's document
+      // frequency with a whole-partition window (per-doc spans are
+      // distinct, so the partition count IS the doc frequency), then
+      // one per-doc aggregation. Kernel runs once, two shuffles, no
+      // joins; row set proven identical vs the unchanged oracle.
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("s")
+      sh.select(col("doc_id"), size(col("spans")).cast("long").as("n_spans"),
+          explode_outer(col("spans")).as("s"))
+        .select(col("doc_id"), col("n_spans"), col("s"),
+          count(lit(1)).over(w).as("df"))
+        .groupBy("doc_id")
+        .agg(max(col("n_spans")).as("n_spans"),
+          count(when(col("s").isNotNull && col("df") >= 2, lit(1)))
+            .as("n_dup_spans"))
+        .select(col("doc_id"), col("n_spans"), col("n_dup_spans"),
           when(col("n_spans") === 0, lit(0.0))
-            .otherwise(coalesce(col("n_dup_spans"), lit(0L)).cast("double") /
+            .otherwise(col("n_dup_spans").cast("double") /
               col("n_spans").cast("double")).as("dup_frac"))
     },
     // ExactSubstr span REMOVAL (Lee et al. '21 "Deduplicating Training

@@ -483,6 +483,11 @@ object TextQueries {
         .sortBy(_.rank).map(m => (m.left, m.right)).toArray
       val enc = GraftBridge.column(graft.text.BpeEncodeTokens(
         GraftBridge.expression(tokens(col("text"))), tbl))
+      // r15 measured-and-left: splitting `enc` into its own projection
+      // (so the two size() consumers share one alias) was a WASH in a
+      // matched 6-pass A/B (1.75 -> 1.82 s) — codegen subexpression
+      // elimination already evaluates the kernel once per row despite
+      // the duplicated expression text in the plan; reverted
       Tables.wide(s, dir, "documents")
         .select(col("doc_id"),
           size(enc).as("n_subwords"),
